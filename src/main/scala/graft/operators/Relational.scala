@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** The relational operator spine (SURVEY.md §5.3, probes Q01–Q24).
+  *
+  * Each probe exercises one Spark primitive that a reference operator
+  * maps onto (SURVEY.md §2, column "Spark mapping") — e.g. Q04's anti
+  * join is the extent-containment filter of gdalos_vrt.py:73-87, Q10's
+  * broadcast join is the palette lookup of gdalos_color.py:69-85, Q22's
+  * running-max window is the LOS obstruction sweep of
+  * viewshed_calc.py:636-968.
+  *
+  * All queries are expressed with the DataFrame API (never string SQL)
+  * so Catalyst owns optimization: filter/projection pushdown to the
+  * parquet scan, broadcast selection for the small dimension tables
+  * (hinted where we know cardinality), and whole-stage codegen
+  * end-to-end. Every query is fully ORDER BY-ed on a total order and
+  * every computed column is aliased to match the DuckDB oracle
+  * (driver compares by column name).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (nation/region/part at TPC-H shape) carry an
+  *    explicit `broadcast` hint — at 1000 executors a shuffle join on
+  *    these would be pure overhead;
+  *  - fact-fact joins (lineitem⋈orders) are left to sort-merge +
+  *    AQE, which is the right physical shape at 100 TB;
+  *  - aggregations use map-side partial aggregation automatically
+  *    (hash agg); no `collect`-and-loop anywhere.
+  */
+object Relational {
+
+  /** Q01 scan + filter (A1/B7): pushed-down predicate on a fact scan. */
+  def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02 ordered projection (A3): top-n by key — sort + limit. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Q03 UNION ALL (A4/G1): the VRT mosaic is a union of scans. */
+  def q03(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("k"))
+      .unionAll(supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+      .limit(500)
+
+  /** Q04 anti join (A5/C8): containment filter = left_anti. */
+  def q04(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"), "left_anti")
+      .select("n_nationkey")
+      .orderBy("n_nationkey")
+
+  /** Q05 equi join on computed key (A9/C7): point→tile-key quantization. */
+  def q05(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("zone", (col("o_orderkey") % 25).cast("int"))
+      .join(broadcast(nation(s, d)), col("zone") === col("n_nationkey"))
+      .select("o_orderkey", "zone", "n_name")
+      .orderBy("o_orderkey")
+      .limit(200)
+
+  /** Q06 csv-shaped ordered projection (A13). */
+  def q06(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+      .limit(50)
+
+  /** Q07 column prune + filter (B1): band-select projection. */
+  def q07(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_size").isin(1, 2, 3))
+      .select("p_partkey", "p_size")
+      .orderBy("p_partkey")
+
+  /** Q08 range predicate (B2): extent crop = tile-key BETWEEN. */
+  def q08(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate").cast("date")
+        .between(lit("1995-01-01").cast("date"), lit("1995-03-31").cast("date")))
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q09 CASE WHEN rewrite (B4): nodata normalize. Round before the
+    * int cast — Spark truncates double→int while DuckDB rounds, so an
+    * explicit ROUND keeps both engines identical. */
+  def q09(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") === 0, lit(-1))
+          .otherwise(round(col("l_discount") * 100, 0).cast("int")).as("d"))
+      .orderBy("l_orderkey", "l_linenumber", "d")
+      .limit(500)
+
+  /** Q10 broadcast dimension join (B6/C4): palette lookup shape. */
+  def q10(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+
+  /** Q11 multi-way equi join (C1/C3): aligned raster zip. lineitem⋈orders
+    * stays a shuffle join (both big at scale); part is broadcast. */
+  def q11(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderstatus", "p_brand")
+      .orderBy("l_orderkey", "l_linenumber", "o_orderstatus", "p_brand")
+      .limit(500)
+
+  /** Q12 full outer + coalesce (C2/D10): extent-union zip with
+    * missing→nodata semantics. */
+  def q12(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d).groupBy(col("c_nationkey").as("ak"))
+      .agg(count(lit(1)).as("ac"))
+    val b = supplier(s, d).groupBy(col("s_nationkey").as("bk"))
+      .agg(count(lit(1)).as("bc"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(coalesce(col("ak"), col("bk")).as("k"),
+        (coalesce(col("ac"), lit(0L)) + coalesce(col("bc"), lit(0L))).as("total"))
+      .orderBy("k")
+  }
+
+  /** Q13 as-of / top-1 via window (C5/F4): nearest-center routing. */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .orderBy("o_custkey")
+  }
+
+  /** Q14 cross join (C6): observer×target `product` pairing. */
+  def q14(s: SparkSession, d: String): DataFrame =
+    region(s, d).select("r_regionkey")
+      .crossJoin(supplier(s, d).select("s_suppkey"))
+      .orderBy("r_regionkey", "s_suppkey")
+
+  /** Q15 group-by max/min (D1): per-pixel vs_max/vs_min combine. */
+  def q15(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(max("l_quantity").as("mx"), min("l_quantity").as("mn"))
+      .orderBy("l_orderkey")
+      .limit(500)
+
+  /** Q16 conditional count (D2/D3/D5): vs_count threshold aggregate. */
+  def q16(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("cnt"))
+      .orderBy("l_orderkey")
+      .limit(500)
+
+  /** Q17 argmax-style agg (D4): vs_unique covering-index aggregate. */
+  def q17(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max("o_orderkey").as("last_ord"), count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  /** Q18 global agg (D6/D8): raster statistics / extent fold. Money is
+    * summed in DECIMAL(18,2) so Spark and DuckDB agree bit-for-bit. */
+  def q18(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .agg(count(lit(1)).as("n"),
+        min("l_quantity").as("mn"),
+        max("l_quantity").as("mx"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("s"))
+
+  /** Q19 bucketed rollup agg (D7): overview build = key-halving rollup.
+    * FLOOR before the cast — Spark truncates, DuckDB rounds. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(floor(col("l_orderkey") / 100).cast("int").as("bucket"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast("double").as("q"))
+      .orderBy("bucket")
+
+  /** Q20 percentile agg (D9): median resolution estimate. */
+  def q20(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(median(col("l_quantity")).cast(DecimalType(18, 2))
+        .cast("double").as("med"))
+      .orderBy("l_returnflag")
+
+  /** Q21 grouping sets (general SQL surface): ((rf,ls),(rf),()) ≡ ROLLUP. */
+  def q21(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q22 running-max window (E2/E3): the LOS obstruction sweep — a
+    * running max of elevation angle along each ray, here over
+    * (orderkey, linenumber). The fixture has duplicate
+    * (orderkey, linenumber) pairs, so the window orders by
+    * (linenumber, quantity) — a tie there means equal quantities, which
+    * makes the running max order-independent in both engines. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        max("l_quantity").over(w).as("runmax"))
+      .orderBy("l_orderkey", "l_linenumber", "runmax")
+      .limit(500)
+  }
+
+  /** Q23 threshold ladder (E5): cont2discrete classification. */
+  def q23(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, 0)
+          .when(col("l_quantity") < 20, 1)
+          .when(col("l_quantity") < 30, 2)
+          .when(col("l_quantity") < 40, 3)
+          .otherwise(4).as("cls"))
+      .orderBy("l_orderkey", "l_linenumber", "cls")
+      .limit(500)
+
+  /** Q24 order-by + limit (F1): area-descending raster sort, top-k. */
+  def q24(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select("p_partkey", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter" -> q01 _,
+    "q02_ordered_projection" -> q02 _,
+    "q03_union_all" -> q03 _,
+    "q04_anti_join" -> q04 _,
+    "q05_computed_key_join" -> q05 _,
+    "q06_csv_projection" -> q06 _,
+    "q07_prune_filter" -> q07 _,
+    "q08_range_predicate" -> q08 _,
+    "q09_case_rewrite" -> q09 _,
+    "q10_broadcast_join" -> q10 _,
+    "q11_multiway_join" -> q11 _,
+    "q12_full_outer" -> q12 _,
+    "q13_window_top1" -> q13 _,
+    "q14_cross_join" -> q14 _,
+    "q15_groupby_maxmin" -> q15 _,
+    "q16_conditional_count" -> q16 _,
+    "q17_argmax_agg" -> q17 _,
+    "q18_global_agg" -> q18 _,
+    "q19_bucketed_agg" -> q19 _,
+    "q20_percentile_agg" -> q20 _,
+    "q21_grouping_sets" -> q21 _,
+    "q22_running_max_window" -> q22 _,
+    "q23_threshold_ladder" -> q23 _,
+    "q24_orderby_limit" -> q24 _,
+  )
+
+  /** DuckDB-dialect oracles; column names/aliases match the Spark side
+    * exactly (driver sorts columns by name before hashing). Explicit
+    * casts pin result types where the engines' defaults diverge
+    * (DuckDB SUM(int)→HUGEINT, ROW_NUMBER→BIGINT, double→int cast
+    * rounds instead of truncating). */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_ordered_projection" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q03_union_all" ->
+      """SELECT c_nationkey AS k FROM customer
+        |UNION ALL SELECT s_nationkey FROM supplier
+        |ORDER BY k LIMIT 500""".stripMargin,
+    "q04_anti_join" ->
+      """SELECT n_nationkey FROM nation
+        |WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q05_computed_key_join" ->
+      """SELECT o_orderkey, CAST(o_orderkey % 25 AS INTEGER) AS zone, n_name
+        |FROM orders JOIN nation ON CAST(o_orderkey % 25 AS INTEGER) = n_nationkey
+        |ORDER BY o_orderkey LIMIT 200""".stripMargin,
+    "q06_csv_projection" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id LIMIT 50""".stripMargin,
+    "q07_prune_filter" ->
+      """SELECT p_partkey, p_size FROM part WHERE p_size IN (1,2,3)
+        |ORDER BY p_partkey""".stripMargin,
+    "q08_range_predicate" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q09_case_rewrite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_discount = 0 THEN -1
+        |            ELSE CAST(ROUND(l_discount*100, 0) AS INTEGER) END AS d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, d LIMIT 500""".stripMargin,
+    "q10_broadcast_join" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_multiway_join" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus, p_brand
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, o_orderstatus, p_brand LIMIT 500""".stripMargin,
+    "q12_full_outer" ->
+      """SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.c,0) + COALESCE(b.c,0) AS total
+        |FROM (SELECT c_nationkey AS k, COUNT(*) AS c FROM customer GROUP BY c_nationkey) a
+        |FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS c FROM supplier GROUP BY s_nationkey) b
+        |ON a.k = b.k ORDER BY k""".stripMargin,
+    "q13_window_top1" ->
+      """SELECT o_orderkey, o_custkey, rn FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q14_cross_join" ->
+      """SELECT r.r_regionkey, s.s_suppkey FROM region r CROSS JOIN supplier s
+        |ORDER BY r.r_regionkey, s.s_suppkey""".stripMargin,
+    "q15_groupby_maxmin" ->
+      """SELECT l_orderkey, MAX(l_quantity) AS mx, MIN(l_quantity) AS mn
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 500""".stripMargin,
+    "q16_conditional_count" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 500""".stripMargin,
+    "q17_argmax_agg" ->
+      """SELECT o_custkey, MAX(o_orderkey) AS last_ord, COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q18_global_agg" ->
+      """SELECT COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM lineitem""".stripMargin,
+    "q19_bucketed_agg" ->
+      """SELECT CAST(FLOOR(l_orderkey/100) AS INTEGER) AS bucket,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q20_percentile_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(CAST(MEDIAN(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q21_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q22_running_max_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       MAX(l_quantity) OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_quantity
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, runmax LIMIT 500""".stripMargin,
+    "q23_threshold_ladder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity < 10 THEN 0 WHEN l_quantity < 20 THEN 1
+        |            WHEN l_quantity < 30 THEN 2 WHEN l_quantity < 40 THEN 3
+        |            ELSE 4 END AS cls
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, cls LIMIT 500""".stripMargin,
+    "q24_orderby_limit" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+  )
+}
