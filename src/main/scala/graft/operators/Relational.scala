@@ -56,10 +56,14 @@ object Relational {
       .orderBy("k")
       .limit(500)
 
-  /** Q04 anti join (A5/C8): containment filter = left_anti. */
+  /** Q04 anti join (A5/C8): containment filter = left_anti. The probe
+    * restricts customers to `c_custkey <= 40` so the anti join returns a
+    * non-empty result (4 nations at every SF) — an empty result would
+    * verify anti-join semantics only vacuously. */
   def q04(s: SparkSession, d: String): DataFrame =
     nation(s, d)
-      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"), "left_anti")
+      .join(customer(s, d).filter(col("c_custkey") <= 40),
+        col("n_nationkey") === col("c_nationkey"), "left_anti")
       .select("n_nationkey")
       .orderBy("n_nationkey")
 
@@ -113,12 +117,15 @@ object Relational {
       .select("c_custkey", "n_name", "r_name")
       .orderBy("c_custkey")
 
-  /** Q11 multi-way equi join (C1/C3): aligned raster zip. lineitem⋈orders
-    * stays a shuffle join (both big at scale); part is broadcast. */
+  /** Q11 multi-way equi join (C1/C3): aligned raster zip. Both
+    * lineitem⋈orders and lineitem⋈part stay shuffle joins: part is
+    * fact-scale (grows with SF — broadcasting it would OOM at a 100 TB
+    * scale factor), so join selection is left to AQE, which will
+    * broadcast only when the runtime size is actually bounded. */
   def q11(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_linenumber", "o_orderstatus", "p_brand")
       .orderBy("l_orderkey", "l_linenumber", "o_orderstatus", "p_brand")
       .limit(500)
@@ -288,8 +295,9 @@ object Relational {
         |UNION ALL SELECT s_nationkey FROM supplier
         |ORDER BY k LIMIT 500""".stripMargin,
     "q04_anti_join" ->
-      """SELECT n_nationkey FROM nation
-        |WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+      """SELECT n_nationkey FROM nation n
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey <= 40)
         |ORDER BY n_nationkey""".stripMargin,
     "q05_computed_key_join" ->
       """SELECT o_orderkey, CAST(o_orderkey % 25 AS INTEGER) AS zone, n_name
