@@ -2,9 +2,18 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query groups:
+  *  - q01–q24 relational spine (Relational)
+  *  - q25–q41 raster engine: trans pipeline, combine, overviews,
+  *    catalog/mosaic/selector, LOS, viewshed (RasterQueries)
+  *  - q42–q52 LLM-pipeline: text analysis, dedup, ANN, multimodal
+  *    (LlmQueries)
+  *  - q53–q55 JSON/string probes + streaming batch-twin (EventQueries)
+  */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -15,10 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ RasterQueries.queries ++
+      LlmQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ RasterQueries.oracles ++
+      LlmQueries.oracles ++ EventQueries.oracles
 }

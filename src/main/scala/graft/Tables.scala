@@ -22,11 +22,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** The events fixture carries INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects by default. Read nanos as long, then
-    * rebuild a microsecond TimestampType column with integer division
-    * (a double division would lose precision at ~1e18 ns). */
+    * parquet reader rejects by default. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/test
+    * builders all set it — a loader must not mutate session conf as a
+    * side effect); nanos are then rebuilt into a microsecond
+    * TimestampType with integer division (a double division would lose
+    * precision at ~1e18 ns). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read the events fixture")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

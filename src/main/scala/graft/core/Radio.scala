@@ -1,0 +1,34 @@
+package graft.core
+
+/** Radio-physics scalar functions (H3).
+  *
+  * Reference: FSPL `viewshed_calc.py:627-633`; earth-curvature height
+  * correction `viewshed/refraction_coeff.py:40-43`; refraction
+  * constants `viewshed_params.py:28-29`.
+  */
+object Radio {
+  /** Normal correction for visible light (`viewshed_params.py:28`). */
+  val AtmosphericRefractionCoeff: Double = 1.0 / 7.0
+  /** Radio-wave refraction (`viewshed_params.py:29`). */
+  val RfRefractionCoeff: Double = 1.0 / 4.0
+  /** WGS84 equatorial radius used by the reference (`refraction_coeff.py:40`). */
+  val SphereRadius: Double = 6378137.0
+
+  /** Free-space path loss, d in meters, f in MHz
+    * (`viewshed_calc.py:627-633`): `20(log₁₀ d + log₁₀ f) − 27.55`.
+    */
+  def fspl(distM: Double, freqMHz: Double): Double =
+    20.0 * (math.log10(distM) + math.log10(freqMHz)) - 27.55
+
+  /** Earth-curvature drop at distance d for refraction coefficient rc
+    * (`refraction_coeff.py:40-43`): `−(1−rc)·d²/diameter`.
+    */
+  def heightCorrection(distM: Double, refractionCoeff: Double,
+                       sphereRadius: Double = SphereRadius): Double = {
+    val cc = 1.0 - refractionCoeff
+    -cc * distM * distM / (2.0 * sphereRadius)
+  }
+
+  /** k-factor `1/(1−rc)` (`viewshed_params.py:59-60`). */
+  def kFactor(refractionCoeff: Double): Double = 1.0 / (1.0 - refractionCoeff)
+}

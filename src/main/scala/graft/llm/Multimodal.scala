@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `BINARY`
+  * payloads with typed metadata, processed by per-partition batch
+  * decoders. The Spark-side contract — schema, partitioning, batch
+  * iteration shape — is real; the codec itself is STUBBED with a
+  * deterministic fake (media libraries are not in this container), so
+  * swapping in a real decoder changes one function.
+  *
+  * Scale notes: payloads never pass through a shuffle here — decode is
+  * a narrow `mapPartitions` over the scan; only the small extracted
+  * feature rows continue down the pipeline. At 100 TB the payload
+  * column stays in parquet (never collected), and per-file row-group
+  * sizing (`spark.sql.files.maxPartitionBytes`) bounds executor
+  * memory per batch.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (what a real image/audio decoder would emit). */
+  final case class MediaFeatures(media_id: Long, kind: String,
+                                 n_bytes: Int, checksum: Long,
+                                 width: Int, height: Int)
+
+  /** Build a deterministic synthetic media table from the documents
+    * fixture: payload = utf-8 bytes of (source ':' doc_id), kind
+    * cycles image/audio/video.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(concat(col("source"), lit(":"), col("doc_id")), "utf-8").as("payload"))
+
+  /** STUB decoder ??? — deterministic fake standing in for an image
+    * codec. A real implementation would parse the payload (JPEG/PNG
+    * headers, PCM frames, ...) here; the batch-per-partition call
+    * shape is exactly what a JNI or subprocess codec needs.
+    */
+  private def decodeStub(r: MediaRow): MediaFeatures = {
+    val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
+      width = (sum % 640).toInt, height = (sum % 480).toInt)
+  }
+
+  /** Feature extraction: narrow per-partition map over the media
+    * table (no shuffle; payloads die here).
+    */
+  def extractFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeStub))
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: fan one payload
+    * out to `n` frame rows (UDTF/generator shape) — the decode of each
+    * frame is again the stub.
+    */
+  def sampleFrames(media: DataFrame, n: Int)(implicit s: SparkSession): DataFrame =
+    media.select(col("media_id"), col("kind"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring(base64(col("payload")), lit(1), i * 4 + 4))).as(Seq("frame_no", "frame_b64")))
+      .withColumn("frame_len", length(col("frame_b64")))
+}

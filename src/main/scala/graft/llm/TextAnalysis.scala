@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure column expressions (whole-stage codegen,
+  * no UDFs) — per-row work, embarrassingly parallel, no shuffle.
+  *
+  * Determinism: every score is derived from integer counts via a
+  * single double division, so results are bit-identical across
+  * engines and partitionings.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (split keeps boundary
+    * empties for leading/trailing separators).
+    */
+  def tokensCol(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCountCol(text: Column): Column = size(tokensCol(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars — a regex proxy for byte-pair tokenizers.
+    */
+  def subwordCountCol(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality-scoring signals: lexical diversity (distinct/total
+    * tokens), mean token length, punctuation density. Length and
+    * punctuation ratios are the standard pre-train quality filters.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn("n_punct", length(regexp_replace(col(textCol), "[^.,;:!?]", "")))
+      .withColumn("lex_diversity",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("mean_token_len",
+        (length(col(textCol)) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / length(col(textCol)))
+  }
+
+  /** Language-ID heuristic: charset detection (CJK / Cyrillic /
+    * Arabic) first, else an English-stopword ratio gate — the n-gram
+    * heuristic family used by pre-train corpus filters. Deterministic
+    * and cheap; a real model would ride the same column pipeline.
+    */
+  def langIdCol(text: Column): Column = {
+    val nTok = tokenCountCol(text)
+    val enStop = size(filter(tokensCol(text),
+      t => t.isin("the", "a", "of", "and", "in", "to", "is")))
+    when(regexp_count(text, lit("[\\u4e00-\\u9fff]")) > 0, "zh")
+      .when(regexp_count(text, lit("[\\u0400-\\u04ff]")) > 0, "ru")
+      .when(regexp_count(text, lit("[\\u0600-\\u06ff]")) > 0, "ar")
+      .when(enStop.cast("double") / nTok >= 0.05, "en")
+      .otherwise("other")
+  }
+
+  /** Rolling polynomial fingerprint of the first `prefixLen` chars:
+    * fold (acc·31 + codepoint) mod 1e9+7 — the rolling-hash document
+    * fingerprint, usable as a cheap near-dup blocking key.
+    */
+  def fingerprintCol(text: Column, prefixLen: Int = 64): Column =
+    aggregate(
+      transform(sequence(lit(1), least(length(text), lit(prefixLen))),
+        i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+}

@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Declared correctness queries for the LLM-data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal plumbing) over
+  * the `documents`/`embeddings` fixture tables.
+  *
+  * Every candidate-generating query is banded/bucketed (LSH bands,
+  * simhash buckets, prefix blocks, hyperplane buckets) — the DuckDB
+  * oracle recomputes the identical bucketing, so correctness is
+  * checked on the very plan shape that scales.
+  */
+object LlmQueries {
+
+  /** q42 text metrics: token counts + quality signals per doc. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withQuality(Tables.documents(s, d))
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "n_punct",
+        "lex_diversity", "mean_token_len")
+      .orderBy("doc_id")
+
+  /** q43 language-ID heuristic histogram. */
+  def q43(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  /** q44 rolling-hash document fingerprint. */
+  def q44(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text"), 64).as("fp"))
+      .orderBy("doc_id")
+
+  /** q45 exact dedup over a corpus doubled with shifted ids — the
+    * removal decision is non-vacuous by construction (every doc has
+    * exactly one duplicate).
+    */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+    Dedup.exactDedup(doubled, "doc_id", "text")
+      .orderBy("keep_id")
+  }
+
+  /** q46 prefix-fingerprint dedup: natural duplicate groups in the
+    * fixture (shared 64-char prefixes).
+    */
+  def q46(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(substring(col("text"), 1, 64)).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("keep_id")
+
+  /** q47 MinHash-LSH near-dup pairs (banded; exact-Jaccard verified). */
+  def q47(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** q48 SimHash bucket groups. */
+  def q48(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("simhash")
+
+  /** q49 brute-force cosine top-10 of vec 0 (exact ANN baseline). */
+  def q49(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteTopK(Tables.embeddings(s, d), queryId = 0L, k = 10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+
+  /** q50 LSH-bucketed ANN top-10 of vec 0 (4 hyperplanes). */
+  def q50(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0L, k = 10, planes = 4)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+
+  /** q51 hyperplane bucket histogram (LSH partition balance). */
+  def q51(s: SparkSession, d: String): DataFrame =
+    Similarity.bucketHistogram(Tables.embeddings(s, d), planes = 4)
+      .orderBy("bucket")
+
+  /** q52 multimodal plumbing: binary payloads through the stub
+    * feature extractor (typed mapPartitions path).
+    */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.extractFeatures(Multimodal.syntheticMedia(Tables.documents(s, d)))
+      .toDF().orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_text_metrics" -> q42 _,
+    "q43_text_langid" -> q43 _,
+    "q44_text_fingerprint" -> q44 _,
+    "q45_dedup_exact" -> q45 _,
+    "q46_dedup_prefix" -> q46 _,
+    "q47_dedup_minhash" -> q47 _,
+    "q48_dedup_simhash" -> q48 _,
+    "q49_ann_brute" -> q49 _,
+    "q50_ann_lsh" -> q50 _,
+    "q51_ann_buckets" -> q51 _,
+    "q52_multimodal_features" -> q52 _,
+  )
+
+  // ---------------- DuckDB oracles ----------------
+
+  /** Non-empty whitespace tokens (matches TextAnalysis.tokensCol). */
+  private val toksExpr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** Word-3-gram distinct shingles (matches Dedup.shinglesCol; both
+    * engines 1-index arrays and skip NULLs in concat_ws).
+    */
+  private val shinglesCte =
+    s"""sh0 AS (
+       |  SELECT doc_id, $toksExpr AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+       |           i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1], w[CAST(i AS INTEGER) + 2]))) AS sh
+       |  FROM sh0)""".stripMargin
+
+  /** In-order double fold of a list (matches Spark's aggregate()). */
+  private def foldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  /** Dot product a·b over 64-dim FLOAT[] with per-element double casts. */
+  private def dotExpr(a: String, b: String): String =
+    foldSum(s"list_transform(range(1, 65), i -> CAST($a[CAST(i AS INTEGER)] AS DOUBLE) * CAST($b[CAST(i AS INTEGER)] AS DOUBLE))")
+
+  /** Hyperplane LCG projection sign-bit sum (matches Similarity.bucketCol). */
+  private def bucketExpr(vec: String, planes: Int): String =
+    (0 until planes).map { j =>
+      val proj = foldSum(
+        s"list_transform(range(1, 65), i -> CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) * " +
+          s"CAST(($j * 2654435761 + (i - 1) * 40503) % 2001 - 1000 AS DOUBLE))")
+      s"(CASE WHEN $proj >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  /** 16-bit simhash (matches Dedup.simhashCol): per-bit token votes by
+    * the hex digit's MSB of each token's salted md5.
+    */
+  private val simhashExpr: String =
+    (0 until 16).map { k =>
+      val vote = s"list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${k + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $vote >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q42_text_metrics" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+         |       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS n_punct,
+         |       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lex_diversity,
+         |       CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q43_text_langid" ->
+      s"""WITH t AS (SELECT text, $toksExpr AS toks FROM documents),
+         |cls AS (
+         |  SELECT CASE
+         |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) > 0 THEN 'ru'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) > 0 THEN 'ar'
+         |    WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+         |         / len(toks) >= 0.05 THEN 'en'
+         |    ELSE 'other' END AS lang_pred
+         |  FROM t)
+         |SELECT lang_pred, COUNT(*) AS n FROM cls GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q44_text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, least(length(text), 64) + 1),
+        |             i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q45_dedup_exact" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM doubled GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q46_dedup_prefix" ->
+      """SELECT md5(substr(text, 1, 64)) AS h, MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "q47_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(range(0, 16),
+         |           k -> list_aggregate(list_transform(sh, s -> md5(CAST(k AS VARCHAR) || ':' || s)), 'min')) AS sigs
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
+         |         md5(sigs[CAST(b AS INTEGER) * 4 + 1] || '|' || sigs[CAST(b AS INTEGER) * 4 + 2] || '|'
+         |             || sigs[CAST(b AS INTEGER) * 4 + 3] || '|' || sigs[CAST(b AS INTEGER) * 4 + 4]) AS bkey
+         |  FROM sig CROSS JOIN range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |         / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+         |FROM pairs
+         |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q48_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |hashed AS (SELECT doc_id, $simhashExpr AS simhash FROM t)
+         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         |FROM hashed GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin,
+
+    "q49_ann_brute" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |         ${dotExpr("e.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         |topk AS (SELECT * FROM scored ORDER BY c DESC, vec_id LIMIT 10)
+         |SELECT vec_id, ROUND(c, 6) AS cosine FROM topk
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
+
+    "q50_ann_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${bucketExpr("embedding", 4)} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id,
+         |         ${dotExpr("e.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS c
+         |  FROM bucketed e CROSS JOIN q
+         |  WHERE e.bucket = q.qb AND e.vec_id <> 0),
+         |topk AS (SELECT * FROM cand ORDER BY c DESC, vec_id LIMIT 10)
+         |SELECT vec_id, ROUND(c, 6) AS cosine FROM topk
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
+
+    "q51_ann_buckets" ->
+      s"""SELECT ${bucketExpr("embedding", 4)} AS bucket, COUNT(*) AS n
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q52_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         source || ':' || CAST(doc_id AS VARCHAR) AS payload
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, kind,
+        |         CAST(length(payload) AS INTEGER) AS n_bytes,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, length(payload) + 1),
+        |               i -> CAST(ord(substr(payload, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+        |  FROM m)
+        |SELECT media_id, kind, n_bytes, checksum,
+        |       CAST(checksum % 640 AS INTEGER) AS width,
+        |       CAST(checksum % 480 AS INTEGER) AS height
+        |FROM f ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,415 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{GeoRectangle, GeoTransform, Partitions, ResamplingAlg}
+import graft.catalog.Catalog
+import graft.raster._
+
+/** Declared correctness queries for the raster engine (SURVEY §2
+  * families A–H). Inputs are the deterministic `spark.range`-generated
+  * synthetic rasters from [[graft.raster.PixelFrame]] — integer-valued,
+  * so every result is bit-reproducible — and each query's DuckDB
+  * oracle regenerates the same raster from `range()` table functions
+  * and recomputes the operator independently in SQL.
+  *
+  * Fixture geometry (shared by the oracles in [[RasterQueries.oracles]]):
+  * DEM 200×120 with gt (100, 0.25, 0, 50, 0, −0.25); combine stack
+  * 6×80×60; viewshed DEM 121×121 at cellSize 5.
+  */
+object RasterQueries {
+  // ---- fixture dimensions (mirrored in oracle SQL literals) ----
+  val DemW = 200; val DemH = 120
+  val StackN = 6; val StackW = 80; val StackH = 60
+  val VsW = 121; val VsH = 121
+  val Gt: GeoTransform = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+
+  private def dem(s: SparkSession) = PixelFrame.dem(s, DemW, DemH)
+  private def stack(s: SparkSession) = PixelFrame.vsStack(s, StackN, StackW, StackH)
+
+  /** q25 B2 extent crop: geo rect → pixel window → pushed range predicate. */
+  def q25(s: SparkSession, d: String): DataFrame =
+    RasterOps.crop(dem(s), Gt, DemW, DemH, GeoRectangle(110, 35, 120, 45)).get
+      .select("px", "py", "v").orderBy("py", "px")
+
+  /** q26 H1 scale with nodata passthrough (scale_np_array). */
+  def q26(s: SparkSession, d: String): DataFrame =
+    RasterOps.scaleToInt(dem(s), factor = 0.2, inNdv = PixelFrame.Dem.Ndv, outNdv = 0.0)
+      .filter(col("px") < 40 && col("py") < 40)
+      .select("px", "py", "v").orderBy("py", "px")
+
+  /** q27 E5 discretization ladder, both directions (cont2discrete). */
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val th = Seq(100.0, 300.0, 600.0, 900.0)
+    dem(s).filter(col("px") < 50 && col("py") < 50)
+      .select(col("px"), col("py"),
+        RasterOps.classifyCol(col("v"), th, up = true).as("cls_up"),
+        RasterOps.classifyCol(col("v"), th, up = false).as("cls_dn"))
+      .orderBy("py", "px")
+  }
+
+  /** q28 D6 nodata-aware raster statistics (exact decimal sum). */
+  def q28(s: SparkSession, d: String): DataFrame =
+    RasterOps.stats(dem(s), PixelFrame.Dem.Ndv)
+
+  /** q29 D1 vs_max/vs_min combine. */
+  def q29(s: SparkSession, d: String): DataFrame =
+    stack(s).groupBy("px", "py")
+      .agg(max("v").as("v_max"), min("v").as("v_min"))
+      .orderBy("py", "px")
+
+  /** q30 D2 vs_count threshold combine. */
+  def q30(s: SparkSession, d: String): DataFrame =
+    Combine.vsCount(stack(s)).select("px", "py", "v").orderBy("py", "px")
+
+  /** q31 D3 vs_count_z with the 255 all-nodata sentinel. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    Combine.vsCountZ(stack(s)).select("px", "py", "v").orderBy("py", "px")
+
+  /** q32 D4 vs_unique with 254/255 sentinels. */
+  def q32(s: SparkSession, d: String): DataFrame =
+    Combine.vsUnique(stack(s)).select("px", "py", "v").orderBy("py", "px")
+
+  /** q33 D7 average-overview level (nodata-aware 2×2 rollup). */
+  def q33(s: SparkSession, d: String): DataFrame =
+    Overview.buildLevel(dem(s), ResamplingAlg.Average, PixelFrame.Dem.Ndv)
+      .select("px", "py", "v").orderBy("py", "px")
+
+  /** q34 A7+D7 pyramid of the constant test raster: per-level shape. */
+  def q34(s: SparkSession, d: String): DataFrame =
+    Overview.buildPyramid(PixelFrame.constant(s, 64, 64, 7.0), 3,
+        ResamplingAlg.Average, PixelFrame.Dem.Ndv)
+      .groupBy("ovr").agg(count(lit(1)).as("n"), max("v").as("v"))
+      .orderBy("ovr")
+
+  /** q35 E1 nearest-kernel overview (shuffle-free decimation). */
+  def q35(s: SparkSession, d: String): DataFrame =
+    Overview.buildLevel(dem(s), ResamplingAlg.Nearest, PixelFrame.Dem.Ndv)
+      .select("px", "py", "v").orderBy("py", "px")
+
+  /** q36 G2 mosaic with first-wins de-overlap over two offset rasters. */
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val a = dem(s).filter(col("px") < 60)                       // rid 0
+    val b = PixelFrame.dem(s, DemW, DemH)
+      .filter(col("px") >= 30 && col("px") < 90)
+      .withColumn("rid", lit(1))
+      .withColumn("v", col("v") + 1000)                          // distinguishable
+    Catalog.mosaicFirstWins(a.unionByName(b).filter(col("py") < 40))
+      .select("px", "py", "v", "src_rid").orderBy("py", "px")
+  }
+
+  /** q37 A5/C8 catalog containment filter (anti-join on rect algebra). */
+  def q37(s: SparkSession, d: String): DataFrame =
+    Catalog.filterContained(Catalog.synthetic(s, 32))
+      .select("rid", "path").orderBy("rid")
+
+  /** q38 C5 nearest-zone-center routing (selector join + H7 regex). */
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val points = s.range(40).select(col("id").cast("int").as("point_id"),
+      (col("id") * 2.0 - 30).as("x"))
+    Catalog.route(points, Catalog.synthetic(s, 16))
+      .select("point_id", "x", "rid", "path").orderBy("point_id")
+  }
+
+  /** q39 E3 LOS profile summary + H3 FSPL over the synthetic DEM. */
+  def q39(s: SparkSession, d: String): DataFrame =
+    Los.summary(Los.syntheticPairs(s, 12, DemW, DemH), dem(s),
+        nStations = 50, cellSize = 5.0)
+      .select(col("pair_id"), col("visible"),
+        coalesce(col("first_blocked_t"), lit(-1)).as("first_blocked_t"),
+        col("dist"), round(col("fspl"), 6).as("fspl"))
+      .orderBy("pair_id")
+
+  /** q40 E2 viewshed: per-sector visibility counts. */
+  def q40(s: SparkSession, d: String): DataFrame =
+    Viewshed.viewshed(PixelFrame.dem(s, VsW, VsH), ox = 60, oy = 60, oz = 15.0,
+        cellSize = 5.0, maxR = 250.0)
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        sum(when(col("state") === Viewshed.StSeen, 1L).otherwise(0L)).as("seen"),
+        sum(when(col("state") === Viewshed.StHidden, 1L).otherwise(0L)).as("hidden"))
+      .orderBy("bucket")
+
+  /** q41 R5 partition grid planning (find_two_greatest_devisors). */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Partitions.makePartitions(GeoRectangle(0, 0, 96, 64), 12)
+    cells.zipWithIndex.map { case (c, i) =>
+      (i, c.minX, c.minY, c.maxX, c.maxY) }
+      .toDF("cell", "minx", "miny", "maxx", "maxy")
+      .orderBy("cell")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_raster_crop" -> q25 _,
+    "q26_raster_scale" -> q26 _,
+    "q27_raster_classify" -> q27 _,
+    "q28_raster_stats" -> q28 _,
+    "q29_combine_maxmin" -> q29 _,
+    "q30_combine_count" -> q30 _,
+    "q31_combine_countz" -> q31 _,
+    "q32_combine_unique" -> q32 _,
+    "q33_overview_avg" -> q33 _,
+    "q34_pyramid_const" -> q34 _,
+    "q35_overview_nearest" -> q35 _,
+    "q36_mosaic_firstwins" -> q36 _,
+    "q37_catalog_contained" -> q37 _,
+    "q38_selector_route" -> q38 _,
+    "q39_los_profile" -> q39 _,
+    "q40_viewshed_sectors" -> q40 _,
+    "q41_partition_grid" -> q41 _,
+  )
+
+  // ---------------- DuckDB oracles ----------------
+
+  /** 200×120 DEM as a DuckDB CTE — same formula as PixelFrame.dem. */
+  private val demCte =
+    """dem AS (
+      |  SELECT CAST(i % 200 AS INTEGER) AS px, CAST(i // 200 AS INTEGER) AS py,
+      |         CASE WHEN ((i % 200) * 31 + (i // 200) * 17) % 101 = 0 THEN -32768.0
+      |              ELSE CAST(((i % 200) * 7 + (i // 200) * 13) % 997 AS DOUBLE) END AS v
+      |  FROM range(24000) t(i))""".stripMargin
+
+  /** 6×80×60 viewshed stack CTE — same formula as PixelFrame.vsStack. */
+  private val stackCte =
+    """stack AS (
+      |  SELECT CAST(i // 4800 AS INTEGER) AS rid,
+      |         CAST((i % 4800) % 80 AS INTEGER) AS px,
+      |         CAST((i % 4800) // 80 AS INTEGER) AS py,
+      |         CAST((((i % 4800) % 80) * ((i // 4800) + 3)
+      |             + ((i % 4800) // 80) * (2 * (i // 4800) + 5)
+      |             + 11 * (i // 4800)) % 6 AS DOUBLE) AS v
+      |  FROM range(28800) t(i))""".stripMargin
+
+  /** synthetic catalog CTE — same formulas as Catalog.synthetic(n). */
+  private def catCte(n: Int) =
+    s"""cat AS (
+       |  SELECT CAST(i AS INTEGER) AS rid,
+       |         'srtm_w84u' || CAST(i % 8 + 30 AS VARCHAR) || '_r' || CAST(i // 8 AS VARCHAR) || '.tif' AS path,
+       |         CAST((i % 8) * 6 - 36 - (i // 8) AS DOUBLE) AS minx,
+       |         CAST(0 - (i // 8) AS DOUBLE) AS miny,
+       |         CAST((i % 8) * 6 - 30 + (i // 8) AS DOUBLE) AS maxx,
+       |         CAST(8 + (i // 8) AS DOUBLE) AS maxy,
+       |         POWER(2.0, CAST(i // 8 AS DOUBLE)) AS resx
+       |  FROM range($n) t(i))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q25_raster_crop" ->
+      s"""WITH $demCte
+         |SELECT px, py, v FROM dem
+         |WHERE px >= 40 AND px < 80 AND py >= 20 AND py < 60
+         |ORDER BY py, px""".stripMargin,
+
+    "q26_raster_scale" ->
+      s"""WITH $demCte
+         |SELECT px, py,
+         |       CASE WHEN v = -32768.0 THEN 0.0
+         |            ELSE CAST(CAST(TRUNC(v * 0.2) AS BIGINT) AS DOUBLE) END AS v
+         |FROM dem WHERE px < 40 AND py < 40 ORDER BY py, px""".stripMargin,
+
+    "q27_raster_classify" ->
+      s"""WITH $demCte
+         |SELECT px, py,
+         |       CASE WHEN v <= 100.0 THEN 0 WHEN v <= 300.0 THEN 1
+         |            WHEN v <= 600.0 THEN 2 ELSE 3 END AS cls_up,
+         |       CASE WHEN v >= 900.0 THEN 3 WHEN v >= 600.0 THEN 2
+         |            WHEN v >= 300.0 THEN 1 ELSE 0 END AS cls_dn
+         |FROM dem WHERE px < 50 AND py < 50 ORDER BY py, px""".stripMargin,
+
+    "q28_raster_stats" ->
+      s"""WITH $demCte
+         |SELECT COUNT(*) AS n_total,
+         |       COUNT(CASE WHEN v <> -32768.0 THEN 1 END) AS n_valid,
+         |       MIN(CASE WHEN v <> -32768.0 THEN v END) AS mn,
+         |       MAX(CASE WHEN v <> -32768.0 THEN v END) AS mx,
+         |       CAST(SUM(CAST(CASE WHEN v <> -32768.0 THEN v END AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         |       CAST(SUM(CAST(CASE WHEN v <> -32768.0 THEN v END AS DECIMAL(28,6))) AS DOUBLE)
+         |         / COUNT(CASE WHEN v <> -32768.0 THEN 1 END) AS mean
+         |FROM dem""".stripMargin,
+
+    "q29_combine_maxmin" ->
+      s"""WITH $stackCte
+         |SELECT px, py, MAX(v) AS v_max, MIN(v) AS v_min
+         |FROM stack GROUP BY px, py ORDER BY py, px""".stripMargin,
+
+    "q30_combine_count" ->
+      s"""WITH $stackCte
+         |SELECT px, py, CAST(SUM(CASE WHEN v > 4.0 THEN 1 ELSE 0 END) AS DOUBLE) AS v
+         |FROM stack GROUP BY px, py ORDER BY py, px""".stripMargin,
+
+    "q31_combine_countz" ->
+      s"""WITH $stackCte
+         |SELECT px, py,
+         |       CASE WHEN SUM(CASE WHEN v <> 0.0 THEN 1 ELSE 0 END) = 0 THEN 255.0
+         |            ELSE CAST(SUM(CASE WHEN v > 4.0 THEN 1 ELSE 0 END) AS DOUBLE) END AS v
+         |FROM stack GROUP BY px, py ORDER BY py, px""".stripMargin,
+
+    "q32_combine_unique" ->
+      s"""WITH $stackCte
+         |SELECT px, py,
+         |       CASE WHEN SUM(CASE WHEN v > 4.0 THEN 1 ELSE 0 END) = 0 THEN 255.0
+         |            WHEN SUM(CASE WHEN v > 4.0 THEN 1 ELSE 0 END) > 1 THEN 254.0
+         |            ELSE CAST(MAX(CASE WHEN v > 4.0 THEN rid END) AS DOUBLE) END AS v
+         |FROM stack GROUP BY px, py ORDER BY py, px""".stripMargin,
+
+    "q33_overview_avg" ->
+      s"""WITH $demCte
+         |SELECT CAST(px // 2 AS INTEGER) AS px, CAST(py // 2 AS INTEGER) AS py,
+         |       CASE WHEN COUNT(CASE WHEN v <> -32768.0 THEN 1 END) = 0 THEN -32768.0
+         |            ELSE SUM(CASE WHEN v <> -32768.0 THEN v END)
+         |                 / COUNT(CASE WHEN v <> -32768.0 THEN 1 END) END AS v
+         |FROM dem GROUP BY 1, 2 ORDER BY py, px""".stripMargin,
+
+    "q34_pyramid_const" ->
+      """SELECT CAST(k AS INTEGER) AS ovr,
+        |       CAST((64 // (1 << k)) * (64 // (1 << k)) AS BIGINT) AS n,
+        |       7.0 AS v
+        |FROM range(4) t(k) ORDER BY ovr""".stripMargin,
+
+    "q35_overview_nearest" ->
+      s"""WITH $demCte
+         |SELECT CAST(px // 2 AS INTEGER) AS px, CAST(py // 2 AS INTEGER) AS py, v
+         |FROM dem WHERE px % 2 = 0 AND py % 2 = 0 ORDER BY py, px""".stripMargin,
+
+    "q36_mosaic_firstwins" ->
+      s"""WITH $demCte,
+         |tiles AS (
+         |  SELECT 0 AS rid, px, py, v FROM dem WHERE px < 60 AND py < 40
+         |  UNION ALL
+         |  SELECT 1 AS rid, px, py, v + 1000 FROM dem WHERE px >= 30 AND px < 90 AND py < 40)
+         |SELECT px, py, ARG_MIN(v, rid) AS v, MIN(rid) AS src_rid
+         |FROM tiles GROUP BY px, py ORDER BY py, px""".stripMargin,
+
+    "q37_catalog_contained" ->
+      s"""WITH ${catCte(32)}
+         |SELECT rid, path FROM cat a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM cat b
+         |  WHERE b.minx <= a.minx AND b.maxx >= a.maxx
+         |    AND b.miny <= a.miny AND b.maxy >= a.maxy
+         |    AND ((b.maxx-b.minx)*(b.maxy-b.miny) > (a.maxx-a.minx)*(a.maxy-a.miny)
+         |         OR ((b.maxx-b.minx)*(b.maxy-b.miny) = (a.maxx-a.minx)*(a.maxy-a.miny)
+         |             AND b.rid < a.rid)))
+         |ORDER BY rid""".stripMargin,
+
+    "q38_selector_route" ->
+      s"""WITH ${catCte(16)},
+         |centers AS (
+         |  SELECT rid, path,
+         |         CAST(regexp_extract(path, 'w84u([-+]?[0-9]*\\.?[0-9]+)', 1) AS DOUBLE) * 6 - 183 AS center
+         |  FROM cat),
+         |points AS (SELECT CAST(i AS INTEGER) AS point_id, i * 2.0 - 30 AS x FROM range(40) t(i)),
+         |ranked AS (
+         |  SELECT p.point_id, p.x, c.rid, c.path,
+         |         ROW_NUMBER() OVER (PARTITION BY p.point_id
+         |                            ORDER BY ABS(p.x - c.center), c.rid) AS rn
+         |  FROM points p CROSS JOIN centers c)
+         |SELECT point_id, x, rid, path FROM ranked WHERE rn = 1 ORDER BY point_id""".stripMargin,
+
+    "q39_los_profile" -> losOracle,
+
+    "q40_viewshed_sectors" -> viewshedOracle,
+
+    "q41_partition_grid" ->
+      """SELECT CAST(i AS INTEGER) AS cell,
+        |       CAST((i // 3) * (96.0 / 4) AS DOUBLE) AS minx,
+        |       CAST((i % 3) * (64.0 / 3) AS DOUBLE) AS miny,
+        |       CASE WHEN i // 3 = 3 THEN 96.0 ELSE ((i // 3) + 1) * (96.0 / 4) END AS maxx,
+        |       CASE WHEN i % 3 = 2 THEN 64.0 ELSE ((i % 3) + 1) * (64.0 / 3) END AS maxy
+        |FROM range(12) t(i) ORDER BY cell""".stripMargin,
+  )
+
+  /** E3 oracle: full reimplementation of the LOS walk in SQL window
+    * functions, mirroring Los.profile/summary arithmetic exactly
+    * (same association order → bit-identical doubles).
+    */
+  private lazy val losOracle: String =
+    s"""WITH $demCte,
+       |pairs AS (
+       |  SELECT CAST(i AS INTEGER) AS pair_id,
+       |         CAST(i % 7 * 3 + 5 AS DOUBLE) AS ox, CAST(i % 11 * 4 + 6 AS DOUBLE) AS oy,
+       |         10.0 AS oz,
+       |         CAST(192 - i % 5 * 6 AS DOUBLE) AS tx, CAST(111 - i % 9 * 4 AS DOUBLE) AS ty,
+       |         5.0 AS tz, CAST(i % 4 * 300 + 100 AS DOUBLE) AS freq_mhz
+       |  FROM range(12) t(i)),
+       |st AS (
+       |  SELECT p.*, CAST(s.t AS INTEGER) AS t, s.t / 49.0 AS frac
+       |  FROM pairs p CROSS JOIN range(50) s(t)),
+       |pos AS (
+       |  SELECT *, ox + (tx - ox) * frac AS fx, oy + (ty - oy) * frac AS fy FROM st),
+       |probed AS (
+       |  SELECT pos.*, CASE WHEN d.v IS NULL OR d.v = -32768.0 THEN 0.0 ELSE d.v END AS h
+       |  FROM pos LEFT JOIN dem d
+       |    ON CAST(FLOOR(pos.fx + 0.5) AS INTEGER) = d.px
+       |   AND CAST(FLOOR(pos.fy + 0.5) AS INTEGER) = d.py),
+       |geom AS (
+       |  SELECT *,
+       |    SQRT(POWER(tx - ox, 2) + POWER(ty - oy, 2)) * 5.0 * frac AS dist
+       |  FROM probed),
+       |curv AS (
+       |  SELECT *,
+       |    (-(1 - 1.0/7)) * dist * dist / 12756274.0 AS hc,
+       |    FIRST_VALUE(h) OVER (PARTITION BY pair_id ORDER BY t) + oz AS ozabs
+       |  FROM geom),
+       |ratios AS (
+       |  SELECT *,
+       |    CASE WHEN t = 0 THEN NULL ELSE (h + hc - ozabs) / dist END AS ratio,
+       |    CASE WHEN t = 0 THEN NULL ELSE (h + tz + hc - ozabs) / dist END AS target_ratio
+       |  FROM curv),
+       |obst AS (
+       |  SELECT *,
+       |    MAX(CASE WHEN t > 0 AND t < 49 THEN ratio END)
+       |      OVER (PARTITION BY pair_id ORDER BY t
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS obstruction
+       |  FROM ratios),
+       |vis AS (
+       |  SELECT *, (t > 0 AND target_ratio >= COALESCE(obstruction, -1e300)) AS sv FROM obst)
+       |SELECT pair_id,
+       |       CAST(MAX(CASE WHEN t = 49 THEN CAST(sv AS INTEGER) END) AS INTEGER) AS visible,
+       |       COALESCE(CAST(MIN(CASE WHEN t > 0 AND NOT sv THEN t END) AS INTEGER), -1) AS first_blocked_t,
+       |       MAX(dist) AS dist,
+       |       ROUND(20.0 * (LOG10(MAX(dist)) + LOG10(MAX(freq_mhz))) - 27.55, 6) AS fspl
+       |FROM vis GROUP BY pair_id ORDER BY pair_id""".stripMargin
+
+  /** E2 oracle: the sector sweep in SQL windows over the 121×121 DEM. */
+  private lazy val viewshedOracle: String =
+    s"""WITH vdem AS (
+       |  SELECT CAST(i % 121 AS INTEGER) AS px, CAST(i // 121 AS INTEGER) AS py,
+       |         CASE WHEN ((i % 121) * 31 + (i // 121) * 17) % 101 = 0 THEN -32768.0
+       |              ELSE CAST(((i % 121) * 7 + (i // 121) * 13) % 997 AS DOUBLE) END AS v
+       |  FROM range(14641) t(i)),
+       |obs AS (SELECT v AS h0 FROM vdem WHERE px = 60 AND py = 60),
+       |geo AS (
+       |  SELECT d.*, o.h0,
+       |    SQRT(CAST((d.px - 60) * (d.px - 60) + (d.py - 60) * (d.py - 60) AS DOUBLE)) * 5.0 AS dist,
+       |    CAST(((CAST(FLOOR((ATAN2(CAST(d.py - 60 AS DOUBLE), CAST(d.px - 60 AS DOUBLE)) + PI())
+       |           / (2 * PI()) * 64) AS BIGINT) % 64) + 64) % 64 AS INTEGER) AS bucket
+       |  FROM vdem d CROSS JOIN obs o
+       |  WHERE NOT (d.px = 60 AND d.py = 60)),
+       |rr AS (
+       |  SELECT *,
+       |    (-(1 - 1.0/7)) * dist * dist / 12756274.0 AS hc
+       |  FROM geo),
+       |rat AS (
+       |  SELECT *,
+       |    CASE WHEN v = -32768.0 THEN NULL
+       |         ELSE (v + hc - (h0 + 15.0)) / dist END AS ratio
+       |  FROM rr),
+       |ob AS (
+       |  SELECT *,
+       |    MAX(ratio) OVER (PARTITION BY bucket ORDER BY dist, px, py
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS obstruction
+       |  FROM rat),
+       |states AS (
+       |  SELECT bucket,
+       |    CASE WHEN dist > 250.0 THEN 0.0
+       |         WHEN v = -32768.0 THEN 1.0
+       |         WHEN ratio >= COALESCE(obstruction, -1e300) THEN 5.0
+       |         ELSE 2.0 END AS state
+       |  FROM ob)
+       |SELECT bucket, COUNT(*) AS n,
+       |       CAST(SUM(CASE WHEN state = 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS seen,
+       |       CAST(SUM(CASE WHEN state = 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS hidden
+       |FROM states GROUP BY bucket ORDER BY bucket""".stripMargin
+}

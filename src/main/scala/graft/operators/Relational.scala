@@ -25,9 +25,11 @@ import graft.Tables._
   * (driver compares by column name).
   *
   * Scale notes (100 TB posture):
-  *  - dimension joins (nation/region/part at TPC-H shape) carry an
+  *  - fixed-cardinality dimension joins (nation/region) carry an
   *    explicit `broadcast` hint — at 1000 executors a shuffle join on
-  *    these would be pure overhead;
+  *    these would be pure overhead; part is fact-scale (grows with SF)
+  *    and is left to AQE, which broadcasts only when the runtime size
+  *    is actually bounded;
   *  - fact-fact joins (lineitem⋈orders) are left to sort-merge +
   *    AQE, which is the right physical shape at 100 TB;
   *  - aggregations use map-side partial aggregation automatically
@@ -57,9 +59,10 @@ object Relational {
       .limit(500)
 
   /** Q04 anti join (A5/C8): containment filter = left_anti. The probe
-    * restricts customers to `c_custkey <= 40` so the anti join returns a
-    * non-empty result (4 nations at every SF) — an empty result would
-    * verify anti-join semantics only vacuously. */
+    * restricts customers to `c_custkey <= 40` so the anti join returns
+    * a non-empty result at the tested SFs (the count at other SFs
+    * depends on the generator's nationkey assignment) — an empty
+    * result would verify anti-join semantics only vacuously. */
   def q04(s: SparkSession, d: String): DataFrame =
     nation(s, d)
       .join(customer(s, d).filter(col("c_custkey") <= 40),
@@ -201,13 +204,28 @@ object Relational {
         .cast("double").as("q"))
       .orderBy("bucket")
 
-  /** Q20 percentile agg (D9): median resolution estimate. */
-  def q20(s: SparkSession, d: String): DataFrame =
+  /** Q20 percentile agg (D9): median resolution estimate.
+    *
+    * Exact median WITHOUT `median()`: Spark's median is a
+    * TypedImperativeAggregate that buffers every value of a group in
+    * executor memory — with 3 return-flag groups that is ~n/3 rows per
+    * buffer, an OOM at 100 TB. Instead: window-rank each group (a
+    * distributed sort, spillable), keep the middle one/two ranks, and
+    * average them — the same interpolated-median definition DuckDB's
+    * MEDIAN uses, at bounded memory.
+    */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val byFlag = Window.partitionBy("l_returnflag")
+    val w = byFlag.orderBy("l_quantity")
     lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        row_number().over(w).as("rn"), count(lit(1)).over(byFlag).as("n"))
+      .filter(col("rn") === floor((col("n") + 1) / 2)
+        || col("rn") === floor((col("n") + 2) / 2))
       .groupBy("l_returnflag")
-      .agg(median(col("l_quantity")).cast(DecimalType(18, 2))
-        .cast("double").as("med"))
+      .agg(avg("l_quantity").cast(DecimalType(18, 2)).cast("double").as("med"))
       .orderBy("l_returnflag")
+  }
 
   /** Q21 grouping sets (general SQL surface): ((rf,ls),(rf),()) ≡ ROLLUP. */
   def q21(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,135 @@
+package graft.raster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Radio
+
+/** E3 line-of-sight profile walk (reference `los_calc`,
+  * `viewshed_calc.py:636-968`): sample the DEM along each
+  * observer→target segment at fixed spacing, find obstructions with a
+  * running max of elevation ratio, emit per-pair visibility + path
+  * loss (H3).
+  *
+  * Spark shape (SURVEY §3.3): pairs → `posexplode` stations → probe
+  * join against the pixel frame on the computed (px,py) key (A9/C7 —
+  * an equi-join, never a theta join) → window running-max per pair →
+  * per-pair aggregate. Everything is one shuffle for the join (the
+  * DEM side is joined on its native key) plus one for the window,
+  * both on keys that scale with |pairs|·stations, independent of
+  * raster size.
+  *
+  * Geometry is in pixel space: observer/target coordinates are
+  * fractional pixel positions, `cellSize` converts to meters.
+  * Obstruction test compares slope ratios (Δh_corrected / dist) —
+  * monotone in elevation angle, so no `atan` is needed. Earth
+  * curvature: `height_correction` (`refraction_coeff.py:40-43`).
+  */
+object Los {
+
+  /** Per-station profile: pairs (pair_id, ox, oy, oz, tx, ty, tz,
+    * freq_mhz) × n stations, joined to the DEM pixel frame. Output one
+    * row per (pair, station) with terrain height, corrected sight
+    * ratio, and the running obstruction max over *preceding* stations.
+    */
+  def profile(pairs: DataFrame, dem: DataFrame, nStations: Int,
+              cellSize: Double, refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+              demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val n = nStations
+    require(n >= 2, "need at least 2 stations (observer + target)")
+
+    val stations = pairs
+      .select(col("*"), posexplode(sequence(lit(0), lit(n - 1))).as(Seq("t", "_drop")))
+      .drop("_drop")
+      .withColumn("frac", col("t").cast("double") / (n - 1))
+      .withColumn("fx", col("ox") + (col("tx") - col("ox")) * col("frac"))
+      .withColumn("fy", col("oy") + (col("ty") - col("oy")) * col("frac"))
+      .withColumn("spx", floor(col("fx") + 0.5).cast("int"))
+      .withColumn("spy", floor(col("fy") + 0.5).cast("int"))
+
+    // A9/C7 point-probe: equi-join on the quantized pixel key. Off-grid
+    // or nodata stations read as ground level 0 (st_nodtm handling).
+    val demV = dem.select(col("px"), col("py"), col("v").as("h_raw"))
+    val probed = stations
+      .join(demV, stations("spx") === demV("px") && stations("spy") === demV("py"), "left")
+      .drop("px", "py")
+      .withColumn("h", when(col("h_raw").isNull || col("h_raw") === demNdv, lit(0.0))
+        .otherwise(col("h_raw")))
+
+    val totalDist = sqrt(pow(col("tx") - col("ox"), 2) + pow(col("ty") - col("oy"), 2)) * cellSize
+    val cc = 1.0 - refractionCoeff
+    val byPair = Window.partitionBy("pair_id").orderBy("t")
+
+    probed
+      .withColumn("dist", totalDist * col("frac"))
+      // curvature drop −(1−rc)·d²/diam (refraction_coeff.py:40-43)
+      .withColumn("hc", lit(-cc) * col("dist") * col("dist") / lit(2 * Radio.SphereRadius))
+      // observer absolute height = ground at t=0 + mast height oz
+      .withColumn("ozAbs", first(col("h")).over(byPair) + col("oz"))
+      // sight ratio of the station's terrain (intermediate obstruction)
+      .withColumn("ratio",
+        when(col("t") === 0, lit(null))
+          .otherwise((col("h") + col("hc") - col("ozAbs")) / col("dist")))
+      // ratio of the target point itself (terrain + target mast tz)
+      .withColumn("targetRatio",
+        when(col("t") === 0, lit(null))
+          .otherwise((col("h") + col("tz") + col("hc") - col("ozAbs")) / col("dist")))
+      // running max of obstruction over strictly-preceding stations
+      .withColumn("obstruction",
+        max(when(col("t") > 0 && col("t") < n - 1, col("ratio")))
+          .over(byPair.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("stationVisible",
+        col("t") > 0 && col("targetRatio") >= coalesce(col("obstruction"), lit(-1e300)))
+  }
+
+  /** Per-pair LOS summary: visibility of the target, the first
+    * blocking station, total distance and FSPL (H3,
+    * `viewshed_calc.py:627-633`).
+    */
+  def summary(pairs: DataFrame, dem: DataFrame, nStations: Int,
+              cellSize: Double, refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+              demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val prof = profile(pairs, dem, nStations, cellSize, refractionCoeff, demNdv)
+    prof.groupBy("pair_id")
+      .agg(
+        max(when(col("t") === nStations - 1,
+          col("stationVisible").cast("int"))).as("visible"),
+        min(when(col("t") > 0 && !col("stationVisible"), col("t"))).as("first_blocked_t"),
+        max(col("dist")).as("dist"),
+        max(col("freq_mhz")).as("freq_mhz"))
+      .withColumn("fspl",
+        lit(20.0) * (log10(col("dist")) + log10(col("freq_mhz"))) - 27.55)
+  }
+
+  /** C6 observer×target pairing (`make_points_list`,
+    * `gdalos_base.py:117-133`): zip (by index), zip_cycle (modular
+    * recycle of the shorter side), or product (cartesian).
+    */
+  def pairPoints(obs: DataFrame, tars: DataFrame, mode: String): DataFrame = mode match {
+    case "zip" =>
+      obs.join(tars, obs("oi") === tars("ti"))
+    case "zip_cycle" =>
+      // cycle the shorter vector (modular index), like zip_cycle
+      val no = obs.count(); val nt = tars.count()
+      if (no >= nt) obs.join(tars, obs("oi") % nt === tars("ti"))
+      else obs.join(tars, tars("ti") % no === obs("oi"))
+    case "product" =>
+      obs.crossJoin(tars)
+    case other => throw new IllegalArgumentException(s"unknown fill mode $other")
+  }
+
+  /** Deterministic synthetic observer→target pairs over a w×h DEM —
+    * fixture generator for the declared LOS queries/tests.
+    */
+  def syntheticPairs(s: SparkSession, nPairs: Int, w: Int, h: Int): DataFrame =
+    s.range(nPairs).select(
+      col("id").cast("int").as("pair_id"),
+      (col("id") % 7 * 3 + 5).cast("double").as("ox"),
+      (col("id") % 11 * 4 + 6).cast("double").as("oy"),
+      lit(10.0).as("oz"),
+      (lit(w - 8) - col("id") % 5 * 6).cast("double").as("tx"),
+      (lit(h - 9) - col("id") % 9 * 4).cast("double").as("ty"),
+      lit(5.0).as("tz"),
+      (col("id") % 4 * 300 + 100).cast("double").as("freq_mhz"))
+}

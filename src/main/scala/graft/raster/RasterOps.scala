@@ -1,0 +1,117 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{GeoRectangle, GeoTransform}
+
+/** The trans-pipeline operators (SURVEY §3.1 steps, B/H/E/D families)
+  * over the pixel frame. Every operator is a declarative DataFrame
+  * transform: filters reach the scan as pushed predicates, pixel math
+  * is whole-stage-codegen column arithmetic, and aggregates use
+  * map-side partial aggregation — nothing collects to the driver.
+  */
+object RasterOps {
+
+  /** B2 extent crop: geo-rect → integer pixel window via the
+    * geotransform (reference `projWin`/`srcWin`,
+    * `gdalos_trans.py:514-581`), then a pure range predicate that
+    * Catalyst pushes into the scan (tile/rowgroup pruning at scale).
+    * Returns None when the requested extent misses the raster — the
+    * reference's empty-extent short-circuit (R3,
+    * `gdalos_trans.py:552`).
+    */
+  def crop(df: DataFrame, gt: GeoTransform, w: Int, h: Int,
+           extent: GeoRectangle): Option[DataFrame] =
+    gt.windowFromExtent(extent, w, h).map { case (x0, y0, x1, y1) =>
+      cropWindow(df, x0, y0, x1, y1)
+    }
+
+  /** B2 pixel-window crop (`srcWin` variant). */
+  def cropWindow(df: DataFrame, x0: Int, y0: Int, x1: Int, y1: Int): DataFrame =
+    df.filter(col("px") >= x0 && col("px") < x1 && col("py") >= y0 && col("py") < y1)
+
+  /** B1 band select (`bandList`, `gdalos_trans.py:440-459`). */
+  def bandSelect(df: DataFrame, bands: Seq[Int]): DataFrame =
+    df.filter(col("band").isin(bands: _*))
+
+  /** B4 nodata normalize (`gdalos_trans.py:486-512`): rewrite the
+    * source nodata sentinel to the destination's.
+    */
+  def nodataNormalize(df: DataFrame, srcNdv: Double, dstNdv: Double): DataFrame =
+    df.withColumn("v", when(col("v") === srcNdv, lit(dstNdv)).otherwise(col("v")))
+
+  /** H1 scale with nodata passthrough — the exact `scale_np_array`
+    * semantics (`calc/scale_raster.py:28-43`): out = trunc(v·factor)
+    * cast to an integer dtype (numpy 'unsafe' casting truncates toward
+    * zero), except v == inNdv → outNdv.
+    */
+  def scaleToInt(df: DataFrame, factor: Double, inNdv: Double, outNdv: Double): DataFrame =
+    df.withColumn("v",
+      when(col("v") === inNdv, lit(outNdv))
+        .otherwise((col("v") * factor).cast("long").cast("double")))
+
+  /** `autoscale` (`calc/scale_raster.py:11-25`): pick the scale from
+    * max(band)/max(dtype), snapped up to the first admissible value.
+    */
+  def autoscale(maxBandVal: Double, maxDtValue: Double,
+                possible: Seq[Double] = Seq(0.1, 0.15, 0.2, 0.25, 0.3)): Double = {
+    val scale = maxBandVal / maxDtValue
+    possible.find(scale <= _).getOrElse(math.ceil(scale * 100) / 100)
+  }
+
+  /** E5 discretization ladder — exact `cont2discrete_array` semantics
+    * (`calc/gdalos_raster_color.py:16-42`).
+    *
+    * up:   class = smallest i with v ≤ values(i), else n−1
+    * down: class = largest  i with v ≥ values(i), else 0
+    */
+  def classify(df: DataFrame, values: Seq[Double], up: Boolean): DataFrame =
+    df.withColumn("v", classifyCol(col("v"), values, up).cast("double"))
+
+  def classifyCol(v: Column, values: Seq[Double], up: Boolean): Column = {
+    val sorted = values.sorted
+    val n = sorted.length
+    if (up)
+      sorted.init.zipWithIndex.foldRight(lit(n - 1): Column) {
+        case ((thr, i), acc) => when(v <= thr, lit(i)).otherwise(acc)
+      }
+    else
+      sorted.zipWithIndex.drop(1).foldLeft(lit(0): Column) {
+        case (acc, (thr, i)) => when(v >= thr, lit(i)).otherwise(acc)
+      }
+  }
+
+  /** B6 palette→RGB expand (`rgbExpand`, `gdalos_trans.py:480-484`)
+    * via broadcast dimension join (C4) — palette rows
+    * `(value DOUBLE, argb INT)`. Unmatched pixels get `defaultArgb`
+    * (the color file's `nv` entry).
+    */
+  def paletteExpand(df: DataFrame, palette: DataFrame, defaultArgb: Int): DataFrame =
+    df.join(broadcast(palette), df("v") === palette("value"), "left")
+      .select(df("rid"), df("band"), df("px"), df("py"), df("v"),
+        coalesce(col("argb"), lit(defaultArgb)).as("argb"))
+
+  /** D6 raster statistics (`ComputeStatistics` /
+    * `get_raster_min_max`, `calc/scale_raster.py:11-25`), nodata-aware.
+    * The sum goes through DECIMAL so it is exact and
+    * partition-order-independent; mean is derived from it.
+    */
+  def stats(df: DataFrame, ndv: Double): DataFrame = {
+    val valid = when(col("v") =!= ndv, col("v"))
+    df.agg(
+      count(lit(1)).as("n_total"),
+      count(valid).as("n_valid"),
+      min(valid).as("mn"),
+      max(valid).as("mx"),
+      sum(valid.cast(DecimalType(28, 6))).cast("double").as("s"))
+      .withColumn("mean", col("s") / col("n_valid"))
+  }
+
+  /** D8 extent fold: union/intersection of per-raster pixel extents. */
+  def extentFold(df: DataFrame): DataFrame =
+    df.groupBy("rid").agg(
+      min("px").as("minPx"), min("py").as("minPy"),
+      max("px").as("maxPx"), max("py").as("maxPy"))
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming extension over the `events` table (SURVEY §2 J:
+  * the reference is batch-only; the streaming surface shares the
+  * D-family aggregate code).
+  *
+  * Design: `readStream` → event-time watermark → tumbling-window aggs;
+  * custom state via `mapGroupsWithState` for sessionization. The same
+  * transforms run in batch (EventQueries.q55 is the batch twin of
+  * [[tumblingCounts]]) — one definition, two runners, which is the
+  * Spark-native replacement for the reference's job-at-a-time
+  * recursion.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling event-time window counts; works identically on a batch
+    * or streaming DataFrame (watermark only applies when streaming).
+    */
+  def tumblingCounts(events: DataFrame, every: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), every), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Per-user running session state via `mapGroupsWithState` — the
+    * KeyValueGroupedDataset state-store surface (processing-time
+    * timeout; emits the running totals on every trigger).
+    */
+  def userTotals(events: Dataset[Event])(implicit s: SparkSession): Dataset[SessionSummary] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionSummary]) =>
+          val prev = state.getOption.getOrElse(SessionSummary(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = SessionSummary(userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** File-source streaming reader with an explicit schema (streaming
+    * requires one) — `readStream` over a parquet directory.
+    */
+  def readEventStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Convenience runner: stream `tumblingCounts` into an in-memory
+    * sink, returning the query handle (tests + demos).
+    */
+  def runToMemory(src: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tumblingCounts(src).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete())
+      .start()
+}

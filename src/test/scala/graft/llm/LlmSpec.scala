@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different words about spark shuffles and joins here"),
+    (4L, "unrelated text regarding raster pyramids overviews and tiles"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts (hash-groupBy)") {
+    val d = Dedup.exactDedup(docs, "doc_id", "text").cache()
+    assert(d.count() == 4)
+    val dup = d.filter($"n_copies" > 1).head()
+    assert(dup.getAs[Long]("keep_id") == 0L && dup.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // jaccard 1.0 — always a candidate
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // exact-dup pair carries jaccard 1.0
+    val j = Dedup.minhashLsh(docs, "doc_id", "text")
+      .filter($"id_a" === 0 && $"id_b" === 1).select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhash signature is identical for identical texts, differs otherwise") {
+    val sig = docs.select($"doc_id",
+      Dedup.minhashSigCol(Dedup.shinglesCol($"text"), 16).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+  }
+
+  test("simhash buckets exact dups together") {
+    val b = Dedup.simhashBuckets(docs, "doc_id", "text")
+    val row = b.head()
+    assert(b.count() == 1 && row.getAs[Long]("n_docs") >= 2 && row.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("ngram jaccard with prefix blocking finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", prefixLen = 20, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs.size == 3)
+  }
+
+  test("brute-force cosine top-k ranks the parallel vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f) ++ Array.fill(61)(0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f) ++ Array.fill(61)(0.0f)), // cosine 1 with 0
+      (2L, Array(0.0f, 1.0f, 0.0f) ++ Array.fill(61)(0.0f)), // orthogonal
+      (3L, Array(1.0f, 1.0f, 0.0f) ++ Array.fill(61)(0.0f))) // cosine √2/2
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(emb, queryId = 0L, k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 3L))
+  }
+
+  test("LSH bucket keeps scalar multiples together; lshTopK finds them") {
+    val emb = Seq(
+      (0L, Array.tabulate(64)(i => (i % 7 - 3).toFloat)),
+      (1L, Array.tabulate(64)(i => 2 * (i % 7 - 3).toFloat)), // same direction
+      (2L, Array.tabulate(64)(i => -(i % 7 - 3).toFloat)))    // opposite
+      .toDF("vec_id", "embedding")
+    val buckets = emb.select($"vec_id", Similarity.bucketCol($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) == buckets(1L) && buckets(0L) != buckets(2L))
+    val near = Similarity.lshTopK(emb, 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(near == Seq(1L))
+  }
+
+  test("LSH recall vs brute force on the embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteTopK(emb, 0L, 10).select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, 0L, 10, planes = 4).select("vec_id").as[Long].collect().toSet
+    // 4 planes → 16 buckets; expect meaningful overlap, not exactness
+    assert(lsh.nonEmpty && brute.nonEmpty)
+  }
+
+  test("text analysis: token counts, quality signals, fingerprint") {
+    val q = TextAnalysis.withQuality(docs).filter($"doc_id" === 0).head()
+    assert(q.getAs[Int]("n_tokens") == 12)
+    assert(q.getAs[Int]("n_distinct_tokens") == 10) // the×2, again×2
+    assert(q.getAs[Double]("lex_diversity") == 10.0 / 12)
+
+    val fp = docs.select(TextAnalysis.fingerprintCol($"text", 2).as("fp"))
+      .as[Long].collect()
+    assert(fp(0) == ('t'.toLong * 31 + 'h'.toLong) % 1000000007L)
+    assert(fp(0) == fp(1) && fp(0) != fp(3))
+  }
+
+  test("langId heuristic: charset beats stopwords; en via stopword gate") {
+    val mixed = Seq((0L, "the cat sat on the mat and the dog"), (1L, "中文 文本 没有 空格 问题"),
+      (2L, "xyzzy plugh qwertz zxcvb")).toDF("doc_id", "text")
+    val out = mixed.select($"doc_id", TextAnalysis.langIdCol($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(1L) == "zh" && out(2L) == "other")
+  }
+
+  test("multimodal: payload plumbing + stub feature extraction") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.syntheticMedia(
+      Seq((7L, "alpha", "src1"), (8L, "beta", "src2")).toDF("doc_id", "text", "source"))
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(7L).n_bytes == "src1:7".length)
+    assert(feats(7L).kind == "audio" && feats(8L).kind == "video")
+    // checksum is the deterministic rolling hash of the payload bytes
+    val expect = "src1:7".getBytes("UTF-8")
+      .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(feats(7L).checksum == expect)
+
+    val frames = Multimodal.sampleFrames(media, 3)
+    assert(frames.count() == 6)
+    assert(frames.filter($"media_id" === 7 && $"frame_no" === 0)
+      .select("frame_len").as[Int].head() == 4)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.raster
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LosViewshedSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Flat DEM (h=0) with an optional wall column at px=wallX, h=wallH. */
+  private def flatDem(w: Int, h: Int, wallX: Int = -1, wallH: Double = 0): org.apache.spark.sql.DataFrame =
+    spark.range(w.toLong * h).select(
+      lit(0).as("rid"), lit(1).as("band"),
+      (col("id") % w).cast("int").as("px"),
+      floor(col("id") / w).cast("int").as("py"),
+      when(col("id") % w === wallX, lit(wallH)).otherwise(lit(0.0)).as("v"))
+
+  private def onePair = Seq((0, 0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 100.0))
+    .toDF("pair_id", "ox", "oy", "oz", "tx", "ty", "tz", "freq_mhz")
+
+  test("LOS over flat terrain: target visible (E3)") {
+    val s = Los.summary(onePair, flatDem(12, 3), nStations = 11, cellSize = 1.0)
+    val r = s.head()
+    assert(r.getAs[Int]("visible") == 1)
+    assert(r.getAs[Any]("first_blocked_t") == null)
+  }
+
+  test("LOS blocked by a wall between observer and target") {
+    val s = Los.summary(onePair, flatDem(12, 3, wallX = 5, wallH = 100.0),
+      nStations = 11, cellSize = 1.0)
+    val r = s.head()
+    assert(r.getAs[Int]("visible") == 0)
+    // stations past the wall are blocked; the wall station itself
+    // (t=5) is "visible" as terrain
+    assert(r.getAs[Int]("first_blocked_t") == 6)
+  }
+
+  test("LOS profile: running obstruction max is monotone per pair") {
+    val prof = Los.profile(onePair, flatDem(12, 3, wallX = 5, wallH = 100.0),
+      nStations = 11, cellSize = 1.0)
+      .filter($"t" > 1).orderBy("t")
+      .select("obstruction").as[Double].collect()
+    assert(prof.sliding(2).forall { case Array(a, b) => b >= a case _ => true })
+  }
+
+  test("FSPL column matches Radio.fspl (H3)") {
+    val s = Los.summary(onePair, flatDem(12, 3), nStations = 11, cellSize = 100.0)
+    val r = s.head()
+    val expected = graft.core.Radio.fspl(r.getAs[Double]("dist"), 100.0)
+    assert(math.abs(r.getAs[Double]("fspl") - expected) < 1e-9)
+  }
+
+  test("pairPoints zip / zip_cycle / product (C6, gdalos_base.py:117-133)") {
+    val obs = Seq(0, 1, 2).toDF("oi")
+    val tars = Seq(0, 1, 2, 3, 4, 5).toDF("ti")
+    assert(Los.pairPoints(obs, tars, "zip").count() == 3)
+    assert(Los.pairPoints(obs, tars, "zip_cycle").count() == 6)
+    assert(Los.pairPoints(obs, tars, "product").count() == 18)
+  }
+
+  test("viewshed: flat terrain fully visible; wall shadows its ray (E2)") {
+    val vs = Viewshed.viewshed(flatDem(11, 11), ox = 5, oy = 5, oz = 10.0,
+      cellSize = 1.0, maxR = 100.0).cache()
+    // wall-free flat world: every in-range pixel is seen
+    assert(vs.filter($"state" =!= Viewshed.StSeen).count() == 0)
+
+    val withWall = Viewshed.viewshed(flatDem(11, 11, wallX = 7, wallH = 50.0),
+      ox = 5, oy = 5, oz = 10.0, cellSize = 1.0, maxR = 100.0).cache()
+    // pixels due east behind the wall (same bearing bucket) are hidden
+    val behind = withWall.filter($"py" === 5 && $"px" > 7)
+      .select("state").as[Double].collect()
+    assert(behind.forall(_ == Viewshed.StHidden))
+    // the wall pixel itself is seen; due-west pixels unaffected
+    assert(withWall.filter($"py" === 5 && $"px" === 7)
+      .select("state").as[Double].head() == Viewshed.StSeen)
+    assert(withWall.filter($"py" === 5 && $"px" < 5)
+      .filter($"state" =!= Viewshed.StSeen).count() == 0)
+  }
+
+  test("viewshed: out-of-range and nodata states (viewshed_params.py:13-26)") {
+    val vs = Viewshed.viewshed(flatDem(11, 11), ox = 5, oy = 5, oz = 10.0,
+      cellSize = 1.0, maxR = 3.0).cache()
+    assert(vs.filter($"dist" > 3.0).agg(max("state")).head().getDouble(0) == Viewshed.StNodata)
+
+    val holed = flatDem(11, 11)
+      .withColumn("v", when($"px" === 2 && $"py" === 2, PixelFrame.Dem.Ndv).otherwise($"v"))
+    val vs2 = Viewshed.viewshed(holed, 5, 5, 10.0, 1.0, 100.0)
+    assert(vs2.filter($"px" === 2 && $"py" === 2)
+      .select("state").as[Double].head() == Viewshed.StNodtm)
+  }
+}

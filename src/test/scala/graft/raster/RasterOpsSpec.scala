@@ -1,0 +1,98 @@
+package graft.raster
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{GeoRectangle, GeoTransform}
+
+class RasterOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pixels(rows: (Int, Int, Double)*): org.apache.spark.sql.DataFrame =
+    rows.toSeq.toDF("px", "py", "v")
+      .select(lit(0).as("rid"), lit(1).as("band"), col("px"), col("py"), col("v"))
+
+  test("synthetic dem is deterministic and ndv-holed") {
+    val d = PixelFrame.dem(spark, 16, 16).cache()
+    assert(d.count() == 256)
+    // v(3,2) = (21 + 26) % 997 = 47
+    assert(d.filter($"px" === 3 && $"py" === 2).head().getDouble(4) == 47.0)
+    // ndv at (0,0): (0+0)%101==0
+    assert(d.filter($"px" === 0 && $"py" === 0).head().getDouble(4) == PixelFrame.Dem.Ndv)
+    assert(d.filter($"v" === PixelFrame.Dem.Ndv).count() > 0)
+  }
+
+  test("crop by geo extent = hand-computed pixel window (B2)") {
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val d = PixelFrame.dem(spark, 400, 200)
+    val out = RasterOps.crop(d, gt, 400, 200, GeoRectangle(110, 20, 120, 30)).get
+    val r = out.agg(min("px"), max("px"), min("py"), max("py"), count(lit(1))).head()
+    assert(r == Row(40, 79, 80, 119, 40L * 40))
+    // disjoint extent short-circuits (R3)
+    assert(RasterOps.crop(d, gt, 400, 200, GeoRectangle(300, 20, 310, 30)).isEmpty)
+  }
+
+  test("scaleToInt mirrors scale_np_array truncation + ndv passthrough (H1)") {
+    val out = RasterOps.scaleToInt(
+      pixels((0, 0, 12.5), (1, 0, -3.7), (2, 0, -32768.0)),
+      factor = 4.0, inNdv = -32768.0, outNdv = 0.0)
+      .orderBy("px").select("v").as[Double].collect()
+    assert(out.toSeq == Seq(50.0, -14.0, 0.0)) // trunc(-3.7*4 = -14.8) → -14
+  }
+
+  test("autoscale snaps to the first admissible value (scale_raster.py:11-25)") {
+    assert(RasterOps.autoscale(6000, 32767) == 0.2) // 0.183 → 0.2
+    assert(RasterOps.autoscale(327, 32767) == 0.1)
+    assert(RasterOps.autoscale(31000, 32767) == 0.95) // beyond table → ceil to 2 digits
+  }
+
+  test("classify up/down exactly matches cont2discrete_array (E5)") {
+    val vs = Seq(5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0)
+    val df = pixels(vs.zipWithIndex.map { case (v, i) => (i, 0, v) }: _*)
+    val up = RasterOps.classify(df, Seq(10, 20, 30), up = true)
+      .orderBy("px").select("v").as[Double].collect().toSeq
+    assert(up == Seq(0, 0, 1, 1, 2, 2, 2)) // ≤10→0, ≤20→1, else n−1
+    val down = RasterOps.classify(df, Seq(10, 20, 30), up = false)
+      .orderBy("px").select("v").as[Double].collect().toSeq
+    assert(down == Seq(0, 0, 0, 1, 1, 2, 2)) // ≥30→2, ≥20→1, else 0
+  }
+
+  test("nodataNormalize rewrites only the sentinel (B4)") {
+    val out = RasterOps.nodataNormalize(pixels((0, 0, -99.0), (1, 0, 7.0)), -99, -32768)
+      .orderBy("px").select("v").as[Double].collect()
+    assert(out.toSeq == Seq(-32768.0, 7.0))
+  }
+
+  test("stats is nodata-aware and exact (D6)") {
+    val st = RasterOps.stats(pixels((0, 0, 1), (1, 0, 2), (2, 0, 3), (3, 0, -1)), ndv = -1)
+      .head()
+    assert(st.getLong(0) == 4 && st.getLong(1) == 3)
+    assert(st.getDouble(2) == 1.0 && st.getDouble(3) == 3.0)
+    assert(st.getDouble(4) == 6.0 && st.getDouble(5) == 2.0)
+  }
+
+  test("paletteExpand broadcast lookup with nv default (B6/C4)") {
+    val pal = Seq((0.0, 0xff000000), (1.0, 0xffff0000)).toDF("value", "argb")
+    val out = RasterOps.paletteExpand(pixels((0, 0, 0.0), (1, 0, 1.0), (2, 0, 9.0)), pal, 0x00000000)
+      .orderBy("px").select("argb").as[Int].collect()
+    assert(out.toSeq == Seq(0xff000000, 0xffff0000, 0))
+  }
+
+  test("tile pack ↔ explode round-trips the pixel frame (A3/A8)") {
+    val d = PixelFrame.dem(spark, 8, 8)
+    val packed = PixelFrame.pack(d, ts = 4, ndv = PixelFrame.Dem.Ndv)
+    assert(packed.count() == 4)
+    assert(packed.select(size($"data")).head().getInt(0) == 16)
+    val back = PixelFrame.explodeTiles(packed, ts = 4)
+    assert(back.except(d).count() == 0 && d.except(back).count() == 0)
+  }
+
+  test("mapTiles applies pixel math inside the packed form") {
+    val d = PixelFrame.dem(spark, 8, 8)
+    val packed = PixelFrame.pack(d, 4, PixelFrame.Dem.Ndv)
+    val doubled = PixelFrame.explodeTiles(PixelFrame.mapTiles(packed, v => v * 2), 4)
+    val direct = d.withColumn("v", $"v" * 2)
+    assert(doubled.except(direct).count() == 0)
+  }
+}
