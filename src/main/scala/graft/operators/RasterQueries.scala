@@ -141,6 +141,47 @@ object RasterQueries {
       .orderBy("cell")
   }
 
+  /** Cutline ring shared by q56 and its oracle (geo coords on Gt). */
+  val CutRing: Seq[(Double, Double)] =
+    Seq((125.0, 40.0), (130.0, 35.0), (125.0, 30.0), (120.0, 35.0))
+
+  /** q56 B3 cutline mask: bbox prefilter + exact point-in-polygon. */
+  def q56(s: SparkSession, d: String): DataFrame =
+    RasterOps.cutline(dem(s), Gt, DemW, DemH, CutRing)
+      .select("px", "py", "v").orderBy("py", "px")
+
+  /** q57 E4 forward-target trig (vectorized calc_fwd). */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val obs = s.range(30).select(
+      col("id").cast("int").as("oid"),
+      (col("id") * 3).cast("double").as("ox"),
+      (col("id") * 2).cast("double").as("oy"),
+      lit(10.0).as("oz"),
+      (col("id") * 30 % 360).cast("double").as("azimuth"),
+      (col("id") % 7 - 3).cast("double").as("elevation"),
+      (col("id") % 4 * 250 + 1000).cast("double").as("max_r"))
+    Los.fwdTargets(obs)
+      .select(col("oid"), round(col("tx"), 6).as("tx"),
+        round(col("ty"), 6).as("ty"), round(col("tz"), 6).as("tz"))
+      .orderBy("oid")
+  }
+
+  /** q58 I1 gdal_calc A..Z expression surface over two aligned rasters. */
+  def q58(s: SparkSession, d: String): DataFrame =
+    graft.functions.Calc.calc(
+      Map("A" -> PixelFrame.constant(s, 80, 60, 10.0),
+        "B" -> PixelFrame.dem(s, 80, 60)),
+      "greatest(A, B) * 2 + 1")
+      .select("px", "py", "v").orderBy("py", "px")
+
+  /** q59 B7 overview selection: pyramid + negative-index resolve. */
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val pyr = Overview.buildPyramid(PixelFrame.dem(s, 64, 64), 3,
+      ResamplingAlg.Nearest, PixelFrame.Dem.Ndv)
+    RasterOps.selectOvr(pyr, ovrCount = 3, idx = -1) // −1 → top level 3
+      .select("px", "py", "v").orderBy("py", "px")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_raster_crop" -> q25 _,
     "q26_raster_scale" -> q26 _,
@@ -159,6 +200,10 @@ object RasterQueries {
     "q39_los_profile" -> q39 _,
     "q40_viewshed_sectors" -> q40 _,
     "q41_partition_grid" -> q41 _,
+    "q56_cutline_mask" -> q56 _,
+    "q57_fwd_targets" -> q57 _,
+    "q58_calc_expr" -> q58 _,
+    "q59_ovr_select" -> q59 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -181,6 +226,14 @@ object RasterQueries {
       |             + ((i % 4800) // 80) * (2 * (i // 4800) + 5)
       |             + 11 * (i // 4800)) % 6 AS DOUBLE) AS v
       |  FROM range(28800) t(i))""".stripMargin
+
+  /** w×h DEM CTE with the PixelFrame.dem formula, parameterized. */
+  private def demCteN(name: String, w: Int, h: Int) =
+    s"""$name AS (
+       |  SELECT CAST(i % $w AS INTEGER) AS px, CAST(i // $w AS INTEGER) AS py,
+       |         CASE WHEN ((i % $w) * 31 + (i // $w) * 17) % 101 = 0 THEN -32768.0
+       |              ELSE CAST(((i % $w) * 7 + (i // $w) * 13) % 997 AS DOUBLE) END AS v
+       |  FROM range(${w.toLong * h}) t(i))""".stripMargin
 
   /** synthetic catalog CTE — same formulas as Catalog.synthetic(n). */
   private def catCte(n: Int) =
@@ -310,6 +363,46 @@ object RasterQueries {
     "q39_los_profile" -> losOracle,
 
     "q40_viewshed_sectors" -> viewshedOracle,
+
+    "q56_cutline_mask" -> {
+      // identical edge tests generated from the same ring, over the
+      // same pixel-center affine expressions
+      val cx = "((100.0 + (px + 0.5) * 0.25) + (py + 0.5) * 0.0)"
+      val cy = "((50.0 + (px + 0.5) * 0.0) + (py + 0.5) * -0.25)"
+      val pip = graft.core.Geometry.pointInPolygonSql(cx, cy, CutRing)
+      s"""WITH $demCte
+         |SELECT px, py, v FROM dem
+         |WHERE px >= 80 AND px < 120 AND py >= 40 AND py < 80
+         |  AND $pip
+         |ORDER BY py, px""".stripMargin
+    },
+
+    "q57_fwd_targets" ->
+      """WITH obs AS (
+        |  SELECT CAST(i AS INTEGER) AS oid,
+        |         CAST(i * 3 AS DOUBLE) AS ox, CAST(i * 2 AS DOUBLE) AS oy, 10.0 AS oz,
+        |         CAST(i * 30 % 360 AS DOUBLE) AS az,
+        |         CAST(i % 7 - 3 AS DOUBLE) AS el,
+        |         CAST(i % 4 * 250 + 1000 AS DOUBLE) AS r
+        |  FROM range(30) t(i)),
+        |trig AS (
+        |  SELECT *, (90.0 - az) * PI() / 180 AS a, el * PI() / 180 AS e FROM obs),
+        |g AS (SELECT *, r * COS(e) AS ground_r FROM trig)
+        |SELECT oid,
+        |       ROUND(ox + COS(a) * ground_r, 6) AS tx,
+        |       ROUND(oy + SIN(a) * ground_r, 6) AS ty,
+        |       ROUND(oz + r * SIN(e) + ground_r * ground_r * ((1 - 1.0/7) / (2 * 6378137.0)), 6) AS tz
+        |FROM g ORDER BY oid""".stripMargin,
+
+    "q58_calc_expr" ->
+      s"""WITH ${demCteN("dem80", 80, 60)}
+         |SELECT px, py, GREATEST(10.0, v) * 2 + 1 AS v
+         |FROM dem80 ORDER BY py, px""".stripMargin,
+
+    "q59_ovr_select" ->
+      s"""WITH ${demCteN("dem64", 64, 64)}
+         |SELECT CAST(px // 8 AS INTEGER) AS px, CAST(py // 8 AS INTEGER) AS py, v
+         |FROM dem64 WHERE px % 8 = 0 AND py % 8 = 0 ORDER BY py, px""".stripMargin,
 
     "q41_partition_grid" ->
       """SELECT CAST(i AS INTEGER) AS cell,

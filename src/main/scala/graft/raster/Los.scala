@@ -102,6 +102,28 @@ object Los {
         lit(20.0) * (log10(col("dist")) + log10(col("freq_mhz"))) - 27.55)
   }
 
+  /** E4 forward target computation (`MultiPointParams.calc_fwd`,
+    * `viewshed_params.py:204-228`): targets from observer +
+    * azimuth/elevation/range with the earth-curvature term —
+    * vectorized trig as pure column expressions.
+    *
+    * a = (90−az)·π/180; e = el·π/180; ground_r = r·cos e;
+    * tx = ox + cos a·ground_r; ty = oy + sin a·ground_r;
+    * tz = abs_oz + r·sin e + ground_r²·(1−rc)/diam.
+    */
+  def fwdTargets(df: DataFrame,
+                 refractionCoeff: Double = Radio.AtmosphericRefractionCoeff): DataFrame = {
+    val curv = (1.0 - refractionCoeff) / (2 * Radio.SphereRadius)
+    df.withColumn("a_rad", (lit(90.0) - col("azimuth")) * math.Pi / 180)
+      .withColumn("e_rad", col("elevation") * math.Pi / 180)
+      .withColumn("ground_r", col("max_r") * cos(col("e_rad")))
+      .withColumn("tx", col("ox") + cos(col("a_rad")) * col("ground_r"))
+      .withColumn("ty", col("oy") + sin(col("a_rad")) * col("ground_r"))
+      .withColumn("tz", col("oz") + col("max_r") * sin(col("e_rad"))
+        + col("ground_r") * col("ground_r") * curv)
+      .drop("a_rad", "e_rad")
+  }
+
   /** C6 observer×target pairing (`make_points_list`,
     * `gdalos_base.py:117-133`): zip (by index), zip_cycle (modular
     * recycle of the shorter side), or product (cartesian).

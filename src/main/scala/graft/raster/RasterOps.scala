@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.core.{GeoRectangle, GeoTransform}
+import graft.core.{GeoRectangle, GeoTransform, Geometry}
 
 /** The trans-pipeline operators (SURVEY §3.1 steps, B/H/E/D families)
   * over the pixel frame. Every operator is a declarative DataFrame
@@ -31,6 +31,40 @@ object RasterOps {
   /** B2 pixel-window crop (`srcWin` variant). */
   def cropWindow(df: DataFrame, x0: Int, y0: Int, x1: Int, y1: Int): DataFrame =
     df.filter(col("px") >= x0 && col("px") < x1 && col("py") >= y0 && col("py") < y1)
+
+  /** B3 cutline mask: keep pixels whose center falls inside the
+    * polygon ring, given in geo coordinates (`cropToCutline`,
+    * `gdalos_trans.py:415-422`; ring→mask `viewshed_calc.py:148-177`).
+    * Two-stage: a coarse bbox range predicate (pushed to the scan —
+    * the R3 pushdown) then the exact unrolled point-in-polygon test,
+    * both whole-stage-codegen.
+    */
+  def cutline(df: DataFrame, gt: GeoTransform, w: Int, h: Int,
+              ringGeo: Seq[(Double, Double)]): DataFrame = {
+    val bbox = Geometry.ringBBox(ringGeo)
+    val coarse = gt.windowFromExtent(bbox, w, h)
+      .map { case (x0, y0, x1, y1) => cropWindow(df, x0, y0, x1, y1) }
+      .getOrElse(df.filter(lit(false)))
+    // pixel-center geo coordinates (gdalos_extent.py:13-29: center at +0.5)
+    val cx = lit(gt.c0) + (col("px") + 0.5) * gt.c1 + (col("py") + 0.5) * gt.c2
+    val cy = lit(gt.c3) + (col("px") + 0.5) * gt.c4 + (col("py") + 0.5) * gt.c5
+    coarse.filter(Geometry.pointInPolygonCol(cx, cy, ringGeo))
+  }
+
+  /** B7 overview selection: resolve an overview index per the
+    * reference's numbering contract (`gdalos_trans.py:72-79`): 0 is
+    * the base raster, 1..n the overviews, negative counts from the
+    * top (−1 → n).
+    */
+  def resolveOvrIdx(ovrCount: Int, idx: Int): Int = {
+    val r = if (idx < 0) ovrCount + idx + 1 else idx
+    require(r >= 0 && r <= ovrCount, s"ovr_idx $idx out of range for $ovrCount overviews")
+    r
+  }
+
+  /** B7: select one pyramid level from an `ovr`-tagged frame. */
+  def selectOvr(pyramid: DataFrame, ovrCount: Int, idx: Int): DataFrame =
+    pyramid.filter(col("ovr") === resolveOvrIdx(ovrCount, idx))
 
   /** B1 band select (`bandList`, `gdalos_trans.py:440-459`). */
   def bandSelect(df: DataFrame, bands: Seq[Int]): DataFrame =

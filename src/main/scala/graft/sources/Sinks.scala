@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Writers & sinks (SURVEY §2 A3/A10/A11/A12/A13 + the B5 write rule).
+  *
+  * The COG analogue (A3) is a layout policy, not a format: cluster
+  * tiles by spatial key and keep them sorted inside each file so a
+  * range read touches contiguous row groups — exactly what
+  * `repartitionByRange` + `sortWithinPartitions` give Parquet.
+  * Small-output sinks (info/CZML/JSON) collect by design, mirroring
+  * the reference's driver-side serializers
+  * (`calc/gdal_to_czml.py:19-118`, `calc/gdal_to_json.py:5-21`);
+  * they guard against large frames instead of silently collecting.
+  */
+object Sinks {
+
+  /** A3 COG-style clustered tile write: spatially ordered parquet
+    * (`TILED/BLOCKXSIZE` + clustered-layout options assembled at
+    * `gdalos_trans.py:773-816`). `buckets` bounds file count; within a
+    * file tiles are (ty,tx)-sorted for monotone range scans.
+    */
+  def writeCogLayout(tiles: DataFrame, path: String, buckets: Int = 8): Unit =
+    tiles.repartitionByRange(buckets, col("ty"), col("tx"))
+      .sortWithinPartitions("ty", "tx")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** B5 alpha/JPEG exclusion rule (`gdalos_trans.py:437-459`): JPEG +
+    * YCBCR cannot carry an alpha band — drop band 4 when writing
+    * lossy photo rasters.
+    */
+  def applyWriteBandRule(tiles: DataFrame, lossy: Boolean, kindIsPhoto: Boolean): DataFrame =
+    if (lossy && kindIsPhoto) tiles.filter(col("band") =!= 4) else tiles
+
+  /** A10 info sink: schema + stats + plan text to `<path>.info`
+    * (`gdalos_info`, `gdalos_trans.py:1220-1234`).
+    */
+  def infoSink(df: DataFrame, path: String): Unit = {
+    val text = new StringBuilder
+    text ++= df.schema.treeString
+    text ++= df.describe().collect().map(_.toString).mkString("\n")
+    text ++= "\n\n" ++= df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    Files.writeString(Paths.get(path + ".info"), text.toString)
+  }
+
+  /** A13 XYZ sink: whitespace-separated table (`np.savetxt` branch,
+    * `viewshed_calc.py:964-966`). Distributed CSV write.
+    */
+  def xyzSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", " ").option("header", "false").csv(path)
+
+  /** A12 JSON sink: raster → `{bbox, gt, size, ndv, data[band][...]}`
+    * (`gdal_to_json`, `calc/gdal_to_json.py:5-21`). Collects — guarded
+    * to small rasters, like the reference's in-memory dict.
+    */
+  def rasterToJson(pixels: DataFrame, gt: Array[Double], ndv: Double,
+                   maxPixels: Long = 1000000): String = {
+    val rows = pixels.select("band", "px", "py", "v")
+      .orderBy("band", "py", "px").limit(maxPixels.toInt + 1).collect()
+    require(rows.length <= maxPixels, s"raster too large for JSON sink (> $maxPixels px)")
+    val w = rows.map(_.getInt(1)).max + 1
+    val h = rows.map(_.getInt(2)).max + 1
+    val byBand = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val data = byBand.map { case (_, rs) =>
+      rs.sortBy(r => (r.getInt(2), r.getInt(1))).map(_.getDouble(3))
+        .grouped(w).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    s"""{"size":[$w,$h],"gt":${gt.mkString("[", ",", "]")},"ndv":$ndv,"bands":${byBand.size},"data":$data}"""
+  }
+
+  /** A11 CZML sink: warp-to-4326 rectangle packet with an embedded
+    * image (`gdal_to_czml`, `calc/gdal_to_czml.py:19-78`). The PNG
+    * encode is STUBBED (no imaging libs in this container) with a
+    * deterministic base64 of the raw ARGB bytes — the packet
+    * structure, extent math, and data URI plumbing are real.
+    */
+  def rasterToCzml(styled: DataFrame, name: String,
+                   extent4326: (Double, Double, Double, Double),
+                   maxPixels: Long = 250000): String = {
+    val rows = styled.select("px", "py", "argb")
+      .orderBy("py", "px").limit(maxPixels.toInt).collect()
+    val bytes = rows.flatMap { r =>
+      val v = r.getInt(2)
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }
+    val b64 = Base64.getEncoder.encodeToString(bytes) // ??? stub: real impl PNG-encodes
+    val (w, s, e, n) = extent4326
+    s"""[{"id":"document","name":"$name","version":"1.0"},
+       |{"id":"$name","rectangle":{"coordinates":{"wsenDegrees":[$w,$s,$e,$n]},
+       |"material":{"image":{"image":{"uri":"data:image/png;base64,$b64"}}}}}]""".stripMargin
+  }
+
+  /** A11 polyline variant (`polyline_to_czml`,
+    * `calc/gdal_to_czml.py:95-118`): LOS result polylines.
+    */
+  def polylinesToCzml(polys: Seq[Seq[(Double, Double, Double)]], colors: Seq[Int]): String = {
+    val packets = polys.zip(colors).zipWithIndex.map { case ((pts, argb), i) =>
+      val coords = pts.flatMap(p => Seq(p._1, p._2, p._3)).mkString(",")
+      val rgba = Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff, (argb >>> 24) & 0xff)
+      s"""{"id":"polyline$i","polyline":{"positions":{"cartographicDegrees":[$coords]},
+         |"material":{"solidColor":{"color":{"rgba":${rgba.mkString("[", ",", "]")}}}}}}""".stripMargin
+    }
+    (Seq("""{"id":"document","name":"polylines","version":"1.0"}""") ++ packets)
+      .mkString("[", ",\n", "]")
+  }
+}

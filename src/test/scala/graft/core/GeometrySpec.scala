@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.{PropCheck, SparkSpec}
+
+class GeometrySpec extends SparkSpec with PropCheck {
+  import spark.implicits._
+
+  private val diamond = Seq((5.0, 10.0), (10.0, 5.0), (5.0, 0.0), (0.0, 5.0))
+
+  test("parseWktPolygonRing handles closed rings and whitespace") {
+    val ring = Geometry.parseWktPolygonRing(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(ring == Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))
+    assert(Geometry.ringBBox(ring) == GeoRectangle(0, 0, 10, 10))
+  }
+
+  test("driver PIP: diamond membership") {
+    assert(Geometry.pointInPolygon(5, 5, diamond))
+    assert(Geometry.pointInPolygon(3, 5, diamond))
+    assert(!Geometry.pointInPolygon(0.5, 0.5, diamond)) // corner outside
+    assert(!Geometry.pointInPolygon(11, 5, diamond))
+  }
+
+  test("column PIP agrees with driver PIP on random points (codegen path)") {
+    val pts = Gen.zip(Gen.chooseNum(-2.0, 12.0), Gen.chooseNum(-2.0, 12.0))
+    val sample = (0 until 300).map { i =>
+      var s = org.scalacheck.rng.Seed(i.toLong)
+      pts.pureApply(Gen.Parameters.default, s)
+    }
+    val df = sample.toDF("x", "y")
+      .withColumn("in", Geometry.pointInPolygonCol(col("x"), col("y"), diamond))
+    val got = df.select("x", "y", "in").as[(Double, Double, Boolean)].collect()
+    for ((x, y, in) <- got)
+      assert(in == Geometry.pointInPolygon(x, y, diamond), s"($x,$y)")
+  }
+
+  test("SQL PIP string mirrors the column expression (oracle generator)") {
+    val sql = Geometry.pointInPolygonSql("x", "y", diamond)
+    assert(sql.contains("<>") && !sql.toLowerCase.contains("infinity"))
+    // horizontal edges are skipped identically in both generators
+    val withHoriz = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val sql2 = Geometry.pointInPolygonSql("x", "y", withHoriz)
+    assert(!sql2.toLowerCase.contains("infinity"))
+  }
+
+  test("RasterOps.cutline keeps exactly the in-ring pixels (B3)") {
+    import graft.raster.{PixelFrame, RasterOps}
+    val gt = GeoTransform(0, 1, 0, 12, 0, -1) // unit pixels, y flips
+    val dem = PixelFrame.dem(spark, 12, 12)
+    val ringGeo = Seq((5.0, 10.0), (10.0, 5.0), (5.0, 0.0), (0.0, 5.0))
+    val out = RasterOps.cutline(dem, gt, 12, 12, ringGeo)
+      .select("px", "py").as[(Int, Int)].collect().toSet
+    val expected = (for {
+      px <- 0 until 12; py <- 0 until 12
+      cx = 0 + (px + 0.5) * 1.0; cy = 12 + (py + 0.5) * -1.0
+      if Geometry.pointInPolygon(cx, cy, ringGeo)
+    } yield (px, py)).toSet
+    assert(out == expected && out.nonEmpty)
+  }
+
+  test("resolveOvrIdx numbering contract (gdalos_trans.py:72-79)") {
+    import graft.raster.RasterOps.resolveOvrIdx
+    assert(resolveOvrIdx(3, 0) == 0 && resolveOvrIdx(3, 3) == 3)
+    assert(resolveOvrIdx(3, -1) == 3 && resolveOvrIdx(3, -4) == 0)
+    assertThrows[IllegalArgumentException](resolveOvrIdx(3, 4))
+    assertThrows[IllegalArgumentException](resolveOvrIdx(3, -5))
+  }
+}

@@ -50,6 +50,24 @@ class LosViewshedSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("fspl") - expected) < 1e-9)
   }
 
+  test("fwdTargets trig matches calc_fwd (E4, viewshed_params.py:204-228)") {
+    val obs = Seq((0, 10.0, 20.0, 5.0, 90.0, 0.0, 1000.0))
+      .toDF("oid", "ox", "oy", "oz", "azimuth", "elevation", "max_r")
+    val t = Los.fwdTargets(obs).head()
+    // az=90° → math angle 0 → due +x; el=0 → ground_r = r
+    assert(math.abs(t.getAs[Double]("tx") - 1010.0) < 1e-9)
+    assert(math.abs(t.getAs[Double]("ty") - 20.0) < 1e-9)
+    // tz = oz + 0 + r²·(1−rc)/diam
+    val curv = (1 - graft.core.Radio.AtmosphericRefractionCoeff) / (2 * graft.core.Radio.SphereRadius)
+    assert(math.abs(t.getAs[Double]("tz") - (5.0 + 1e6 * curv)) < 1e-9)
+
+    // el=30°: ground_r = r·cos30, vertical r·sin30
+    val up = Los.fwdTargets(Seq((0, 0.0, 0.0, 0.0, 0.0, 30.0, 100.0))
+      .toDF("oid", "ox", "oy", "oz", "azimuth", "elevation", "max_r")).head()
+    assert(math.abs(up.getAs[Double]("ty") - 100 * math.cos(math.Pi / 6)) < 1e-9)
+    assert(up.getAs[Double]("tz") > 50.0 - 1e-9)
+  }
+
   test("pairPoints zip / zip_cycle / product (C6, gdalos_base.py:117-133)") {
     val obs = Seq(0, 1, 2).toDF("oi")
     val tars = Seq(0, 1, 2, 3, 4, 5).toDF("ti")

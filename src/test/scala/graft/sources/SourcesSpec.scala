@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.raster.PixelFrame
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FileList: flatten, glob, and .txt expansion (A2, gdalos_util.py:37-66)") {
+    val dir = Files.createTempDirectory("graft_fl")
+    val a = dir.resolve("a.tif"); Files.writeString(a, "")
+    val b = dir.resolve("b.tif"); Files.writeString(b, "")
+    val c = dir.resolve("c.dat"); Files.writeString(c, "")
+    val lst = dir.resolve("list.txt")
+    Files.writeString(lst, s"$c\n\n${dir.resolve("*.tif")}\n")
+    val out = FileList.flattenAndExpand(Seq("plain.tif", Seq(lst.toString)))
+    assert(out == Seq("plain.tif", c.toString, a.toString, b.toString))
+    // glob disabled passes the pattern through
+    assert(FileList.flattenAndExpand(Seq(s"$dir/*.tif"), doExpandGlob = false)
+      == Seq(s"$dir/*.tif"))
+  }
+
+  test("writeCogLayout produces spatially-sorted tile files (A3)") {
+    val dir = Files.createTempDirectory("graft_cog").resolve("tiles")
+    val tiles = PixelFrame.pack(PixelFrame.dem(spark, 32, 32), 8, PixelFrame.Dem.Ndv)
+    Sinks.writeCogLayout(tiles, dir.toString, buckets = 2)
+    val back = spark.read.parquet(dir.toString)
+    assert(back.count() == 16)
+    // within each parquet file, tiles must be (ty,tx)-monotone
+    val byFile = back.select(input_file_name().as("f"), col("ty"), col("tx"))
+      .collect().groupBy(_.getString(0))
+    for ((_, rows) <- byFile) {
+      val keys = rows.map(r => (r.getInt(1), r.getInt(2))).toSeq
+      assert(keys == keys.sorted, "tiles not clustered within file")
+    }
+  }
+
+  test("applyWriteBandRule drops alpha only for lossy photo (B5)") {
+    val t = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("band", "v")
+    assert(Sinks.applyWriteBandRule(t, lossy = true, kindIsPhoto = true).count() == 3)
+    assert(Sinks.applyWriteBandRule(t, lossy = false, kindIsPhoto = true).count() == 4)
+    assert(Sinks.applyWriteBandRule(t, lossy = true, kindIsPhoto = false).count() == 4)
+  }
+
+  test("infoSink writes schema+stats+plan (A10)") {
+    val p = Files.createTempDirectory("graft_info").resolve("r")
+    Sinks.infoSink(PixelFrame.dem(spark, 8, 8), p.toString)
+    val txt = Files.readString(Paths.get(p.toString + ".info"))
+    assert(txt.contains("px") && txt.contains("mean") && txt.contains("Physical Plan"))
+  }
+
+  test("xyzSink writes whitespace tables (A13)") {
+    val dir = Files.createTempDirectory("graft_xyz").resolve("out")
+    Sinks.xyzSink(PixelFrame.dem(spark, 4, 4).select("px", "py", "v")
+      .orderBy("py", "px").coalesce(1), dir.toString)
+    val f = Files.list(Paths.get(dir.toString)).toArray.map(_.toString)
+      .find(_.endsWith(".csv")).get
+    val first = Files.readAllLines(Paths.get(f)).get(1)
+    assert(first.split(" ").length == 3)
+  }
+
+  test("rasterToJson emits the gdal_to_json shape (A12)") {
+    val json = Sinks.rasterToJson(PixelFrame.constant(spark, 2, 2, 7.0),
+      Array(0, 1, 0, 2, 0, -1), ndv = -1)
+    assert(json == """{"size":[2,2],"gt":[0.0,1.0,0.0,2.0,0.0,-1.0],"ndv":-1.0,"bands":1,"data":[[[7.0,7.0],[7.0,7.0]]]}""")
+    assertThrows[IllegalArgumentException](
+      Sinks.rasterToJson(PixelFrame.dem(spark, 64, 64), Array(0, 1, 0, 0, 0, -1), -1, maxPixels = 10))
+  }
+
+  test("CZML sinks produce packet documents (A11)") {
+    val styled = PixelFrame.constant(spark, 2, 2, 1.0)
+      .withColumn("argb", lit(0xff00ff00))
+    val czml = Sinks.rasterToCzml(styled, "vs", (34.0, 31.0, 35.0, 32.0))
+    assert(czml.contains(""""id":"document"""") && czml.contains("wsenDegrees")
+      && czml.contains("base64,"))
+    val poly = Sinks.polylinesToCzml(
+      Seq(Seq((34.0, 31.0, 0.0), (34.1, 31.1, 10.0))), Seq(0xffff0000))
+    assert(poly.contains("cartographicDegrees") && poly.contains("[255,0,0,255]"))
+  }
+}
