@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact
@@ -28,7 +29,14 @@ object Dedup {
     df.groupBy(exactKeyCol(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set of a text column (distinct). */
+  /** Word n-gram shingle set of a text column (distinct).
+    *
+    * NOTE array-expression form: Catalyst's CollapseProject inlines
+    * the tokens sub-expression into every `element_at`, re-running the
+    * regex split ~3·|shingles| times per document (measured 26 s for
+    * 5000 docs). Fine for small frames and signature-level use; the
+    * LSH pipeline uses [[shingleRows]] instead.
+    */
   def shinglesCol(text: Column, n: Int = 3): Column = {
     val w = TextAnalysis.tokensCol(text)
     array_distinct(
@@ -36,13 +44,44 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
   }
 
-  /** MinHash signature: `numHashes` salted md5 minima over the shingle
-    * set, as hex strings (lexicographic min ≡ min of the 128-bit
-    * value).
+  /** Relational shingling: one regex split per document, tokens
+    * exploded to rows, n-grams assembled with `lead()` windows —
+    * linear work, parallel after the rebalance, no expression
+    * re-inlining. Emits (id, shingle) rows with the same shingle SET
+    * as [[shinglesCol]] (short docs yield one partial shingle via
+    * `concat_ws` null-skipping); rows may repeat a shingle — every
+    * consumer (min, collect_set) is duplicate-insensitive, which
+    * saves a distinct exchange.
     */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("id").orderBy("pos")
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id")) // single-file inputs otherwise serialize the split
+      .select(col("id"), size(TextAnalysis.tokensCol(col("text"))).as("n_tok"),
+        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos"), col("n_tok"),
+        concat_ws(" ", col("tok") +:
+          (1 until n).map(k => lead(col("tok"), k).over(w)): _*).as("s"))
+      .filter(col("pos") <= greatest(col("n_tok") - n, lit(0)))
+      .select("id", "s")
+  }
+
+  /** One salted minhash value: the first 15 hex chars (60 bits) of the
+    * salted md5, as a BIGINT. Numeric on purpose: `min` over longs
+    * aggregates in HashAggregate (primitive mutable buffer), while
+    * `min` over the hex *string* falls back to SortAggregate — a full
+    * sort of the doc×salt×shingle table (measured 28.8 s vs ~4 s at
+    * 5000 docs). DuckDB mirrors via `('0x' || substr(md5(..),1,15))::BIGINT`.
+    */
+  def minhashValCol(salt: Column, shingle: Column): Column =
+    conv(substring(md5(concat(salt.cast("string"), lit(":"), shingle)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: `numHashes` salted minima over the shingle set. */
   def minhashSigCol(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { k =>
-      array_min(transform(shingles, s => md5(concat(lit(k.toString), lit(":"), s))))
+      array_min(transform(shingles, s => minhashValCol(lit(k), s)))
     }: _*)
 
   /** LSH band keys: split the signature into `bands` bands of
@@ -52,7 +91,8 @@ object Dedup {
   def bandKeysCol(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
@@ -74,32 +114,39 @@ object Dedup {
                  numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
                  shingleLen: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = df.select(col(idCol).as("id"), shinglesCol(col(textCol), shingleLen).as("sh"))
+    val shRows = shingleRows(df, idCol, textCol, shingleLen)
 
-    val sigs = base
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
-      .select(col("id"), col("k"),
-        md5(concat(col("k").cast("string"), lit(":"), col("s"))).as("h"))
-      .groupBy("id", "k").agg(min("h").as("mh"))
+    // 16 salted hashes as COLUMNS of the shingle row (not a ×16 row
+    // fan-out), then ONE aggregation yields the signature minima AND
+    // the jaccard-verify shingle set — the aggregated frame is reused
+    // by the band explode and both verify joins (ReuseExchange).
+    val hashed = shRows.select(col("id") +: col("s") +:
+      (0 until numHashes).map(k => minhashValCol(lit(k), col("s")).as(s"h$k")): _*)
+    // persisted: consumed three times (band explode + both verify
+    // joins); column pruning makes the consumers' subplans differ, so
+    // ReuseExchange cannot dedup them and without the cache the whole
+    // shingle+hash pipeline would recompute 3×. One row per doc —
+    // the same thing MLlib's LSH caches.
+    val agg = hashed.groupBy("id").agg(
+      collect_set(col("s")).as("sh"),
+      (0 until numHashes).map(k => min(col(s"h$k")).as(s"mh$k")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bandKeys = sigs
-      .withColumn("band", floor(col("k") / rowsPerBand).cast("int"))
-      .groupBy("id", "band")
-      .agg(md5(array_join(
-        transform(sort_array(collect_list(struct(col("k"), col("mh")))),
-          x => x.getField("mh")), "|")).as("bkey"))
+    val banded = agg.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*))
+      }: _*)).as(Seq("band", "bkey")))
 
-    val a = bandKeys.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val b = bandKeys.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
     pairs
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(agg.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(agg.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double")
         / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -122,11 +169,32 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
-  /** SimHash bucket dedup: groups of docs sharing a simhash value. */
-  def simhashBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(simhashCol(col(textCol)).as("simhash"))
-      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+  /** SimHash bucket dedup: groups of docs sharing a simhash value.
+    *
+    * Relational form (same reasoning as [[minhashLsh]]): tokens
+    * exploded once, ONE md5 per token, 16 vote sums in one
+    * aggregation — the array-expression [[simhashCol]] re-inlines the
+    * tokenizer and md5 into each of the 16 bit expressions (measured
+    * 3.4 s vs sub-second for 5000 docs). Values are identical: votes
+    * sum ±1 per token occurrence (duplicates weighted).
+    */
+  def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 16): DataFrame = {
+    val perTok = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"), explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .select(col("id"), md5(col("tok")).as("h"))
+    val votes = perTok.groupBy("id").agg(
+      sum(when(substring(col("h"), 1, 1) >= "8", 1).otherwise(-1)).as("v0"),
+      (1 until bits).map(k =>
+        sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$k")): _*)
+    votes
+      .select(col("id"), (0 until bits).map(k =>
+        when(col(s"v$k") >= 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)
+  }
 
   /** n-gram Jaccard near-dup with prefix blocking: candidates share a
     * text-prefix block key (cheap, deterministic); exact char-n-gram

@@ -202,12 +202,13 @@ object LlmQueries {
          |sig AS (
          |  SELECT doc_id, sh,
          |         list_transform(range(0, 16),
-         |           k -> list_aggregate(list_transform(sh, s -> md5(CAST(k AS VARCHAR) || ':' || s)), 'min')) AS sigs
+         |           k -> list_aggregate(list_transform(sh,
+         |             s -> CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)), 'min')) AS sigs
          |  FROM sh),
          |banded AS (
          |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
-         |         md5(sigs[CAST(b AS INTEGER) * 4 + 1] || '|' || sigs[CAST(b AS INTEGER) * 4 + 2] || '|'
-         |             || sigs[CAST(b AS INTEGER) * 4 + 3] || '|' || sigs[CAST(b AS INTEGER) * 4 + 4]) AS bkey
+         |         md5(CAST(sigs[CAST(b AS INTEGER) * 4 + 1] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 2] AS VARCHAR) || '|'
+         |             || CAST(sigs[CAST(b AS INTEGER) * 4 + 3] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 4] AS VARCHAR)) AS bkey
          |  FROM sig CROSS JOIN range(0, 4) t(b)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b

@@ -92,15 +92,17 @@ object PixelFrame {
     * Absent pixels inside a tile become `ndv` so `data` is dense:
     * offsets are made explicit and the array is rebuilt by offset.
     */
-  def pack(df: DataFrame, ts: Int, ndv: Double): DataFrame = {
+  def pack(df: DataFrame, ts: Int, ndv: Double,
+           extraKeys: Seq[String] = Nil): DataFrame = {
     val off = (col("py") % ts) * ts + (col("px") % ts)
-    df.groupBy(col("rid"), col("band"),
+    df.groupBy(Seq(col("rid"), col("band")) ++ extraKeys.map(col) ++ Seq(
         floor(col("px") / ts).cast("int").as("tx"),
-        floor(col("py") / ts).cast("int").as("ty"))
+        floor(col("py") / ts).cast("int").as("ty")): _*)
       .agg(map_from_entries(collect_list(struct(off.cast("int"), col("v")))).as("m"))
-      .select(col("rid"), col("band"), col("tx"), col("ty"),
+      .select(Seq(col("rid"), col("band")) ++ extraKeys.map(col) ++ Seq(
+        col("tx"), col("ty"),
         transform(sequence(lit(0), lit(ts * ts - 1)),
-          i => coalesce(element_at(col("m"), i), lit(ndv))).as("data"))
+          i => coalesce(element_at(col("m"), i), lit(ndv))).as("data")): _*)
   }
 
   /** Explode packed tiles back to the pixel frame. */

@@ -69,4 +69,32 @@ object Viewshed {
       .select(col("rid"), col("band"), col("px"), col("py"), col("v"),
         col("dist"), col("bucket"), col("state"))
   }
+
+  /** §3.2 multi-observer composition: per-observer viewsheds (rid =
+    * observer index) unioned and reduced by a D-family combine
+    * (`viewshed_calc_to_ds`, `viewshed_calc.py:180-562`: per-observer
+    * kernel → combine → style). `op` ∈ max|min|count|count_z|unique.
+    * Each observer's sweep is an independent branch of one job — the
+    * union is the reference's per-observer loop made parallel.
+    */
+  def viewshedCombine(dem: DataFrame, observers: Seq[(Int, Int, Double)],
+                      op: String, cellSize: Double, maxR: Double,
+                      refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                      nBuckets: Int = 64, demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    require(observers.nonEmpty, "need at least one observer")
+    require(observers.size <= 254, "reference caps combine inputs at 254 (viewshed_calc.py:245)")
+    val stack = observers.zipWithIndex.map { case ((ox, oy, oz), i) =>
+      viewshed(dem, ox, oy, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
+        .select(lit(i).as("rid"), col("band"), col("px"), col("py"),
+          col("state").as("v"))
+    }.reduce(_ unionByName _)
+    op match {
+      case "max"     => Combine.vsMax(stack)
+      case "min"     => Combine.vsMin(stack)
+      case "count"   => Combine.vsCount(stack)
+      case "count_z" => Combine.vsCountZ(stack)
+      case "unique"  => Combine.vsUnique(stack)
+      case other     => throw new IllegalArgumentException(s"unknown combine op $other")
+    }
+  }
 }

@@ -1,0 +1,134 @@
+package graft.trans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.raster.{Overview, PixelFrame, RasterOps}
+import graft.sources.Sinks
+
+/** The trans pipeline — the reference's workhorse entry point
+  * (`gdalos_trans`, `gdalos_trans.py:82-1064`; lifecycle traced in
+  * SURVEY §3.1). A driver-side *planner*: normalize options, apply the
+  * rewrite rules R1–R3/R6–R8 (`gdalos_trans.py:385-756`), and build
+  * ONE declarative DataFrame plan — scan → crop → band select →
+  * nodata → scale → decimate → write — that Catalyst optimizes and
+  * executors run. Steps 1–5 of the reference happen here on metadata;
+  * step 6 is the Spark job; step 7 (overviews, info) are follow-on
+  * jobs over the same frame.
+  */
+object Trans {
+
+  /** Normalized job options (the reference's kwargs surface,
+    * `gdalos_trans.py:149-216`, reduced to the engine's scope).
+    */
+  final case class TransOptions(
+    extent: Option[GeoRectangle] = None,          // B2 crop
+    extentAligned: Boolean = true,                // R4 snap to grid
+    srcNdv: Option[Double] = None,                // B4 source nodata
+    dstNdv: Double = PixelFrame.Dem.Ndv,
+    bands: Option[Seq[Int]] = None,               // B1 band select
+    scaleFactor: Option[Double] = None,           // H1 scale pass
+    decimateLevels: Int = 0,                      // E1/D7 downsample 2^k
+    resampling: Option[ResamplingAlg] = None,     // else kind-driven
+    kind: RasterKind = RasterKind.Dtm,
+    warpSrs: Option[String] = None,               // R1 warp elision input
+    srcSrs: String = "w84geo",
+    cutlineWkt: Option[String] = None)            // B3
+
+  /** The planned job: the composed frame + the decisions the rules
+    * made (auditable, like the reference's `.spec` run-log).
+    */
+  final case class TransPlan(frame: DataFrame, decisions: Seq[String],
+                             outGt: GeoTransform, outW: Int, outH: Int)
+
+  /** Build the plan. Returns None when the extent chain is empty —
+    * the reference's silent-skip short-circuit (R3,
+    * `gdalos_trans.py:552`).
+    */
+  def plan(df: DataFrame, gt: GeoTransform, w: Int, h: Int,
+           opt: TransOptions): Option[TransPlan] = {
+    val log = Seq.newBuilder[String]
+
+    // R1 warp elision: same SRS → no warp step at all
+    val needWarp = opt.warpSrs.exists(_ != opt.srcSrs)
+    if (!needWarp && opt.warpSrs.isDefined)
+      log += s"R1: warp elided (src ≡ dst ${opt.srcSrs})"
+    require(!needWarp, "cross-SRS warp path needs the resample+transform stage (not in minimum slice)")
+
+    // R3 extent pushdown & tightening: request ∩ source, aligned (R4)
+    val srcExtent = gt.extent(w, h)
+    val requested = opt.extent.getOrElse(srcExtent)
+    val tightened0 = requested.intersect(srcExtent)
+    if (tightened0.isEmpty) { log += "R3: empty extent → skip"; return None }
+    val tightened = if (opt.extentAligned) tightened0.align(gt) else tightened0
+    log += s"R3: extent tightened to $tightened"
+
+    var frame = RasterOps.crop(df, gt, w, h, tightened)
+      .getOrElse(return None)
+    val (x0, y0, x1, y1) = gt.windowFromExtent(tightened, w, h).get
+
+    // B1 band select
+    opt.bands.foreach { bs => frame = RasterOps.bandSelect(frame, bs); log += s"B1: bands $bs" }
+
+    // B3 cutline
+    opt.cutlineWkt.foreach { wkt =>
+      frame = RasterOps.cutline(frame, gt, w, h, Geometry.parseWktPolygonRing(wkt))
+      log += "B3: cutline applied"
+    }
+
+    // R2 op selection: nodata rewrite only when src≠dst (else no-op,
+    // pruned from the plan entirely — the Translate-vs-skip decision)
+    opt.srcNdv.filter(_ != opt.dstNdv).foreach { sndv =>
+      frame = RasterOps.nodataNormalize(frame, sndv, opt.dstNdv)
+      log += s"R2/B4: nodata $sndv → ${opt.dstNdv}"
+    }
+
+    // H1 scale pass (scale_raster post-pass, gdalos_trans.py:859-867)
+    opt.scaleFactor.foreach { f =>
+      frame = RasterOps.scaleToInt(frame, f, opt.dstNdv, opt.dstNdv)
+      log += s"H1: scale ×$f"
+    }
+
+    // E1/D7 decimation with R6-style kernel choice by kind
+    var outGt = GeoTransform(
+      gt.pixelToGeo(x0, y0)._1, gt.c1, gt.c2,
+      gt.pixelToGeo(x0, y0)._2, gt.c4, gt.c5)
+    // rebase pixel coords to the crop window so downstream ops see 0-based
+    frame = frame.select(col("rid"), col("band"),
+      (col("px") - x0).cast("int").as("px"), (col("py") - y0).cast("int").as("py"), col("v"))
+    if (opt.decimateLevels > 0) {
+      val alg = opt.resampling.getOrElse(opt.kind.resamplingAlg(fastMode = true))
+      for (_ <- 1 to opt.decimateLevels)
+        frame = Overview.buildLevel(frame, alg, opt.dstNdv)
+      outGt = outGt.overview(opt.decimateLevels)
+      log += s"E1: ${opt.decimateLevels}× decimation with $alg"
+    }
+
+    val outW = math.max((x1 - x0) >> opt.decimateLevels, 1)
+    val outH = math.max((y1 - y0) >> opt.decimateLevels, 1)
+    Some(TransPlan(frame, log.result(), outGt, outW, outH))
+  }
+
+  /** Plan + execute + write (steps 5–7): COG-layout parquet, optional
+    * overview pyramid (R7 strategy: reuse the written base), and the
+    * `.info` sidecar.
+    */
+  def run(spark: SparkSession, df: DataFrame, gt: GeoTransform, w: Int, h: Int,
+          opt: TransOptions, outPath: String, tileSize: Int = 256,
+          ovrLevels: Int = 0): Option[TransPlan] =
+    plan(df, gt, w, h, opt).map { p =>
+      val tiles = PixelFrame.pack(p.frame, tileSize, opt.dstNdv)
+      Sinks.writeCogLayout(tiles, outPath)
+      if (ovrLevels > 0) {
+        val alg = opt.resampling.getOrElse(opt.kind.resamplingAlg(fastMode = true))
+        val pyr = Overview.buildPyramid(p.frame, ovrLevels, alg, opt.dstNdv)
+          .filter(col("ovr") > 0)
+        Sinks.writeCogLayout(
+          PixelFrame.pack(pyr, tileSize, opt.dstNdv, extraKeys = Seq("ovr")),
+          outPath + ".ovr")
+      }
+      Sinks.infoSink(p.frame, outPath)
+      p
+    }
+}

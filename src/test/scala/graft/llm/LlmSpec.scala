@@ -37,7 +37,7 @@ class LlmSpec extends SparkSpec {
   test("minhash signature is identical for identical texts, differs otherwise") {
     val sig = docs.select($"doc_id",
       Dedup.minhashSigCol(Dedup.shinglesCol($"text"), 16).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     assert(sig(0L) == sig(1L))
     assert(sig(0L) != sig(3L))
   }

@@ -1,0 +1,82 @@
+package graft.trans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{GeoRectangle, GeoTransform}
+import graft.raster.{PixelFrame, Viewshed}
+
+class TransSpec extends SparkSpec {
+  import spark.implicits._
+  import Trans._
+
+  private val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+  private def dem = PixelFrame.dem(spark, 200, 120)
+
+  test("plan composes crop→nodata→scale→decimate with rule log (§3.1)") {
+    val p = Trans.plan(dem, gt, 200, 120, TransOptions(
+      extent = Some(GeoRectangle(110, 35, 120, 45)),
+      srcNdv = Some(PixelFrame.Dem.Ndv), dstNdv = 0.0,
+      scaleFactor = Some(0.5), decimateLevels = 1)).get
+    assert(p.decisions.exists(_.startsWith("R3")))
+    assert(p.decisions.exists(_.startsWith("R2/B4")))
+    assert(p.decisions.exists(_.startsWith("H1")))
+    assert(p.decisions.exists(_.startsWith("E1")))
+    // 40×40 window decimated once → 20×20
+    assert(p.outW == 20 && p.outH == 20)
+    assert(p.frame.count() == 400)
+    // output gt: origin at the crop corner, pixel size doubled
+    assert(p.outGt.c0 == 110.0 && p.outGt.c1 == 0.5 && p.outGt.c3 == 45.0)
+  }
+
+  test("R3 empty-extent short-circuit returns None") {
+    assert(Trans.plan(dem, gt, 200, 120,
+      TransOptions(extent = Some(GeoRectangle(300, 0, 310, 10)))).isEmpty)
+  }
+
+  test("R1 warp elision: same-SRS warp request is a no-op") {
+    val p = Trans.plan(dem, gt, 200, 120, TransOptions(
+      warpSrs = Some("w84geo"), srcSrs = "w84geo",
+      extent = Some(GeoRectangle(110, 35, 120, 45))))
+    assert(p.get.decisions.exists(_.startsWith("R1")))
+  }
+
+  test("run writes COG-layout base + .ovr pyramid + .info (steps 5–7)") {
+    val out = Files.createTempDirectory("graft_trans").resolve("out").toString
+    val p = Trans.run(spark, dem, gt, 200, 120,
+      TransOptions(extent = Some(GeoRectangle(110, 35, 120, 45))),
+      out, tileSize = 16, ovrLevels = 2).get
+    val base = spark.read.parquet(out)
+    assert(base.count() > 0 && base.columns.contains("data"))
+    val ovr = spark.read.parquet(out + ".ovr")
+    // two pyramid levels, kept distinct by the ovr key
+    assert(ovr.select("ovr").distinct().as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(Files.exists(java.nio.file.Paths.get(out + ".info")))
+    assert(p.decisions.nonEmpty)
+  }
+
+  test("cutline inside trans restricts to the ring") {
+    val p = Trans.plan(dem, gt, 200, 120, TransOptions(
+      cutlineWkt = Some("POLYGON ((125 40, 130 35, 125 30, 120 35, 125 40))"))).get
+    val n = p.frame.count()
+    assert(n > 0 && n < 40 * 40) // strictly inside the bbox window
+  }
+
+  test("multi-observer viewshed combine (§3.2): count of seeing observers") {
+    val flat = spark.range(21L * 21).select(
+      lit(0).as("rid"), lit(1).as("band"),
+      (col("id") % 21).cast("int").as("px"),
+      floor(col("id") / 21).cast("int").as("py"), lit(0.0).as("v"))
+    val out = Viewshed.viewshedCombine(flat,
+      observers = Seq((5, 10, 10.0), (15, 10, 10.0)),
+      op = "count", cellSize = 1.0, maxR = 100.0).cache()
+    // flat world: every pixel (except each observer's own cell) is seen
+    // by both observers → count 2; observer cells are seen by the other
+    assert(out.filter($"px" === 10 && $"py" === 3).select("v").as[Double].head() == 2.0)
+    assert(out.filter($"px" === 5 && $"py" === 10).select("v").as[Double].head() == 1.0)
+    assertThrows[IllegalArgumentException](
+      Viewshed.viewshedCombine(flat, Seq.empty, "count", 1.0, 100.0))
+  }
+}
