@@ -33,8 +33,9 @@ object Proj {
                          ell: Ellipsoid = Wgs84) {
     private val n = ell.n
     private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
-    private val aCap = ell.a / (1 + n) * (1 + n2 / 4 + n4 / 64)
-    private val alpha = Array(
+    /** Rectifying radius A (exposed for series cross-validation). */
+    val aCap: Double = ell.a / (1 + n) * (1 + n2 / 4 + n4 / 64)
+    val alphaCoeffs: Array[Double] = Array(
       n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180,
       13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440,
       61 * n3 / 240 - 103 * n4 / 140,
@@ -57,8 +58,8 @@ object Proj {
       val etaP = asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
       var xi = xiP; var eta = etaP
       for (j <- 1 to 4) {
-        xi += alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
-        eta += alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+        xi += alphaCoeffs(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+        eta += alphaCoeffs(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
       }
       (x0 + k0 * aCap * eta, y0 + k0 * aCap * xi)
     }

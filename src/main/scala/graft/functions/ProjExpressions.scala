@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** H4 as native Catalyst expressions (SURVEY §7.3 preference order:
+  * custom `Expression` with `doGenCode` beats a Scala UDF): UTM ⇄
+  * geographic transforms as SQL scalar functions. `doGenCode` emits a
+  * direct static call into [[ProjKernels]], so the transform stays
+  * inside whole-stage codegen — no UDF boxing, no closure serialization.
+  */
+abstract class ProjExpr extends TernaryExpression with Serializable {
+  def kernel: String // method name on ProjKernels
+
+  // inputs are cast to double at construction (GraftFunctions builders)
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = evalKernel(
+    a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  protected def evalKernel(a: Double, b: Double, c: Double): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.ProjKernels.$kernel($a, $b, $c);")
+}
+
+case class UtmForwardE(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "forwardE"
+  override protected def evalKernel(lat: Double, lon: Double, zone: Double): Double =
+    ProjKernels.forwardE(lat, lon, zone)
+  override def prettyName: String = "utm_forward_e"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+case class UtmForwardN(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "forwardN"
+  override protected def evalKernel(lat: Double, lon: Double, zone: Double): Double =
+    ProjKernels.forwardN(lat, lon, zone)
+  override def prettyName: String = "utm_forward_n"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+case class UtmInverseLat(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "inverseLat"
+  override protected def evalKernel(e: Double, n: Double, zone: Double): Double =
+    ProjKernels.inverseLat(e, n, zone)
+  override def prettyName: String = "utm_inverse_lat"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+case class UtmInverseLon(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "inverseLon"
+  override protected def evalKernel(e: Double, n: Double, zone: Double): Double =
+    ProjKernels.inverseLon(e, n, zone)
+  override def prettyName: String = "utm_inverse_lon"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+/** Function registry wiring — either per-session
+  * ([[GraftFunctions.register]]) or engine-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (SparkSessionExtensions.injectFunction).
+  */
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    fn("utm_forward_e", "easting of (lat, lon) in UTM zone",
+      args => UtmForwardE(d(args(0)), d(args(1)), d(args(2)))),
+    fn("utm_forward_n", "northing of (lat, lon) in UTM zone",
+      args => UtmForwardN(d(args(0)), d(args(1)), d(args(2)))),
+    fn("utm_inverse_lat", "latitude of (easting, northing) in UTM zone",
+      args => UtmInverseLat(d(args(0)), d(args(1)), d(args(2)))),
+    fn("utm_inverse_lon", "longitude of (easting, northing) in UTM zone",
+      args => UtmInverseLon(d(args(0)), d(args(1)), d(args(2)))))
+
+  private def fn(name: String, usage: String, b: Builder) =
+    (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), b)
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

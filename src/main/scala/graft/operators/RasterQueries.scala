@@ -182,6 +182,26 @@ object RasterQueries {
       .select("px", "py", "v").orderBy("py", "px")
   }
 
+  /** q60 H4 CRS transform as a registered Catalyst expression: UTM
+    * forward over a point grid via the SQL surface (`utm_forward_e/n`
+    * from [[graft.functions.GraftFunctions]]) — codegen'd, no UDF.
+    * The oracle re-derives the same Krüger series in plain SQL from
+    * the identical coefficients, so the projection math is
+    * cross-validated by an independent implementation (mm-level:
+    * outputs rounded to 3 decimals).
+    */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.range(30).select(
+        col("id").cast("int").as("oid"),
+        (lit(-60.0) + col("id") * 4).as("lat"),
+        (lit(33.0) + (col("id") * 7 % 13 - 6) * 0.5).as("lon"))
+      .selectExpr("oid", "lat", "lon",
+        "round(utm_forward_e(lat, lon, 36.0), 3) AS e",
+        "round(utm_forward_n(lat, lon, 36.0), 3) AS n")
+      .orderBy("oid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_raster_crop" -> q25 _,
     "q26_raster_scale" -> q26 _,
@@ -204,6 +224,7 @@ object RasterQueries {
     "q57_fwd_targets" -> q57 _,
     "q58_calc_expr" -> q58 _,
     "q59_ovr_select" -> q59 _,
+    "q60_utm_forward" -> q60 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -362,6 +383,8 @@ object RasterQueries {
 
     "q39_los_profile" -> losOracle,
 
+    "q60_utm_forward" -> utmOracle,
+
     "q40_viewshed_sectors" -> viewshedOracle,
 
     "q56_cutline_mask" -> {
@@ -464,6 +487,47 @@ object RasterQueries {
        |       MAX(dist) AS dist,
        |       ROUND(20.0 * (LOG10(MAX(dist)) + LOG10(MAX(freq_mhz))) - 27.55, 6) AS fspl
        |FROM vis GROUP BY pair_id ORDER BY pair_id""".stripMargin
+
+  /** H4 oracle: the Krüger n⁴ transverse-Mercator forward series,
+    * regenerated as plain SQL from the SAME coefficients the Scala
+    * implementation uses (graft.core.Proj.Tmerc) — an independent
+    * engine evaluating the same public formulas. sinh/cosh/asinh/atanh
+    * are expanded via exp/ln (DuckDB lacks the hyperbolics); last-ulp
+    * libm differences vanish in the 3-decimal (mm) rounding.
+    */
+  private lazy val utmOracle: String = {
+    val tm = graft.core.Proj.utm(36)
+    val Seq(a1, a2, a3, a4) = tm.alphaCoeffs.toSeq
+    val k0A = 0.9996 * tm.aCap
+    val e = graft.core.Proj.Wgs84.e
+    def atanhSql(x: String) = s"(0.5 * LN((1 + $x) / (1 - $x)))"
+    def sinhSql(x: String) = s"((EXP($x) - EXP(-($x))) / 2)"
+    def coshSql(x: String) = s"((EXP($x) + EXP(-($x))) / 2)"
+    val sumXi = Seq((a1, 1), (a2, 2), (a3, 3), (a4, 4)).map { case (a, j) =>
+      s"$a * SIN(${2 * j} * xip) * ${coshSql(s"${2 * j} * etap")}"
+    }.mkString(" + ")
+    val sumEta = Seq((a1, 1), (a2, 2), (a3, 3), (a4, 4)).map { case (a, j) =>
+      s"$a * COS(${2 * j} * xip) * ${sinhSql(s"${2 * j} * etap")}"
+    }.mkString(" + ")
+    s"""WITH pts AS (
+       |  SELECT CAST(i AS INTEGER) AS oid,
+       |         CAST(-60.0 + i * 4 AS DOUBLE) AS lat,
+       |         33.0 + (i * 7 % 13 - 6) * 0.5 AS lon
+       |  FROM range(30) t(i)),
+       |s1 AS (SELECT *, RADIANS(lat) AS phi, RADIANS(lon - 33.0) AS lam FROM pts),
+       |s2 AS (SELECT *, ${sinhSql(s"${atanhSql("SIN(phi)")} - $e * ${atanhSql(s"$e * SIN(phi)")}")} AS tt FROM s1),
+       |s3 AS (SELECT *,
+       |         ATAN2(tt, COS(lam)) AS xip,
+       |         LN(SIN(lam) / SQRT(tt * tt + COS(lam) * COS(lam))
+       |            + SQRT(SIN(lam) / SQRT(tt * tt + COS(lam) * COS(lam))
+       |                   * (SIN(lam) / SQRT(tt * tt + COS(lam) * COS(lam))) + 1)) AS etap
+       |  FROM s2),
+       |s4 AS (SELECT *, xip + ($sumXi) AS xi, etap + ($sumEta) AS eta FROM s3)
+       |SELECT oid, lat, lon,
+       |       ROUND(500000.0 + $k0A * eta, 3) AS e,
+       |       ROUND($k0A * xi, 3) AS n
+       |FROM s4 ORDER BY oid""".stripMargin
+  }
 
   /** E2 oracle: the sector sweep in SQL windows over the 121×121 DEM. */
   private lazy val viewshedOracle: String =

@@ -52,6 +52,53 @@ class FunctionsSpec extends SparkSpec {
     assert(Jobs.capInputs(1 to 300, 254).length == 254)
   }
 
+  test("UTM Catalyst expressions: SQL surface matches the driver-side Proj (H4)") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT utm_forward_e(32.5, 34.75, 36.0) AS e, utm_forward_n(32.5, 34.75, 36.0) AS n")
+      .head()
+    val (expE, expN) = graft.core.Proj.utm(36).forward(32.5, 34.75)
+    assert(row.getDouble(0) == expE && row.getDouble(1) == expN)
+    // SQL round trip through the inverse expressions
+    val rt = spark.sql(
+      s"""SELECT utm_inverse_lat(${row.getDouble(0)}, ${row.getDouble(1)}, 36.0) AS lat,
+         |       utm_inverse_lon(${row.getDouble(0)}, ${row.getDouble(1)}, 36.0) AS lon""".stripMargin)
+      .head()
+    assert(math.abs(rt.getDouble(0) - 32.5) < 1e-9 && math.abs(rt.getDouble(1) - 34.75) < 1e-9)
+    // integer args are cast by the registered builder
+    assert(spark.sql("SELECT utm_forward_e(0, 33, 36)").head().getDouble(0) == 500000.0)
+  }
+
+  test("UTM expression runs inside whole-stage codegen over a column") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100).selectExpr(
+      "id", "utm_forward_e(CAST(id AS DOUBLE) % 60 - 30, 33.0, 36.0) AS e")
+    // '*' prefixes mark whole-stage-codegen spans in the compact plan
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    val got = df.filter($"id" === 40).head().getDouble(1)
+    assert(got == graft.core.Proj.utm(36).forward(10.0, 33.0)._1)
+  }
+
+  test("cubic 2× upsample: constant preservation + interpolation (E1)") {
+    import graft.raster.{Overview, PixelFrame}
+    val const = PixelFrame.constant(spark, 6, 6, 5.0)
+    val up = Overview.cubicUp2(const, ndv = -1)
+    // Catmull-Rom reproduces constants exactly (weights sum to 1)
+    val vals = up.select("v").as[Double].collect()
+    assert(vals.forall(v => math.abs(v - 5.0) < 1e-12))
+    // a linear ramp is also reproduced exactly by cubic interpolation
+    val ramp = spark.range(8L * 8).select(
+      lit(0).as("rid"), lit(1).as("band"),
+      (col("id") % 8).cast("int").as("px"),
+      floor(col("id") / 8).cast("int").as("py"),
+      (col("id") % 8).cast("double").as("v"))
+    val upr = Overview.cubicUp2(ramp, ndv = -1)
+      .filter($"px" >= 4 && $"px" <= 10 && $"py" === 6) // interior
+      .orderBy("px").select("px", "v").as[(Int, Double)].collect()
+    // fine pixel f samples coarse u = f/2 − 1/4 → v == u on a ramp
+    for ((f, v) <- upr) assert(math.abs(v - (f / 2.0 - 0.25)) < 1e-12, s"f=$f v=$v")
+  }
+
   test("ProgressListener counts jobs/tasks (I4)") {
     val l = ProgressListener.attach(spark)
     try {
