@@ -202,6 +202,34 @@ object RasterQueries {
       .orderBy("oid")
   }
 
+  /** q61 packed-tile pipeline (SURVEY §1.4's 100 TB layout): pack the
+    * DEM into 16×16 row-major tiles, run the H1 scale INSIDE the
+    * packed form via a per-tile higher-order `transform` (whole-stage
+    * codegen, ~ts² fewer rows in flight), explode back, drop the
+    * edge-tile padding. Differential against the pixel-form oracle.
+    */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val ndv = PixelFrame.Dem.Ndv
+    val packed = PixelFrame.pack(PixelFrame.dem(s, 80, 60), ts = 16, ndv = ndv)
+    val scaled = PixelFrame.mapTiles(packed,
+      v => when(v === ndv, lit(0.0)).otherwise((v * 0.2).cast("long").cast("double")))
+    PixelFrame.explodeTiles(scaled, 16)
+      .filter(col("px") < 80 && col("py") < 60) // edge-tile ndv padding
+      .select("px", "py", "v").orderBy("py", "px")
+  }
+
+  /** Shared H6 palette: elevation color relief over the DEM range. */
+  val ReliefPalette: Seq[(Double, Int)] = Seq(
+    0.0 -> 0xff0000ff, 250.0 -> 0xff00ff00, 600.0 -> 0xffffff00, 996.0 -> 0xffff0000)
+
+  /** q62 H6 color-relief interpolation as a generated CASE chain. */
+  def q62(s: SparkSession, d: String): DataFrame =
+    PixelFrame.dem(s, 80, 60)
+      .filter(col("v") =!= PixelFrame.Dem.Ndv)
+      .select(col("px"), col("py"), col("v"),
+        RasterOps.paletteInterpCol(col("v"), ReliefPalette).as("argb"))
+      .orderBy("py", "px")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_raster_crop" -> q25 _,
     "q26_raster_scale" -> q26 _,
@@ -225,6 +253,8 @@ object RasterQueries {
     "q58_calc_expr" -> q58 _,
     "q59_ovr_select" -> q59 _,
     "q60_utm_forward" -> q60 _,
+    "q61_tile_pipeline" -> q61 _,
+    "q62_palette_interp" -> q62 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -384,6 +414,19 @@ object RasterQueries {
     "q39_los_profile" -> losOracle,
 
     "q60_utm_forward" -> utmOracle,
+
+    "q61_tile_pipeline" ->
+      s"""WITH ${demCteN("dem80", 80, 60)}
+         |SELECT px, py,
+         |       CASE WHEN v = -32768.0 THEN 0.0
+         |            ELSE CAST(CAST(TRUNC(v * 0.2) AS BIGINT) AS DOUBLE) END AS v
+         |FROM dem80 ORDER BY py, px""".stripMargin,
+
+    "q62_palette_interp" ->
+      s"""WITH ${demCteN("dem80", 80, 60)}
+         |SELECT px, py, v,
+         |       ${graft.raster.RasterOps.paletteInterpSql("v", ReliefPalette)} AS argb
+         |FROM dem80 WHERE v <> -32768.0 ORDER BY py, px""".stripMargin,
 
     "q40_viewshed_sectors" -> viewshedOracle,
 

@@ -117,6 +117,47 @@ object RasterOps {
       }
   }
 
+  /** H6 color-relief interpolation (`gdalos_raster_color.py:60-69`
+    * interp mode; palette parse `gdalos_color.py:11-39`) as a
+    * GENERATED piecewise-linear CASE chain — palettes are tiny, so
+    * unrolling driver-side keeps the per-pixel math in whole-stage
+    * codegen with zero joins. Returns ARGB as a long (alpha 255
+    * overflows int). Clamps outside the key range like the reference.
+    */
+  def paletteInterpCol(v: Column, entries: Seq[(Double, Int)]): Column = {
+    require(entries.nonEmpty, "empty palette")
+    val sorted = entries.sortBy(_._1)
+    def ch(argb: Int, sh: Int): Int = (argb >>> sh) & 0xff
+    def channel(sh: Int): Column = {
+      val base = when(v <= sorted.head._1, lit(ch(sorted.head._2, sh).toLong))
+      val mid = sorted.sliding(2).foldLeft(base) {
+        case (acc, Seq((k0, c0), (k1, c1))) =>
+          val slope = (ch(c1, sh) - ch(c0, sh)).toDouble / (k1 - k0)
+          acc.when(v <= k1,
+            round(lit(ch(c0, sh).toDouble) + (v - k0) * slope).cast("long"))
+        case (acc, _) => acc
+      }
+      mid.otherwise(lit(ch(sorted.last._2, sh).toLong))
+    }
+    channel(24) * 16777216L + channel(16) * 65536L + channel(8) * 256L + channel(0)
+  }
+
+  /** The identical CASE chain as ANSI SQL (oracle generator for H6). */
+  def paletteInterpSql(v: String, entries: Seq[(Double, Int)]): String = {
+    val sorted = entries.sortBy(_._1)
+    def ch(argb: Int, sh: Int): Int = (argb >>> sh) & 0xff
+    def channel(sh: Int): String = {
+      val head = s"WHEN $v <= ${sorted.head._1} THEN CAST(${ch(sorted.head._2, sh)} AS BIGINT)"
+      val mid = sorted.sliding(2).collect {
+        case Seq((k0, c0), (k1, c1)) =>
+          val slope = (ch(c1, sh) - ch(c0, sh)).toDouble / (k1 - k0)
+          s"WHEN $v <= $k1 THEN CAST(ROUND(${ch(c0, sh).toDouble} + ($v - $k0) * $slope, 0) AS BIGINT)"
+      }.mkString(" ")
+      s"(CASE $head $mid ELSE CAST(${ch(sorted.last._2, sh)} AS BIGINT) END)"
+    }
+    s"(${channel(24)} * 16777216 + ${channel(16)} * 65536 + ${channel(8)} * 256 + ${channel(0)})"
+  }
+
   /** B6 palette→RGB expand (`rgbExpand`, `gdalos_trans.py:480-484`)
     * via broadcast dimension join (C4) — palette rows
     * `(value DOUBLE, argb INT)`. Unmatched pixels get `defaultArgb`

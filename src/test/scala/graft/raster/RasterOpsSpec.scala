@@ -88,6 +88,18 @@ class RasterOpsSpec extends SparkSpec {
     assert(back.except(d).count() == 0 && d.except(back).count() == 0)
   }
 
+  test("paletteInterpCol matches the driver-side Palette.interp (H6)") {
+    import scala.collection.immutable.TreeMap
+    val entries = Seq(0.0 -> 0xff0000ff, 250.0 -> 0xff00ff00, 996.0 -> 0xffff0000)
+    val pal = graft.core.Palette(TreeMap(entries: _*), TreeMap.empty, None)
+    val vs = Seq(-5.0, 0.0, 125.0, 250.0, 700.0, 996.0, 2000.0)
+    val got = vs.toDF("v")
+      .select(RasterOps.paletteInterpCol($"v", entries).as("argb"))
+      .as[Long].collect()
+    for ((v, argb) <- vs.zip(got))
+      assert(argb == (pal.interp(v).toLong & 0xffffffffL), s"v=$v")
+  }
+
   test("mapTiles applies pixel math inside the packed form") {
     val d = PixelFrame.dem(spark, 8, 8)
     val packed = PixelFrame.pack(d, 4, PixelFrame.Dem.Ndv)
