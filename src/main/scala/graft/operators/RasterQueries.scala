@@ -230,6 +230,17 @@ object RasterQueries {
         RasterOps.paletteInterpCol(col("v"), ReliefPalette).as("argb"))
       .orderBy("py", "px")
 
+  /** q63 A1 DataSourceV2 scan: the raster read goes through the real
+    * connector (`format("graft.sources.RasterSource")`) with px/py
+    * predicates pushed INTO the source (tile-partition pruning at
+    * planning time) — the crop never reads out-of-window tiles.
+    */
+  def q63(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.RasterSource")
+      .option("w", 200).option("h", 120).option("ts", 32).load()
+      .filter(col("px") >= 40 && col("px") < 80 && col("py") >= 20 && col("py") < 60)
+      .select("px", "py", "v").orderBy("py", "px")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_raster_crop" -> q25 _,
     "q26_raster_scale" -> q26 _,
@@ -255,6 +266,7 @@ object RasterQueries {
     "q60_utm_forward" -> q60 _,
     "q61_tile_pipeline" -> q61 _,
     "q62_palette_interp" -> q62 _,
+    "q63_dsv2_scan" -> q63 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -427,6 +439,12 @@ object RasterQueries {
          |SELECT px, py, v,
          |       ${graft.raster.RasterOps.paletteInterpSql("v", ReliefPalette)} AS argb
          |FROM dem80 WHERE v <> -32768.0 ORDER BY py, px""".stripMargin,
+
+    "q63_dsv2_scan" ->
+      s"""WITH $demCte
+         |SELECT px, py, v FROM dem
+         |WHERE px >= 40 AND px < 80 AND py >= 20 AND py < 60
+         |ORDER BY py, px""".stripMargin,
 
     "q40_viewshed_sectors" -> viewshedOracle,
 

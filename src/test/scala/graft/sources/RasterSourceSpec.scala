@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.raster.PixelFrame
+
+class RasterSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def src(w: Int, h: Int, ts: Int = 64) =
+    spark.read.format("graft.sources.RasterSource")
+      .option("w", w).option("h", h).option("ts", ts).load()
+
+  test("DSv2 raster source matches the generator frame (A1)") {
+    val viaSource = src(64, 48)
+    val viaRange = PixelFrame.dem(spark, 64, 48)
+    assert(viaSource.count() == 64L * 48)
+    assert(viaSource.except(viaRange).count() == 0
+      && viaRange.except(viaSource).count() == 0)
+  }
+
+  test("px/py filters push into the source and prune tile partitions") {
+    val df = src(512, 512, ts = 64)
+      .filter($"px" >= 100 && $"px" < 200 && $"py" >= 300 && $"py" < 350)
+    // pushed filters appear in the scan node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RasterScan") || plan.contains("BatchScan"))
+    // partition pruning: only the tiles overlapping the window are planned
+    val parts = df.rdd.getNumPartitions
+    // px window spans tiles 1..3 (t=64), py spans 4..5 → ≤ 3×2 = 6
+    assert(parts <= 6, s"expected ≤6 tile partitions, got $parts")
+    assert(df.count() == 100L * 50)
+    // values identical to the unpruned path
+    val expect = PixelFrame.dem(spark, 512, 512)
+      .filter($"px" >= 100 && $"px" < 200 && $"py" >= 300 && $"py" < 350)
+    assert(df.except(expect).count() == 0)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = src(64, 64).select("px", "v")
+    assert(df.schema.fieldNames.toSeq == Seq("px", "v"))
+    assert(df.agg(max("px")).head().getInt(0) == 63)
+  }
+
+  test("empty window plans zero partitions") {
+    val df = src(64, 64).filter($"px" > 1000)
+    assert(df.rdd.getNumPartitions == 0 || df.count() == 0)
+  }
+}
