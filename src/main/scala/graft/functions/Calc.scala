@@ -21,6 +21,15 @@ object Calc {
     * frame (standard pixel schema); `expression` refers to the letters
     * as columns. Returns (band,px,py,v).
     */
+  /** `user_namespace` analogue (`gdal_calc.Calc(..., user_namespace=
+    * {'f': f})`, use at `viewshed_calc.py:513-525`): register a scalar
+    * function under a name usable inside calc expressions —
+    * `calc(inputs, "f(A) + B")`.
+    */
+  def registerUserFunction(spark: org.apache.spark.sql.SparkSession,
+                           name: String, f: Double => Double): Unit =
+    spark.udf.register(name, f)
+
   def calc(inputs: Map[String, DataFrame], expression: String): DataFrame = {
     require(inputs.nonEmpty, "need at least one input")
     require(inputs.keys.forall(k => k.length == 1 && k.head.isLetter && k.head.isUpper),

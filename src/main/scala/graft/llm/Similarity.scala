@@ -83,4 +83,81 @@ object Similarity {
                       vecCol: String = "embedding"): DataFrame =
     emb.groupBy(bucketCol(col(vecCol), planes).as("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Coarse quantizer: k centroids. Deterministic everywhere — init
+    * picks evenly-spaced vectors by id, Lloyd updates average in
+    * DECIMAL-free but order-safe form (means of float-cast doubles;
+    * assignment ties break to the lower centroid index).
+    */
+  final case class IvfModel(centroids: Seq[Array[Double]])
+
+  private def sqDistCol(vec: Column, c: Array[Double]): Column =
+    aggregate(zip_with(vec, typedLit(c.toSeq),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Index of the nearest centroid (0-based; ties → lowest index). */
+  def assignCol(vec: Column, model: IvfModel): Column = {
+    val dists = array(model.centroids.map(c => sqDistCol(vec, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Fit the coarse quantizer: k-means with `iters` Lloyd steps. The
+    * heavy work (assignment + per-dimension means) is distributed;
+    * only the k×dim centroid table ever reaches the driver — the
+    * model is planner metadata, like the reference's DataSetSelector.
+    */
+  def fitIvf(emb: DataFrame, k: Int, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
+    val n = emb.count()
+    val step = math.max(n / k, 1)
+    val init = emb.filter(col(idCol) % step === 0).orderBy(idCol).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    var model = IvfModel(init)
+    for (_ <- 1 to iters) {
+      val means = emb
+        .select(assignCol(col(vecCol), model).as("c"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("c", "dim").agg(avg(col("x").cast("double")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      model = IvfModel(model.centroids.indices.map { c =>
+        means.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Double](model.centroids(c).length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          case None => model.centroids(c) // empty cluster keeps its centroid
+        }
+      })
+    }
+    model
+  }
+
+  /** IVF ANN top-k: rank centroids by distance to the query
+    * (driver-side, k rows), search exactly within the `nprobe`
+    * nearest clusters. At scale the assignment column is the
+    * partition/cluster key, so a query touches nprobe/k of the data;
+    * `nprobe = k` degrades gracefully to exact brute force.
+    */
+  def ivfTopK(emb: DataFrame, model: IvfModel, queryId: Long, topK: Int,
+              nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val probeClusters = model.centroids.zipWithIndex
+      .sortBy { case (c, i) =>
+        (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .take(nprobe).map(_._2)
+    val qdf = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qvec"))
+    emb.filter(col(idCol) =!= queryId)
+      .filter(assignCol(col(vecCol), model).isin(probeClusters: _*))
+      .crossJoin(broadcast(qdf))
+      .withColumn("cosine", cosineCol(col(vecCol), col("qvec")))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -21,6 +21,13 @@ class FunctionsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Calc.calc(Map("a" -> a), "a"))
   }
 
+  test("Calc user_namespace functions work inside expressions (I1/H1)") {
+    Calc.registerUserFunction(spark, "halve", (x: Double) => x / 2)
+    val a = PixelFrame.constant(spark, 2, 2, 10.0)
+    val out = Calc.calc(Map("A" -> a), "halve(A) + 1")
+    assert(out.select("v").as[Double].collect().forall(_ == 6.0))
+  }
+
   test("UniqueIndexAgg matches the built-in vsUnique composition (I2)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import org.apache.spark.sql.Encoders

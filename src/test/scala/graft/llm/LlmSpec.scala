@@ -81,6 +81,26 @@ class LlmSpec extends SparkSpec {
     assert(near == Seq(1L))
   }
 
+  test("IVF: nprobe=k is exactly brute force; small nprobe is a correct subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.fitIvf(emb, k = 8, iters = 2)
+    assert(model.centroids.length == 8 && model.centroids.head.length == 64)
+
+    val brute = Similarity.bruteTopK(emb, 0L, 10)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    val full = Similarity.ivfTopK(emb, model, 0L, 10, nprobe = 8)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(full == brute) // full probe ≡ exact search
+
+    val narrow = Similarity.ivfTopK(emb, model, 0L, 10, nprobe = 2)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    // subset property: every narrow result appears in the full ranking
+    // with the identical score
+    val bruteAll = Similarity.bruteTopK(emb, 0L, 1000)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(narrow.nonEmpty && narrow.forall { case (id, c) => bruteAll(id) == c })
+  }
+
   test("LSH recall vs brute force on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteTopK(emb, 0L, 10).select("vec_id").as[Long].collect().toSet
