@@ -90,6 +90,29 @@ class ProjSpec extends AnyFunSuite with PropCheck {
     assert(proj.containsPoint(e1, n1))
   }
 
+  test("Geodesic inverse: known arc lengths on WGS84 (H2)") {
+    // 1° of longitude along the equator = a·π/180 ≈ 111319.491 m
+    val eq = Geodesic.inverse(0, 0, 0, 1)
+    assert(math.abs(eq.distM - 111319.491) < 0.01 && eq.converged)
+    assert(math.abs(eq.az12 - 90.0) < 1e-9)
+    // 1° of latitude from the equator ≈ 110574.39 m (meridian arc)
+    val mer = Geodesic.inverse(0, 0, 1, 0)
+    assert(math.abs(mer.distM - 110574.39) < 0.5)
+    assert(math.abs(mer.az12 - 0.0) < 1e-9 && math.abs(mer.az21 - 180.0) < 1e-9)
+    // coincident points
+    assert(Geodesic.inverse(45, 33, 45, 33).distM == 0.0)
+  }
+
+  test("Geodesic differential: Vincenty vs haversine within flattening bound") {
+    forAllN2(Gen.chooseNum(-70.0, 70.0), Gen.chooseNum(-170.0, 170.0), 100) { (lat, lon) =>
+      val v = Geodesic.inverse(10, 20, lat, lon)
+      val h = Geodesic.haversine(10, 20, lat, lon)
+      if (v.distM > 1000) // relative bound meaningless at tiny distances
+        assert(math.abs(v.distM - h) / v.distM < 0.006,
+          s"($lat,$lon): vincenty ${v.distM} vs haversine $h")
+    }
+  }
+
   test("ExtentUtils.transformResolution + roundToSig (R6/D9)") {
     // identity transform: resolution passes through (rounded to sig digit)
     val (rx, ry) = ExtentUtils.transformResolution(
