@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 64 queries × warmup+3 runs generate a LOT of whole-stage-codegen
+  // classes; the default 240m JIT code cache fills mid-bench, the
+  // compiler shuts off, and late queries silently run interpreted
+  // (observed 10-30× per-query slowdowns). spark-submit sets this
+  // too — a plain JVM launch must do it itself.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

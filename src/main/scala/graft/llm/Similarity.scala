@@ -84,6 +84,31 @@ object Similarity {
     emb.groupBy(bucketCol(col(vecCol), planes).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** Embedding-cosine near-dup pairs (the fourth dedup family):
+    * candidates form only inside hyperplane buckets (positive scaling
+    * and small perturbations preserve sign patterns, so true
+    * near-dups co-bucket with high probability), then exact cosine
+    * verifies at `threshold`. Same banded shape as MinHash — never
+    * all-pairs.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 4,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    // norms precomputed per VECTOR (O(N) folds), not per candidate
+    // pair (O(pairs) folds) — same value, one third of the fold work
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", bucketCol(col("vec"), planes))
+      .withColumn("nrm", normCol(col("vec")))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dotCol(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Coarse quantizer: k centroids. Deterministic everywhere — init

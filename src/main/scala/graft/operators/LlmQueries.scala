@@ -95,6 +95,24 @@ object LlmQueries {
       .toDF().orderBy("media_id")
   }
 
+  /** q64 embedding-cosine near-dup: corpus doubled with exactly-scaled
+    * copies (cosine 1 with their originals, same hyperplane bucket —
+    * float ×2 is exact in any engine), bucketed candidate pairs, exact
+    * cosine verify. Finds precisely the 500 constructed pairs (max
+    * natural pairwise cosine in the fixture is 0.51).
+    */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    // 8 planes → 256 buckets: candidate volume drops ~16× vs 4 planes
+    // with identical recall for scaled copies (every sign bit preserved)
+    Similarity.cosineNearDupPairs(doubled, threshold = 0.99, planes = 8)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_text_metrics" -> q42 _,
     "q43_text_langid" -> q43 _,
@@ -107,6 +125,7 @@ object LlmQueries {
     "q50_ann_lsh" -> q50 _,
     "q51_ann_buckets" -> q51 _,
     "q52_multimodal_features" -> q52 _,
+    "q64_dedup_embed" -> q64 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -258,6 +277,23 @@ object LlmQueries {
     "q51_ann_buckets" ->
       s"""SELECT ${bucketExpr("embedding", 4)} AS bucket, COUNT(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q64_dedup_embed" ->
+      s"""WITH doubled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+         |  FROM embeddings),
+         |bucketed AS (
+         |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 8)} AS bucket,
+         |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
+         |  FROM doubled),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs
+         |WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin,
 
     "q52_multimodal_features" ->
       """WITH m AS (

@@ -55,6 +55,31 @@ object EventStream {
       }
   }
 
+  /** Append-mode alerting via `flatMapGroupsWithState`: emit one row
+    * per user the first time their running value total crosses
+    * `threshold` — the generator-style stateful surface (0..n outputs
+    * per group per trigger), complementing [[userTotals]]'s 1-per-group
+    * `mapGroupsWithState`.
+    */
+  def thresholdAlerts(events: Dataset[Event], threshold: Double)
+                     (implicit s: SparkSession): Dataset[SessionSummary] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionSummary]) =>
+          val prev = state.getOption.getOrElse(SessionSummary(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = SessionSummary(userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          if (prev.total_value < threshold && next.total_value >= threshold)
+            Iterator.single(next)
+          else Iterator.empty
+      }
+  }
+
   /** File-source streaming reader with an explicit schema (streaming
     * requires one) — `readStream` over a parquet directory.
     */

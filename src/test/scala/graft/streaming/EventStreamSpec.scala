@@ -56,6 +56,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits threshold alerts exactly once (append)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = thresholdAlerts(stream.toDS(), threshold = 6.0).writeStream
+      .format("memory").queryName("alerts").outputMode("append").start()
+    try {
+      stream.addData(fixture.take(2)) // user1: 1.0, user2: 2.0 — below
+      q.processAllAvailable()
+      assert(spark.table("alerts").count() == 0)
+      stream.addData(fixture.drop(2)) // user1 → 8.0 crosses, user2 → 7.0 crosses
+      q.processAllAvailable()
+      val alerts = spark.table("alerts")
+        .orderBy("user_id").as[SessionSummary].collect().toSeq
+      assert(alerts.map(a => (a.user_id, a.total_value)) == Seq((1L, 8.0), (2L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("append mode + watermark finalizes closed windows only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = tumblingCounts(stream.toDF(), every = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("wm_counts").outputMode("append").start()
+    try {
+      stream.addData(fixture) // hours 0 and 1
+      q.processAllAvailable()
+      assert(spark.table("wm_counts").count() == 0) // nothing closed yet
+      // an event far in the future advances the watermark past hour 1
+      stream.addData(ev(99, 10 * 60, 9, "click", 0.5))
+      q.processAllAvailable()
+      val closed = spark.table("wm_counts").orderBy("window_start", "event_type")
+        .select("event_type", "n").as[(String, Long)].collect().toSeq
+      assert(closed == Seq(("click", 2L), ("error", 1L), ("click", 2L)))
+    } finally q.stop()
+  }
+
   test("watermarked file-source stream plan builds (readStream surface)") {
     val src = readEventStream(spark, "/root/testdata/sf0.001")
     assert(src.isStreaming)
