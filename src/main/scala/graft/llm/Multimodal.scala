@@ -38,15 +38,27 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       encode(concat(col("source"), lit(":"), col("doc_id")), "utf-8").as("payload"))
 
-  /** STUB decoder ??? — deterministic fake standing in for an image
-    * codec. A real implementation would parse the payload (JPEG/PNG
-    * headers, PCM frames, ...) here; the batch-per-partition call
-    * shape is exactly what a JNI or subprocess codec needs.
+  /** Decoder: PNG payloads (signature-detected) are REALLY decoded —
+    * width/height from IHDR, checksum over the decoded pixels — via
+    * the pure-JDK [[graft.sources.Png]] codec. Other payload kinds
+    * (JPEG, PCM audio, video containers: codecs not in this
+    * container) fall back to the deterministic stub ??? with fake
+    * dimensions; the per-partition batch shape is identical either
+    * way, so swapping in real codecs changes only this function.
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
-    val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-    MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
-      width = (sum % 640).toInt, height = (sum % 480).toInt)
+    val isPng = r.payload.length > 8 &&
+      (r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P' &&
+      r.payload(2) == 'N' && r.payload(3) == 'G'
+    if (isPng) {
+      val (w, h, pix) = graft.sources.Png.decode(r.payload)
+      val sum = pix.foldLeft(0L)((acc, p) => (acc * 31 + (p & 0xffffffffL)) % 1000000007L)
+      MediaFeatures(r.media_id, r.kind, r.payload.length, sum, w, h)
+    } else {
+      val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
+        width = (sum % 640).toInt, height = (sum % 480).toInt)
+    }
   }
 
   /** Feature extraction: narrow per-partition map over the media

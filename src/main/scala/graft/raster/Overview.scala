@@ -126,4 +126,17 @@ object Overview {
     val offsets = Seq(-3, -2, -1, 0, 1, 2, 3, 4)
     separableUp2(df, offsets.map(o => o -> w(o / 2.0 - 0.25)), ndv)
   }
+
+  /** Lanczos-3 2× upsample (`gdalos_types.py:46-47`): 12-tap windowed
+    * sinc per axis (the weight normalization in [[separableUp2]]
+    * absorbs the window's imperfect partition of unity).
+    */
+  def lanczosUp2(df: DataFrame, ndv: Double): DataFrame = {
+    def sinc(x: Double): Double =
+      if (x == 0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+    def w(x: Double): Double =
+      if (math.abs(x) >= 3) 0.0 else sinc(x) * sinc(x / 3)
+    val offsets = -5 to 6
+    separableUp2(df, offsets.map(o => o -> w(o / 2.0 - 0.25)), ndv)
+  }
 }

@@ -75,22 +75,21 @@ object Sinks {
   }
 
   /** A11 CZML sink: warp-to-4326 rectangle packet with an embedded
-    * image (`gdal_to_czml`, `calc/gdal_to_czml.py:19-78`). The PNG
-    * encode is STUBBED (no imaging libs in this container) with a
-    * deterministic base64 of the raw ARGB bytes — the packet
-    * structure, extent math, and data URI plumbing are real.
+    * PNG image (`gdal_to_czml`, `calc/gdal_to_czml.py:19-78`) — a real
+    * PNG, encoded by [[Png]] (pure-JDK codec), base64'd into the data
+    * URI. Styled input carries `argb`.
     */
   def rasterToCzml(styled: DataFrame, name: String,
                    extent4326: (Double, Double, Double, Double),
                    maxPixels: Long = 250000): String = {
     val rows = styled.select("px", "py", "argb")
       .orderBy("py", "px").limit(maxPixels.toInt).collect()
-    val bytes = rows.flatMap { r =>
-      val v = r.getInt(2)
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    }
-    val b64 = Base64.getEncoder.encodeToString(bytes) // ??? stub: real impl PNG-encodes
+    val imgW = rows.map(_.getInt(0)).max + 1
+    val imgH = rows.map(_.getInt(1)).max + 1
+    require(imgW.toLong * imgH <= maxPixels, s"raster too large for CZML sink")
+    val pix = new Array[Int](imgW * imgH)
+    rows.foreach(r => pix(r.getInt(1) * imgW + r.getInt(0)) = r.getInt(2))
+    val b64 = Base64.getEncoder.encodeToString(Png.encode(imgW, imgH, pix))
     val (w, s, e, n) = extent4326
     s"""[{"id":"document","name":"$name","version":"1.0"},
        |{"id":"$name","rectangle":{"coordinates":{"wsenDegrees":[$w,$s,$e,$n]},

@@ -106,6 +106,13 @@ class FunctionsSpec extends SparkSpec {
     for ((f, v) <- upr) assert(math.abs(v - (f / 2.0 - 0.25)) < 1e-12, s"f=$f v=$v")
   }
 
+  test("lanczos 2× upsample preserves constants via weight normalization (E1)") {
+    import graft.raster.{Overview, PixelFrame}
+    val up = Overview.lanczosUp2(PixelFrame.constant(spark, 8, 8, 3.0), ndv = -1)
+    val vals = up.select("v").as[Double].collect()
+    assert(vals.nonEmpty && vals.forall(v => math.abs(v - 3.0) < 1e-12))
+  }
+
   test("ProgressListener counts jobs/tasks (I4)") {
     val l = ProgressListener.attach(spark)
     try {

@@ -146,4 +146,15 @@ class LlmSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 7 && $"frame_no" === 0)
       .select("frame_len").as[Int].head() == 4)
   }
+
+  test("multimodal: PNG payloads are genuinely decoded (width/height from IHDR)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val pix = Array.tabulate(6 * 4)(i => 0xff000000 | (i * 31))
+    val png = graft.sources.Png.encode(6, 4, pix)
+    val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width == 6 && f.height == 4 && f.n_bytes == png.length)
+    val expectSum = pix.foldLeft(0L)((a, p) => (a * 31 + (p & 0xffffffffL)) % 1000000007L)
+    assert(f.checksum == expectSum)
+  }
 }

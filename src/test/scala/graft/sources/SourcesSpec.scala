@@ -71,12 +71,16 @@ class SourcesSpec extends SparkSpec {
       Sinks.rasterToJson(PixelFrame.dem(spark, 64, 64), Array(0, 1, 0, 0, 0, -1), -1, maxPixels = 10))
   }
 
-  test("CZML sinks produce packet documents (A11)") {
+  test("CZML sinks produce packet documents with a REAL embedded PNG (A11)") {
     val styled = PixelFrame.constant(spark, 2, 2, 1.0)
       .withColumn("argb", lit(0xff00ff00))
     val czml = Sinks.rasterToCzml(styled, "vs", (34.0, 31.0, 35.0, 32.0))
     assert(czml.contains(""""id":"document"""") && czml.contains("wsenDegrees")
       && czml.contains("base64,"))
+    // the data URI decodes to a valid 2×2 PNG with the styled color
+    val b64 = czml.split("base64,")(1).takeWhile(_ != '"')
+    val (pw, ph, pix) = Png.decode(java.util.Base64.getDecoder.decode(b64))
+    assert(pw == 2 && ph == 2 && pix.forall(_ == 0xff00ff00))
     val poly = Sinks.polylinesToCzml(
       Seq(Seq((34.0, 31.0, 0.0), (34.1, 31.1, 10.0))), Seq(0xffff0000))
     assert(poly.contains("cartographicDegrees") && poly.contains("[255,0,0,255]"))
