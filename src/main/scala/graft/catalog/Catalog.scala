@@ -64,7 +64,9 @@ object Catalog {
     * rounded, contained rasters dropped per level.
     */
   def groupByLevel(cat: DataFrame): DataFrame = {
-    val minRes = cat.agg(min("resx")).first().getDouble(0)
+    val minRow = cat.agg(min("resx")).first()
+    require(!minRow.isNullAt(0), "groupByLevel: empty catalog (no resx)")
+    val minRes = minRow.getDouble(0)
     filterContained(cat)
       .withColumn("level", round(log2(col("resx") / minRes)).cast("int"))
   }

@@ -122,15 +122,22 @@ object Dedup {
     // by the band explode and both verify joins (ReuseExchange).
     val hashed = shRows.select(col("id") +: col("s") +:
       (0 until numHashes).map(k => minhashValCol(lit(k), col("s")).as(s"h$k")): _*)
-    // persisted: consumed three times (band explode + both verify
+    // materialized: consumed three times (band explode + both verify
     // joins); column pruning makes the consumers' subplans differ, so
-    // ReuseExchange cannot dedup them and without the cache the whole
-    // shingle+hash pipeline would recompute 3×. One row per doc —
-    // the same thing MLlib's LSH caches.
+    // ReuseExchange cannot dedup them and without materialization the
+    // whole shingle+hash pipeline would recompute 3×. One row per
+    // doc — the same thing MLlib's LSH caches. localCheckpoint (not
+    // persist): its blocks are reclaimed by the ContextCleaner when
+    // the frame is GC'd, so repeated invocations in a long-lived
+    // session don't leak cache entries (a .persist here was observed
+    // accumulating CacheManager warnings across bench iterations).
+    // Trade: lineage is truncated, so executor loss fails the query
+    // instead of recomputing — at cluster scale prefer a
+    // reliable-storage checkpoint dir for this stage.
     val agg = hashed.groupBy("id").agg(
       collect_set(col("s")).as("sh"),
       (0 until numHashes).map(k => min(col(s"h$k")).as(s"mh$k")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val banded = agg.select(col("id"),
       posexplode(array((0 until bands).map { b =>

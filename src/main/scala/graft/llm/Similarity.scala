@@ -48,11 +48,17 @@ object Similarity {
   private def planeWeight(j: Int, i: Column): Column =
     ((lit(j.toLong * 2654435761L) + i * 40503L) % 2001L - 1000L).cast("double")
 
-  /** LSH bucket id: `planes` sign bits of hyperplane projections. */
+  /** LSH bucket id: `planes` sign bits of hyperplane projections.
+    * Dimension-generic: the index sequence is derived from the vector
+    * itself (`size(vec)`), so short/long vectors project correctly
+    * instead of null-padding to a fixed width (which would NULL the
+    * fold and silently send every vector to bucket 0 — i.e. degrade
+    * lshTopK/cosineNearDupPairs to all-pairs with no error).
+    */
   def bucketCol(vec: Column, planes: Int): Column =
     (0 until planes).map { j =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(63)),
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x.cast("double") * planeWeight(j, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))

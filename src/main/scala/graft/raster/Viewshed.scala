@@ -57,7 +57,11 @@ object Viewshed {
         when(col("v") === demNdv, lit(null)) // nodata never obstructs
           .otherwise((col("v") + col("hc") - (col("h0") + oz)) / col("dist")))
 
-    val sector = Window.partitionBy("bucket").orderBy(col("dist"), col("px"), col("py"))
+    // keyed by (rid, band, bucket): a frame carrying multiple rasters
+    // or bands must not mix obstruction state across them — and the
+    // extra keys multiply sort parallelism (obs×bands×buckets tasks)
+    val sector = Window.partitionBy("rid", "band", "bucket")
+      .orderBy(col("dist"), col("px"), col("py"))
     withGeom
       .withColumn("obstruction",
         max(col("ratio")).over(sector.rowsBetween(Window.unboundedPreceding, -1)))

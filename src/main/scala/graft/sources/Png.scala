@@ -118,7 +118,14 @@ object Png {
     inf.setInput(data)
     val out = new Array[Byte](expected)
     var off = 0
-    while (off < expected && !inf.finished()) off += inf.inflate(out, off, expected - off)
+    while (off < expected && !inf.finished()) {
+      val n = inf.inflate(out, off, expected - off)
+      // zero progress + input exhausted = truncated/corrupt stream;
+      // fail instead of spinning forever inside an executor task
+      require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+        s"truncated deflate stream: $off of $expected")
+      off += n
+    }
     inf.end()
     require(off == expected, s"short inflate: $off of $expected")
     out

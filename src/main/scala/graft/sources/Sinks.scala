@@ -82,8 +82,12 @@ object Sinks {
   def rasterToCzml(styled: DataFrame, name: String,
                    extent4326: (Double, Double, Double, Double),
                    maxPixels: Long = 250000): String = {
+    // limit(max+1)+require BEFORE deriving bounds — truncating first
+    // could shrink the surviving bbox under the guard and silently
+    // emit a partial image (missing pixels = transparent black)
     val rows = styled.select("px", "py", "argb")
-      .orderBy("py", "px").limit(maxPixels.toInt).collect()
+      .orderBy("py", "px").limit(maxPixels.toInt + 1).collect()
+    require(rows.length <= maxPixels, s"raster too large for CZML sink (> $maxPixels px)")
     val imgW = rows.map(_.getInt(0)).max + 1
     val imgH = rows.map(_.getInt(1)).max + 1
     require(imgW.toLong * imgH <= maxPixels, s"raster too large for CZML sink")
