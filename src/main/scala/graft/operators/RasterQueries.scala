@@ -241,6 +241,33 @@ object RasterQueries {
       .filter(col("px") >= 40 && col("px") < 80 && col("py") >= 20 && col("py") < 60)
       .select("px", "py", "v").orderBy("py", "px")
 
+  /** q65 A1+A3 real-file round-trip: the DEM encoded as an actual
+    * GeoTIFF (Int16, striped DEFLATE, pure-JDK [[graft.sources.GeoTiff]]
+    * writer), then read back through the DSv2 connector with the crop
+    * pushed into the source — strip segments outside the py window are
+    * pruned at planning time. The engine's `open_ds` front door
+    * (`gdalos_trans.py:318-320`) on real TIFF bytes.
+    */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val f = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q65_dem.tif")
+    if (!Files.exists(f)) {
+      val vals = Array.tabulate(DemW * DemH) { i =>
+        val (px, py) = (i % DemW, i / DemW)
+        if ((px * 31 + py * 17) % 101 == 0) -32768.0
+        else ((px * 7 + py * 13) % 997).toDouble
+      }
+      val tmp = Files.createTempFile(f.getParent, "graft_q65_dem", ".tmp")
+      Files.write(tmp, graft.sources.GeoTiff.encode(DemW, DemH, vals,
+        graft.sources.GeoTiff.DtInt16, Gt, nodata = Some(PixelFrame.Dem.Ndv),
+        rowsPerStrip = 32))
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+    }
+    s.read.format("graft.sources.RasterSource").option("path", f.toString).load()
+      .filter(col("px") >= 64 && col("px") < 192 && col("py") >= 32 && col("py") < 96)
+      .select("px", "py", "v").orderBy("py", "px")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_raster_crop" -> q25 _,
     "q26_raster_scale" -> q26 _,
@@ -267,6 +294,7 @@ object RasterQueries {
     "q61_tile_pipeline" -> q61 _,
     "q62_palette_interp" -> q62 _,
     "q63_dsv2_scan" -> q63 _,
+    "q65_geotiff_roundtrip" -> q65 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -444,6 +472,12 @@ object RasterQueries {
       s"""WITH $demCte
          |SELECT px, py, v FROM dem
          |WHERE px >= 40 AND px < 80 AND py >= 20 AND py < 60
+         |ORDER BY py, px""".stripMargin,
+
+    "q65_geotiff_roundtrip" ->
+      s"""WITH $demCte
+         |SELECT px, py, v FROM dem
+         |WHERE px >= 64 AND px < 192 AND py >= 32 AND py < 96
          |ORDER BY py, px""".stripMargin,
 
     "q40_viewshed_sectors" -> viewshedOracle,

@@ -1,0 +1,467 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, RandomAccessFile}
+import java.util.zip.{Deflater, Inflater}
+
+import graft.core.GeoTransform
+
+/** Pure-JDK baseline GeoTIFF codec (no native GDAL, no imaging libs) —
+  * the decoder behind the A1 `open_ds` front door
+  * (`gdalos_trans.py:318-320` opens datasets; block model
+  * `gdalos_trans.py:788-801`) and the A3 GTiff writer
+  * (`gdalos_trans.py:773-816` creation options).
+  *
+  * Reader scope: classic TIFF (II/MM), striped or tiled, compression
+  * none(1)/DEFLATE(8 & old 32946), predictor none(1)/horizontal(2),
+  * samples Byte/Int16/UInt16/Int32/Float32/Float64, chunky planar
+  * config, GeoTIFF georeferencing from ModelPixelScale+ModelTiepoint
+  * (tags 33550/33922), nodata from GDAL_NODATA (42113), CRS from the
+  * GeoKey directory (34735: geographic/projected EPSG code). That
+  * covers the reference's own fixture
+  * (`data/maps/srtm1_x35_y32.tif`: 361×361 Int16, 256×256 tiles,
+  * DEFLATE, EPSG:4326) and everything our writer emits.
+  *
+  * Writer scope: little-endian, striped, DEFLATE, optional horizontal
+  * predictor, Int16/Float32/Byte, single band, ModelPixelScale +
+  * ModelTiepoint + GDAL_NODATA.
+  *
+  * Scale notes: `readInfo` touches only the header/IFD byte ranges
+  * (driver-side planning metadata, like the reference's `open_ds`
+  * header read); `decodeSegment` reads exactly one strip/tile's byte
+  * range — the executor-side unit of work. One TIFF segment = one
+  * Spark `InputPartition` in [[RasterSource]], so scans parallelize
+  * over the block grid and pruned windows skip whole segments. Local
+  * paths here; a cluster deployment swaps the byte-range reads to the
+  * Hadoop FS API (same two seek+read calls).
+  */
+object GeoTiff {
+
+  /** One strip or tile: byte range + its pixel-grid placement. */
+  final case class Segment(offset: Long, byteCount: Long,
+                           x0: Int, y0: Int, w: Int, h: Int)
+
+  final case class Info(
+      width: Int, height: Int, bands: Int,
+      bitsPerSample: Int, sampleFormat: Int,
+      compression: Int, predictor: Int, bigEndian: Boolean,
+      nodata: Option[Double],
+      pixelScale: Option[(Double, Double)],
+      tiepoint: Option[Array[Double]],
+      epsg: Option[Int],
+      segments: Seq[Segment]) {
+
+    /** GDAL-convention geotransform from scale+tiepoint: raster point
+      * (i,j) pins to geo (x,y); north-up with negative c5.
+      */
+    def gt: Option[GeoTransform] = for {
+      (sx, sy) <- pixelScale
+      t <- tiepoint
+    } yield GeoTransform(t(3) - t(0) * sx, sx, 0, t(4) + t(1) * sy, 0, -sy)
+
+    def dtypeName: String = (bitsPerSample, sampleFormat) match {
+      case (8, 1) => "Byte"
+      case (16, 2) => "Int16"
+      case (16, 1) => "UInt16"
+      case (32, 2) => "Int32"
+      case (32, 3) => "Float32"
+      case (64, 3) => "Float64"
+      case (b, f) => s"bits${b}fmt$f"
+    }
+  }
+
+  // TIFF tag ids
+  private val TWidth = 256; private val TLength = 257
+  private val TBits = 258; private val TCompression = 259
+  private val TPhotometric = 262; private val TStripOffsets = 273
+  private val TSamplesPerPixel = 277; private val TRowsPerStrip = 278
+  private val TStripByteCounts = 279; private val TPlanarConfig = 284
+  private val TPredictor = 317
+  private val TTileWidth = 322; private val TTileLength = 323
+  private val TTileOffsets = 324; private val TTileByteCounts = 325
+  private val TSampleFormat = 339
+  private val TModelPixelScale = 33550; private val TModelTiepoint = 33922
+  private val TGeoKeyDir = 34735; private val TGdalNodata = 42113
+
+  /** Parse header + first IFD. Reads only the byte ranges it needs. */
+  def readInfo(path: String): Info = {
+    val f = new RandomAccessFile(path, "r")
+    try {
+      def readAt(off: Long, len: Int): Array[Byte] = {
+        val b = new Array[Byte](len); f.seek(off); f.readFully(b); b
+      }
+      val head = readAt(0, 8)
+      val be = head(0) == 'M' && head(1) == 'M'
+      require(be || (head(0) == 'I' && head(1) == 'I'), "not a TIFF (bad byte order)")
+      def u16(a: Array[Byte], o: Int): Int =
+        if (be) ((a(o) & 0xff) << 8) | (a(o + 1) & 0xff)
+        else ((a(o + 1) & 0xff) << 8) | (a(o) & 0xff)
+      def u32(a: Array[Byte], o: Int): Long = {
+        val (b0, b1, b2, b3) =
+          if (be) (a(o), a(o + 1), a(o + 2), a(o + 3))
+          else (a(o + 3), a(o + 2), a(o + 1), a(o))
+        (((b0 & 0xffL) << 24) | ((b1 & 0xffL) << 16) | ((b2 & 0xffL) << 8) | (b3 & 0xffL))
+      }
+      require(u16(head, 2) == 42, "not a classic TIFF (BigTIFF unsupported)")
+      val ifdOff = u32(head, 4)
+      val nEntries = u16(readAt(ifdOff, 2), 0)
+      val entries = readAt(ifdOff + 2, nEntries * 12)
+
+      // tag → (type, count, raw 4 value bytes as offset-or-inline)
+      final case class Entry(typ: Int, cnt: Int, at: Int)
+      val tags = (0 until nEntries).map { i =>
+        val o = i * 12
+        u16(entries, o) -> Entry(u16(entries, o + 2), u32(entries, o + 4).toInt, o + 8)
+      }.toMap
+
+      val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8)
+      def rawValues(e: Entry): Array[Byte] = {
+        val sz = typeSize.getOrElse(e.typ, 1) * e.cnt
+        if (sz <= 4) entries.slice(e.at, e.at + sz)
+        else readAt(u32(entries, e.at), sz)
+      }
+      def longs(tag: Int): Option[Seq[Long]] = tags.get(tag).map { e =>
+        val raw = rawValues(e)
+        (0 until e.cnt).map { i =>
+          e.typ match {
+            case 3 => u16(raw, i * 2).toLong
+            case 4 => u32(raw, i * 4)
+            case 1 => (raw(i) & 0xff).toLong
+            case t => throw new IllegalArgumentException(s"tag $tag: unexpected type $t")
+          }
+        }
+      }
+      def doubles(tag: Int): Option[Seq[Double]] = tags.get(tag).map { e =>
+        require(e.typ == 12, s"tag $tag: expected DOUBLE, got type ${e.typ}")
+        val raw = rawValues(e)
+        (0 until e.cnt).map { i =>
+          val hi = u32(raw, i * 8); val lo = u32(raw, i * 8 + 4)
+          val bits = if (be) (hi << 32) | lo else (lo << 32) | hi
+          java.lang.Double.longBitsToDouble(bits)
+        }
+      }
+      def ascii(tag: Int): Option[String] = tags.get(tag).map { e =>
+        new String(rawValues(e), "ASCII").takeWhile(c => c != 0 && c != ' ')
+      }
+      def single(tag: Int, default: Long): Long = longs(tag).map(_.head).getOrElse(default)
+
+      val w = single(TWidth, 0).toInt
+      val h = single(TLength, 0).toInt
+      require(w > 0 && h > 0, s"bad raster size ${w}x$h")
+      val bands = single(TSamplesPerPixel, 1).toInt
+      val bits = single(TBits, 8).toInt
+      val fmt = single(TSampleFormat, 1).toInt
+      val comp = single(TCompression, 1).toInt
+      require(comp == 1 || comp == 8 || comp == 32946,
+        s"unsupported compression $comp (only none/DEFLATE)")
+      val pred = single(TPredictor, 1).toInt
+      require(pred == 1 || pred == 2, s"unsupported predictor $pred")
+      require(single(TPlanarConfig, 1) == 1, "only chunky planar config supported")
+
+      val tiled = tags.contains(TTileOffsets)
+      val segments: Seq[Segment] =
+        if (tiled) {
+          val tw = single(TTileWidth, 0).toInt
+          val th = single(TTileLength, 0).toInt
+          val offs = longs(TTileOffsets).get
+          val cnts = longs(TTileByteCounts).get
+          val tilesAcross = (w + tw - 1) / tw
+          offs.indices.map { i =>
+            Segment(offs(i), cnts(i), (i % tilesAcross) * tw, (i / tilesAcross) * th, tw, th)
+          }
+        } else {
+          val rps = math.min(single(TRowsPerStrip, h), h).toInt
+          val offs = longs(TStripOffsets).get
+          val cnts = longs(TStripByteCounts).get
+          offs.indices.map { i =>
+            Segment(offs(i), cnts(i), 0, i * rps, w, math.min(rps, h - i * rps))
+          }
+        }
+
+      // GeoKey directory: (KeyID, TIFFTagLocation, Count, Value)
+      // quadruples after the 4-short header; location 0 = inline value.
+      // GeographicTypeGeoKey 2048 / ProjectedCSTypeGeoKey 3072.
+      val epsg = longs(TGeoKeyDir).flatMap { keys =>
+        val quads = keys.drop(4).grouped(4).toSeq
+        def keyVal(id: Long) = quads.collectFirst {
+          case Seq(`id`, 0L, 1L, v) => v.toInt
+        }
+        keyVal(3072).orElse(keyVal(2048))
+      }
+
+      Info(w, h, bands, bits, fmt, comp, pred, be,
+        nodata = ascii(TGdalNodata).flatMap(s => s.trim.toDoubleOption),
+        pixelScale = doubles(TModelPixelScale).map(s => (s(0), s(1))),
+        tiepoint = doubles(TModelTiepoint).map(_.toArray),
+        epsg = epsg, segments = segments)
+    } finally f.close()
+  }
+
+  /** Decode one strip/tile to row-major doubles (band-interleaved for
+    * multi-band): value of band b (1-based) at segment-local (x,y) is
+    * `out((y*seg.w + x)*bands + b-1)`. Edge segments keep their full
+    * nominal size; pixels beyond the raster edge are padding (caller
+    * clips by global px/py).
+    */
+  def decodeSegment(path: String, info: Info, seg: Segment): Array[Double] = {
+    val f = new RandomAccessFile(path, "r")
+    val raw =
+      try {
+        val b = new Array[Byte](seg.byteCount.toInt)
+        f.seek(seg.offset); f.readFully(b); b
+      } finally f.close()
+    val bytesPerSample = info.bitsPerSample / 8
+    val nSamples = seg.w * seg.h * info.bands
+    val data =
+      if (info.compression == 1) raw
+      else inflate(raw, nSamples * bytesPerSample)
+
+    if (info.predictor == 2) {
+      // horizontal differencing per row, per sample-byte-group
+      require(info.sampleFormat != 3 || info.bitsPerSample == 32,
+        "predictor 2 on float requires fp predictor (unsupported)")
+      undiffRows(data, seg.w, seg.h, info.bands, bytesPerSample, info.bigEndian)
+    }
+
+    val out = new Array[Double](nSamples)
+    val be = info.bigEndian
+    var i = 0
+    while (i < nSamples) {
+      val o = i * bytesPerSample
+      out(i) = (info.bitsPerSample, info.sampleFormat) match {
+        case (8, _) => (data(o) & 0xff).toDouble
+        case (16, 2) => readS16(data, o, be).toDouble
+        case (16, 1) => (readS16(data, o, be) & 0xffff).toDouble
+        case (32, 2) => readS32(data, o, be).toDouble
+        case (32, 3) => java.lang.Float.intBitsToFloat(readS32(data, o, be)).toDouble
+        case (64, 3) => java.lang.Double.longBitsToDouble(
+          (readS32(data, o, be).toLong << 32) | (readS32(data, o + 4, be) & 0xffffffffL))
+        case (b, sf) => throw new IllegalArgumentException(s"unsupported sample bits=$b fmt=$sf")
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Undo TIFF predictor 2 (horizontal differencing) in place:
+    * sample[x] += sample[x-1] within each row, per band, on the
+    * integer sample width.
+    */
+  private def undiffRows(data: Array[Byte], w: Int, h: Int, bands: Int,
+                         bps: Int, be: Boolean): Unit = {
+    val rowSamples = w * bands
+    var y = 0
+    while (y < h) {
+      var x = bands // first pixel of the row is the seed
+      while (x < rowSamples) {
+        val o = (y * rowSamples + x) * bps
+        val p = (y * rowSamples + x - bands) * bps
+        bps match {
+          case 1 => data(o) = ((data(o) & 0xff) + (data(p) & 0xff)).toByte
+          case 2 =>
+            val v = (readS16(data, o, be) + readS16(data, p, be)).toShort
+            writeS16(data, o, v, be)
+          case 4 =>
+            val v = readS32(data, o, be) + readS32(data, p, be)
+            writeS32(data, o, v, be)
+          case other => throw new IllegalArgumentException(s"predictor on $other-byte samples")
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def readS16(a: Array[Byte], o: Int, be: Boolean): Short =
+    if (be) (((a(o) & 0xff) << 8) | (a(o + 1) & 0xff)).toShort
+    else (((a(o + 1) & 0xff) << 8) | (a(o) & 0xff)).toShort
+  private def writeS16(a: Array[Byte], o: Int, v: Short, be: Boolean): Unit =
+    if (be) { a(o) = (v >> 8).toByte; a(o + 1) = v.toByte }
+    else { a(o + 1) = (v >> 8).toByte; a(o) = v.toByte }
+  private def readS32(a: Array[Byte], o: Int, be: Boolean): Int =
+    if (be) ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) | ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+    else ((a(o + 3) & 0xff) << 24) | ((a(o + 2) & 0xff) << 16) | ((a(o + 1) & 0xff) << 8) | (a(o) & 0xff)
+  private def writeS32(a: Array[Byte], o: Int, v: Int, be: Boolean): Unit =
+    if (be) { a(o) = (v >>> 24).toByte; a(o + 1) = (v >>> 16).toByte; a(o + 2) = (v >>> 8).toByte; a(o + 3) = v.toByte }
+    else { a(o + 3) = (v >>> 24).toByte; a(o + 2) = (v >>> 16).toByte; a(o + 1) = (v >>> 8).toByte; a(o) = v.toByte }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (off < expected && !inf.finished()) {
+      val n = inf.inflate(out, off, expected - off)
+      require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+        s"truncated deflate stream: $off of $expected")
+      off += n
+    }
+    inf.end()
+    // short final strip data is legal only when uncompressed size was
+    // overestimated; we size exactly, so demand a full buffer
+    require(off == expected, s"short inflate: $off of $expected")
+    out
+  }
+
+  // ------------------------------ writer ------------------------------
+
+  /** Sample encodings the writer supports. */
+  sealed abstract class DType(val bits: Int, val fmt: Int)
+  case object DtByte extends DType(8, 1)
+  case object DtInt16 extends DType(16, 2)
+  case object DtFloat32 extends DType(32, 3)
+
+  /** Encode a single-band row-major raster as a little-endian striped
+    * DEFLATE GeoTIFF with geotransform + nodata metadata. A bounded
+    * driver-side sink, like the reference writing one output dataset
+    * per job — big rasters stay in the distributed tile layout (A3
+    * parquet COG); this materializes exports/fixtures.
+    */
+  def encode(w: Int, h: Int, values: Array[Double], dtype: DType,
+             gt: GeoTransform, nodata: Option[Double] = None,
+             rowsPerStrip: Int = 64, predictor: Int = 1): Array[Byte] = {
+    require(values.length == w.toLong * h, s"expected ${w.toLong * h} values, got ${values.length}")
+    require(gt.isNorthUp && gt.c5 < 0, s"GeoTIFF writer needs a north-up geotransform, got $gt")
+    require(predictor == 1 || (predictor == 2 && dtype != DtFloat32),
+      "predictor 2 supported for integer samples only")
+    val bps = dtype.bits / 8
+
+    // raw strips → (optionally) differenced → deflated
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val y0 = s * rowsPerStrip
+      val rows = math.min(rowsPerStrip, h - y0)
+      val raw = new Array[Byte](rows * w * bps)
+      var i = 0
+      while (i < rows * w) {
+        val v = values((y0 + i / w) * w + i % w)
+        dtype match {
+          case DtByte => raw(i) = v.toInt.toByte
+          case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
+          case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
+        }
+        i += 1
+      }
+      if (predictor == 2) diffRows(raw, w, rows, bps)
+      deflate(raw)
+    }
+
+    // IFD assembly: fixed entry table, external arrays after it
+    val ascii = nodata.map(nd =>
+      (if (nd == nd.floor && nd.abs < 1e15) nd.toLong.toString else nd.toString) + " ")
+    final case class Tag(id: Int, typ: Int, cnt: Int, inline: Option[Long], ext: Option[Array[Byte]])
+    def leBytes(vs: Seq[Long], typ: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      vs.foreach { v =>
+        if (typ == 3) { out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt) }
+        else { (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt)) }
+      }
+      out.toByteArray
+    }
+    def dblBytes(vs: Seq[Double]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      vs.foreach { v =>
+        val bits = java.lang.Double.doubleToLongBits(v)
+        (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
+      }
+      out.toByteArray
+    }
+
+    val stripSizes = strips.map(_.length.toLong)
+    // strip offsets are filled once the layout is known; reserve LONGs
+    val pixelScale = Seq(gt.c1, -gt.c5, 0.0)
+    val tiepoint = Seq(0.0, 0.0, 0.0, gt.c0, gt.c3, 0.0)
+    val geoKeys: Seq[Long] = Seq(1, 1, 0, 2, // version, 2 keys
+      1024, 0, 1, 2, // GTModelType = geographic
+      2048, 0, 1, 4326) // GeographicType = WGS84
+
+    var tags = Seq(
+      Tag(TWidth, 3, 1, Some(w.toLong), None),
+      Tag(TLength, 3, 1, Some(h.toLong), None),
+      Tag(TBits, 3, 1, Some(dtype.bits.toLong), None),
+      Tag(TCompression, 3, 1, Some(8L), None),
+      Tag(TPhotometric, 3, 1, Some(1L), None),
+      Tag(TStripOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
+      Tag(TSamplesPerPixel, 3, 1, Some(1L), None),
+      Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
+      Tag(TStripByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))),
+      Tag(TPlanarConfig, 3, 1, Some(1L), None),
+      Tag(TPredictor, 3, 1, Some(predictor.toLong), None),
+      Tag(TSampleFormat, 3, 1, Some(dtype.fmt.toLong), None),
+      Tag(TModelPixelScale, 12, 3, None, Some(dblBytes(pixelScale))),
+      Tag(TModelTiepoint, 12, 6, None, Some(dblBytes(tiepoint))),
+      Tag(TGeoKeyDir, 3, geoKeys.length, None, Some(leBytes(geoKeys, 3))))
+    ascii.foreach { s =>
+      tags = tags :+ Tag(TGdalNodata, 2, s.length, None, Some(s.getBytes("ASCII")))
+    }
+    tags = tags.sortBy(_.id) // TIFF requires ascending tag order
+
+    // layout: header(8) | IFD | external tag data | strip data
+    val ifdSize = 2 + tags.length * 12 + 4
+    var extOff = 8L + ifdSize
+    val extOffsets = tags.map { t =>
+      t.ext match {
+        case Some(b) if b.length > 4 => val o = extOff; extOff += b.length; Some(o)
+        case _ => None
+      }
+    }
+    var stripOff = extOff
+    val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
+    // back-patch the reserved StripOffsets array
+    val soIdx = tags.indexWhere(_.id == TStripOffsets)
+    val soBytes = leBytes(stripOffsets, 4)
+    System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
+
+    val out = new ByteArrayOutputStream()
+    out.write('I'); out.write('I'); out.write(42); out.write(0)
+    out.write(leBytes(Seq(8L), 4)) // first IFD at 8
+    out.write((tags.length & 0xff)); out.write((tags.length >> 8) & 0xff)
+    tags.zip(extOffsets).foreach { case (t, ext) =>
+      out.write(leBytes(Seq(t.id.toLong), 3))
+      out.write(leBytes(Seq(t.typ.toLong), 3))
+      out.write(leBytes(Seq(t.cnt.toLong), 4))
+      val valueField: Array[Byte] = (t.inline, t.ext, ext) match {
+        case (Some(v), _, _) => leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(4, 0.toByte)
+        case (_, Some(b), None) => b.padTo(4, 0.toByte) // short external fits inline
+        case (_, _, Some(o)) => leBytes(Seq(o), 4)
+        case _ => Array.fill(4)(0.toByte)
+      }
+      out.write(valueField, 0, 4)
+    }
+    out.write(leBytes(Seq(0L), 4)) // no next IFD
+    tags.zip(extOffsets).foreach {
+      case (t, Some(_)) => out.write(t.ext.get)
+      case _ => ()
+    }
+    strips.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Apply TIFF predictor 2 (forward differencing) in place. */
+  private def diffRows(data: Array[Byte], w: Int, rows: Int, bps: Int): Unit = {
+    var y = 0
+    while (y < rows) {
+      var x = w - 1
+      while (x >= 1) {
+        val o = (y * w + x) * bps
+        val p = (y * w + x - 1) * bps
+        bps match {
+          case 1 => data(o) = ((data(o) & 0xff) - (data(p) & 0xff)).toByte
+          case 2 => writeS16(data, o, (readS16(data, o, be = false) - readS16(data, p, be = false)).toShort, be = false)
+          case 4 => writeS32(data, o, readS32(data, o, be = false) - readS32(data, p, be = false), be = false)
+        }
+        x -= 1
+      }
+      y += 1
+    }
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+}

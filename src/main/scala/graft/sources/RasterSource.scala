@@ -26,20 +26,28 @@ import scala.jdk.CollectionConverters._
   *    into the source);
   *  - `SupportsPushDownRequiredColumns` projects at the reader.
   *
-  * Options: `w`, `h` (raster size), `ts` (tile size, default 256),
-  * `ndv` (default −32768).
+  * Options: `path` (a GeoTIFF file — read via the pure-JDK [[GeoTiff]]
+  * codec, one InputPartition per TIFF strip/tile); without `path`,
+  * the synthetic DEM: `w`, `h` (raster size), `ts` (tile size,
+  * default 256), `ndv` (default −32768).
   */
 class RasterSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RasterSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new RasterTable(
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    if (path != null) {
+      // header/IFD read only — planning metadata, like open_ds
+      val info = GeoTiff.readInfo(path)
+      new GeoTiffTable(path, info)
+    } else new RasterTable(
       properties.getOrDefault("w", "256").toInt,
       properties.getOrDefault("h", "256").toInt,
       properties.getOrDefault("ts", "256").toInt,
       properties.getOrDefault("ndv", "-32768").toDouble)
+  }
 }
 
 object RasterSource {
@@ -66,16 +74,16 @@ class RasterTable(w: Int, h: Int, ts: Int, ndv: Double) extends Table with Suppo
     new RasterScanBuilder(w, h, ts, ndv)
 }
 
-/** Tile-pruning scan builder: px/py bounds from pushed filters shrink
-  * the planned tile grid.
+/** Shared px/py range pushdown: accepts px/py comparison filters,
+  * tightens the planned window, and hands the rest back to Spark.
   */
-class RasterScanBuilder(w: Int, h: Int, ts: Int, ndv: Double)
+abstract class PxPyPruningScanBuilder(w: Int, h: Int)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var minPx = 0; private var maxPx = w - 1
-  private var minPy = 0; private var maxPy = h - 1
+  protected var minPx = 0; protected var maxPx: Int = w - 1
+  protected var minPy = 0; protected var maxPy: Int = h - 1
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = RasterSource.schema
+  protected var required: StructType = RasterSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -103,7 +111,11 @@ class RasterScanBuilder(w: Int, h: Int, ts: Int, ndv: Double)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+}
 
+/** Tile-pruning scan builder for the synthetic DEM. */
+class RasterScanBuilder(w: Int, h: Int, ts: Int, ndv: Double)
+  extends PxPyPruningScanBuilder(w, h) {
   override def build(): Scan =
     new RasterScan(minPx, maxPx, minPy, maxPy, ts, ndv, required)
 }
@@ -149,6 +161,106 @@ class RasterReaderFactory(ndv: Double, cols: Array[String])
           case "px" => px
           case "py" => py
           case "v" => RasterSource.value(px, py, ndv)
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ------------------------- GeoTIFF-backed table -------------------------
+
+/** A1 real-file table: each TIFF strip/tile is one InputPartition, so
+  * a scan parallelizes over the file's own block grid and the px/py
+  * pushdown prunes whole segments at planning time (the same
+  * pruned-window contract as the synthetic table, now against real
+  * bytes). `decodeSegment` runs executor-side and touches only its
+  * segment's byte range.
+  */
+class GeoTiffTable(path: String, info: GeoTiff.Info) extends Table with SupportsRead {
+  override def name(): String = s"geotiff_$path"
+  override def schema(): StructType = RasterSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoTiffScanBuilder(path, info)
+}
+
+class GeoTiffScanBuilder(path: String, info: GeoTiff.Info)
+  extends PxPyPruningScanBuilder(info.width, info.height) {
+  override def build(): Scan =
+    new GeoTiffScan(path, info, minPx, maxPx, minPy, maxPy, required)
+}
+
+/** Everything a reader task needs, serialized into the partition:
+  * the segment's byte range + placement, the decode parameters, and
+  * the clip window (global pixel coords).
+  */
+case class GeoTiffPartition(
+    path: String, offset: Long, byteCount: Long,
+    segX0: Int, segY0: Int, segW: Int, segH: Int,
+    bands: Int, bits: Int, fmt: Int, compression: Int, predictor: Int,
+    bigEndian: Boolean,
+    clipX0: Int, clipX1: Int, clipY0: Int, clipY1: Int) extends InputPartition
+
+class GeoTiffScan(path: String, info: GeoTiff.Info,
+                  minPx: Int, maxPx: Int, minPy: Int, maxPy: Int,
+                  required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val lastX = math.min(maxPx, info.width - 1)
+    val lastY = math.min(maxPy, info.height - 1)
+    if (minPx > lastX || minPy > lastY) return Array.empty
+    info.segments.iterator.filter { s =>
+      s.x0 <= lastX && s.x0 + s.w - 1 >= minPx &&
+        s.y0 <= lastY && s.y0 + s.h - 1 >= minPy
+    }.map { s =>
+      GeoTiffPartition(path, s.offset, s.byteCount,
+        s.x0, s.y0, s.w, s.h,
+        info.bands, info.bitsPerSample, info.sampleFormat,
+        info.compression, info.predictor, info.bigEndian,
+        math.max(minPx, s.x0), math.min(lastX, s.x0 + s.w - 1),
+        math.max(minPy, s.y0), math.min(lastY, s.y0 + s.h - 1)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoTiffReaderFactory(required.fieldNames)
+}
+
+class GeoTiffReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val t = p.asInstanceOf[GeoTiffPartition]
+    new PartitionReader[InternalRow] {
+      private val info = GeoTiff.Info(
+        // only the decode-relevant fields matter for decodeSegment
+        width = t.segW, height = t.segH, bands = t.bands,
+        bitsPerSample = t.bits, sampleFormat = t.fmt,
+        compression = t.compression, predictor = t.predictor,
+        bigEndian = t.bigEndian, nodata = None, pixelScale = None,
+        tiepoint = None, epsg = None, segments = Nil)
+      private val seg = GeoTiff.Segment(t.offset, t.byteCount, t.segX0, t.segY0, t.segW, t.segH)
+      private lazy val data: Array[Double] = GeoTiff.decodeSegment(t.path, info, seg)
+      private var px = t.clipX0 - 1; private var py = t.clipY0
+      private var band = 1
+      override def next(): Boolean = {
+        px += 1
+        if (px > t.clipX1) {
+          px = t.clipX0; py += 1
+          if (py > t.clipY1) { py = t.clipY0; band += 1 }
+        }
+        band <= t.bands
+      }
+      override def get(): InternalRow = {
+        val v = data(((py - t.segY0) * t.segW + (px - t.segX0)) * t.bands + band - 1)
+        InternalRow.fromSeq(cols.toSeq.map {
+          case "rid" => 0
+          case "band" => band
+          case "px" => px
+          case "py" => py
+          case "v" => v
         })
       }
       override def close(): Unit = ()

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.GeoTransform
+
+/** GeoTIFF codec + DSv2 integration. Ground truth for the reference's
+  * own SRTM fixture (`data/maps/srtm1_x35_y32.tif`) was computed by an
+  * independent decoder (python struct+zlib): 361×361 Int16, 256×256
+  * DEFLATE tiles, EPSG:4326, sum 38341369, min 79, max 550.
+  */
+class GeoTiffSpec extends SparkSpec {
+
+  val Srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
+
+  test("readInfo parses the SRTM fixture header (A1, gdalos_trans.py:318-320)") {
+    val info = GeoTiff.readInfo(Srtm)
+    assert(info.width == 361 && info.height == 361)
+    assert(info.bands == 1 && info.dtypeName == "Int16")
+    assert(info.compression == 8 && !info.bigEndian)
+    assert(info.segments.length == 4) // 2×2 tiles of 256×256
+    assert(info.epsg.contains(4326))
+    val gt = info.gt.get
+    assert(math.abs(gt.c1 - 1.0 / 3600) < 1e-12) // 1-arcsecond-ish grid
+    assert(gt.c5 < 0)
+    assert(math.abs(gt.c0 - 34.99986111111113) < 1e-9)
+    assert(math.abs(gt.c3 - 32.100138888888885) < 1e-9)
+  }
+
+  test("decodeSegment reproduces known SRTM pixels and full-raster stats") {
+    val info = GeoTiff.readInfo(Srtm)
+    // assemble the full raster driver-side (361² = small fixture)
+    val pix = Array.ofDim[Double](info.width * info.height)
+    for (seg <- info.segments) {
+      val d = GeoTiff.decodeSegment(Srtm, info, seg)
+      for (y <- 0 until seg.h; x <- 0 until seg.w) {
+        val (gx, gy) = (seg.x0 + x, seg.y0 + y)
+        if (gx < info.width && gy < info.height)
+          pix(gy * info.width + gx) = d(y * seg.w + x)
+      }
+    }
+    assert(pix(0) == 144.0)
+    assert(pix(100 * 361 + 100) == 253.0)
+    assert(pix(180 * 361 + 180) == 186.0)
+    assert(pix(360 * 361 + 360) == 417.0)
+    assert(pix(50 * 361 + 200) == 351.0)
+    assert(pix.min == 79.0 && pix.max == 550.0)
+    assert(pix.sum == 38341369.0)
+  }
+
+  test("DSv2 scan of the SRTM fixture: full stats + segment-pruned crop") {
+    val df = spark.read.format("graft.sources.RasterSource")
+      .option("path", Srtm).load()
+    val full = df.agg(count(lit(1)), sum("v"), min("v"), max("v")).head()
+    assert(full.getLong(0) == 130321L)
+    assert(full.getDouble(1) == 38341369.0)
+    assert(full.getDouble(2) == 79.0 && full.getDouble(3) == 550.0)
+
+    // crop inside tile (0,0) only → pushdown must prune to 1 partition
+    val crop = df.filter(col("px") >= 100 && col("px") < 200 &&
+      col("py") >= 100 && col("py") < 200)
+    assert(crop.rdd.getNumPartitions == 1)
+    val cs = crop.agg(sum("v"), min("v"), max("v")).head()
+    assert(cs.getDouble(0) == 2666854.0)
+    assert(cs.getDouble(1) == 144.0 && cs.getDouble(2) == 408.0)
+  }
+
+  test("writer round-trip: Int16 + predictor 2, striped DEFLATE") {
+    val w = 100; val h = 70
+    val vals = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13) % 997 - 200.0)
+    val gt = GeoTransform(35.0, 0.001, 0, 32.0, 0, -0.001)
+    val bytes = GeoTiff.encode(w, h, vals, GeoTiff.DtInt16, gt,
+      nodata = Some(-32768.0), rowsPerStrip = 16, predictor = 2)
+    val f = Files.createTempFile("graft_gt", ".tif")
+    Files.write(f, bytes)
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.width == w && info.height == h)
+    assert(info.dtypeName == "Int16" && info.predictor == 2)
+    assert(info.nodata.contains(-32768.0))
+    assert(info.segments.length == (h + 15) / 16)
+    assert(info.epsg.contains(4326))
+    val g = info.gt.get
+    assert(math.abs(g.c0 - 35.0) < 1e-12 && math.abs(g.c5 + 0.001) < 1e-12)
+    val out = Array.ofDim[Double](w * h)
+    for (seg <- info.segments) {
+      val d = GeoTiff.decodeSegment(f.toString, info, seg)
+      for (y <- 0 until seg.h; x <- 0 until seg.w)
+        out((seg.y0 + y) * w + seg.x0 + x) = d(y * seg.w + x)
+    }
+    assert(out.sameElements(vals))
+  }
+
+  test("writer round-trip: Float32 fractional values") {
+    val w = 33; val h = 17
+    val vals = Array.tabulate(w * h)(i => i * 0.25f - 40.5f).map(_.toDouble)
+    val gt = GeoTransform(0.0, 0.5, 0, 10.0, 0, -0.5)
+    val bytes = GeoTiff.encode(w, h, vals, GeoTiff.DtFloat32, gt)
+    val f = Files.createTempFile("graft_gtf", ".tif")
+    Files.write(f, bytes)
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.dtypeName == "Float32" && info.nodata.isEmpty)
+    val d = info.segments.map(s => GeoTiff.decodeSegment(f.toString, info, s))
+    val out = info.segments.zip(d).flatMap { case (s, dd) =>
+      (0 until s.h).flatMap(y => (0 until s.w).map(x => ((s.y0 + y) * w + s.x0 + x, dd(y * s.w + x))))
+    }.sortBy(_._1).map(_._2).toArray
+    assert(out.sameElements(vals))
+  }
+
+  test("DSv2 scan of a written file equals the source frame (q65 shape)") {
+    val w = 64; val h = 48
+    val vals = Array.tabulate(w * h) { i =>
+      val (px, py) = (i % w, i / w)
+      if ((px * 31 + py * 17) % 101 == 0) -32768.0
+      else ((px * 7 + py * 13) % 997).toDouble
+    }
+    val gt = GeoTransform(100.0, 0.25, 0, 50.0, 0, -0.25)
+    val f = Files.createTempFile("graft_rt", ".tif")
+    Files.write(f, GeoTiff.encode(w, h, vals, GeoTiff.DtInt16, gt,
+      nodata = Some(-32768.0), rowsPerStrip = 16))
+    val back = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).load()
+      .select("px", "py", "v").collect()
+    assert(back.length == w * h)
+    back.foreach(r => assert(r.getDouble(2) == vals(r.getInt(1) * w + r.getInt(0))))
+  }
+}
