@@ -81,6 +81,64 @@ object Geodesic {
     Inverse(Angles.normalize(az12), Angles.normalize(az21), dist, converged = true)
   }
 
+  /** (lat2 deg, lon2 deg, forward azimuth at 2 deg). */
+  final case class Direct(lat2: Double, lon2: Double, az2: Double)
+
+  /** Vincenty's direct formula (public-domain): destination point
+    * given start, initial azimuth and distance. The second half of
+    * the geodesic toolkit — together with [[inverse]] it backs the
+    * ellipsoidal azimuthal-equidistant projection (PROJ's aeqd is
+    * exactly this geodesic construction).
+    */
+  def direct(lat1: Double, lon1: Double, az12Deg: Double, distM: Double,
+             ell: Proj.Ellipsoid = Proj.Wgs84): Direct = {
+    val a = ell.a; val f = ell.f; val b = a * (1 - f)
+    val alpha1 = math.toRadians(az12Deg)
+    val sinAlpha1 = math.sin(alpha1); val cosAlpha1 = math.cos(alpha1)
+    val tanU1 = (1 - f) * math.tan(math.toRadians(lat1))
+    val cosU1 = 1 / math.sqrt(1 + tanU1 * tanU1); val sinU1 = tanU1 * cosU1
+    val sigma1 = math.atan2(tanU1, cosAlpha1)
+    val sinAlpha = cosU1 * sinAlpha1
+    val cosSqAlpha = 1 - sinAlpha * sinAlpha
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+
+    var sigma = distM / (b * bigA)
+    var sigmaPrev = 2 * math.Pi
+    var cos2SigmaM = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var iter = 0
+    while (math.abs(sigma - sigmaPrev) > 1e-12 && iter < 100) {
+      cos2SigmaM = math.cos(2 * sigma1 + sigma)
+      sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+      val deltaSigma = bigB * sinSigma *
+        (cos2SigmaM + bigB / 4 *
+          (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+            bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) *
+              (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+      sigmaPrev = sigma
+      sigma = distM / (b * bigA) + deltaSigma
+      iter += 1
+    }
+    cos2SigmaM = math.cos(2 * sigma1 + sigma)
+    sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+
+    val tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosAlpha1
+    val lat2 = math.atan2(sinU1 * cosSigma + cosU1 * sinSigma * cosAlpha1,
+      (1 - f) * math.hypot(sinAlpha, tmp))
+    val lambda = math.atan2(sinSigma * sinAlpha1,
+      cosU1 * cosSigma - sinU1 * sinSigma * cosAlpha1)
+    val c = f / 16 * cosSqAlpha * (4 + f * (4 - 3 * cosSqAlpha))
+    val bigL = lambda - (1 - c) * f * sinAlpha *
+      (sigma + c * sinSigma *
+        (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+    val lon2 = lon1 + math.toDegrees(bigL)
+    val az2 = math.toDegrees(math.atan2(sinAlpha, -tmp))
+    Direct(math.toDegrees(lat2),
+      if (lon2 > 180) lon2 - 360 else if (lon2 <= -180) lon2 + 360 else lon2,
+      Angles.normalize(az2))
+  }
+
   /** Spherical haversine distance (the differential cross-check — an
     * independent formulation the Vincenty result must agree with to
     * ~0.5%, the flattening bound).

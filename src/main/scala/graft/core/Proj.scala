@@ -86,6 +86,34 @@ object Proj {
     }
   }
 
+  /** Azimuthal equidistant centered at (lat0, lon0) — the selector's
+    * on-the-fly observer projection (`get_projected_pj`,
+    * `gdalos_selector.py:67-69`: `+proj=aeqd +ellps=WGS84 +lat_0=y
+    * +lon_0=x`) and the grid geographic-input viewsheds warp to
+    * (`viewshed_calc.py:310-320`). Ellipsoidal construction, exactly
+    * PROJ's: forward = geodesic (azimuth α, distance s) from the
+    * center, (x, y) = (s·sin α, s·cos α); inverse = the geodesic
+    * direct problem at azimuth atan2(x, y), distance hypot(x, y).
+    * Distances from the center are exact by construction — the
+    * property viewshed radii rely on.
+    */
+  final case class Aeqd(lat0: Double, lon0: Double, ell: Ellipsoid = Wgs84) {
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val inv = Geodesic.inverse(lat0, lon0, latDeg, lonDeg, ell)
+      val az = math.toRadians(inv.az12)
+      (inv.distM * math.sin(az), inv.distM * math.cos(az))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dist = math.hypot(x, y)
+      if (dist == 0.0) (lat0, lon0)
+      else {
+        val azDeg = math.toDegrees(math.atan2(x, y))
+        val d = Geodesic.direct(lat0, lon0, azDeg, dist, ell)
+        (d.lat2, d.lon2)
+      }
+    }
+  }
+
   /** UTM projection for an (optionally fractional) zone
     * (`proj_string_from_utm_zone` semantics).
     */

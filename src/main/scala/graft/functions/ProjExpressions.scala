@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** H4 as native Catalyst expressions (SURVEY §7.3 preference order:
@@ -67,6 +67,64 @@ case class UtmInverseLon(first: Expression, second: Expression, third: Expressio
     copy(first = a, second = b, third = c)
 }
 
+/** 4-ary projection expression (point + projection center), same
+  * static-kernel codegen contract as [[ProjExpr]].
+  */
+abstract class Proj4Expr extends QuaternaryExpression with Serializable {
+  def kernel: String
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = evalKernel(
+    a.asInstanceOf[Double], b.asInstanceOf[Double],
+    c.asInstanceOf[Double], d.asInstanceOf[Double])
+  protected def evalKernel(a: Double, b: Double, c: Double, d: Double): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.ProjKernels.$kernel($a, $b, $c, $d);")
+}
+
+case class AeqdForwardX(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdForwardX"
+  override protected def evalKernel(lat: Double, lon: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdForwardX(lat, lon, lat0, lon0)
+  override def prettyName: String = "aeqd_forward_x"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+case class AeqdForwardY(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdForwardY"
+  override protected def evalKernel(lat: Double, lon: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdForwardY(lat, lon, lat0, lon0)
+  override def prettyName: String = "aeqd_forward_y"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+case class AeqdInverseLat(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdInverseLat"
+  override protected def evalKernel(x: Double, y: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdInverseLat(x, y, lat0, lon0)
+  override def prettyName: String = "aeqd_inverse_lat"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+case class AeqdInverseLon(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdInverseLon"
+  override protected def evalKernel(x: Double, y: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdInverseLon(x, y, lat0, lon0)
+  override def prettyName: String = "aeqd_inverse_lon"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** Function registry wiring — either per-session
   * ([[GraftFunctions.register]]) or engine-wide via
   * `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -85,7 +143,15 @@ object GraftFunctions {
     fn("utm_inverse_lat", "latitude of (easting, northing) in UTM zone",
       args => UtmInverseLat(d(args(0)), d(args(1)), d(args(2)))),
     fn("utm_inverse_lon", "longitude of (easting, northing) in UTM zone",
-      args => UtmInverseLon(d(args(0)), d(args(1)), d(args(2)))))
+      args => UtmInverseLon(d(args(0)), d(args(1)), d(args(2)))),
+    fn("aeqd_forward_x", "x of (lat, lon) in aeqd centered (lat0, lon0)",
+      args => AeqdForwardX(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("aeqd_forward_y", "y of (lat, lon) in aeqd centered (lat0, lon0)",
+      args => AeqdForwardY(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("aeqd_inverse_lat", "latitude of (x, y) in aeqd centered (lat0, lon0)",
+      args => AeqdInverseLat(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("aeqd_inverse_lon", "longitude of (x, y) in aeqd centered (lat0, lon0)",
+      args => AeqdInverseLon(d(args(0)), d(args(1)), d(args(2)), d(args(3)))))
 
   private def fn(name: String, usage: String, b: Builder) =
     (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), b)

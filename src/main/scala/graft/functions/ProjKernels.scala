@@ -24,4 +24,14 @@ object ProjKernels {
   def forwardN(lat: Double, lon: Double, zone: Double): Double = tm(zone).forward(lat, lon)._2
   def inverseLat(e: Double, n: Double, zone: Double): Double = tm(zone).inverse(e, n)._1
   def inverseLon(e: Double, n: Double, zone: Double): Double = tm(zone).inverse(e, n)._2
+
+  // aeqd is stateless (no precomputed series) — no per-center cache
+  def aeqdForwardX(lat: Double, lon: Double, lat0: Double, lon0: Double): Double =
+    Proj.Aeqd(lat0, lon0).forward(lat, lon)._1
+  def aeqdForwardY(lat: Double, lon: Double, lat0: Double, lon0: Double): Double =
+    Proj.Aeqd(lat0, lon0).forward(lat, lon)._2
+  def aeqdInverseLat(x: Double, y: Double, lat0: Double, lon0: Double): Double =
+    Proj.Aeqd(lat0, lon0).inverse(x, y)._1
+  def aeqdInverseLon(x: Double, y: Double, lat0: Double, lon0: Double): Double =
+    Proj.Aeqd(lat0, lon0).inverse(x, y)._2
 }

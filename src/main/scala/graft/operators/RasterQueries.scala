@@ -268,6 +268,36 @@ object RasterQueries {
       .select("px", "py", "v").orderBy("py", "px")
   }
 
+  // q66 fixture: 110×96 DEM on a 30 m UTM-36 grid; target 100×80
+  // geographic grid at 0.0003° — the target window's UTM image sits
+  // strictly inside the source footprint (margin ≈ 2 pixels).
+  val WarpSrcGt: GeoTransform = GeoTransform(499950, 30, 0, 3000240, 0, -30)
+  val WarpDstGt: GeoTransform = GeoTransform(33.000, 0.0003, 0, 27.124, 0, -0.0003)
+
+  /** q66 cross-SRS warp (`gdal.Warp` branch, `gdalos_trans.py:842-858`):
+    * UTM-36 DEM gather-warped onto a geographic grid — per target
+    * pixel, the codegen'd Krüger forward maps its center back to UTM,
+    * the 4-tap bilinear neighborhood joins in, and nodata-renormalized
+    * weights reduce in a fixed fold order. The oracle re-derives the
+    * identical series + tap algebra in SQL. Output elevations are
+    * binned to 10 m (`floor(v/10)`): the two engines' libm differ in
+    * final ulps through the projection series, and the driver's
+    * compare is an exact hash — the bin absorbs ~1e-7 m noise while
+    * still catching any real defect (wrong coefficient, tap, weight,
+    * or association changes v by whole meters).
+    */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val src = PixelFrame.dem(s, 110, 96)
+    val inv = (gx: org.apache.spark.sql.Column, gy: org.apache.spark.sql.Column) =>
+      (call_function("utm_forward_e", gy, gx, lit(36.0)),
+        call_function("utm_forward_n", gy, gx, lit(36.0)))
+    Warp.warp(src, WarpSrcGt, WarpDstGt, 100, 80, inv, PixelFrame.Dem.Ndv)
+      .select(col("px"), col("py"),
+        floor(col("v") / 10.0).cast("int").as("v_bin"))
+      .orderBy("py", "px")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_raster_crop" -> q25 _,
     "q26_raster_scale" -> q26 _,
@@ -295,6 +325,7 @@ object RasterQueries {
     "q62_palette_interp" -> q62 _,
     "q63_dsv2_scan" -> q63 _,
     "q65_geotiff_roundtrip" -> q65 _,
+    "q66_warp_utm_to_geo" -> q66 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -480,6 +511,8 @@ object RasterQueries {
          |WHERE px >= 64 AND px < 192 AND py >= 32 AND py < 96
          |ORDER BY py, px""".stripMargin,
 
+    "q66_warp_utm_to_geo" -> warpOracle,
+
     "q40_viewshed_sectors" -> viewshedOracle,
 
     "q56_cutline_mask" -> {
@@ -622,6 +655,73 @@ object RasterQueries {
        |       ROUND(500000.0 + $k0A * eta, 3) AS e,
        |       ROUND($k0A * xi, 3) AS n
        |FROM s4 ORDER BY oid""".stripMargin
+  }
+
+  /** q66 oracle: the full warp chain re-derived in SQL — target grid,
+    * the same Krüger n⁴ forward series (shared coefficients, hyperbolics
+    * expanded via EXP/LN), fractional source coords, the 4 bilinear
+    * taps as a VALUES cross join (same tap order and the same
+    * `GREATEST(1−|d|,0)` weight arithmetic as [[graft.raster.Warp]]),
+    * a LEFT JOIN gather, and the fixed-slot MAX-pivot reduce with the
+    * identical left-associated fold.
+    */
+  private lazy val warpOracle: String = {
+    val tm = graft.core.Proj.utm(36)
+    val Seq(a1, a2, a3, a4) = tm.alphaCoeffs.toSeq
+    val k0A = 0.9996 * tm.aCap
+    val e = graft.core.Proj.Wgs84.e
+    def atanhSql(x: String) = s"(0.5 * LN((1 + $x) / (1 - $x)))"
+    def sinhSql(x: String) = s"((EXP($x) - EXP(-($x))) / 2)"
+    def coshSql(x: String) = s"((EXP($x) + EXP(-($x))) / 2)"
+    val sumXi = Seq((a1, 1), (a2, 2), (a3, 3), (a4, 4)).map { case (a, j) =>
+      s"$a * SIN(${2 * j} * xip) * ${coshSql(s"${2 * j} * etap")}"
+    }.mkString(" + ")
+    val sumEta = Seq((a1, 1), (a2, 2), (a3, 3), (a4, 4)).map { case (a, j) =>
+      s"$a * COS(${2 * j} * xip) * ${sinhSql(s"${2 * j} * etap")}"
+    }.mkString(" + ")
+    def slot(i: Int, body: String) =
+      s"COALESCE(MAX(CASE WHEN tap = $i AND valid THEN $body END), 0.0)"
+    val wS = (0 to 3).map(i => s"w$i").mkString(" + ")
+    val wvS = (0 to 3).map(i => s"wv$i").mkString(" + ")
+    s"""WITH ${demCteN("srcdem", 110, 96)},
+       |grid AS (
+       |  SELECT CAST(i % 100 AS INTEGER) AS px, CAST(i // 100 AS INTEGER) AS py,
+       |         33.0 + (CAST(i % 100 AS INTEGER) + 0.5) * 0.0003 AS gx,
+       |         27.124 + (CAST(i // 100 AS INTEGER) + 0.5) * (-0.0003) AS gy
+       |  FROM range(8000) t(i)),
+       |s1 AS (SELECT *, RADIANS(gy) AS phi, RADIANS(gx - 33.0) AS lam FROM grid),
+       |s2 AS (SELECT *, ${sinhSql(s"${atanhSql("SIN(phi)")} - $e * ${atanhSql(s"$e * SIN(phi)")}")} AS tt FROM s1),
+       |s3 AS (SELECT *,
+       |         ATAN2(tt, COS(lam)) AS xip,
+       |         LN(SIN(lam) / SQRT(tt * tt + COS(lam) * COS(lam))
+       |            + SQRT(SIN(lam) / SQRT(tt * tt + COS(lam) * COS(lam))
+       |                   * (SIN(lam) / SQRT(tt * tt + COS(lam) * COS(lam))) + 1)) AS etap
+       |  FROM s2),
+       |s4 AS (SELECT *, xip + ($sumXi) AS xi, etap + ($sumEta) AS eta FROM s3),
+       |fr AS (SELECT px, py,
+       |         ((500000.0 + $k0A * eta) - 499950.0) / 30.0 - 0.5 AS fx,
+       |         (($k0A * xi) - 3000240.0) / (-30.0) - 0.5 AS fy
+       |       FROM s4),
+       |an AS (SELECT *, CAST(FLOOR(fx) AS INTEGER) AS ax, CAST(FLOOR(fy) AS INTEGER) AS ay,
+       |         fx - FLOOR(fx) AS ox, fy - FLOOR(fy) AS oy FROM fr),
+       |taps AS (SELECT an.*, t.tap, t.dx, t.dy,
+       |          GREATEST(1.0 - ABS(t.dx - ox), 0.0)
+       |            * GREATEST(1.0 - ABS(t.dy - oy), 0.0) AS w
+       |         FROM an CROSS JOIN (VALUES (0, 0.0, 0.0), (1, 1.0, 0.0),
+       |                                    (2, 0.0, 1.0), (3, 1.0, 1.0)) t(tap, dx, dy)),
+       |j AS (SELECT taps.*, d.v AS sv,
+       |        (d.v IS NOT NULL AND d.v <> -32768.0) AS valid
+       |      FROM taps LEFT JOIN srcdem d
+       |        ON d.px = taps.ax + CAST(taps.dx AS INTEGER)
+       |       AND d.py = taps.ay + CAST(taps.dy AS INTEGER)),
+       |g AS (SELECT px, py,
+       |        ${(0 to 3).map(i => slot(i, "w") + s" AS w$i").mkString(", ")},
+       |        ${(0 to 3).map(i => slot(i, "w * sv") + s" AS wv$i").mkString(", ")}
+       |      FROM j GROUP BY px, py)
+       |SELECT px, py,
+       |       CAST(FLOOR((CASE WHEN $wS > 0 THEN ($wvS) / ($wS)
+       |                        ELSE -32768.0 END) / 10.0) AS INTEGER) AS v_bin
+       |FROM g ORDER BY py, px""".stripMargin
   }
 
   /** E2 oracle: the sector sweep in SQL windows over the 121×121 DEM. */

@@ -74,6 +74,36 @@ object Viewshed {
         col("dist"), col("bucket"), col("state"))
   }
 
+  /** Geographic-input viewshed (`viewshed_calc.py:310-320`): a DEM in
+    * geographic coordinates is first gather-warped onto an on-the-fly
+    * azimuthal-equidistant grid centered at the observer
+    * (`get_projected_pj`, `gdalos_selector.py:67-69`) — aeqd because
+    * distances from the center are exact geodesic distances by
+    * construction, which is precisely what the radial sweep needs —
+    * then swept there. `cellSize` is the aeqd grid resolution in
+    * meters; the observer lands exactly on pixel (half, half).
+    */
+  def viewshedGeo(demGeo: DataFrame, gt: graft.core.GeoTransform,
+                  obsLat: Double, obsLon: Double, oz: Double,
+                  cellSize: Double, maxR: Double,
+                  refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                  nBuckets: Int = 64,
+                  demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.GraftFunctions.register(demGeo.sparkSession)
+    val half = math.ceil(maxR / cellSize).toInt
+    val n = 2 * half + 1
+    // pixel CENTER of (half, half) at aeqd origin = the observer
+    val dstGt = graft.core.GeoTransform(
+      -(half + 0.5) * cellSize, cellSize, 0, (half + 0.5) * cellSize, 0, -cellSize)
+    val warped = Warp.warp(demGeo, gt, dstGt, n, n,
+      invMap = (x, y) => (
+        call_function("aeqd_inverse_lon", x, y, lit(obsLat), lit(obsLon)),
+        call_function("aeqd_inverse_lat", x, y, lit(obsLat), lit(obsLon))),
+      ndv = demNdv)
+    viewshed(warped, half, half, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
+  }
+
   /** §3.2 multi-observer composition: per-observer viewsheds (rid =
     * observer index) unioned and reduced by a D-family combine
     * (`viewshed_calc_to_ds`, `viewshed_calc.py:180-562`: per-observer

@@ -1,10 +1,10 @@
 package graft.trans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.raster.{Overview, PixelFrame, RasterOps}
+import graft.raster.{Overview, PixelFrame, RasterOps, Warp}
 import graft.sources.Sinks
 
 /** The trans pipeline — the reference's workhorse entry point
@@ -42,6 +42,50 @@ object Trans {
   final case class TransPlan(frame: DataFrame, decisions: Seq[String],
                              outGt: GeoTransform, outW: Int, outH: Int)
 
+  /** Mapping pair for a supported SRS transition: driver-side forward
+    * (src geo coords → dst geo coords, for extent/resolution
+    * inference) + the column-level INVERSE (dst → src) the gather
+    * warp evaluates per target pixel via the codegen'd H4 expressions.
+    * Covers the reference's talos names: `w84geo` ⇄ `w84u<zone>`
+    * (`gdalos_trans.py:842-858` warp dispatch; zone names
+    * `talos_osr.py:8-30`).
+    */
+  private def srsMapping(srcSrs: String, dstSrs: String):
+      ((Double, Double) => (Double, Double), (Column, Column) => (Column, Column)) = {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    require(srcSrs.startsWith("w84") && dstSrs.startsWith("w84"),
+      s"warp supports the WGS84 family ($srcSrs → $dstSrs; ED50 composes via Proj.datumShift)")
+    val sz = Proj.zoneFromName(srcSrs)
+    val dz = Proj.zoneFromName(dstSrs)
+    (sz, dz) match {
+      case (0.0, z) if z != 0 => // geographic → UTM
+        val tm = Proj.utm(z)
+        (
+          (x, y) => { val (e, n) = tm.forward(y, x); (e, n) },
+          (gx, gy) => (call_function("utm_inverse_lon", gx, gy, lit(z)),
+            call_function("utm_inverse_lat", gx, gy, lit(z))))
+      case (z, 0.0) if z != 0 => // UTM → geographic
+        val tm = Proj.utm(z)
+        (
+          (x, y) => { val (lat, lon) = tm.inverse(x, y); (lon, lat) },
+          (gx, gy) => (call_function("utm_forward_e", gy, gx, lit(z)),
+            call_function("utm_forward_n", gy, gx, lit(z))))
+      case (a, b) =>
+        throw new IllegalArgumentException(
+          s"unsupported warp $srcSrs → $dstSrs (zones $a → $b; zone↔zone composes via geo)")
+    }
+  }
+
+  /** Resampling-alg → gather kernel for the warp stage (decimating
+    * kernels fall back to bilinear, like GDAL warp's default).
+    */
+  private def warpKernel(alg: ResamplingAlg): Warp.Kernel = alg match {
+    case ResamplingAlg.Cubic => Warp.Cubic
+    case ResamplingAlg.CubicSpline => Warp.CubicSpline
+    case ResamplingAlg.Lanczos => Warp.Lanczos
+    case _ => Warp.Bilinear
+  }
+
   /** Build the plan. Returns None when the extent chain is empty —
     * the reference's silent-skip short-circuit (R3,
     * `gdalos_trans.py:552`).
@@ -50,11 +94,31 @@ object Trans {
            opt: TransOptions): Option[TransPlan] = {
     val log = Seq.newBuilder[String]
 
-    // R1 warp elision: same SRS → no warp step at all
+    // R1 warp decision: same SRS → elide the warp entirely; different
+    // SRS → infer the target grid (sampled extent transform + median
+    // resolution, R6/D9), gather-warp onto it, and re-plan the rest of
+    // the pipeline in the target frame (the reference's
+    // warp-then-translate composition, `gdalos_trans.py:842-867`).
     val needWarp = opt.warpSrs.exists(_ != opt.srcSrs)
     if (!needWarp && opt.warpSrs.isDefined)
       log += s"R1: warp elided (src ≡ dst ${opt.srcSrs})"
-    require(!needWarp, "cross-SRS warp path needs the resample+transform stage (not in minimum slice)")
+    if (needWarp) {
+      val dstSrs = opt.warpSrs.get
+      val (fwd, inv) = srsMapping(opt.srcSrs, dstSrs)
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      val srcExtent = gt.extent(w, h)
+      val dstExtent = ExtentUtils.transformExtent(srcExtent, fwd)
+      val (rx, ry) = ExtentUtils.transformResolution(fwd, (gt.c1, -gt.c5), srcExtent)
+      val (dstGt, dw, dh) = GeoTransform.fromRect(dstExtent, rx, ry)
+      val alg = opt.resampling.getOrElse(opt.kind.resamplingAlg(fastMode = true))
+      val kernel = warpKernel(alg)
+      val warpNdv = opt.srcNdv.getOrElse(opt.dstNdv)
+      val warped = Warp.warp(df, gt, dstGt, dw, dh, inv, warpNdv, kernel)
+      log += s"R1: warp ${opt.srcSrs} → $dstSrs ($kernel) to ${dw}x$dh @ ($rx,$ry)"
+      return plan(warped, dstGt, dw, dh,
+          opt.copy(warpSrs = None, srcSrs = dstSrs))
+        .map(p => p.copy(decisions = log.result() ++ p.decisions))
+    }
 
     // R3 extent pushdown & tightening: request ∩ source, aligned (R4)
     val srcExtent = gt.extent(w, h)

@@ -122,4 +122,44 @@ class ProjSpec extends AnyFunSuite with PropCheck {
     assert(ExtentUtils.roundToSig(0.0001234, -1) == 0.00012)
     assert(ExtentUtils.roundToSig(0) == 0.0)
   }
+  test("Vincenty direct inverts the geodesic inverse (round-trip < 1e-9 deg)") {
+    forAllN2(Gen.chooseNum(-80.0, 80.0), Gen.chooseNum(-179.0, 179.0), 200) { (lat, lon) =>
+      val inv = Geodesic.inverse(31.5, 34.5, lat, lon)
+      if (inv.converged && inv.distM > 1) {
+        val d = Geodesic.direct(31.5, 34.5, inv.az12, inv.distM)
+        assert(math.abs(d.lat2 - lat) < 1e-9, s"lat: $lat vs ${d.lat2}")
+        val dLon = math.abs(d.lon2 - lon) min math.abs(math.abs(d.lon2 - lon) - 360)
+        assert(dLon < 1e-9, s"lon: $lon vs ${d.lon2}")
+      }
+    }
+  }
+
+  test("aeqd forward/inverse round-trips to <1e-9 degrees (gdalos_selector.py:67-69)") {
+    val pj = Proj.Aeqd(31.5, 34.5)
+    forAllN2(Gen.chooseNum(-45.0, 75.0), Gen.chooseNum(-60.0, 130.0), 200) { (lat, lon) =>
+      val (x, y) = pj.forward(lat, lon)
+      val (lat2, lon2) = pj.inverse(x, y)
+      assert(math.abs(lat2 - lat) < 1e-9, s"lat $lat lon $lon -> $lat2")
+      assert(math.abs(lon2 - lon) < 1e-9, s"lat $lat lon $lon -> $lon2")
+    }
+  }
+
+  test("aeqd known geometry: center maps to origin; equator arc eastward") {
+    val eq = Proj.Aeqd(0.0, 0.0)
+    val (x0, y0) = eq.forward(0, 0)
+    assert(math.abs(x0) < 1e-9 && math.abs(y0) < 1e-9)
+    // 1 deg along the equator is an exact ellipsoid arc: a * pi/180
+    val (x1, y1) = eq.forward(0, 1)
+    assert(math.abs(x1 - Proj.Wgs84.a * math.Pi / 180) < 1e-3, s"x1 $x1")
+    assert(math.abs(y1) < 1e-6)
+    // due north: distance equals the meridian arc (within 1 m of the
+    // published 1-degree meridian arc length at the equator ~110574.3 m)
+    val (x2, y2) = eq.forward(1, 0)
+    assert(math.abs(x2) < 1e-6)
+    assert(math.abs(y2 - 110574.39) < 1.0, s"y2 $y2")
+    // distances from the center are geodesic distances by construction
+    val p = eq.forward(12.3, 45.6)
+    val d = Geodesic.inverse(0, 0, 12.3, 45.6).distM
+    assert(math.abs(math.hypot(p._1, p._2) - d) < 1e-6)
+  }
 }

@@ -1,0 +1,94 @@
+package graft.raster
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{GeoTransform, Proj}
+import graft.trans.Trans
+
+/** Warp = inverse-project + kernel gather (the `gdal.Warp` analogue,
+  * `gdalos_trans.py:842-858`) — interpolation identities, CRS
+  * round-trips, and the Trans R1 integration.
+  */
+class WarpSpec extends SparkSpec {
+
+  private val Ndv = PixelFrame.Dem.Ndv
+  private def identity2 = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => (x, y)
+
+  test("same-grid identity warp reproduces the raster exactly (incl. nodata)") {
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val src = PixelFrame.dem(spark, 40, 30)
+    val out = Warp.warp(src, gt, gt, 40, 30, identity2, Ndv)
+    val diff = out.alias("o").join(src.alias("s"), Seq("px", "py"))
+      .filter(col("o.v") =!= col("s.v"))
+    assert(diff.count() == 0)
+  }
+
+  test("bilinear and cubic reproduce a linear ramp on a refined grid") {
+    val gt = GeoTransform(0, 1, 0, 40, 0, -1)
+    val src = spark.range(40L * 40).select(
+      lit(0).as("rid"), lit(1).as("band"),
+      (col("id") % 40).cast("int").as("px"),
+      (col("id") / 40).cast("int").as("py"))
+      .withColumn("v", col("px") * 2.0 + col("py") * 3.0 + 7.0)
+    // 2.5× refined grid strictly inside the source footprint
+    val (dstGt, dw, dh) = (GeoTransform(8, 0.4, 0, 32, 0, -0.4), 40, 40)
+    for (k <- Seq[Warp.Kernel](Warp.Bilinear, Warp.Cubic)) {
+      val out = Warp.warp(src, gt, dstGt, dw, dh, identity2, Ndv, k)
+        .withColumn("gx", lit(dstGt.c0) + (col("px") + 0.5) * dstGt.c1)
+        .withColumn("gy", lit(dstGt.c3) + (col("py") + 0.5) * dstGt.c5)
+        // expected = same linear fn of the source pixel coords
+        .withColumn("exp_v", ((col("gx") - gt.c0) / gt.c1 - 0.5) * 2.0
+          + ((col("gy") - gt.c3) / gt.c5 - 0.5) * 3.0 + 7.0)
+      val bad = out.filter(abs(col("v") - col("exp_v")) > 1e-9)
+      assert(bad.count() == 0, s"kernel $k")
+    }
+  }
+
+  test("cubicspline smooths but preserves constants; lanczos near-interpolates") {
+    val gt = GeoTransform(0, 1, 0, 20, 0, -1)
+    val src = PixelFrame.constant(spark, 20, 20, 42.0)
+    val dstGt = GeoTransform(4, 0.7, 0, 16, 0, -0.7)
+    for (k <- Seq[Warp.Kernel](Warp.CubicSpline, Warp.Lanczos)) {
+      val out = Warp.warp(src, gt, dstGt, 12, 12, identity2, Ndv, k)
+      val bad = out.filter(abs(col("v") - 42.0) > 1e-9)
+      assert(bad.count() == 0, s"kernel $k") // weight renormalization ⇒ exact partition of unity
+    }
+  }
+
+  test("UTM→geo warp of a constant raster is constant; grid inference sane (R1)") {
+    // 60×50 constant raster on a 30 m UTM-36 grid near (27.1N, 33E)
+    val gt = GeoTransform(500000, 30, 0, 3000000, 0, -30)
+    val src = PixelFrame.constant(spark, 60, 50, 7.5)
+    val p = Trans.plan(src, gt, 60, 50,
+      Trans.TransOptions(warpSrs = Some("w84geo"), srcSrs = "w84u36",
+        resampling = Some(graft.core.ResamplingAlg.Bilinear))).get
+    assert(p.decisions.exists(_.startsWith("R1: warp w84u36 → w84geo")))
+    // output grid is geographic: ~30 m ≈ 2.7e-4°, sane bounds
+    assert(p.outGt.c1 > 1e-5 && p.outGt.c1 < 1e-3)
+    val vals = p.frame.select("v").distinct().collect().map(_.getDouble(0))
+    // interior pixels exactly 7.5; edge pixels may be ndv (outside src)
+    assert(vals.forall(v => math.abs(v - 7.5) < 1e-9 || v == Ndv))
+    assert(vals.exists(v => math.abs(v - 7.5) < 1e-9))
+  }
+
+  test("R1 elision: same srs does not add a warp stage") {
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val p = Trans.plan(PixelFrame.dem(spark, 20, 20), gt, 20, 20,
+      Trans.TransOptions(warpSrs = Some("w84geo"), srcSrs = "w84geo")).get
+    assert(p.decisions.exists(_.contains("warp elided")))
+  }
+
+  test("geographic-input viewshed: flat geo DEM fully visible within range (§3.2)") {
+    // constant-elevation DEM on a 1-arcsec-ish grid around (31.5N, 34.5E)
+    val gt = GeoTransform(34.49, 0.0003, 0, 31.51, 0, -0.0003)
+    val dem = PixelFrame.constant(spark, 80, 80, 100.0)
+    val vs = Viewshed.viewshedGeo(dem, gt, obsLat = 31.4982, obsLon = 34.5018,
+      oz = 10.0, cellSize = 30.0, maxR = 300.0, nBuckets = 16)
+    val counts = vs.groupBy("state").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(Viewshed.StHidden, 0L) == 0, s"flat terrain must hide nothing: $counts")
+    assert(counts.getOrElse(Viewshed.StSeen, 0L) > 200)
+    assert(counts.contains(Viewshed.StNodata)) // beyond maxR ring exists
+  }
+}
