@@ -64,12 +64,25 @@ object Overview {
   /** Full pyramid: levels 1..n stacked with an `ovr` column (level 0 =
     * the input), iterating [[buildLevel]] log₂ times
     * (`gdalos_trans.py:1183-1188`: ovr_levels = 2^(i+1)).
+    *
+    * Each level is MATERIALIZED (`localCheckpoint`) before feeding the
+    * next: without it the unioned plan recomputes levels 1..k−1 inside
+    * level k's branch — O(L²) aggregation stages, and at scale every
+    * recompute re-reads the base raster (at the reference's default 10
+    * levels, 55 stages instead of 10). This is the in-session analogue
+    * of the reference's write-then-reuse `.ovr` chain
+    * (`existing_reuse`, `gdalos_trans.py:1097-1130`); Trans.run's
+    * pyramid write path persists levels to storage the same way.
+    * `materialize = false` restores the pure-plan form (tiny pyramids,
+    * plan-shape tests).
     */
-  def buildPyramid(df: DataFrame, levels: Int, alg: ResamplingAlg, ndv: Double): DataFrame = {
+  def buildPyramid(df: DataFrame, levels: Int, alg: ResamplingAlg, ndv: Double,
+                   materialize: Boolean = true): DataFrame = {
     var acc = df.withColumn("ovr", lit(0))
     var cur = df
     for (k <- 1 to levels) {
       cur = buildLevel(cur, alg, ndv)
+      if (materialize && k < levels) cur = cur.localCheckpoint()
       acc = acc.unionByName(cur.withColumn("ovr", lit(k)))
     }
     acc

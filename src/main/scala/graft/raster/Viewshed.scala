@@ -30,14 +30,15 @@ object Viewshed {
   val StNodtm = 1.0    // viewshed_params.py:17
   val StNodata = 0.0   // viewshed_params.py:18 (out of range)
 
-  /** Single-observer viewshed over a DEM pixel frame. Observer at
-    * integer pixel (ox,oy), mast height `oz` above ground; `maxR` in
-    * meters; output = input pixels + `state` column.
+  /** Per-observer sweep geometry: distance, sector bucket, curvature
+    * correction, and the obstruction ratio — all column math, no
+    * shuffle. Kept separate from the window pass so a multi-observer
+    * run can union N of these and pay ONE window shuffle keyed by
+    * (rid, band, bucket).
     */
-  def viewshed(dem: DataFrame, ox: Int, oy: Int, oz: Double,
-               cellSize: Double, maxR: Double,
-               refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
-               nBuckets: Int = 64, demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+  private def sweepGeom(dem: DataFrame, ox: Int, oy: Int, oz: Double,
+                        cellSize: Double, refractionCoeff: Double,
+                        nBuckets: Int, demNdv: Double): DataFrame = {
     val cc = 1.0 - refractionCoeff
 
     // observer ground height — broadcast 1-row join, no driver collect
@@ -46,7 +47,7 @@ object Viewshed {
 
     val dx = col("px") - ox
     val dy = col("py") - oy
-    val withGeom = dem.crossJoin(broadcast(obsH))
+    dem.crossJoin(broadcast(obsH))
       .filter(!(col("px") === ox && col("py") === oy))
       .withColumn("dist", sqrt((dx * dx + dy * dy).cast("double")) * cellSize)
       .withColumn("bucket",
@@ -56,13 +57,18 @@ object Viewshed {
       .withColumn("ratio",
         when(col("v") === demNdv, lit(null)) // nodata never obstructs
           .otherwise((col("v") + col("hc") - (col("h0") + oz)) / col("dist")))
+  }
 
-    // keyed by (rid, band, bucket): a frame carrying multiple rasters
-    // or bands must not mix obstruction state across them — and the
-    // extra keys multiply sort parallelism (obs×bands×buckets tasks)
+  /** The sector-window visibility pass over a (possibly multi-rid)
+    * geometry frame. Keyed by (rid, band, bucket): a frame carrying
+    * multiple rasters/observers or bands must not mix obstruction
+    * state across them — and the extra keys multiply sort parallelism
+    * (obs×bands×buckets tasks instead of a flat nBuckets cap).
+    */
+  private def sweepStates(geom: DataFrame, maxR: Double, demNdv: Double): DataFrame = {
     val sector = Window.partitionBy("rid", "band", "bucket")
       .orderBy(col("dist"), col("px"), col("py"))
-    withGeom
+    geom
       .withColumn("obstruction",
         max(col("ratio")).over(sector.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("state",
@@ -73,6 +79,28 @@ object Viewshed {
       .select(col("rid"), col("band"), col("px"), col("py"), col("v"),
         col("dist"), col("bucket"), col("state"))
   }
+
+  /** Sector count that keeps per-sector sort size bounded as the
+    * footprint grows: targets ~16k rows per sector task within
+    * [64, 4096] sectors — at a 100× DEM the sweep scales out instead
+    * of funneling through a fixed 64-way sort.
+    */
+  def autoBuckets(maxR: Double, cellSize: Double): Int = {
+    val footprint = math.Pi * math.pow(maxR / cellSize, 2)
+    math.max(64, math.min(4096, (footprint / 16384).toInt))
+  }
+
+  /** Single-observer viewshed over a DEM pixel frame. Observer at
+    * integer pixel (ox,oy), mast height `oz` above ground; `maxR` in
+    * meters; output = input pixels + `state` column.
+    */
+  def viewshed(dem: DataFrame, ox: Int, oy: Int, oz: Double,
+               cellSize: Double, maxR: Double,
+               refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+               nBuckets: Int = 64, demNdv: Double = PixelFrame.Dem.Ndv): DataFrame =
+    sweepStates(
+      sweepGeom(dem, ox, oy, oz, cellSize, refractionCoeff, nBuckets, demNdv),
+      maxR, demNdv)
 
   /** Geographic-input viewshed (`viewshed_calc.py:310-320`): a DEM in
     * geographic coordinates is first gather-warped onto an on-the-fly
@@ -117,11 +145,16 @@ object Viewshed {
                       nBuckets: Int = 64, demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
     require(observers.nonEmpty, "need at least one observer")
     require(observers.size <= 254, "reference caps combine inputs at 254 (viewshed_calc.py:245)")
-    val stack = observers.zipWithIndex.map { case ((ox, oy, oz), i) =>
-      viewshed(dem, ox, oy, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
-        .select(lit(i).as("rid"), col("band"), col("px"), col("py"),
-          col("state").as("v"))
+    // per-observer geometry branches (no shuffle each), tagged rid =
+    // observer index BEFORE the window, so the whole stack pays ONE
+    // window shuffle with obs×buckets partitions — parallelism scales
+    // with the observer count instead of capping at nBuckets.
+    val geom = observers.zipWithIndex.map { case ((ox, oy, oz), i) =>
+      sweepGeom(dem, ox, oy, oz, cellSize, refractionCoeff, nBuckets, demNdv)
+        .withColumn("rid", lit(i))
     }.reduce(_ unionByName _)
+    val stack = sweepStates(geom, maxR, demNdv)
+      .select(col("rid"), col("band"), col("px"), col("py"), col("state").as("v"))
     op match {
       case "max"     => Combine.vsMax(stack)
       case "min"     => Combine.vsMin(stack)

@@ -106,4 +106,20 @@ class LosViewshedSpec extends SparkSpec {
     assert(vs2.filter($"px" === 2 && $"py" === 2)
       .select("state").as[Double].head() == Viewshed.StNodtm)
   }
+  test("multi-observer combine pays ONE window shuffle (obs x buckets keys)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dem = PixelFrame.dem(spark, 41, 41)
+    val vs = Viewshed.viewshedCombine(dem, Seq((10, 10, 15.0), (30, 30, 15.0), (20, 5, 10.0)),
+      op = "count", cellSize = 5.0, maxR = 150.0, nBuckets = 16)
+    val plan = vs.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val windows = "(?m)^\\s*[+:\\-]*\\s*Window ".r.findAllIn(plan).length
+    assert(windows == 1, s"expected a single Window node, plan:\n$plan")
+  }
+
+  test("autoBuckets scales sectors with footprint within [64, 4096]") {
+    assert(Viewshed.autoBuckets(250.0, 5.0) == 64)            // small footprint -> floor
+    assert(Viewshed.autoBuckets(30000.0, 5.0) == 4096)        // huge footprint -> cap
+    val mid = Viewshed.autoBuckets(5000.0, 5.0)
+    assert(mid > 64 && mid < 4096)
+  }
 }

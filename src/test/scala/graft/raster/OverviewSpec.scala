@@ -74,4 +74,24 @@ class OverviewSpec extends SparkSpec {
     // interior size 8×8 plus the half-pixel border fringe
     assert(up.count() >= 64)
   }
+  test("pyramid materializes each level once: no O(L^2) re-aggregation lineage") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dem = PixelFrame.dem(spark, 64, 64)
+    // materialized: only the LAST level's aggregation appears in the
+    // plan (earlier levels are checkpointed scans)
+    val mat = Overview.buildPyramid(dem, 4, ResamplingAlg.Average, PixelFrame.Dem.Ndv)
+    val matAggs = "HashAggregate".r.findAllIn(
+      mat.queryExecution.explainString(ExplainMode.fromString("simple"))).length
+    // un-materialized: level k's branch re-aggregates 1..k times
+    val lazyP = Overview.buildPyramid(dem, 4, ResamplingAlg.Average, PixelFrame.Dem.Ndv,
+      materialize = false)
+    val lazyAggs = "HashAggregate".r.findAllIn(
+      lazyP.queryExecution.explainString(ExplainMode.fromString("simple"))).length
+    assert(matAggs <= 2, s"materialized pyramid should aggregate once, saw $matAggs")
+    assert(lazyAggs >= 10, s"lazy pyramid should show the O(L^2) blowup, saw $lazyAggs")
+    // identical results either way
+    val a = mat.groupBy("ovr").count().orderBy("ovr").collect().toSeq
+    val b = lazyP.groupBy("ovr").count().orderBy("ovr").collect().toSeq
+    assert(a == b)
+  }
 }
