@@ -22,10 +22,14 @@ object Multimodal {
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features (what a real image/audio decoder would emit). */
+  /** Extracted features (what a real image/audio decoder would emit).
+    * `width`/`height` are None for payloads no codec can decode —
+    * honest nulls, never fabricated dimensions (a plausible-looking
+    * fake would silently poison any consumer that trusts it).
+    */
   final case class MediaFeatures(media_id: Long, kind: String,
                                  n_bytes: Int, checksum: Long,
-                                 width: Int, height: Int)
+                                 width: Option[Int], height: Option[Int])
 
   /** Build a deterministic synthetic media table from the documents
     * fixture: payload = utf-8 bytes of (source ':' doc_id), kind
@@ -38,13 +42,41 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       encode(concat(col("source"), lit(":"), col("doc_id")), "utf-8").as("payload"))
 
+  /** JPEG dimensions from the first SOF0/1/2 frame header — a pure
+    * marker walk over the byte stream, no entropy decode. Returns
+    * None on desync, truncation, or SOS/EOI before any SOF.
+    */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // marker desync
+      val marker = b(i + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS before SOF
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (i + 8 >= b.length) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** Decoder: PNG payloads (signature-detected) are REALLY decoded —
     * width/height from IHDR, checksum over the decoded pixels — via
-    * the pure-JDK [[graft.sources.Png]] codec. Other payload kinds
-    * (JPEG, PCM audio, video containers: codecs not in this
-    * container) fall back to the deterministic stub ??? with fake
-    * dimensions; the per-partition batch shape is identical either
-    * way, so swapping in real codecs changes only this function.
+    * the pure-JDK [[graft.sources.Png]] codec; JPEG dimensions come
+    * from the SOF marker walk ([[jpegDims]]). Every other payload
+    * kind (PCM audio, video containers: codecs not in this container)
+    * is the declared stub: byte-level checksum, NULL dimensions —
+    * never fabricated values. The per-partition batch shape is
+    * identical either way, so swapping in real codecs changes only
+    * this function.
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
     val isPng = r.payload.length > 8 &&
@@ -53,11 +85,12 @@ object Multimodal {
     if (isPng) {
       val (w, h, pix) = graft.sources.Png.decode(r.payload)
       val sum = pix.foldLeft(0L)((acc, p) => (acc * 31 + (p & 0xffffffffL)) % 1000000007L)
-      MediaFeatures(r.media_id, r.kind, r.payload.length, sum, w, h)
+      MediaFeatures(r.media_id, r.kind, r.payload.length, sum, Some(w), Some(h))
     } else {
       val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      val dims = jpegDims(r.payload)
       MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
-        width = (sum % 640).toInt, height = (sum % 480).toInt)
+        width = dims.map(_._1), height = dims.map(_._2))
     }
   }
 

@@ -311,8 +311,8 @@ object LlmQueries {
         |           (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
         |  FROM m)
         |SELECT media_id, kind, n_bytes, checksum,
-        |       CAST(checksum % 640 AS INTEGER) AS width,
-        |       CAST(checksum % 480 AS INTEGER) AS height
+        |       CAST(NULL AS INTEGER) AS width,
+        |       CAST(NULL AS INTEGER) AS height
         |FROM f ORDER BY media_id""".stripMargin,
   )
 }

@@ -150,6 +150,15 @@ object RasterQueries {
     RasterOps.cutline(dem(s), Gt, DemW, DemH, CutRing)
       .select("px", "py", "v").orderBy("py", "px")
 
+  /** q67 vector→raster burn (rasterize, `gdalos_rasterize.py:84-123`):
+    * the cutline ring burned onto the DEM as a constant value; outside
+    * pixels pass through untouched. The oracle replays the same
+    * pixel-center affine, bbox guard, and edge tests as a SQL CASE.
+    */
+  def q67(s: SparkSession, d: String): DataFrame =
+    RasterOps.rasterize(dem(s), Gt, CutRing, burnValue = 9999.0)
+      .select("px", "py", "v").orderBy("py", "px")
+
   /** q57 E4 forward-target trig (vectorized calc_fwd). */
   def q57(s: SparkSession, d: String): DataFrame = {
     val obs = s.range(30).select(
@@ -326,6 +335,7 @@ object RasterQueries {
     "q63_dsv2_scan" -> q63 _,
     "q65_geotiff_roundtrip" -> q65 _,
     "q66_warp_utm_to_geo" -> q66 _,
+    "q67_rasterize_burn" -> q67 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -512,6 +522,19 @@ object RasterQueries {
          |ORDER BY py, px""".stripMargin,
 
     "q66_warp_utm_to_geo" -> warpOracle,
+
+    "q67_rasterize_burn" -> {
+      val cx = "((100.0 + (px + 0.5) * 0.25) + (py + 0.5) * 0.0)"
+      val cy = "((50.0 + (px + 0.5) * 0.0) + (py + 0.5) * -0.25)"
+      val pip = graft.core.Geometry.pointInPolygonSql(cx, cy, CutRing)
+      s"""WITH $demCte
+         |SELECT px, py,
+         |       CASE WHEN $cx >= 120.0 AND $cx <= 130.0
+         |             AND $cy >= 30.0 AND $cy <= 40.0
+         |             AND $pip
+         |            THEN 9999.0 ELSE v END AS v
+         |FROM dem ORDER BY py, px""".stripMargin
+    },
 
     "q40_viewshed_sectors" -> viewshedOracle,
 

@@ -51,6 +51,26 @@ object RasterOps {
     coarse.filter(Geometry.pointInPolygonCol(cx, cy, ringGeo))
   }
 
+  /** Vector→raster burn (`gdalos_rasterize.py:84-123`): pixels whose
+    * centers fall inside the geo-space ring take `burnValue`; all
+    * others keep their value. Same two-stage predicate as [[cutline]]
+    * (coarse bbox comparisons guard the unrolled point-in-polygon
+    * test, all whole-stage codegen) but as a value REWRITE, not a
+    * filter — the burn composes with any pixel frame, so a fresh
+    * canvas is just `PixelFrame.constant` input. Embarrassingly
+    * parallel: no shuffle, no driver geometry.
+    */
+  def rasterize(df: DataFrame, gt: GeoTransform,
+                ringGeo: Seq[(Double, Double)], burnValue: Double): DataFrame = {
+    val bbox = Geometry.ringBBox(ringGeo)
+    val cx = lit(gt.c0) + (col("px") + 0.5) * gt.c1 + (col("py") + 0.5) * gt.c2
+    val cy = lit(gt.c3) + (col("px") + 0.5) * gt.c4 + (col("py") + 0.5) * gt.c5
+    val inside = cx >= bbox.minX && cx <= bbox.maxX &&
+      cy >= bbox.minY && cy <= bbox.maxY &&
+      Geometry.pointInPolygonCol(cx, cy, ringGeo)
+    df.withColumn("v", when(inside, lit(burnValue)).otherwise(col("v")))
+  }
+
   /** B7 overview selection: resolve an overview index per the
     * reference's numbering contract (`gdalos_trans.py:72-79`): 0 is
     * the base raster, 1..n the overviews, negative counts from the

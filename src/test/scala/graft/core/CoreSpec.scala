@@ -79,4 +79,35 @@ class CoreSpec extends AnyFunSuite {
     assert(p.entries(0.0) == 0xccff0000)  // $CC0000FF = a=CC,b=00,g=00,r=FF → ARGB ccff0000
     assert(p.entries(10.0) == 0xcc00ff00)
   }
+  test("Palette corpus: every .txt color file in the reference data tree parses") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("/root/reference/data/color_files")
+    assume(Files.isDirectory(root))
+    val files = Files.walk(root).iterator().asScala
+      .filter(f => f.toString.endsWith(".txt")).toSeq.sortBy(_.toString)
+    assert(files.size >= 9, s"expected the full corpus, found ${files.size}")
+    files.foreach { f =>
+      val pal = Palette.parseColorFile(Files.readString(f))
+      val n = pal.entries.size + pal.percentEntries.size
+      assert(n > 0, s"$f parsed to an empty palette")
+      // a resolved palette must interpolate over its whole key range
+      val resolved = if (pal.isPercent) pal.applyPercent(0, 1000) else pal
+      val keys = resolved.entries.keys.toSeq
+      val mid = (keys.head + keys.last) / 2
+      resolved.interp(mid) // must not throw
+      resolved.nearest(mid)
+      // percent files resolve percents monotonically into the range
+      if (pal.isPercent) assert(keys == keys.sorted)
+    }
+    // spot-check known rows of the corpus
+    val comb = Palette.parseColorFile(
+      Files.readString(root.resolve("viewshed/comb.txt")))
+    assert(comb.entries(1.0) == 0xff00008f) // "1 0 0 143"
+    assert(comb.entries(0.0) == 0x00ffffff) // alpha 0 row
+    val pct = Palette.parseColorFile(Files.readString(root.resolve("percents.txt")))
+    assert(pct.isPercent && pct.nodataColor.contains(0x00000000))
+    val resolved = pct.applyPercent(0, 100)
+    assert(resolved.entries.contains(100.0) && resolved.entries(100.0) == 0xccff00ff)
+  }
 }

@@ -153,8 +153,27 @@ class LlmSpec extends SparkSpec {
     val png = graft.sources.Png.encode(6, 4, pix)
     val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")
     val f = Multimodal.extractFeatures(media).collect().head
-    assert(f.width == 6 && f.height == 4 && f.n_bytes == png.length)
+    assert(f.width.contains(6) && f.height.contains(4) && f.n_bytes == png.length)
     val expectSum = pix.foldLeft(0L)((a, p) => (a * 31 + (p & 0xffffffffL)) % 1000000007L)
     assert(f.checksum == expectSum)
+  }
+  test("multimodal: JPEG SOF dims parsed; undecodable kinds get honest NULLs") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // minimal JPEG skeleton: SOI, APP0 (empty-ish), SOF0 with 480x640, EOI
+    val jpeg = Array[Int](
+      0xff, 0xd8,                                  // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,          // APP0 len=4
+      0xff, 0xc0, 0x00, 0x0b, 0x08,                // SOF0 len=11, precision 8
+      0x01, 0xe0,                                  // height 480
+      0x02, 0x80,                                  // width 640
+      0x01, 0x11, 0x00,                            // 1 component
+      0xff, 0xd9).map(_.toByte)                    // EOI
+    assert(Multimodal.jpegDims(jpeg).contains((640, 480)))
+    val media = Seq(
+      (1L, "image", jpeg),
+      (2L, "audio", "not an image at all".getBytes("UTF-8"))).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).width.contains(640) && f(0).height.contains(480))
+    assert(f(1).width.isEmpty && f(1).height.isEmpty) // no fabricated dims
   }
 }
