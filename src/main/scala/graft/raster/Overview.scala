@@ -58,7 +58,28 @@ object Overview {
 
     case other =>
       throw new IllegalArgumentException(
-        s"decimation kernel $other needs the halo-join stencil path (E1 interpolating kernels)")
+        s"decimation kernel $other is interpolating — use buildLevelKernel(df, alg, ndv, w, h)")
+  }
+
+  /** E1 interpolating-kernel decimation (one 2× level): the gather
+    * form over the [[Warp]] stencil machinery — identity CRS mapping,
+    * grid coarsened 2× (`gdalos_types.py:40-47` kernels, any of
+    * bilinear/cubic/cubicspline/lanczos). Same single join + single
+    * aggregation plan as a cross-SRS warp; nodata renormalizes out.
+    */
+  def buildLevelKernel(df: DataFrame, alg: ResamplingAlg, ndv: Double,
+                       w: Int, h: Int): DataFrame = {
+    val kernel = alg match {
+      case ResamplingAlg.Bilinear => Warp.Bilinear
+      case ResamplingAlg.Cubic => Warp.Cubic
+      case ResamplingAlg.CubicSpline => Warp.CubicSpline
+      case ResamplingAlg.Lanczos => Warp.Lanczos
+      case other => throw new IllegalArgumentException(
+        s"$other is a decimating kernel — use buildLevel")
+    }
+    val pixGt = graft.core.GeoTransform(0, 1, 0, 0, 0, -1) // pixel space
+    Warp.warp(df, pixGt, pixGt.overview(1), (w + 1) / 2, (h + 1) / 2,
+      (x, y) => (x, y), ndv, kernel)
   }
 
   /** Full pyramid: levels 1..n stacked with an `ovr` column (level 0 =

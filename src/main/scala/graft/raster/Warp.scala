@@ -86,9 +86,14 @@ object Warp {
            ndv: Double, kernel: Kernel = Bilinear): DataFrame = {
     require(srcGt.isNorthUp && dstGt.isNorthUp, "warp supports north-up grids")
     val spark = src.sparkSession
-    val grid = spark.range(dstW.toLong * dstH).select(
+    // one target grid per (rid, band) of the source — a multi-raster/
+    // multi-band frame warps each plane independently (at cluster
+    // scale this tiny universe comes from the raster catalog, not a
+    // scan; here a distinct is cheap and keeps the API closed)
+    val planes = broadcast(src.select("rid", "band").distinct())
+    val grid = planes.crossJoin(spark.range(dstW.toLong * dstH).select(
       (col("id") % dstW).cast("int").as("px"),
-      (col("id") / dstW).cast("int").as("py"))
+      (col("id") / dstW).cast("int").as("py")))
 
     // target pixel center → target geo → source geo → fractional
     // source pixel coords (pixel-center convention: center of source
@@ -98,25 +103,26 @@ object Warp {
     val (sx, sy) = invMap(gx, gy)
     val fx = (sx - lit(srcGt.c0)) / lit(srcGt.c1) - lit(0.5)
     val fy = (sy - lit(srcGt.c3)) / lit(srcGt.c5) - lit(0.5)
-    val anchored = grid.select(col("px"), col("py"),
+    val anchored = grid.select(col("rid"), col("band"), col("px"), col("py"),
       floor(fx).cast("int").as("ax"), floor(fy).cast("int").as("ay"),
       (fx - floor(fx)).as("ox"), (fy - floor(fy)).as("oy"))
 
     // tap offsets per axis: -radius+1 .. radius around the anchor
     val offs = (-kernel.radius + 1) to kernel.radius
     val tapList = for { dy <- offs; dx <- offs } yield (dx, dy)
-    val taps = anchored.select(col("px"), col("py"), col("ax"), col("ay"),
-        col("ox"), col("oy"),
+    val taps = anchored.select(col("rid"), col("band"), col("px"), col("py"),
+        col("ax"), col("ay"), col("ox"), col("oy"),
         posexplode(array(tapList.map { case (dx, dy) =>
           struct(lit(dx).as("dx"), lit(dy).as("dy"))
         }: _*)).as(Seq("tap", "t")))
-      .select(col("px"), col("py"), col("tap"),
+      .select(col("rid"), col("band"), col("px"), col("py"), col("tap"),
         (col("ax") + col("t.dx")).as("jx"), (col("ay") + col("t.dy")).as("jy"),
         (kernel.weight(abs(col("t.dx") - col("ox"))) *
           kernel.weight(abs(col("t.dy") - col("oy")))).as("w"))
 
-    val srcPix = src.select(col("px").as("jx"), col("py").as("jy"), col("v").as("sv"))
-    val joined = taps.join(srcPix, Seq("jx", "jy"), "left")
+    val srcPix = src.select(col("rid"), col("band"),
+      col("px").as("jx"), col("py").as("jy"), col("v").as("sv"))
+    val joined = taps.join(srcPix, Seq("rid", "band", "jx", "jy"), "left")
       .withColumn("valid", col("sv").isNotNull && col("sv") =!= ndv)
 
     // fixed-slot pivot + left-associated fold → bit-deterministic
@@ -126,9 +132,9 @@ object Warp {
       Seq(slotAgg(col("w"), i).as(s"w$i"), slotAgg(col("w") * col("sv"), i).as(s"wv$i")))
     val wSum = tapList.indices.map(i => col(s"w$i")).reduceLeft(_ + _)
     val wvSum = tapList.indices.map(i => col(s"wv$i")).reduceLeft(_ + _)
-    joined.groupBy("px", "py")
+    joined.groupBy("rid", "band", "px", "py")
       .agg(slotCols.head, slotCols.tail: _*)
-      .select(lit(0).as("rid"), lit(1).as("band"), col("px"), col("py"),
+      .select(col("rid"), col("band"), col("px"), col("py"),
         when(wSum > 0, wvSum / wSum).otherwise(lit(ndv)).as("v"))
   }
 }

@@ -70,9 +70,23 @@ object Trans {
           (x, y) => { val (lat, lon) = tm.inverse(x, y); (lon, lat) },
           (gx, gy) => (call_function("utm_forward_e", gy, gx, lit(z)),
             call_function("utm_forward_n", gy, gx, lit(z))))
+      case (za, zb) if za != 0 && zb != 0 => // UTM zone ↔ zone, composed via geo
+        val ta = Proj.utm(za); val tb = Proj.utm(zb)
+        (
+          (x, y) => {
+            val (lat, lon) = ta.inverse(x, y); val (e, n) = tb.forward(lat, lon); (e, n)
+          },
+          (gx, gy) => {
+            // dst-zone (e,n) → geo → src-zone (e,n); Catalyst CSE
+            // dedups the repeated inverse calls inside codegen
+            val lat = call_function("utm_inverse_lat", gx, gy, lit(zb))
+            val lon = call_function("utm_inverse_lon", gx, gy, lit(zb))
+            (call_function("utm_forward_e", lat, lon, lit(za)),
+              call_function("utm_forward_n", lat, lon, lit(za)))
+          })
       case (a, b) =>
         throw new IllegalArgumentException(
-          s"unsupported warp $srcSrs → $dstSrs (zones $a → $b; zone↔zone composes via geo)")
+          s"unsupported warp $srcSrs → $dstSrs (zones $a → $b)")
     }
   }
 
@@ -163,8 +177,15 @@ object Trans {
       (col("px") - x0).cast("int").as("px"), (col("py") - y0).cast("int").as("py"), col("v"))
     if (opt.decimateLevels > 0) {
       val alg = opt.resampling.getOrElse(opt.kind.resamplingAlg(fastMode = true))
-      for (_ <- 1 to opt.decimateLevels)
-        frame = Overview.buildLevel(frame, alg, opt.dstNdv)
+      val interpolating = Set[ResamplingAlg](ResamplingAlg.Bilinear,
+        ResamplingAlg.Cubic, ResamplingAlg.CubicSpline, ResamplingAlg.Lanczos)
+      var cw = x1 - x0; var ch = y1 - y0
+      for (_ <- 1 to opt.decimateLevels) {
+        frame =
+          if (interpolating(alg)) Overview.buildLevelKernel(frame, alg, opt.dstNdv, cw, ch)
+          else Overview.buildLevel(frame, alg, opt.dstNdv)
+        cw = (cw + 1) / 2; ch = (ch + 1) / 2
+      }
       outGt = outGt.overview(opt.decimateLevels)
       log += s"E1: ${opt.decimateLevels}× decimation with $alg"
     }

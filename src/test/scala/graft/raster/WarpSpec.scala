@@ -91,4 +91,71 @@ class WarpSpec extends SparkSpec {
     assert(counts.getOrElse(Viewshed.StSeen, 0L) > 200)
     assert(counts.contains(Viewshed.StNodata)) // beyond maxR ring exists
   }
+  test("interpolating-kernel decimation: bilinear level halves a linear ramp exactly (E1)") {
+    val src = spark.range(40L * 40).select(
+      lit(0).as("rid"), lit(1).as("band"),
+      (col("id") % 40).cast("int").as("px"),
+      (col("id") / 40).cast("int").as("py"))
+      .withColumn("v", col("px") * 2.0 + col("py") * 3.0 + 7.0)
+    val lvl = Overview.buildLevelKernel(src, graft.core.ResamplingAlg.Bilinear, Ndv, 40, 40)
+    assert(lvl.count() == 400)
+    // coarse pixel k center sits at fine coordinate 2k+0.5 → expected ramp value
+    val bad = lvl.filter(col("px") > 0 && col("px") < 19 && col("py") > 0 && col("py") < 19)
+      .withColumn("exp_v", (col("px") * 2 + 0.5) * 2.0 + (col("py") * 2 + 0.5) * 3.0 + 7.0)
+      .filter(abs(col("v") - col("exp_v")) > 1e-9)
+    assert(bad.count() == 0)
+    // cubicspline (the formerly-missing kernel) preserves constants
+    val cs = Overview.buildLevelKernel(PixelFrame.constant(spark, 32, 32, 9.0),
+      graft.core.ResamplingAlg.CubicSpline, Ndv, 32, 32)
+    assert(cs.filter(abs(col("v") - 9.0) > 1e-9).count() == 0)
+  }
+
+  test("multi-band frame warps each plane independently") {
+    val gt = GeoTransform(0, 1, 0, 30, 0, -1)
+    val b1 = PixelFrame.constant(spark, 30, 30, 5.0)
+    val b2 = PixelFrame.constant(spark, 30, 30, 11.0).withColumn("band", lit(2))
+    val out = Warp.warp(b1.unionByName(b2), gt, GeoTransform(5, 0.8, 0, 25, 0, -0.8),
+      12, 12, identity2, Ndv)
+    val perBand = out.groupBy("band").agg(min("v"), max("v")).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(perBand(1)._1 - 5.0) < 1e-9 && math.abs(perBand(1)._2 - 5.0) < 1e-9)
+    assert(math.abs(perBand(2)._1 - 11.0) < 1e-9 && math.abs(perBand(2)._2 - 11.0) < 1e-9)
+  }
+
+  test("zone-to-zone warp composes through geographic (R1)") {
+    // zone 36 strip re-gridded into zone 37 coordinates
+    val gt = GeoTransform(690000, 30, 0, 3000000, 0, -30) // near the 36/37 seam
+    val src = PixelFrame.constant(spark, 50, 40, 3.25)
+    val p = Trans.plan(src, gt, 50, 40,
+      Trans.TransOptions(warpSrs = Some("w84u37"), srcSrs = "w84u36",
+        resampling = Some(graft.core.ResamplingAlg.Bilinear))).get
+    assert(p.decisions.exists(_.startsWith("R1: warp w84u36 ")))
+    // output is a meters grid ~30 m resolution in zone 37
+    assert(p.outGt.c1 > 20 && p.outGt.c1 < 40)
+    val vals = p.frame.select("v").distinct().collect().map(_.getDouble(0))
+    assert(vals.exists(v => math.abs(v - 3.25) < 1e-9))
+    assert(vals.forall(v => math.abs(v - 3.25) < 1e-9 || v == Ndv))
+  }
+
+  test("flagship end-to-end: real SRTM GeoTIFF -> DSv2 scan -> aeqd viewshed") {
+    val srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
+    val info = graft.sources.GeoTiff.readInfo(srtm)
+    val gt = info.gt.get
+    val dem = spark.read.format("graft.sources.RasterSource")
+      .option("path", srtm).load()
+    // observer at the raster center: geographic coords of pixel (180,180)
+    val (obsLon, obsLat) = gt.pixelToGeo(180.5, 180.5)
+    val vs = Viewshed.viewshedGeo(dem, gt, obsLat, obsLon,
+      oz = 25.0, cellSize = 30.0, maxR = 1500.0, nBuckets = 32, demNdv = -32768.0)
+    val counts = vs.groupBy("state").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val seen = counts.getOrElse(Viewshed.StSeen, 0L)
+    val hidden = counts.getOrElse(Viewshed.StHidden, 0L)
+    val inRange = seen + hidden
+    // real terrain: both states present, counts fill the maxR disc
+    assert(seen > 300, s"counts: $counts")   // rugged terrain: most of the disc is shadowed
+    assert(hidden > 1000, s"counts: $counts")
+    val disc = math.Pi * 50 * 50 // maxR/cellSize = 50 px radius
+    assert(math.abs(inRange - disc) / disc < 0.1, s"in-range $inRange vs disc $disc")
+  }
 }
