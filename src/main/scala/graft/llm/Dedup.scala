@@ -56,14 +56,19 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
+    // the full/partial condition comes from the SAME window (is the
+    // last lead populated?), never from a token count — a size(split)
+    // column would land in the Project ABOVE the generate and re-split
+    // the whole document once per TOKEN row (measured ~3 s of the old
+    // ~3.7 s stage at 260k rows; this form is ~0.7 s)
     df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id")) // single-file inputs otherwise serialize the split
-      .select(col("id"), size(TextAnalysis.tokensCol(col("text"))).as("n_tok"),
-        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
-      .select(col("id"), col("pos"), col("n_tok"),
+      .select(col("id"), posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos"),
         concat_ws(" ", col("tok") +:
-          (1 until n).map(k => lead(col("tok"), k).over(w)): _*).as("s"))
-      .filter(col("pos") <= greatest(col("n_tok") - n, lit(0)))
+          (1 until n).map(k => lead(col("tok"), k).over(w)): _*).as("s"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
+      .filter(col("full") || col("pos") === 0) // ≡ pos ≤ max(n_tok − n, 0)
       .select("id", "s")
   }
 
@@ -77,6 +82,26 @@ object Dedup {
   def minhashValCol(salt: Column, shingle: Column): Column =
     conv(substring(md5(concat(salt.cast("string"), lit(":"), shingle)), 1, 15), 16, 10)
       .cast("long")
+
+  /** Universal-hash prime (< 2³¹, so aₖ·x stays inside a long). */
+  val MinhashP: Long = 2038074743L
+
+  /** Base hash: first 15 hex chars of md5 as BIGINT, reduced mod p —
+    * computed ONCE per shingle; the k hash functions derive from it
+    * by affine transform (digest work drops k-fold vs per-salt md5s).
+    */
+  def minhashBaseCol(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** k-th universal hash: (aₖ·x + bₖ) mod p with LCG-derived, fixed
+    * coefficients (aₖ ≠ 0 mod p) — exact integer arithmetic, so any
+    * engine reproduces it bit-for-bit.
+    */
+  def minhashAffineCol(k: Int, base: Column): Column = {
+    val a = 1L + ((k * 2654435761L) % (MinhashP - 1))
+    val b = (k * 40503L + 17L) % MinhashP
+    (lit(a) * base + lit(b)) % MinhashP
+  }
 
   /** MinHash signature: `numHashes` salted minima over the shingle set. */
   def minhashSigCol(shingles: Column, numHashes: Int): Column =
@@ -100,15 +125,22 @@ object Dedup {
     * (id_a < id_b) with their exact shingle Jaccard, filtered at
     * `threshold`.
     *
-    * Formulated *relationally* — explode shingles×salts to rows, one
-    * hash aggregation for the per-salt minima, one for the band keys —
-    * instead of nested array expressions per document. The nested form
-    * ([[minhashSigCol]]+[[bandKeysCol]], kept for signature-level use)
-    * triggers a CollapseProject expression blowup where every band key
-    * re-inlines all 16 md5 minima (measured 37 s for 500 docs vs
-    * sub-second relational); the row form is also the shape that
-    * scales — work is linear in Σ|shingles|·numHashes, shuffles are on
-    * bounded-width keys, and the verify stage runs on candidates only.
+    * Formulated *relationally* — explode shingles to rows, one
+    * hash aggregation for the per-function minima, one for the band
+    * keys — instead of nested array expressions per document. The
+    * nested form ([[minhashSigCol]]+[[bandKeysCol]], kept for
+    * signature-level use) triggers a CollapseProject expression
+    * blowup where every band key re-inlines all 16 md5 minima
+    * (measured 37 s for 500 docs vs sub-second relational); the row
+    * form is also the shape that scales — work is linear in
+    * Σ|shingles|, shuffles are on bounded-width keys, and the verify
+    * stage runs on candidates only.
+    *
+    * Hash family: ONE md5-derived 60-bit base hash per shingle, then
+    * `numHashes` affine transforms (aₖ·x + bₖ) mod p (the textbook
+    * universal-hashing construction; same as MLlib MinHashLSH) —
+    * 16× less digest work than per-salt md5s, bit-reproducible in any
+    * engine via exact BIGINT arithmetic.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
@@ -116,12 +148,15 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val shRows = shingleRows(df, idCol, textCol, shingleLen)
 
-    // 16 salted hashes as COLUMNS of the shingle row (not a ×16 row
-    // fan-out), then ONE aggregation yields the signature minima AND
-    // the jaccard-verify shingle set — the aggregated frame is reused
-    // by the band explode and both verify joins (ReuseExchange).
+    // numHashes affine transforms of one base hash as COLUMNS of the
+    // shingle row (not a ×16 row fan-out), then ONE aggregation yields
+    // the signature minima AND the jaccard-verify shingle set — the
+    // aggregated frame is reused by the band explode and both verify
+    // joins. (Runtime subexpression elimination evaluates the shared
+    // md5 once even after CollapseProject inlines it per column.)
     val hashed = shRows.select(col("id") +: col("s") +:
-      (0 until numHashes).map(k => minhashValCol(lit(k), col("s")).as(s"h$k")): _*)
+      (0 until numHashes).map(k =>
+        minhashAffineCol(k, minhashBaseCol(col("s"))).as(s"h$k")): _*)
     // materialized: consumed three times (band explode + both verify
     // joins); column pruning makes the consumers' subplans differ, so
     // ReuseExchange cannot dedup them and without materialization the

@@ -219,10 +219,15 @@ object LlmQueries {
     "q47_dedup_minhash" ->
       s"""WITH $shinglesCte,
          |sig AS (
+         |  -- universal hashing: one md5-derived base per shingle, k
+         |  -- affine transforms (a_k x + b_k) mod p -- mirrors
+         |  -- Dedup.minhashBaseCol/minhashAffineCol exactly (p = 2038074743)
          |  SELECT doc_id, sh,
          |         list_transform(range(0, 16),
          |           k -> list_aggregate(list_transform(sh,
-         |             s -> CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)), 'min')) AS sigs
+         |             s -> ((1 + ((k * 2654435761) % 2038074742))
+         |                     * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2038074743)
+         |                   + ((k * 40503 + 17) % 2038074743)) % 2038074743), 'min')) AS sigs
          |  FROM sh),
          |banded AS (
          |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
