@@ -137,4 +137,68 @@ object Warp {
       .select(col("rid"), col("band"), col("px"), col("py"),
         when(wSum > 0, wvSum / wSum).otherwise(lit(ndv)).as("v"))
   }
+
+  /** The packed-tile form of [[warp]] — the 100 TB shape. Source is
+    * the A8/A3 tile table `(rid, band, tx, ty, data: array)` (ts×ts
+    * row-major, ndv-padded edges): taps join on the TILE key and the
+    * tap value is extracted from the tile array by offset, so the
+    * source side of the shuffle is ts² × smaller (tile rows, never
+    * exploded pixels) and stays the storage layout parquet already
+    * has. Slot algebra and fold order are identical to [[warp]], so
+    * results are bit-equal (asserted in WarpSpec).
+    */
+  def warpPacked(tiles: DataFrame, ts: Int, srcGt: GeoTransform,
+                 dstGt: GeoTransform, dstW: Int, dstH: Int,
+                 invMap: (Column, Column) => (Column, Column),
+                 ndv: Double, kernel: Kernel = Bilinear): DataFrame = {
+    require(srcGt.isNorthUp && dstGt.isNorthUp, "warp supports north-up grids")
+    val spark = tiles.sparkSession
+    val planes = broadcast(tiles.select("rid", "band").distinct())
+    val grid = planes.crossJoin(spark.range(dstW.toLong * dstH).select(
+      (col("id") % dstW).cast("int").as("px"),
+      (col("id") / dstW).cast("int").as("py")))
+
+    val gx = lit(dstGt.c0) + (col("px") + lit(0.5)) * lit(dstGt.c1)
+    val gy = lit(dstGt.c3) + (col("py") + lit(0.5)) * lit(dstGt.c5)
+    val (sx, sy) = invMap(gx, gy)
+    val fx = (sx - lit(srcGt.c0)) / lit(srcGt.c1) - lit(0.5)
+    val fy = (sy - lit(srcGt.c3)) / lit(srcGt.c5) - lit(0.5)
+    val anchored = grid.select(col("rid"), col("band"), col("px"), col("py"),
+      floor(fx).cast("int").as("ax"), floor(fy).cast("int").as("ay"),
+      (fx - floor(fx)).as("ox"), (fy - floor(fy)).as("oy"))
+
+    val offs = (-kernel.radius + 1) to kernel.radius
+    val tapList = for { dy <- offs; dx <- offs } yield (dx, dy)
+    val taps = anchored.select(col("rid"), col("band"), col("px"), col("py"),
+        col("ax"), col("ay"), col("ox"), col("oy"),
+        posexplode(array(tapList.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))
+        }: _*)).as(Seq("tap", "t")))
+      .select(col("rid"), col("band"), col("px"), col("py"), col("tap"),
+        (col("ax") + col("t.dx")).as("jx"), (col("ay") + col("t.dy")).as("jy"),
+        (kernel.weight(abs(col("t.dx") - col("ox"))) *
+          kernel.weight(abs(col("t.dy") - col("oy")))).as("w"))
+      // tile key + in-tile offset (floor division — taps can be negative)
+      .withColumn("jtx", floor(col("jx").cast("double") / ts).cast("int"))
+      .withColumn("jty", floor(col("jy").cast("double") / ts).cast("int"))
+      .withColumn("joff",
+        ((col("jy") - col("jty") * ts) * ts + (col("jx") - col("jtx") * ts) + 1).cast("int"))
+
+    val tileSide = tiles.select(col("rid"), col("band"),
+      col("tx").as("jtx"), col("ty").as("jty"), col("data"))
+    val joined = taps.join(tileSide, Seq("rid", "band", "jtx", "jty"), "left")
+      .withColumn("sv", element_at(col("data"), col("joff")))
+      .withColumn("valid", col("sv").isNotNull && col("sv") =!= ndv)
+
+    def slotAgg(body: Column, i: Int): Column =
+      coalesce(max(when(col("tap") === i && col("valid"), body)), lit(0.0))
+    val slotCols = tapList.indices.flatMap(i =>
+      Seq(slotAgg(col("w"), i).as(s"w$i"), slotAgg(col("w") * col("sv"), i).as(s"wv$i")))
+    val wSum = tapList.indices.map(i => col(s"w$i")).reduceLeft(_ + _)
+    val wvSum = tapList.indices.map(i => col(s"wv$i")).reduceLeft(_ + _)
+    joined.groupBy("rid", "band", "px", "py")
+      .agg(slotCols.head, slotCols.tail: _*)
+      .select(col("rid"), col("band"), col("px"), col("py"),
+        when(wSum > 0, wvSum / wSum).otherwise(lit(ndv)).as("v"))
+  }
 }

@@ -80,6 +80,24 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of the LLM-pipeline
+    * exact-dedup family (`llm/Dedup.exactDedup` is the batch twin):
+    * documents are keyed by content hash (md5 of the dedup column)
+    * and deduplicated ACROSS micro-batches with watermark-bounded
+    * state (`dropDuplicatesWithinWatermark`), so the state store
+    * holds one key per distinct document seen within the watermark
+    * horizon instead of growing forever. On a batch frame it
+    * degrades to a plain exact dedup (same output contract).
+    */
+  def streamingDedup(docs: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame = {
+    val keyed = docs.withColumn("content_key", md5(col(textCol)))
+    if (keyed.isStreaming)
+      keyed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_key")
+    else keyed.dropDuplicates("content_key")
+  }
+
   /** File-source streaming reader with an explicit schema (streaming
     * requires one) — `readStream` over a parquet directory.
     */

@@ -158,4 +158,21 @@ class WarpSpec extends SparkSpec {
     val disc = math.Pi * 50 * 50 // maxR/cellSize = 50 px radius
     assert(math.abs(inRange - disc) / disc < 0.1, s"in-range $inRange vs disc $disc")
   }
+  test("packed-tile warp is bit-equal to the pixel-frame warp (100 TB shape)") {
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val dem = PixelFrame.dem(spark, 70, 50)
+    val tiles = PixelFrame.pack(dem, ts = 16, ndv = Ndv)
+    // fractional regrid that exercises interior, edges, and misses
+    val dstGt = GeoTransform(99.0, 0.3, 0, 51.0, 0, -0.3)
+    for (k <- Seq[Warp.Kernel](Warp.Bilinear, Warp.Cubic)) {
+      val a = Warp.warp(dem, gt, dstGt, 40, 30, identity2, Ndv, k)
+      val b = Warp.warpPacked(tiles, 16, gt, dstGt, 40, 30, identity2, Ndv, k)
+      val cmp = a.select(col("px"), col("py"), col("v").as("va"))
+        .join(b.select(col("px"), col("py"), col("v").as("vb")), Seq("px", "py"), "full")
+      assert(cmp.count() == 1200)
+      // bit equality: identical slot algebra + fold order on both paths
+      assert(cmp.filter(col("va").isNull || col("vb").isNull || col("va") =!= col("vb")).count() == 0,
+        s"kernel $k")
+    }
+  }
 }

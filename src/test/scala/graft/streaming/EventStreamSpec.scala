@@ -99,4 +99,31 @@ class EventStreamSpec extends SparkSpec {
     assert(agg.schema.fieldNames.toSeq ==
       Seq("window_start", "event_type", "n", "sum_value"))
   }
+  test("streaming exact dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.streamingDedup(docs, "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:05:00")
+      val t1 = Timestamp.valueOf("2024-01-01 00:10:00")
+      stream.addData((1L, t0, "alpha"), (2L, t0, "beta"), (3L, t0, "alpha"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch is still dropped
+      stream.addData((4L, t1, "beta"), (5L, t1, "gamma"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("text").as[String].collect().sorted
+      assert(out.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+
+    // batch twin: same contract without state
+    val batch = EventStream.streamingDedup(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+        .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      "text", "ts")
+    assert(batch.count() == 2)
+  }
 }
