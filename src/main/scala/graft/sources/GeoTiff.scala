@@ -82,8 +82,15 @@ object GeoTiff {
   private val TModelPixelScale = 33550; private val TModelTiepoint = 33922
   private val TGeoKeyDir = 34735; private val TGdalNodata = 42113
 
-  /** Parse header + first IFD. Reads only the byte ranges it needs. */
-  def readInfo(path: String): Info = {
+  /** Parse header + first IFD (the base raster). */
+  def readInfo(path: String): Info = readInfos(path).head
+
+  /** Parse the WHOLE IFD chain: base raster + internal overview pages
+    * (the in-file form of the reference's pyramid model — level k is a
+    * 2^k downsample, numbering contract `gdalos_trans.py:72-79`).
+    * Reads only the byte ranges it needs.
+    */
+  def readInfos(path: String): Seq[Info] = {
     val f = new RandomAccessFile(path, "r")
     try {
       def readAt(off: Long, len: Int): Array[Byte] = {
@@ -102,9 +109,11 @@ object GeoTiff {
         (((b0 & 0xffL) << 24) | ((b1 & 0xffL) << 16) | ((b2 & 0xffL) << 8) | (b3 & 0xffL))
       }
       require(u16(head, 2) == 42, "not a classic TIFF (BigTIFF unsupported)")
-      val ifdOff = u32(head, 4)
+
+      def parseIfd(ifdOff: Long): (Info, Long) = {
       val nEntries = u16(readAt(ifdOff, 2), 0)
       val entries = readAt(ifdOff + 2, nEntries * 12)
+      val nextIfd = u32(readAt(ifdOff + 2 + nEntries * 12, 4), 0)
 
       // tag → (type, count, raw 4 value bytes as offset-or-inline)
       final case class Entry(typ: Int, cnt: Int, at: Int)
@@ -188,11 +197,21 @@ object GeoTiff {
         keyVal(3072).orElse(keyVal(2048))
       }
 
-      Info(w, h, bands, bits, fmt, comp, pred, be,
+      (Info(w, h, bands, bits, fmt, comp, pred, be,
         nodata = ascii(TGdalNodata).flatMap(s => s.trim.toDoubleOption),
         pixelScale = doubles(TModelPixelScale).map(s => (s(0), s(1))),
         tiepoint = doubles(TModelTiepoint).map(_.toArray),
-        epsg = epsg, segments = segments)
+        epsg = epsg, segments = segments), nextIfd)
+      } // parseIfd
+
+      val out = Seq.newBuilder[Info]
+      var off = u32(head, 4)
+      var guard = 0
+      while (off != 0 && guard < 64) { // 64-page guard vs cyclic chains
+        val (info, nxt) = parseIfd(off)
+        out += info; off = nxt; guard += 1
+      }
+      out.result()
     } finally f.close()
   }
 
@@ -318,36 +337,25 @@ object GeoTiff {
     */
   def encode(w: Int, h: Int, values: Array[Double], dtype: DType,
              gt: GeoTransform, nodata: Option[Double] = None,
-             rowsPerStrip: Int = 64, predictor: Int = 1): Array[Byte] = {
-    require(values.length == w.toLong * h, s"expected ${w.toLong * h} values, got ${values.length}")
+             rowsPerStrip: Int = 64, predictor: Int = 1): Array[Byte] =
+    encodePyramid(Seq((w, h, values)), dtype, gt, nodata, rowsPerStrip, predictor)
+
+  /** Encode a base raster plus overview pages as a multi-IFD GeoTIFF —
+    * the in-file form of the reference's pyramid (`gdalos_ovr`
+    * internal-overview mode, `gdalos_trans.py:1097-1136`): page 0 is
+    * the base with geo tags; page k (marked ReducedImage via
+    * NewSubfileType=1) is the 2^k downsample. [[readInfos]] walks the
+    * chain back.
+    */
+  def encodePyramid(pages: Seq[(Int, Int, Array[Double])], dtype: DType,
+                    gt: GeoTransform, nodata: Option[Double] = None,
+                    rowsPerStrip: Int = 64, predictor: Int = 1): Array[Byte] = {
+    require(pages.nonEmpty, "need at least one page")
     require(gt.isNorthUp && gt.c5 < 0, s"GeoTIFF writer needs a north-up geotransform, got $gt")
     require(predictor == 1 || (predictor == 2 && dtype != DtFloat32),
       "predictor 2 supported for integer samples only")
     val bps = dtype.bits / 8
 
-    // raw strips → (optionally) differenced → deflated
-    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-    val strips = (0 until nStrips).map { s =>
-      val y0 = s * rowsPerStrip
-      val rows = math.min(rowsPerStrip, h - y0)
-      val raw = new Array[Byte](rows * w * bps)
-      var i = 0
-      while (i < rows * w) {
-        val v = values((y0 + i / w) * w + i % w)
-        dtype match {
-          case DtByte => raw(i) = v.toInt.toByte
-          case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
-          case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
-        }
-        i += 1
-      }
-      if (predictor == 2) diffRows(raw, w, rows, bps)
-      deflate(raw)
-    }
-
-    // IFD assembly: fixed entry table, external arrays after it
-    val ascii = nodata.map(nd =>
-      (if (nd == nd.floor && nd.abs < 1e15) nd.toLong.toString else nd.toString) + " ")
     final case class Tag(id: Int, typ: Int, cnt: Int, inline: Option[Long], ext: Option[Array[Byte]])
     def leBytes(vs: Seq[Long], typ: Int): Array[Byte] = {
       val out = new ByteArrayOutputStream()
@@ -366,74 +374,136 @@ object GeoTiff {
       out.toByteArray
     }
 
-    val stripSizes = strips.map(_.length.toLong)
-    // strip offsets are filled once the layout is known; reserve LONGs
-    val pixelScale = Seq(gt.c1, -gt.c5, 0.0)
-    val tiepoint = Seq(0.0, 0.0, 0.0, gt.c0, gt.c3, 0.0)
-    val geoKeys: Seq[Long] = Seq(1, 1, 0, 2, // version, 2 keys
-      1024, 0, 1, 2, // GTModelType = geographic
-      2048, 0, 1, 4326) // GeographicType = WGS84
-
-    var tags = Seq(
-      Tag(TWidth, 3, 1, Some(w.toLong), None),
-      Tag(TLength, 3, 1, Some(h.toLong), None),
-      Tag(TBits, 3, 1, Some(dtype.bits.toLong), None),
-      Tag(TCompression, 3, 1, Some(8L), None),
-      Tag(TPhotometric, 3, 1, Some(1L), None),
-      Tag(TStripOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
-      Tag(TSamplesPerPixel, 3, 1, Some(1L), None),
-      Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
-      Tag(TStripByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))),
-      Tag(TPlanarConfig, 3, 1, Some(1L), None),
-      Tag(TPredictor, 3, 1, Some(predictor.toLong), None),
-      Tag(TSampleFormat, 3, 1, Some(dtype.fmt.toLong), None),
-      Tag(TModelPixelScale, 12, 3, None, Some(dblBytes(pixelScale))),
-      Tag(TModelTiepoint, 12, 6, None, Some(dblBytes(tiepoint))),
-      Tag(TGeoKeyDir, 3, geoKeys.length, None, Some(leBytes(geoKeys, 3))))
-    ascii.foreach { s =>
-      tags = tags :+ Tag(TGdalNodata, 2, s.length, None, Some(s.getBytes("ASCII")))
-    }
-    tags = tags.sortBy(_.id) // TIFF requires ascending tag order
-
-    // layout: header(8) | IFD | external tag data | strip data
-    val ifdSize = 2 + tags.length * 12 + 4
-    var extOff = 8L + ifdSize
-    val extOffsets = tags.map { t =>
-      t.ext match {
-        case Some(b) if b.length > 4 => val o = extOff; extOff += b.length; Some(o)
-        case _ => None
+    /** One page block `[IFD | ext data | strip data]` laid out at
+      * `base`; returns (bytes, absolute position of the next-IFD
+      * pointer inside the block) for chain patching.
+      */
+    def buildPage(pageIdx: Int, w: Int, h: Int, values: Array[Double],
+                  base: Long): (Array[Byte], Long) = {
+      require(values.length == w.toLong * h,
+        s"page $pageIdx: expected ${w.toLong * h} values, got ${values.length}")
+      val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+      val strips = (0 until nStrips).map { s =>
+        val y0 = s * rowsPerStrip
+        val rows = math.min(rowsPerStrip, h - y0)
+        val raw = new Array[Byte](rows * w * bps)
+        var i = 0
+        while (i < rows * w) {
+          val v = values((y0 + i / w) * w + i % w)
+          dtype match {
+            case DtByte => raw(i) = v.toInt.toByte
+            case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
+            case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
+          }
+          i += 1
+        }
+        if (predictor == 2) diffRows(raw, w, rows, bps)
+        deflate(raw)
       }
-    }
-    var stripOff = extOff
-    val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
-    // back-patch the reserved StripOffsets array
-    val soIdx = tags.indexWhere(_.id == TStripOffsets)
-    val soBytes = leBytes(stripOffsets, 4)
-    System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
+      val stripSizes = strips.map(_.length.toLong)
 
-    val out = new ByteArrayOutputStream()
-    out.write('I'); out.write('I'); out.write(42); out.write(0)
-    out.write(leBytes(Seq(8L), 4)) // first IFD at 8
-    out.write((tags.length & 0xff)); out.write((tags.length >> 8) & 0xff)
-    tags.zip(extOffsets).foreach { case (t, ext) =>
-      out.write(leBytes(Seq(t.id.toLong), 3))
-      out.write(leBytes(Seq(t.typ.toLong), 3))
-      out.write(leBytes(Seq(t.cnt.toLong), 4))
-      val valueField: Array[Byte] = (t.inline, t.ext, ext) match {
-        case (Some(v), _, _) => leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(4, 0.toByte)
-        case (_, Some(b), None) => b.padTo(4, 0.toByte) // short external fits inline
-        case (_, _, Some(o)) => leBytes(Seq(o), 4)
-        case _ => Array.fill(4)(0.toByte)
+      val ascii = nodata.map(nd =>
+        (if (nd == nd.floor && nd.abs < 1e15) nd.toLong.toString else nd.toString) + " ")
+      val pixelScale = Seq(gt.c1, -gt.c5, 0.0)
+      val tiepoint = Seq(0.0, 0.0, 0.0, gt.c0, gt.c3, 0.0)
+      val geoKeys: Seq[Long] = Seq(1, 1, 0, 2, // version, 2 keys
+        1024, 0, 1, 2, // GTModelType = geographic
+        2048, 0, 1, 4326) // GeographicType = WGS84
+
+      var tags = Seq(
+        Tag(TWidth, 3, 1, Some(w.toLong), None),
+        Tag(TLength, 3, 1, Some(h.toLong), None),
+        Tag(TBits, 3, 1, Some(dtype.bits.toLong), None),
+        Tag(TCompression, 3, 1, Some(8L), None),
+        Tag(TPhotometric, 3, 1, Some(1L), None),
+        Tag(TStripOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
+        Tag(TSamplesPerPixel, 3, 1, Some(1L), None),
+        Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
+        Tag(TStripByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))),
+        Tag(TPlanarConfig, 3, 1, Some(1L), None),
+        Tag(TPredictor, 3, 1, Some(predictor.toLong), None),
+        Tag(TSampleFormat, 3, 1, Some(dtype.fmt.toLong), None))
+      if (pageIdx == 0) {
+        tags = tags ++ Seq(
+          Tag(TModelPixelScale, 12, 3, None, Some(dblBytes(pixelScale))),
+          Tag(TModelTiepoint, 12, 6, None, Some(dblBytes(tiepoint))),
+          Tag(TGeoKeyDir, 3, geoKeys.length, None, Some(leBytes(geoKeys, 3))))
+        ascii.foreach { s =>
+          tags = tags :+ Tag(TGdalNodata, 2, s.length, None, Some(s.getBytes("ASCII")))
+        }
+      } else {
+        tags = tags :+ Tag(254, 4, 1, Some(1L), None) // NewSubfileType = ReducedImage
       }
-      out.write(valueField, 0, 4)
+      tags = tags.sortBy(_.id) // TIFF requires ascending tag order
+
+      // layout inside the block: IFD | external tag data | strip data
+      val ifdSize = 2 + tags.length * 12 + 4
+      var extOff = base + ifdSize
+      val extOffsets = tags.map { t =>
+        t.ext match {
+          case Some(b) if b.length > 4 => val o = extOff; extOff += b.length; Some(o)
+          case _ => None
+        }
+      }
+      var stripOff = extOff
+      val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
+      val soIdx = tags.indexWhere(_.id == TStripOffsets)
+      val soBytes = leBytes(stripOffsets, 4)
+      System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
+
+      val out = new ByteArrayOutputStream()
+      out.write((tags.length & 0xff)); out.write((tags.length >> 8) & 0xff)
+      tags.zip(extOffsets).foreach { case (t, ext) =>
+        out.write(leBytes(Seq(t.id.toLong), 3))
+        out.write(leBytes(Seq(t.typ.toLong), 3))
+        out.write(leBytes(Seq(t.cnt.toLong), 4))
+        val valueField: Array[Byte] = (t.inline, t.ext, ext) match {
+          case (Some(v), _, _) => leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(4, 0.toByte)
+          case (_, Some(b), None) => b.padTo(4, 0.toByte) // short external fits inline
+          case (_, _, Some(o)) => leBytes(Seq(o), 4)
+          case _ => Array.fill(4)(0.toByte)
+        }
+        out.write(valueField, 0, 4)
+      }
+      val nextPtrPos = base + 2 + tags.length * 12
+      out.write(leBytes(Seq(0L), 4)) // next IFD — patched by the chain
+      tags.zip(extOffsets).foreach {
+        case (t, Some(_)) => out.write(t.ext.get)
+        case _ => ()
+      }
+      strips.foreach(out.write)
+      (out.toByteArray, nextPtrPos)
     }
-    out.write(leBytes(Seq(0L), 4)) // no next IFD
-    tags.zip(extOffsets).foreach {
-      case (t, Some(_)) => out.write(t.ext.get)
-      case _ => ()
+
+    // assemble: header | page0 | page1 | ... with next-IFD pointers
+    val file = new ByteArrayOutputStream()
+    file.write('I'); file.write('I'); file.write(42); file.write(0)
+    file.write(leBytes(Seq(8L), 4)) // first IFD at 8
+    var blocks = Vector.empty[(Array[Byte], Long)] // (bytes, nextPtrPos)
+    var base = 8L
+    pages.zipWithIndex.foreach { case ((w, h, vals), i) =>
+      val (bytes, ptr) = buildPage(i, w, h, vals, base)
+      blocks :+= (bytes, ptr)
+      base += bytes.length
     }
-    strips.foreach(out.write)
-    out.toByteArray
+    val all = new Array[Byte](base.toInt)
+    var pos = 8
+    blocks.zipWithIndex.foreach { case ((bytes, _), i) =>
+      System.arraycopy(bytes, 0, all, pos, bytes.length)
+      pos += bytes.length
+    }
+    // patch the chain: page i's next pointer → page i+1's base
+    var pageBase = 8L
+    blocks.zipWithIndex.foreach { case ((bytes, ptr), i) =>
+      if (i < blocks.length - 1) {
+        val nextBase = pageBase + bytes.length
+        var j = 0
+        while (j < 4) { all(ptr.toInt + j) = ((nextBase >> (8 * j)) & 0xff).toByte; j += 1 }
+      }
+      pageBase += bytes.length
+    }
+    System.arraycopy(file.toByteArray, 0, all, 0, 8)
+    all
   }
 
   /** Apply TIFF predictor 2 (forward differencing) in place. */

@@ -39,9 +39,16 @@ class RasterSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     if (path != null) {
-      // header/IFD read only — planning metadata, like open_ds
-      val info = GeoTiff.readInfo(path)
-      new GeoTiffTable(path, info)
+      // header/IFD read only — planning metadata, like open_ds.
+      // `ovr` selects an internal overview page (0 = base, k = 2^k
+      // downsample, negative counts from the top — the reference's
+      // numbering contract, gdalos_trans.py:72-79)
+      val infos = GeoTiff.readInfos(path)
+      val rawOvr = properties.getOrDefault("ovr", "0").toInt
+      val ovr = if (rawOvr < 0) infos.length + rawOvr else rawOvr
+      require(ovr >= 0 && ovr < infos.length,
+        s"ovr $rawOvr out of range (file has ${infos.length} pages)")
+      new GeoTiffTable(path, infos(ovr))
     } else new RasterTable(
       properties.getOrDefault("w", "256").toInt,
       properties.getOrDefault("h", "256").toInt,

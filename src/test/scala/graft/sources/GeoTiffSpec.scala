@@ -126,4 +126,44 @@ class GeoTiffSpec extends SparkSpec {
     assert(back.length == w * h)
     back.foreach(r => assert(r.getDouble(2) == vals(r.getInt(1) * w + r.getInt(0))))
   }
+  test("multi-IFD pyramid: encodePyramid pages round-trip; DSv2 ovr option selects them") {
+    // base 64x48 + nearest overviews (2^1, 2^2) — the internal-ovr form
+    def level(vals: Array[Double], w: Int, h: Int, k: Int): Array[Double] = {
+      val f = 1 << k; val ow = w / f; val oh = h / f
+      Array.tabulate(ow * oh)(i => vals((i / ow) * f * w + (i % ow) * f))
+    }
+    val w = 64; val h = 48
+    val base = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13) % 997.0)
+    val gt = GeoTransform(10.0, 0.1, 0, 20.0, 0, -0.1)
+    val bytes = GeoTiff.encodePyramid(
+      Seq((w, h, base), (w / 2, h / 2, level(base, w, h, 1)), (w / 4, h / 4, level(base, w, h, 2))),
+      GeoTiff.DtInt16, gt, nodata = Some(-32768.0), rowsPerStrip = 16)
+    val f = Files.createTempFile("graft_pyr", ".tif")
+    Files.write(f, bytes)
+
+    val infos = GeoTiff.readInfos(f.toString)
+    assert(infos.map(i => (i.width, i.height)) == Seq((64, 48), (32, 24), (16, 12)))
+    assert(infos.head.gt.isDefined && infos.head.nodata.contains(-32768.0))
+    // overview pages decode to the expected decimated values
+    for (k <- 1 to 2) {
+      val info = infos(k)
+      val expect = level(base, w, h, k)
+      val got = Array.ofDim[Double](info.width * info.height)
+      for (seg <- info.segments; y <- 0 until seg.h; x <- 0 until seg.w
+           if seg.x0 + x < info.width && seg.y0 + y < info.height)
+        got((seg.y0 + y) * info.width + seg.x0 + x) =
+          GeoTiff.decodeSegment(f.toString, info, seg)(y * seg.w + x)
+      assert(got.sameElements(expect), s"ovr $k")
+    }
+    // DSv2: ovr option (incl. negative-from-top) prunes to the page
+    val top = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).option("ovr", -1).load()
+    assert(top.count() == 16 * 12)
+    val o1 = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).option("ovr", 1).load()
+      .agg(sum("v")).head().getDouble(0)
+    assert(o1 == level(base, w, h, 1).sum)
+    // the SRTM fixture remains a single-page file
+    assert(GeoTiff.readInfos(Srtm).length == 1)
+  }
 }
