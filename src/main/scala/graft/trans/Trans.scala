@@ -195,6 +195,41 @@ object Trans {
     Some(TransPlan(frame, log.result(), outGt, outW, outH))
   }
 
+  /** Export a planned frame as an actual GeoTIFF file with an internal
+    * overview pyramid (the reference's primary OUTPUT form:
+    * tiled+overviewed GTiff, `gdalos_trans.py:773-816` + `gdalos_ovr`).
+    * A bounded driver-side sink like the CZML/JSON exports — it guards
+    * `maxPixels` and collects; the distributed layout for big rasters
+    * remains the A3 parquet COG. Overview levels are computed by the
+    * DISTRIBUTED D7 aggregation before the bounded collect.
+    */
+  def exportGeoTiff(p: TransPlan, path: String, ovrLevels: Int = 0,
+                    dtype: graft.sources.GeoTiff.DType = graft.sources.GeoTiff.DtInt16,
+                    ndv: Double = PixelFrame.Dem.Ndv,
+                    resampling: ResamplingAlg = ResamplingAlg.Average,
+                    maxPixels: Long = 4000000): Unit = {
+    require(p.outW.toLong * p.outH <= maxPixels,
+      s"raster too large for single-file GeoTIFF export (> $maxPixels px); use the COG parquet layout")
+    def collectPage(df: DataFrame, w: Int, h: Int): Array[Double] = {
+      val vals = Array.fill(w * h)(ndv)
+      df.select("px", "py", "v").collect().foreach { r =>
+        val (x, y) = (r.getInt(0), r.getInt(1))
+        if (x >= 0 && x < w && y >= 0 && y < h) vals(y * w + x) = r.getDouble(2)
+      }
+      vals
+    }
+    var pages = Vector((p.outW, p.outH, collectPage(p.frame, p.outW, p.outH)))
+    var cur = p.frame
+    var (cw, ch) = (p.outW, p.outH)
+    for (_ <- 1 to ovrLevels) {
+      cur = Overview.buildLevel(cur, resampling, ndv).localCheckpoint()
+      cw = math.max(cw / 2, 1); ch = math.max(ch / 2, 1)
+      pages :+= ((cw, ch, collectPage(cur, cw, ch)))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      graft.sources.GeoTiff.encodePyramid(pages, dtype, p.outGt, Some(ndv)))
+  }
+
   /** Plan + execute + write (steps 5–7): COG-layout parquet, optional
     * overview pyramid (R7 strategy: reuse the written base), and the
     * `.info` sidecar.

@@ -79,4 +79,29 @@ class TransSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Viewshed.viewshedCombine(flat, Seq.empty, "count", 1.0, 100.0))
   }
+  test("exportGeoTiff writes a real multi-IFD tiff the engine reads back (steps 5-7)") {
+    import graft.sources.GeoTiff
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val p = Trans.plan(PixelFrame.dem(spark, 64, 48), gt, 64, 48,
+      Trans.TransOptions()).get
+    val f = java.nio.file.Files.createTempFile("graft_export", ".tif")
+    Trans.exportGeoTiff(p, f.toString, ovrLevels = 2)
+    val infos = GeoTiff.readInfos(f.toString)
+    assert(infos.map(i => (i.width, i.height)) == Seq((64, 48), (32, 24), (16, 12)))
+    // read the base back through the connector: identical to the plan frame
+    val back = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).load()
+    val diff = back.select(col("px"), col("py"), col("v").as("vb"))
+      .join(p.frame.select(col("px"), col("py"), col("v").as("va")), Seq("px", "py"))
+      .filter(col("va") =!= col("vb"))
+    assert(diff.count() == 0)
+    // overview page 1 equals the distributed average level, Int16-truncated
+    val ovr1 = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).option("ovr", 1).load()
+      .agg(sum("v")).head().getDouble(0)
+    val expect = graft.raster.Overview.buildLevel(p.frame, graft.core.ResamplingAlg.Average,
+        PixelFrame.Dem.Ndv)
+      .agg(sum(col("v").cast("int"))).head().getLong(0)
+    assert(ovr1 == expect.toDouble)
+  }
 }
