@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** H4 as native Catalyst expressions (SURVEY §7.3 preference order:
@@ -125,6 +125,99 @@ case class AeqdInverseLon(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** 2-ary projection expression (a point), same static-kernel codegen
+  * contract as [[ProjExpr]] — the datum-shift surface.
+  */
+abstract class Proj2Expr extends BinaryExpression with Serializable {
+  def kernel: String
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    evalKernel(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  protected def evalKernel(a: Double, b: Double): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ProjKernels.$kernel($a, $b);")
+}
+
+case class Ed50ToWgs84Lat(left: Expression, right: Expression) extends Proj2Expr {
+  override def kernel: String = "ed50ToWgs84Lat"
+  override protected def evalKernel(lat: Double, lon: Double): Double =
+    ProjKernels.ed50ToWgs84Lat(lat, lon)
+  override def prettyName: String = "ed50_to_wgs84_lat"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+case class Ed50ToWgs84Lon(left: Expression, right: Expression) extends Proj2Expr {
+  override def kernel: String = "ed50ToWgs84Lon"
+  override protected def evalKernel(lat: Double, lon: Double): Double =
+    ProjKernels.ed50ToWgs84Lon(lat, lon)
+  override def prettyName: String = "ed50_to_wgs84_lon"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+case class Wgs84ToEd50Lat(left: Expression, right: Expression) extends Proj2Expr {
+  override def kernel: String = "wgs84ToEd50Lat"
+  override protected def evalKernel(lat: Double, lon: Double): Double =
+    ProjKernels.wgs84ToEd50Lat(lat, lon)
+  override def prettyName: String = "wgs84_to_ed50_lat"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+case class Wgs84ToEd50Lon(left: Expression, right: Expression) extends Proj2Expr {
+  override def kernel: String = "wgs84ToEd50Lon"
+  override protected def evalKernel(lat: Double, lon: Double): Double =
+    ProjKernels.wgs84ToEd50Lon(lat, lon)
+  override def prettyName: String = "wgs84_to_ed50_lon"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+case class UtmForwardEIntl(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "forwardEIntl"
+  override protected def evalKernel(lat: Double, lon: Double, zone: Double): Double =
+    ProjKernels.forwardEIntl(lat, lon, zone)
+  override def prettyName: String = "utm_forward_e_intl"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+case class UtmForwardNIntl(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "forwardNIntl"
+  override protected def evalKernel(lat: Double, lon: Double, zone: Double): Double =
+    ProjKernels.forwardNIntl(lat, lon, zone)
+  override def prettyName: String = "utm_forward_n_intl"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+case class UtmInverseLatIntl(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "inverseLatIntl"
+  override protected def evalKernel(e: Double, n: Double, zone: Double): Double =
+    ProjKernels.inverseLatIntl(e, n, zone)
+  override def prettyName: String = "utm_inverse_lat_intl"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+case class UtmInverseLonIntl(first: Expression, second: Expression, third: Expression)
+    extends ProjExpr {
+  override def kernel: String = "inverseLonIntl"
+  override protected def evalKernel(e: Double, n: Double, zone: Double): Double =
+    ProjKernels.inverseLonIntl(e, n, zone)
+  override def prettyName: String = "utm_inverse_lon_intl"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
 /** Function registry wiring — either per-session
   * ([[GraftFunctions.register]]) or engine-wide via
   * `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -151,7 +244,23 @@ object GraftFunctions {
     fn("aeqd_inverse_lat", "latitude of (x, y) in aeqd centered (lat0, lon0)",
       args => AeqdInverseLat(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
     fn("aeqd_inverse_lon", "longitude of (x, y) in aeqd centered (lat0, lon0)",
-      args => AeqdInverseLon(d(args(0)), d(args(1)), d(args(2)), d(args(3)))))
+      args => AeqdInverseLon(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("ed50_to_wgs84_lat", "WGS84 latitude of an ED50 (lat, lon)",
+      args => Ed50ToWgs84Lat(d(args(0)), d(args(1)))),
+    fn("ed50_to_wgs84_lon", "WGS84 longitude of an ED50 (lat, lon)",
+      args => Ed50ToWgs84Lon(d(args(0)), d(args(1)))),
+    fn("wgs84_to_ed50_lat", "ED50 latitude of a WGS84 (lat, lon)",
+      args => Wgs84ToEd50Lat(d(args(0)), d(args(1)))),
+    fn("wgs84_to_ed50_lon", "ED50 longitude of a WGS84 (lat, lon)",
+      args => Wgs84ToEd50Lon(d(args(0)), d(args(1)))),
+    fn("utm_forward_e_intl", "easting of (lat, lon) in an ED50/Intl UTM zone",
+      args => UtmForwardEIntl(d(args(0)), d(args(1)), d(args(2)))),
+    fn("utm_forward_n_intl", "northing of (lat, lon) in an ED50/Intl UTM zone",
+      args => UtmForwardNIntl(d(args(0)), d(args(1)), d(args(2)))),
+    fn("utm_inverse_lat_intl", "latitude of (easting, northing) in an ED50/Intl UTM zone",
+      args => UtmInverseLatIntl(d(args(0)), d(args(1)), d(args(2)))),
+    fn("utm_inverse_lon_intl", "longitude of (easting, northing) in an ED50/Intl UTM zone",
+      args => UtmInverseLonIntl(d(args(0)), d(args(1)), d(args(2)))))
 
   private def fn(name: String, usage: String, b: Builder) =
     (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), b)

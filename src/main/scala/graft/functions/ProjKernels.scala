@@ -12,18 +12,39 @@ import graft.core.Proj
   * row.
   */
 object ProjKernels {
-  private val cache = new ConcurrentHashMap[Double, Proj.Tmerc]()
+  private val cache = new ConcurrentHashMap[(Double, Boolean), Proj.Tmerc]()
 
-  private def tm(zone: Double): Proj.Tmerc = {
-    val c = cache.get(zone)
+  private def tm(zone: Double, intl: Boolean = false): Proj.Tmerc = {
+    val key = (zone, intl)
+    val c = cache.get(key)
     if (c != null) c
-    else { val t = Proj.utm(zone); cache.putIfAbsent(zone, t); cache.get(zone) }
+    else {
+      val t = Proj.utm(zone, if (intl) Proj.Intl else Proj.Wgs84)
+      cache.putIfAbsent(key, t); cache.get(key)
+    }
   }
 
   def forwardE(lat: Double, lon: Double, zone: Double): Double = tm(zone).forward(lat, lon)._1
   def forwardN(lat: Double, lon: Double, zone: Double): Double = tm(zone).forward(lat, lon)._2
   def inverseLat(e: Double, n: Double, zone: Double): Double = tm(zone).inverse(e, n)._1
   def inverseLon(e: Double, n: Double, zone: Double): Double = tm(zone).inverse(e, n)._2
+
+  // ED50 family: UTM/tmerc on the International-1924 ellipsoid
+  def forwardEIntl(lat: Double, lon: Double, zone: Double): Double = tm(zone, intl = true).forward(lat, lon)._1
+  def forwardNIntl(lat: Double, lon: Double, zone: Double): Double = tm(zone, intl = true).forward(lat, lon)._2
+  def inverseLatIntl(e: Double, n: Double, zone: Double): Double = tm(zone, intl = true).inverse(e, n)._1
+  def inverseLonIntl(e: Double, n: Double, zone: Double): Double = tm(zone, intl = true).inverse(e, n)._2
+
+  // 3-parameter geocentric datum shift (talos_osr.py:34), h = 0
+  private val D = Proj.Ed50ToWgs84
+  def ed50ToWgs84Lat(lat: Double, lon: Double): Double =
+    Proj.datumShift(lat, lon, 0, D, Proj.Intl, Proj.Wgs84)._1
+  def ed50ToWgs84Lon(lat: Double, lon: Double): Double =
+    Proj.datumShift(lat, lon, 0, D, Proj.Intl, Proj.Wgs84)._2
+  def wgs84ToEd50Lat(lat: Double, lon: Double): Double =
+    Proj.datumShift(lat, lon, 0, (-D._1, -D._2, -D._3), Proj.Wgs84, Proj.Intl)._1
+  def wgs84ToEd50Lon(lat: Double, lon: Double): Double =
+    Proj.datumShift(lat, lon, 0, (-D._1, -D._2, -D._3), Proj.Wgs84, Proj.Intl)._2
 
   // aeqd is stateless (no precomputed series) — no per-center cache
   def aeqdForwardX(lat: Double, lon: Double, lat0: Double, lon0: Double): Double =

@@ -53,41 +53,55 @@ object Trans {
   private def srsMapping(srcSrs: String, dstSrs: String):
       ((Double, Double) => (Double, Double), (Column, Column) => (Column, Column)) = {
     import org.apache.spark.sql.functions.{call_function, lit}
-    require(srcSrs.startsWith("w84") && dstSrs.startsWith("w84"),
-      s"warp supports the WGS84 family ($srcSrs → $dstSrs; ED50 composes via Proj.datumShift)")
-    val sz = Proj.zoneFromName(srcSrs)
-    val dz = Proj.zoneFromName(dstSrs)
-    (sz, dz) match {
-      case (0.0, z) if z != 0 => // geographic → UTM
-        val tm = Proj.utm(z)
-        (
-          (x, y) => { val (e, n) = tm.forward(y, x); (e, n) },
-          (gx, gy) => (call_function("utm_inverse_lon", gx, gy, lit(z)),
-            call_function("utm_inverse_lat", gx, gy, lit(z))))
-      case (z, 0.0) if z != 0 => // UTM → geographic
-        val tm = Proj.utm(z)
-        (
-          (x, y) => { val (lat, lon) = tm.inverse(x, y); (lon, lat) },
-          (gx, gy) => (call_function("utm_forward_e", gy, gx, lit(z)),
-            call_function("utm_forward_n", gy, gx, lit(z))))
-      case (za, zb) if za != 0 && zb != 0 => // UTM zone ↔ zone, composed via geo
-        val ta = Proj.utm(za); val tb = Proj.utm(zb)
-        (
-          (x, y) => {
-            val (lat, lon) = ta.inverse(x, y); val (e, n) = tb.forward(lat, lon); (e, n)
-          },
-          (gx, gy) => {
-            // dst-zone (e,n) → geo → src-zone (e,n); Catalyst CSE
-            // dedups the repeated inverse calls inside codegen
-            val lat = call_function("utm_inverse_lat", gx, gy, lit(zb))
-            val lon = call_function("utm_inverse_lon", gx, gy, lit(zb))
-            (call_function("utm_forward_e", lat, lon, lit(za)),
-              call_function("utm_forward_n", lat, lon, lit(za)))
-          })
-      case (a, b) =>
-        throw new IllegalArgumentException(
-          s"unsupported warp $srcSrs → $dstSrs (zones $a → $b)")
+    def parse(name: String): (Boolean, Double) = {
+      require(name.startsWith("w84") || name.startsWith("e50"),
+        s"unknown datum in SRS name '$name' (talos names: w84*/e50*)")
+      (name.startsWith("e50"), Proj.zoneFromName(name))
     }
+    val (se, sz) = parse(srcSrs)
+    val (de, dz) = parse(dstSrs)
+    val negD = (-Proj.Ed50ToWgs84._1, -Proj.Ed50ToWgs84._2, -Proj.Ed50ToWgs84._3)
+
+    // driver-side forward (src → dst grid coords) for grid inference:
+    // unproject to src-datum geographic, hop datums through the WGS84
+    // hub, reproject
+    def fwd(x: Double, y: Double): (Double, Double) = {
+      var (lat, lon) =
+        if (sz != 0) Proj.utm(sz, if (se) Proj.Intl else Proj.Wgs84).inverse(x, y)
+        else (y, x)
+      if (se && !de) {
+        val r = Proj.datumShift(lat, lon, 0, Proj.Ed50ToWgs84, Proj.Intl, Proj.Wgs84)
+        lat = r._1; lon = r._2
+      } else if (!se && de) {
+        val r = Proj.datumShift(lat, lon, 0, negD, Proj.Wgs84, Proj.Intl)
+        lat = r._1; lon = r._2
+      }
+      if (dz != 0) Proj.utm(dz, if (de) Proj.Intl else Proj.Wgs84).forward(lat, lon)
+      else (lon, lat)
+    }
+
+    // column-side inverse (dst grid coords → src grid coords) over the
+    // codegen'd H4 expressions; Catalyst CSE dedups repeated calls
+    def inv(gx: Column, gy: Column): (Column, Column) = {
+      def sfx(e50: Boolean) = if (e50) "_intl" else ""
+      var (lat, lon) =
+        if (dz != 0) (call_function("utm_inverse_lat" + sfx(de), gx, gy, lit(dz)),
+          call_function("utm_inverse_lon" + sfx(de), gx, gy, lit(dz)))
+        else (gy, gx)
+      if (de && !se) {
+        val la = call_function("ed50_to_wgs84_lat", lat, lon)
+        val lo = call_function("ed50_to_wgs84_lon", lat, lon)
+        lat = la; lon = lo
+      } else if (!de && se) {
+        val la = call_function("wgs84_to_ed50_lat", lat, lon)
+        val lo = call_function("wgs84_to_ed50_lon", lat, lon)
+        lat = la; lon = lo
+      }
+      if (sz != 0) (call_function("utm_forward_e" + sfx(se), lat, lon, lit(sz)),
+        call_function("utm_forward_n" + sfx(se), lat, lon, lit(sz)))
+      else (lon, lat)
+    }
+    (fwd, inv)
   }
 
   /** Resampling-alg → gather kernel for the warp stage (decimating

@@ -175,4 +175,49 @@ class WarpSpec extends SparkSpec {
         s"kernel $k")
     }
   }
+  test("ED50 warps: datum hop and e50 UTM compose through the WGS84 hub (R1)") {
+    // w84geo -> e50geo: a pure datum-shift regrid of a constant raster
+    val gt = GeoTransform(34.0, 0.01, 0, 32.0, 0, -0.01)
+    val src = PixelFrame.constant(spark, 40, 30, 2.5)
+    val p = Trans.plan(src, gt, 40, 30,
+      Trans.TransOptions(warpSrs = Some("e50geo"), srcSrs = "w84geo",
+        resampling = Some(graft.core.ResamplingAlg.Bilinear))).get
+    assert(p.decisions.exists(_.startsWith("R1: warp w84geo → e50geo")))
+    val vals = p.frame.select("v").distinct().collect().map(_.getDouble(0))
+    assert(vals.exists(v => math.abs(v - 2.5) < 1e-9))
+    assert(vals.forall(v => math.abs(v - 2.5) < 1e-9 || v == Ndv))
+    // ~100 m shift at this latitude: grids differ by a few milli-degrees
+    val shifted = Proj.datumShift(31.85, 34.2, 0,
+      (-Proj.Ed50ToWgs84._1, -Proj.Ed50ToWgs84._2, -Proj.Ed50ToWgs84._3),
+      Proj.Wgs84, Proj.Intl)
+    assert(math.abs(shifted._1 - 31.85) > 1e-4 && math.abs(shifted._1 - 31.85) < 3e-3)
+
+    // e50u36 -> w84geo: unproject on Intl, datum hop, geographic grid out
+    val gtU = GeoTransform(500000, 30, 0, 3530000, 0, -30)
+    val p2 = Trans.plan(PixelFrame.constant(spark, 40, 30, 7.0), gtU, 40, 30,
+      Trans.TransOptions(warpSrs = Some("w84geo"), srcSrs = "e50u36",
+        resampling = Some(graft.core.ResamplingAlg.Bilinear))).get
+    assert(p2.outGt.c1 > 1e-5 && p2.outGt.c1 < 1e-3)
+    val v2 = p2.frame.select("v").distinct().collect().map(_.getDouble(0))
+    assert(v2.exists(v => math.abs(v - 7.0) < 1e-9))
+    assert(v2.forall(v => math.abs(v - 7.0) < 1e-9 || v == Ndv))
+  }
+
+  test("datum-shift SQL functions: shift magnitude and 2D closure bound") {
+    graft.functions.GraftFunctions.register(spark)
+    val pts = spark.range(50).selectExpr(
+      "30.0 + id * 0.3 AS lat", "20.0 + id * 0.5 AS lon")
+    val rt = pts.selectExpr("lat", "lon",
+      "wgs84_to_ed50_lat(lat, lon) AS elat",
+      "ed50_to_wgs84_lat(wgs84_to_ed50_lat(lat, lon), wgs84_to_ed50_lon(lat, lon)) AS lat2",
+      "ed50_to_wgs84_lon(wgs84_to_ed50_lat(lat, lon), wgs84_to_ed50_lon(lat, lon)) AS lon2")
+    // the shift itself is O(100 m) = milli-degrees
+    assert(rt.filter(abs(col("elat") - col("lat")) < 1e-4).count() == 0)
+    // 2D convention (PROJ 3-param on 2D coords): each leg assumes h=0
+    // on ITS source and discards output height, so forward∘inverse
+    // closes to ~µdeg (sub-meter), not to machine precision
+    val bad = rt.filter(abs(col("lat") - col("lat2")) > 5e-6 ||
+      abs(col("lon") - col("lon2")) > 5e-6)
+    assert(bad.count() == 0)
+  }
 }
