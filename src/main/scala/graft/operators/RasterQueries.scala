@@ -150,6 +150,23 @@ object RasterQueries {
     RasterOps.cutline(dem(s), Gt, DemW, DemH, CutRing)
       .select("px", "py", "v").orderBy("py", "px")
 
+  /** q68 extended LOS result table — the remaining RadioCalcType
+    * columns (`radio_params.py:10-37`): clearance, elevation angle,
+    * LOS range, power reminder, absolute heights. The oracle extends
+    * the q39 SQL walk with the identical line-height algebra.
+    */
+  def q68(s: SparkSession, d: String): DataFrame =
+    Los.summaryExtended(Los.syntheticPairs(s, 12, DemW, DemH), dem(s),
+        nStations = 50, cellSize = 5.0)
+      .select(col("pair_id"), col("visible"),
+        round(col("oz_abs"), 6).as("oz_abs"),
+        round(col("tz_abs"), 6).as("tz_abs"),
+        round(col("clearance"), 6).as("clearance"),
+        round(col("elev_angle_deg"), 6).as("elev_angle_deg"),
+        round(col("los_range"), 6).as("los_range"),
+        round(col("power_reminder"), 6).as("power_reminder"))
+      .orderBy("pair_id")
+
   /** q67 vector→raster burn (rasterize, `gdalos_rasterize.py:84-123`):
     * the cutline ring burned onto the DEM as a constant value; outside
     * pixels pass through untouched. The oracle replays the same
@@ -336,6 +353,7 @@ object RasterQueries {
     "q65_geotiff_roundtrip" -> q65 _,
     "q66_warp_utm_to_geo" -> q66 _,
     "q67_rasterize_burn" -> q67 _,
+    "q68_los_extended" -> q68 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -493,6 +511,7 @@ object RasterQueries {
          |SELECT point_id, x, rid, path FROM ranked WHERE rn = 1 ORDER BY point_id""".stripMargin,
 
     "q39_los_profile" -> losOracle,
+    "q68_los_extended" -> losExtOracle,
 
     "q60_utm_forward" -> utmOracle,
 
@@ -678,6 +697,32 @@ object RasterQueries {
        |       ROUND(500000.0 + $k0A * eta, 3) AS e,
        |       ROUND($k0A * xi, 3) AS n
        |FROM s4 ORDER BY oid""".stripMargin
+  }
+
+  /** q68 oracle: the q39 walk extended with the identical line-height
+    * algebra — tzabs via a full-frame LAST_VALUE, gap = sight line
+    * minus curvature-corrected terrain, then the RadioCalcType
+    * aggregates. Same expression associations as
+    * [[graft.raster.Los.summaryExtended]], so values hash-match at
+    * 6 decimals (transcendentals rounded).
+    */
+  private lazy val losExtOracle: String = {
+    val prefix = losOracle.substring(0, losOracle.indexOf("\nSELECT pair_id,"))
+    prefix + """,
+      |ln AS (
+      |  SELECT *, LAST_VALUE(h + tz + hc) OVER (PARTITION BY pair_id ORDER BY t
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tzabs
+      |  FROM vis),
+      |gp AS (SELECT *, (ozabs + (tzabs - ozabs) * frac) - (h + hc) AS gap FROM ln)
+      |SELECT pair_id,
+      |       CAST(MAX(CASE WHEN t = 49 THEN CAST(sv AS INTEGER) END) AS INTEGER) AS visible,
+      |       ROUND(MAX(ozabs), 6) AS oz_abs,
+      |       ROUND(MAX(CASE WHEN t = 49 THEN tzabs END), 6) AS tz_abs,
+      |       ROUND(MIN(CASE WHEN t > 0 AND t < 49 THEN gap END), 6) AS clearance,
+      |       ROUND(DEGREES(ATAN2(MAX(CASE WHEN t = 49 THEN tzabs END) - MAX(ozabs), MAX(dist))), 6) AS elev_angle_deg,
+      |       ROUND(COALESCE(MIN(CASE WHEN t > 0 AND NOT sv THEN dist END), MAX(dist)), 6) AS los_range,
+      |       ROUND(150.0 - (20.0 * (LOG10(MAX(dist)) + LOG10(MAX(freq_mhz))) - 27.55), 6) AS power_reminder
+      |FROM gp GROUP BY pair_id ORDER BY pair_id""".stripMargin
   }
 
   /** q66 oracle: the full warp chain re-derived in SQL — target grid,

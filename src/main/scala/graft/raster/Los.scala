@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,49 @@ object Los {
         max(col("freq_mhz")).as("freq_mhz"))
       .withColumn("fspl",
         lit(20.0) * (log10(col("dist")) + log10(col("freq_mhz"))) - 27.55)
+  }
+
+  /** The extended LOS output table — the remaining `RadioCalcType`
+    * result columns (`radio_params.py:10-37`) the reference's
+    * los_calc can emit beyond visible/fspl: absolute observer/target
+    * heights (`oz_abs`/`tz_abs`), elevation angle observer→target
+    * (`ElevationAngleCalc`), distance to the first obstruction
+    * (`LOSRange`; full distance when unblocked), minimum vertical
+    * clearance between the sight line and terrain over interior
+    * stations (`Clearance`; negative when blocked), and
+    * `PowerReminder` = power_diff − path_loss. All pure column math
+    * over the same single profile walk — one extra full-frame window
+    * value (the target's absolute height) and the same one aggregation.
+    */
+  def summaryExtended(pairs: DataFrame, dem: DataFrame, nStations: Int,
+                      cellSize: Double,
+                      powerDiff: Column = lit(150.0),
+                      refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                      demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val n = nStations
+    val prof = profile(pairs, dem, nStations, cellSize, refractionCoeff, demNdv)
+    val byPair = Window.partitionBy("pair_id").orderBy("t")
+    val full = byPair.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withLine = prof
+      .withColumn("tzAbsEnd", last(col("h") + col("tz") + col("hc")).over(full))
+      .withColumn("lineH", col("ozAbs") + (col("tzAbsEnd") - col("ozAbs")) * col("frac"))
+      .withColumn("gap", col("lineH") - (col("h") + col("hc")))
+    withLine.groupBy("pair_id")
+      .agg(
+        max(when(col("t") === n - 1, col("stationVisible").cast("int"))).as("visible"),
+        min(when(col("t") > 0 && !col("stationVisible"), col("dist"))).as("blocked_dist"),
+        max(col("dist")).as("dist"),
+        max(col("freq_mhz")).as("freq_mhz"),
+        max(col("ozAbs")).as("oz_abs"),
+        max(when(col("t") === n - 1, col("tzAbsEnd"))).as("tz_abs"),
+        min(when(col("t") > 0 && col("t") < n - 1, col("gap"))).as("clearance"))
+      .withColumn("fspl",
+        lit(20.0) * (log10(col("dist")) + log10(col("freq_mhz"))) - 27.55)
+      .withColumn("elev_angle_deg",
+        degrees(atan2(col("tz_abs") - col("oz_abs"), col("dist"))))
+      .withColumn("los_range", coalesce(col("blocked_dist"), col("dist")))
+      .withColumn("power_reminder", powerDiff - col("fspl"))
+      .drop("blocked_dist")
   }
 
   /** E4 forward target computation (`MultiPointParams.calc_fwd`,

@@ -122,4 +122,31 @@ class LosViewshedSpec extends SparkSpec {
     val mid = Viewshed.autoBuckets(5000.0, 5.0)
     assert(mid > 64 && mid < 4096)
   }
+  test("summaryExtended: RadioCalcType columns (clearance/elev angle/LOS range/power)") {
+    val flat = flatDem(60, 60).withColumn("v", lit(100.0))
+    val pairs = Seq((0, 5.0, 5.0, 10.0, 50.0, 50.0, 5.0, 300.0))
+      .toDF("pair_id", "ox", "oy", "oz", "tx", "ty", "tz", "freq_mhz")
+    val ext = Los.summaryExtended(pairs, flat, nStations = 50, cellSize = 5.0).head()
+    assert(ext.getAs[Int]("visible") == 1)
+    // flat terrain: line runs from 110 down to ~105; clearance stays
+    // positive and under the mast heights
+    val clearance = ext.getAs[Double]("clearance")
+    assert(clearance > 0 && clearance < 10.5, s"clearance $clearance")
+    // heights: observer 100+10; target 100+5+curvature drop
+    assert(math.abs(ext.getAs[Double]("oz_abs") - 110.0) < 1e-9)
+    assert(ext.getAs[Double]("tz_abs") < 105.0 && ext.getAs[Double]("tz_abs") > 104.0)
+    // slight downward look; unblocked -> los_range = full distance
+    assert(ext.getAs[Double]("elev_angle_deg") < 0)
+    assert(ext.getAs[Double]("los_range") == ext.getAs[Double]("dist"))
+    assert(math.abs(ext.getAs[Double]("power_reminder")
+      - (150.0 - ext.getAs[Double]("fspl"))) < 1e-9)
+
+    // a wall across the path: blocked, negative clearance, short range
+    val walled = flat.withColumn("v",
+      when($"px" === 25, lit(500.0)).otherwise($"v"))
+    val ext2 = Los.summaryExtended(pairs, walled, nStations = 50, cellSize = 5.0).head()
+    assert(ext2.getAs[Int]("visible") == 0)
+    assert(ext2.getAs[Double]("clearance") < 0)
+    assert(ext2.getAs[Double]("los_range") < ext2.getAs[Double]("dist"))
+  }
 }
