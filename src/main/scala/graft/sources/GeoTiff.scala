@@ -309,7 +309,10 @@ object GeoTiff {
     val out = new Array[Byte](expected)
     var off = 0
     while (off < expected && !inf.finished()) {
-      val n = inf.inflate(out, off, expected - off)
+      val n =
+        try inf.inflate(out, off, expected - off)
+        catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt deflate stream: ${e.getMessage}") }
       require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
         s"truncated deflate stream: $off of $expected")
       off += n

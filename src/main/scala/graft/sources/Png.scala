@@ -119,7 +119,10 @@ object Png {
     val out = new Array[Byte](expected)
     var off = 0
     while (off < expected && !inf.finished()) {
-      val n = inf.inflate(out, off, expected - off)
+      val n =
+        try inf.inflate(out, off, expected - off)
+        catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt deflate stream: ${e.getMessage}") }
       // zero progress + input exhausted = truncated/corrupt stream;
       // fail instead of spinning forever inside an executor task
       require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),

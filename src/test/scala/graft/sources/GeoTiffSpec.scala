@@ -166,4 +166,49 @@ class GeoTiffSpec extends SparkSpec {
     // the SRTM fixture remains a single-page file
     assert(GeoTiff.readInfos(Srtm).length == 1)
   }
+  test("malformed inputs fail cleanly (no hangs, no unbounded allocation)") {
+    import graft.PropCheck
+    val good = {
+      val vals = Array.tabulate(32 * 24)(_.toDouble % 300)
+      GeoTiff.encode(32, 24, vals, GeoTiff.DtInt16,
+        GeoTransform(0, 1, 0, 24, 0, -1), nodata = Some(-1.0), rowsPerStrip = 8)
+    }
+    def tryRead(bytes: Array[Byte]): Unit = {
+      val f = Files.createTempFile("graft_fuzz", ".tif")
+      try {
+        Files.write(f, bytes)
+        try {
+          val infos = GeoTiff.readInfos(f.toString)
+          infos.foreach(i => i.segments.foreach { s =>
+            try GeoTiff.decodeSegment(f.toString, i, s)
+            catch { case _: IllegalArgumentException | _: java.io.IOException
+                       | _: java.util.zip.DataFormatException
+                       | _: NegativeArraySizeException
+                       | _: IndexOutOfBoundsException => () }
+          })
+        } catch { case _: IllegalArgumentException | _: java.io.IOException
+                     | _: IndexOutOfBoundsException
+                     | _: NegativeArraySizeException => () } // clean rejection
+      } finally Files.deleteIfExists(f)
+    }
+    // truncations at every growing prefix length
+    for (len <- Seq(0, 1, 4, 7, 8, 9, 20, 60, good.length / 2, good.length - 3))
+      tryRead(java.util.Arrays.copyOf(good, len))
+    // deterministic single-byte corruptions across the whole file
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      tryRead(b)
+    }
+    // PNG decoder: same treatment
+    val png = Png.encode(8, 6, Array.fill(48)(0xff336699))
+    for (_ <- 0 until 200) {
+      val b = png.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try Png.decode(b)
+      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException
+                 | _: NegativeArraySizeException => () }
+    }
+  }
 }
