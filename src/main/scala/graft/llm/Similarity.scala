@@ -17,9 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dotCol(a: Column, b: Column): Column =
+  /** Higher-order-function form of the dot product (portable; kept as
+    * the documented reference semantics the native kernel must match).
+    */
+  def dotFoldCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product via the native `vec_dot` Catalyst expression — a
+    * primitive codegen loop, ~identical summation order to
+    * [[dotFoldCol]] (bit-equal results; asserted in LlmSpec) but
+    * without the fold's per-element lambda evaluation and zipped-array
+    * allocation. Callers must have run `GraftFunctions.register` —
+    * every public entry in this object does.
+    */
+  def dotCol(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
@@ -32,6 +44,7 @@ object Similarity {
     */
   def bruteTopK(emb: DataFrame, queryId: Long, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"))
     emb.filter(col(idCol) =!= queryId)
@@ -71,6 +84,7 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.withColumn("bucket", bucketCol(col(vecCol), planes))
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"), col("bucket").as("qbucket"))
@@ -100,6 +114,7 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 4,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     // norms precomputed per VECTOR (O(N) folds), not per candidate
     // pair (O(pairs) folds) — same value, one third of the fold work
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -176,6 +191,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, model: IvfModel, queryId: Long, topK: Int,
               nprobe: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
       .getSeq[Float](0).map(_.toDouble).toArray
     val probeClusters = model.centroids.zipWithIndex

@@ -175,7 +175,10 @@ object Los {
     case "zip" =>
       obs.join(tars, obs("oi") === tars("ti"))
     case "zip_cycle" =>
-      // cycle the shorter vector (modular index), like zip_cycle
+      // cycle the shorter vector (modular index), like zip_cycle.
+      // The two counts are driver-side planner metadata over the tiny
+      // parameter vectors (LOSParams observers/targets), not data-path
+      // actions — each runs once here, at plan-build time.
       val no = obs.count(); val nt = tars.count()
       if (no >= nt) obs.join(tars, obs("oi") % nt === tars("ti"))
       else obs.join(tars, tars("ti") % no === obs("oi"))

@@ -176,4 +176,14 @@ class LlmSpec extends SparkSpec {
     assert(f(0).width.contains(640) && f(0).height.contains(480))
     assert(f(1).width.isEmpty && f(1).height.isEmpty) // no fabricated dims
   }
+  test("vec_dot native expression is bit-equal to the higher-order fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val cmp = emb.select($"vec_id",
+      Similarity.dotFoldCol($"embedding", $"embedding").as("fold"),
+      Similarity.dotCol($"embedding", $"embedding").as("native"))
+    assert(cmp.filter($"fold" =!= $"native").count() == 0) // identical fp order
+    assert(cmp.count() > 0)
+  }
 }
