@@ -262,7 +262,9 @@ object GraftFunctions {
     fn("utm_inverse_lon_intl", "longitude of (easting, northing) in an ED50/Intl UTM zone",
       args => UtmInverseLonIntl(d(args(0)), d(args(1)), d(args(2)))),
     fn("vec_dot", "dot product of two numeric arrays (codegen loop)",
-      args => VecDot(args(0), args(1))))
+      args => VecDot(args(0), args(1))),
+    fn("vec_lsh_bucket", "hyperplane LSH bucket id of a numeric array",
+      args => VecLshBucket(args(0), args(1))))
 
   private def fn(name: String, usage: String, b: Builder) =
     (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), b)

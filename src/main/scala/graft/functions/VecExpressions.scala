@@ -25,6 +25,29 @@ object VecKernels {
     }
     s
   }
+
+  /** All `planes` hyperplane sign bits in one pass. The weight LCG and
+    * the ascending-index summation order match the fold-based
+    * `Similarity.bucketFoldCol` exactly (bit-equal buckets).
+    */
+  def lshBucket(a: ArrayData, planes: Int, aFloat: Boolean): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val w = ((j.toLong * 2654435761L + i.toLong * 40503L) % 2001L - 1000L).toDouble
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += x * w
+        i += 1
+      }
+      if (s >= 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
 }
 
 /** `vec_dot(a, b)`: dot product of two numeric arrays (float or
@@ -53,6 +76,33 @@ case class VecDot(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecKernels.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});")
 
   override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+/** `vec_lsh_bucket(vec, planes)`: all hyperplane sign bits in one
+  * codegen loop (vs `planes` separate higher-order folds).
+  */
+case class VecLshBucket(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_lsh_bucket expects array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.lshBucket(a.asInstanceOf[ArrayData], b.asInstanceOf[Int], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernels.lshBucket($a, $b, $isFloat);")
+
+  override def prettyName: String = "vec_lsh_bucket"
   override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
     copy(left = a, right = b)
 }

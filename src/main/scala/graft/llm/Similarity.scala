@@ -69,6 +69,12 @@ object Similarity {
     * lshTopK/cosineNearDupPairs to all-pairs with no error).
     */
   def bucketCol(vec: Column, planes: Int): Column =
+    call_function("vec_lsh_bucket", vec, lit(planes))
+
+  /** Fold form of [[bucketCol]] — the portable reference semantics the
+    * native kernel must reproduce bit-for-bit (asserted in LlmSpec).
+    */
+  def bucketFoldCol(vec: Column, planes: Int): Column =
     (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -100,9 +106,11 @@ object Similarity {
     * the bucket key is the scale risk of LSH partitioning).
     */
   def bucketHistogram(emb: DataFrame, planes: Int = 8,
-                      vecCol: String = "embedding"): DataFrame =
+                      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.groupBy(bucketCol(col(vecCol), planes).as("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** Embedding-cosine near-dup pairs (the fourth dedup family):
     * candidates form only inside hyperplane buckets (positive scaling

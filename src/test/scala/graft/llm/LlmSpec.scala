@@ -185,5 +185,10 @@ class LlmSpec extends SparkSpec {
       Similarity.dotCol($"embedding", $"embedding").as("native"))
     assert(cmp.filter($"fold" =!= $"native").count() == 0) // identical fp order
     assert(cmp.count() > 0)
+    // same for the one-pass LSH bucket kernel vs the per-plane folds
+    val bk = emb.select(
+      Similarity.bucketFoldCol($"embedding", 8).as("fold_b"),
+      Similarity.bucketCol($"embedding", 8).as("native_b"))
+    assert(bk.filter($"fold_b" =!= $"native_b").count() == 0)
   }
 }
