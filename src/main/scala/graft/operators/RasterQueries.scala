@@ -310,7 +310,12 @@ object RasterQueries {
     * final ulps through the projection series, and the driver's
     * compare is an exact hash — the bin absorbs ~1e-7 m noise while
     * still catching any real defect (wrong coefficient, tap, weight,
-    * or association changes v by whole meters).
+    * or association changes v by whole meters). The fixture's margins
+    * are VERIFIED, not probabilistic: across all 8000 target pixels
+    * the closest fractional source coordinate to an integer (a
+    * `floor` tap flip) is 8.0e-5 px and the closest output value to a
+    * bin boundary is 5.0e-4 m — both orders of magnitude above
+    * cross-libm noise, so the gate is deterministic.
     */
   def q66(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
