@@ -71,4 +71,31 @@ object TextAnalysis {
         i => ascii(text.substr(i, lit(1)))),
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
+  /** Repetition quality signals (the Gopher/MassiveText-style
+    * pretraining filters, adapted to token level — the fixture corpus
+    * carries no line structure): distinct-token ratio, and the
+    * fraction of all unigrams/bigrams taken by the single most
+    * frequent one. Highly repetitive machine-generated text scores
+    * near 1.0 on the top-fraction columns and near 0 on distinctness.
+    *
+    * Relational shape: tokens/bigrams explode to rows (reusing the
+    * shingle machinery), two hash aggregations per n — per-(doc, gram)
+    * counts, then per-doc totals — and one broadcast-sized join; work
+    * is linear in corpus tokens, shuffles key on (doc, gram).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def stats(n: Int, prefix: String): DataFrame =
+      Dedup.shingleRows(df, idCol, textCol, n)
+        .groupBy("id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("id").agg(
+          sum("c").as(s"${prefix}_total"),
+          count(lit(1)).as(s"${prefix}_distinct"),
+          max("c").as(s"${prefix}_top"))
+    stats(1, "uni").join(stats(2, "bi"), "id")
+      .select(col("id"),
+        col("uni_total").as("n_tok"),
+        (col("uni_distinct").cast("double") / col("uni_total")).as("distinct_token_ratio"),
+        (col("uni_top").cast("double") / col("uni_total")).as("top_unigram_frac"),
+        (col("bi_top").cast("double") / col("bi_total")).as("top_bigram_frac"))
+  }
 }

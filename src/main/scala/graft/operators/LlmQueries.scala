@@ -37,6 +37,19 @@ object LlmQueries {
       .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text"), 64).as("fp"))
       .orderBy("doc_id")
 
+  /** q69 repetition quality signals (Gopher-style pretraining
+    * filters at token level): distinct-token ratio + top unigram /
+    * bigram fractions. The oracle recomputes the identical counts
+    * with DuckDB list functions (integer counts, IEEE divisions —
+    * bit-exact cross-engine).
+    */
+  def q69(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tok"),
+        col("distinct_token_ratio"), col("top_unigram_frac"), col("top_bigram_frac"))
+      .orderBy("doc_id")
+
   /** q45 exact dedup over a corpus doubled with shifted ids — the
     * removal decision is non-vacuous by construction (every doc has
     * exactly one duplicate).
@@ -117,6 +130,7 @@ object LlmQueries {
     "q42_text_metrics" -> q42 _,
     "q43_text_langid" -> q43 _,
     "q44_text_fingerprint" -> q44 _,
+    "q69_text_repetition" -> q69 _,
     "q45_dedup_exact" -> q45 _,
     "q46_dedup_prefix" -> q46 _,
     "q47_dedup_minhash" -> q47 _,
@@ -194,6 +208,44 @@ object LlmQueries {
          |    ELSE 'other' END AS lang_pred
          |  FROM t)
          |SELECT lang_pred, COUNT(*) AS n FROM cls GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q69_text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS s
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS s
+        |  FROM toks),
+        |uni_c AS (SELECT doc_id, s, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |uni_a AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top FROM uni_c GROUP BY 1),
+        |bi_c AS (SELECT doc_id, s, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bi_a AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM bi_c GROUP BY 1)
+        |SELECT u.doc_id, CAST(u.total AS BIGINT) AS n_tok,
+        |       CAST(u.n_distinct AS DOUBLE) / CAST(u.total AS BIGINT) AS distinct_token_ratio,
+        |       CAST(u.top AS DOUBLE) / CAST(u.total AS BIGINT) AS top_unigram_frac,
+        |       CAST(b.top AS DOUBLE) / CAST(b.total AS BIGINT) AS top_bigram_frac
+        |FROM uni_a u JOIN bi_a b ON u.doc_id = b.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "q69_text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS s
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS s
+        |  FROM toks),
+        |uni_c AS (SELECT doc_id, s, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |uni_a AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top FROM uni_c GROUP BY 1),
+        |bi_c AS (SELECT doc_id, s, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bi_a AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM bi_c GROUP BY 1)
+        |SELECT u.doc_id, CAST(u.total AS BIGINT) AS n_tok,
+        |       CAST(u.n_distinct AS DOUBLE) / CAST(u.total AS BIGINT) AS distinct_token_ratio,
+        |       CAST(u.top AS DOUBLE) / CAST(u.total AS BIGINT) AS top_unigram_frac,
+        |       CAST(b.top AS DOUBLE) / CAST(b.total AS BIGINT) AS top_bigram_frac
+        |FROM uni_a u JOIN bi_a b ON u.doc_id = b.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
 
     "q44_text_fingerprint" ->
       """SELECT doc_id,

@@ -191,4 +191,17 @@ class LlmSpec extends SparkSpec {
       Similarity.bucketCol($"embedding", 8).as("native_b"))
     assert(bk.filter($"fold_b" =!= $"native_b").count() == 0)
   }
+  test("repetition signals: spammy text scores high top-fractions, diverse text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    val spam = r(1L); val clean = r(2L)
+    assert(spam.getAs[Double]("top_unigram_frac") == 1.0)
+    assert(spam.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(spam.getAs[Double]("distinct_token_ratio") < 0.2)
+    assert(clean.getAs[Double]("top_unigram_frac") < 0.2)
+    assert(clean.getAs[Double]("distinct_token_ratio") == 1.0)
+  }
 }
