@@ -55,6 +55,12 @@ object Dedup {
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
+    // n = 1 degenerates to plain token rows — no lead() needed, so
+    // skip the window's shuffle+sort entirely
+    if (n == 1)
+      return df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .repartition(col("id"))
+        .select(col("id"), explode(TextAnalysis.tokensCol(col("text"))).as("s"))
     val w = Window.partitionBy("id").orderBy("pos")
     // the full/partial condition comes from the SAME window (is the
     // last lead populated?), never from a token count — a size(split)
