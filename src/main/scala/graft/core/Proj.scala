@@ -153,6 +153,20 @@ object Proj {
     else scala.util.Try(s.substring(i + 1).toDouble).getOrElse(0.0)
   }
 
+  /** EPSG code for a talos SRS name: `w84geo`→4326, `e50geo`→4230,
+    * `w84u<z>`→326zz (WGS84 UTM north), `e50u<z>`→230zz (ED50 UTM).
+    * Integer zones only (float zones have no EPSG identity — callers
+    * needing those pass an explicit CRS tag).
+    */
+  def epsgFromName(s: String): Int = {
+    val z = zoneFromName(s)
+    val e50 = s.toLowerCase.startsWith("e50")
+    require(z == z.toInt && z >= 0 && z <= 60, s"no EPSG code for SRS '$s' (zone $z)")
+    if (z == 0) { if (e50) 4230 else 4326 }
+    else if (e50) 23000 + z.toInt
+    else 32600 + z.toInt
+  }
+
   /** `get_canonic_name` (`talos_osr.py:21-30`): `w84u36` / `e50geo`. */
   def canonicName(datum: String, zone: Double): String = {
     val base = if (datum != null && datum.nonEmpty && (datum.head | 0x20) == 'e') "e50" else "w84"

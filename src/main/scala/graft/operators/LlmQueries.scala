@@ -228,25 +228,6 @@ object LlmQueries {
         |FROM uni_a u JOIN bi_a b ON u.doc_id = b.doc_id
         |ORDER BY u.doc_id""".stripMargin,
 
-    "q69_text_repetition" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS s
-        |  FROM documents),
-        |toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts FROM documents),
-        |bi AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS s
-        |  FROM toks),
-        |uni_c AS (SELECT doc_id, s, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-        |uni_a AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top FROM uni_c GROUP BY 1),
-        |bi_c AS (SELECT doc_id, s, COUNT(*) AS c FROM bi GROUP BY 1, 2),
-        |bi_a AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM bi_c GROUP BY 1)
-        |SELECT u.doc_id, CAST(u.total AS BIGINT) AS n_tok,
-        |       CAST(u.n_distinct AS DOUBLE) / CAST(u.total AS BIGINT) AS distinct_token_ratio,
-        |       CAST(u.top AS DOUBLE) / CAST(u.total AS BIGINT) AS top_unigram_frac,
-        |       CAST(b.top AS DOUBLE) / CAST(b.total AS BIGINT) AS top_bigram_frac
-        |FROM uni_a u JOIN bi_a b ON u.doc_id = b.doc_id
-        |ORDER BY u.doc_id""".stripMargin,
-
     "q44_text_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

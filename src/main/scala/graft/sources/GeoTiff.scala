@@ -252,8 +252,13 @@ object GeoTiff {
         case (16, 1) => (readS16(data, o, be) & 0xffff).toDouble
         case (32, 2) => readS32(data, o, be).toDouble
         case (32, 3) => java.lang.Float.intBitsToFloat(readS32(data, o, be)).toDouble
-        case (64, 3) => java.lang.Double.longBitsToDouble(
-          (readS32(data, o, be).toLong << 32) | (readS32(data, o + 4, be) & 0xffffffffL))
+        case (64, 3) =>
+          // word order follows byte order: BE stores the high 32 bits
+          // first, LE the low 32 bits first (mirrors doubles() above)
+          val w0 = readS32(data, o, be); val w1 = readS32(data, o + 4, be)
+          val bits = if (be) (w0.toLong << 32) | (w1 & 0xffffffffL)
+                     else (w1.toLong << 32) | (w0 & 0xffffffffL)
+          java.lang.Double.longBitsToDouble(bits)
         case (b, sf) => throw new IllegalArgumentException(s"unsupported sample bits=$b fmt=$sf")
       }
       i += 1
@@ -331,6 +336,22 @@ object GeoTiff {
   case object DtByte extends DType(8, 1)
   case object DtInt16 extends DType(16, 2)
   case object DtFloat32 extends DType(32, 3)
+  case object DtFloat64 extends DType(64, 3)
+
+  /** CRS identity for written GeoKeys. Geographic grids emit
+    * GTModelType=2 + GeographicTypeGeoKey(2048); projected grids emit
+    * GTModelType=1 + ProjectedCSTypeGeoKey(3072) — so a UTM-meter
+    * export is never mislabeled as WGS84 degrees.
+    */
+  final case class CrsTag(epsg: Int, geographic: Boolean)
+  object CrsTag {
+    val Wgs84Geo: CrsTag = CrsTag(4326, geographic = true)
+    /** EPSG 4000–4999 is the geographic-2D block (4326 WGS84, 4230
+      * ED50, …); everything else we write (326xx/327xx WGS84 UTM,
+      * 230xx ED50 UTM) is projected.
+      */
+    def fromEpsg(epsg: Int): CrsTag = CrsTag(epsg, geographic = epsg >= 4000 && epsg < 5000)
+  }
 
   /** Encode a single-band row-major raster as a little-endian striped
     * DEFLATE GeoTIFF with geotransform + nodata metadata. A bounded
@@ -340,8 +361,9 @@ object GeoTiff {
     */
   def encode(w: Int, h: Int, values: Array[Double], dtype: DType,
              gt: GeoTransform, nodata: Option[Double] = None,
-             rowsPerStrip: Int = 64, predictor: Int = 1): Array[Byte] =
-    encodePyramid(Seq((w, h, values)), dtype, gt, nodata, rowsPerStrip, predictor)
+             rowsPerStrip: Int = 64, predictor: Int = 1,
+             crs: CrsTag = CrsTag.Wgs84Geo): Array[Byte] =
+    encodePyramid(Seq((w, h, values)), dtype, gt, nodata, rowsPerStrip, predictor, crs)
 
   /** Encode a base raster plus overview pages as a multi-IFD GeoTIFF —
     * the in-file form of the reference's pyramid (`gdalos_ovr`
@@ -352,10 +374,11 @@ object GeoTiff {
     */
   def encodePyramid(pages: Seq[(Int, Int, Array[Double])], dtype: DType,
                     gt: GeoTransform, nodata: Option[Double] = None,
-                    rowsPerStrip: Int = 64, predictor: Int = 1): Array[Byte] = {
+                    rowsPerStrip: Int = 64, predictor: Int = 1,
+                    crs: CrsTag = CrsTag.Wgs84Geo): Array[Byte] = {
     require(pages.nonEmpty, "need at least one page")
     require(gt.isNorthUp && gt.c5 < 0, s"GeoTIFF writer needs a north-up geotransform, got $gt")
-    require(predictor == 1 || (predictor == 2 && dtype != DtFloat32),
+    require(predictor == 1 || (predictor == 2 && (dtype == DtByte || dtype == DtInt16)),
       "predictor 2 supported for integer samples only")
     val bps = dtype.bits / 8
 
@@ -397,6 +420,11 @@ object GeoTiff {
             case DtByte => raw(i) = v.toInt.toByte
             case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
             case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
+            case DtFloat64 =>
+              // LE word order: low 32 bits first (see decodeSegment)
+              val bits = java.lang.Double.doubleToLongBits(v)
+              writeS32(raw, i * 8, bits.toInt, be = false)
+              writeS32(raw, i * 8 + 4, (bits >>> 32).toInt, be = false)
           }
           i += 1
         }
@@ -409,9 +437,13 @@ object GeoTiff {
         (if (nd == nd.floor && nd.abs < 1e15) nd.toLong.toString else nd.toString) + " ")
       val pixelScale = Seq(gt.c1, -gt.c5, 0.0)
       val tiepoint = Seq(0.0, 0.0, 0.0, gt.c0, gt.c3, 0.0)
-      val geoKeys: Seq[Long] = Seq(1, 1, 0, 2, // version, 2 keys
-        1024, 0, 1, 2, // GTModelType = geographic
-        2048, 0, 1, 4326) // GeographicType = WGS84
+      val geoKeys: Seq[Long] =
+        if (crs.geographic) Seq(1, 1, 0, 2, // version, 2 keys
+          1024, 0, 1, 2, // GTModelType = geographic
+          2048, 0, 1, crs.epsg.toLong) // GeographicTypeGeoKey
+        else Seq(1, 1, 0, 2,
+          1024, 0, 1, 1, // GTModelType = projected
+          3072, 0, 1, crs.epsg.toLong) // ProjectedCSTypeGeoKey
 
       var tags = Seq(
         Tag(TWidth, 3, 1, Some(w.toLong), None),

@@ -40,7 +40,8 @@ object Trans {
     * made (auditable, like the reference's `.spec` run-log).
     */
   final case class TransPlan(frame: DataFrame, decisions: Seq[String],
-                             outGt: GeoTransform, outW: Int, outH: Int)
+                             outGt: GeoTransform, outW: Int, outH: Int,
+                             outSrs: String = "w84geo")
 
   /** Mapping pair for a supported SRS transition: driver-side forward
     * (src geo coords → dst geo coords, for extent/resolution
@@ -206,7 +207,7 @@ object Trans {
 
     val outW = math.max((x1 - x0) >> opt.decimateLevels, 1)
     val outH = math.max((y1 - y0) >> opt.decimateLevels, 1)
-    Some(TransPlan(frame, log.result(), outGt, outW, outH))
+    Some(TransPlan(frame, log.result(), outGt, outW, outH, opt.srcSrs))
   }
 
   /** Export a planned frame as an actual GeoTIFF file with an internal
@@ -237,11 +238,14 @@ object Trans {
     var (cw, ch) = (p.outW, p.outH)
     for (_ <- 1 to ovrLevels) {
       cur = Overview.buildLevel(cur, resampling, ndv).localCheckpoint()
-      cw = math.max(cw / 2, 1); ch = math.max(ch / 2, 1)
+      // buildLevel emits coarse pixels 0..floor((n-1)/2) = ceil(n/2)
+      // per axis (GDAL's ceil overview convention) — size pages to match
+      cw = (cw + 1) / 2; ch = (ch + 1) / 2
       pages :+= ((cw, ch, collectPage(cur, cw, ch)))
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      graft.sources.GeoTiff.encodePyramid(pages, dtype, p.outGt, Some(ndv)))
+      graft.sources.GeoTiff.encodePyramid(pages, dtype, p.outGt, Some(ndv),
+        crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs))))
   }
 
   /** Plan + execute + write (steps 5–7): COG-layout parquet, optional

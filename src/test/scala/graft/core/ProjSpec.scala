@@ -54,6 +54,11 @@ class ProjSpec extends AnyFunSuite with PropCheck {
     assert(Proj.canonicName("WGS84", 36) == "w84u36")
     assert(Proj.canonicName("ed50", 7) == "e50u07")
     assert(Proj.canonicName("WGS84", 0) == "w84geo")
+    assert(Proj.epsgFromName("w84geo") == 4326)
+    assert(Proj.epsgFromName("e50geo") == 4230)
+    assert(Proj.epsgFromName("w84u36") == 32636)
+    assert(Proj.epsgFromName("e50u07") == 23007)
+    assertThrows[IllegalArgumentException](Proj.epsgFromName("w84u36.5"))
   }
 
   test("proj strings (osr_utm_util.py:52-65)") {

@@ -39,6 +39,58 @@ class TileFilterPushdownSpec extends SparkSpec {
     }
   }
 
+  test("floor-form lower bound prunes via the runtime size guard; results unchanged") {
+    // py >= a compiles to ty*ts + floor(off/ts) >= a — the lower bound
+    // needs residual < ts, which the rule may not assume statically;
+    // it must still prune below-window tiles through the size(arr) guard
+    def q() = PixelFrame.explodeTiles(
+        PixelFrame.pack(PixelFrame.dem(spark, 64, 64), 16, PixelFrame.Dem.Ndv), 16)
+      .filter(col("py") >= 40 && col("py") < 64 && col("px") < 64)
+    val before = q().collect().map(_.toSeq).toSet
+    TileFilterPushdown.install(spark)
+    try {
+      val df = q()
+      val below = df.queryExecution.optimizedPlan.collect {
+        case Generate(_, _, _, _, _, f: Filter) => f.condition.sql
+      }
+      assert(below.nonEmpty, "no tile filter injected for the floor form")
+      assert(below.exists(_.contains("size")), below.mkString("; "))
+      assert(df.collect().map(_.toSeq).toSet == before)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TileFilterPushdown)
+    }
+  }
+
+  test("soundness: same shape over a NON-tile array is never over-pruned") {
+    import spark.implicits._
+    TileFilterPushdown.install(spark)
+    try {
+      // (a) array longer than ts²: floor(pos/ts) exceeds ts-1, so a
+      // naive static lower bound would wrongly prune base=0 rows
+      val long = Seq((0, (0 until 600).map(_.toDouble).toArray)).toDF("base", "arr")
+        .select(col("base"), posexplode(col("arr")).as(Seq("off", "x")))
+        .filter(col("base") * 16 + floor(col("off") / 16) >= lit(20))
+      // rows with floor(off/16) in [20, 37] survive: off in [320, 600)
+      assert(long.count() == 280)
+
+      // (b) residual built from the exploded ELEMENT (can be negative):
+      // must not be matched at all
+      val neg = Seq((1, Array(-5.0, -1.0, 3.0))).toDF("base", "arr")
+        .select(col("base"), posexplode(col("arr")).as(Seq("off", "x")))
+        .filter(col("base") * 16 + col("x").cast("int") % 16 >= lit(12))
+      // base*16 + (-5 % 16 = -5) = 11 fails; -1 → 15 ok; 3 → 19 ok
+      assert(neg.count() == 2)
+      val belowNeg = neg.queryExecution.optimizedPlan.collect {
+        case Generate(_, _, _, _, _, f: Filter) => f
+      }
+      assert(belowNeg.isEmpty, "element-residual shape must not inject tile bounds")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TileFilterPushdown)
+    }
+  }
+
   test("rule is idempotent and ignores non-tile predicates") {
     TileFilterPushdown.install(spark)
     TileFilterPushdown.install(spark) // second install is a no-op

@@ -109,6 +109,47 @@ class GeoTiffSpec extends SparkSpec {
     assert(out.sameElements(vals))
   }
 
+  test("writer round-trip: Float64 little-endian word order is preserved") {
+    // regression: LE Float64 decode must read the LOW 32-bit word first
+    // (a word-swap decodes every sample to garbage silently)
+    val w = 19; val h = 11
+    val vals = Array.tabulate(w * h)(i => math.Pi * (i - 100) + 1.0 / 3)
+    val gt = GeoTransform(5.0, 0.125, 0, 60.0, 0, -0.125)
+    val bytes = GeoTiff.encode(w, h, vals, GeoTiff.DtFloat64, gt, rowsPerStrip = 4)
+    val f = Files.createTempFile("graft_gtd", ".tif")
+    Files.write(f, bytes)
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.dtypeName == "Float64" && !info.bigEndian)
+    val out = Array.ofDim[Double](w * h)
+    for (seg <- info.segments) {
+      val d = GeoTiff.decodeSegment(f.toString, info, seg)
+      for (y <- 0 until seg.h; x <- 0 until seg.w if seg.y0 + y < h)
+        out((seg.y0 + y) * w + seg.x0 + x) = d(y * seg.w + x)
+    }
+    // bit-exact: doubles survive the codec unchanged
+    assert(out.sameElements(vals))
+  }
+
+  test("projected CRS tag: UTM export carries ProjectedCSTypeGeoKey, not WGS84-geographic") {
+    val w = 10; val h = 8
+    val vals = Array.tabulate(w * h)(_.toDouble)
+    // a UTM-meter grid: 30 m pixels anchored in zone 36 coordinates
+    val utmGt = GeoTransform(500000.0, 30.0, 0, 3600000.0, 0, -30.0)
+    val f = Files.createTempFile("graft_utm", ".tif")
+    Files.write(f, GeoTiff.encode(w, h, vals, GeoTiff.DtInt16, utmGt,
+      crs = GeoTiff.CrsTag.fromEpsg(32636)))
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.epsg.contains(32636))
+    // geographic default still writes the geographic key
+    val f2 = Files.createTempFile("graft_geo", ".tif")
+    Files.write(f2, GeoTiff.encode(w, h, vals, GeoTiff.DtInt16,
+      GeoTransform(35.0, 0.001, 0, 32.0, 0, -0.001)))
+    assert(GeoTiff.readInfo(f2.toString).epsg.contains(4326))
+    // ED50 variants
+    assert(!GeoTiff.CrsTag.fromEpsg(23036).geographic)
+    assert(GeoTiff.CrsTag.fromEpsg(4230).geographic)
+  }
+
   test("DSv2 scan of a written file equals the source frame (q65 shape)") {
     val w = 64; val h = 48
     val vals = Array.tabulate(w * h) { i =>

@@ -104,4 +104,34 @@ class TransSpec extends SparkSpec {
       .agg(sum(col("v").cast("int"))).head().getLong(0)
     assert(ovr1 == expect.toDouble)
   }
+
+  test("exportGeoTiff sizes odd-dimension overview pages with ceil (GDAL convention)") {
+    import graft.sources.GeoTiff
+    val gtOdd = GeoTransform(0, 1, 0, 45, 0, -1)
+    val p = Trans.plan(PixelFrame.dem(spark, 45, 33), gtOdd, 45, 33,
+      Trans.TransOptions()).get
+    val f = java.nio.file.Files.createTempFile("graft_odd", ".tif")
+    Trans.exportGeoTiff(p, f.toString, ovrLevels = 2)
+    val infos = GeoTiff.readInfos(f.toString)
+    // buildLevel emits ceil(n/2) per axis: 45→23→12, 33→17→9
+    assert(infos.map(i => (i.width, i.height)) == Seq((45, 33), (23, 17), (12, 9)))
+    // the last overview column/row must carry real values, not be dropped
+    val o2 = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).option("ovr", 2).load()
+    assert(o2.filter(col("px") === 11).count() == 9)
+    assert(o2.count() == 12 * 9)
+  }
+
+  test("exportGeoTiff tags a warped UTM plan as projected CRS (not WGS84 degrees)") {
+    import graft.sources.GeoTiff
+    val p = Trans.plan(dem, gt, 200, 120, TransOptions(
+      warpSrs = Some("w84u51"), srcSrs = "w84geo")).get
+    assert(p.outSrs == "w84u51")
+    val f = java.nio.file.Files.createTempFile("graft_utm_export", ".tif")
+    Trans.exportGeoTiff(p, f.toString)
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.epsg.contains(32651)) // ProjectedCSTypeGeoKey, zone 51
+    // pixel scale is in meters now, not degrees
+    assert(info.gt.get.c1 > 100)
+  }
 }
