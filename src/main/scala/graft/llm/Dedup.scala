@@ -244,6 +244,50 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Connected components over a near-dup pair graph — the closure of
+    * the fuzzy-dedup pipeline: LSH emits PAIRS, but the removal
+    * decision needs CLUSTERS (a∼b, b∼c ⇒ {a,b,c} keep one doc).
+    * Returns (doc_id, cluster_id) where cluster_id is the minimum doc
+    * id in the component; only docs appearing in `pairs` are labeled
+    * (singletons are trivially their own cluster — join back if
+    * needed).
+    *
+    * Algorithm: distributed min-label propagation to fixpoint (the
+    * same scheme GraphX's `connectedComponents` Pregel runs) — each
+    * round every node takes the min label over its neighborhood; one
+    * shuffle-join + hash-aggregate per round, `localCheckpoint` per
+    * round to truncate lineage, converges in O(graph diameter)
+    * rounds. Near-dup graphs are dense clusters with tiny diameters
+    * (a few rounds); for adversarial long-chain graphs the
+    * large-star/small-star variant (O(log n) rounds) would replace
+    * the loop body — same per-round shuffle shape, so the 100 TB cost
+    * model is unchanged. The per-round `count` action is the
+    * convergence check, standard for iterative Spark.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels.select(col("id").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      converged = next.join(labels.select(col("id"), col("lab").as("old")), "id")
+        .filter(col("lab") =!= col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+  }
+
   /** n-gram Jaccard near-dup with prefix blocking: candidates share a
     * text-prefix block key (cheap, deterministic); exact char-n-gram
     * Jaccard verifies. The blocking key bounds the join like a band

@@ -49,10 +49,49 @@ object EventQueries {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** q71 as-of join: each click annotated with the user's most recent
+    * error at-or-before it (backward-inclusive). Times compared as
+    * epoch micros so both engines stringify identically; the oracle
+    * is DuckDB's native ASOF LEFT JOIN.
+    */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("t_us", expr("unix_micros(ts)"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("click_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("t_us").as("err_us"), col("value").as("err_value"))
+    Temporal.asofJoinBackward(clicks, errors, Seq("user_id"), "click_us", "err_us")
+      .select("click_id", "user_id", "click_us", "err_id", "err_us", "err_value")
+      .orderBy("click_id")
+  }
+
+  /** q72 range join: per error, aggregate the user's non-error events
+    * inside the 10-minute incident window [err, err + 10 min) —
+    * bucketed equi-join, exact-decimal value sums.
+    */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val winUs = 600000000L // 10 minutes in epoch micros
+    val ev = Tables.events(s, d).withColumn("t_us", expr("unix_micros(ts)"))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("t_us").as("s_us"), (col("t_us") + winUs).as("e_us"))
+    val points = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("ev_id"), col("t_us"), col("value"))
+    Temporal.rangeJoin(points, intervals, Seq("user_id"),
+        "t_us", "s_us", "e_us", bucketWidth = winUs)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_in_window"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy("err_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_events_json" -> q53 _,
     "q54_string_paths" -> q54 _,
     "q55_events_hourly" -> q55 _,
+    "q71_asof_join" -> q71 _,
+    "q72_range_join" -> q72 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,5 +118,31 @@ object EventQueries {
       """SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q71_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_us, value AS err_value
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.click_id, c.user_id, c.click_us, e.err_id, e.err_us, e.err_value
+        |FROM c ASOF LEFT JOIN e
+        |  ON c.user_id = e.user_id AND c.click_us >= e.err_us
+        |ORDER BY click_id""".stripMargin,
+
+    "q72_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + 600000000 AS e_us
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, value
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT e.err_id, COUNT(*) AS n_in_window,
+        |       CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND p.t_us >= e.s_us AND p.t_us < e.e_us
+        |GROUP BY e.err_id ORDER BY err_id""".stripMargin,
   )
 }

@@ -77,6 +77,20 @@ object LlmQueries {
         numHashes = 16, bands = 4, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** q70 near-dup clusters: the q47 pair graph closed into connected
+    * components (min-id cluster labels + component sizes) — the
+    * actual removal unit of fuzzy dedup. The oracle recomputes the
+    * identical pairs, then closes them with a recursive CTE.
+    */
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
   /** q48 SimHash bucket groups. */
   def q48(s: SparkSession, d: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
@@ -134,6 +148,7 @@ object LlmQueries {
     "q45_dedup_exact" -> q45 _,
     "q46_dedup_prefix" -> q46 _,
     "q47_dedup_minhash" -> q47 _,
+    "q70_dedup_clusters" -> q70 _,
     "q48_dedup_simhash" -> q48 _,
     "q49_ann_brute" -> q49 _,
     "q50_ann_lsh" -> q50 _,
@@ -184,6 +199,38 @@ object LlmQueries {
       val vote = s"list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${k + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
       s"(CASE WHEN $vote >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  /** q47's verified-pair pipeline (no terminal ORDER BY) — shared by
+    * the q47 oracle and embedded as a CTE body by the q70 closure.
+    */
+  private val minhashPairsSql: String =
+    s"""WITH $shinglesCte,
+       |sig AS (
+       |  -- universal hashing: one md5-derived base per shingle, k
+       |  -- affine transforms (a_k x + b_k) mod p -- mirrors
+       |  -- Dedup.minhashBaseCol/minhashAffineCol exactly (p = 2038074743)
+       |  SELECT doc_id, sh,
+       |         list_transform(range(0, 16),
+       |           k -> list_aggregate(list_transform(sh,
+       |             s -> ((1 + ((k * 2654435761) % 2038074742))
+       |                     * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2038074743)
+       |                   + ((k * 40503 + 17) % 2038074743)) % 2038074743), 'min')) AS sigs
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
+       |         md5(CAST(sigs[CAST(b AS INTEGER) * 4 + 1] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 2] AS VARCHAR) || '|'
+       |             || CAST(sigs[CAST(b AS INTEGER) * 4 + 3] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 4] AS VARCHAR)) AS bkey
+       |  FROM sig CROSS JOIN range(0, 4) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       |         / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+       |FROM pairs
+       |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       |        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q42_text_metrics" ->
@@ -249,35 +296,25 @@ object LlmQueries {
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
 
+    // NOTE: minhashPairsSql is already margin-stripped — concatenate,
+    // never re-stripMargin (its `|| '|' ||` lines would be mangled)
     "q47_dedup_minhash" ->
-      s"""WITH $shinglesCte,
-         |sig AS (
-         |  -- universal hashing: one md5-derived base per shingle, k
-         |  -- affine transforms (a_k x + b_k) mod p -- mirrors
-         |  -- Dedup.minhashBaseCol/minhashAffineCol exactly (p = 2038074743)
-         |  SELECT doc_id, sh,
-         |         list_transform(range(0, 16),
-         |           k -> list_aggregate(list_transform(sh,
-         |             s -> ((1 + ((k * 2654435761) % 2038074742))
-         |                     * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2038074743)
-         |                   + ((k * 40503 + 17) % 2038074743)) % 2038074743), 'min')) AS sigs
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
-         |         md5(CAST(sigs[CAST(b AS INTEGER) * 4 + 1] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 2] AS VARCHAR) || '|'
-         |             || CAST(sigs[CAST(b AS INTEGER) * 4 + 3] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 4] AS VARCHAR)) AS bkey
-         |  FROM sig CROSS JOIN range(0, 4) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-         |  WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-         |         / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
-         |FROM pairs
-         |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-         |        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+      (minhashPairsSql + "\nORDER BY id_a, id_b"),
+
+    "q70_dedup_clusters" ->
+      ("WITH RECURSIVE verified AS (\n" + minhashPairsSql + "\n),\n" +
+       """edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cl ORDER BY doc_id""".stripMargin),
 
     "q48_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.Dedup
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoinBackward: latest at-or-before per key, nulls when none, ties inclusive") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 50L, "d"))
+      .toDF("k", "lt", "lpay")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 200.0), (3L, 1L, 999.0))
+      .toDF("k", "rt", "rpay")
+    val out = Temporal.asofJoinBackward(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lpay", "rt", "rpay").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", 10L, 100.0),  // tie: right row at equal time IS visible
+      (1L, 20L, "b", 15L, 200.0),  // latest of the two priors
+      (1L, 5L, "c", -1L, -1.0),    // before any right row → null payload
+      (2L, 50L, "d", -1L, -1.0)))  // key with no right rows at all
+  }
+
+  test("asofJoinBackward rejects column collisions") {
+    val l = Seq((1L, 1L)).toDF("k", "t")
+    val r = Seq((1L, 1L)).toDF("k", "t")
+    assertThrows[IllegalArgumentException](
+      Temporal.asofJoinBackward(l, r, Seq("k"), "t", "t"))
+  }
+
+  test("rangeJoin: [start, end) bounds, bucket-crossing and long intervals") {
+    val points = Seq((1L, 0L, "p0"), (1L, 10L, "p10"), (1L, 19L, "p19"),
+      (1L, 20L, "p20"), (1L, 35L, "p35"), (2L, 10L, "q10"))
+      .toDF("k", "t", "pid")
+    // width 10: [10,20) sits in one cell, [15,25) crosses a boundary,
+    // [0,35) spans four cells (longer than the width — still correct)
+    val intervals = Seq((1L, 10L, 20L, "A"), (1L, 15L, 25L, "B"), (1L, 0L, 35L, "C"))
+      .toDF("k", "s", "e", "iid")
+    val out = Temporal.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 10L)
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("p10", "A"),               // start inclusive
+      ("p19", "A"), ("p19", "B"), // end exclusive for A at 20
+      ("p20", "B"),               // crossing interval, second cell
+      ("p0", "C"), ("p10", "C"), ("p19", "C"), ("p20", "C")))
+    // p35: e=35 exclusive → no match; q10: key 2 has no intervals
+  }
+
+  test("rangeJoin replicates intervals only to covered cells (no dup matches)") {
+    // a point matched by an interval listed in 2 cells must appear once
+    val points = Seq((1L, 12L, "p")).toDF("k", "t", "pid")
+    val intervals = Seq((1L, 5L, 25L, "I")).toDF("k", "s", "e", "iid")
+    val out = Temporal.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 10L)
+    assert(out.count() == 1)
+  }
+
+  test("connectedComponents: chains close transitively, components stay separate") {
+    // component {1,2,3,4} via a chain; {10,11}; {20,21,22} via a triangle
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: empty pair set yields empty labeling") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("connectedComponents: long path needs diameter rounds, still converges") {
+    // path 0-1-2-...-19: worst-case diameter for min propagation
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.length == 20 && cc.forall(_._2 == 0L))
+  }
+}
