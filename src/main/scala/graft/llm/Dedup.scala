@@ -268,20 +268,28 @@ object Dedup {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    // seed with the neighborhood min — a free first propagation round
+    // (min over labels ≡ min over ids when labels are the identity)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("mn"), col("id")).as("lab"))
+      .localCheckpoint()
     var it = 0
     var converged = edges.isEmpty
     while (!converged && it < maxIter) {
       val prop = edges.join(labels.select(col("id").as("src"), col("lab")), "src")
         .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
+      // carry the change flag INSIDE the checkpointed frame: the
+      // convergence probe then reads checkpoint blocks instead of
+      // paying an extra join+shuffle per round (min-prop labels only
+      // ever decrease, so "changed" ≡ nlab < lab)
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg"))
         .localCheckpoint()
-      converged = next.join(labels.select(col("id"), col("lab").as("old")), "id")
-        .filter(col("lab") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.drop("chg")
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
