@@ -131,6 +131,16 @@ object RasterQueries {
         sum(when(col("state") === Viewshed.StHidden, 1L).otherwise(0L)).as("hidden"))
       .orderBy("bucket")
 
+  /** q73 E2 exact per-ray viewshed (Wang-style line referencing) on
+    * the q40 grid — full per-pixel states, so the oracle checks every
+    * ray's interpolated walk, not an aggregate.
+    */
+  def q73(s: SparkSession, d: String): DataFrame =
+    Viewshed.viewshedExact(PixelFrame.dem(s, VsW, VsH), ox = 60, oy = 60, oz = 15.0,
+        cellSize = 5.0, maxR = 250.0)
+      .select(col("px"), col("py"), col("state"))
+      .orderBy("py", "px")
+
   /** q41 R5 partition grid planning (find_two_greatest_devisors). */
   def q41(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -346,6 +356,7 @@ object RasterQueries {
     "q38_selector_route" -> q38 _,
     "q39_los_profile" -> q39 _,
     "q40_viewshed_sectors" -> q40 _,
+    "q73_viewshed_exact" -> q73 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
     "q57_fwd_targets" -> q57 _,
@@ -561,6 +572,7 @@ object RasterQueries {
     },
 
     "q40_viewshed_sectors" -> viewshedOracle,
+    "q73_viewshed_exact" -> viewshedExactOracle,
 
     "q56_cutline_mask" -> {
       // identical edge tests generated from the same ring, over the
@@ -837,4 +849,75 @@ object RasterQueries {
        |       CAST(SUM(CASE WHEN state = 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS seen,
        |       CAST(SUM(CASE WHEN state = 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS hidden
        |FROM states GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q73 oracle: the exact line-referencing walk re-derived in SQL.
+    * Crossing positions come from integer floor division (identical in
+    * both engines by construction); tap contributions reduce through
+    * the same fixed slots folded in the same order as the Spark plan,
+    * so every double is bit-equal.
+    */
+  private lazy val viewshedExactOracle: String =
+    s"""WITH vdem AS (
+       |  SELECT CAST(i % 121 AS INTEGER) AS px, CAST(i // 121 AS INTEGER) AS py,
+       |         CASE WHEN ((i % 121) * 31 + (i // 121) * 17) % 101 = 0 THEN -32768.0
+       |              ELSE CAST(((i % 121) * 7 + (i // 121) * 13) % 997 AS DOUBLE) END AS v
+       |  FROM range(14641) t(i)),
+       |obs AS (SELECT v AS h0 FROM vdem WHERE px = 60 AND py = 60),
+       |tgt AS (
+       |  SELECT d.px, d.py, d.v, o.h0,
+       |    GREATEST(ABS(d.px - 60), ABS(d.py - 60)) AS n,
+       |    SQRT(CAST((d.px - 60) * (d.px - 60) + (d.py - 60) * (d.py - 60) AS DOUBLE)) * 5.0 AS dist
+       |  FROM vdem d CROSS JOIN obs o
+       |  WHERE NOT (d.px = 60 AND d.py = 60)),
+       |tgt2 AS (
+       |  SELECT *, (-(1 - 1.0/7)) * dist * dist / 12756274.0 AS hc FROM tgt),
+       |tgt3 AS (
+       |  SELECT *, CASE WHEN v = -32768.0 THEN NULL
+       |                 ELSE (v + hc - (h0 + 15.0)) / dist END AS ratio FROM tgt2),
+       |steps AS (
+       |  SELECT px, py, n, dist, h0, unnest(range(1, n)) AS k
+       |  FROM tgt3 WHERE n >= 2),
+       |pos AS (
+       |  SELECT *, k * (px - 60) AS kdx, k * (py - 60) AS kdy FROM steps),
+       |pos2 AS (
+       |  SELECT *, ((kdx % n) + n) % n AS rx, ((kdy % n) + n) % n AS ry FROM pos),
+       |pos3 AS (
+       |  SELECT *, CAST(60 + (kdx - rx) // n AS INTEGER) AS x0,
+       |            CAST(60 + (kdy - ry) // n AS INTEGER) AS y0,
+       |            CAST(rx AS DOUBLE) / n AS ffx, CAST(ry AS DOUBLE) / n AS ffy
+       |  FROM pos2),
+       |taps AS (
+       |  SELECT p.*, a.ax, b.ay, a.ax + 2 * b.ay AS tap,
+       |    (CASE WHEN a.ax = 1 THEN ffx ELSE 1.0 - ffx END)
+       |      * (CASE WHEN b.ay = 1 THEN ffy ELSE 1.0 - ffy END) AS w,
+       |    x0 + a.ax AS jx, y0 + b.ay AS jy
+       |  FROM pos3 p CROSS JOIN (VALUES (0), (1)) a(ax) CROSS JOIN (VALUES (0), (1)) b(ay)),
+       |j AS (
+       |  SELECT t.*, d.v AS z
+       |  FROM taps t LEFT JOIN vdem d ON d.px = t.jx AND d.py = t.jy
+       |  WHERE t.w > 0),
+       |cr AS (
+       |  SELECT px, py, k, n, dist, h0,
+       |    COALESCE(MAX(CASE WHEN tap = 0 THEN w * z END), 0.0) AS s0,
+       |    COALESCE(MAX(CASE WHEN tap = 1 THEN w * z END), 0.0) AS s1,
+       |    COALESCE(MAX(CASE WHEN tap = 2 THEN w * z END), 0.0) AS s2,
+       |    COALESCE(MAX(CASE WHEN tap = 3 THEN w * z END), 0.0) AS s3,
+       |    MAX(CASE WHEN z IS NULL OR z = -32768.0 THEN 1 ELSE 0 END) AS bad
+       |  FROM j GROUP BY px, py, k, n, dist, h0),
+       |cr2 AS (
+       |  SELECT *, s0 + s1 + s2 + s3 AS zc, dist * k / n AS dk FROM cr),
+       |cr3 AS (
+       |  SELECT *, (-(1 - 1.0/7)) * dk * dk / 12756274.0 AS hck FROM cr2),
+       |cr4 AS (
+       |  SELECT px, py, CASE WHEN bad = 1 THEN NULL
+       |                      ELSE (zc + hck - (h0 + 15.0)) / dk END AS rk FROM cr3),
+       |ob AS (SELECT px, py, MAX(rk) AS obstruction FROM cr4 GROUP BY px, py),
+       |st AS (
+       |  SELECT t.px, t.py,
+       |    CASE WHEN t.dist > 250.0 THEN 0.0
+       |         WHEN t.v = -32768.0 THEN 1.0
+       |         WHEN t.ratio >= COALESCE(o.obstruction, -1e300) THEN 5.0
+       |         ELSE 2.0 END AS state
+       |  FROM tgt3 t LEFT JOIN ob o ON o.px = t.px AND o.py = t.py)
+       |SELECT px, py, state FROM st ORDER BY py, px""".stripMargin
 }

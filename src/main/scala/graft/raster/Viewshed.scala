@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,101 @@ object Viewshed {
     sweepStates(
       sweepGeom(dem, ox, oy, oz, cellSize, refractionCoeff, nBuckets, demNdv),
       maxR, demNdv)
+
+  /** Exact per-ray viewshed — R3 / Wang-style line referencing
+    * (the algorithm family behind `gdal.ViewshedGenerate`'s
+    * interpolated line-of-sight; reference dispatch
+    * `viewshed_calc.py:332-421`): for EVERY target pixel the true
+    * observer→target segment is walked at its DDA crossings (one per
+    * dominant-axis cell, step k ∈ 1..n−1 at fraction k/n), terrain
+    * height at each crossing is interpolated from the surrounding
+    * cells (one axis is always integral, so the 4-tap bilinear
+    * degenerates to Wang's 2-point line referencing), and the target
+    * is visible iff its curvature-corrected slope ratio clears the
+    * max over its own crossings. No sector approximation — the
+    * companion sweep ([[viewshed]]) marches sector-median rays at
+    * O(footprint) cost; this is exact per ray at O(footprint × radius)
+    * rows, still fully distributed (explode → equi-join on pixel keys
+    * → two hash aggregations; no window, no driver loop).
+    *
+    * Numeric determinism: crossing positions derive from INTEGER
+    * floor-division (k·dx = q·n + r exactly), so every weight is the
+    * same IEEE double in any engine; the ≤4 tap contributions reduce
+    * through fixed slots folded in a fixed order (same scheme as
+    * [[Warp]]), never an order-nondeterministic SUM. A crossing with
+    * any null/nodata tap of positive weight never obstructs (GDAL's
+    * nodata-transparent convention, matching the sweep).
+    *
+    * Single-plane input (like [[viewshed]]'s observer probe): pass one
+    * (rid, band) plane; multi-plane frames union N calls.
+    */
+  def viewshedExact(dem: DataFrame, ox: Int, oy: Int, oz: Double,
+                    cellSize: Double, maxR: Double,
+                    refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                    demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val cc = 1.0 - refractionCoeff
+    val obsH = dem.filter(col("px") === ox && col("py") === oy)
+      .select(col("v").as("h0"))
+    val dx = col("px") - ox
+    val dy = col("py") - oy
+    val targets = dem.select("px", "py", "v").crossJoin(broadcast(obsH))
+      .filter(!(col("px") === ox && col("py") === oy))
+      .withColumn("n", greatest(abs(dx), abs(dy)))
+      .withColumn("dist", sqrt((dx * dx + dy * dy).cast("double")) * cellSize)
+      .withColumn("hc", lit(-cc) * col("dist") * col("dist") / lit(2 * Radio.SphereRadius))
+      .withColumn("ratio",
+        when(col("v") === demNdv, lit(null))
+          .otherwise((col("v") + col("hc") - (col("h0") + oz)) / col("dist")))
+
+    // crossings, positioned by exact integer floor division:
+    // k·dx = qx·n + rx with 0 ≤ rx < n  ⇒  x = ox + qx + rx/n
+    val steps = targets.filter(col("n") >= 2)
+      .select(col("px"), col("py"), col("n"), col("dist"), col("h0"),
+        explode(sequence(lit(1), col("n") - 1)).as("k"))
+      .withColumn("kdx", col("k") * (col("px") - ox))
+      .withColumn("kdy", col("k") * (col("py") - oy))
+      .withColumn("rx", pmod(col("kdx"), col("n")))
+      .withColumn("ry", pmod(col("kdy"), col("n")))
+      .withColumn("x0", (lit(ox) + (col("kdx") - col("rx")) / col("n")).cast("int"))
+      .withColumn("y0", (lit(oy) + (col("kdy") - col("ry")) / col("n")).cast("int"))
+      .withColumn("ffx", col("rx").cast("double") / col("n"))
+      .withColumn("ffy", col("ry").cast("double") / col("n"))
+    val taps = steps
+      .select(col("px"), col("py"), col("n"), col("dist"), col("h0"), col("k"),
+        col("x0"), col("y0"), col("ffx"), col("ffy"),
+        posexplode(array(Seq((0, 0), (1, 0), (0, 1), (1, 1)).map { case (ax, ay) =>
+          struct(lit(ax).as("ax"), lit(ay).as("ay"))
+        }: _*)).as(Seq("tap", "t")))
+      .withColumn("w",
+        when(col("t.ax") === 1, col("ffx")).otherwise(lit(1.0) - col("ffx")) *
+          (when(col("t.ay") === 1, col("ffy")).otherwise(lit(1.0) - col("ffy"))))
+      .filter(col("w") > 0)
+      .select(col("px"), col("py"), col("n"), col("dist"), col("h0"), col("k"),
+        col("tap"), col("w"),
+        (col("x0") + col("t.ax")).as("jx"), (col("y0") + col("t.ay")).as("jy"))
+
+    val demPix = dem.select(col("px").as("jx"), col("py").as("jy"), col("v").as("z"))
+    def slot(i: Int): Column =
+      coalesce(max(when(col("tap") === i, col("w") * col("z"))), lit(0.0))
+    val crossings = taps.join(demPix, Seq("jx", "jy"), "left")
+      .groupBy("px", "py", "k", "n", "dist", "h0")
+      .agg(slot(0).as("s0"), slot(1).as("s1"), slot(2).as("s2"), slot(3).as("s3"),
+        max(when(col("z").isNull || col("z") === demNdv, 1).otherwise(0)).as("bad"))
+      .withColumn("zc", col("s0") + col("s1") + col("s2") + col("s3"))
+      .withColumn("dk", col("dist") * col("k") / col("n"))
+      .withColumn("hck", lit(-cc) * col("dk") * col("dk") / lit(2 * Radio.SphereRadius))
+      .withColumn("rk", when(col("bad") === 1, lit(null))
+        .otherwise((col("zc") + col("hck") - (col("h0") + oz)) / col("dk")))
+    val obstr = crossings.groupBy("px", "py").agg(max(col("rk")).as("obstruction"))
+
+    targets.join(obstr, Seq("px", "py"), "left")
+      .withColumn("state",
+        when(col("dist") > maxR, lit(StNodata))
+          .when(col("v") === demNdv, lit(StNodtm))
+          .when(col("ratio") >= coalesce(col("obstruction"), lit(-1e300)), lit(StSeen))
+          .otherwise(lit(StHidden)))
+      .select(col("px"), col("py"), col("v"), col("dist"), col("state"))
+  }
 
   /** Geographic-input viewshed (`viewshed_calc.py:310-320`): a DEM in
     * geographic coordinates is first gather-warped onto an on-the-fly

@@ -83,14 +83,16 @@ object Warp {
   def warp(src: DataFrame, srcGt: GeoTransform,
            dstGt: GeoTransform, dstW: Int, dstH: Int,
            invMap: (Column, Column) => (Column, Column),
-           ndv: Double, kernel: Kernel = Bilinear): DataFrame = {
+           ndv: Double, kernel: Kernel = Bilinear,
+           knownPlanes: Option[Seq[(Int, Int)]] = None): DataFrame = {
     require(srcGt.isNorthUp && dstGt.isNorthUp, "warp supports north-up grids")
     val spark = src.sparkSession
     // one target grid per (rid, band) of the source — a multi-raster/
-    // multi-band frame warps each plane independently (at cluster
-    // scale this tiny universe comes from the raster catalog, not a
-    // scan; here a distinct is cheap and keeps the API closed)
-    val planes = broadcast(src.select("rid", "band").distinct())
+    // multi-band frame warps each plane independently. At cluster
+    // scale the caller passes this tiny universe from the raster
+    // catalog (`knownPlanes`) so no scan of the data is needed; the
+    // distinct fallback keeps the API closed when no catalog exists
+    val planes = broadcast(planesFrame(spark, src, knownPlanes))
     val grid = planes.crossJoin(spark.range(dstW.toLong * dstH).select(
       (col("id") % dstW).cast("int").as("px"),
       (col("id") / dstW).cast("int").as("py")))
@@ -138,6 +140,21 @@ object Warp {
         when(wSum > 0, wvSum / wSum).otherwise(lit(ndv)).as("v"))
   }
 
+  /** Plane universe for the target grid: a literal frame when the
+    * caller knows it (catalog-driven — zero data scans), else a
+    * distinct over the source.
+    */
+  private def planesFrame(spark: org.apache.spark.sql.SparkSession,
+                          src: DataFrame,
+                          known: Option[Seq[(Int, Int)]]): DataFrame =
+    known match {
+      case Some(ps) =>
+        require(ps.nonEmpty, "knownPlanes must be non-empty")
+        import spark.implicits._
+        ps.toDF("rid", "band")
+      case None => src.select("rid", "band").distinct()
+    }
+
   /** The packed-tile form of [[warp]] — the 100 TB shape. Source is
     * the A8/A3 tile table `(rid, band, tx, ty, data: array)` (ts×ts
     * row-major, ndv-padded edges): taps join on the TILE key and the
@@ -150,10 +167,11 @@ object Warp {
   def warpPacked(tiles: DataFrame, ts: Int, srcGt: GeoTransform,
                  dstGt: GeoTransform, dstW: Int, dstH: Int,
                  invMap: (Column, Column) => (Column, Column),
-                 ndv: Double, kernel: Kernel = Bilinear): DataFrame = {
+                 ndv: Double, kernel: Kernel = Bilinear,
+                 knownPlanes: Option[Seq[(Int, Int)]] = None): DataFrame = {
     require(srcGt.isNorthUp && dstGt.isNorthUp, "warp supports north-up grids")
     val spark = tiles.sparkSession
-    val planes = broadcast(tiles.select("rid", "band").distinct())
+    val planes = broadcast(planesFrame(spark, tiles, knownPlanes))
     val grid = planes.crossJoin(spark.range(dstW.toLong * dstH).select(
       (col("id") % dstW).cast("int").as("px"),
       (col("id") / dstW).cast("int").as("py")))

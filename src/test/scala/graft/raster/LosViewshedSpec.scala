@@ -106,6 +106,57 @@ class LosViewshedSpec extends SparkSpec {
     assert(vs2.filter($"px" === 2 && $"py" === 2)
       .select("state").as[Double].head() == Viewshed.StNodtm)
   }
+  test("viewshedExact: flat world fully visible; wall shadows exactly behind it") {
+    // flat: every in-range pixel seen (target ratio is monotone in
+    // distance on a flat world with a mast)
+    val flat = flatDem(21, 21)
+    val vsFlat = Viewshed.viewshedExact(flat, 10, 10, 10.0, 1.0, 100.0)
+    assert(vsFlat.filter(col("state") =!= Viewshed.StSeen).count() == 0)
+
+    // a wall column at x=14: pixels beyond it on near-horizontal rays
+    // are hidden; in front of and beside it stay visible
+    val walled = flatDem(21, 21, wallX = 14, wallH = 50.0)
+    val vs = Viewshed.viewshedExact(walled, 10, 10, 2.0, 1.0, 100.0)
+      .select("px", "py", "state").as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(vs((20, 10)) == Viewshed.StHidden) // straight behind the wall
+    assert(vs((13, 10)) == Viewshed.StSeen)   // in front of the wall
+    assert(vs((14, 10)) == Viewshed.StSeen)   // the wall top itself is seen
+    assert(vs((0, 10)) == Viewshed.StSeen)    // opposite side unaffected
+    assert(vs((10, 20)) == Viewshed.StSeen)   // perpendicular ray unaffected
+    // diagonal ray crossing the wall column is blocked too
+    assert(vs((20, 12)) == Viewshed.StHidden)
+  }
+
+  test("viewshedExact: nodata never obstructs; nodata/out-of-range states") {
+    val ndv = PixelFrame.Dem.Ndv
+    val nd = flatDem(21, 21, wallX = 14, wallH = ndv)
+    val vs = Viewshed.viewshedExact(nd, 10, 10, 2.0, 1.0, 6.0, demNdv = ndv)
+      .select("px", "py", "state").as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(vs((16, 10)) == Viewshed.StSeen)   // behind the nodata wall, in range
+    assert(vs((14, 10)) == Viewshed.StNodtm)  // the nodata pixel itself
+    assert(vs((20, 10)) == Viewshed.StNodata) // out of maxR
+  }
+
+  test("viewshedExact agrees with the sector sweep away from sector boundaries") {
+    // same wall scene: the two algorithms share semantics up to the
+    // sweep's sector-median approximation — on a scene whose only
+    // feature is axis-aligned, the visible/hidden partition must agree
+    // on the wall's own row and the perpendicular row
+    val walled = flatDem(21, 21, wallX = 14, wallH = 50.0)
+    val exact = Viewshed.viewshedExact(walled, 10, 10, 2.0, 1.0, 100.0)
+      .select("px", "py", "state").as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val sweep = Viewshed.viewshed(walled, 10, 10, 2.0, 1.0, 100.0)
+      .select("px", "py", "state").as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (x <- 0 to 20 if x != 10) {
+      assert(exact((x, 10)) == sweep((x, 10)), s"row disagreement at ($x,10)")
+      assert(exact((10, x)) == sweep((10, x)), s"col disagreement at (10,$x)")
+    }
+  }
+
   test("multi-observer combine pays ONE window shuffle (obs x buckets keys)") {
     import org.apache.spark.sql.execution.ExplainMode
     val dem = PixelFrame.dem(spark, 41, 41)

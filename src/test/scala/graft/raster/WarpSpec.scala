@@ -122,6 +122,30 @@ class WarpSpec extends SparkSpec {
     assert(math.abs(perBand(2)._1 - 11.0) < 1e-9 && math.abs(perBand(2)._2 - 11.0) < 1e-9)
   }
 
+  test("knownPlanes (catalog-driven universe) matches the distinct scan, scan-free") {
+    val gt = GeoTransform(0, 1, 0, 30, 0, -1)
+    val b1 = PixelFrame.constant(spark, 30, 30, 5.0)
+    val b2 = PixelFrame.constant(spark, 30, 30, 11.0).withColumn("band", lit(2))
+    val src = b1.unionByName(b2)
+    val dst = GeoTransform(5, 0.8, 0, 25, 0, -0.8)
+    val scanned = Warp.warp(src, gt, dst, 12, 12, identity2, Ndv)
+    val cataloged = Warp.warp(src, gt, dst, 12, 12, identity2, Ndv,
+      knownPlanes = Some(Seq((0, 1), (0, 2))))
+    assert(scanned.collect().map(_.toSeq).toSet == cataloged.collect().map(_.toSeq).toSet)
+    // the catalog-driven plan builds its grid from a LocalRelation —
+    // the only Aggregate left is the tap-slot reduce, no distinct scan
+    val plan = cataloged.queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, "knownPlanes must not plan a distinct over the source")
+    assert(plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "plane universe should be a literal LocalRelation")
+    assertThrows[IllegalArgumentException](
+      Warp.warp(src, gt, dst, 12, 12, identity2, Ndv, knownPlanes = Some(Nil)))
+  }
+
   test("zone-to-zone warp composes through geographic (R1)") {
     // zone 36 strip re-gridded into zone 37 coordinates
     val gt = GeoTransform(690000, 30, 0, 3000000, 0, -30) // near the 36/37 seam
