@@ -86,12 +86,27 @@ object EventQueries {
       .orderBy("err_id")
   }
 
+  /** q74 J: per-user session windows (30-min gap) — the batch twin of
+    * [[graft.streaming.EventStream.sessionAgg]]; session start keyed
+    * as epoch micros, value sums exact-decimal. The oracle recomputes
+    * the identical sessions with gaps-and-islands SQL (break when
+    * gap ≥ 30 min, matching Spark's half-open session windows).
+    */
+  def q74(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.sessionAgg(Tables.events(s, d).select("user_id", "ts",
+        "value"))
+      .select(col("user_id"), expr("unix_micros(session_start)").as("s_us"),
+        col("n"),
+        col("sum_value"))
+      .orderBy("user_id", "s_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_events_json" -> q53 _,
     "q54_string_paths" -> q54 _,
     "q55_events_hourly" -> q55 _,
     "q71_asof_join" -> q71 _,
     "q72_range_join" -> q72 _,
+    "q74_session_windows" -> q74 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +145,16 @@ object EventQueries {
         |FROM c ASOF LEFT JOIN e
         |  ON c.user_id = e.user_id AND c.click_us >= e.err_us
         |ORDER BY click_id""".stripMargin,
+
+    "q74_session_windows" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |l AS (SELECT *, LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+        |f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt >= 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, MIN(t) AS s_us, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_us""".stripMargin,
 
     "q72_range_join" ->
       """WITH e AS (

@@ -80,6 +80,28 @@ object EventStream {
       }
   }
 
+  /** Event-time session windows via the built-in `session_window`
+    * (dynamic-gap windows merged by the engine — the declarative
+    * replacement for hand-rolled gaps-and-islands): one session per
+    * maximal run of per-user events with inter-event gap < `gap`
+    * (half-open — an event exactly `gap` after the last starts a new
+    * session). Works identically on batch and streaming frames; when
+    * streaming, the watermark bounds session state so closed sessions
+    * emit and evict (append mode).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    // decimal-exact sum: order-independent across partitionings and
+    // engines (the float sum would drift with aggregation order)
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+  }
+
   /** Streaming exact dedup — the streaming face of the LLM-pipeline
     * exact-dedup family (`llm/Dedup.exactDedup` is the batch twin):
     * documents are keyed by content hash (md5 of the dedup column)

@@ -92,6 +92,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: streaming sessions equal the batch twin; gap splits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: events at :05 and :20 (one session), then :59+:65 — the
+    // 39-min gap splits; :59→:65 merges again (6 min < 30)
+    val stream = MemoryStream[Event]
+    stream.addData(fixture)
+    val q = sessionAgg(stream.toDF().select("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess")
+        .orderBy("user_id", "session_start")
+        .select("user_id", "session_start", "n", "sum_value").collect().toSeq
+      val batch = sessionAgg(fixture.toDF().select("user_id", "ts", "value"))
+        .orderBy("user_id", "session_start")
+        .select("user_id", "session_start", "n", "sum_value").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))) ==
+        Seq((1L, 1L, 1.0), (1L, 2L, 7.0), (2L, 1L, 2.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("watermarked file-source stream plan builds (readStream surface)") {
     val src = readEventStream(spark, "/root/testdata/sf0.001")
     assert(src.isStreaming)
