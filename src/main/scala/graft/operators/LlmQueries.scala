@@ -17,10 +17,13 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object LlmQueries {
 
-  /** q42 text metrics: token counts + quality signals per doc. */
+  /** q42 text metrics: token counts (whitespace + BPE-ish subword
+    * regex) + quality signals per doc.
+    */
   def q42(s: SparkSession, d: String): DataFrame =
     TextAnalysis.withQuality(Tables.documents(s, d))
-      .select("doc_id", "n_tokens", "n_distinct_tokens", "n_punct",
+      .withColumn("n_subwords", TextAnalysis.subwordCountCol(col("text")))
+      .select("doc_id", "n_tokens", "n_subwords", "n_distinct_tokens", "n_punct",
         "lex_diversity", "mean_token_len")
       .orderBy("doc_id")
 
@@ -237,6 +240,7 @@ object LlmQueries {
       s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents)
          |SELECT doc_id,
          |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subwords,
          |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
          |       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS n_punct,
          |       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lex_diversity,

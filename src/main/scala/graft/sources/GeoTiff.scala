@@ -235,9 +235,11 @@ object GeoTiff {
       else inflate(raw, nSamples * bytesPerSample)
 
     if (info.predictor == 2) {
-      // horizontal differencing per row, per sample-byte-group
-      require(info.sampleFormat != 3 || info.bitsPerSample == 32,
-        "predictor 2 on float requires fp predictor (unsupported)")
+      // horizontal differencing is defined on integer samples only
+      // (floating-point data uses predictor 3, which we don't decode —
+      // reject rather than silently integer-undiff float bytes)
+      require(info.sampleFormat != 3,
+        "predictor 2 on floating-point samples is invalid (fp predictor 3 unsupported)")
       undiffRows(data, seg.w, seg.h, info.bands, bytesPerSample, info.bigEndian)
     }
 
