@@ -296,6 +296,60 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
   }
 
+  /** Connected components by large-star/small-star alternation (the
+    * "Connected Components in MapReduce and Beyond" algorithm) —
+    * O(log n) rounds on ANY graph, vs [[connectedComponents]]'s
+    * O(diameter). Same output contract (nodes of `pairs` labeled by
+    * their component minimum); use this when the pair graph may
+    * contain long chains (transitive near-dup runs), the plain
+    * min-propagation when components are dense and shallow (the
+    * common LSH case — fewer rounds in practice there). Per round:
+    * two neighborhood aggregations + joins, edges localCheckpointed;
+    * converged when the edge set reaches its star fixpoint.
+    *
+    *  - large-star: every node u connects its LARGER neighbors to
+    *    m = min(Γ(u) ∪ {u}) — halves long tails without breaking
+    *    connectivity;
+    *  - small-star: every node c connects its smaller neighbors and
+    *    itself to their minimum — collapses toward the root.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    var edges = canon(pairs.select(col("id_a").cast("long").as("x"),
+      col("id_b").cast("long").as("y"))).localCheckpoint()
+    var it = 0
+    var done = edges.isEmpty
+    while (!done && it < maxIter) {
+      // large-star over both orientations
+      val nbrs = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val lsMin = nbrs.groupBy("c").agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val ls = canon(nbrs.join(lsMin, "c")
+        .filter(col("n") > col("c"))
+        .select(col("n").as("x"), col("m").as("y")))
+      // small-star: center every node on its larger endpoint
+      val sNbrs = ls.select(col("v").as("c"), col("u").as("n")) // n < c by canon
+      val ssMin = sNbrs.groupBy("c").agg(min(col("n")).as("m"))
+      val next = canon(
+        sNbrs.join(ssMin, "c").select(col("n").as("x"), col("m").as("y"))
+          .unionByName(ssMin.select(col("c").as("x"), col("m").as("y"))))
+        .localCheckpoint()
+      done = next.exceptAll(edges).unionByName(edges.exceptAll(next)).isEmpty
+      edges = next
+      it += 1
+    }
+    require(done, s"connectedComponentsAlternating did not converge in $maxIter rounds")
+    // fixpoint is a star forest rooted at component minima
+    val nonRoots = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+    val roots = edges.select(col("u")).distinct()
+      .join(edges.select(col("v").as("u")).distinct(), Seq("u"), "left_anti")
+      .select(col("u").as("doc_id"), col("u").as("cluster_id"))
+    nonRoots.unionByName(roots)
+  }
+
   /** n-gram Jaccard near-dup with prefix blocking: candidates share a
     * text-prefix block key (cheap, deterministic); exact char-n-gram
     * Jaccard verifies. The blocking key bounds the join like a band

@@ -94,6 +94,15 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q75 n-gram Jaccard near-dup with prefix blocking — the fourth
+    * dedup family's oracle query (candidates share a 32-char prefix
+    * block; exact char-5-gram Jaccard verifies at 0.7).
+    */
+  def q75(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardBlocked(Tables.documents(s, d), "doc_id", "text",
+        prefixLen = 32, n = 5, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
   /** q48 SimHash bucket groups. */
   def q48(s: SparkSession, d: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
@@ -153,6 +162,7 @@ object LlmQueries {
     "q47_dedup_minhash" -> q47 _,
     "q70_dedup_clusters" -> q70 _,
     "q48_dedup_simhash" -> q48 _,
+    "q75_dedup_ngram" -> q75 _,
     "q49_ann_brute" -> q49 _,
     "q50_ann_lsh" -> q50 _,
     "q51_ann_buckets" -> q51 _,
@@ -325,6 +335,23 @@ object LlmQueries {
          |hashed AS (SELECT doc_id, $simhashExpr AS simhash FROM t)
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
          |FROM hashed GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin,
+
+    "q75_dedup_ngram" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id, substr(text, 1, 32) AS blk,
+        |         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+        |           i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.g AS ga, b.g AS gb
+        |  FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |       CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |         / (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
+        |FROM p
+        |WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |        / (len(ga) + len(gb) - len(list_intersect(ga, gb))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q49_ann_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

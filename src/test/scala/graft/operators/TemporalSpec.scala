@@ -79,4 +79,26 @@ class TemporalSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
     assert(cc.length == 20 && cc.forall(_._2 == 0L))
   }
+
+  test("alternating (large-star/small-star) CC equals min propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val n = 8 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val raw = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (raw.nonEmpty) {
+        val pairs = raw.toDF("id_a", "id_b")
+        val a = Dedup.connectedComponentsAlternating(pairs).as[(Long, Long)].collect().toMap
+        val b = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+        assert(a == b, s"trial $trial: $raw")
+      }
+    }
+    // worst case for min-prop, logarithmic for alternation
+    val chain = (0L until 40L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsAlternating(chain).as[(Long, Long)].collect()
+    assert(cc.length == 41 && cc.forall(_._2 == 0L))
+    assert(Dedup.connectedComponentsAlternating(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
 }
