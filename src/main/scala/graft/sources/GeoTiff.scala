@@ -373,11 +373,20 @@ object GeoTiff {
     * the base with geo tags; page k (marked ReducedImage via
     * NewSubfileType=1) is the 2^k downsample. [[readInfos]] walks the
     * chain back.
+    *
+    * `tileSize > 0` writes TILED pages instead of strips (TIFF 6.0
+    * tiles, multiple of 16; edge tiles padded with the nodata value) —
+    * tiled pages + internal overviews is the Cloud-Optimized-GeoTIFF
+    * layout contract (`gdalos_trans.py:773-816` `COG` driver options),
+    * and each tile is an independently-fetchable byte range = one
+    * [[RasterSource]] InputPartition.
     */
   def encodePyramid(pages: Seq[(Int, Int, Array[Double])], dtype: DType,
                     gt: GeoTransform, nodata: Option[Double] = None,
                     rowsPerStrip: Int = 64, predictor: Int = 1,
-                    crs: CrsTag = CrsTag.Wgs84Geo): Array[Byte] = {
+                    crs: CrsTag = CrsTag.Wgs84Geo, tileSize: Int = 0): Array[Byte] = {
+    require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
+      "TIFF tile size must be a positive multiple of 16")
     require(pages.nonEmpty, "need at least one page")
     require(gt.isNorthUp && gt.c5 < 0, s"GeoTIFF writer needs a north-up geotransform, got $gt")
     require(predictor == 1 || (predictor == 2 && (dtype == DtByte || dtype == DtInt16)),
@@ -410,30 +419,53 @@ object GeoTiff {
                   base: Long): (Array[Byte], Long) = {
       require(values.length == w.toLong * h,
         s"page $pageIdx: expected ${w.toLong * h} values, got ${values.length}")
-      val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-      val strips = (0 until nStrips).map { s =>
-        val y0 = s * rowsPerStrip
-        val rows = math.min(rowsPerStrip, h - y0)
-        val raw = new Array[Byte](rows * w * bps)
-        var i = 0
-        while (i < rows * w) {
-          val v = values((y0 + i / w) * w + i % w)
-          dtype match {
-            case DtByte => raw(i) = v.toInt.toByte
-            case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
-            case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
-            case DtFloat64 =>
-              // LE word order: low 32 bits first (see decodeSegment)
-              val bits = java.lang.Double.doubleToLongBits(v)
-              writeS32(raw, i * 8, bits.toInt, be = false)
-              writeS32(raw, i * 8 + 4, (bits >>> 32).toInt, be = false)
-          }
-          i += 1
-        }
-        if (predictor == 2) diffRows(raw, w, rows, bps)
-        deflate(raw)
+      val tiled = tileSize > 0
+      val pad = nodata.getOrElse(0.0)
+      def writeSample(raw: Array[Byte], i: Int, v: Double): Unit = dtype match {
+        case DtByte => raw(i) = v.toInt.toByte
+        case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
+        case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
+        case DtFloat64 =>
+          // LE word order: low 32 bits first (see decodeSegment)
+          val bits = java.lang.Double.doubleToLongBits(v)
+          writeS32(raw, i * 8, bits.toInt, be = false)
+          writeS32(raw, i * 8 + 4, (bits >>> 32).toInt, be = false)
       }
+      val strips: Seq[Array[Byte]] =
+        if (tiled) {
+          val ts = tileSize
+          val ta = (w + ts - 1) / ts
+          val td = (h + ts - 1) / ts
+          for (ty <- 0 until td; tx <- 0 until ta) yield {
+            val raw = new Array[Byte](ts * ts * bps)
+            var i = 0
+            while (i < ts * ts) {
+              val sx = tx * ts + i % ts
+              val sy = ty * ts + i / ts
+              writeSample(raw, i, if (sx < w && sy < h) values(sy * w + sx) else pad)
+              i += 1
+            }
+            if (predictor == 2) diffRows(raw, ts, ts, bps)
+            deflate(raw)
+          }
+        } else {
+          val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+          (0 until nStrips).map { s =>
+            val y0 = s * rowsPerStrip
+            val rows = math.min(rowsPerStrip, h - y0)
+            val raw = new Array[Byte](rows * w * bps)
+            var i = 0
+            while (i < rows * w) {
+              writeSample(raw, i, values((y0 + i / w) * w + i % w))
+              i += 1
+            }
+            if (predictor == 2) diffRows(raw, w, rows, bps)
+            deflate(raw)
+          }
+        }
       val stripSizes = strips.map(_.length.toLong)
+      val nStrips = strips.length
+      val segOffTag = if (tiled) TTileOffsets else TStripOffsets
 
       val ascii = nodata.map(nd =>
         (if (nd == nd.floor && nd.abs < 1e15) nd.toLong.toString else nd.toString) + " ")
@@ -447,19 +479,26 @@ object GeoTiff {
           1024, 0, 1, 1, // GTModelType = projected
           3072, 0, 1, crs.epsg.toLong) // ProjectedCSTypeGeoKey
 
+      val segTags =
+        if (tiled) Seq(
+          Tag(TTileWidth, 3, 1, Some(tileSize.toLong), None),
+          Tag(TTileLength, 3, 1, Some(tileSize.toLong), None),
+          Tag(TTileOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
+          Tag(TTileByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))))
+        else Seq(
+          Tag(TStripOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
+          Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
+          Tag(TStripByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))))
       var tags = Seq(
         Tag(TWidth, 3, 1, Some(w.toLong), None),
         Tag(TLength, 3, 1, Some(h.toLong), None),
         Tag(TBits, 3, 1, Some(dtype.bits.toLong), None),
         Tag(TCompression, 3, 1, Some(8L), None),
         Tag(TPhotometric, 3, 1, Some(1L), None),
-        Tag(TStripOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
         Tag(TSamplesPerPixel, 3, 1, Some(1L), None),
-        Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
-        Tag(TStripByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))),
         Tag(TPlanarConfig, 3, 1, Some(1L), None),
         Tag(TPredictor, 3, 1, Some(predictor.toLong), None),
-        Tag(TSampleFormat, 3, 1, Some(dtype.fmt.toLong), None))
+        Tag(TSampleFormat, 3, 1, Some(dtype.fmt.toLong), None)) ++ segTags
       if (pageIdx == 0) {
         tags = tags ++ Seq(
           Tag(TModelPixelScale, 12, 3, None, Some(dblBytes(pixelScale))),
@@ -484,7 +523,7 @@ object GeoTiff {
       }
       var stripOff = extOff
       val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
-      val soIdx = tags.indexWhere(_.id == TStripOffsets)
+      val soIdx = tags.indexWhere(_.id == segOffTag)
       val soBytes = leBytes(stripOffsets, 4)
       System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
 

@@ -222,7 +222,7 @@ object Trans {
                     dtype: graft.sources.GeoTiff.DType = graft.sources.GeoTiff.DtInt16,
                     ndv: Double = PixelFrame.Dem.Ndv,
                     resampling: ResamplingAlg = ResamplingAlg.Average,
-                    maxPixels: Long = 4000000): Unit = {
+                    maxPixels: Long = 4000000, tileSize: Int = 0): Unit = {
     require(p.outW.toLong * p.outH <= maxPixels,
       s"raster too large for single-file GeoTIFF export (> $maxPixels px); use the COG parquet layout")
     def collectPage(df: DataFrame, w: Int, h: Int): Array[Double] = {
@@ -245,7 +245,8 @@ object Trans {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       graft.sources.GeoTiff.encodePyramid(pages, dtype, p.outGt, Some(ndv),
-        crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs))))
+        crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs)),
+        tileSize = tileSize))
   }
 
   /** Plan + execute + write (steps 5–7): COG-layout parquet, optional

@@ -207,6 +207,51 @@ class GeoTiffSpec extends SparkSpec {
     // the SRTM fixture remains a single-page file
     assert(GeoTiff.readInfos(Srtm).length == 1)
   }
+  test("tiled write (COG layout): round-trip, edge padding, predictor, pyramid") {
+    val w = 70; val h = 41 // deliberately not multiples of the tile size
+    val vals = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13) % 997 - 100.0)
+    val gt = GeoTransform(10.0, 0.1, 0, 20.0, 0, -0.1)
+    def level(k: Int): Array[Double] = {
+      val f = 1 << k; val ow = (w + f - 1) / f; val oh = (h + f - 1) / f
+      Array.tabulate(ow * oh)(i => vals(math.min((i / ow) * f, h - 1) * w + math.min((i % ow) * f, w - 1)))
+    }
+    val bytes = GeoTiff.encodePyramid(
+      Seq((w, h, vals), ((w + 1) / 2, (h + 1) / 2, level(1))),
+      GeoTiff.DtInt16, gt, nodata = Some(-32768.0), predictor = 2, tileSize = 32)
+    val f = Files.createTempFile("graft_cog", ".tif")
+    Files.write(f, bytes)
+
+    val infos = GeoTiff.readInfos(f.toString)
+    assert(infos.length == 2)
+    val base = infos.head
+    // 3×2 tiles of 32×32 on the base page
+    assert(base.segments.length == 6)
+    assert(base.segments.forall(s => s.w == 32 && s.h == 32))
+    assert(base.predictor == 2)
+    // decode clips padding by global bounds — values identical
+    val out = Array.ofDim[Double](w * h)
+    for (seg <- base.segments) {
+      val d = GeoTiff.decodeSegment(f.toString, base, seg)
+      for (y <- 0 until seg.h; x <- 0 until seg.w
+           if seg.x0 + x < w && seg.y0 + y < h)
+        out((seg.y0 + y) * w + seg.x0 + x) = d(y * seg.w + x)
+    }
+    assert(out.sameElements(vals))
+    // DSv2 scan: row count excludes tile padding; values equal source
+    val back = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).load()
+    assert(back.count() == w.toLong * h)
+    val mism = back.filter(col("v") =!=
+      ((col("px") * 7 + col("py") * 13) % 997 - 100.0)).count()
+    assert(mism == 0)
+    // a pushed crop inside one tile prunes to 1 partition (the COG point)
+    val crop = back.filter(col("px") >= 2 && col("px") < 20 &&
+      col("py") >= 2 && col("py") < 20)
+    assert(crop.rdd.getNumPartitions == 1)
+    // overview page is tiled too and decodes
+    assert(infos(1).segments.length == 2) // 36x21 → 2x1 tiles of 32
+  }
+
   test("malformed inputs fail cleanly (no hangs, no unbounded allocation)") {
     import graft.PropCheck
     val good = {
