@@ -12,18 +12,20 @@ import graft.core.GeoTransform
   * (`gdalos_trans.py:773-816` creation options).
   *
   * Reader scope: classic TIFF (II/MM), striped or tiled, compression
-  * none(1)/DEFLATE(8 & old 32946), predictor none(1)/horizontal(2),
-  * samples Byte/Int16/UInt16/Int32/Float32/Float64, chunky planar
-  * config, GeoTIFF georeferencing from ModelPixelScale+ModelTiepoint
-  * (tags 33550/33922), nodata from GDAL_NODATA (42113), CRS from the
-  * GeoKey directory (34735: geographic/projected EPSG code). That
-  * covers the reference's own fixture
-  * (`data/maps/srtm1_x35_y32.tif`: 361×361 Int16, 256×256 tiles,
-  * DEFLATE, EPSG:4326) and everything our writer emits.
+  * none(1)/LZW(5)/DEFLATE(8 & old 32946)/PackBits(32773), predictor
+  * none(1)/horizontal(2), samples Byte/Int16/UInt16/Int32/Float32/
+  * Float64, chunky planar config, GeoTIFF georeferencing from
+  * ModelPixelScale+ModelTiepoint (tags 33550/33922), nodata from
+  * GDAL_NODATA (42113), CRS from the GeoKey directory (34735:
+  * geographic/projected EPSG code). That covers the reference's own
+  * fixture (`data/maps/srtm1_x35_y32.tif`: 361×361 Int16, 256×256
+  * tiles, DEFLATE, EPSG:4326), everything our writer emits, and the
+  * common LZW/PackBits files found in the wild.
   *
-  * Writer scope: little-endian, striped, DEFLATE, optional horizontal
-  * predictor, Int16/Float32/Byte, single band, ModelPixelScale +
-  * ModelTiepoint + GDAL_NODATA.
+  * Writer scope: little-endian, striped or TILED (the COG layout),
+  * none/LZW/DEFLATE/PackBits, optional horizontal predictor,
+  * Byte/Int16/Float32/Float64, single band, ModelPixelScale +
+  * ModelTiepoint + GDAL_NODATA + geographic-or-projected GeoKeys.
   *
   * Scale notes: `readInfo` touches only the header/IFD byte ranges
   * (driver-side planning metadata, like the reference's `open_ds`
@@ -151,7 +153,9 @@ object GeoTiff {
       def ascii(tag: Int): Option[String] = tags.get(tag).map { e =>
         new String(rawValues(e), "ASCII").takeWhile(c => c != 0 && c != ' ')
       }
-      def single(tag: Int, default: Long): Long = longs(tag).map(_.head).getOrElse(default)
+      def single(tag: Int, default: Long): Long = longs(tag).map { vs =>
+        require(vs.nonEmpty, s"tag $tag: zero-count value"); vs.head
+      }.getOrElse(default)
 
       val w = single(TWidth, 0).toInt
       val h = single(TLength, 0).toInt
@@ -160,8 +164,8 @@ object GeoTiff {
       val bits = single(TBits, 8).toInt
       val fmt = single(TSampleFormat, 1).toInt
       val comp = single(TCompression, 1).toInt
-      require(comp == 1 || comp == 8 || comp == 32946,
-        s"unsupported compression $comp (only none/DEFLATE)")
+      require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 || comp == 32946,
+        s"unsupported compression $comp (only none/LZW/DEFLATE/PackBits)")
       val pred = single(TPredictor, 1).toInt
       require(pred == 1 || pred == 2, s"unsupported predictor $pred")
       require(single(TPlanarConfig, 1) == 1, "only chunky planar config supported")
@@ -230,9 +234,12 @@ object GeoTiff {
       } finally f.close()
     val bytesPerSample = info.bitsPerSample / 8
     val nSamples = seg.w * seg.h * info.bands
-    val data =
-      if (info.compression == 1) raw
-      else inflate(raw, nSamples * bytesPerSample)
+    val data = info.compression match {
+      case 1 => raw
+      case 5 => lzwDecode(raw, nSamples * bytesPerSample)
+      case 32773 => packBitsDecode(raw, nSamples * bytesPerSample)
+      case _ => inflate(raw, nSamples * bytesPerSample)
+    }
 
     if (info.predictor == 2) {
       // horizontal differencing is defined on integer samples only
@@ -310,6 +317,172 @@ object GeoTiff {
     if (be) { a(o) = (v >>> 24).toByte; a(o + 1) = (v >>> 16).toByte; a(o + 2) = (v >>> 8).toByte; a(o + 3) = v.toByte }
     else { a(o + 3) = (v >>> 24).toByte; a(o + 2) = (v >>> 16).toByte; a(o + 1) = (v >>> 8).toByte; a(o) = v.toByte }
 
+  /** TIFF LZW decode (compression 5): MSB-first codes, 9→12-bit
+    * widths with TIFF's EARLY CHANGE (width grows when the next free
+    * code is 2^w − 1, one earlier than plain LZW), Clear=256, EOI=257,
+    * dictionary entries from 258. Decodes exactly `expected` bytes.
+    */
+  private[sources] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    // dictionary as (prefix code, appended byte); literals implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + width > nBits) return Eoi // truncated stream → stop
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = (data((bitPos >> 3).toInt) >> (7 - (bitPos & 7)).toInt) & 1
+        v = (v << 1) | b
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    def emit(code: Int): Int = { // writes the string of `code`, returns its first byte
+      if (code < 256) {
+        require(outPos < expected, "LZW output overflow")
+        out(outPos) = code.toByte; outPos += 1; code
+      } else {
+        require(code < next, s"LZW: code $code beyond dictionary $next")
+        val first = emit(prefix(code))
+        require(outPos < expected, "LZW output overflow")
+        out(outPos) = suffix(code); outPos += 1
+        first
+      }
+    }
+    var prev = -1
+    var done = false
+    while (!done && outPos < expected) {
+      val code = readCode()
+      if (code == Eoi) done = true
+      else if (code == Clear) { next = 258; width = 9; prev = -1 }
+      else if (prev < 0) { // first code after (re)start is a literal
+        require(code < 256, s"LZW: non-literal first code $code")
+        emit(code); prev = code
+      } else {
+        require(code <= next && code != Clear && code != Eoi,
+          s"LZW: invalid code $code (next=$next)")
+        if (code == next) { // KwKwK: string = prev-string + its first byte
+          require(next < 4096, "LZW: dictionary overflow")
+          prefix(next) = prev
+          suffix(next) = firstByte(prefix, suffix, prev)
+          next += 1
+          emit(code)
+        } else {
+          val first = emit(code)
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first.toByte; next += 1
+          }
+        }
+        prev = code
+        if (next == (1 << width) - 1 && width < 12) width += 1 // early change
+      }
+    }
+    require(outPos == expected, s"LZW: short output $outPos of $expected")
+    out
+  }
+
+  private def firstByte(prefix: Array[Int], suffix: Array[Byte], code: Int): Byte = {
+    var c = code
+    while (c >= 256) c = prefix(c)
+    c.toByte
+  }
+
+  /** TIFF LZW encode (greedy longest-match, Clear at start and on a
+    * full table, EOI at end; early-change width growth mirrors
+    * [[lzwDecode]]).
+    */
+  private[sources] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new ByteArrayOutputStream()
+    var cur = 0; var curBits = 0
+    var width = 9
+    def write(code: Int): Unit = {
+      cur = (cur << width) | code; curBits += width
+      while (curBits >= 8) {
+        out.write((cur >> (curBits - 8)) & 0xff); curBits -= 8
+      }
+      cur &= (1 << curBits) - 1
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    write(Clear); reset()
+    var run = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (run < 0) run = b
+      else {
+        val key = (run << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) run = hit
+        else {
+          write(run)
+          dict.put(key, next); next += 1
+          // libtiff width pair: the encoder widens when the next free
+          // entry EXCEEDS 2^w - 1; the decoder (one entry behind at
+          // read time) widens when it exceeds 2^w - 2 — TIFF's early
+          // change. Both sides then flip widths between the same two
+          // codes of the stream.
+          if (next > (1 << width) - 1 && width < 12) width += 1
+          if (next == 4094) { write(Clear); reset() }
+          run = b
+        }
+      }
+      i += 1
+    }
+    if (run >= 0) write(run)
+    write(Eoi)
+    if (curBits > 0) out.write((cur << (8 - curBits)) & 0xff)
+    out.toByteArray
+  }
+
+  /** PackBits decode (compression 32773, TIFF 6.0 §9). */
+  private[sources] def packBitsDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0; var o = 0
+    while (o < expected && i < data.length) {
+      val n = data(i); i += 1
+      if (n >= 0) { // copy n+1 literals
+        val cnt = n + 1
+        require(i + cnt <= data.length && o + cnt <= expected, "PackBits overrun")
+        System.arraycopy(data, i, out, o, cnt); i += cnt; o += cnt
+      } else if (n != -128) { // repeat next byte 1-n times
+        val cnt = 1 - n
+        require(i < data.length && o + cnt <= expected, "PackBits overrun")
+        java.util.Arrays.fill(out, o, o + cnt, data(i)); i += 1; o += cnt
+      } // -128: no-op
+    }
+    require(o == expected, s"PackBits: short output $o of $expected")
+    out
+  }
+
+  /** PackBits encode: repeat runs (≥2 equal bytes) + literal runs. */
+  private[sources] def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var r = i + 1
+      while (r < data.length && data(r) == data(i) && r - i < 128) r += 1
+      if (r - i >= 2) { // repeat run
+        out.write(1 - (r - i)); out.write(data(i)); i = r
+      } else { // literals until the next repeat pair (or the 128 cap)
+        var e = i + 1
+        while (e < data.length && e - i < 128 &&
+               !(e + 1 < data.length && data(e) == data(e + 1))) e += 1
+        out.write((e - i) - 1); out.write(data, i, e - i); i = e
+      }
+    }
+    out.toByteArray
+  }
+
   private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
@@ -384,9 +557,18 @@ object GeoTiff {
   def encodePyramid(pages: Seq[(Int, Int, Array[Double])], dtype: DType,
                     gt: GeoTransform, nodata: Option[Double] = None,
                     rowsPerStrip: Int = 64, predictor: Int = 1,
-                    crs: CrsTag = CrsTag.Wgs84Geo, tileSize: Int = 0): Array[Byte] = {
+                    crs: CrsTag = CrsTag.Wgs84Geo, tileSize: Int = 0,
+                    compression: Int = 8): Array[Byte] = {
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
       "TIFF tile size must be a positive multiple of 16")
+    require(Set(1, 5, 8, 32773).contains(compression),
+      s"unsupported write compression $compression (none/LZW/DEFLATE/PackBits)")
+    val compress: Array[Byte] => Array[Byte] = compression match {
+      case 1 => identity
+      case 5 => lzwEncode
+      case 32773 => packBitsEncode
+      case _ => deflate
+    }
     require(pages.nonEmpty, "need at least one page")
     require(gt.isNorthUp && gt.c5 < 0, s"GeoTIFF writer needs a north-up geotransform, got $gt")
     require(predictor == 1 || (predictor == 2 && (dtype == DtByte || dtype == DtInt16)),
@@ -446,7 +628,7 @@ object GeoTiff {
               i += 1
             }
             if (predictor == 2) diffRows(raw, ts, ts, bps)
-            deflate(raw)
+            compress(raw)
           }
         } else {
           val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
@@ -460,7 +642,7 @@ object GeoTiff {
               i += 1
             }
             if (predictor == 2) diffRows(raw, w, rows, bps)
-            deflate(raw)
+            compress(raw)
           }
         }
       val stripSizes = strips.map(_.length.toLong)
@@ -493,7 +675,7 @@ object GeoTiff {
         Tag(TWidth, 3, 1, Some(w.toLong), None),
         Tag(TLength, 3, 1, Some(h.toLong), None),
         Tag(TBits, 3, 1, Some(dtype.bits.toLong), None),
-        Tag(TCompression, 3, 1, Some(8L), None),
+        Tag(TCompression, 3, 1, Some(compression.toLong), None),
         Tag(TPhotometric, 3, 1, Some(1L), None),
         Tag(TSamplesPerPixel, 3, 1, Some(1L), None),
         Tag(TPlanarConfig, 3, 1, Some(1L), None),

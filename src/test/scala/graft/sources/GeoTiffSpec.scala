@@ -252,6 +252,43 @@ class GeoTiffSpec extends SparkSpec {
     assert(infos(1).segments.length == 2) // 36x21 → 2x1 tiles of 32
   }
 
+  test("LZW and PackBits codecs round-trip (incl. width growth and table reset)") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(
+      Array.empty[Byte],
+      Array[Byte](7),
+      Array.fill(300)(42.toByte), // long repeat run
+      Array.tabulate(4096)(i => (i % 251).toByte), // cycles past width growth
+      Array.tabulate(70000)(i => ((i * 31 + i / 7) % 256).toByte), // forces table reset
+      Array.fill(5000)(rnd.nextInt(256).toByte), // incompressible
+      Array.tabulate(2000)(i => if ((i / 13) % 2 == 0) 0.toByte else rnd.nextInt(256).toByte))
+    for ((c, i) <- cases.zipWithIndex) {
+      assert(GeoTiff.lzwDecode(GeoTiff.lzwEncode(c), c.length).sameElements(c), s"lzw case $i")
+      assert(GeoTiff.packBitsDecode(GeoTiff.packBitsEncode(c), c.length).sameElements(c), s"packbits case $i")
+    }
+  }
+
+  test("writer: LZW and PackBits compressed files read back exactly") {
+    val w = 90; val h = 60
+    val vals = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13) % 997 - 300.0)
+    val gt = GeoTransform(3.0, 0.5, 0, 40.0, 0, -0.5)
+    for (comp <- Seq(1, 5, 32773)) {
+      val bytes = GeoTiff.encodePyramid(Seq((w, h, vals)), GeoTiff.DtInt16, gt,
+        nodata = Some(-32768.0), rowsPerStrip = 16,
+        predictor = if (comp == 5) 2 else 1, compression = comp)
+      val f = Files.createTempFile(s"graft_c$comp", ".tif")
+      Files.write(f, bytes)
+      val info = GeoTiff.readInfo(f.toString)
+      assert(info.compression == comp)
+      val out = Array.ofDim[Double](w * h)
+      for (seg <- info.segments; y <- 0 until seg.h; x <- 0 until seg.w
+           if seg.y0 + y < h)
+        out((seg.y0 + y) * w + seg.x0 + x) =
+          GeoTiff.decodeSegment(f.toString, info, seg)(y * seg.w + x)
+      assert(out.sameElements(vals), s"compression $comp")
+    }
+  }
+
   test("malformed inputs fail cleanly (no hangs, no unbounded allocation)") {
     import graft.PropCheck
     val good = {
@@ -284,6 +321,18 @@ class GeoTiffSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     for (_ <- 0 until 300) {
       val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      tryRead(b)
+    }
+    // LZW file: same corruption sweep must reject cleanly too
+    val lzw = {
+      val vals = Array.tabulate(32 * 24)(_.toDouble % 300)
+      GeoTiff.encodePyramid(Seq((32, 24, vals)), GeoTiff.DtInt16,
+        GeoTransform(0, 1, 0, 24, 0, -1), nodata = Some(-1.0),
+        rowsPerStrip = 8, compression = 5)
+    }
+    for (_ <- 0 until 200) {
+      val b = lzw.clone()
       b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
       tryRead(b)
     }
