@@ -209,19 +209,33 @@ object Relational {
     * Exact median WITHOUT `median()`: Spark's median is a
     * TypedImperativeAggregate that buffers every value of a group in
     * executor memory — with 3 return-flag groups that is ~n/3 rows per
-    * buffer, an OOM at 100 TB. Instead: window-rank each group (a
-    * distributed sort, spillable), keep the middle one/two ranks, and
-    * average them — the same interpolated-median definition DuckDB's
-    * MEDIAN uses, at bounded memory.
+    * buffer, an OOM at 100 TB. And the window-rank formulation (sort
+    * every fact row, keep the middle ranks — shipped through round 4)
+    * pays a full repartition+sort of the fact table. This form is the
+    * HISTOGRAM median: ONE map-side-combinable aggregation to
+    * (group, value, count) — for measure-like columns the distinct
+    * universe is tiny (l_quantity: 50 values), so every later pass
+    * (cumulative counts, rank probe, interpolation) runs on the
+    * aggregated frame, not the data. Same interpolated-median
+    * definition DuckDB's MEDIAN uses, exact at any scale where the
+    * per-group value histogram fits a partition; for genuinely
+    * unbounded-cardinality doubles fall back to the window-rank form
+    * (git history) or iterative quantile bisection. 2.1 s → ~0.4 s at
+    * sf0.1.
     */
   def q20(s: SparkSession, d: String): DataFrame = {
     val byFlag = Window.partitionBy("l_returnflag")
-    val w = byFlag.orderBy("l_quantity")
-    lineitem(s, d)
-      .select(col("l_returnflag"), col("l_quantity"),
-        row_number().over(w).as("rn"), count(lit(1)).over(byFlag).as("n"))
-      .filter(col("rn") === floor((col("n") + 1) / 2)
-        || col("rn") === floor((col("n") + 2) / 2))
+    val hist = lineitem(s, d).groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("l_returnflag"), col("l_quantity"), col("c"),
+      sum("c").over(byFlag.orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum("c").over(byFlag).as("n"))
+    // the two middle order statistics land in exactly one histogram
+    // row each (avg(v, v) = v for odd counts — IEEE-exact)
+    cum.select(col("l_returnflag"), col("l_quantity"), col("cum"), col("c"),
+        explode(array(floor((col("n") + 1) / 2), floor((col("n") + 2) / 2))).as("r"))
+      .filter(col("r") > col("cum") - col("c") && col("r") <= col("cum"))
       .groupBy("l_returnflag")
       .agg(avg("l_quantity").cast(DecimalType(18, 2)).cast("double").as("med"))
       .orderBy("l_returnflag")
