@@ -120,6 +120,43 @@ object EventStream {
     else keyed.dropDuplicates("content_key")
   }
 
+  /** Per-user running totals on the Spark 4 `transformWithState`
+    * surface — the successor of [[userTotals]]'s mapGroupsWithState:
+    * named typed state variables (`ValueState`) on the RocksDB state
+    * store, explicit TimeMode/OutputMode, optional TTL. Same output
+    * contract as [[userTotals]], so the test asserts both APIs agree
+    * trigger by trigger. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionSummary] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[SessionSummary] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[SessionSummary]("totals",
+        org.apache.spark.sql.Encoders.product[SessionSummary], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionSummary] = {
+      val prev = Option(totals.get()).getOrElse(SessionSummary(userId, 0L, 0.0))
+      val batch = rows.toSeq
+      val next = SessionSummary(userId,
+        prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Run [[RunningTotalsProcessor]] over a user-keyed event stream. */
+  def userTotalsTws(events: Dataset[Event])(implicit s: SparkSession): Dataset[SessionSummary] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** File-source streaming reader with an explicit schema (streaming
     * requires one) — `readStream` over a parquet directory.
     */

@@ -92,6 +92,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 state API) agrees with mapGroupsWithState totals") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    val q = userTotalsTws(stream.toDS()).writeStream
+      .format("memory").queryName("tws_totals").outputMode("update").start()
+    try {
+      stream.addData(fixture.take(3))
+      q.processAllAvailable()
+      stream.addData(fixture.drop(3)) // state must survive the trigger boundary
+      q.processAllAvailable()
+      val rows = spark.table("tws_totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+      // identical to the mapGroupsWithState run in the test above
+      assert(rows == Seq((1L, 3L, 8.0), (2L, 2L, 7.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows: streaming sessions equal the batch twin; gap splits") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // user 1: events at :05 and :20 (one session), then :59+:65 — the
