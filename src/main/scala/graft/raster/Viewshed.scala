@@ -16,7 +16,14 @@ import graft.core.Radio
   * is visible iff its curvature-corrected slope ratio from the
   * observer is ≥ the running max over all nearer pixels of the sector.
   * This is a ray-marching approximation whose rays are the sector
-  * medians — exact Wang-style line referencing is a later refinement.
+  * medians; [[viewshedExact]] is the exact Wang-style line-referencing
+  * companion. The sweep's sector-wide running max OVER-blocks (a
+  * nearer pixel anywhere in the sector obstructs, not just the ray's
+  * own crossings), so sweep-visible ⊆ exact-visible and finer sectors
+  * converge toward exact — measured on the real SRTM terrain in
+  * WarpSpec's flagship test (32 sectors: 612 seen; 256 sectors closer;
+  * exact: 1860). Pick sectors for O(footprint) speed, exact for
+  * GDAL-fidelity per-ray semantics at O(footprint × radius).
   *
   * Plan shape: one window (shuffle on bucket, sort by distance within
   * — each sector is |pixels|/nBuckets rows, so no skew), everything
@@ -211,7 +218,8 @@ object Viewshed {
                   cellSize: Double, maxR: Double,
                   refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
                   nBuckets: Int = 64,
-                  demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+                  demNdv: Double = PixelFrame.Dem.Ndv,
+                  exact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.call_function
     graft.functions.GraftFunctions.register(demGeo.sparkSession)
     val half = math.ceil(maxR / cellSize).toInt
@@ -224,7 +232,10 @@ object Viewshed {
         call_function("aeqd_inverse_lon", x, y, lit(obsLat), lit(obsLon)),
         call_function("aeqd_inverse_lat", x, y, lit(obsLat), lit(obsLon))),
       ndv = demNdv)
-    viewshed(warped, half, half, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
+    if (exact)
+      viewshedExact(warped, half, half, oz, cellSize, maxR, refractionCoeff, demNdv)
+    else
+      viewshed(warped, half, half, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
   }
 
   /** §3.2 multi-observer composition: per-observer viewsheds (rid =

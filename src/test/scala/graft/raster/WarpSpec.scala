@@ -181,6 +181,27 @@ class WarpSpec extends SparkSpec {
     assert(hidden > 1000, s"counts: $counts")
     val disc = math.Pi * 50 * 50 // maxR/cellSize = 50 px radius
     assert(math.abs(inRange - disc) / disc < 0.1, s"in-range $inRange vs disc $disc")
+
+    // exact per-ray mode on the same real-terrain scene. The sweep's
+    // sector-wide running max over-blocks (any nearer pixel anywhere
+    // in the sector obstructs, not just the ray's own crossings), so
+    // sweep-visible ⊆ exact-visible directionally — and finer sectors
+    // must CONVERGE toward the exact count.
+    def seenOf(m: Map[Double, Long]) = m.getOrElse(Viewshed.StSeen, 0L)
+    val vsx = Viewshed.viewshedGeo(dem, gt, obsLat, obsLon,
+      oz = 25.0, cellSize = 30.0, maxR = 1500.0, demNdv = -32768.0, exact = true)
+    val cx = vsx.groupBy("state").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val seenX = seenOf(cx)
+    val inRangeX = seenX + cx.getOrElse(Viewshed.StHidden, 0L)
+    assert(inRangeX == inRange, s"exact in-range $inRangeX vs sweep $inRange")
+    assert(seenX >= seen, s"exact seen $seenX must dominate sweep seen $seen")
+    val seen256 = seenOf(Viewshed.viewshedGeo(dem, gt, obsLat, obsLon,
+        oz = 25.0, cellSize = 30.0, maxR = 1500.0, nBuckets = 256, demNdv = -32768.0)
+      .groupBy("state").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap)
+    assert(math.abs(seen256 - seenX) < math.abs(seen - seenX),
+      s"256-sector sweep ($seen256) should sit closer to exact ($seenX) than 32-sector ($seen)")
   }
   test("packed-tile warp is bit-equal to the pixel-frame warp (100 TB shape)") {
     val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)

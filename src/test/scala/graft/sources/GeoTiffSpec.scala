@@ -289,6 +289,23 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 scan reads an LZW tiled file with pushdown pruning") {
+    val w = 80; val h = 48
+    val vals = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13) % 997.0)
+    val f = Files.createTempFile("graft_lzw_cog", ".tif")
+    Files.write(f, GeoTiff.encodePyramid(Seq((w, h, vals)), GeoTiff.DtInt16,
+      GeoTransform(0, 1, 0, 48, 0, -1), nodata = Some(-32768.0),
+      compression = 5, tileSize = 32))
+    val df = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).load()
+    assert(df.count() == w.toLong * h)
+    assert(df.agg(sum("v")).head().getDouble(0) == vals.sum)
+    val crop = df.filter(col("px") >= 40 && col("px") < 60 &&
+      col("py") >= 5 && col("py") < 20)
+    assert(crop.rdd.getNumPartitions == 1) // one 32x32 tile covers it
+    assert(crop.count() == 20 * 15)
+  }
+
   test("malformed inputs fail cleanly (no hangs, no unbounded allocation)") {
     import graft.PropCheck
     val good = {
