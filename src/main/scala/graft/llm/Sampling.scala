@@ -1,0 +1,40 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing operators for training-data
+  * pipelines: every decision derives from a content-stable hash, so a
+  * re-run (or a different cluster) selects exactly the same rows — no
+  * RNG state, no `rand()` (which breaks retry idempotence and
+  * cross-engine checks).
+  *
+  * 100 TB posture: pure per-row column expressions — embarrassingly
+  * parallel, no shuffle, codegen'd end to end; the selection commutes
+  * with partitioning.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) from a key: the first 60 bits of md5 over the
+    * stringified key, divided by 2⁶⁰. Both halves are engine-portable
+    * (DuckDB: `CAST('0x'||substr(md5(k),1,15) AS BIGINT) / 2^60`), so
+    * oracles reproduce the draw bit-for-bit.
+    */
+  def hashUniformCol(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+
+  /** Deterministic stratified sampling: keep a row iff its hash draw
+    * falls under its stratum's rate — the "data mixing" primitive
+    * (e.g. downweight crawl text, keep all curated text). Unlisted
+    * strata use `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+                       rates: Seq[(String, Double)],
+                       defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratumCol === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniformCol(keyCol) < rate)
+  }
+}

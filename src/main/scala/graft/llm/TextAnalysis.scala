@@ -45,6 +45,23 @@ object TextAnalysis {
       .withColumn("punct_ratio", col("n_punct").cast("double") / length(col(textCol)))
   }
 
+  /** Gopher-style quality VERDICT: the per-row signals folded into a
+    * failure count and a keep/drop decision — the actual filtering
+    * step of a pretraining pipeline (each rule a 0/1 flag so the
+    * verdict explains itself). Thresholds follow the
+    * MassiveText-style ranges, adapted to the fixture's scale.
+    */
+  def qualityVerdict(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val q = withQuality(df, textCol)
+    val fails = Seq(
+      col("n_tokens") < 5 || col("n_tokens") > 5000,
+      col("mean_token_len") < 2.0 || col("mean_token_len") > 12.0,
+      col("lex_diversity") < 0.3,
+      col("punct_ratio") > 0.2)
+    q.withColumn("n_fail", fails.map(f => when(f, 1).otherwise(0)).reduce(_ + _))
+      .withColumn("keep", (col("n_fail") === 0).cast("int"))
+  }
+
   /** Language-ID heuristic: charset detection (CJK / Cyrillic /
     * Arabic) first, else an English-stopword ratio gate — the n-gram
     * heuristic family used by pre-train corpus filters. Deterministic

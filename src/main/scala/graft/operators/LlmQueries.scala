@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Declared correctness queries for the LLM-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) over
@@ -52,6 +52,33 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("n_tok"),
         col("distinct_token_ratio"), col("top_unigram_frac"), col("top_bigram_frac"))
       .orderBy("doc_id")
+
+  /** q76 quality-filter verdict: Gopher-style keep/drop per doc with
+    * an explanatory failure count — pure per-row expressions.
+    */
+  def q76(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityVerdict(Tables.documents(s, d))
+      .select("doc_id", "n_fail", "keep")
+      .orderBy("doc_id")
+
+  /** q77 deterministic stratified sampling (data mixing): md5-hash
+    * draws against per-language rates; per-stratum totals vs kept.
+    * The oracle reproduces the identical draw from the same md5
+    * construction used by q47.
+    */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val rates = Seq("en" -> 0.35, "other" -> 0.10) // charset langs keep all
+    val tagged = Tables.documents(s, d)
+      .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
+    val kept = Sampling.stratifiedSample(tagged, col("lang_pred"), col("doc_id"),
+        rates, defaultRate = 1.0)
+      .groupBy("lang_pred").agg(count(lit(1)).as("n_kept"))
+    tagged.groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("lang_pred"), "left")
+      .select(col("lang_pred"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang_pred")
+  }
 
   /** q45 exact dedup over a corpus doubled with shifted ids — the
     * removal decision is non-vacuous by construction (every doc has
@@ -168,6 +195,8 @@ object LlmQueries {
     "q51_ann_buckets" -> q51 _,
     "q52_multimodal_features" -> q52 _,
     "q64_dedup_embed" -> q64 _,
+    "q76_quality_filter" -> q76 _,
+    "q77_sample_mix" -> q77 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -297,6 +326,48 @@ object LlmQueries {
         |             i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q76_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS INTEGER) AS n_tokens,
+         |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lex_diversity,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio
+         |  FROM t),
+         |v AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tokens < 5 OR n_tokens > 5000 THEN 1 ELSE 0 END
+         |     + CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 1 ELSE 0 END
+         |     + CASE WHEN lex_diversity < 0.3 THEN 1 ELSE 0 END
+         |     + CASE WHEN punct_ratio > 0.2 THEN 1 ELSE 0 END) AS n_fail
+         |  FROM m)
+         |SELECT doc_id, n_fail,
+         |       CAST(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q77_sample_mix" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |lg AS (
+         |  SELECT doc_id, CASE
+         |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) > 0 THEN 'ru'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) > 0 THEN 'ar'
+         |    WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+         |         / len(toks) >= 0.05 THEN 'en'
+         |    ELSE 'other' END AS lang_pred
+         |  FROM t),
+         |u AS (
+         |  SELECT lang_pred,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |           / 1152921504606846976.0 AS draw,
+         |         CASE lang_pred WHEN 'en' THEN 0.35 WHEN 'other' THEN 0.10 ELSE 1.0 END AS rate
+         |  FROM lg)
+         |SELECT lang_pred, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN draw < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM u GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "q45_dedup_exact" ->
       """WITH doubled AS (

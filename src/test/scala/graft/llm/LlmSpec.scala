@@ -204,4 +204,35 @@ class LlmSpec extends SparkSpec {
     assert(clean.getAs[Double]("top_unigram_frac") < 0.2)
     assert(clean.getAs[Double]("distinct_token_ratio") == 1.0)
   }
+
+  test("quality verdict: each rule flags its own degenerate document") {
+    val docs = Seq(
+      (1L, "a perfectly ordinary sentence, with reasonable words inside."),
+      (2L, "tiny"),                                            // too few tokens
+      (3L, Seq.fill(40)("spam").mkString(" ")),                // low diversity
+      (4L, "x " * 200 + "x"),                                  // mean token len < 2
+      (5L, "w.. ,, !! ?? ;; :: .. ,, words ok here!!!"))       // punct-dense
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.qualityVerdict(docs, "text")
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(v(1L) == 1)
+    assert(Seq(2L, 3L, 4L, 5L).forall(v(_) == 0), v.toString)
+  }
+
+  test("stratified sampling is deterministic, rate-monotone, and exact at 0/1") {
+    val docs = (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else "other"))
+      .toDF("doc_id", "lang")
+    def run(ratesEn: Double, other: Double) =
+      Sampling.stratifiedSample(docs, $"lang", $"doc_id",
+        Seq("en" -> ratesEn, "other" -> other), defaultRate = 0.0)
+        .select("doc_id").as[Long].collect().toSet
+    assert(run(1.0, 0.0) == (0L until 400L by 4).toSet)  // rate 1 keeps all of stratum
+    assert(run(0.0, 0.0).isEmpty)
+    val half = run(0.5, 0.2)
+    assert(run(0.5, 0.2) == half)                        // re-run identical
+    assert(run(0.3, 0.2).subsetOf(half))                 // lower rate ⊆ higher rate
+    // roughly proportional draws (hash uniformity sanity)
+    val enKept = half.count(_ % 4 == 0)
+    assert(enKept > 30 && enKept < 70, s"en kept $enKept of 100 at rate 0.5")
+  }
 }
