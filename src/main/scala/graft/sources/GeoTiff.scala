@@ -558,9 +558,12 @@ object GeoTiff {
                     gt: GeoTransform, nodata: Option[Double] = None,
                     rowsPerStrip: Int = 64, predictor: Int = 1,
                     crs: CrsTag = CrsTag.Wgs84Geo, tileSize: Int = 0,
-                    compression: Int = 8): Array[Byte] = {
+                    compression: Int = 8, bands: Int = 1): Array[Byte] = {
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
       "TIFF tile size must be a positive multiple of 16")
+    require(bands >= 1 && bands <= 16, s"unsupported band count $bands")
+    require(predictor == 1 || bands == 1,
+      "predictor 2 is supported for single-band pages only")
     require(Set(1, 5, 8, 32773).contains(compression),
       s"unsupported write compression $compression (none/LZW/DEFLATE/PackBits)")
     val compress: Array[Byte] => Array[Byte] = compression match {
@@ -599,8 +602,8 @@ object GeoTiff {
       */
     def buildPage(pageIdx: Int, w: Int, h: Int, values: Array[Double],
                   base: Long): (Array[Byte], Long) = {
-      require(values.length == w.toLong * h,
-        s"page $pageIdx: expected ${w.toLong * h} values, got ${values.length}")
+      require(values.length == w.toLong * h * bands,
+        s"page $pageIdx: expected ${w.toLong * h * bands} values (chunky), got ${values.length}")
       val tiled = tileSize > 0
       val pad = nodata.getOrElse(0.0)
       def writeSample(raw: Array[Byte], i: Int, v: Double): Unit = dtype match {
@@ -619,12 +622,14 @@ object GeoTiff {
           val ta = (w + ts - 1) / ts
           val td = (h + ts - 1) / ts
           for (ty <- 0 until td; tx <- 0 until ta) yield {
-            val raw = new Array[Byte](ts * ts * bps)
+            val raw = new Array[Byte](ts * ts * bands * bps)
             var i = 0
-            while (i < ts * ts) {
-              val sx = tx * ts + i % ts
-              val sy = ty * ts + i / ts
-              writeSample(raw, i, if (sx < w && sy < h) values(sy * w + sx) else pad)
+            while (i < ts * ts * bands) {
+              val p = i / bands; val b = i % bands
+              val sx = tx * ts + p % ts
+              val sy = ty * ts + p / ts
+              writeSample(raw, i,
+                if (sx < w && sy < h) values((sy * w + sx) * bands + b) else pad)
               i += 1
             }
             if (predictor == 2) diffRows(raw, ts, ts, bps)
@@ -635,10 +640,10 @@ object GeoTiff {
           (0 until nStrips).map { s =>
             val y0 = s * rowsPerStrip
             val rows = math.min(rowsPerStrip, h - y0)
-            val raw = new Array[Byte](rows * w * bps)
+            val raw = new Array[Byte](rows * w * bands * bps)
             var i = 0
-            while (i < rows * w) {
-              writeSample(raw, i, values((y0 + i / w) * w + i % w))
+            while (i < rows * w * bands) {
+              writeSample(raw, i, values(y0 * w * bands + i)) // chunky rows are contiguous
               i += 1
             }
             if (predictor == 2) diffRows(raw, w, rows, bps)
@@ -671,16 +676,21 @@ object GeoTiff {
           Tag(TStripOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
           Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
           Tag(TStripByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))))
+      // per-band counts for BitsPerSample/SampleFormat (TIFF 6.0);
+      // 1-2 shorts fit the inline value field, 3+ go external
+      def perBand(tag: Int, v: Long): Tag =
+        if (bands == 1) Tag(tag, 3, 1, Some(v), None)
+        else Tag(tag, 3, bands, None, Some(leBytes(Seq.fill(bands)(v), 3)))
       var tags = Seq(
         Tag(TWidth, 3, 1, Some(w.toLong), None),
         Tag(TLength, 3, 1, Some(h.toLong), None),
-        Tag(TBits, 3, 1, Some(dtype.bits.toLong), None),
+        perBand(TBits, dtype.bits.toLong),
         Tag(TCompression, 3, 1, Some(compression.toLong), None),
-        Tag(TPhotometric, 3, 1, Some(1L), None),
-        Tag(TSamplesPerPixel, 3, 1, Some(1L), None),
-        Tag(TPlanarConfig, 3, 1, Some(1L), None),
+        Tag(TPhotometric, 3, 1, Some(if (bands >= 3) 2L else 1L), None), // RGB vs min-is-black
+        Tag(TSamplesPerPixel, 3, 1, Some(bands.toLong), None),
+        Tag(TPlanarConfig, 3, 1, Some(1L), None), // chunky
         Tag(TPredictor, 3, 1, Some(predictor.toLong), None),
-        Tag(TSampleFormat, 3, 1, Some(dtype.fmt.toLong), None)) ++ segTags
+        perBand(TSampleFormat, dtype.fmt.toLong)) ++ segTags
       if (pageIdx == 0) {
         tags = tags ++ Seq(
           Tag(TModelPixelScale, 12, 3, None, Some(dblBytes(pixelScale))),

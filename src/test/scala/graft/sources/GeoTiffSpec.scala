@@ -306,6 +306,45 @@ class GeoTiffSpec extends SparkSpec {
     assert(crop.count() == 20 * 15)
   }
 
+  test("multi-band RGB write: chunky round-trip, striped and tiled, per-band DSv2 read") {
+    val w = 40; val h = 25; val bands = 3
+    val vals = Array.tabulate(w * h * bands) { i =>
+      val p = i / bands; val b = i % bands
+      ((p % w) * 3 + (p / w) * 5 + b * 41) % 256.0
+    }
+    val gt = GeoTransform(0, 0.5, 0, 20, 0, -0.5)
+    for (ts <- Seq(0, 16)) {
+      val bytes = GeoTiff.encodePyramid(Seq((w, h, vals)), GeoTiff.DtByte, gt,
+        rowsPerStrip = 7, tileSize = ts, bands = bands)
+      val f = Files.createTempFile(s"graft_rgb$ts", ".tif")
+      Files.write(f, bytes)
+      val info = GeoTiff.readInfo(f.toString)
+      assert(info.bands == 3 && info.dtypeName == "Byte")
+      val out = Array.ofDim[Double](w * h * bands)
+      for (seg <- info.segments) {
+        val d = GeoTiff.decodeSegment(f.toString, info, seg)
+        for (y <- 0 until seg.h; x <- 0 until seg.w; b <- 0 until bands
+             if seg.x0 + x < w && seg.y0 + y < h)
+          out(((seg.y0 + y) * w + seg.x0 + x) * bands + b) =
+            d((y * seg.w + x) * bands + b)
+      }
+      assert(out.sameElements(vals), s"tileSize=$ts")
+      // the DSv2 connector reads each band as its own rows
+      val df = spark.read.format("graft.sources.RasterSource")
+        .option("path", f.toString).load()
+      val perBand = df.groupBy("band").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(perBand.keySet == Set(1, 2, 3))
+      for (b <- 0 until bands) {
+        val expect = (0 until w * h).map(p => vals(p * bands + b)).sum
+        assert(perBand(b + 1) == ((w.toLong * h, expect)), s"band ${b + 1}, ts=$ts")
+      }
+    }
+    // predictor 2 stays single-band-only
+    assertThrows[IllegalArgumentException](GeoTiff.encodePyramid(
+      Seq((4, 4, Array.fill(48)(0.0))), GeoTiff.DtInt16, gt, predictor = 2, bands = 3))
+  }
+
   test("malformed inputs fail cleanly (no hangs, no unbounded allocation)") {
     import graft.PropCheck
     val good = {
