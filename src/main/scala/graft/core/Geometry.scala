@@ -54,6 +54,37 @@ object Geometry {
     edges.foldLeft(lit(false))((acc, e) => acc =!= e) // XOR fold
   }
 
+  /** `PolygonizeSector` (`talos/geom_arc.py:9-36`): the sector /
+    * ellipse ring the reference cuts per-observer viewsheds with
+    * (`viewshed_calc.py:453-478`). Center (px,py), radii (rx,ry),
+    * compass direction/aperture in degrees, optional ellipse rotation
+    * `thetaDeg`. Aperture ≥ 360 → full ellipse (no center vertex);
+    * otherwise center + arc from `Angles.fromToAngle`'s from→to sweep,
+    * `pointCount − 1` arc vertices with the last exactly at the `to`
+    * angle. Returned unclosed (the reference closes the ring; our PIP
+    * wraps implicitly).
+    */
+  def sectorRing(px: Double, py: Double, rx: Double, ry: Double,
+                 directionDeg: Double, apertureDeg: Double,
+                 thetaDeg: Double = 0.0, pointCount: Int = 50): Seq[(Double, Double)] = {
+    require(pointCount >= 3, "sector ring needs ≥3 points")
+    val sinTheta = math.sin(thetaDeg * Angles.Pi180)
+    val cosTheta = math.cos(thetaDeg * Angles.Pi180)
+    def pt(a: Double): (Double, Double) = {
+      val sinT = math.sin(a); val cosT = math.cos(a)
+      (px + rx * cosT * cosTheta - ry * sinT * sinTheta,
+        py + ry * sinT * cosTheta + rx * cosT * sinTheta)
+    }
+    if (apertureDeg >= 360) {
+      val factor = Angles.TwoPi / pointCount
+      (0 until pointCount).map(i => pt(i * factor)) // I = pointCount duplicates I = 0
+    } else {
+      val (aFrom, aTo) = Angles.fromToAngle(directionDeg, apertureDeg)
+      val factor = (aTo - aFrom) / (pointCount - 2)
+      (px, py) +: (0 until pointCount - 1).map(i => pt(i * factor + aFrom))
+    }
+  }
+
   /** Driver-side PIP (same rule) for tests/planning. */
   def pointInPolygon(px: Double, py: Double, ring: Seq[(Double, Double)]): Boolean = {
     var inside = false

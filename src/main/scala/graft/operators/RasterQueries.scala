@@ -141,6 +141,18 @@ object RasterQueries {
       .select(col("px"), col("py"), col("state"))
       .orderBy("py", "px")
 
+  /** q78 E2 sector-aperture viewshed crop (`viewshed_calc.py:453-478`
+    * + `talos/geom_arc.py:9-36`): the q40 sweep for a directional
+    * observer (DirectionDeg 40, ApertureDeg 110), cropped to the
+    * synthesized sector arc — outside pixels → nodata state. Full
+    * per-pixel state map so the oracle checks the arc boundary exactly.
+    */
+  def q78(s: SparkSession, d: String): DataFrame =
+    Viewshed.viewshedSector(PixelFrame.dem(s, VsW, VsH), ox = 60, oy = 60, oz = 15.0,
+        cellSize = 5.0, maxR = 250.0, directionDeg = 40.0, apertureDeg = 110.0)
+      .select(col("px"), col("py"), col("state"))
+      .orderBy("py", "px")
+
   /** q41 R5 partition grid planning (find_two_greatest_devisors). */
   def q41(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -357,6 +369,7 @@ object RasterQueries {
     "q39_los_profile" -> q39 _,
     "q40_viewshed_sectors" -> q40 _,
     "q73_viewshed_exact" -> q73 _,
+    "q78_viewshed_sector" -> q78 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
     "q57_fwd_targets" -> q57 _,
@@ -573,6 +586,7 @@ object RasterQueries {
 
     "q40_viewshed_sectors" -> viewshedOracle,
     "q73_viewshed_exact" -> viewshedExactOracle,
+    "q78_viewshed_sector" -> viewshedSectorOracle,
 
     "q56_cutline_mask" -> {
       // identical edge tests generated from the same ring, over the
@@ -809,8 +823,12 @@ object RasterQueries {
        |FROM g ORDER BY py, px""".stripMargin
   }
 
-  /** E2 oracle: the sector sweep in SQL windows over the 121×121 DEM. */
-  private lazy val viewshedOracle: String =
+  /** Shared sweep CTE chain (through per-pixel states) for the q40
+    * aggregate and the q78 sector-crop oracles. Stripped here once —
+    * consumers concatenate, never re-stripMargin (interpolated SQL can
+    * contain literal pipes).
+    */
+  private lazy val sweepStatesCte: String =
     s"""WITH vdem AS (
        |  SELECT CAST(i % 121 AS INTEGER) AS px, CAST(i // 121 AS INTEGER) AS py,
        |         CASE WHEN ((i % 121) * 31 + (i // 121) * 17) % 101 = 0 THEN -32768.0
@@ -839,16 +857,34 @@ object RasterQueries {
        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS obstruction
        |  FROM rat),
        |states AS (
-       |  SELECT bucket,
+       |  SELECT px, py, bucket,
        |    CASE WHEN dist > 250.0 THEN 0.0
        |         WHEN v = -32768.0 THEN 1.0
        |         WHEN ratio >= COALESCE(obstruction, -1e300) THEN 5.0
        |         ELSE 2.0 END AS state
-       |  FROM ob)
-       |SELECT bucket, COUNT(*) AS n,
-       |       CAST(SUM(CASE WHEN state = 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS seen,
-       |       CAST(SUM(CASE WHEN state = 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS hidden
-       |FROM states GROUP BY bucket ORDER BY bucket""".stripMargin
+       |  FROM ob)""".stripMargin
+
+  /** E2 oracle: the sector sweep in SQL windows over the 121×121 DEM. */
+  private lazy val viewshedOracle: String = sweepStatesCte + "\n" +
+    """SELECT bucket, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN state = 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS seen,
+      |       CAST(SUM(CASE WHEN state = 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS hidden
+      |FROM states GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q78 oracle: the same per-pixel sweep states, cropped to the
+    * observer's sector arc — the ring re-derived from the SAME
+    * driver-side `Geometry.sectorRing` vertices through
+    * `pointInPolygonSql`, so both engines evaluate identical edge
+    * tests on identical double literals.
+    */
+  private lazy val viewshedSectorOracle: String = {
+    val ring = graft.core.Geometry.sectorRing(60, 60, 50.0, -50.0, 40.0, 110.0)
+    val pip = graft.core.Geometry.pointInPolygonSql(
+      "CAST(px AS DOUBLE)", "CAST(py AS DOUBLE)", ring)
+    sweepStatesCte + "\n" +
+      s"SELECT px, py, CASE WHEN $pip THEN state ELSE 0.0 END AS state\n" +
+      "FROM states ORDER BY py, px"
+  }
 
   /** q73 oracle: the exact line-referencing walk re-derived in SQL.
     * Crossing positions come from integer floor division (identical in

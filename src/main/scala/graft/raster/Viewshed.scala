@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Radio
+import graft.core.{Geometry, Radio}
 
 /** E2 viewshed radial sweep (reference `viewshed_calc.py:332-421`
   * driving `gdal.ViewshedGenerate`; state alphabet
@@ -108,6 +108,44 @@ object Viewshed {
     sweepStates(
       sweepGeom(dem, ox, oy, oz, cellSize, refractionCoeff, nBuckets, demNdv),
       maxR, demNdv)
+
+  /** Sector-aperture crop mask (reference `viewshed_calc.py:453-478`:
+    * `PolygonizeSector(ox, oy, max_r, max_r, azimuth, h_aperture)`
+    * applied as a post-calc cutline whenever the observer is not
+    * omnidirectional, `viewshed_params.py:32-125` DirectionDeg /
+    * ApertureDeg). The ring is built in PIXEL coordinates with
+    * ry = −r: pixel rows grow downward (a north-up geotransform has
+    * negative c5), so negating the y radius makes compass direction 0
+    * point toward −py — exactly where north is on the raster — while
+    * the reference builds the same ring in geo coordinates. None =
+    * omni (aperture ≥ 360), no crop — `vp.is_omni_h()` short-circuit.
+    */
+  private def sectorMask(ox: Int, oy: Int, rPix: Double,
+                         directionDeg: Double, apertureDeg: Double): Option[Column] =
+    if (apertureDeg >= 360) None
+    else {
+      val ring = Geometry.sectorRing(ox, oy, rPix, -rPix, directionDeg, apertureDeg)
+      Some(Geometry.pointInPolygonCol(
+        col("px").cast("double"), col("py").cast("double"), ring))
+    }
+
+  /** Single-observer directional viewshed: the sweep cropped to the
+    * observer's (direction, aperture) sector; outside-arc pixels take
+    * [[StNodata]], mirroring the reference cutline warp's nodata fill.
+    * apertureDeg ≥ 360 degrades to the plain omni [[viewshed]].
+    */
+  def viewshedSector(dem: DataFrame, ox: Int, oy: Int, oz: Double,
+                     cellSize: Double, maxR: Double,
+                     directionDeg: Double, apertureDeg: Double,
+                     refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                     nBuckets: Int = 64, demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val base = viewshed(dem, ox, oy, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
+    sectorMask(ox, oy, maxR / cellSize, directionDeg, apertureDeg) match {
+      case None       => base
+      case Some(inSec) =>
+        base.withColumn("state", when(inSec, col("state")).otherwise(lit(StNodata)))
+    }
+  }
 
   /** Exact per-ray viewshed — R3 / Wang-style line referencing
     * (the algorithm family behind `gdal.ViewshedGenerate`'s
@@ -248,18 +286,45 @@ object Viewshed {
   def viewshedCombine(dem: DataFrame, observers: Seq[(Int, Int, Double)],
                       op: String, cellSize: Double, maxR: Double,
                       refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
-                      nBuckets: Int = 64, demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+                      nBuckets: Int = 64, demNdv: Double = PixelFrame.Dem.Ndv): DataFrame =
+    viewshedCombineSector(dem,
+      observers.map { case (ox, oy, oz) => (ox, oy, oz, 0.0, 360.0) },
+      op, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
+
+  /** [[viewshedCombine]] with per-observer DirectionDeg/ApertureDeg —
+    * each observer's sweep is cropped to its own sector (the
+    * reference's per-observer `cut_sector` loop before the combine,
+    * `viewshed_calc.py:453-478`) and only then reduced. Observer tuple
+    * = (ox, oy, oz, directionDeg, apertureDeg); aperture ≥ 360 = omni.
+    * The sector masks are per-rid guarded column predicates layered on
+    * the combined stack — still one window shuffle, no extra pass.
+    */
+  def viewshedCombineSector(dem: DataFrame,
+                            observers: Seq[(Int, Int, Double, Double, Double)],
+                            op: String, cellSize: Double, maxR: Double,
+                            refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                            nBuckets: Int = 64,
+                            demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
     require(observers.nonEmpty, "need at least one observer")
     require(observers.size <= 254, "reference caps combine inputs at 254 (viewshed_calc.py:245)")
     // per-observer geometry branches (no shuffle each), tagged rid =
     // observer index BEFORE the window, so the whole stack pays ONE
     // window shuffle with obs×buckets partitions — parallelism scales
     // with the observer count instead of capping at nBuckets.
-    val geom = observers.zipWithIndex.map { case ((ox, oy, oz), i) =>
+    val geom = observers.zipWithIndex.map { case ((ox, oy, oz, _, _), i) =>
       sweepGeom(dem, ox, oy, oz, cellSize, refractionCoeff, nBuckets, demNdv)
         .withColumn("rid", lit(i))
     }.reduce(_ unionByName _)
-    val stack = sweepStates(geom, maxR, demNdv)
+    val states = sweepStates(geom, maxR, demNdv)
+    val cropped = observers.zipWithIndex.foldLeft(states) {
+      case (df, ((ox, oy, _, dir, ap), i)) =>
+        sectorMask(ox, oy, maxR / cellSize, dir, ap) match {
+          case None        => df
+          case Some(inSec) => df.withColumn("state",
+            when(col("rid") === i && !inSec, lit(StNodata)).otherwise(col("state")))
+        }
+    }
+    val stack = cropped
       .select(col("rid"), col("band"), col("px"), col("py"), col("state").as("v"))
     op match {
       case "max"     => Combine.vsMax(stack)

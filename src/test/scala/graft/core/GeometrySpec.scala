@@ -61,6 +61,29 @@ class GeometrySpec extends SparkSpec with PropCheck {
     assert(out == expected && out.nonEmpty)
   }
 
+  test("sectorRing ports PolygonizeSector (talos/geom_arc.py:9-36)") {
+    // 180° sector facing east (math y-up): arc from -90° (0,-1)
+    // through 0° (1,0) to +90° (0,1); first vertex is the center.
+    val ring = Geometry.sectorRing(0, 0, 1, 1, directionDeg = 90, apertureDeg = 180)
+    assert(ring.length == 50) // center + pointCount-1 arc vertices
+    assert(ring.head == ((0.0, 0.0)))
+    def close(p: (Double, Double), q: (Double, Double)) =
+      math.abs(p._1 - q._1) < 1e-12 && math.abs(p._2 - q._2) < 1e-12
+    assert(close(ring(1), (0.0, -1.0)))     // from-angle
+    assert(close(ring(25), (1.0, 0.0)))     // mid-arc (I=24 of 48 steps)
+    assert(close(ring.last, (0.0, 1.0)))    // to-angle, exactly
+    // containment: east inside, west outside, behind-center outside
+    assert(Geometry.pointInPolygon(0.5, 0.0, ring))
+    assert(!Geometry.pointInPolygon(-0.5, 0.0, ring))
+    assert(!Geometry.pointInPolygon(0.5, 0.0, ring.map { case (x, y) => (x - 2, y) }))
+
+    // aperture 360: full ellipse, no center vertex, unclosed
+    val omni = Geometry.sectorRing(5, 5, 2, 3, 0, 360)
+    assert(omni.length == 50 && omni.head != omni.last)
+    assert(Geometry.pointInPolygon(5.0, 7.5, omni))   // inside ry=3
+    assert(!Geometry.pointInPolygon(7.5, 5.0, omni))  // outside rx=2
+  }
+
   test("resolveOvrIdx numbering contract (gdalos_trans.py:72-79)") {
     import graft.raster.RasterOps.resolveOvrIdx
     assert(resolveOvrIdx(3, 0) == 0 && resolveOvrIdx(3, 3) == 3)

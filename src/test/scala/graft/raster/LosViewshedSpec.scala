@@ -173,6 +173,58 @@ class LosViewshedSpec extends SparkSpec {
     val mid = Viewshed.autoBuckets(5000.0, 5.0)
     assert(mid > 64 && mid < 4096)
   }
+  test("viewshedSector crops to the aperture arc; omni degrades to viewshed (E2+B3)") {
+    import graft.core.Geometry
+    val dem = flatDem(21, 21)
+    val base = Viewshed.viewshed(dem, ox = 10, oy = 10, oz = 5.0,
+      cellSize = 1.0, maxR = 8.0)
+    // direction 0 = north = -py on a north-up raster, aperture 90°
+    val sec = Viewshed.viewshedSector(dem, ox = 10, oy = 10, oz = 5.0,
+      cellSize = 1.0, maxR = 8.0, directionDeg = 0.0, apertureDeg = 90.0)
+    val st = sec.select("px", "py", "state").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(st((10, 5)) == Viewshed.StSeen)    // due north, in sector
+    assert(st((10, 15)) == Viewshed.StNodata) // south: cropped
+    assert(st((15, 10)) == Viewshed.StNodata) // east: outside ±45°
+    assert(st((5, 10)) == Viewshed.StNodata)  // west: cropped
+    // every pixel: sector state == (inRing ? base state : nodata)
+    val ring = Geometry.sectorRing(10, 10, 8.0, -8.0, 0.0, 90.0)
+    val bst = base.select("px", "py", "state").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    st.foreach { case ((px, py), s) =>
+      val expected = if (Geometry.pointInPolygon(px, py, ring)) bst((px, py))
+                     else Viewshed.StNodata
+      assert(s == expected, s"($px,$py)")
+    }
+    // aperture >= 360 is a no-op crop
+    val omni = Viewshed.viewshedSector(dem, 10, 10, 5.0, 1.0, 8.0, 123.0, 360.0)
+      .select("px", "py", "state").as[(Int, Int, Double)].collect().toSet
+    assert(omni == base.select("px", "py", "state")
+      .as[(Int, Int, Double)].collect().toSet)
+  }
+
+  test("viewshedCombineSector: per-observer sector crop feeds the combine") {
+    val dem = flatDem(21, 21)
+    // observer 0 omni, observer 1 faces north only
+    val cnt = Viewshed.viewshedCombineSector(dem,
+        Seq((10, 10, 5.0, 0.0, 360.0), (10, 10, 5.0, 0.0, 90.0)),
+        op = "count", cellSize = 1.0, maxR = 8.0)
+      .select("px", "py", "v").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cnt((10, 5)) == 2.0)  // north: both observers see it
+    assert(cnt((10, 15)) == 1.0) // south: only the omni observer
+    assert(cnt((15, 10)) == 1.0) // east: outside the 90° aperture
+    // delegation: viewshedCombine == all-omni viewshedCombineSector
+    val a = Viewshed.viewshedCombine(dem, Seq((10, 10, 5.0), (4, 4, 2.0)),
+      op = "max", cellSize = 1.0, maxR = 8.0)
+      .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+    val b = Viewshed.viewshedCombineSector(dem,
+      Seq((10, 10, 5.0, 7.0, 360.0), (4, 4, 2.0, 0.0, 361.0)),
+      op = "max", cellSize = 1.0, maxR = 8.0)
+      .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("summaryExtended: RadioCalcType columns (clearance/elev angle/LOS range/power)") {
     val flat = flatDem(60, 60).withColumn("v", lit(100.0))
     val pairs = Seq((0, 5.0, 5.0, 10.0, 50.0, 50.0, 5.0, 300.0))
