@@ -11,9 +11,14 @@ import graft.core.GeoTransform
   * `gdalos_trans.py:788-801`) and the A3 GTiff writer
   * (`gdalos_trans.py:773-816` creation options).
   *
-  * Reader scope: classic TIFF (II/MM), striped or tiled, compression
+  * Reader scope: classic TIFF (II/MM) AND BigTIFF (version 43: 8-byte
+  * counts/offsets, 20-byte IFD entries, LONG8/SLONG8/IFD8 types — the
+  * form the reference's `BIGTIFF` creation options emit for >4 GiB
+  * outputs, `gdalos_trans.py:788-801`), striped or tiled, compression
   * none(1)/LZW(5)/DEFLATE(8 & old 32946)/PackBits(32773), predictor
-  * none(1)/horizontal(2), samples Byte/Int16/UInt16/Int32/Float32/
+  * none(1)/horizontal(2)/floating-point(3: byte-plane split + bytewise
+  * differencing, libtiff `tif_predict.c` fpDiff/fpAcc semantics),
+  * samples Byte/Int16/UInt16/Int32/Float32/
   * Float64, chunky planar config, GeoTIFF georeferencing from
   * ModelPixelScale+ModelTiepoint (tags 33550/33922), nodata from
   * GDAL_NODATA (42113), CRS from the GeoKey directory (34735:
@@ -110,25 +115,42 @@ object GeoTiff {
           else (a(o + 3), a(o + 2), a(o + 1), a(o))
         (((b0 & 0xffL) << 24) | ((b1 & 0xffL) << 16) | ((b2 & 0xffL) << 8) | (b3 & 0xffL))
       }
-      require(u16(head, 2) == 42, "not a classic TIFF (BigTIFF unsupported)")
+      def u64(a: Array[Byte], o: Int): Long =
+        if (be) (u32(a, o) << 32) | u32(a, o + 4)
+        else (u32(a, o + 4) << 32) | u32(a, o)
+      val version = u16(head, 2)
+      val big = version == 43 // BigTIFF
+      require(version == 42 || big, s"not a TIFF (version $version)")
+      if (big) require(u16(head, 4) == 8 && u16(head, 6) == 0,
+        "malformed BigTIFF header (offset size must be 8)")
+      // classic: 12-byte entries, 2-byte counts, 4-byte offsets;
+      // BigTIFF: 20-byte entries, 8-byte counts, 8-byte offsets.
+      val entrySize = if (big) 20 else 12
+      val cntSize = if (big) 8 else 2
+      val inlineCap = if (big) 8 else 4
 
       def parseIfd(ifdOff: Long): (Info, Long) = {
-      val nEntries = u16(readAt(ifdOff, 2), 0)
-      val entries = readAt(ifdOff + 2, nEntries * 12)
-      val nextIfd = u32(readAt(ifdOff + 2 + nEntries * 12, 4), 0)
+      val nEntries =
+        (if (big) u64(readAt(ifdOff, 8), 0) else u16(readAt(ifdOff, 2), 0).toLong).toInt
+      require(nEntries > 0 && nEntries < 65536, s"implausible IFD entry count $nEntries")
+      val entries = readAt(ifdOff + cntSize, nEntries * entrySize)
+      val nextOff = ifdOff + cntSize + nEntries.toLong * entrySize
+      val nextIfd = if (big) u64(readAt(nextOff, 8), 0) else u32(readAt(nextOff, 4), 0)
 
-      // tag → (type, count, raw 4 value bytes as offset-or-inline)
+      // tag → (type, count, position of the inline-value-or-offset field)
       final case class Entry(typ: Int, cnt: Int, at: Int)
       val tags = (0 until nEntries).map { i =>
-        val o = i * 12
-        u16(entries, o) -> Entry(u16(entries, o + 2), u32(entries, o + 4).toInt, o + 8)
+        val o = i * entrySize
+        val cnt = if (big) u64(entries, o + 4) else u32(entries, o + 4)
+        u16(entries, o) -> Entry(u16(entries, o + 2), cnt.toInt, o + (if (big) 12 else 8))
       }.toMap
 
-      val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8)
+      val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8,
+        16 -> 8, 17 -> 8, 18 -> 8) // LONG8 / SLONG8 / IFD8 (BigTIFF)
       def rawValues(e: Entry): Array[Byte] = {
         val sz = typeSize.getOrElse(e.typ, 1) * e.cnt
-        if (sz <= 4) entries.slice(e.at, e.at + sz)
-        else readAt(u32(entries, e.at), sz)
+        if (sz <= inlineCap) entries.slice(e.at, e.at + sz)
+        else readAt(if (big) u64(entries, e.at) else u32(entries, e.at), sz)
       }
       def longs(tag: Int): Option[Seq[Long]] = tags.get(tag).map { e =>
         val raw = rawValues(e)
@@ -137,6 +159,7 @@ object GeoTiff {
             case 3 => u16(raw, i * 2).toLong
             case 4 => u32(raw, i * 4)
             case 1 => (raw(i) & 0xff).toLong
+            case 16 | 17 | 18 => u64(raw, i * 8)
             case t => throw new IllegalArgumentException(s"tag $tag: unexpected type $t")
           }
         }
@@ -167,24 +190,28 @@ object GeoTiff {
       require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 || comp == 32946,
         s"unsupported compression $comp (only none/LZW/DEFLATE/PackBits)")
       val pred = single(TPredictor, 1).toInt
-      require(pred == 1 || pred == 2, s"unsupported predictor $pred")
+      require(pred == 1 || pred == 2 || pred == 3, s"unsupported predictor $pred")
+      require(pred != 3 || fmt == 3,
+        "predictor 3 (floating-point differencing) requires float samples")
       require(single(TPlanarConfig, 1) == 1, "only chunky planar config supported")
 
       val tiled = tags.contains(TTileOffsets)
+      def req(tag: Int): Seq[Long] = longs(tag).getOrElse(
+        throw new IllegalArgumentException(s"missing required tag $tag"))
       val segments: Seq[Segment] =
         if (tiled) {
           val tw = single(TTileWidth, 0).toInt
           val th = single(TTileLength, 0).toInt
-          val offs = longs(TTileOffsets).get
-          val cnts = longs(TTileByteCounts).get
+          val offs = req(TTileOffsets)
+          val cnts = req(TTileByteCounts)
           val tilesAcross = (w + tw - 1) / tw
           offs.indices.map { i =>
             Segment(offs(i), cnts(i), (i % tilesAcross) * tw, (i / tilesAcross) * th, tw, th)
           }
         } else {
           val rps = math.min(single(TRowsPerStrip, h), h).toInt
-          val offs = longs(TStripOffsets).get
-          val cnts = longs(TStripByteCounts).get
+          val offs = req(TStripOffsets)
+          val cnts = req(TStripByteCounts)
           offs.indices.map { i =>
             Segment(offs(i), cnts(i), 0, i * rps, w, math.min(rps, h - i * rps))
           }
@@ -209,7 +236,7 @@ object GeoTiff {
       } // parseIfd
 
       val out = Seq.newBuilder[Info]
-      var off = u32(head, 4)
+      var off = if (big) u64(readAt(8, 8), 0) else u32(head, 4)
       var guard = 0
       while (off != 0 && guard < 64) { // 64-page guard vs cyclic chains
         val (info, nxt) = parseIfd(off)
@@ -243,11 +270,12 @@ object GeoTiff {
 
     if (info.predictor == 2) {
       // horizontal differencing is defined on integer samples only
-      // (floating-point data uses predictor 3, which we don't decode —
-      // reject rather than silently integer-undiff float bytes)
+      // (floating-point data uses predictor 3)
       require(info.sampleFormat != 3,
-        "predictor 2 on floating-point samples is invalid (fp predictor 3 unsupported)")
+        "predictor 2 on floating-point samples is invalid (use predictor 3)")
       undiffRows(data, seg.w, seg.h, info.bands, bytesPerSample, info.bigEndian)
+    } else if (info.predictor == 3) {
+      fpUndiffRows(data, seg.w, seg.h, info.bands, bytesPerSample, info.bigEndian)
     }
 
     val out = new Array[Double](nSamples)
@@ -300,6 +328,76 @@ object GeoTiff {
         }
         x += 1
       }
+      y += 1
+    }
+  }
+
+  /** Undo TIFF predictor 3 (floating-point differencing, libtiff
+    * `tif_predict.c` fpAcc): each encoded row holds the samples' bytes
+    * split into `bps` byte planes — plane 0 is the MOST significant
+    * byte of every sample, plane bps−1 the least — with bytewise
+    * horizontal differencing (stride = samples per pixel) run across
+    * the whole planar row buffer. Decode = accumulate, then
+    * re-interleave planes into the file's declared byte order so the
+    * normal sample readers apply unchanged.
+    */
+  private def fpUndiffRows(data: Array[Byte], w: Int, h: Int, bands: Int,
+                           bps: Int, be: Boolean): Unit = {
+    val wc = w * bands            // samples per row
+    val rowLen = wc * bps         // bytes per row
+    val tmp = new Array[Byte](rowLen)
+    var y = 0
+    while (y < h) {
+      val ro = y * rowLen
+      // 1. bytewise horizontal accumulate across the planar row
+      var i = bands
+      while (i < rowLen) {
+        data(ro + i) = ((data(ro + i) & 0xff) + (data(ro + i - bands) & 0xff)).toByte
+        i += 1
+      }
+      // 2. planes → interleaved samples (plane 0 = MSB)
+      System.arraycopy(data, ro, tmp, 0, rowLen)
+      var count = 0
+      while (count < wc) {
+        var b = 0
+        while (b < bps) {
+          val dst = count * bps + (if (be) b else bps - 1 - b)
+          data(ro + dst) = tmp(b * wc + count)
+          b += 1
+        }
+        count += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Apply TIFF predictor 3 (fpDiff) in place on little-endian
+    * interleaved rows: split each row into MSB-first byte planes, then
+    * bytewise-difference with stride = samples per pixel.
+    */
+  private def fpDiffRows(data: Array[Byte], w: Int, rows: Int, bands: Int,
+                         bps: Int): Unit = {
+    val wc = w * bands
+    val rowLen = wc * bps
+    val tmp = new Array[Byte](rowLen)
+    var y = 0
+    while (y < rows) {
+      val ro = y * rowLen
+      var count = 0
+      while (count < wc) { // LE interleaved → MSB-first planes
+        var b = 0
+        while (b < bps) {
+          tmp(b * wc + count) = data(ro + count * bps + (bps - 1 - b))
+          b += 1
+        }
+        count += 1
+      }
+      var i = rowLen - 1
+      while (i >= bands) {
+        tmp(i) = ((tmp(i) & 0xff) - (tmp(i - bands) & 0xff)).toByte
+        i -= 1
+      }
+      System.arraycopy(tmp, 0, data, ro, rowLen)
       y += 1
     }
   }
@@ -574,8 +672,10 @@ object GeoTiff {
     }
     require(pages.nonEmpty, "need at least one page")
     require(gt.isNorthUp && gt.c5 < 0, s"GeoTIFF writer needs a north-up geotransform, got $gt")
-    require(predictor == 1 || (predictor == 2 && (dtype == DtByte || dtype == DtInt16)),
-      "predictor 2 supported for integer samples only")
+    require(predictor == 1
+        || (predictor == 2 && (dtype == DtByte || dtype == DtInt16))
+        || (predictor == 3 && (dtype == DtFloat32 || dtype == DtFloat64)),
+      "predictor 2 needs integer samples; predictor 3 needs float samples")
     val bps = dtype.bits / 8
 
     final case class Tag(id: Int, typ: Int, cnt: Int, inline: Option[Long], ext: Option[Array[Byte]])
@@ -633,6 +733,7 @@ object GeoTiff {
               i += 1
             }
             if (predictor == 2) diffRows(raw, ts, ts, bps)
+            else if (predictor == 3) fpDiffRows(raw, ts, ts, bands, bps)
             compress(raw)
           }
         } else {
@@ -647,6 +748,7 @@ object GeoTiff {
               i += 1
             }
             if (predictor == 2) diffRows(raw, w, rows, bps)
+            else if (predictor == 3) fpDiffRows(raw, w, rows, bands, bps)
             compress(raw)
           }
         }

@@ -345,6 +345,131 @@ class GeoTiffSpec extends SparkSpec {
       Seq((4, 4, Array.fill(48)(0.0))), GeoTiff.DtInt16, gt, predictor = 2, bands = 3))
   }
 
+  test("writer round-trip: floating-point predictor 3, striped and tiled") {
+    // predictor 3 = byte-plane split + bytewise differencing (libtiff
+    // fpDiff/fpAcc); real Float32 DEM COGs commonly carry it
+    val w = 37; val h = 15
+    val vals = Array.tabulate(w * h)(i => (i * 0.37f - 55.25f).toDouble)
+    val gt = GeoTransform(0.0, 0.5, 0, 10.0, 0, -0.5)
+
+    def readBack(bytes: Array[Byte], expPred: Int): Array[Double] = {
+      val f = Files.createTempFile("graft_p3", ".tif")
+      Files.write(f, bytes)
+      val info = GeoTiff.readInfo(f.toString)
+      assert(info.predictor == expPred)
+      val out = Array.ofDim[Double](w * h)
+      for (seg <- info.segments; y <- 0 until seg.h; x <- 0 until seg.w
+           if seg.y0 + y < h && seg.x0 + x < w)
+        out((seg.y0 + y) * w + seg.x0 + x) =
+          GeoTiff.decodeSegment(f.toString, info, seg)(y * seg.w + x)
+      Files.deleteIfExists(f)
+      out
+    }
+
+    // striped DEFLATE Float32
+    val striped = GeoTiff.encode(w, h, vals, GeoTiff.DtFloat32, gt,
+      rowsPerStrip = 4, predictor = 3)
+    assert(readBack(striped, 3).sameElements(vals))
+    // tiled LZW Float32 (the COG shape)
+    val tiled = GeoTiff.encodePyramid(Seq((w, h, vals)), GeoTiff.DtFloat32, gt,
+      nodata = Some(-9999.0), predictor = 3, tileSize = 16, compression = 5)
+    assert(readBack(tiled, 3).sameElements(vals))
+    // Float64: 8 byte planes, bit-exact doubles
+    val vals64 = Array.tabulate(w * h)(i => math.Pi * (i - 100) + 1.0 / 3)
+    val striped64 = GeoTiff.encode(w, h, vals64, GeoTiff.DtFloat64, gt,
+      rowsPerStrip = 6, predictor = 3)
+    val f64 = Files.createTempFile("graft_p3d", ".tif")
+    Files.write(f64, striped64)
+    val i64 = GeoTiff.readInfo(f64.toString)
+    val out64 = Array.ofDim[Double](w * h)
+    for (seg <- i64.segments; y <- 0 until seg.h; x <- 0 until seg.w if seg.y0 + y < h)
+      out64((seg.y0 + y) * w + seg.x0 + x) =
+        GeoTiff.decodeSegment(f64.toString, i64, seg)(y * seg.w + x)
+    assert(out64.sameElements(vals64))
+    // predictor 3 on integer samples is rejected on both paths
+    assertThrows[IllegalArgumentException](
+      GeoTiff.encode(w, h, vals, GeoTiff.DtInt16, gt, predictor = 3))
+  }
+
+  /** Hand-built little-endian BigTIFF (version 43): 8-byte offsets,
+    * 20-byte IFD entries, LONG8 strip offset/count arrays, external
+    * DOUBLE geo tags — the layout GDAL writes with `BIGTIFF=YES`.
+    * Synthetic 64-bit offsets exercise the wide fields without a
+    * 4 GiB file.
+    */
+  private def buildBigTiff(w: Int, h: Int, rps: Int, vals: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int)(put: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN); put(b); b.array()
+    }
+    val strips = (0 until (h + rps - 1) / rps).map { s =>
+      val y0 = s * rps; val rows = math.min(rps, h - y0)
+      java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + rows) * w)
+    }
+    final case class T(id: Int, typ: Int, cnt: Long, inline: Long = 0,
+                       ext: Array[Byte] = null)
+    val stripOffExt = new Array[Byte](strips.length * 8) // patched below
+    val tags = Seq(
+      T(256, 3, 1, w), T(257, 3, 1, h), T(258, 3, 1, 8), T(259, 3, 1, 1),
+      T(262, 3, 1, 1),
+      T(273, 16, strips.length, ext = stripOffExt),
+      T(277, 3, 1, 1), T(278, 3, 1, rps),
+      T(279, 16, strips.length,
+        ext = le(strips.length * 8)(b => strips.foreach(s => b.putLong(s.length)))),
+      T(339, 3, 1, 1),
+      T(33550, 12, 3, ext = le(24)(b => Seq(0.5, 0.25, 0.0).foreach(b.putDouble))),
+      T(33922, 12, 6,
+        ext = le(48)(b => Seq(0.0, 0.0, 0.0, 100.0, 50.0, 0.0).foreach(b.putDouble))))
+    val ifdOff = 16L
+    var extOff = ifdOff + 8 + tags.length * 20 + 8
+    val extOffs = tags.map { t =>
+      if (t.ext != null && t.ext.length > 8) { val o = extOff; extOff += t.ext.length; Some(o) }
+      else None
+    }
+    var stripOff = extOff
+    val stripOffs = strips.map { s => val o = stripOff; stripOff += s.length; o }
+    System.arraycopy(le(strips.length * 8)(b => stripOffs.foreach(b.putLong)), 0,
+      stripOffExt, 0, strips.length * 8)
+    val out = ByteBuffer.allocate(stripOff.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+    out.putLong(ifdOff)
+    out.putLong(tags.length.toLong)
+    tags.zip(extOffs).foreach { case (t, eo) =>
+      out.putShort(t.id.toShort).putShort(t.typ.toShort).putLong(t.cnt)
+      (Option(t.ext), eo) match {
+        case (Some(b), None) => out.put(java.util.Arrays.copyOf(b, 8)) // fits inline
+        case (_, Some(o))    => out.putLong(o)
+        case _               => out.putLong(t.inline)
+      }
+    }
+    out.putLong(0L) // next IFD
+    tags.zip(extOffs).foreach {
+      case (t, Some(_)) => out.put(t.ext)
+      case _            => ()
+    }
+    strips.foreach(out.put)
+    out.array()
+  }
+
+  test("BigTIFF read: version 43 header, LONG8 arrays, external DOUBLE geo tags") {
+    val w = 8; val h = 5
+    val vals = Array.tabulate(w * h)(i => ((i * 7) % 251).toByte)
+    val bytes = buildBigTiff(w, h, rps = 3, vals)
+    val f = Files.createTempFile("graft_big", ".tif")
+    Files.write(f, bytes)
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.width == w && info.height == h && info.dtypeName == "Byte")
+    assert(info.segments.length == 2)
+    val gt = info.gt.get
+    assert(gt.c0 == 100.0 && gt.c1 == 0.5 && gt.c3 == 50.0 && gt.c5 == -0.25)
+    val out = Array.ofDim[Double](w * h)
+    for (seg <- info.segments; y <- 0 until seg.h; x <- 0 until seg.w if seg.y0 + y < h)
+      out((seg.y0 + y) * w + seg.x0 + x) =
+        GeoTiff.decodeSegment(f.toString, info, seg)(y * seg.w + x)
+    assert(out.sameElements(vals.map(b => (b & 0xff).toDouble)))
+    Files.deleteIfExists(f)
+  }
+
   test("malformed inputs fail cleanly (no hangs, no unbounded allocation)") {
     import graft.PropCheck
     val good = {
@@ -389,6 +514,26 @@ class GeoTiffSpec extends SparkSpec {
     }
     for (_ <- 0 until 200) {
       val b = lzw.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      tryRead(b)
+    }
+    // predictor-3 Float32 file: corruption sweep must reject cleanly
+    val p3 = {
+      val vals = Array.tabulate(32 * 24)(i => (i * 0.5f).toDouble)
+      GeoTiff.encode(32, 24, vals, GeoTiff.DtFloat32,
+        GeoTransform(0, 1, 0, 24, 0, -1), rowsPerStrip = 8, predictor = 3)
+    }
+    for (_ <- 0 until 200) {
+      val b = p3.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      tryRead(b)
+    }
+    // BigTIFF: truncations + corruption sweep on the wide-offset parse
+    val big = buildBigTiff(8, 5, 3, Array.tabulate(40)(_.toByte))
+    for (len <- Seq(0, 2, 8, 15, 16, 17, 40, big.length / 2, big.length - 3))
+      tryRead(java.util.Arrays.copyOf(big, len))
+    for (_ <- 0 until 300) {
+      val b = big.clone()
       b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
       tryRead(b)
     }
