@@ -15,7 +15,9 @@ import graft.core.GeoTransform
   * counts/offsets, 20-byte IFD entries, LONG8/SLONG8/IFD8 types — the
   * form the reference's `BIGTIFF` creation options emit for >4 GiB
   * outputs, `gdalos_trans.py:788-801`), striped or tiled, compression
-  * none(1)/LZW(5)/DEFLATE(8 & old 32946)/PackBits(32773), predictor
+  * none(1)/LZW(5)/JPEG(7, incl. shared JPEGTables; entropy coding via
+  * the JDK ImageIO reader)/DEFLATE(8 & old 32946)/PackBits(32773),
+  * predictor
   * none(1)/horizontal(2)/floating-point(3: byte-plane split + bytewise
   * differencing, libtiff `tif_predict.c` fpDiff/fpAcc semantics),
   * samples Byte/Int16/UInt16/Int32/Float32/
@@ -28,8 +30,9 @@ import graft.core.GeoTransform
   * common LZW/PackBits files found in the wild.
   *
   * Writer scope: little-endian, striped or TILED (the COG layout),
-  * none/LZW/DEFLATE/PackBits, optional horizontal predictor,
-  * Byte/Int16/Float32/Float64, single band, ModelPixelScale +
+  * none/LZW/JPEG(photo kind: Byte RGB→YCbCr or grayscale, fixed
+  * quality)/DEFLATE/PackBits, optional horizontal or floating-point
+  * predictor, Byte/Int16/Float32/Float64, ModelPixelScale +
   * ModelTiepoint + GDAL_NODATA + geographic-or-projected GeoKeys.
   *
   * Scale notes: `readInfo` touches only the header/IFD byte ranges
@@ -55,7 +58,8 @@ object GeoTiff {
       pixelScale: Option[(Double, Double)],
       tiepoint: Option[Array[Double]],
       epsg: Option[Int],
-      segments: Seq[Segment]) {
+      segments: Seq[Segment],
+      jpegTables: Option[Array[Byte]] = None) {
 
     /** GDAL-convention geotransform from scale+tiepoint: raster point
       * (i,j) pins to geo (x,y); north-up with negative c5.
@@ -85,7 +89,7 @@ object GeoTiff {
   private val TPredictor = 317
   private val TTileWidth = 322; private val TTileLength = 323
   private val TTileOffsets = 324; private val TTileByteCounts = 325
-  private val TSampleFormat = 339
+  private val TSampleFormat = 339; private val TJpegTables = 347
   private val TModelPixelScale = 33550; private val TModelTiepoint = 33922
   private val TGeoKeyDir = 34735; private val TGdalNodata = 42113
 
@@ -187,12 +191,16 @@ object GeoTiff {
       val bits = single(TBits, 8).toInt
       val fmt = single(TSampleFormat, 1).toInt
       val comp = single(TCompression, 1).toInt
-      require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 || comp == 32946,
-        s"unsupported compression $comp (only none/LZW/DEFLATE/PackBits)")
+      require(comp == 1 || comp == 5 || comp == 7 || comp == 8 || comp == 32773
+          || comp == 32946,
+        s"unsupported compression $comp (only none/LZW/JPEG/DEFLATE/PackBits)")
+      require(comp != 7 || (bits == 8 && fmt == 1),
+        "JPEG-in-TIFF requires 8-bit unsigned samples")
       val pred = single(TPredictor, 1).toInt
       require(pred == 1 || pred == 2 || pred == 3, s"unsupported predictor $pred")
       require(pred != 3 || fmt == 3,
         "predictor 3 (floating-point differencing) requires float samples")
+      require(comp != 7 || pred == 1, "JPEG pages never carry a predictor")
       require(single(TPlanarConfig, 1) == 1, "only chunky planar config supported")
 
       val tiled = tags.contains(TTileOffsets)
@@ -232,7 +240,8 @@ object GeoTiff {
         nodata = ascii(TGdalNodata).flatMap(s => s.trim.toDoubleOption),
         pixelScale = doubles(TModelPixelScale).map(s => (s(0), s(1))),
         tiepoint = doubles(TModelTiepoint).map(_.toArray),
-        epsg = epsg, segments = segments), nextIfd)
+        epsg = epsg, segments = segments,
+        jpegTables = tags.get(TJpegTables).map(rawValues)), nextIfd)
       } // parseIfd
 
       val out = Seq.newBuilder[Info]
@@ -261,6 +270,7 @@ object GeoTiff {
       } finally f.close()
     val bytesPerSample = info.bitsPerSample / 8
     val nSamples = seg.w * seg.h * info.bands
+    if (info.compression == 7) return jpegDecode(raw, info, seg)
     val data = info.compression match {
       case 1 => raw
       case 5 => lzwDecode(raw, nSamples * bytesPerSample)
@@ -330,6 +340,83 @@ object GeoTiff {
       }
       y += 1
     }
+  }
+
+  /** Decode one JPEG-compressed page segment (compression 7 — the
+    * reference's photo-kind lossy path, `gdalos_trans.py:426-459`
+    * JPEG+YCBCR). Each segment is a self-contained JPEG stream, or an
+    * abbreviated stream sharing Huffman/quant tables via the
+    * JPEGTables tag (347): merged as tables-minus-EOI +
+    * tile-minus-SOI, the standard TIFF-EP concatenation. Entropy
+    * decoding delegates to the JDK's ImageIO JPEG reader (baseline
+    * DCT, YCbCr→RGB handled there); exotic variants fail its decode
+    * and are rejected, not mis-read.
+    */
+  private def jpegDecode(raw: Array[Byte], info: Info, seg: Segment): Array[Double] = {
+    val stream = info.jpegTables match {
+      case Some(t) if t.length >= 4 =>
+        val merged = new Array[Byte](t.length - 2 + raw.length - 2)
+        System.arraycopy(t, 0, merged, 0, t.length - 2)
+        System.arraycopy(raw, 2, merged, t.length - 2, raw.length - 2)
+        merged
+      case _ => raw
+    }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    require(img != null, "undecodable JPEG segment")
+    val r = img.getRaster
+    require(r.getNumBands == info.bands,
+      s"JPEG component count ${r.getNumBands} != declared bands ${info.bands}")
+    val out = new Array[Double](seg.w * seg.h * info.bands)
+    val w = math.min(seg.w, img.getWidth); val h = math.min(seg.h, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < info.bands) {
+          out((y * seg.w + x) * info.bands + b) = r.getSample(x, y, b).toDouble
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode one page segment as a self-contained baseline JPEG via the
+    * JDK's ImageIO writer at a FIXED quality (deterministic bytes).
+    * Band 0..2 map to R,G,B (TYPE_3BYTE_BGR's sample model exposes
+    * band 0 = red); single band → grayscale.
+    */
+  private def jpegEncode(raw: Array[Byte], w: Int, h: Int, bands: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h,
+      if (bands >= 3) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) {
+          r.setSample(x, y, b, raw((y * w + x) * bands + b) & 0xff)
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wtr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wtr.dispose(); ios.close()
+    bos.toByteArray
   }
 
   /** Undo TIFF predictor 3 (floating-point differencing, libtiff
@@ -662,12 +749,16 @@ object GeoTiff {
     require(bands >= 1 && bands <= 16, s"unsupported band count $bands")
     require(predictor == 1 || bands == 1,
       "predictor 2 is supported for single-band pages only")
-    require(Set(1, 5, 8, 32773).contains(compression),
-      s"unsupported write compression $compression (none/LZW/DEFLATE/PackBits)")
+    require(Set(1, 5, 7, 8, 32773).contains(compression),
+      s"unsupported write compression $compression (none/LZW/JPEG/DEFLATE/PackBits)")
+    require(compression != 7 || (dtype == DtByte && predictor == 1
+        && (bands == 1 || bands == 3)),
+      "JPEG write needs Byte samples, no predictor, 1 or 3 bands (alpha dropped per B5)")
     val compress: Array[Byte] => Array[Byte] = compression match {
       case 1 => identity
       case 5 => lzwEncode
       case 32773 => packBitsEncode
+      case 7 => identity // replaced per-segment (needs dims)
       case _ => deflate
     }
     require(pages.nonEmpty, "need at least one page")
@@ -728,13 +819,18 @@ object GeoTiff {
               val p = i / bands; val b = i % bands
               val sx = tx * ts + p % ts
               val sy = ty * ts + p / ts
+              // JPEG edge tiles replicate the border pixel (a hard
+              // nodata edge would bleed DCT ringing into valid pixels)
               writeSample(raw, i,
-                if (sx < w && sy < h) values((sy * w + sx) * bands + b) else pad)
+                if (sx < w && sy < h) values((sy * w + sx) * bands + b)
+                else if (compression == 7)
+                  values((math.min(sy, h - 1) * w + math.min(sx, w - 1)) * bands + b)
+                else pad)
               i += 1
             }
             if (predictor == 2) diffRows(raw, ts, ts, bps)
             else if (predictor == 3) fpDiffRows(raw, ts, ts, bands, bps)
-            compress(raw)
+            if (compression == 7) jpegEncode(raw, ts, ts, bands) else compress(raw)
           }
         } else {
           val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
@@ -749,7 +845,7 @@ object GeoTiff {
             }
             if (predictor == 2) diffRows(raw, w, rows, bps)
             else if (predictor == 3) fpDiffRows(raw, w, rows, bands, bps)
-            compress(raw)
+            if (compression == 7) jpegEncode(raw, w, rows, bands) else compress(raw)
           }
         }
       val stripSizes = strips.map(_.length.toLong)
@@ -788,7 +884,10 @@ object GeoTiff {
         Tag(TLength, 3, 1, Some(h.toLong), None),
         perBand(TBits, dtype.bits.toLong),
         Tag(TCompression, 3, 1, Some(compression.toLong), None),
-        Tag(TPhotometric, 3, 1, Some(if (bands >= 3) 2L else 1L), None), // RGB vs min-is-black
+        // RGB(2) vs min-is-black(1); JPEG RGB pages are YCbCr(6) — the
+        // reference's photo-kind JPEG+YCBCR pairing (gdalos_trans.py:426-459)
+        Tag(TPhotometric, 3, 1,
+          Some(if (bands >= 3) (if (compression == 7) 6L else 2L) else 1L), None),
         Tag(TSamplesPerPixel, 3, 1, Some(bands.toLong), None),
         Tag(TPlanarConfig, 3, 1, Some(1L), None), // chunky
         Tag(TPredictor, 3, 1, Some(predictor.toLong), None),

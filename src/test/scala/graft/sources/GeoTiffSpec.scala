@@ -470,6 +470,95 @@ class GeoTiffSpec extends SparkSpec {
     Files.deleteIfExists(f)
   }
 
+  test("JPEG-in-TIFF (compression 7): RGB photo pages round-trip within lossy tolerance") {
+    val w = 48; val h = 33
+    // smooth gradients: DCT+4:2:0 stays close, so the tolerance is tight
+    val vals = new Array[Double](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      vals(i) = (x * 255 / (w - 1)).toDouble
+      vals(i + 1) = (y * 255 / (h - 1)).toDouble
+      vals(i + 2) = 128.0
+    }
+    val gt = GeoTransform(0, 1, 0, h.toDouble, 0, -1)
+    val bytes = GeoTiff.encodePyramid(Seq((w, h, vals)), GeoTiff.DtByte, gt,
+      tileSize = 16, compression = 7, bands = 3)
+    val f = Files.createTempFile("graft_jpg", ".tif"); Files.write(f, bytes)
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.compression == 7 && info.bands == 3
+      && info.width == w && info.height == h) // exact dims
+    // photo kind drives the resampling choice (gdalos_types.py:84-94)
+    import graft.core.{RasterKind, ResamplingAlg}
+    val kind = RasterKind.guess(Seq.fill(info.bands)(info.dtypeName))
+    assert(kind == RasterKind.Photo)
+    assert(kind.resamplingAlg() == ResamplingAlg.Cubic)
+    assert(kind.resamplingAlg(fastMode = true) == ResamplingAlg.Average)
+
+    val out = Array.ofDim[Double](w * h * 3)
+    for (seg <- info.segments) {
+      val d = GeoTiff.decodeSegment(f.toString, info, seg)
+      for (y <- 0 until seg.h; x <- 0 until seg.w
+           if seg.y0 + y < h && seg.x0 + x < w; b <- 0 until 3)
+        out(((seg.y0 + y) * w + seg.x0 + x) * 3 + b) = d((y * seg.w + x) * 3 + b)
+    }
+    val errs = out.indices.map(i => math.abs(out(i) - vals(i)))
+    assert(errs.max <= 24.0, s"max JPEG error ${errs.max}")
+    assert(errs.sum / errs.length <= 4.0, s"mean JPEG error ${errs.sum / errs.length}")
+    // deterministic encode (fixed quality) + deterministic decode checksum
+    assert(GeoTiff.encodePyramid(Seq((w, h, vals)), GeoTiff.DtByte, gt,
+      tileSize = 16, compression = 7, bands = 3).sameElements(bytes))
+    val crc = new java.util.zip.CRC32()
+    out.foreach(v => crc.update(v.toInt))
+    val out2 = Array.ofDim[Double](w * h * 3)
+    for (seg <- info.segments) {
+      val d = GeoTiff.decodeSegment(f.toString, info, seg)
+      for (y <- 0 until seg.h; x <- 0 until seg.w
+           if seg.y0 + y < h && seg.x0 + x < w; b <- 0 until 3)
+        out2(((seg.y0 + y) * w + seg.x0 + x) * 3 + b) = d((y * seg.w + x) * 3 + b)
+    }
+    val crc2 = new java.util.zip.CRC32()
+    out2.foreach(v => crc2.update(v.toInt))
+    assert(crc.getValue == crc2.getValue)
+
+    // JPEGTables merge path: a trivial tables stream (SOI+EOI) is a no-op
+    val tinfo = info.copy(jpegTables =
+      Some(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)))
+    val seg0 = info.segments.head
+    assert(GeoTiff.decodeSegment(f.toString, tinfo, seg0)
+      .sameElements(GeoTiff.decodeSegment(f.toString, info, seg0)))
+
+    // grayscale striped JPEG page
+    val gvals = Array.tabulate(w * h)(i => ((i % w) * 255 / (w - 1)).toDouble)
+    val gb = GeoTiff.encodePyramid(Seq((w, h, gvals)), GeoTiff.DtByte, gt,
+      rowsPerStrip = 16, compression = 7)
+    val gf = Files.createTempFile("graft_jpgg", ".tif"); Files.write(gf, gb)
+    val gi = GeoTiff.readInfo(gf.toString)
+    val gout = Array.ofDim[Double](w * h)
+    for (seg <- gi.segments) {
+      val d = GeoTiff.decodeSegment(gf.toString, gi, seg)
+      for (y <- 0 until seg.h; x <- 0 until seg.w if seg.y0 + y < h)
+        gout((seg.y0 + y) * w + seg.x0 + x) = d(y * seg.w + x)
+    }
+    assert(gout.indices.map(i => math.abs(gout(i) - gvals(i))).max <= 12.0)
+
+    // end-to-end: the DSv2 pixel-frame scan reads the JPEG pages
+    // (per-band rows, q63 shape), values equal to the direct decode
+    val df = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).load()
+    assert(df.count() == w.toLong * h * 3)
+    val sparkSum = df.agg(sum("v")).head().getDouble(0)
+    assert(sparkSum == out.sum, s"DSv2 sum $sparkSum vs direct ${out.sum}")
+
+    // B5: JPEG + alpha is rejected (YCbCr cannot carry it), as is
+    // JPEG on non-Byte samples
+    assertThrows[IllegalArgumentException](
+      GeoTiff.encodePyramid(Seq((w, h, new Array[Double](w * h * 4))),
+        GeoTiff.DtByte, gt, compression = 7, bands = 4))
+    assertThrows[IllegalArgumentException](
+      GeoTiff.encodePyramid(Seq((w, h, gvals)), GeoTiff.DtInt16, gt, compression = 7))
+    Files.deleteIfExists(f); Files.deleteIfExists(gf)
+  }
+
   test("malformed inputs fail cleanly (no hangs, no unbounded allocation)") {
     import graft.PropCheck
     val good = {
