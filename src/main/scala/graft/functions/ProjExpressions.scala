@@ -264,7 +264,11 @@ object GraftFunctions {
     fn("vec_dot", "dot product of two numeric arrays (codegen loop)",
       args => VecDot(args(0), args(1))),
     fn("vec_lsh_bucket", "hyperplane LSH bucket id of a numeric array",
-      args => VecLshBucket(args(0), args(1))))
+      args => VecLshBucket(args(0), args(1))),
+    fn("tile_pack", "double tile array to LE binary samples of a dtype width",
+      args => TilePack(args(0), args(1))),
+    fn("tile_unpack", "LE binary tile samples back to a double array",
+      args => TileUnpack(args(0), args(1))))
 
   private def fn(name: String, usage: String, b: Builder) =
     (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), b)

@@ -26,6 +26,86 @@ object VecKernels {
     s
   }
 
+  /** Pack a dense double tile into little-endian samples of the
+    * declared dtype (SURVEY §7.4 BinaryType payloads; codes = sample
+    * bit width: 8 Byte, 16 Int16, 32 Float32, 64 Float64). Integer
+    * codes truncate like the GeoTIFF writer's `writeSample`; 64 is
+    * bit-exact. ARRAY<DOUBLE> at rest is 8 bytes/pixel regardless of
+    * source dtype — Int16 tiles shrink 4× in this form.
+    */
+  def tilePack(a: ArrayData, code: Int): Array[Byte] = {
+    val n = a.numElements()
+    code match {
+      case 8 =>
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) { out(i) = a.getDouble(i).toInt.toByte; i += 1 }
+        out
+      case 16 =>
+        val out = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = a.getDouble(i).toInt.toShort
+          out(i * 2) = v.toByte; out(i * 2 + 1) = (v >> 8).toByte
+          i += 1
+        }
+        out
+      case 32 =>
+        val out = new Array[Byte](n * 4)
+        var i = 0
+        while (i < n) {
+          val bits = java.lang.Float.floatToIntBits(a.getDouble(i).toFloat)
+          var j = 0
+          while (j < 4) { out(i * 4 + j) = (bits >>> (8 * j)).toByte; j += 1 }
+          i += 1
+        }
+        out
+      case 64 =>
+        val out = new Array[Byte](n * 8)
+        var i = 0
+        while (i < n) {
+          val bits = java.lang.Double.doubleToLongBits(a.getDouble(i))
+          var j = 0
+          while (j < 8) { out(i * 8 + j) = (bits >>> (8 * j)).toByte; j += 1 }
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(s"tile_pack: bad dtype code $other")
+    }
+  }
+
+  /** Inverse of [[tilePack]]: LE samples → doubles. Byte is unsigned
+    * (TIFF convention); Int16 sign-extends.
+    */
+  def tileUnpack(b: Array[Byte], code: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val out: Array[Double] = code match {
+      case 8 => Array.tabulate(b.length)(i => (b(i) & 0xff).toDouble)
+      case 16 =>
+        require(b.length % 2 == 0, "tile_unpack: odd Int16 payload")
+        Array.tabulate(b.length / 2)(i =>
+          (((b(i * 2 + 1) & 0xff) << 8) | (b(i * 2) & 0xff)).toShort.toDouble)
+      case 32 =>
+        require(b.length % 4 == 0, "tile_unpack: bad Float32 payload")
+        Array.tabulate(b.length / 4) { i =>
+          var bits = 0
+          var j = 3
+          while (j >= 0) { bits = (bits << 8) | (b(i * 4 + j) & 0xff); j -= 1 }
+          java.lang.Float.intBitsToFloat(bits).toDouble
+        }
+      case 64 =>
+        require(b.length % 8 == 0, "tile_unpack: bad Float64 payload")
+        Array.tabulate(b.length / 8) { i =>
+          var bits = 0L
+          var j = 7
+          while (j >= 0) { bits = (bits << 8) | (b(i * 8 + j) & 0xffL); j -= 1 }
+          java.lang.Double.longBitsToDouble(bits)
+        }
+      case other => throw new IllegalArgumentException(s"tile_unpack: bad dtype code $other")
+    }
+    new GenericArrayData(out)
+  }
+
   /** All `planes` hyperplane sign bits in one pass. The weight LCG and
     * the ascending-index summation order match the fold-based
     * `Similarity.bucketFoldCol` exactly (bit-equal buckets).
@@ -103,6 +183,60 @@ case class VecLshBucket(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecKernels.lshBucket($a, $b, $isFloat);")
 
   override def prettyName: String = "vec_lsh_bucket"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+/** `tile_pack(data, code)`: ARRAY<DOUBLE> tile → BINARY of LE samples
+  * at the dtype's width (8/16/32/64 — SURVEY §7.4's at-rest layout).
+  */
+case class TilePack(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    left.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tile_pack expects array<double>, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.tilePack(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernels.tilePack($a, $b);")
+
+  override def prettyName: String = "tile_pack"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+/** `tile_unpack(bin, code)`: inverse of [[TilePack]]. */
+case class TileUnpack(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    left.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tile_unpack expects binary, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.tileUnpack(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernels.tileUnpack($a, $b);")
+
+  override def prettyName: String = "tile_unpack"
   override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
     copy(left = a, right = b)
 }

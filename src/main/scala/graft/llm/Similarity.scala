@@ -112,12 +112,31 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Hyperplane count that keeps within-bucket candidate-pair volume
+    * ~linear in the corpus (the Similarity twin of
+    * `Viewshed.autoBuckets`): with 2^planes buckets over N vectors,
+    * expected pairs ≈ N²/2^(planes+1), so targeting ~`targetBucket`
+    * vectors per bucket bounds pairs by ~N·targetBucket/2. Clamped to
+    * [4, 24] planes (16 buckets minimum keeps tiny corpora
+    * non-degenerate; 2^24 buckets is plenty past 10^10 vectors).
+    * Callers at scale should pass `autoPlanes(n)` instead of keeping
+    * the sf-sized default.
+    */
+  def autoPlanes(corpusSize: Long, targetBucket: Int = 1024): Int = {
+    require(corpusSize >= 0 && targetBucket > 0, "need corpusSize ≥ 0, targetBucket > 0")
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.max(4, math.min(24, needed))
+  }
+
   /** Embedding-cosine near-dup pairs (the fourth dedup family):
     * candidates form only inside hyperplane buckets (positive scaling
     * and small perturbations preserve sign patterns, so true
     * near-dups co-bucket with high probability), then exact cosine
     * verifies at `threshold`. Same banded shape as MinHash — never
-    * all-pairs.
+    * all-pairs. `planes` sizes the bucket universe: the default fits
+    * test-scale corpora; at corpus scale derive it with
+    * [[autoPlanes]] so within-bucket pair counts stay ~linear.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 4,
                          idCol: String = "vec_id",

@@ -152,6 +152,27 @@ object LlmQueries {
     Similarity.bucketHistogram(Tables.embeddings(s, d), planes = 4)
       .orderBy("bucket")
 
+  /** Fixed literal IVF centroids shared by q79 and its oracle: small
+    * exact rationals (n/10 with |n| ≤ 20), identical doubles in any
+    * engine. The Lloyd fit stays test-covered in LlmSpec (iterative
+    * float means are not oracle-stable); this freezes the
+    * cluster-routing + exact-search path behind a green oracle.
+    */
+  private def ivfFixedCentroids: Seq[Array[Double]] =
+    (0 until 4).map(c => Array.tabulate(64)(i => ((c * 37 + i * 13) % 41 - 20) / 10.0))
+
+  /** q79 IVF ANN with the fixed quantizer: rank centroids by distance
+    * to vec 0 (driver-side, k rows), search exactly within the nprobe
+    * nearest clusters, cosine top-10.
+    */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    Similarity.ivfTopK(emb, Similarity.IvfModel(ivfFixedCentroids),
+        queryId = 0L, topK = 10, nprobe = 2)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** q52 multimodal plumbing: binary payloads through the stub
     * feature extractor (typed mapPartitions path).
     */
@@ -193,6 +214,7 @@ object LlmQueries {
     "q49_ann_brute" -> q49 _,
     "q50_ann_lsh" -> q50 _,
     "q51_ann_buckets" -> q51 _,
+    "q79_ann_ivf" -> q79 _,
     "q52_multimodal_features" -> q52 _,
     "q64_dedup_embed" -> q64 _,
     "q76_quality_filter" -> q76 _,
@@ -454,6 +476,37 @@ object LlmQueries {
     "q51_ann_buckets" ->
       s"""SELECT ${bucketExpr("embedding", 4)} AS bucket, COUNT(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q79_ann_ivf" -> {
+      // the same fixed centroid formula as ivfFixedCentroids, inlined
+      // per (c, dim); squared-distance folds dim-by-dim like sqDistCol
+      val cv = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13) % 41 - 20) AS DOUBLE) / 10.0)"
+      def sqDist(vec: String) = foldSum(
+        s"list_transform(range(1, 65), i -> (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv)" +
+          s" * (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv))")
+      s"""WITH cent AS (SELECT CAST(c AS INTEGER) AS c FROM range(4) t(c)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT c FROM cent CROSS JOIN q
+         |  ORDER BY ${sqDist("q.qv")}, c LIMIT 2),
+         |ad AS (
+         |  SELECT e.vec_id, e.embedding, cent.c, ${sqDist("e.embedding")} AS d
+         |  FROM embeddings e CROSS JOIN cent),
+         |an AS (
+         |  SELECT vec_id, embedding, c,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |  FROM ad),
+         |cand AS (
+         |  SELECT a.vec_id,
+         |         ${dotExpr("a.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("a.embedding", "a.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS cc
+         |  FROM an a CROSS JOIN q
+         |  WHERE a.rn = 1 AND a.c IN (SELECT c FROM probe) AND a.vec_id <> 0),
+         |topk AS (SELECT * FROM cand ORDER BY cc DESC, vec_id LIMIT 10)
+         |SELECT vec_id, ROUND(cc, 6) AS cosine FROM topk
+         |ORDER BY cosine DESC, vec_id""".stripMargin
+    },
 
     "q64_dedup_embed" ->
       s"""WITH doubled AS (

@@ -266,6 +266,23 @@ object RasterQueries {
       .select("px", "py", "v").orderBy("py", "px")
   }
 
+  /** q80 I1/§7.4 BinaryType tile payloads: the q61 pipeline with the
+    * tile table routed through the dtype-tagged BINARY at-rest form
+    * (Int16 here — native width, 4× smaller than ARRAY<DOUBLE>) and
+    * unpacked back for the expression layer. Same oracle as q61: the
+    * binary round-trip must be value-exact for in-range integers.
+    */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val ndv = PixelFrame.Dem.Ndv
+    val packed = PixelFrame.pack(PixelFrame.dem(s, 80, 60), ts = 16, ndv = ndv)
+    val binary = PixelFrame.packBinary(packed, dtypeCode = 16)
+    val scaled = PixelFrame.mapTiles(PixelFrame.unpackBinary(binary),
+      v => when(v === ndv, lit(0.0)).otherwise((v * 0.2).cast("long").cast("double")))
+    PixelFrame.explodeTiles(scaled, 16)
+      .filter(col("px") < 80 && col("py") < 60)
+      .select("px", "py", "v").orderBy("py", "px")
+  }
+
   /** Shared H6 palette: elevation color relief over the DEM range. */
   val ReliefPalette: Seq[(Double, Int)] = Seq(
     0.0 -> 0xff0000ff, 250.0 -> 0xff00ff00, 600.0 -> 0xffffff00, 996.0 -> 0xffff0000)
@@ -377,6 +394,7 @@ object RasterQueries {
     "q59_ovr_select" -> q59 _,
     "q60_utm_forward" -> q60 _,
     "q61_tile_pipeline" -> q61 _,
+    "q80_tile_binary" -> q80 _,
     "q62_palette_interp" -> q62 _,
     "q63_dsv2_scan" -> q63 _,
     "q65_geotiff_roundtrip" -> q65 _,
@@ -545,6 +563,14 @@ object RasterQueries {
     "q60_utm_forward" -> utmOracle,
 
     "q61_tile_pipeline" ->
+      s"""WITH ${demCteN("dem80", 80, 60)}
+         |SELECT px, py,
+         |       CASE WHEN v = -32768.0 THEN 0.0
+         |            ELSE CAST(CAST(TRUNC(v * 0.2) AS BIGINT) AS DOUBLE) END AS v
+         |FROM dem80 ORDER BY py, px""".stripMargin,
+    // q80 = q61 through the BINARY tile form; Int16 round-trip is
+    // value-exact for the DEM's integer range, so the oracle is shared
+    "q80_tile_binary" ->
       s"""WITH ${demCteN("dem80", 80, 60)}
          |SELECT px, py,
          |       CASE WHEN v = -32768.0 THEN 0.0

@@ -121,4 +121,27 @@ object PixelFrame {
     */
   def mapTiles(df: DataFrame, f: Column => Column): DataFrame =
     df.withColumn("data", transform(col("data"), f))
+
+  /** SURVEY §7.4 BinaryType payload variant: the packed tile's
+    * `ARRAY<DOUBLE>` (8 bytes/pixel at rest regardless of source
+    * dtype) becomes a dtype-tagged `BINARY` of little-endian samples —
+    * an Int16 DEM stored at its native width is 4× smaller on disk and
+    * on the shuffle wire. `dtypeCode` = sample bit width (8 Byte
+    * unsigned, 16 Int16, 32 Float32, 64 Float64 — 64 is bit-exact);
+    * the code travels in a `dtype` column so readers self-describe.
+    */
+  def packBinary(df: DataFrame, dtypeCode: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("data", call_function("tile_pack", col("data"), lit(dtypeCode)))
+      .withColumn("dtype", lit(dtypeCode))
+  }
+
+  /** Inverse of [[packBinary]]: back to the `ARRAY<DOUBLE>` form the
+    * expression layer computes on.
+    */
+  def unpackBinary(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("data", call_function("tile_unpack", col("data"), col("dtype")))
+      .drop("dtype")
+  }
 }

@@ -235,4 +235,25 @@ class LlmSpec extends SparkSpec {
     val enKept = half.count(_ % 4 == 0)
     assert(enKept > 30 && enKept < 70, s"en kept $enKept of 100 at rate 0.5")
   }
+
+  test("autoPlanes bounds within-bucket pair volume ~linearly in corpus size") {
+    import graft.llm.Similarity.autoPlanes
+    // expected pairs under uniform bucketing: N^2 / 2^(planes+1);
+    // autoPlanes must keep that ≤ N * targetBucket at every scale
+    val target = 1024
+    for (n <- Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, 100000000000L)) {
+      val p = autoPlanes(n, target)
+      assert(p >= 4 && p <= 24)
+      val expectedPairs = n.toDouble * n / math.pow(2.0, p + 1)
+      if (p < 24) // inside the clamp the bound must hold
+        assert(expectedPairs <= n.toDouble * target,
+          s"n=$n planes=$p pairs=$expectedPairs")
+    }
+    // monotone in corpus size; default matches q64's test-scale choice
+    val ps = Seq(100L, 10000L, 1000000L, 100000000L).map(autoPlanes(_))
+    assert(ps == ps.sorted)
+    assert(autoPlanes(2048) == 4) // tiny corpora stay at the floor
+    assertThrows[IllegalArgumentException](autoPlanes(-1))
+    assertThrows[IllegalArgumentException](autoPlanes(10, 0))
+  }
 }

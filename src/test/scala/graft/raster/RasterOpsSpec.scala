@@ -88,6 +88,53 @@ class RasterOpsSpec extends SparkSpec {
     assert(back.except(d).count() == 0 && d.except(back).count() == 0)
   }
 
+  test("BinaryType tile payloads: pack/unpack bit-equal per dtype; Int16 is 4x smaller") {
+    val d = PixelFrame.dem(spark, 32, 16) // integer-valued doubles + ndv
+    val packed = PixelFrame.pack(d, ts = 16, ndv = PixelFrame.Dem.Ndv)
+    // Int16 (DEM native) and Float64 (bit-exact for anything) round-trip
+    for (code <- Seq(16, 64)) {
+      val back = PixelFrame.unpackBinary(PixelFrame.packBinary(packed, code))
+      val a = packed.select($"tx", $"ty", $"data").as[(Int, Int, Seq[Double])]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val b = back.select($"tx", $"ty", $"data").as[(Int, Int, Seq[Double])]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(a.keySet == b.keySet)
+      a.foreach { case (k, v) => assert(v == b(k), s"dtype $code tile $k") }
+    }
+    // fractional + non-Int16 values survive Float64, truncate in Int16
+    import spark.implicits._
+    val frac = Seq((0, 1, 0, 0, Seq(1.5, -3.25, 1e9))).toDF("rid", "band", "tx", "ty", "data")
+    val f64 = PixelFrame.unpackBinary(PixelFrame.packBinary(frac, 64))
+      .select($"data").as[Seq[Double]].head()
+    assert(f64 == Seq(1.5, -3.25, 1e9))
+    // at-rest width: Int16 binary payload is exactly 2 bytes/px = 4x
+    // smaller than the 8 bytes/px ARRAY<DOUBLE> layout
+    val binLen = PixelFrame.packBinary(packed, 16)
+      .select(length($"data")).head().getInt(0)
+    assert(binLen == 16 * 16 * 2)
+    // q80 (binary-routed q61 pipeline) ≡ q61, row for row
+    val q61r = graft.operators.RasterQueries.q61(spark, "").collect().toSeq
+    val q80r = graft.operators.RasterQueries.q80(spark, "").collect().toSeq
+    assert(q61r == q80r)
+    // at-rest parquet: the Int16 binary layout beats ARRAY<DOUBLE>
+    // (measured ratio recorded in COVERAGE.md)
+    val big = PixelFrame.pack(PixelFrame.dem(spark, 800, 600), ts = 16,
+      ndv = PixelFrame.Dem.Ndv)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiles").toString
+    big.write.mode("overwrite").parquet(s"$dir/arr")
+    PixelFrame.packBinary(big, 16).write.mode("overwrite").parquet(s"$dir/bin")
+    def dirSize(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val (arrSz, binSz) = (dirSize(s"$dir/arr"), dirSize(s"$dir/bin"))
+    // snappy already squeezes the zero-heavy double encoding of this
+    // synthetic DEM, so the COMPRESSED win is modest (~1.2×) — the
+    // full 4× is raw width (shuffle wire, executor memory), asserted
+    // exactly above via payload length
+    info(f"at-rest parquet: array<double> $arrSz%d B, int16 binary $binSz%d B, ratio ${arrSz.toDouble / binSz}%.2f")
+    assert(binSz < arrSz, s"binary $binSz vs array $arrSz")
+  }
+
   test("paletteInterpCol matches the driver-side Palette.interp (H6)") {
     import scala.collection.immutable.TreeMap
     val entries = Seq(0.0 -> 0xff0000ff, 250.0 -> 0xff00ff00, 996.0 -> 0xffff0000)
