@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Benchmark main: one warmup + `SPARK_GRAFT_BENCH_ITERS` (default 3)
-  * timed runs per query, MINIMUM reported. Min (not median) because
+  * timed runs per query (min-of-5 when the query is sub-second —
+  * extra runs are cheap there and one-sided outliers dominate the
+  * small denominators), MINIMUM reported. The JSON line is also
+  * written to `bench_last.json` so a truncated log scrape cannot drop
+  * per-query entries. Min (not median) because
   * the timing noise in a shared environment is strictly one-sided —
   * JIT/code-cache pressure, co-tenant CPU, GC — so the fastest
   * observed run is the best estimate of the plan's intrinsic cost
@@ -46,8 +50,13 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t = try {
         runOnce(fn) // warmup: JIT + codegen + file-listing caches
-        val times = (1 to iters).map(_ => runOnce(fn)).sorted
-        times.head // min — see scaladoc
+        var times = (1 to iters).map(_ => runOnce(fn))
+        // sub-second queries get min-of-5: cheap to re-run, and at
+        // that scale a single one-sided multi-second outlier (GC,
+        // co-tenant) can otherwise double or triple a recorded min
+        if (times.min < 1.0 && times.size < 5)
+          times = times ++ (times.size until 5).map(_ => runOnce(fn))
+        times.min // min — see scaladoc
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -72,7 +81,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs}"""
+    println(json)
+    // also persist the full JSON: a scraped log tail can truncate the
+    // (long) queries map and silently drop per-query entries
+    try Files.writeString(Paths.get("bench_last.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
