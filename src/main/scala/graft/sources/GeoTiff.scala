@@ -40,9 +40,11 @@ import graft.core.GeoTransform
   * header read); `decodeSegment` reads exactly one strip/tile's byte
   * range — the executor-side unit of work. One TIFF segment = one
   * Spark `InputPartition` in [[RasterSource]], so scans parallelize
-  * over the block grid and pruned windows skip whole segments. Local
-  * paths here; a cluster deployment swaps the byte-range reads to the
-  * Hadoop FS API (same two seek+read calls).
+  * over the block grid and pruned windows skip whole segments. Both
+  * calls run through [[withRanges]]: plain paths via RandomAccessFile,
+  * URI paths (`file://`/`hdfs://`/`s3a://`) via the Hadoop FileSystem
+  * positioned-read API — the cluster deployment is a qualified path,
+  * not a codec change.
   */
 object GeoTiff {
 
@@ -101,12 +103,8 @@ object GeoTiff {
     * 2^k downsample, numbering contract `gdalos_trans.py:72-79`).
     * Reads only the byte ranges it needs.
     */
-  def readInfos(path: String): Seq[Info] = {
-    val f = new RandomAccessFile(path, "r")
-    try {
-      def readAt(off: Long, len: Int): Array[Byte] = {
-        val b = new Array[Byte](len); f.seek(off); f.readFully(b); b
-      }
+  def readInfos(path: String): Seq[Info] = withRanges(path) { readAt =>
+    {
       val head = readAt(0, 8)
       val be = head(0) == 'M' && head(1) == 'M'
       require(be || (head(0) == 'I' && head(1) == 'I'), "not a TIFF (bad byte order)")
@@ -252,8 +250,30 @@ object GeoTiff {
         out += info; off = nxt; guard += 1
       }
       out.result()
-    } finally f.close()
+    }
   }
+
+  /** The byte-range seam: every read in this codec is (offset, length)
+    * → bytes. Plain paths use RandomAccessFile; URI paths (`file://`,
+    * `hdfs://`, `s3a://`, …) route the SAME two calls through the
+    * Hadoop FileSystem API (positioned `readFully` on
+    * FSDataInputStream), so a cluster deployment needs no codec
+    * change — just a qualified path.
+    */
+  private def withRanges[T](path: String)(body: ((Long, Int) => Array[Byte]) => T): T =
+    if (path.contains("://")) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(p)
+      try body { (off, len) =>
+        val b = new Array[Byte](len); in.readFully(off, b, 0, len); b
+      } finally in.close()
+    } else {
+      val f = new RandomAccessFile(path, "r")
+      try body { (off, len) =>
+        val b = new Array[Byte](len); f.seek(off); f.readFully(b); b
+      } finally f.close()
+    }
 
   /** Decode one strip/tile to row-major doubles (band-interleaved for
     * multi-band): value of band b (1-based) at segment-local (x,y) is
@@ -262,12 +282,7 @@ object GeoTiff {
     * clips by global px/py).
     */
   def decodeSegment(path: String, info: Info, seg: Segment): Array[Double] = {
-    val f = new RandomAccessFile(path, "r")
-    val raw =
-      try {
-        val b = new Array[Byte](seg.byteCount.toInt)
-        f.seek(seg.offset); f.readFully(b); b
-      } finally f.close()
+    val raw = withRanges(path)(readAt => readAt(seg.offset, seg.byteCount.toInt))
     val bytesPerSample = info.bitsPerSample / 8
     val nSamples = seg.w * seg.h * info.bands
     if (info.compression == 7) return jpegDecode(raw, info, seg)

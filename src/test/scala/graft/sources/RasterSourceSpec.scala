@@ -43,6 +43,30 @@ class RasterSourceSpec extends SparkSpec {
     assert(df.agg(max("px")).head().getInt(0) == 63)
   }
 
+  test("codec reads through a Hadoop FileSystem path (file:// — the cluster seam)") {
+    import java.nio.file.Files
+    import graft.core.GeoTransform
+    val w = 40; val h = 24
+    val vals = Array.tabulate(w * h)(i => (i % 997).toDouble)
+    val f = Files.createTempFile("graft_hfs", ".tif")
+    Files.write(f, GeoTiff.encodePyramid(Seq((w, h, vals)), GeoTiff.DtInt16,
+      GeoTransform(0, 1, 0, h.toDouble, 0, -1), compression = 5, tileSize = 16))
+    val uri = "file://" + f.toAbsolutePath // qualified path → Hadoop FS route
+    val info = GeoTiff.readInfo(uri)
+    assert(info.width == w && info.height == h)
+    val local = GeoTiff.readInfo(f.toString)
+    // same segments either route; same decoded bytes for the first tile
+    assert(info.segments == local.segments)
+    assert(GeoTiff.decodeSegment(uri, info, info.segments.head)
+      .sameElements(GeoTiff.decodeSegment(f.toString, local, local.segments.head)))
+    // end-to-end DSv2 scan over the URI path
+    val df = spark.read.format("graft.sources.RasterSource")
+      .option("path", uri).load()
+    assert(df.count() == w.toLong * h)
+    assert(df.agg(sum("v")).head().getDouble(0) == vals.sum)
+    Files.deleteIfExists(f)
+  }
+
   test("empty window plans zero partitions") {
     val df = src(64, 64).filter($"px" > 1000)
     assert(df.rdd.getNumPartitions == 0 || df.count() == 0)
