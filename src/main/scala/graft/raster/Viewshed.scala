@@ -257,7 +257,9 @@ object Viewshed {
                   refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
                   nBuckets: Int = 64,
                   demNdv: Double = PixelFrame.Dem.Ndv,
-                  exact: Boolean = false): DataFrame = {
+                  exact: Boolean = false,
+                  directionDeg: Double = 0.0,
+                  apertureDeg: Double = 360.0): DataFrame = {
     import org.apache.spark.sql.functions.call_function
     graft.functions.GraftFunctions.register(demGeo.sparkSession)
     val half = math.ceil(maxR / cellSize).toInt
@@ -270,10 +272,19 @@ object Viewshed {
         call_function("aeqd_inverse_lon", x, y, lit(obsLat), lit(obsLon)),
         call_function("aeqd_inverse_lat", x, y, lit(obsLat), lit(obsLon))),
       ndv = demNdv)
-    if (exact)
-      viewshedExact(warped, half, half, oz, cellSize, maxR, refractionCoeff, demNdv)
-    else
-      viewshed(warped, half, half, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
+    val base =
+      if (exact)
+        viewshedExact(warped, half, half, oz, cellSize, maxR, refractionCoeff, demNdv)
+      else
+        viewshed(warped, half, half, oz, cellSize, maxR, refractionCoeff, nBuckets, demNdv)
+    // the reference cuts the sector in the projected plane
+    // (viewshed_calc.py:453-478) — exactly this aeqd grid, where the
+    // aeqd y axis points north so the pixel-space ring applies as-is
+    sectorMask(half, half, maxR / cellSize, directionDeg, apertureDeg) match {
+      case None        => base
+      case Some(inSec) =>
+        base.withColumn("state", when(inSec, col("state")).otherwise(lit(StNodata)))
+    }
   }
 
   /** §3.2 multi-observer composition: per-observer viewsheds (rid =

@@ -48,9 +48,13 @@ import graft.core.GeoTransform
   */
 object GeoTiff {
 
-  /** One strip or tile: byte range + its pixel-grid placement. */
+  /** One strip or tile: byte range + its pixel-grid placement.
+    * `band` = 0 for chunky segments (all bands interleaved); 1..n for
+    * planar-configuration-2 segments, which carry exactly one band
+    * (TIFF 6.0: component planes stored as separate strip/tile runs).
+    */
   final case class Segment(offset: Long, byteCount: Long,
-                           x0: Int, y0: Int, w: Int, h: Int)
+                           x0: Int, y0: Int, w: Int, h: Int, band: Int = 0)
 
   final case class Info(
       width: Int, height: Int, bands: Int,
@@ -199,8 +203,12 @@ object GeoTiff {
       require(pred != 3 || fmt == 3,
         "predictor 3 (floating-point differencing) requires float samples")
       require(comp != 7 || pred == 1, "JPEG pages never carry a predictor")
-      require(single(TPlanarConfig, 1) == 1, "only chunky planar config supported")
-
+      val planar = single(TPlanarConfig, 1).toInt
+      require(planar == 1 || planar == 2, s"unsupported planar config $planar")
+      require(planar == 1 || comp != 7, "planar JPEG pages unsupported")
+      // planar config 2: each segment carries ONE band; the
+      // strip/tile arrays concatenate the per-band plane runs
+      // (all of band 1's segments, then band 2's, …)
       val tiled = tags.contains(TTileOffsets)
       def req(tag: Int): Seq[Long] = longs(tag).getOrElse(
         throw new IllegalArgumentException(s"missing required tag $tag"))
@@ -211,15 +219,23 @@ object GeoTiff {
           val offs = req(TTileOffsets)
           val cnts = req(TTileByteCounts)
           val tilesAcross = (w + tw - 1) / tw
+          val tilesDown = (h + th - 1) / th
+          val perBand = tilesAcross * tilesDown
           offs.indices.map { i =>
-            Segment(offs(i), cnts(i), (i % tilesAcross) * tw, (i / tilesAcross) * th, tw, th)
+            val (j, band) =
+              if (planar == 2 && bands > 1) (i % perBand, i / perBand + 1) else (i, 0)
+            Segment(offs(i), cnts(i), (j % tilesAcross) * tw, (j / tilesAcross) * th,
+              tw, th, band)
           }
         } else {
           val rps = math.min(single(TRowsPerStrip, h), h).toInt
           val offs = req(TStripOffsets)
           val cnts = req(TStripByteCounts)
+          val perBand = (h + rps - 1) / rps
           offs.indices.map { i =>
-            Segment(offs(i), cnts(i), 0, i * rps, w, math.min(rps, h - i * rps))
+            val (j, band) =
+              if (planar == 2 && bands > 1) (i % perBand, i / perBand + 1) else (i, 0)
+            Segment(offs(i), cnts(i), 0, j * rps, w, math.min(rps, h - j * rps), band)
           }
         }
 
@@ -276,15 +292,17 @@ object GeoTiff {
     }
 
   /** Decode one strip/tile to row-major doubles (band-interleaved for
-    * multi-band): value of band b (1-based) at segment-local (x,y) is
-    * `out((y*seg.w + x)*bands + b-1)`. Edge segments keep their full
-    * nominal size; pixels beyond the raster edge are padding (caller
-    * clips by global px/py).
+    * multi-band chunky): value of band b (1-based) at segment-local
+    * (x,y) is `out((y*seg.w + x)*bands + b-1)`. A planar segment
+    * (`seg.band > 0`) holds exactly one band: `out(y*seg.w + x)`.
+    * Edge segments keep their full nominal size; pixels beyond the
+    * raster edge are padding (caller clips by global px/py).
     */
   def decodeSegment(path: String, info: Info, seg: Segment): Array[Double] = {
     val raw = withRanges(path)(readAt => readAt(seg.offset, seg.byteCount.toInt))
     val bytesPerSample = info.bitsPerSample / 8
-    val nSamples = seg.w * seg.h * info.bands
+    val segBands = if (seg.band > 0) 1 else info.bands
+    val nSamples = seg.w * seg.h * segBands
     if (info.compression == 7) return jpegDecode(raw, info, seg)
     val data = info.compression match {
       case 1 => raw
@@ -298,9 +316,9 @@ object GeoTiff {
       // (floating-point data uses predictor 3)
       require(info.sampleFormat != 3,
         "predictor 2 on floating-point samples is invalid (use predictor 3)")
-      undiffRows(data, seg.w, seg.h, info.bands, bytesPerSample, info.bigEndian)
+      undiffRows(data, seg.w, seg.h, segBands, bytesPerSample, info.bigEndian)
     } else if (info.predictor == 3) {
-      fpUndiffRows(data, seg.w, seg.h, info.bands, bytesPerSample, info.bigEndian)
+      fpUndiffRows(data, seg.w, seg.h, segBands, bytesPerSample, info.bigEndian)
     }
 
     val out = new Array[Double](nSamples)

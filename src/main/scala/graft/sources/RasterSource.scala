@@ -208,7 +208,9 @@ case class GeoTiffPartition(
     segX0: Int, segY0: Int, segW: Int, segH: Int,
     bands: Int, bits: Int, fmt: Int, compression: Int, predictor: Int,
     bigEndian: Boolean,
-    clipX0: Int, clipX1: Int, clipY0: Int, clipY1: Int) extends InputPartition
+    clipX0: Int, clipX1: Int, clipY0: Int, clipY1: Int,
+    segBand: Int = 0, // planar-config-2: this segment's single band
+    jpegTables: Option[Array[Byte]] = None) extends InputPartition
 
 class GeoTiffScan(path: String, info: GeoTiff.Info,
                   minPx: Int, maxPx: Int, minPy: Int, maxPy: Int,
@@ -229,7 +231,8 @@ class GeoTiffScan(path: String, info: GeoTiff.Info,
         info.bands, info.bitsPerSample, info.sampleFormat,
         info.compression, info.predictor, info.bigEndian,
         math.max(minPx, s.x0), math.min(lastX, s.x0 + s.w - 1),
-        math.max(minPy, s.y0), math.min(lastY, s.y0 + s.h - 1)): InputPartition
+        math.max(minPy, s.y0), math.min(lastY, s.y0 + s.h - 1),
+        segBand = s.band, jpegTables = info.jpegTables): InputPartition
     }.toArray
   }
 
@@ -247,21 +250,30 @@ class GeoTiffReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
         bitsPerSample = t.bits, sampleFormat = t.fmt,
         compression = t.compression, predictor = t.predictor,
         bigEndian = t.bigEndian, nodata = None, pixelScale = None,
-        tiepoint = None, epsg = None, segments = Nil)
-      private val seg = GeoTiff.Segment(t.offset, t.byteCount, t.segX0, t.segY0, t.segW, t.segH)
+        tiepoint = None, epsg = None, segments = Nil,
+        jpegTables = t.jpegTables)
+      private val seg = GeoTiff.Segment(t.offset, t.byteCount,
+        t.segX0, t.segY0, t.segW, t.segH, t.segBand)
       private lazy val data: Array[Double] = GeoTiff.decodeSegment(t.path, info, seg)
+      // planar segment: one fixed band; chunky: loop 1..bands
+      private val bandLo = if (t.segBand > 0) t.segBand else 1
+      private val bandHi = if (t.segBand > 0) t.segBand else t.bands
+      private val segBands = if (t.segBand > 0) 1 else t.bands
       private var px = t.clipX0 - 1; private var py = t.clipY0
-      private var band = 1
+      private var band = bandLo
       override def next(): Boolean = {
         px += 1
         if (px > t.clipX1) {
           px = t.clipX0; py += 1
           if (py > t.clipY1) { py = t.clipY0; band += 1 }
         }
-        band <= t.bands
+        band <= bandHi
       }
       override def get(): InternalRow = {
-        val v = data(((py - t.segY0) * t.segW + (px - t.segX0)) * t.bands + band - 1)
+        val off = (py - t.segY0) * t.segW + (px - t.segX0)
+        val v =
+          if (t.segBand > 0) data(off)
+          else data(off * segBands + band - 1)
         InternalRow.fromSeq(cols.toSeq.map {
           case "rid" => 0
           case "band" => band

@@ -90,6 +90,17 @@ class WarpSpec extends SparkSpec {
     assert(counts.getOrElse(Viewshed.StHidden, 0L) == 0, s"flat terrain must hide nothing: $counts")
     assert(counts.getOrElse(Viewshed.StSeen, 0L) > 200)
     assert(counts.contains(Viewshed.StNodata)) // beyond maxR ring exists
+
+    // directional observer: a 90° north aperture keeps strictly fewer
+    // seen pixels, and everything due south of the observer is cropped
+    val sec = Viewshed.viewshedGeo(dem, gt, obsLat = 31.4982, obsLon = 34.5018,
+      oz = 10.0, cellSize = 30.0, maxR = 300.0, nBuckets = 16,
+      directionDeg = 0.0, apertureDeg = 90.0)
+    val secSeen = sec.filter(col("state") === Viewshed.StSeen).count()
+    assert(secSeen > 0 && secSeen < counts(Viewshed.StSeen), s"sector seen $secSeen")
+    // aeqd grid centers the observer at (half, half): south = larger py
+    val half = math.ceil(300.0 / 30.0).toInt
+    assert(sec.filter(col("py") > half + 1 && col("state") === Viewshed.StSeen).count() == 0)
   }
   test("interpolating-kernel decimation: bilinear level halves a linear ramp exactly (E1)") {
     val src = spark.range(40L * 40).select(

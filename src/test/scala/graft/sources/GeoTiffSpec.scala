@@ -451,6 +451,70 @@ class GeoTiffSpec extends SparkSpec {
     out.array()
   }
 
+  test("planar configuration 2: band-separate strips read per-band (chunky writers unaffected)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built classic LE TIFF: 8×5, 2 Byte bands, rps=3, planar 2 —
+    // strip order is band-major (b1 rows 0-2, b1 rows 3-4, b2 …, b2 …)
+    val w = 8; val h = 5; val rps = 3
+    val band1 = Array.tabulate(w * h)(i => i.toByte)
+    val band2 = Array.tabulate(w * h)(i => (100 + i).toByte)
+    val strips = Seq(band1.slice(0, 24), band1.slice(24, 40),
+      band2.slice(0, 24), band2.slice(24, 40))
+    def le(n: Int)(put: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN); put(b); b.array()
+    }
+    final case class T(id: Int, typ: Int, cnt: Int, inline: Long = 0,
+                       ext: Array[Byte] = null)
+    val stripOffExt = new Array[Byte](16)
+    val tags = Seq(
+      T(256, 3, 1, w), T(257, 3, 1, h),
+      T(258, 3, 2, 0x00080008L), // bits 8,8 inline (two LE shorts)
+      T(259, 3, 1, 1), T(262, 3, 1, 1),
+      T(273, 4, 4, ext = stripOffExt),
+      T(277, 3, 1, 2), T(278, 3, 1, rps),
+      T(279, 4, 4, ext = le(16)(b => strips.foreach(s => b.putInt(s.length)))),
+      T(284, 3, 1, 2), // PlanarConfiguration = 2
+      T(339, 3, 2, 0x00010001L))
+    var extOff = 8 + 2 + tags.length * 12 + 4
+    val extOffs = tags.map { t =>
+      if (t.ext != null) { val o = extOff; extOff += t.ext.length; Some(o) } else None
+    }
+    var so = extOff
+    val stripOffs = strips.map { s => val o = so; so += s.length; o }
+    System.arraycopy(le(16)(b => stripOffs.foreach(b.putInt)), 0, stripOffExt, 0, 16)
+    val out = ByteBuffer.allocate(so).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    out.putShort(tags.length.toShort)
+    tags.zip(extOffs).foreach { case (t, eo) =>
+      out.putShort(t.id.toShort).putShort(t.typ.toShort).putInt(t.cnt)
+      out.putInt(eo.map(_.toLong).getOrElse(t.inline).toInt)
+    }
+    out.putInt(0)
+    tags.foreach(t => if (t.ext != null) out.put(t.ext))
+    strips.foreach(out.put)
+
+    val f = Files.createTempFile("graft_planar", ".tif")
+    Files.write(f, out.array())
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.bands == 2 && info.segments.length == 4)
+    assert(info.segments.map(_.band) == Seq(1, 1, 2, 2))
+    assert(info.segments.map(_.y0) == Seq(0, 3, 0, 3))
+    // per-segment decode: single-band payloads
+    val s0 = GeoTiff.decodeSegment(f.toString, info, info.segments.head)
+    assert(s0.length == 24 && s0(5) == 5.0)
+    val s3 = GeoTiff.decodeSegment(f.toString, info, info.segments(3))
+    assert(s3.length == 16 && s3(0) == 124.0) // band 2, row 3, px 0 → 100+24
+    // DSv2 end-to-end: per-band rows with correct values
+    val df = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).load()
+    assert(df.count() == w.toLong * h * 2)
+    val sums = df.groupBy("band").agg(sum("v").as("s")).orderBy("band")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sums(1) == band1.map(_ & 0xff).sum.toDouble)
+    assert(sums(2) == band2.map(_ & 0xff).sum.toDouble)
+    Files.deleteIfExists(f)
+  }
+
   test("BigTIFF read: version 43 header, LONG8 arrays, external DOUBLE geo tags") {
     val w = 8; val h = 5
     val vals = Array.tabulate(w * h)(i => ((i * 7) % 251).toByte)
