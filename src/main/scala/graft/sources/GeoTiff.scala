@@ -776,7 +776,8 @@ object GeoTiff {
                     gt: GeoTransform, nodata: Option[Double] = None,
                     rowsPerStrip: Int = 64, predictor: Int = 1,
                     crs: CrsTag = CrsTag.Wgs84Geo, tileSize: Int = 0,
-                    compression: Int = 8, bands: Int = 1): Array[Byte] = {
+                    compression: Int = 8, bands: Int = 1,
+                    bigTiff: Boolean = false): Array[Byte] = {
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
       "TIFF tile size must be a positive multiple of 16")
     require(bands >= 1 && bands <= 16, s"unsupported band count $bands")
@@ -801,13 +802,23 @@ object GeoTiff {
         || (predictor == 3 && (dtype == DtFloat32 || dtype == DtFloat64)),
       "predictor 2 needs integer samples; predictor 3 needs float samples")
     val bps = dtype.bits / 8
+    // BigTIFF (version 43) widths: 8-byte counts/offsets/value fields,
+    // 20-byte IFD entries, LONG8 (type 16) segment offset arrays — the
+    // `BIGTIFF` creation option (`gdalos_trans.py:788-801`), REQUIRED
+    // for >4 GiB outputs. Classic widths otherwise.
+    val offTyp = if (bigTiff) 16 else 4
+    val ptrSz = if (bigTiff) 8 else 4
+    val inlineCap = if (bigTiff) 8 else 4
+    val entrySz = if (bigTiff) 20 else 12
+    val cntSz = if (bigTiff) 8 else 2
+    val headerSz = if (bigTiff) 16 else 8
 
     final case class Tag(id: Int, typ: Int, cnt: Int, inline: Option[Long], ext: Option[Array[Byte]])
     def leBytes(vs: Seq[Long], typ: Int): Array[Byte] = {
       val out = new ByteArrayOutputStream()
+      val width = typ match { case 3 => 2; case 16 => 8; case _ => 4 }
       vs.foreach { v =>
-        if (typ == 3) { out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt) }
-        else { (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt)) }
+        (0 until width).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
       }
       out.toByteArray
     }
@@ -901,12 +912,12 @@ object GeoTiff {
         if (tiled) Seq(
           Tag(TTileWidth, 3, 1, Some(tileSize.toLong), None),
           Tag(TTileLength, 3, 1, Some(tileSize.toLong), None),
-          Tag(TTileOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
-          Tag(TTileByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))))
+          Tag(TTileOffsets, offTyp, nStrips, None, Some(new Array[Byte](nStrips * ptrSz))),
+          Tag(TTileByteCounts, offTyp, nStrips, None, Some(leBytes(stripSizes, offTyp))))
         else Seq(
-          Tag(TStripOffsets, 4, nStrips, None, Some(new Array[Byte](nStrips * 4))),
+          Tag(TStripOffsets, offTyp, nStrips, None, Some(new Array[Byte](nStrips * ptrSz))),
           Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
-          Tag(TStripByteCounts, 4, nStrips, None, Some(leBytes(stripSizes, 4))))
+          Tag(TStripByteCounts, offTyp, nStrips, None, Some(leBytes(stripSizes, offTyp))))
       // per-band counts for BitsPerSample/SampleFormat (TIFF 6.0);
       // 1-2 shorts fit the inline value field, 3+ go external
       def perBand(tag: Int, v: Long): Tag =
@@ -939,36 +950,38 @@ object GeoTiff {
       tags = tags.sortBy(_.id) // TIFF requires ascending tag order
 
       // layout inside the block: IFD | external tag data | strip data
-      val ifdSize = 2 + tags.length * 12 + 4
+      val ifdSize = cntSz + tags.length * entrySz + ptrSz
       var extOff = base + ifdSize
       val extOffsets = tags.map { t =>
         t.ext match {
-          case Some(b) if b.length > 4 => val o = extOff; extOff += b.length; Some(o)
+          case Some(b) if b.length > inlineCap => val o = extOff; extOff += b.length; Some(o)
           case _ => None
         }
       }
       var stripOff = extOff
       val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
       val soIdx = tags.indexWhere(_.id == segOffTag)
-      val soBytes = leBytes(stripOffsets, 4)
+      val soBytes = leBytes(stripOffsets, offTyp)
       System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
 
       val out = new ByteArrayOutputStream()
-      out.write((tags.length & 0xff)); out.write((tags.length >> 8) & 0xff)
+      out.write(leBytes(Seq(tags.length.toLong), if (bigTiff) 16 else 3),
+        0, cntSz)
       tags.zip(extOffsets).foreach { case (t, ext) =>
         out.write(leBytes(Seq(t.id.toLong), 3))
         out.write(leBytes(Seq(t.typ.toLong), 3))
-        out.write(leBytes(Seq(t.cnt.toLong), 4))
+        out.write(leBytes(Seq(t.cnt.toLong), if (bigTiff) 16 else 4))
         val valueField: Array[Byte] = (t.inline, t.ext, ext) match {
-          case (Some(v), _, _) => leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(4, 0.toByte)
-          case (_, Some(b), None) => b.padTo(4, 0.toByte) // short external fits inline
-          case (_, _, Some(o)) => leBytes(Seq(o), 4)
-          case _ => Array.fill(4)(0.toByte)
+          case (Some(v), _, _) =>
+            leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(inlineCap, 0.toByte)
+          case (_, Some(b), None) => b.padTo(inlineCap, 0.toByte) // short external fits inline
+          case (_, _, Some(o)) => leBytes(Seq(o), offTyp)
+          case _ => Array.fill(inlineCap)(0.toByte)
         }
-        out.write(valueField, 0, 4)
+        out.write(valueField, 0, inlineCap)
       }
-      val nextPtrPos = base + 2 + tags.length * 12
-      out.write(leBytes(Seq(0L), 4)) // next IFD — patched by the chain
+      val nextPtrPos = base + cntSz + tags.length * entrySz
+      out.write(leBytes(Seq(0L), offTyp)) // next IFD — patched by the chain
       tags.zip(extOffsets).foreach {
         case (t, Some(_)) => out.write(t.ext.get)
         case _ => ()
@@ -979,32 +992,40 @@ object GeoTiff {
 
     // assemble: header | page0 | page1 | ... with next-IFD pointers
     val file = new ByteArrayOutputStream()
-    file.write('I'); file.write('I'); file.write(42); file.write(0)
-    file.write(leBytes(Seq(8L), 4)) // first IFD at 8
+    file.write('I'); file.write('I')
+    if (bigTiff) {
+      file.write(43); file.write(0)
+      file.write(8); file.write(0)  // offset size
+      file.write(0); file.write(0)  // reserved
+      file.write(leBytes(Seq(16L), 16)) // first IFD at 16 (u64)
+    } else {
+      file.write(42); file.write(0)
+      file.write(leBytes(Seq(8L), 4)) // first IFD at 8
+    }
     var blocks = Vector.empty[(Array[Byte], Long)] // (bytes, nextPtrPos)
-    var base = 8L
+    var base = headerSz.toLong
     pages.zipWithIndex.foreach { case ((w, h, vals), i) =>
       val (bytes, ptr) = buildPage(i, w, h, vals, base)
       blocks :+= (bytes, ptr)
       base += bytes.length
     }
     val all = new Array[Byte](base.toInt)
-    var pos = 8
+    var pos = headerSz
     blocks.zipWithIndex.foreach { case ((bytes, _), i) =>
       System.arraycopy(bytes, 0, all, pos, bytes.length)
       pos += bytes.length
     }
     // patch the chain: page i's next pointer → page i+1's base
-    var pageBase = 8L
+    var pageBase = headerSz.toLong
     blocks.zipWithIndex.foreach { case ((bytes, ptr), i) =>
       if (i < blocks.length - 1) {
         val nextBase = pageBase + bytes.length
         var j = 0
-        while (j < 4) { all(ptr.toInt + j) = ((nextBase >> (8 * j)) & 0xff).toByte; j += 1 }
+        while (j < ptrSz) { all(ptr.toInt + j) = ((nextBase >> (8 * j)) & 0xff).toByte; j += 1 }
       }
       pageBase += bytes.length
     }
-    System.arraycopy(file.toByteArray, 0, all, 0, 8)
+    System.arraycopy(file.toByteArray, 0, all, 0, headerSz)
     all
   }
 

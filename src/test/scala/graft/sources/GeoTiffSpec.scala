@@ -534,6 +534,42 @@ class GeoTiffSpec extends SparkSpec {
     Files.deleteIfExists(f)
   }
 
+  test("BigTIFF write: version-43 pyramids round-trip through the wide-offset reader") {
+    val w = 50; val h = 34
+    val vals = Array.tabulate(w * h)(i => ((i * 7) % 997).toDouble)
+    val ow = (w + 1) / 2; val oh = (h + 1) / 2
+    val ovr = Array.tabulate(ow * oh)(i => (i % 256).toDouble)
+    val gt = GeoTransform(10.0, 0.5, 0, 40.0, 0, -0.5)
+    // striped DEFLATE Int16 + an overview page
+    val bytes = GeoTiff.encodePyramid(Seq((w, h, vals), (ow, oh, ovr)),
+      GeoTiff.DtInt16, gt, nodata = Some(-32768.0), rowsPerStrip = 8,
+      bigTiff = true)
+    assert(bytes(2) == 43 && bytes(3) == 0) // BigTIFF version word
+    val f = Files.createTempFile("graft_bigw", ".tif"); Files.write(f, bytes)
+    val infos = GeoTiff.readInfos(f.toString)
+    assert(infos.length == 2)
+    assert(infos.head.width == w && infos.head.height == h)
+    assert(infos.head.nodata.contains(-32768.0) && infos.head.gt.isDefined)
+    def decodeAll(path: String, info: GeoTiff.Info, dw: Int, dh: Int): Array[Double] = {
+      val out = Array.ofDim[Double](dw * dh)
+      for (seg <- info.segments; y <- 0 until seg.h; x <- 0 until seg.w
+           if seg.y0 + y < dh && seg.x0 + x < dw)
+        out((seg.y0 + y) * dw + seg.x0 + x) =
+          GeoTiff.decodeSegment(path, info, seg)(y * seg.w + x)
+      out
+    }
+    assert(decodeAll(f.toString, infos.head, w, h).sameElements(vals))
+    assert(decodeAll(f.toString, infos(1), ow, oh).sameElements(ovr))
+    // tiled LZW Float32 + predictor 3 under BigTIFF widths
+    val fv = Array.tabulate(w * h)(i => (i * 0.25f - 10f).toDouble)
+    val tb = GeoTiff.encodePyramid(Seq((w, h, fv)), GeoTiff.DtFloat32, gt,
+      tileSize = 16, compression = 5, predictor = 3, bigTiff = true)
+    val f2 = Files.createTempFile("graft_bigw2", ".tif"); Files.write(f2, tb)
+    val i2 = GeoTiff.readInfo(f2.toString)
+    assert(decodeAll(f2.toString, i2, w, h).sameElements(fv))
+    Files.deleteIfExists(f); Files.deleteIfExists(f2)
+  }
+
   test("JPEG-in-TIFF (compression 7): RGB photo pages round-trip within lossy tolerance") {
     val w = 48; val h = 33
     // smooth gradients: DCT+4:2:0 stays close, so the tolerance is tight
