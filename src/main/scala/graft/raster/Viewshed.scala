@@ -72,7 +72,13 @@ object Viewshed {
     * state across them — and the extra keys multiply sort parallelism
     * (obs×bands×buckets tasks instead of a flat nBuckets cap).
     */
-  private def sweepStates(geom: DataFrame, maxR: Double, demNdv: Double): DataFrame = {
+  private def sweepStates(geom: DataFrame, maxR: Double, demNdv: Double): DataFrame =
+    sweepStatesCol(geom, lit(maxR), demNdv)
+
+  /** Column-typed max range so a multi-observer stack can carry a
+    * PER-OBSERVER radius (`viewshed_params.py` MaxR is per-vp).
+    */
+  private def sweepStatesCol(geom: DataFrame, maxR: Column, demNdv: Double): DataFrame = {
     val sector = Window.partitionBy("rid", "band", "bucket")
       .orderBy(col("dist"), col("px"), col("py"))
     geom
@@ -315,21 +321,41 @@ object Viewshed {
                             op: String, cellSize: Double, maxR: Double,
                             refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
                             nBuckets: Int = 64,
-                            demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+                            demNdv: Double = PixelFrame.Dem.Ndv): DataFrame =
+    viewshedCombineObs(dem,
+      observers.map { case (ox, oy, oz, dir, ap) => Observer(ox, oy, oz, maxR, dir, ap) },
+      op, cellSize, refractionCoeff, nBuckets, demNdv)
+
+  /** Full per-observer parameter set (`viewshed_params.py:32-125`:
+    * ox/oy/oz, MaxR, DirectionDeg, ApertureDeg are all per-vp).
+    */
+  final case class Observer(ox: Int, oy: Int, oz: Double, maxR: Double,
+                            directionDeg: Double = 0.0, apertureDeg: Double = 360.0)
+
+  /** The general multi-observer combine: each observer carries its own
+    * range and sector. The per-observer radius rides the stack as a
+    * column (`vmaxr`), so the single window pass stays one shuffle.
+    */
+  def viewshedCombineObs(dem: DataFrame, observers: Seq[Observer],
+                         op: String, cellSize: Double,
+                         refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                         nBuckets: Int = 64,
+                         demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
     require(observers.nonEmpty, "need at least one observer")
     require(observers.size <= 254, "reference caps combine inputs at 254 (viewshed_calc.py:245)")
     // per-observer geometry branches (no shuffle each), tagged rid =
     // observer index BEFORE the window, so the whole stack pays ONE
     // window shuffle with obs×buckets partitions — parallelism scales
     // with the observer count instead of capping at nBuckets.
-    val geom = observers.zipWithIndex.map { case ((ox, oy, oz, _, _), i) =>
-      sweepGeom(dem, ox, oy, oz, cellSize, refractionCoeff, nBuckets, demNdv)
+    val geom = observers.zipWithIndex.map { case (o, i) =>
+      sweepGeom(dem, o.ox, o.oy, o.oz, cellSize, refractionCoeff, nBuckets, demNdv)
         .withColumn("rid", lit(i))
+        .withColumn("vmaxr", lit(o.maxR))
     }.reduce(_ unionByName _)
-    val states = sweepStates(geom, maxR, demNdv)
+    val states = sweepStatesCol(geom, col("vmaxr"), demNdv)
     val cropped = observers.zipWithIndex.foldLeft(states) {
-      case (df, ((ox, oy, _, dir, ap), i)) =>
-        sectorMask(ox, oy, maxR / cellSize, dir, ap) match {
+      case (df, (o, i)) =>
+        sectorMask(o.ox, o.oy, o.maxR / cellSize, o.directionDeg, o.apertureDeg) match {
           case None        => df
           case Some(inSec) => df.withColumn("state",
             when(col("rid") === i && !inSec, lit(StNodata)).otherwise(col("state")))

@@ -222,7 +222,8 @@ object Trans {
                     dtype: graft.sources.GeoTiff.DType = graft.sources.GeoTiff.DtInt16,
                     ndv: Double = PixelFrame.Dem.Ndv,
                     resampling: ResamplingAlg = ResamplingAlg.Average,
-                    maxPixels: Long = 4000000, tileSize: Int = 0): Unit = {
+                    maxPixels: Long = 4000000, tileSize: Int = 0,
+                    bigTiff: Option[Boolean] = None): Unit = {
     require(p.outW.toLong * p.outH <= maxPixels,
       s"raster too large for single-file GeoTIFF export (> $maxPixels px); use the COG parquet layout")
     def collectPage(df: DataFrame, w: Int, h: Int): Array[Double] = {
@@ -243,10 +244,18 @@ object Trans {
       cw = (cw + 1) / 2; ch = (ch + 1) / 2
       pages :+= ((cw, ch, collectPage(cur, cw, ch)))
     }
+    // BIGTIFF creation option (`gdalos_trans.py:785` via GDAL's
+    // get_bigtiff_creation_option_value): Some(true)=YES,
+    // Some(false)=NO, None=IF_NEEDED — version 43 when the estimated
+    // uncompressed payload would cross the classic 4 GiB offset
+    // ceiling (compression can't be relied on to stay under it).
+    val rawBytes = pages.map { case (pw, ph, _) =>
+      pw.toLong * ph * (dtype.bits / 8) }.sum
+    val useBig = bigTiff.getOrElse(rawBytes > (1L << 32) - (1L << 24))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       graft.sources.GeoTiff.encodePyramid(pages, dtype, p.outGt, Some(ndv),
         crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs)),
-        tileSize = tileSize))
+        tileSize = tileSize, bigTiff = useBig))
   }
 
   /** Plan + execute + write (steps 5–7): COG-layout parquet, optional

@@ -225,6 +225,31 @@ class LosViewshedSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("viewshedCombineObs: per-observer MaxR bounds each stack member independently") {
+    val dem = flatDem(21, 21)
+    // same spot, two radii: the long-range observer sees farther
+    val cnt = Viewshed.viewshedCombineObs(dem,
+        Seq(Viewshed.Observer(10, 10, 5.0, maxR = 4.0),
+          Viewshed.Observer(10, 10, 5.0, maxR = 9.0)),
+        op = "count", cellSize = 1.0)
+      .select("px", "py", "v").as[(Int, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cnt((10, 7)) == 2.0)  // dist 3: inside both radii
+    assert(cnt((10, 3)) == 1.0)  // dist 7: only the 9-range observer
+    assert(cnt((10, 0)) == 0.0)  // dist 10: beyond both
+    // shared-radius delegation stays equivalent
+    val viaSector = Viewshed.viewshedCombineSector(dem,
+      Seq((10, 10, 5.0, 0.0, 360.0), (4, 4, 2.0, 90.0, 120.0)),
+      op = "max", cellSize = 1.0, maxR = 8.0)
+      .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+    val viaObs = Viewshed.viewshedCombineObs(dem,
+      Seq(Viewshed.Observer(10, 10, 5.0, 8.0),
+        Viewshed.Observer(4, 4, 2.0, 8.0, 90.0, 120.0)),
+      op = "max", cellSize = 1.0)
+      .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+    assert(viaSector == viaObs)
+  }
+
   test("summaryExtended: RadioCalcType columns (clearance/elev angle/LOS range/power)") {
     val flat = flatDem(60, 60).withColumn("v", lit(100.0))
     val pairs = Seq((0, 5.0, 5.0, 10.0, 50.0, 50.0, 5.0, 300.0))

@@ -105,6 +105,25 @@ class TransSpec extends SparkSpec {
     assert(ovr1 == expect.toDouble)
   }
 
+  test("exportGeoTiff BIGTIFF option: YES forces version 43, default stays classic") {
+    import graft.sources.GeoTiff
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val p = Trans.plan(PixelFrame.dem(spark, 32, 24), gt, 32, 24,
+      Trans.TransOptions()).get
+    val fBig = java.nio.file.Files.createTempFile("graft_exp_big", ".tif")
+    Trans.exportGeoTiff(p, fBig.toString, bigTiff = Some(true))
+    val bytes = java.nio.file.Files.readAllBytes(fBig)
+    assert(bytes(2) == 43) // BigTIFF version
+    val info = GeoTiff.readInfo(fBig.toString)
+    assert(info.width == 32 && info.height == 24 && info.gt.isDefined)
+    // IF_NEEDED (None) on a small raster → classic 42
+    val fStd = java.nio.file.Files.createTempFile("graft_exp_std", ".tif")
+    Trans.exportGeoTiff(p, fStd.toString)
+    assert(java.nio.file.Files.readAllBytes(fStd)(2) == 42)
+    java.nio.file.Files.deleteIfExists(fBig)
+    java.nio.file.Files.deleteIfExists(fStd)
+  }
+
   test("exportGeoTiff sizes odd-dimension overview pages with ceil (GDAL convention)") {
     import graft.sources.GeoTiff
     val gtOdd = GeoTransform(0, 1, 0, 45, 0, -1)
