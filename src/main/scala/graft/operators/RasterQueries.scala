@@ -153,6 +153,20 @@ object RasterQueries {
       .select(col("px"), col("py"), col("state"))
       .orderBy("py", "px")
 
+  /** q81 §3.2 multi-observer sector combine under the oracle gate:
+    * two directional observers with DIFFERENT ranges and apertures,
+    * per-observer sector crop, vs_count reduce (seen-by-how-many).
+    * The oracle composes two parameterized sweep chains over the
+    * shared DEM, crops each with its own arc-ring PIP, and counts.
+    */
+  def q81(s: SparkSession, d: String): DataFrame =
+    Viewshed.viewshedCombineObs(PixelFrame.dem(s, VsW, VsH),
+        Seq(Viewshed.Observer(60, 60, 15.0, maxR = 250.0, directionDeg = 40.0, apertureDeg = 110.0),
+          Viewshed.Observer(40, 80, 10.0, maxR = 150.0, directionDeg = 200.0, apertureDeg = 90.0)),
+        op = "count", cellSize = 5.0)
+      .select(col("px"), col("py"), col("v"))
+      .orderBy("py", "px")
+
   /** q41 R5 partition grid planning (find_two_greatest_devisors). */
   def q41(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -387,6 +401,7 @@ object RasterQueries {
     "q40_viewshed_sectors" -> q40 _,
     "q73_viewshed_exact" -> q73 _,
     "q78_viewshed_sector" -> q78 _,
+    "q81_viewshed_combine_sector" -> q81 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
     "q57_fwd_targets" -> q57 _,
@@ -613,6 +628,7 @@ object RasterQueries {
     "q40_viewshed_sectors" -> viewshedOracle,
     "q73_viewshed_exact" -> viewshedExactOracle,
     "q78_viewshed_sector" -> viewshedSectorOracle,
+    "q81_viewshed_combine_sector" -> viewshedCombineOracle,
 
     "q56_cutline_mask" -> {
       // identical edge tests generated from the same ring, over the
@@ -849,46 +865,55 @@ object RasterQueries {
        |FROM g ORDER BY py, px""".stripMargin
   }
 
-  /** Shared sweep CTE chain (through per-pixel states) for the q40
-    * aggregate and the q78 sector-crop oracles. Stripped here once —
-    * consumers concatenate, never re-stripMargin (interpolated SQL can
-    * contain literal pipes).
-    */
-  private lazy val sweepStatesCte: String =
+  /** The 121×121 viewshed DEM as a CTE (PixelFrame.dem formula). */
+  private lazy val vdemCte: String =
     s"""WITH vdem AS (
        |  SELECT CAST(i % 121 AS INTEGER) AS px, CAST(i // 121 AS INTEGER) AS py,
        |         CASE WHEN ((i % 121) * 31 + (i // 121) * 17) % 101 = 0 THEN -32768.0
        |              ELSE CAST(((i % 121) * 7 + (i // 121) * 13) % 997 AS DOUBLE) END AS v
-       |  FROM range(14641) t(i)),
-       |obs AS (SELECT v AS h0 FROM vdem WHERE px = 60 AND py = 60),
-       |geo AS (
+       |  FROM range(14641) t(i))""".stripMargin
+
+  /** One observer's sweep as a CTE chain (through per-pixel states in
+    * `states$sfx`) — parameterized so multi-observer oracles compose
+    * several over the shared `vdem`. Stripped here once — consumers
+    * concatenate, never re-stripMargin (interpolated SQL can contain
+    * literal pipes).
+    */
+  private def sweepCtesFor(sfx: String, ox: Int, oy: Int,
+                           oz: Double, maxR: Double): String =
+    s"""obs$sfx AS (SELECT v AS h0 FROM vdem WHERE px = $ox AND py = $oy),
+       |geo$sfx AS (
        |  SELECT d.*, o.h0,
-       |    SQRT(CAST((d.px - 60) * (d.px - 60) + (d.py - 60) * (d.py - 60) AS DOUBLE)) * 5.0 AS dist,
-       |    CAST(((CAST(FLOOR((ATAN2(CAST(d.py - 60 AS DOUBLE), CAST(d.px - 60 AS DOUBLE)) + PI())
+       |    SQRT(CAST((d.px - $ox) * (d.px - $ox) + (d.py - $oy) * (d.py - $oy) AS DOUBLE)) * 5.0 AS dist,
+       |    CAST(((CAST(FLOOR((ATAN2(CAST(d.py - $oy AS DOUBLE), CAST(d.px - $ox AS DOUBLE)) + PI())
        |           / (2 * PI()) * 64) AS BIGINT) % 64) + 64) % 64 AS INTEGER) AS bucket
-       |  FROM vdem d CROSS JOIN obs o
-       |  WHERE NOT (d.px = 60 AND d.py = 60)),
-       |rr AS (
+       |  FROM vdem d CROSS JOIN obs$sfx o
+       |  WHERE NOT (d.px = $ox AND d.py = $oy)),
+       |rr$sfx AS (
        |  SELECT *,
        |    (-(1 - 1.0/7)) * dist * dist / 12756274.0 AS hc
-       |  FROM geo),
-       |rat AS (
+       |  FROM geo$sfx),
+       |rat$sfx AS (
        |  SELECT *,
        |    CASE WHEN v = -32768.0 THEN NULL
-       |         ELSE (v + hc - (h0 + 15.0)) / dist END AS ratio
-       |  FROM rr),
-       |ob AS (
+       |         ELSE (v + hc - (h0 + $oz)) / dist END AS ratio
+       |  FROM rr$sfx),
+       |ob$sfx AS (
        |  SELECT *,
        |    MAX(ratio) OVER (PARTITION BY bucket ORDER BY dist, px, py
        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS obstruction
-       |  FROM rat),
-       |states AS (
+       |  FROM rat$sfx),
+       |states$sfx AS (
        |  SELECT px, py, bucket,
-       |    CASE WHEN dist > 250.0 THEN 0.0
+       |    CASE WHEN dist > $maxR THEN 0.0
        |         WHEN v = -32768.0 THEN 1.0
        |         WHEN ratio >= COALESCE(obstruction, -1e300) THEN 5.0
        |         ELSE 2.0 END AS state
-       |  FROM ob)""".stripMargin
+       |  FROM ob$sfx)""".stripMargin
+
+  /** The q40/q78 observer's chain (ends in a CTE named `states`). */
+  private lazy val sweepStatesCte: String =
+    vdemCte + ",\n" + sweepCtesFor("", 60, 60, 15.0, 250.0)
 
   /** E2 oracle: the sector sweep in SQL windows over the 121×121 DEM. */
   private lazy val viewshedOracle: String = sweepStatesCte + "\n" +
@@ -910,6 +935,28 @@ object RasterQueries {
     sweepStatesCte + "\n" +
       s"SELECT px, py, CASE WHEN $pip THEN state ELSE 0.0 END AS state\n" +
       "FROM states ORDER BY py, px"
+  }
+
+  /** q81 oracle: two sweep chains (distinct observers/oz/maxR) over
+    * the shared DEM, each cropped by its own sector ring, unioned and
+    * reduced with the vs_count rule (state > 4 ⇒ seen).
+    */
+  private lazy val viewshedCombineOracle: String = {
+    val pip1 = graft.core.Geometry.pointInPolygonSql(
+      "CAST(px AS DOUBLE)", "CAST(py AS DOUBLE)",
+      graft.core.Geometry.sectorRing(60, 60, 50.0, -50.0, 40.0, 110.0))
+    val pip2 = graft.core.Geometry.pointInPolygonSql(
+      "CAST(px AS DOUBLE)", "CAST(py AS DOUBLE)",
+      graft.core.Geometry.sectorRing(40, 80, 30.0, -30.0, 200.0, 90.0))
+    vdemCte + ",\n" +
+      sweepCtesFor("_a", 60, 60, 15.0, 250.0) + ",\n" +
+      sweepCtesFor("_b", 40, 80, 10.0, 150.0) + ",\n" +
+      s"u AS (\n" +
+      s"  SELECT px, py, CASE WHEN $pip1 THEN state ELSE 0.0 END AS state FROM states_a\n" +
+      s"  UNION ALL\n" +
+      s"  SELECT px, py, CASE WHEN $pip2 THEN state ELSE 0.0 END AS state FROM states_b)\n" +
+      "SELECT px, py, CAST(SUM(CASE WHEN state > 4.0 THEN 1 ELSE 0 END) AS DOUBLE) AS v\n" +
+      "FROM u GROUP BY px, py ORDER BY py, px"
   }
 
   /** q73 oracle: the exact line-referencing walk re-derived in SQL.
