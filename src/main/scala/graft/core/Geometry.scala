@@ -85,6 +85,18 @@ object Geometry {
     }
   }
 
+  /** Ring → `POLYGON ((...))` WKT (closed), the shape
+    * [[parseWktPolygonRing]] reads back — lets a synthesized sector
+    * ring feed any WKT cutline consumer (e.g. `TransOptions
+    * .cutlineWkt`), mirroring the reference's PolygonizeSector →
+    * cutline-file → warp flow (`viewshed_calc.py:453-478`).
+    */
+  def ringToWkt(ring: Seq[(Double, Double)]): String = {
+    require(ring.length >= 3, "ring needs ≥3 vertices")
+    val closed = if (ring.head == ring.last) ring else ring :+ ring.head
+    closed.map { case (x, y) => s"$x $y" }.mkString("POLYGON ((", ", ", "))")
+  }
+
   /** Driver-side PIP (same rule) for tests/planning. */
   def pointInPolygon(px: Double, py: Double, ring: Seq[(Double, Double)]): Boolean = {
     var inside = false

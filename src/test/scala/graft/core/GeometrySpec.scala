@@ -82,6 +82,28 @@ class GeometrySpec extends SparkSpec with PropCheck {
     assert(omni.length == 50 && omni.head != omni.last)
     assert(Geometry.pointInPolygon(5.0, 7.5, omni))   // inside ry=3
     assert(!Geometry.pointInPolygon(7.5, 5.0, omni))  // outside rx=2
+
+    // WKT round-trip: a sector ring feeds any cutline consumer
+    val wkt = Geometry.ringToWkt(ring)
+    assert(wkt.startsWith("POLYGON ((") && wkt.endsWith("))"))
+    assert(Geometry.parseWktPolygonRing(wkt) == ring)
+  }
+
+  test("sector ring through the trans cutline (PolygonizeSector -> cutline flow)") {
+    import graft.raster.PixelFrame
+    import graft.trans.Trans
+    val gt = GeoTransform(0, 1, 0, 24, 0, -1) // geo y flips vs py
+    // observer at geo (12, 12) = pixel center (11.5, 11.5); north cone
+    val ring = Geometry.sectorRing(12.0, 12.0, 8.0, 8.0, 0.0, 90.0)
+    val p = Trans.plan(PixelFrame.dem(spark, 24, 24), gt, 24, 24,
+      Trans.TransOptions(cutlineWkt = Some(Geometry.ringToWkt(ring)))).get
+    val kept = p.frame.select("px", "py").as[(Int, Int)].collect().toSet
+    assert(kept.nonEmpty)
+    // geo north = up = small py; everything south of the center is cut
+    assert(kept.forall { case (_, py) => py <= 12 })
+    assert(kept.exists { case (px, py) => px == 11 && py < 8 })
+    // east/west beyond the 45-degree half-aperture is cut too
+    assert(!kept.contains((20, 11)) && !kept.contains((3, 11)))
   }
 
   test("resolveOvrIdx numbering contract (gdalos_trans.py:72-79)") {
