@@ -726,6 +726,18 @@ class GeoTiffSpec extends SparkSpec {
       b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
       tryRead(b)
     }
+    // JPEG pages: corrupt entropy streams must reject via the decode
+    // path (ImageIO null/IIOException), never crash or mis-decode dims
+    val jpg = {
+      val vals = Array.tabulate(32 * 24)(i => ((i % 32) * 8 % 256).toDouble)
+      GeoTiff.encodePyramid(Seq((32, 24, vals)), GeoTiff.DtByte,
+        GeoTransform(0, 1, 0, 24, 0, -1), rowsPerStrip = 8, compression = 7)
+    }
+    for (_ <- 0 until 200) {
+      val b = jpg.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      tryRead(b)
+    }
     // PNG decoder: same treatment
     val png = Png.encode(8, 6, Array.fill(48)(0xff336699))
     for (_ <- 0 until 200) {
