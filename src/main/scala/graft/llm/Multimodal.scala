@@ -102,6 +102,76 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(decodeStub))
   }
 
+  /** A thumbnail row: source dims + the re-encoded PNG thumbnail.
+    * All-None for payloads no codec decodes (honest nulls again).
+    */
+  final case class MediaThumb(media_id: Long, kind: String,
+                              width: Option[Int], height: Option[Int],
+                              thumb_w: Option[Int], thumb_h: Option[Int],
+                              thumb: Option[Array[Byte]])
+
+  /** REAL image resize (the training-pipeline `resize` step): decode
+    * PNG via the pure-JDK codec or JPEG via the JDK ImageIO reader,
+    * downscale with DETERMINISTIC nearest-neighbor center sampling
+    * (no AWT interpolation — identical bytes on every run/JVM), and
+    * re-encode as PNG. Never upscales; non-image payloads → None.
+    */
+  def thumbnailOf(payload: Array[Byte], maxDim: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    require(maxDim > 0, "maxDim must be positive")
+    val isPng = payload.length > 8 &&
+      (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length > 2 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    val decoded: Option[(Int, Int, Array[Int])] =
+      if (isPng)
+        try { val (w, h, pix) = graft.sources.Png.decode(payload); Some((w, h, pix)) }
+        catch { case _: Exception => None }
+      else if (isJpeg)
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img == null) None
+          else Some((img.getWidth, img.getHeight,
+            img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
+        } catch { case _: Exception => None }
+      else None
+    decoded.map { case (w, h, pix) =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+      val tw = math.max(1, math.floor(w * scale).toInt)
+      val th = math.max(1, math.floor(h * scale).toInt)
+      val out = new Array[Int](tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = math.min(h - 1, ((y + 0.5) * h / th).toInt)
+        var x = 0
+        while (x < tw) {
+          val sx = math.min(w - 1, ((x + 0.5) * w / tw).toInt)
+          out(y * tw + x) = pix(sy * w + sx)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, tw, th, graft.sources.Png.encode(tw, th, out))
+    }
+  }
+
+  /** Thumbnail extraction over the media table — same narrow
+    * per-partition batch shape as [[extractFeatures]] (no shuffle;
+    * full-size payloads die in the map, only thumbnails continue).
+    */
+  def thumbnails(media: DataFrame, maxDim: Int)
+                (implicit s: SparkSession): Dataset[MediaThumb] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      thumbnailOf(r.payload, maxDim) match {
+        case Some((w, h, tw, th, png)) =>
+          MediaThumb(r.media_id, r.kind, Some(w), Some(h), Some(tw), Some(th), Some(png))
+        case None =>
+          MediaThumb(r.media_id, r.kind, None, None, None, None, None)
+      }
+    })
+  }
+
   /** Frame-sampling plumbing for video-like payloads: fan one payload
     * out to `n` frame rows (UDTF/generator shape) — the decode of each
     * frame is again the stub.

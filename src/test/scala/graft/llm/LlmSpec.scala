@@ -236,6 +236,37 @@ class LlmSpec extends SparkSpec {
     assert(enKept > 30 && enKept < 70, s"en kept $enKept of 100 at rate 0.5")
   }
 
+  test("multimodal: real image resize (PNG decoded, nearest-sampled, re-encoded)") {
+    import graft.llm.Multimodal
+    import graft.sources.Png
+    // 16x8 gradient PNG: pixel (x,y) = opaque gray 16x+8y
+    val w = 16; val h = 8
+    val pix = Array.tabulate(w * h) { i =>
+      val g = ((i % w) * 16 + (i / w) * 8) & 0xff
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    val png = Png.encode(w, h, pix)
+    val Some((sw, sh, tw, th, thumbPng)) = Multimodal.thumbnailOf(png, maxDim = 4)
+    assert((sw, sh) == ((w, h)) && (tw, th) == ((4, 2))) // aspect preserved
+    val (dw, dh, dpix) = Png.decode(thumbPng)
+    assert((dw, dh) == ((4, 2)))
+    // nearest center sampling: thumb (x,y) = src (4x+2, 4y+2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert(dpix(y * 4 + x) == pix((y * 4 + 2) * w + (x * 4 + 2)), s"($x,$y)")
+    // deterministic bytes; no upscale past source dims
+    assert(Multimodal.thumbnailOf(png, 4).get._5.sameElements(thumbPng))
+    assert(Multimodal.thumbnailOf(png, 100).get._3 == w)
+    // non-image payloads: honest None
+    assert(Multimodal.thumbnailOf("not an image".getBytes, 4).isEmpty)
+    // Dataset path: same narrow map shape as extractFeatures
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val media = Seq((1L, "image", png), (2L, "audio", "pcm".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.thumbnails(media, 4).collect().sortBy(_.media_id)
+    assert(rows(0).thumb_w.contains(4) && rows(0).thumb.isDefined)
+    assert(rows(1).thumb.isEmpty && rows(1).width.isEmpty)
+  }
+
   test("autoPlanes bounds within-bucket pair volume ~linearly in corpus size") {
     import graft.llm.Similarity.autoPlanes
     // expected pairs under uniform bucketing: N^2 / 2^(planes+1);
