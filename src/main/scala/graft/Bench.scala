@@ -45,10 +45,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Bench-integrity guard (round-7, after the r6 degraded-run
+    // incident: a 44 s record with byte-identical plans vs a 34 s
+    // clean re-run): a JVM whose JIT has shut off (code-cache
+    // overflow) or a co-tenant-saturated box shows up as trivial-plan
+    // queries running at several times their floor. Two defenses:
+    // (1) assert the -XX:ReservedCodeCacheSize override actually
+    // reached this JVM (build.sbt sets 1g; a plain `java` launch
+    // would silently keep the 240 MB default and shut the compiler
+    // off mid-bench), (2) after the timed pass, re-time a
+    // trivial-plan canary — scan → bounded per-row fold → sort, no
+    // shuffle — and if it exceeds CanaryCeiling re-run every query
+    // once more and merge minima, recording `degraded` honestly if
+    // the canary still fails. A broken run can be slow; it can no
+    // longer be silently recorded as the round's number.
+    val CanaryName = "q44_text_fingerprint"
+    val CanaryCeiling = 1.5 // seconds; recorded floor ≈ 0.35, baseline 0.746
+    val codeCacheOk = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.exists(_.toString.contains("ReservedCodeCacheSize"))
+    if (!codeCacheOk)
+      System.err.println("WARN: -XX:ReservedCodeCacheSize not set on this JVM; " +
+        "late-query timings may be JIT-degraded (see BASELINE.md harness note)")
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
+
+    def timeQuery(name: String): Double = {
       val fn = SparkEntry.queries(name)
-      val t = try {
+      try {
         runOnce(fn) // warmup: JIT + codegen + file-listing caches
         var times = (1 to iters).map(_ => runOnce(fn))
         // sub-second queries get min-of-5: cheap to re-run, and at
@@ -62,8 +85,24 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           -1.0
       }
-      name -> t
     }
+
+    var merged = scala.collection.mutable.LinkedHashMap(names.map(n => n -> timeQuery(n)): _*)
+    var canary = if (errors.contains(CanaryName)) -1.0
+      else { try runOnce(SparkEntry.queries(CanaryName)) catch { case _: Throwable => -1.0 } }
+    var degraded = false
+    if (canary < 0 || canary > CanaryCeiling ||
+        merged.get(CanaryName).exists(t => t > CanaryCeiling)) {
+      System.err.println(f"WARN: canary $CanaryName at $canary%.2fs " +
+        f"(ceiling $CanaryCeiling%.1fs) — degraded pass suspected; re-running")
+      for (n <- names if merged(n) >= 0) {
+        val t2 = try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => merged(n) }
+        merged(n) = math.min(merged(n), t2)
+      }
+      canary = try runOnce(SparkEntry.queries(CanaryName)) catch { case _: Throwable => -1.0 }
+      degraded = canary < 0 || canary > CanaryCeiling
+    }
+    val results = names.map(n => n -> merged(n))
 
     // formatted-plan dump (cheap — no execution) for scale audit
     try {
@@ -81,7 +120,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"degraded":$degraded,"codecache_ok":$codeCacheOk}"""
     println(json)
     // also persist the full JSON: a scraped log tail can truncate the
     // (long) queries map and silently drop per-query entries

@@ -56,8 +56,12 @@ final case class GeoRectangle(minX: Double, minY: Double, maxX: Double, maxY: Do
   def align(gt: GeoTransform): GeoRectangle = {
     val (px0, py0) = gt.geoToPixel(minX, maxY) // top-left in pixel space
     val (px1, py1) = gt.geoToPixel(maxX, minY) // bottom-right
-    val fx0 = math.floor(px0); val fy0 = math.floor(py0)
-    val cx1 = math.ceil(px1);  val cy1 = math.ceil(py1)
+    // same 0.001-px snap as GeoTransform.windowFromExtent: an extent
+    // produced by pixelToGeo round-trips to 99.9999…, and raw
+    // floor/ceil would grow the aligned rect a pixel per noisy side
+    val eps = 1e-3
+    val fx0 = math.floor(px0 + eps); val fy0 = math.floor(py0 + eps)
+    val cx1 = math.ceil(px1 - eps);  val cy1 = math.ceil(py1 - eps)
     val (gx0, gy0) = gt.pixelToGeo(fx0, fy0)
     val (gx1, gy1) = gt.pixelToGeo(cx1, cy1)
     GeoRectangle(math.min(gx0, gx1), math.min(gy0, gy1),

@@ -50,10 +50,15 @@ final case class GeoTransform(c0: Double, c1: Double, c2: Double,
   def windowFromExtent(r: GeoRectangle, w: Int, h: Int): Option[(Int, Int, Int, Int)] = {
     val (pxA, pyA) = geoToPixel(r.minX, r.maxY) // top-left geo corner
     val (pxB, pyB) = geoToPixel(r.maxX, r.minY) // bottom-right geo corner
-    val x0 = math.max(0, math.floor(math.min(pxA, pxB)).toInt)
-    val y0 = math.max(0, math.floor(math.min(pyA, pyB)).toInt)
-    val x1 = math.min(w, math.ceil(math.max(pxA, pxB)).toInt)
-    val y1 = math.min(h, math.ceil(math.max(pyA, pyB)).toInt)
+    // GDAL-style sub-pixel snap (gdal_translate's 0.001-px projwin
+    // tolerance): a geo↔pixel round-trip on a non-power-of-2 grid
+    // (e.g. SRTM's 1/3600°) lands at 99.9999…/300.0000…1 and the raw
+    // floor/ceil would widen the window by a pixel on each noisy side
+    val eps = 1e-3
+    val x0 = math.max(0, math.floor(math.min(pxA, pxB) + eps).toInt)
+    val y0 = math.max(0, math.floor(math.min(pyA, pyB) + eps).toInt)
+    val x1 = math.min(w, math.ceil(math.max(pxA, pxB) - eps).toInt)
+    val y1 = math.min(h, math.ceil(math.max(pyA, pyB) - eps).toInt)
     if (x0 >= x1 || y0 >= y1) None else Some((x0, y0, x1, y1))
   }
 

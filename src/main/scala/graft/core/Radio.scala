@@ -13,6 +13,8 @@ object Radio {
   val RfRefractionCoeff: Double = 1.0 / 4.0
   /** WGS84 equatorial radius used by the reference (`refraction_coeff.py:40`). */
   val SphereRadius: Double = 6378137.0
+  /** c in (m·MHz): wavelength in meters = this / frequency in MHz. */
+  val SpeedOfLightMhzM: Double = 299.792458
 
   /** Free-space path loss, d in meters, f in MHz
     * (`viewshed_calc.py:627-633`): `20(log₁₀ d + log₁₀ f) − 27.55`.

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Row-level vector kernels for the similarity family: a tight
   * primitive loop over `ArrayData` instead of the higher-order
@@ -196,11 +196,15 @@ case class TilePack(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    left.dataType match {
-      case ArrayType(DoubleType, _) =>
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"tile_pack expects array<double>, got $other")
+      case (other, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tile_pack expects array<double>, got $other")
+      case (_, badCode) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tile_pack dtype code must be int, got $badCode")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -222,11 +226,15 @@ case class TileUnpack(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    left.dataType match {
-      case org.apache.spark.sql.types.BinaryType =>
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, IntegerType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"tile_unpack expects binary, got $other")
+      case (other, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tile_unpack expects binary, got $other")
+      case (_, badCode) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tile_unpack dtype code must be int, got $badCode")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`):
@@ -53,6 +54,30 @@ object Similarity {
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batched exact top-k: every query row (`qidCol`, `qvecCol`) ranked
+    * against the corpus in ONE plan — a training-data pipeline issues
+    * probes by the million, not one at a time. The query batch rides a
+    * broadcast to the corpus scan (one pass over the data regardless
+    * of batch size) and each query's neighbors rank inside a window
+    * keyed on the query id, so the shuffle is |corpus|×|batch| scored
+    * rows partitioned BY QUERY — parallelism scales with the batch.
+    * The broadcast bounds the batch to driver-plannable size; probe
+    * sets beyond that belong in [[ivfTopKBatch]], which routes by
+    * cluster key instead of broadcasting.
+    */
+  def bruteTopKBatch(emb: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val w = Window.partitionBy(qidCol).orderBy(col("cosine").desc, col(idCol))
+    emb.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("cosine", cosineCol(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 
   /** Deterministic hyperplane weight for (plane j, dim i): an integer
@@ -233,5 +258,45 @@ object Similarity {
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** The query's `nprobe` nearest centroid indices as an array column:
+    * (distance, index) structs sorted ascending — `array_sort` on
+    * structs orders by distance then index, the same tie-break as
+    * [[assignCol]] — then sliced. k×nprobe is model metadata, so this
+    * stays a per-row expression (no join, no driver work).
+    */
+  private def probeClustersCol(vec: Column, model: IvfModel, nprobe: Int): Column = {
+    val ranked = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDistCol(vec, c).as("d"), lit(i).as("c"))
+    }: _*)
+    transform(slice(array_sort(ranked), 1, nprobe), s => s.getField("c"))
+  }
+
+  /** Batched IVF ANN — the scale path for many-query search: each
+    * query expands to its `nprobe` probe clusters (per-row expression,
+    * [[probeClustersCol]]), the corpus carries its assignment as a
+    * join key, and candidates form through an EQUI-JOIN on the cluster
+    * id — queries are DATA here, never broadcast and never collected,
+    * so the batch can be another 100 TB table. Per-query exact cosine
+    * rank inside a window keyed on (query id): the two shuffles key on
+    * cluster and query respectively, both scaling with their row
+    * counts. `nprobe = k` degrades to exact brute force.
+    */
+  def ivfTopKBatch(emb: DataFrame, model: IvfModel, queries: DataFrame,
+                   topK: Int, nprobe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val probes = queries.withColumn("probe_c",
+      explode(probeClustersCol(col(qvecCol), model, nprobe)))
+    val assigned = emb.withColumn("cluster_c", assignCol(col(vecCol), model))
+    assigned.join(probes, col("cluster_c") === col("probe_c"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("cosine", cosineCol(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qidCol).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= topK)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 }

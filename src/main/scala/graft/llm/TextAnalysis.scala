@@ -83,9 +83,12 @@ object TextAnalysis {
     * fingerprint, usable as a cheap near-dup blocking key.
     */
   def fingerprintCol(text: Column, prefixLen: Int = 64): Column =
+    // one prefix slice, then a per-character fold — the per-position
+    // substr(text, i, 1) variant re-seeks from the string head each
+    // step (O(prefixLen²) per row on long strings); same fold
+    // semantics and hash values (ascii of the identical char sequence)
     aggregate(
-      transform(sequence(lit(1), least(length(text), lit(prefixLen))),
-        i => ascii(text.substr(i, lit(1)))),
+      transform(split(substring(text, 1, prefixLen), ""), c => ascii(c)),
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
   /** Repetition quality signals (the Gopher/MassiveText-style

@@ -173,6 +173,40 @@ object LlmQueries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** q84 batched exact ANN (the many-probe form of q49 — a pipeline
+    * issues probes by the batch, reference analogue the vector-params
+    * fan-out of `viewshed_params.py:84-96`): 8 query vectors ranked
+    * against the corpus in ONE plan — broadcast batch to the scan,
+    * per-query window top-5. The oracle replays the identical fold
+    * dot products and ROW_NUMBER ranking.
+    */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteTopKBatch(emb, qs, k = 5)
+      .select(col("qid"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** q85 batched IVF ANN with the q79 fixed quantizer: 6 queries each
+    * expand to their 2 nearest clusters (per-row expression over the
+    * centroid literals), meet the assignment-keyed corpus through an
+    * equi-join on the cluster id — queries as data, nothing collected
+    * or broadcast — then window top-5 per query.
+    */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopKBatch(emb, Similarity.IvfModel(ivfFixedCentroids), qs,
+        topK = 5, nprobe = 2)
+      .select(col("qid"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** q52 multimodal plumbing: binary payloads through the stub
     * feature extractor (typed mapPartitions path).
     */
@@ -215,6 +249,8 @@ object LlmQueries {
     "q50_ann_lsh" -> q50 _,
     "q51_ann_buckets" -> q51 _,
     "q79_ann_ivf" -> q79 _,
+    "q84_ann_batch_brute" -> q84 _,
+    "q85_ann_batch_ivf" -> q85 _,
     "q52_multimodal_features" -> q52 _,
     "q64_dedup_embed" -> q64 _,
     "q76_quality_filter" -> q76 _,
@@ -506,6 +542,59 @@ object LlmQueries {
          |topk AS (SELECT * FROM cand ORDER BY cc DESC, vec_id LIMIT 10)
          |SELECT vec_id, ROUND(cc, 6) AS cosine FROM topk
          |ORDER BY cosine DESC, vec_id""".stripMargin
+    },
+
+    "q84_ann_batch_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dotExpr("e.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |rk AS (
+         |  SELECT qid, vec_id, c,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, ROUND(c, 6) AS cosine, rank FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q85_ann_batch_ivf" -> {
+      // fixed centroid formula shared with q79, inlined per (c, dim)
+      val cv = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13) % 41 - 20) AS DOUBLE) / 10.0)"
+      def sqDist(vec: String) = foldSum(
+        s"list_transform(range(1, 65), i -> (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv)" +
+          s" * (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv))")
+      s"""WITH cent AS (SELECT CAST(c AS INTEGER) AS c FROM range(4) t(c)),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 6),
+         |qd AS (SELECT q.qid, q.qv, cent.c, ${sqDist("q.qv")} AS d
+         |       FROM q CROSS JOIN cent),
+         |probe AS (
+         |  SELECT qid, c FROM (
+         |    SELECT qid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, c) AS rn
+         |    FROM qd)
+         |  WHERE rn <= 2),
+         |ad AS (
+         |  SELECT e.vec_id, e.embedding, cent.c, ${sqDist("e.embedding")} AS d
+         |  FROM embeddings e CROSS JOIN cent),
+         |an AS (
+         |  SELECT vec_id, embedding, c,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |  FROM ad),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id,
+         |         ${dotExpr("a.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("a.embedding", "a.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS cc
+         |  FROM an a JOIN probe p ON a.c = p.c
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE a.rn = 1 AND a.vec_id <> p.qid),
+         |rk AS (
+         |  SELECT qid, vec_id, cc,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cc DESC, vec_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT qid, vec_id, ROUND(cc, 6) AS cosine, rank FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
     "q64_dedup_embed" ->

@@ -203,6 +203,44 @@ object RasterQueries {
         round(col("power_reminder"), 6).as("power_reminder"))
       .orderBy("pair_id")
 
+  /** q82 H3+ knife-edge diffraction (ITU-R P.526 §4.1 layered on the
+    * q39/q68 walk — the published-public step toward the reference's
+    * proprietary rfmodel backend, `viewshed_calc.py:792-806`): per
+    * interior station ν = −gap·√(2/λ·(1/d₁+1/d₂)), dominant edge →
+    * J(ν), path loss = FSPL + J. The oracle re-derives ν/J from the
+    * identical SQL walk with the same expression associations.
+    */
+  def q82(s: SparkSession, d: String): DataFrame =
+    Los.summaryDiffraction(Los.syntheticPairs(s, 12, DemW, DemH), dem(s),
+        nStations = 50, cellSize = 5.0)
+      .select(col("pair_id"), col("visible"),
+        round(col("nu_max"), 6).as("nu_max"),
+        round(col("fspl"), 6).as("fspl"),
+        round(col("j_loss"), 6).as("j_loss"),
+        round(col("path_loss"), 6).as("path_loss"))
+      .orderBy("pair_id")
+
+  /** q83 I3→E2 observers-GRID viewshed (`viewshed_grid_params.py:37-47`
+    * grid fan-out): [[graft.core.Jobs.expand]] cross-products the
+    * ox/oy sequences into 9 observer jobs — the reference's
+    * sequence-argument expansion — each an omni sweep branch of ONE
+    * combine plan, reduced with vs_count (seen-by-how-many over the
+    * 3×3 grid).
+    */
+  def q83(s: SparkSession, d: String): DataFrame = {
+    val jobs = graft.core.Jobs.expand(Map(
+      "ox" -> Seq(40, 60, 80), "oy" -> Seq(40, 60, 80),
+      "oz" -> 12.0, "maxR" -> 150.0))
+    val obs = jobs.map { j =>
+      Viewshed.Observer(j("ox").asInstanceOf[Int], j("oy").asInstanceOf[Int],
+        j("oz").asInstanceOf[Double], j("maxR").asInstanceOf[Double])
+    }
+    Viewshed.viewshedCombineObs(PixelFrame.dem(s, VsW, VsH), obs,
+        op = "count", cellSize = 5.0)
+      .select(col("px"), col("py"), col("v"))
+      .orderBy("py", "px")
+  }
+
   /** q67 vector→raster burn (rasterize, `gdalos_rasterize.py:84-123`):
     * the cutline ring burned onto the DEM as a constant value; outside
     * pixels pass through untouched. The oracle replays the same
@@ -402,6 +440,8 @@ object RasterQueries {
     "q73_viewshed_exact" -> q73 _,
     "q78_viewshed_sector" -> q78 _,
     "q81_viewshed_combine_sector" -> q81 _,
+    "q82_los_diffraction" -> q82 _,
+    "q83_viewshed_grid" -> q83 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
     "q57_fwd_targets" -> q57 _,
@@ -574,6 +614,8 @@ object RasterQueries {
 
     "q39_los_profile" -> losOracle,
     "q68_los_extended" -> losExtOracle,
+    "q82_los_diffraction" -> losDiffractionOracle,
+    "q83_viewshed_grid" -> viewshedGridOracle,
 
     "q60_utm_forward" -> utmOracle,
 
@@ -796,6 +838,62 @@ object RasterQueries {
       |       ROUND(COALESCE(MIN(CASE WHEN t > 0 AND NOT sv THEN dist END), MAX(dist)), 6) AS los_range,
       |       ROUND(150.0 - (20.0 * (LOG10(MAX(dist)) + LOG10(MAX(freq_mhz))) - 27.55), 6) AS power_reminder
       |FROM gp GROUP BY pair_id ORDER BY pair_id""".stripMargin
+  }
+
+  /** q82 oracle: the q39 walk extended with the line-height algebra
+    * (as losExtOracle), then the knife-edge parameter and P.526 J(ν)
+    * re-derived with the IDENTICAL expression associations as
+    * [[graft.raster.Los.summaryDiffraction]] — dist/gap/ν are bit-equal
+    * doubles in both engines; log10/√ differences vanish in round-6.
+    */
+  private lazy val losDiffractionOracle: String = {
+    val prefix = losOracle.substring(0, losOracle.indexOf("\nSELECT pair_id,"))
+    prefix + """,
+      |ln AS (
+      |  SELECT *, LAST_VALUE(h + tz + hc) OVER (PARTITION BY pair_id ORDER BY t
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tzabs
+      |  FROM vis),
+      |gp AS (
+      |  SELECT *, (ozabs + (tzabs - ozabs) * frac) - (h + hc) AS gap,
+      |         SQRT(POWER(tx - ox, 2) + POWER(ty - oy, 2)) * 5.0 AS td
+      |  FROM ln),
+      |nu AS (
+      |  SELECT *, CASE WHEN t > 0 AND t < 49 THEN
+      |      (-gap) * SQRT((2.0 / (299.792458 / freq_mhz))
+      |                    * (1.0 / dist + 1.0 / (td - dist)))
+      |    END AS v_nu
+      |  FROM gp),
+      |agg AS (
+      |  SELECT pair_id,
+      |         CAST(MAX(CASE WHEN t = 49 THEN CAST(sv AS INTEGER) END) AS INTEGER) AS visible,
+      |         MAX(dist) AS dist, MAX(freq_mhz) AS f, MAX(v_nu) AS nu_max
+      |  FROM nu GROUP BY pair_id),
+      |fin AS (
+      |  SELECT pair_id, visible, nu_max,
+      |         20.0 * (LOG10(dist) + LOG10(f)) - 27.55 AS fspl,
+      |         CASE WHEN nu_max > -0.78 THEN
+      |             6.9 + 20.0 * LOG10(SQRT((nu_max - 0.1) * (nu_max - 0.1) + 1.0)
+      |                                + nu_max - 0.1)
+      |           ELSE 0.0 END AS j_loss
+      |  FROM agg)
+      |SELECT pair_id, visible, ROUND(nu_max, 6) AS nu_max, ROUND(fspl, 6) AS fspl,
+      |       ROUND(j_loss, 6) AS j_loss, ROUND(fspl + j_loss, 6) AS path_loss
+      |FROM fin ORDER BY pair_id""".stripMargin
+  }
+
+  /** q83 oracle: nine omni sweep chains (one per grid observer) over
+    * the shared DEM, unioned and reduced with the vs_count rule.
+    */
+  private lazy val viewshedGridOracle: String = {
+    val grid = for { ox <- Seq(40, 60, 80); oy <- Seq(40, 60, 80) } yield (ox, oy)
+    val chains = grid.zipWithIndex.map { case ((ox, oy), i) =>
+      sweepCtesFor(s"_g$i", ox, oy, 12.0, 150.0) }.mkString(",\n")
+    val union = grid.indices.map(i => s"  SELECT px, py, state FROM states_g$i")
+      .mkString("\n  UNION ALL\n")
+    vdemCte + ",\n" + chains + ",\n" +
+      s"u AS (\n$union)\n" +
+      "SELECT px, py, CAST(SUM(CASE WHEN state > 4.0 THEN 1 ELSE 0 END) AS DOUBLE) AS v\n" +
+      "FROM u GROUP BY px, py ORDER BY py, px"
   }
 
   /** q66 oracle: the full warp chain re-derived in SQL — target grid,

@@ -114,19 +114,30 @@ object Los {
     * over the same single profile walk — one extra full-frame window
     * value (the target's absolute height) and the same one aggregation.
     */
+  /** The profile walk plus direct-sight-line geometry: target absolute
+    * height (full-frame window), interpolated line height per station,
+    * and the vertical `gap` between line and corrected terrain — the
+    * shared base of [[summaryExtended]] and [[summaryDiffraction]].
+    */
+  private def profileWithLine(pairs: DataFrame, dem: DataFrame, nStations: Int,
+                              cellSize: Double, refractionCoeff: Double,
+                              demNdv: Double): DataFrame = {
+    val prof = profile(pairs, dem, nStations, cellSize, refractionCoeff, demNdv)
+    val byPair = Window.partitionBy("pair_id").orderBy("t")
+    val full = byPair.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prof
+      .withColumn("tzAbsEnd", last(col("h") + col("tz") + col("hc")).over(full))
+      .withColumn("lineH", col("ozAbs") + (col("tzAbsEnd") - col("ozAbs")) * col("frac"))
+      .withColumn("gap", col("lineH") - (col("h") + col("hc")))
+  }
+
   def summaryExtended(pairs: DataFrame, dem: DataFrame, nStations: Int,
                       cellSize: Double,
                       powerDiff: Column = lit(150.0),
                       refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
                       demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
     val n = nStations
-    val prof = profile(pairs, dem, nStations, cellSize, refractionCoeff, demNdv)
-    val byPair = Window.partitionBy("pair_id").orderBy("t")
-    val full = byPair.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withLine = prof
-      .withColumn("tzAbsEnd", last(col("h") + col("tz") + col("hc")).over(full))
-      .withColumn("lineH", col("ozAbs") + (col("tzAbsEnd") - col("ozAbs")) * col("frac"))
-      .withColumn("gap", col("lineH") - (col("h") + col("hc")))
+    val withLine = profileWithLine(pairs, dem, nStations, cellSize, refractionCoeff, demNdv)
     withLine.groupBy("pair_id")
       .agg(
         max(when(col("t") === n - 1, col("stationVisible").cast("int"))).as("visible"),
@@ -143,6 +154,54 @@ object Los {
       .withColumn("los_range", coalesce(col("blocked_dist"), col("dist")))
       .withColumn("power_reminder", powerDiff - col("fspl"))
       .drop("blocked_dist")
+  }
+
+  /** ITU-R P.526 §4.1 single knife-edge diffraction loss layered on the
+    * same profile walk — the published-public propagation step toward
+    * the reference's external rfmodel/tirem backend
+    * (`viewshed_calc.py:792-806` imports a proprietary package that is
+    * not in the reference repo; FSPL + knife-edge is the standard open
+    * alternative). Per interior station the dimensionless knife-edge
+    * parameter is
+    *   ν = h·√(2/λ · (1/d₁ + 1/d₂))
+    * with h = obstruction height above the direct sight line (−gap
+    * from [[profileWithLine]]), d₁/d₂ distances to observer/target and
+    * λ = c/f. The dominant (max-ν) edge gives P.526's approximation
+    *   J(ν) = 6.9 + 20·log₁₀(√((ν−0.1)² + 1) + ν − 0.1)  for ν > −0.78
+    * (0 dB below), and total path loss = FSPL + J(ν). Pure column math
+    * over the single walk: one extra per-station expression and the
+    * same one aggregation — no new shuffle beyond [[summaryExtended]].
+    */
+  def summaryDiffraction(pairs: DataFrame, dem: DataFrame, nStations: Int,
+                         cellSize: Double,
+                         refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                         demNdv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val n = nStations
+    val withLine = profileWithLine(pairs, dem, nStations, cellSize, refractionCoeff, demNdv)
+    // total path length recomputed from the pair endpoints (the same
+    // algebra `profile` uses), so d₂ = td − dist needs no extra window
+    val td = sqrt(pow(col("tx") - col("ox"), 2) + pow(col("ty") - col("oy"), 2)) * cellSize
+    val lambdaM = lit(Radio.SpeedOfLightMhzM) / col("freq_mhz")
+    val nu = when(col("t") > 0 && col("t") < n - 1,
+      (-col("gap")) * sqrt(lit(2.0) / lambdaM *
+        (lit(1.0) / col("dist") + lit(1.0) / (td - col("dist")))))
+    withLine
+      .withColumn("nu", nu)
+      .groupBy("pair_id")
+      .agg(
+        max(when(col("t") === n - 1, col("stationVisible").cast("int"))).as("visible"),
+        max(col("dist")).as("dist"),
+        max(col("freq_mhz")).as("freq_mhz"),
+        max(col("nu")).as("nu_max"))
+      .withColumn("fspl",
+        lit(20.0) * (log10(col("dist")) + log10(col("freq_mhz"))) - 27.55)
+      .withColumn("j_loss",
+        when(col("nu_max") > -0.78,
+          lit(6.9) + lit(20.0) * log10(
+            sqrt((col("nu_max") - 0.1) * (col("nu_max") - 0.1) + 1.0)
+              + col("nu_max") - 0.1))
+          .otherwise(lit(0.0)))
+      .withColumn("path_loss", col("fspl") + col("j_loss"))
   }
 
   /** E4 forward target computation (`MultiPointParams.calc_fwd`,

@@ -386,8 +386,16 @@ object GeoTiff {
     * and are rejected, not mis-read.
     */
   private def jpegDecode(raw: Array[Byte], info: Info, seg: Segment): Array[Double] = {
+    // TIFF-EP concatenation only applies to conforming blobs: tables
+    // must end with EOI (FFD9) and the segment start with SOI (FFD8) —
+    // otherwise splicing produces garbage that ImageIO rejects with a
+    // misleading "undecodable" error; fall back to the raw segment so
+    // self-contained streams still decode and bad ones fail loudly.
+    def hasMarker(a: Array[Byte], at: Int, m: Int) =
+      at >= 0 && at + 1 < a.length && (a(at) & 0xff) == 0xff && (a(at + 1) & 0xff) == m
     val stream = info.jpegTables match {
-      case Some(t) if t.length >= 4 =>
+      case Some(t) if t.length >= 4 && hasMarker(t, t.length - 2, 0xd9) &&
+          raw.length >= 2 && hasMarker(raw, 0, 0xd8) =>
         val merged = new Array[Byte](t.length - 2 + raw.length - 2)
         System.arraycopy(t, 0, merged, 0, t.length - 2)
         System.arraycopy(raw, 2, merged, t.length - 2, raw.length - 2)
@@ -1009,6 +1017,13 @@ object GeoTiff {
       blocks :+= (bytes, ptr)
       base += bytes.length
     }
+    // the whole file is assembled in one Array[Byte], so the encoder's
+    // hard ceiling is 2 GiB regardless of the BigTIFF flag (BigTIFF
+    // lifts the FORMAT's 4 GiB offset limit, not this in-memory one);
+    // larger outputs belong in the distributed COG parquet layout
+    require(base <= Int.MaxValue,
+      s"encodePyramid assembles in memory; $base bytes exceeds the 2 GiB " +
+        "Array ceiling — write the COG parquet layout instead")
     val all = new Array[Byte](base.toInt)
     var pos = headerSz
     blocks.zipWithIndex.foreach { case ((bytes, _), i) =>

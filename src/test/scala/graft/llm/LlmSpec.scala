@@ -101,6 +101,36 @@ class LlmSpec extends SparkSpec {
     assert(narrow.nonEmpty && narrow.forall { case (id, c) => bruteAll(id) == c })
   }
 
+  test("batched ANN ≡ per-query singles (brute and IVF forms)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qids = Seq(0L, 3L, 7L)
+    val qs = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // brute batch: each query's slice equals its single-query ranking
+    val batch = Similarity.bruteTopKBatch(emb, qs, k = 5)
+      .select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for (q <- qids) {
+      val single = Similarity.bruteTopK(emb, q, 5)
+        .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+      assert(batch(q) == single, s"brute batch mismatch for query $q")
+    }
+    // IVF batch: same equivalence under the same fixed model
+    val model = Similarity.IvfModel(
+      (0 until 4).map(c => Array.tabulate(64)(i => ((c * 37 + i * 13) % 41 - 20) / 10.0)))
+    val ivfBatch = Similarity.ivfTopKBatch(emb, model, qs, topK = 5, nprobe = 2)
+      .select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for (q <- qids) {
+      val single = Similarity.ivfTopK(emb, model, q, 5, nprobe = 2)
+        .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+      assert(ivfBatch(q) == single, s"ivf batch mismatch for query $q")
+    }
+  }
+
   test("LSH recall vs brute force on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteTopK(emb, 0L, 10).select("vec_id").as[Long].collect().toSet

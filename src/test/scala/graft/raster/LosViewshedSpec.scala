@@ -50,6 +50,44 @@ class LosViewshedSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("fspl") - expected) < 1e-9)
   }
 
+  test("summaryDiffraction: P.526 knife-edge loss appears iff an edge nears the sight line") {
+    // short path, both masts 10 m over flat ground: every interior
+    // station clears the line by ~10 m → ν ≪ −0.78 → J = 0,
+    // path loss = FSPL exactly
+    val clear = Los.summaryDiffraction(
+      Seq((0, 0.0, 0.0, 10.0, 10.0, 0.0, 10.0, 100.0))
+        .toDF("pair_id", "ox", "oy", "oz", "tx", "ty", "tz", "freq_mhz"),
+      flatDem(12, 3), nStations = 11, cellSize = 1.0).head()
+    assert(clear.getAs[Int]("visible") == 1)
+    assert(clear.getAs[Double]("j_loss") == 0.0)
+    assert(clear.getAs[Double]("path_loss") == clear.getAs[Double]("fspl"))
+
+    // a wall just under the line (oz=tz=10, wall 9.5 at mid-path):
+    // still visible, but the grazing edge (ν near 0 from below) costs
+    // ~6 dB — the canonical knife-edge half-loss at ν=0
+    val graze = Los.summaryDiffraction(
+      Seq((0, 0.0, 0.0, 10.0, 10.0, 0.0, 10.0, 100.0))
+        .toDF("pair_id", "ox", "oy", "oz", "tx", "ty", "tz", "freq_mhz"),
+      flatDem(12, 3, wallX = 5, wallH = 9.5),
+      nStations = 11, cellSize = 100.0).head()
+    assert(graze.getAs[Int]("visible") == 1)
+    val j = graze.getAs[Double]("j_loss")
+    assert(j > 1.0 && j < 7.0, s"grazing-edge loss $j")
+    assert(math.abs(graze.getAs[Double]("path_loss")
+      - (graze.getAs[Double]("fspl") + j)) < 1e-12)
+
+    // a blocking wall ABOVE the line → ν > 0 → loss beyond the 6 dB
+    // grazing case, growing with penetration depth
+    val blocked = Los.summaryDiffraction(
+      Seq((0, 0.0, 0.0, 10.0, 10.0, 0.0, 10.0, 100.0))
+        .toDF("pair_id", "ox", "oy", "oz", "tx", "ty", "tz", "freq_mhz"),
+      flatDem(12, 3, wallX = 5, wallH = 30.0),
+      nStations = 11, cellSize = 100.0).head()
+    assert(blocked.getAs[Int]("visible") == 0)
+    assert(blocked.getAs[Double]("nu_max") > 0)
+    assert(blocked.getAs[Double]("j_loss") > j)
+  }
+
   test("fwdTargets trig matches calc_fwd (E4, viewshed_params.py:204-228)") {
     val obs = Seq((0, 10.0, 20.0, 5.0, 90.0, 0.0, 1000.0))
       .toDF("oid", "ox", "oy", "oz", "azimuth", "elevation", "max_r")

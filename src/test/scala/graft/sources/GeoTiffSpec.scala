@@ -451,10 +451,12 @@ class GeoTiffSpec extends SparkSpec {
     out.array()
   }
 
-  test("planar configuration 2: band-separate strips read per-band (chunky writers unaffected)") {
+  /** Hand-built classic LE TIFF: 8×5, 2 Byte bands, rps=3, planar 2 —
+    * strip order band-major (b1 rows 0-2, b1 rows 3-4, b2 …, b2 …).
+    * Bands are `i.toByte` / `(100+i).toByte` over row-major i.
+    */
+  private def buildPlanar2(): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
-    // hand-built classic LE TIFF: 8×5, 2 Byte bands, rps=3, planar 2 —
-    // strip order is band-major (b1 rows 0-2, b1 rows 3-4, b2 …, b2 …)
     val w = 8; val h = 5; val rps = 3
     val band1 = Array.tabulate(w * h)(i => i.toByte)
     val band2 = Array.tabulate(w * h)(i => (100 + i).toByte)
@@ -492,9 +494,15 @@ class GeoTiffSpec extends SparkSpec {
     out.putInt(0)
     tags.foreach(t => if (t.ext != null) out.put(t.ext))
     strips.foreach(out.put)
+    out.array()
+  }
 
+  test("planar configuration 2: band-separate strips read per-band (chunky writers unaffected)") {
+    val w = 8; val h = 5
+    val band1 = Array.tabulate(w * h)(i => i.toByte)
+    val band2 = Array.tabulate(w * h)(i => (100 + i).toByte)
     val f = Files.createTempFile("graft_planar", ".tif")
-    Files.write(f, out.array())
+    Files.write(f, buildPlanar2())
     val info = GeoTiff.readInfo(f.toString)
     assert(info.bands == 2 && info.segments.length == 4)
     assert(info.segments.map(_.band) == Seq(1, 1, 2, 2))
@@ -735,6 +743,36 @@ class GeoTiffSpec extends SparkSpec {
     }
     for (_ <- 0 until 200) {
       val b = jpg.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      tryRead(b)
+    }
+    // planar-2 band-separate fixture: truncations at every segment
+    // boundary region + corruption sweep (the per-band strip routing
+    // adds offset arithmetic the chunky path never exercises)
+    val planar2 = buildPlanar2()
+    for (len <- Seq(0, 8, 10, 40, 100, planar2.length / 2, planar2.length - 3))
+      tryRead(java.util.Arrays.copyOf(planar2, len))
+    for (_ <- 0 until 200) {
+      val b = planar2.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      tryRead(b)
+    }
+    // BigTIFF-WRITE output round-tripped through truncation: the r6
+    // sweep only covered the hand-built reader fixture; the encoder's
+    // own wide-offset layout (LONG8 strip arrays, 16-byte header)
+    // must also reject every partial prefix cleanly
+    val bigOut = {
+      val vals = Array.tabulate(32 * 24)(_.toDouble % 300)
+      GeoTiff.encodePyramid(Seq((32, 24, vals), (16, 12, vals.take(192))),
+        GeoTiff.DtInt16, GeoTransform(0, 1, 0, 24, 0, -1),
+        nodata = Some(-1.0), rowsPerStrip = 8, bigTiff = true)
+    }
+    assert(bigOut(2) == 43) // really the BigTIFF layout under test
+    for (len <- Seq(0, 2, 7, 8, 15, 16, 17, 60, bigOut.length / 4,
+        bigOut.length / 2, bigOut.length - 5, bigOut.length - 1))
+      tryRead(java.util.Arrays.copyOf(bigOut, len))
+    for (_ <- 0 until 200) {
+      val b = bigOut.clone()
       b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
       tryRead(b)
     }

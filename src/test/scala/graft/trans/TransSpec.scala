@@ -141,6 +141,48 @@ class TransSpec extends SparkSpec {
     assert(o2.count() == 12 * 9)
   }
 
+  test("CLI front-end drives srcwin crop + GTIFF export end-to-end on the SRTM fixture (§3.1)") {
+    import graft.sources.GeoTiff
+    val srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
+    val out = java.nio.file.Files.createTempDirectory("graft_cli")
+      .resolve("crop.tif").toString
+    val rc = graft.Main.run(Array(
+      "-o", out, "-of", "GTIFF", "-srcwin", "100", "100", "200", "150",
+      "-ovr", "1", "-quiet", "-overwrite", srtm), spark)
+    assert(rc == 0)
+    val infos = GeoTiff.readInfos(out)
+    assert(infos.map(i => (i.width, i.height)) == Seq((200, 150), (100, 75)))
+    // values round-trip: the exported window equals the source window
+    val src = spark.read.format("graft.sources.RasterSource")
+      .option("path", srtm).load()
+      .filter(col("px") >= 100 && col("px") < 300 && col("py") >= 100 && col("py") < 250)
+      .select((col("px") - 100).as("px"), (col("py") - 100).as("py"), col("v").as("va"))
+    val back = spark.read.format("graft.sources.RasterSource")
+      .option("path", out).load()
+      .select(col("px"), col("py"), col("v").as("vb"))
+    assert(back.count() == 200L * 150)
+    assert(back.join(src, Seq("px", "py")).filter(col("va") =!= col("vb")).count() == 0)
+    // skip-if-exists without -overwrite (reference semantics)
+    assert(graft.Main.run(Array("-o", out, "-of", "GTIFF", "-quiet", srtm), spark) == 0)
+  }
+
+  test("CLI sequence fan-out: multiple inputs expand to suffixed COG jobs (I3)") {
+    val srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
+    val base = java.nio.file.Files.createTempDirectory("graft_cli_seq")
+      .resolve("out").toString
+    val rc = graft.Main.run(Array(
+      "-o", base, "-srcwin", "0", "0", "64", "64", "-quiet", srtm, srtm), spark)
+    assert(rc == 0)
+    // two expanded jobs → .0/.1 COG layouts, each with an .info sidecar
+    for (ji <- 0 to 1) {
+      assert(spark.read.parquet(s"$base.$ji").count() > 0)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base.$ji.info")))
+    }
+    // bad flag and missing input fail loudly
+    assert(graft.Main.run(Array("-bogus"), spark) == 1)
+    assert(graft.Main.run(Array("-quiet"), spark) == 1)
+  }
+
   test("exportGeoTiff tags a warped UTM plan as projected CRS (not WGS84 degrees)") {
     import graft.sources.GeoTiff
     val p = Trans.plan(dem, gt, 200, 120, TransOptions(
