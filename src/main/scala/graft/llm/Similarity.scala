@@ -127,6 +127,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched LSH ANN — the hyperplane twin of [[ivfTopKBatch]]:
+    * queries are DATA (never broadcast or collected); both sides
+    * compute the same deterministic bucket expression and candidates
+    * form through an EQUI-JOIN on the bucket id, so a query touches
+    * 1/2^planes of the corpus and the shuffle keys on the bucket —
+    * the partitioning the corpus would already be clustered by at
+    * rest. Exact cosine rank per query inside a (query id)-keyed
+    * window. Recall semantics identical to [[lshTopK]].
+    */
+  def lshTopKBatch(emb: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bucketed = emb.withColumn("bucket", bucketCol(col(vecCol), planes))
+    val qBucketed = queries.withColumn("qbucket", bucketCol(col(qvecCol), planes))
+    bucketed.join(qBucketed, col("bucket") === col("qbucket"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("cosine", cosineCol(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qidCol).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** All-bucket histogram — diagnostics for bucket balance (skew in
     * the bucket key is the scale risk of LSH partitioning).
     */

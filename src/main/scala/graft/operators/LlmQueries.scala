@@ -207,6 +207,21 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q86 batched LSH ANN: the hyperplane twin of q85 — both sides
+    * bucket with the same deterministic projection and candidates form
+    * through the bucket equi-join (queries as data); exact cosine
+    * top-5 per query. 4 planes keep buckets populated at sf0.01.
+    */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshTopKBatch(emb, qs, k = 5, planes = 4)
+      .select(col("qid"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** q52 multimodal plumbing: binary payloads through the stub
     * feature extractor (typed mapPartitions path).
     */
@@ -251,6 +266,7 @@ object LlmQueries {
     "q79_ann_ivf" -> q79 _,
     "q84_ann_batch_brute" -> q84 _,
     "q85_ann_batch_ivf" -> q85 _,
+    "q86_ann_batch_lsh" -> q86 _,
     "q52_multimodal_features" -> q52 _,
     "q64_dedup_embed" -> q64 _,
     "q76_quality_filter" -> q76 _,
@@ -596,6 +612,25 @@ object LlmQueries {
          |SELECT qid, vec_id, ROUND(cc, 6) AS cosine, rank FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+
+    "q86_ann_batch_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${bucketExpr("embedding", 4)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+         |      FROM bucketed WHERE vec_id < 6),
+         |cand AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dotExpr("e.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS c
+         |  FROM bucketed e JOIN q ON e.bucket = q.qb
+         |  WHERE e.vec_id <> q.qid),
+         |rk AS (
+         |  SELECT qid, vec_id, c,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT qid, vec_id, ROUND(c, 6) AS cosine, rank FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q64_dedup_embed" ->
       s"""WITH doubled AS (

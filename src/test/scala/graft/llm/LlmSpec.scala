@@ -129,6 +129,16 @@ class LlmSpec extends SparkSpec {
         .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
       assert(ivfBatch(q) == single, s"ivf batch mismatch for query $q")
     }
+    // LSH batch: bucket-join candidates equal each single query's
+    val lshBatch = Similarity.lshTopKBatch(emb, qs, k = 5, planes = 4)
+      .select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for (q <- qids) {
+      val single = Similarity.lshTopK(emb, q, 5, planes = 4)
+        .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+      assert(lshBatch.getOrElse(q, Nil) == single, s"lsh batch mismatch for query $q")
+    }
   }
 
   test("LSH recall vs brute force on the embeddings fixture") {
