@@ -241,6 +241,25 @@ object RasterQueries {
       .orderBy("py", "px")
   }
 
+  /** q87 Okumura-Hata median path loss over the LOS pair fixture:
+    * urban/suburban/open-area losses from frequency, ground distance
+    * and the two mast heights (published empirical model — with FSPL
+    * and P.526 the public slice of the reference's rfmodel surface).
+    * Pure per-row math; oracle replays the same formulas.
+    */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    val pairs = Los.syntheticPairs(s, 12, DemW, DemH)
+    val dKm = sqrt(pow(col("tx") - col("ox"), 2) + pow(col("ty") - col("oy"), 2)) *
+      lit(5.0) / lit(1000.0)
+    val h = Los.hataCols(col("freq_mhz"), dKm, col("oz"), col("tz"))
+    pairs.select(col("pair_id"),
+        round(dKm, 6).as("dist_km"),
+        round(h("hata_urban"), 6).as("hata_urban"),
+        round(h("hata_suburban"), 6).as("hata_suburban"),
+        round(h("hata_open"), 6).as("hata_open"))
+      .orderBy("pair_id")
+  }
+
   /** q67 vector→raster burn (rasterize, `gdalos_rasterize.py:84-123`):
     * the cutline ring burned onto the DEM as a constant value; outside
     * pixels pass through untouched. The oracle replays the same
@@ -442,6 +461,7 @@ object RasterQueries {
     "q81_viewshed_combine_sector" -> q81 _,
     "q82_los_diffraction" -> q82 _,
     "q83_viewshed_grid" -> q83 _,
+    "q87_hata_loss" -> q87 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
     "q57_fwd_targets" -> q57 _,
@@ -616,6 +636,7 @@ object RasterQueries {
     "q68_los_extended" -> losExtOracle,
     "q82_los_diffraction" -> losDiffractionOracle,
     "q83_viewshed_grid" -> viewshedGridOracle,
+    "q87_hata_loss" -> hataOracle,
 
     "q60_utm_forward" -> utmOracle,
 
@@ -880,6 +901,34 @@ object RasterQueries {
       |       ROUND(j_loss, 6) AS j_loss, ROUND(fspl + j_loss, 6) AS path_loss
       |FROM fin ORDER BY pair_id""".stripMargin
   }
+
+  /** q87 oracle: the Okumura-Hata formulas replayed in SQL with the
+    * identical left-associated expression order as
+    * [[graft.raster.Los.hataCols]]; round-6 absorbs log10 last-ulp
+    * differences.
+    */
+  private lazy val hataOracle: String =
+    """WITH pairs AS (
+      |  SELECT CAST(i AS INTEGER) AS pair_id,
+      |         CAST(i % 7 * 3 + 5 AS DOUBLE) AS ox, CAST(i % 11 * 4 + 6 AS DOUBLE) AS oy,
+      |         10.0 AS hb,
+      |         CAST(192 - i % 5 * 6 AS DOUBLE) AS tx, CAST(111 - i % 9 * 4 AS DOUBLE) AS ty,
+      |         5.0 AS hm, CAST(i % 4 * 300 + 100 AS DOUBLE) AS f
+      |  FROM range(12) t(i)),
+      |g AS (
+      |  SELECT *, SQRT(POWER(tx - ox, 2) + POWER(ty - oy, 2)) * 5.0 / 1000.0 AS dkm
+      |  FROM pairs),
+      |u AS (
+      |  SELECT *,
+      |    69.55 + 26.16 * LOG10(f) - 13.82 * LOG10(hb)
+      |      - ((1.1 * LOG10(f) - 0.7) * hm - (1.56 * LOG10(f) - 0.8))
+      |      + (44.9 - 6.55 * LOG10(hb)) * LOG10(dkm) AS urban
+      |  FROM g)
+      |SELECT pair_id, ROUND(dkm, 6) AS dist_km,
+      |       ROUND(urban, 6) AS hata_urban,
+      |       ROUND(urban - 2.0 * POWER(LOG10(f / 28.0), 2) - 5.4, 6) AS hata_suburban,
+      |       ROUND(urban - 4.78 * POWER(LOG10(f), 2) + 18.33 * LOG10(f) - 40.94, 6) AS hata_open
+      |FROM u ORDER BY pair_id""".stripMargin
 
   /** q83 oracle: nine omni sweep chains (one per grid observer) over
     * the shared DEM, unioned and reduced with the vs_count rule.

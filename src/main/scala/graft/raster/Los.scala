@@ -204,6 +204,26 @@ object Los {
       .withColumn("path_loss", col("fspl") + col("j_loss"))
   }
 
+  /** Okumura-Hata median path-loss columns — the column twins of
+    * [[graft.core.Radio.hataUrban]]/Suburban/Open (same expression
+    * associations, so values are bit-equal to the scalar forms).
+    * Terrain-free: loss from frequency (MHz), ground distance (km)
+    * and the two antenna heights (m) — pure per-row math, no shuffle.
+    */
+  def hataCols(freqMhz: Column, distKm: Column,
+               hb: Column, hm: Column): Map[String, Column] = {
+    val lf = log10(freqMhz)
+    val aHm = (lit(1.1) * lf - 0.7) * hm - (lit(1.56) * lf - 0.8)
+    val urban = lit(69.55) + lit(26.16) * lf - lit(13.82) * log10(hb) - aHm +
+      (lit(44.9) - lit(6.55) * log10(hb)) * log10(distKm)
+    Map(
+      "hata_urban" -> urban,
+      "hata_suburban" ->
+        (urban - lit(2.0) * pow(log10(freqMhz / 28.0), 2) - 5.4),
+      "hata_open" ->
+        (urban - lit(4.78) * pow(lf, 2) + lit(18.33) * lf - 40.94))
+  }
+
   /** E4 forward target computation (`MultiPointParams.calc_fwd`,
     * `viewshed_params.py:204-228`): targets from observer +
     * azimuth/elevation/range with the earth-curvature term —

@@ -88,6 +88,25 @@ class LosViewshedSpec extends SparkSpec {
     assert(blocked.getAs[Double]("j_loss") > j)
   }
 
+  test("hataCols column form is bit-equal to the scalar Radio formulas") {
+    import graft.core.Radio
+    val df = Seq((900.0, 3.2, 40.0, 1.5), (450.0, 8.0, 60.0, 3.0))
+      .toDF("f", "d", "hb", "hm")
+    val h = Los.hataCols($"f", $"d", $"hb", $"hm")
+    val rows = df.select($"f", $"d", $"hb", $"hm",
+        h("hata_urban"), h("hata_suburban"), h("hata_open"))
+      .collect()
+    for (r <- rows) {
+      val (f, d, hb, hm) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r.getDouble(4) == Radio.hataUrban(f, d, hb, hm))
+      assert(r.getDouble(5) == Radio.hataSuburban(f, d, hb, hm))
+      assert(r.getDouble(6) == Radio.hataOpen(f, d, hb, hm))
+    }
+    // sanity: suburban < urban, open < suburban (standard corrections)
+    assert(rows.forall(r => r.getDouble(5) < r.getDouble(4)
+      && r.getDouble(6) < r.getDouble(5)))
+  }
+
   test("fwdTargets trig matches calc_fwd (E4, viewshed_params.py:204-228)") {
     val obs = Seq((0, 10.0, 20.0, 5.0, 90.0, 0.0, 1000.0))
       .toDF("oid", "ox", "oy", "oz", "azimuth", "elevation", "max_r")
