@@ -33,6 +33,9 @@ import graft.trans.Trans.TransOptions
   *   -projwin ulx uly lrx lry       georeferenced crop, corner order
   *   -srcwin xoff yoff xsize ysize  pixel-window crop
   *   -t_srs <srs>[,<srs>…]  warp target(s), talos names (w84u36, …)
+  *   -partition <n>      split the (cropped) extent into n grid cells
+  *                       (reference `partition` kwarg / R5 grid,
+  *                       find_two_greatest_devisors) — one job per cell
   *   -ovr <n>            overview levels to build
   *   -overwrite          replace an existing output (else skip, like
   *                       the reference's skip-if-exists)
@@ -45,7 +48,7 @@ object Main {
     """usage: graft.Main [-o out] [-of GTIFF|COG] [-ot dtype]
       |  [-dstnodata v] [-srcnodata v] [-hideNoData]
       |  [-extent minx maxx miny maxy | -projwin ulx uly lrx lry | -srcwin x y w h]
-      |  [-t_srs srs[,srs…]] [-ovr n] [-overwrite] [-quiet] filename…""".stripMargin
+      |  [-t_srs srs[,srs…]] [-partition n] [-ovr n] [-overwrite] [-quiet] filename…""".stripMargin
 
   def main(argv: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -72,6 +75,7 @@ object Main {
     var extent = Option.empty[GeoRectangle]
     var srcwin = Option.empty[(Int, Int, Int, Int)]
     var tSrs = Seq.empty[String]
+    var partition = 1
     var ovr = 0
     var overwrite = false
     var quiet = false
@@ -100,6 +104,7 @@ object Main {
           case "-srcwin" =>
             srcwin = Some((next().toInt, next().toInt, next().toInt, next().toInt))
           case "-t_srs"     => tSrs = next().split(',').toSeq.filter(_.nonEmpty)
+          case "-partition" => partition = next().toInt
           case "-ovr"       => ovr = next().toInt
           case "-overwrite" => overwrite = true
           case "-quiet"     => quiet = true
@@ -126,9 +131,12 @@ object Main {
         return 1
     }
 
-    // I3 sequence fan-out: every Seq-valued kwarg multiplies the jobs
+    // I3 sequence fan-out: every Seq-valued kwarg multiplies the jobs.
+    // -partition rides the expansion as a cell INDEX (the cell rect
+    // itself depends on each file's extent, resolved inside the job).
     val params = Map[String, Any]("filename" -> fs) ++
-      (if (tSrs.nonEmpty) Map("t_srs" -> tSrs) else Map.empty)
+      (if (tSrs.nonEmpty) Map("t_srs" -> tSrs) else Map.empty) ++
+      (if (partition > 1) Map("cell" -> (0 until partition)) else Map.empty)
     val jobs = Jobs.expand(params)
 
     def runJob(job: Map[String, Any], ji: Int): Int = {
@@ -145,8 +153,16 @@ object Main {
         GeoRectangle(math.min(ax, bx), math.min(ay, by),
           math.max(ax, bx), math.max(ay, by))
       }
+      // -partition: the requested (or full-file) extent split on the
+      // R5 grid (find_two_greatest_devisors), this job taking its cell
+      val jobExtent = job.get("cell") match {
+        case Some(ci: Int) =>
+          val whole = winExtent.orElse(extent).getOrElse(gt.extent(info.width, info.height))
+          Some(graft.core.Partitions.makePartitions(whole, partition)(ci))
+        case _ => winExtent.orElse(extent)
+      }
       val opt = TransOptions(
-        extent = winExtent.orElse(extent),
+        extent = jobExtent,
         srcNdv = if (hideNodata) None else srcNdv.orElse(info.nodata),
         dstNdv = dstNdv.getOrElse(PixelFrame.Dem.Ndv),
         warpSrs = job.get("t_srs").map(_.asInstanceOf[String]))

@@ -8,16 +8,18 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *
   * Query groups:
   *  - q01–q24 relational spine (Relational; q20 histogram median)
-  *  - q25–q41, q56–q63, q65–q68, q73, q78, q80, q81 raster engine:
-  *    trans pipeline, combine, overviews, catalog/mosaic/selector,
-  *    LOS, viewshed (sweep + exact + sector crops, single and
-  *    multi-observer), GeoTIFF round-trip, warp, rasterize, binary
-  *    tile payloads (RasterQueries)
-  *  - q42–q52, q64, q69, q70, q75–q77, q79 LLM-pipeline: text
-  *    analysis + repetition + quality verdict, dedup (exact/prefix/
-  *    minhash/simhash/ngram/embedding + cluster closure), ANN
-  *    (brute/LSH/IVF), multimodal, deterministic sampling
-  *    (LlmQueries)
+  *  - q25–q41, q56–q63, q65–q68, q73, q78, q80–q83, q87 raster
+  *    engine: trans pipeline, combine, overviews, catalog/mosaic/
+  *    selector, LOS (incl. P.526 knife-edge diffraction q82 and
+  *    Okumura-Hata loss q87), viewshed (sweep + exact + sector crops,
+  *    single/multi-observer/3×3 grid fan-out q83), GeoTIFF
+  *    round-trip, warp, rasterize, binary tile payloads
+  *    (RasterQueries)
+  *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86 LLM-pipeline:
+  *    text analysis + repetition + quality verdict, dedup (exact/
+  *    prefix/minhash/simhash/ngram/embedding + cluster closure), ANN
+  *    (brute/LSH/IVF, single-query and batched many-query forms),
+  *    multimodal, deterministic sampling (LlmQueries)
   *  - q53–q55, q71, q72, q74 events: JSON/string probes, streaming
   *    batch-twins, as-of join, range join, session windows
   *    (EventQueries)

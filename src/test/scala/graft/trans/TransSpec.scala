@@ -183,6 +183,33 @@ class TransSpec extends SparkSpec {
     assert(graft.Main.run(Array("-quiet"), spark) == 1)
   }
 
+  test("CLI -partition splits the extent into grid-cell jobs (R5 + I3)") {
+    import graft.sources.GeoTiff
+    val srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
+    val base = java.nio.file.Files.createTempDirectory("graft_cli_part")
+      .resolve("part.tif").toString
+    val rc = graft.Main.run(Array(
+      "-o", base, "-of", "GTIFF", "-srcwin", "0", "0", "64", "64",
+      "-partition", "4", "-quiet", srtm), spark)
+    assert(rc == 0)
+    // 4 cells on the 2×2 grid (find_two_greatest_devisors), each 32×32
+    for (i <- 0 to 3) {
+      val inf = GeoTiff.readInfo(s"$base.$i")
+      assert((inf.width, inf.height) == (32, 32), s"cell $i: ${inf.width}x${inf.height}")
+    }
+    // the cells tile the window exactly: pixel sums add up to the source window's
+    val srcSum = spark.read.format("graft.sources.RasterSource")
+      .option("path", srtm).load()
+      .filter(col("px") < 64 && col("py") < 64)
+      .agg(sum("v")).head().getDouble(0)
+    val cellSum = (0 to 3).map { i =>
+      spark.read.format("graft.sources.RasterSource")
+        .option("path", s"$base.$i").load()
+        .agg(sum("v")).head().getDouble(0)
+    }.sum
+    assert(cellSum == srcSum, s"cells $cellSum vs source window $srcSum")
+  }
+
   test("exportGeoTiff tags a warped UTM plan as projected CRS (not WGS84 degrees)") {
     import graft.sources.GeoTiff
     val p = Trans.plan(dem, gt, 200, 120, TransOptions(
