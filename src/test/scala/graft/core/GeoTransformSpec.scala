@@ -45,6 +45,33 @@ class GeoTransformSpec extends AnyFunSuite with PropCheck {
     assert(gt.windowFromExtent(GeoRectangle(300, 20, 310, 30), 400, 200).isEmpty)
   }
 
+  test("windowFromExtent snap: pixel-window round-trips never widen (GDAL 0.001-px tolerance)") {
+    // arbitrary grids INCLUDING non-power-of-2 resolutions (1/3600°
+    // SRTM-style): extent built from a pixel window's geo corners must
+    // map back to exactly that window — fp noise of the geo↔pixel
+    // round-trip (99.9999…/300.000…1) may not add a boundary pixel
+    val resGen = Gen.oneOf(Gen.chooseNum(1e-4, 2.0),
+      Gen.const(1.0 / 3600), Gen.const(1.0 / 1200), Gen.const(0.3))
+    val g = for {
+      c0 <- Gen.chooseNum(-180.0, 180.0)
+      c3 <- Gen.chooseNum(-90.0, 90.0)
+      ps <- resGen
+      x0 <- Gen.chooseNum(0, 500); wpx <- Gen.chooseNum(1, 400)
+      y0 <- Gen.chooseNum(0, 500); hpx <- Gen.chooseNum(1, 400)
+    } yield (GeoTransform(c0, ps, 0, c3, 0, -ps), x0, y0, wpx, hpx)
+    forAllN(g) { case (gt, x0, y0, wpx, hpx) =>
+      val (w, h) = (1000, 1000)
+      val (ax, ay) = gt.pixelToGeo(x0, y0)
+      val (bx, by) = gt.pixelToGeo(x0 + wpx, y0 + hpx)
+      val r = GeoRectangle(math.min(ax, bx), math.min(ay, by),
+        math.max(ax, bx), math.max(ay, by))
+      assert(gt.windowFromExtent(r, w, h).contains((x0, y0, x0 + wpx, y0 + hpx)))
+      // align is idempotent on an on-grid extent (same snap rule)
+      val aligned = r.align(gt)
+      assert(gt.windowFromExtent(aligned, w, h).contains((x0, y0, x0 + wpx, y0 + hpx)))
+    }
+  }
+
   test("fromRect matches gt_and_size_from_rect (rectangle.py:13-17)") {
     val (gt, w, h) = GeoTransform.fromRect(GeoRectangle(10, 20, 11, 22), 0.25, -0.25)
     assert(gt == GeoTransform(10, 0.25, 0, 22, 0, -0.25))
