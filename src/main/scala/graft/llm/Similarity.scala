@@ -297,6 +297,17 @@ object Similarity {
     transform(slice(array_sort(ranked), 1, nprobe), s => s.getField("c"))
   }
 
+  /** IVF "index build": materialize the coarse assignment as a column.
+    * At rest this is the cluster key the corpus should be written /
+    * bucketed / partitioned by — paid once at ingest, so query-time
+    * scans ([[ivfTopKBatch]] with `assignedCol`) skip the k×dim
+    * distance folds per row and prune by partition instead.
+    */
+  def assignIvf(emb: DataFrame, model: IvfModel,
+                outCol: String = "ivf_c",
+                vecCol: String = "embedding"): DataFrame =
+    emb.withColumn(outCol, assignCol(col(vecCol), model))
+
   /** Batched IVF ANN — the scale path for many-query search: each
     * query expands to its `nprobe` probe clusters (per-row expression,
     * [[probeClustersCol]]), the corpus carries its assignment as a
@@ -306,15 +317,23 @@ object Similarity {
     * rank inside a window keyed on (query id): the two shuffles key on
     * cluster and query respectively, both scaling with their row
     * counts. `nprobe = k` degrades to exact brute force.
+    *
+    * `assignedCol`: name of a pre-materialized [[assignIvf]] column —
+    * the production shape (assignment computed at ingest, corpus
+    * clustered by it at rest); None computes it inline on the scan.
     */
   def ivfTopKBatch(emb: DataFrame, model: IvfModel, queries: DataFrame,
                    topK: Int, nprobe: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+                   qidCol: String = "qid", qvecCol: String = "qvec",
+                   assignedCol: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val probes = queries.withColumn("probe_c",
       explode(probeClustersCol(col(qvecCol), model, nprobe)))
-    val assigned = emb.withColumn("cluster_c", assignCol(col(vecCol), model))
+    val assigned = assignedCol match {
+      case Some(c) => emb.withColumn("cluster_c", col(c))
+      case None    => emb.withColumn("cluster_c", assignCol(col(vecCol), model))
+    }
     assigned.join(probes, col("cluster_c") === col("probe_c"))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("cosine", cosineCol(col(vecCol), col(qvecCol)))

@@ -129,6 +129,15 @@ class LlmSpec extends SparkSpec {
         .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
       assert(ivfBatch(q) == single, s"ivf batch mismatch for query $q")
     }
+    // pre-materialized assignment (the at-rest index shape) gives the
+    // identical result as inline assignment
+    val indexed = Similarity.assignIvf(emb, model)
+    val viaIndex = Similarity.ivfTopKBatch(indexed, model, qs, topK = 5, nprobe = 2,
+        assignedCol = Some("ivf_c"))
+      .select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for (q <- qids) assert(viaIndex(q) == ivfBatch(q), s"indexed path mismatch for $q")
     // LSH batch: bucket-join candidates equal each single query's
     val lshBatch = Similarity.lshTopKBatch(emb, qs, k = 5, planes = 4)
       .select("qid", "vec_id", "cosine", "rank")
