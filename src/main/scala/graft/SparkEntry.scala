@@ -15,7 +15,8 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    single/multi-observer/3×3 grid fan-out q83), GeoTIFF
   *    round-trip, warp, rasterize, binary tile payloads
   *    (RasterQueries)
-  *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86 LLM-pipeline:
+  *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86, q88
+  *    LLM-pipeline:
   *    text analysis + repetition + quality verdict, dedup (exact/
   *    prefix/minhash/simhash/ngram/embedding + cluster closure), ANN
   *    (brute/LSH/IVF, single-query and batched many-query forms),

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / data-mixing operators for training-data
@@ -36,5 +37,28 @@ object Sampling {
       when(stratumCol === k, lit(r)).otherwise(acc)
     }
     df.filter(hashUniformCol(keyCol) < rate)
+  }
+
+  /** Exact-count stratified take — "mix to a target budget": keep
+    * deterministically the first `counts(stratum)` rows per stratum in
+    * md5-hash order (the rank form of the same uniform draw as
+    * [[stratifiedSample]], so the kept set is stable across re-runs
+    * and engines). Unlisted strata keep `defaultCount`. Unlike the
+    * rate form this pays ONE window shuffle keyed on the stratum —
+    * the price of exact counts; rows in the same stratum co-locate,
+    * so parallelism scales with the stratum count (salt the hash
+    * prefix into the partition key if one stratum dominates).
+    */
+  def stratifiedTake(df: DataFrame, stratumCol: Column, keyCol: Column,
+                     counts: Seq[(String, Long)],
+                     defaultCount: Long = 0L): DataFrame = {
+    val cnt = counts.foldLeft(lit(defaultCount)) { case (acc, (k, n)) =>
+      when(stratumCol === k, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+    df.withColumn("_take_rn", row_number().over(w))
+      .filter(col("_take_rn") <= cnt)
+      .drop("_take_rn")
   }
 }

@@ -80,6 +80,22 @@ object LlmQueries {
       .orderBy("lang_pred")
   }
 
+  /** q88 exact-count stratified take (mix to a target budget): keep
+    * the first N docs per language in md5-hash order — the rank form
+    * of q77's draw, exact counts instead of expected counts. The
+    * oracle replays the identical ROW_NUMBER over (md5, id). Output
+    * is the per-stratum kept count + an order-independent id checksum.
+    */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val tagged = Tables.documents(s, d)
+      .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
+    val kept = Sampling.stratifiedTake(tagged, col("lang_pred"), col("doc_id"),
+      Seq("en" -> 50L, "other" -> 20L), defaultCount = 5L)
+    kept.groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang_pred")
+  }
+
   /** q45 exact dedup over a corpus doubled with shifted ids — the
     * removal decision is non-vacuous by construction (every doc has
     * exactly one duplicate).
@@ -271,6 +287,7 @@ object LlmQueries {
     "q64_dedup_embed" -> q64 _,
     "q76_quality_filter" -> q76 _,
     "q77_sample_mix" -> q77 _,
+    "q88_sample_take" -> q88 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -442,6 +459,28 @@ object LlmQueries {
          |SELECT lang_pred, COUNT(*) AS n_docs,
          |       CAST(SUM(CASE WHEN draw < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM u GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q88_sample_take" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |lg AS (
+         |  SELECT doc_id, CASE
+         |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) > 0 THEN 'ru'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) > 0 THEN 'ar'
+         |    WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+         |         / len(toks) >= 0.05 THEN 'en'
+         |    ELSE 'other' END AS lang_pred
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, lang_pred,
+         |         ROW_NUMBER() OVER (PARTITION BY lang_pred
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM lg),
+         |k AS (
+         |  SELECT * FROM r
+         |  WHERE rn <= CASE lang_pred WHEN 'en' THEN 50 WHEN 'other' THEN 20 ELSE 5 END)
+         |SELECT lang_pred, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM k GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "q45_dedup_exact" ->
       """WITH doubled AS (

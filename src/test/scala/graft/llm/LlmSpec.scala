@@ -285,6 +285,24 @@ class LlmSpec extends SparkSpec {
     assert(enKept > 30 && enKept < 70, s"en kept $enKept of 100 at rate 0.5")
   }
 
+  test("stratifiedTake: exact per-stratum counts, deterministic, rank-consistent") {
+    val docs = (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else "other"))
+      .toDF("doc_id", "lang")
+    def run(en: Long, other: Long) =
+      Sampling.stratifiedTake(docs, $"lang", $"doc_id",
+        Seq("en" -> en, "other" -> other))
+        .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val k = run(30, 50)
+    assert(k.count(_._2 == "en") == 30 && k.count(_._2 == "other") == 50)
+    assert(run(30, 50) == k)                      // re-run identical
+    assert(run(10, 20).subsetOf(k))               // smaller budget ⊆ larger (rank prefix)
+    // counts above the stratum size keep the whole stratum
+    assert(run(1000, 0).count(_._2 == "en") == 100)
+    // unlisted strata keep defaultCount (0) rows
+    assert(Sampling.stratifiedTake(docs, $"lang", $"doc_id", Seq("en" -> 5L))
+      .filter($"lang" === "other").count() == 0)
+  }
+
   test("multimodal: real image resize (PNG decoded, nearest-sampled, re-encoded)") {
     import graft.llm.Multimodal
     import graft.sources.Png
