@@ -31,6 +31,19 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(Radio.kFactor(0.25) - 4.0 / 3) < 1e-12)
   }
 
+  test("Radio.hata* match the published worked example (900 MHz, 5 km, 50/1.5 m)") {
+    // standard textbook point: urban ≈ 146.96 dB; corrections are
+    // strictly ordered urban > suburban > open
+    val u = Radio.hataUrban(900, 5, 50, 1.5)
+    assert(math.abs(u - 146.96) < 0.05, s"urban $u")
+    val s = Radio.hataSuburban(900, 5, 50, 1.5)
+    val o = Radio.hataOpen(900, 5, 50, 1.5)
+    assert(math.abs(s - (u - 2.0 * math.pow(math.log10(900 / 28.0), 2) - 5.4)) < 1e-12)
+    assert(u > s && s > o)
+    // distance monotone (44.9 − 6.55·log10 hb > 0 for hb < ~10^6.85)
+    assert(Radio.hataUrban(900, 10, 50, 1.5) > u)
+  }
+
   test("RasterKind.guess (gdalos_types.py:65-82)") {
     import RasterKind._
     assert(guess(Seq("byte", "byte", "byte")) == Photo)
