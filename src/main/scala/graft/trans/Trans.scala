@@ -144,8 +144,13 @@ object Trans {
       val warpNdv = opt.srcNdv.getOrElse(opt.dstNdv)
       val warped = Warp.warp(df, gt, dstGt, dw, dh, inv, warpNdv, kernel)
       log += s"R1: warp ${opt.srcSrs} → $dstSrs ($kernel) to ${dw}x$dh @ ($rx,$ry)"
+      // a requested extent is in SOURCE coordinates (gdal_translate
+      // projwin semantics); re-express it in the target SRS before the
+      // recursive re-plan, or the R3 intersection against the warped
+      // grid compares degrees with meters and silently empties
+      val dstReqExtent = opt.extent.map(e => ExtentUtils.transformExtent(e, fwd))
       return plan(warped, dstGt, dw, dh,
-          opt.copy(warpSrs = None, srcSrs = dstSrs))
+          opt.copy(warpSrs = None, srcSrs = dstSrs, extent = dstReqExtent))
         .map(p => p.copy(decisions = log.result() ++ p.decisions))
     }
 

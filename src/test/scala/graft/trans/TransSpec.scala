@@ -183,6 +183,25 @@ class TransSpec extends SparkSpec {
     assert(graft.Main.run(Array("-quiet"), spark) == 1)
   }
 
+  test("CLI -t_srs warps through the planner to a projected-CRS GeoTIFF") {
+    import graft.sources.GeoTiff
+    val srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_warp")
+      .resolve("utm.tif").toString
+    val rc = graft.Main.run(Array(
+      "-o", out, "-of", "GTIFF", "-srcwin", "0", "0", "120", "120",
+      "-t_srs", "w84u36", "-quiet", "-overwrite", srtm), spark)
+    assert(rc == 0)
+    val info = GeoTiff.readInfo(out)
+    // zone 36 projected CRS tagged, meter-scale pixels, populated grid
+    assert(info.epsg.contains(32636), s"epsg ${info.epsg}")
+    assert(info.gt.get.c1 > 1, s"pixel size ${info.gt.get.c1} not in meters")
+    assert(info.width > 0 && info.height > 0)
+    val back = spark.read.format("graft.sources.RasterSource")
+      .option("path", out).load()
+    assert(back.filter(col("v") =!= -32768.0).count() > 1000)
+  }
+
   test("CLI -partition splits the extent into grid-cell jobs (R5 + I3)") {
     import graft.sources.GeoTiff
     val srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
