@@ -149,8 +149,17 @@ object Trans {
       // recursive re-plan, or the R3 intersection against the warped
       // grid compares degrees with meters and silently empties
       val dstReqExtent = opt.extent.map(e => ExtentUtils.transformExtent(e, fwd))
+      // cutline rings are source-coordinate vertices too: re-project
+      // each vertex (GDAL's cutline handling — vertex transform; a
+      // curve between vertices is approximated by the straight dst
+      // segment, densify upstream if that matters)
+      val dstCutline = opt.cutlineWkt.map { wkt =>
+        Geometry.ringToWkt(Geometry.parseWktPolygonRing(wkt)
+          .map { case (x, y) => fwd(x, y) })
+      }
       return plan(warped, dstGt, dw, dh,
-          opt.copy(warpSrs = None, srcSrs = dstSrs, extent = dstReqExtent))
+          opt.copy(warpSrs = None, srcSrs = dstSrs, extent = dstReqExtent,
+            cutlineWkt = dstCutline))
         .map(p => p.copy(decisions = log.result() ++ p.decisions))
     }
 

@@ -183,6 +183,29 @@ class TransSpec extends SparkSpec {
     assert(graft.Main.run(Array("-quiet"), spark) == 1)
   }
 
+  test("warp + source-coordinate extent and cutline both re-project (projwin semantics)") {
+    // extent/cutline given in SOURCE degrees must crop the WARPED
+    // meter grid correctly (pre-fix: degree rects intersected meter
+    // extents -> silent empty plan)
+    val req = GeoRectangle(110, 35, 120, 45)
+    val p = Trans.plan(dem, gt, 200, 120, TransOptions(
+      extent = Some(req), warpSrs = Some("w84u51"), srcSrs = "w84geo")).get
+    assert(p.outSrs == "w84u51")
+    val n = p.frame.count()
+    assert(n > 0, "warped crop planned empty")
+    // the crop really cut: strictly fewer pixels than the full warp
+    val full = Trans.plan(dem, gt, 200, 120, TransOptions(
+      warpSrs = Some("w84u51"), srcSrs = "w84geo")).get.frame.count()
+    assert(n < full, s"crop $n not smaller than full warp $full")
+
+    val pc = Trans.plan(dem, gt, 200, 120, TransOptions(
+      cutlineWkt = Some("POLYGON ((125 40, 130 35, 125 30, 120 35, 125 40))"),
+      warpSrs = Some("w84u51"), srcSrs = "w84geo")).get
+    val nc = pc.frame.filter(col("v") =!= PixelFrame.Dem.Ndv).count()
+    assert(nc > 0, "warped cutline masked everything")
+    assert(nc < full, s"cutline $nc did not mask the warped grid")
+  }
+
   test("CLI -t_srs warps through the planner to a projected-CRS GeoTIFF") {
     import graft.sources.GeoTiff
     val srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
