@@ -78,6 +78,35 @@ object Dedup {
       .select("id", "s")
   }
 
+  /** Benchmark decontamination: per-document word-n-gram overlap with
+    * an evaluation/benchmark corpus — the GPT-3/PaLM-style "n-gram
+    * collision" check a pretraining pipeline runs before mixing, so
+    * eval answers never leak into the training set. Returns one row
+    * per training doc: distinct-gram count, how many of those grams
+    * appear anywhere in the benchmark, and the contamination fraction
+    * (exact integer counts, one IEEE division — engine-portable).
+    *
+    * 100 TB posture: benchmark gram sets are model-metadata-sized
+    * (a few million grams even for large eval suites), so the
+    * benchmark side is broadcast and the corpus is scanned exactly
+    * once with a map-side semi-mark — no shuffle of corpus grams
+    * beyond the per-doc aggregation. If the benchmark ever outgrows
+    * broadcast, dropping the hint degrades gracefully to a shuffle
+    * equi-join on the gram key (same plan shape as the LSH banding).
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val docGrams = shingleRows(docs, idCol, textCol, n).distinct()
+    val benchGrams = shingleRows(benchmark, idCol, textCol, n)
+      .select("s").distinct().withColumn("hit", lit(1))
+    docGrams.join(broadcast(benchGrams), Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
+  }
+
   /** One salted minhash value: the first 15 hex chars (60 bits) of the
     * salted md5, as a BIGINT. Numeric on purpose: `min` over longs
     * aggregates in HashAggregate (primitive mutable buffer), while

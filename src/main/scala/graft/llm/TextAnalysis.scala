@@ -91,6 +91,29 @@ object TextAnalysis {
       transform(split(substring(text, 1, prefixLen), ""), c => ascii(c)),
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
+  /** PII patterns shared by detection, redaction, and the SQL oracles.
+    * Both are ASCII-classed and valid in Java regex AND RE2 (DuckDB),
+    * so an oracle reproduces match-for-match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction: per-doc match counts for the standard
+    * scrub targets (emails, IPv4 literals), a has_pii flag, and the
+    * redacted text (emails first, then IPs — fixed order so engines
+    * agree when patterns could overlap). Pure per-row regex columns —
+    * codegen, no shuffle; the filtering/reporting decision composes
+    * downstream like [[qualityVerdict]].
+    */
+  def withPii(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ipv4", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("has_pii",
+        (col("n_emails") > 0 || col("n_ipv4") > 0).cast("int"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"))
+
   /** Repetition quality signals (the Gopher/MassiveText-style
     * pretraining filters, adapted to token level — the fixture corpus
     * carries no line structure): distinct-token ratio, and the

@@ -96,6 +96,61 @@ object LlmQueries {
       .orderBy("lang_pred")
   }
 
+  /** q89 benchmark decontamination: docs with doc_id ≡ 0 (mod 17) act
+    * as the held-out benchmark; every other doc reports its distinct
+    * word-3-gram overlap with the benchmark's gram set — the
+    * GPT-3-style n-gram contamination check a pipeline runs before
+    * mixing. The oracle recomputes the identical shingle sets and the
+    * same gram join.
+    */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_hit"),
+        col("contamination"),
+        (col("contamination") >= 0.05).cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** q90 PII detection + redaction: the fixture corpus carries no PII,
+    * so deterministic synthetic contacts are appended (doc_id-derived
+    * emails on ≡0 mod 7, IPv4 literals on ≡0 mod 11 — multiples of 77
+    * get both) and the detector must count exactly those and scrub
+    * them; md5 of the redacted text proves the rewrite byte-for-byte.
+    */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).select("doc_id", "text")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit(""))))
+    TextAnalysis.withPii(seeded)
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("has_pii"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q91 per-source mixing table: the quality verdict aggregated to
+    * the source/domain level — doc counts, kept counts, kept-token
+    * budget, keep rate — the statistics a pipeline uses to set
+    * per-domain sampling weights (C4/RefinedWeb-style domain
+    * filtering). Integer aggregates only; the rate is one terminal
+    * division, so the doubles are engine-exact.
+    */
+  def q91(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityVerdict(Tables.documents(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("n_keep"),
+        sum(when(col("keep") === 1, col("n_tokens")).otherwise(0)).as("kept_tokens"))
+      .withColumn("keep_rate", col("n_keep").cast("double") / col("n_docs"))
+      .orderBy("source")
+
   /** q45 exact dedup over a corpus doubled with shifted ids — the
     * removal decision is non-vacuous by construction (every doc has
     * exactly one duplicate).
@@ -288,6 +343,9 @@ object LlmQueries {
     "q76_quality_filter" -> q76 _,
     "q77_sample_mix" -> q77 _,
     "q88_sample_take" -> q88 _,
+    "q89_decontaminate" -> q89 _,
+    "q90_pii_scrub" -> q90 _,
+    "q91_source_mix" -> q91 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -481,6 +539,70 @@ object LlmQueries {
          |  WHERE rn <= CASE lang_pred WHEN 'en' THEN 50 WHEN 'other' THEN 20 ELSE 5 END)
          |SELECT lang_pred, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM k GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q89_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |g AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         |t AS (SELECT doc_id, COUNT(*) AS n_grams FROM g
+         |      WHERE doc_id % 17 <> 0 GROUP BY doc_id),
+         |h AS (SELECT g.doc_id, COUNT(*) AS n_hit
+         |      FROM g JOIN bg USING (s)
+         |      WHERE g.doc_id % 17 <> 0 GROUP BY g.doc_id)
+         |SELECT t.doc_id, t.n_grams,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams AS contamination,
+         |       CAST(CASE WHEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams >= 0.05
+         |            THEN 1 ELSE 0 END AS INTEGER) AS flagged
+         |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q90_pii_scrub" -> {
+      val em = TextAnalysis.EmailRe
+      val ip = TextAnalysis.Ipv4Re
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |         text
+         |         || CASE WHEN doc_id % 7 = 0
+         |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |              ELSE '' END
+         |         || CASE WHEN doc_id % 11 = 0
+         |              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         |              ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$em')) AS INTEGER) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ipv4,
+         |       CAST(CASE WHEN len(regexp_extract_all(text, '$em')) > 0
+         |                   OR len(regexp_extract_all(text, '$ip')) > 0
+         |            THEN 1 ELSE 0 END AS INTEGER) AS has_pii,
+         |       md5(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+         |                          '$ip', '<IP>', 'g')) AS redacted_md5
+         |FROM seeded ORDER BY doc_id""".stripMargin
+    },
+
+    "q91_source_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(toks) AS INTEGER) AS n_tokens,
+         |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lex_diversity,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio
+         |  FROM t),
+         |v AS (
+         |  SELECT source, n_tokens,
+         |    (CASE WHEN n_tokens < 5 OR n_tokens > 5000 THEN 1 ELSE 0 END
+         |     + CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 1 ELSE 0 END
+         |     + CASE WHEN lex_diversity < 0.3 THEN 1 ELSE 0 END
+         |     + CASE WHEN punct_ratio > 0.2 THEN 1 ELSE 0 END) AS n_fail
+         |  FROM m)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |       CAST(SUM(CASE WHEN n_fail = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |       CAST(SUM(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
 
     "q45_dedup_exact" ->
       """WITH doubled AS (

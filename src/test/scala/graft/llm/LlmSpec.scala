@@ -354,4 +354,66 @@ class LlmSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](autoPlanes(-1))
     assertThrows[IllegalArgumentException](autoPlanes(10, 0))
   }
+
+  test("decontaminate: overlap counted against the benchmark gram set only") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "alpha beta gamma delta"),            // full overlap (2 grams, both hit)
+      (1L, "alpha beta gamma nothing shared"),   // 1 of 3 grams hits
+      (2L, "totally disjoint words entirely"))   // 0 hits, still reported
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_grams") == 2 && out(0).getAs[Long]("n_hit") == 2)
+    assert(out(0).getAs[Double]("contamination") == 1.0)
+    assert(out(1).getAs[Long]("n_hit") == 1)
+    assert(out(2).getAs[Long]("n_hit") == 0
+      && out(2).getAs[Double]("contamination") == 0.0)
+    // duplicate grams within a doc count once (distinct-gram semantics)
+    val rep = Seq((7L, "alpha beta gamma alpha beta gamma delta")).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(rep, bench, "doc_id", "text", n = 3).head()
+    assert(r.getAs[Long]("n_grams") == 4 && r.getAs[Long]("n_hit") == 2)
+  }
+
+  test("PII: emails and IPv4s counted and scrubbed; clean text untouched") {
+    val df = Seq(
+      (0L, "reach me at jane.doe+spam@mail.example.org or bob@x.io thanks"),
+      (1L, "server at 192.168.1.254 and 10.0.0.1 responded"),
+      (2L, "no contact info in this row at all"),
+      (3L, "mixed a@b.co from 8.8.8.8"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withPii(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 2 && out(0).getAs[Int]("n_ipv4") == 0)
+    assert(out(0).getAs[String]("redacted")
+      == "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(out(1).getAs[Int]("n_ipv4") == 2
+      && out(1).getAs[String]("redacted") == "server at <IP> and <IP> responded")
+    assert(out(2).getAs[Int]("has_pii") == 0
+      && out(2).getAs[String]("redacted") == out(2).getAs[String]("text"))
+    assert(out(3).getAs[String]("redacted") == "mixed <EMAIL> from <IP>")
+    // redaction is idempotent: a scrubbed text has no remaining matches
+    val re = TextAnalysis.withPii(
+      TextAnalysis.withPii(df).select($"doc_id", $"redacted".as("text")))
+    assert(re.agg(sum("n_emails") + sum("n_ipv4")).head().getLong(0) == 0L)
+  }
+
+  test("source mix stats: integer aggregates per source, rate from counts") {
+    val df = Seq(
+      // src0: one keeper, one too-short doc (n_tokens < 5 fails)
+      (0L, "the quick brown fox jumps over the lazy dog today", "src0"),
+      (1L, "no", "src0"),
+      // src1: all kept
+      (2L, "a plain sentence with enough distinct normal words here", "src1"))
+      .toDF("doc_id", "text", "source")
+    val v = TextAnalysis.qualityVerdict(df)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"),
+        sum(when($"keep" === 1, $"n_tokens").otherwise(0)).as("kept_tokens"))
+      .withColumn("keep_rate", $"n_keep".cast("double") / $"n_docs")
+      .orderBy("source").collect()
+    assert(v(0).getAs[Long]("n_docs") == 2 && v(0).getAs[Long]("n_keep") == 1)
+    assert(v(0).getAs[Long]("kept_tokens") == 10 && v(0).getAs[Double]("keep_rate") == 0.5)
+    assert(v(1).getAs[Long]("n_keep") == 1 && v(1).getAs[Double]("keep_rate") == 1.0)
+  }
 }
