@@ -342,4 +342,41 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
+
+  /** Per-vector max-abs scale for symmetric int8 quantization. Exact:
+    * `array_max` compares, never sums, so the result is one of the
+    * input floats (cast to double) regardless of partitioning/engine.
+    */
+  def quantScaleCol(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× compression step before an ANN index is built at corpus scale
+    * (the dot-product machinery runs unchanged on the dequantized
+    * values). Codes are `floor(x·127/scale + 0.5)` — explicit floor
+    * rounding, not `round()`, because engines disagree on half-away
+    * vs half-even; floor of an exact double is bit-portable, so the
+    * int codes are oracle-comparable. All-zero vectors get scale 0 and
+    * all-zero codes (guarded division). Pure per-row expressions, no
+    * shuffle; codes are INT (a TINYINT cast is storage-layer — parquet
+    * stores the logical range, and INT keeps the column checksum-able
+    * without overflow).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val scale = quantScaleCol(col(vecCol))
+    df.withColumn("q_scale", scale)
+      .withColumn("q_codes",
+        when(col("q_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          x => floor(x.cast("double") * lit(127.0) / col("q_scale") + lit(0.5))
+            .cast("int"))))
+  }
+
+  /** Dequantized reconstruction of [[quantizeInt8]] codes:
+    * `code · scale / 127` as float — the form an int8 ANN index
+    * actually scores against.
+    */
+  def dequantizeCol(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("double") * scale / lit(127.0)).cast("float"))
 }

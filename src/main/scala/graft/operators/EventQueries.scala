@@ -100,6 +100,21 @@ object EventQueries {
         col("sum_value"))
       .orderBy("user_id", "s_us")
 
+  /** q92 J: click→view attribution — the batch twin of the
+    * watermarked stream-stream interval join
+    * [[graft.streaming.EventStream.attributionJoin]] (each click
+    * pairs with the same user's views in the 10 minutes before it,
+    * inclusive). Gap reported in epoch micros; the oracle replays the
+    * identical inequality join.
+    */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.streaming.EventStream.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .orderBy("click_id", "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_events_json" -> q53 _,
     "q54_string_paths" -> q54 _,
@@ -107,6 +122,7 @@ object EventQueries {
     "q71_asof_join" -> q71 _,
     "q72_range_join" -> q72 _,
     "q74_session_windows" -> q74 _,
+    "q92_attrib_join" -> q92 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +185,17 @@ object EventQueries {
         |FROM p JOIN e ON p.user_id = e.user_id
         |  AND p.t_us >= e.s_us AND p.t_us < e.e_us
         |GROUP BY e.err_id ORDER BY err_id""".stripMargin,
+
+    "q92_attrib_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, c.click_id, v.view_id, c.c_us - v.v_us AS gap_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.v_us <= c.c_us AND v.v_us >= c.c_us - 600000000
+        |ORDER BY click_id, view_id""".stripMargin,
   )
 }

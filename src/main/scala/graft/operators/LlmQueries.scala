@@ -293,6 +293,23 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q93 symmetric int8 quantization of the embedding corpus (the 4×
+    * compression step before building an ANN index at scale): exact
+    * max-abs scale + floor-rounded integer codes, digested per vector
+    * into order-independent integer aggregates (sum/min/max/nonzero)
+    * so the oracle compares every code without shipping arrays.
+    */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    val q = Similarity.quantizeInt8(
+      Tables.embeddings(s, d).select("vec_id", "embedding"))
+    q.select(col("vec_id"), col("q_scale"),
+        aggregate(col("q_codes"), lit(0L), (a, c) => a + c).as("sum_q"),
+        array_min(col("q_codes")).as("min_q"),
+        array_max(col("q_codes")).as("max_q"),
+        size(filter(col("q_codes"), c => c =!= 0)).as("n_nonzero"))
+      .orderBy("vec_id")
+  }
+
   /** q52 multimodal plumbing: binary payloads through the stub
     * feature extractor (typed mapPartitions path).
     */
@@ -346,6 +363,7 @@ object LlmQueries {
     "q89_decontaminate" -> q89 _,
     "q90_pii_scrub" -> q90 _,
     "q91_source_mix" -> q91 _,
+    "q93_quantize_int8" -> q93 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -603,6 +621,25 @@ object LlmQueries {
          |       CAST(SUM(CASE WHEN n_fail = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
          |       CAST(SUM(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "q93_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS q_scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, q_scale,
+        |         CASE WHEN q_scale = 0
+        |           THEN list_transform(embedding, x -> 0)
+        |           ELSE list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / q_scale + 0.5) AS INTEGER)) END AS q
+        |  FROM s)
+        |SELECT vec_id, q_scale,
+        |       CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |       CAST(list_aggregate(q, 'min') AS INTEGER) AS min_q,
+        |       CAST(list_aggregate(q, 'max') AS INTEGER) AS max_q,
+        |       CAST(len(list_filter(q, x -> x <> 0)) AS INTEGER) AS n_nonzero
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q45_dedup_exact" ->
       """WITH doubled AS (

@@ -120,6 +120,36 @@ object EventStream {
     else keyed.dropDuplicates("content_key")
   }
 
+  /** Watermarked stream-stream interval join (click attribution): each
+    * click pairs with the same user's views inside the `lookback`
+    * window ending at the click (inclusive). The canonical
+    * stream-stream join shape: BOTH sides carry event-time watermarks
+    * and the join predicate bounds view time relative to click time,
+    * so the state store holds only rows inside
+    * watermark + lookback and evicts everything older — bounded state
+    * at any stream length. One definition, two runners: on batch
+    * frames the same code plans as a user_id equi-join with the
+    * interval residual (per-user rates bound the fan-out; the
+    * bucketed [[graft.operators.Temporal.rangeJoin]] is the
+    * heavy-skew alternative).
+    */
+  def attributionJoin(clicks: DataFrame, views: DataFrame,
+                      lookback: String = "10 minutes",
+                      watermark: String = "30 minutes"): DataFrame = {
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermark) else clicks)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = (if (views.isStreaming) views.withWatermark("ts", watermark) else views)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("view_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (expr("unix_micros(click_ts)") - expr("unix_micros(view_ts)")).as("gap_us"))
+  }
+
   /** Per-user running totals on the Spark 4 `transformWithState`
     * surface — the successor of [[userTotals]]'s mapGroupsWithState:
     * named typed state variables (`ValueState`) on the RocksDB state

@@ -355,6 +355,30 @@ class LlmSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](autoPlanes(10, 0))
   }
 
+  test("int8 quantization: codes in [-127,127], round-trip error bounded, zero-safe") {
+    val emb = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Array.fill(4)(0.0f)),             // all-zero: scale 0, codes 0
+      (2L, Array(-2.0f, 2.0f, 1.9999f, 0.0001f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb).cache()
+    val rows = q.orderBy("vec_id").collect()
+    // extreme elements hit ±127 exactly; zero vector is all-zero codes
+    def codes(i: Int) =
+      rows(i).getAs[scala.collection.Seq[Int]]("q_codes").toSeq
+    assert(codes(0) == Seq(127, -63, 32, 0))
+    assert(rows(1).getAs[Double]("q_scale") == 0.0 && codes(1).forall(_ == 0))
+    assert(codes(2).head == -127 && codes(2)(1) == 127)
+    // dequantized reconstruction within half a quantization step
+    val err = q.select($"vec_id", $"q_scale",
+        zip_with($"embedding",
+          Similarity.dequantizeCol($"q_codes", $"q_scale"),
+          (x, y) => abs(x.cast("double") - y.cast("double"))).as("errs"))
+      .select(max(aggregate($"errs", lit(0.0), (a, e) => greatest(a, e))
+        - $"q_scale" / lit(127.0))).head().getDouble(0)
+    assert(err <= 1e-7)
+  }
+
   test("decontaminate: overlap counted against the benchmark gram set only") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(

@@ -176,4 +176,33 @@ class EventStreamSpec extends SparkSpec {
       "text", "ts")
     assert(batch.count() == 2)
   }
+
+  test("stream-stream attribution join equals the batch twin; bounds inclusive") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val cFix = Seq(ev(100, 10, 1, "click", 0.0), ev(101, 30, 2, "click", 0.0))
+    val vFix = Seq(ev(0, 0, 1, "view", 0.0), ev(1, 5, 1, "view", 0.0),
+      ev(2, 12, 1, "view", 0.0),  // after the click — never attributed
+      ev(3, 25, 2, "view", 0.0), ev(4, 19, 2, "view", 0.0)) // 19 is 11 min before — outside
+    val q = EventStream.attributionJoin(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      clicks.addData(cFix)
+      views.addData(vFix)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .orderBy("click_id", "view_id").collect().toSeq
+      val batch = EventStream.attributionJoin(cFix.toDF(), vFix.toDF())
+        .orderBy("click_id", "view_id").collect().toSeq
+      assert(streamed == batch)
+      val pairs = batch.map(r => (r.getAs[Long]("click_id"),
+        r.getAs[Long]("view_id"), r.getAs[Long]("gap_us")))
+      // click@10 ← views @0 (gap exactly 10 min — inclusive edge) and @5;
+      // click@30 ← view @25 only (the 11-min-old view is outside)
+      assert(pairs == Seq((100L, 0L, 600000000L), (100L, 1L, 300000000L),
+        (101L, 3L, 300000000L)))
+    } finally q.stop()
+  }
 }
