@@ -107,6 +107,43 @@ object Dedup {
         (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
   }
 
+  /** Substring-duplication statistics (the Lee et al. "Deduplicating
+    * Training Data" signal, relationalized): slide k-char windows at
+    * `stride` over every doc, hash each window, and report per doc how
+    * many of its distinct windows also occur in ANY other doc — the
+    * decision column for cutting boilerplate/templated spans that
+    * document-level dedup can't see.
+    *
+    * Shape: one projection builds the window array (k-char strings —
+    * rows carry windows, never the whole text), explode, distinct per
+    * (doc, window-hash), then the window-hash aggregation counts
+    * cross-doc occurrences and an equi-join on the hash marks shared
+    * windows back onto docs. Work is linear in corpus chars / stride;
+    * both shuffles key on the window hash — the same
+    * bucket-everything posture as the other dedup families.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, stride: Int = 8): DataFrame = {
+    require(k > 0 && stride > 0, s"k and stride must be positive, got k=$k stride=$stride")
+    val windows = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"), explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)), lit(stride)),
+        i => col("text").substr(i, lit(k)))).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val counts = windows.groupBy("h")
+      .agg(count(lit(1)).as("n_docs_with"))
+    windows.join(counts, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs_with") > 1, 1).otherwise(0)).as("n_shared"))
+      .select(col("id"), col("n_windows"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_windows")).as("shared_frac"))
+  }
+
   /** One salted minhash value: the first 15 hex chars (60 bits) of the
     * salted md5, as a BIGINT. Numeric on purpose: `min` over longs
     * aggregates in HashAggregate (primitive mutable buffer), while

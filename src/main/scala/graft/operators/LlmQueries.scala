@@ -201,6 +201,19 @@ object LlmQueries {
         prefixLen = 32, n = 5, threshold = 0.7)
       .orderBy("id_a", "id_b")
 
+  /** q94 substring-duplication stats (Lee et al.-style): 32-char
+    * windows at stride 8, per-doc distinct-window counts and how many
+    * occur in any other doc — the span-level boilerplate signal
+    * document-level dedup can't see. The oracle rebuilds the same
+    * windows, hashes, and cross-doc counts.
+    */
+  def q94(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupStats(Tables.documents(s, d), "doc_id", "text",
+        k = 32, stride = 8)
+      .select(col("id").as("doc_id"), col("n_windows"), col("n_shared"),
+        col("shared_frac"))
+      .orderBy("doc_id")
+
   /** q48 SimHash bucket groups. */
   def q48(s: SparkSession, d: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
@@ -364,6 +377,7 @@ object LlmQueries {
     "q90_pii_scrub" -> q90 _,
     "q91_source_mix" -> q91 _,
     "q93_quantize_int8" -> q93 _,
+    "q94_substring_dup" -> q94 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -621,6 +635,22 @@ object LlmQueries {
          |       CAST(SUM(CASE WHEN n_fail = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
          |       CAST(SUM(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "q94_substring_dup" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 31, 1) + 1, 8),
+        |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 32)), 1, 15) AS BIGINT))) AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS h FROM w0),
+        |c AS (SELECT h, COUNT(*) AS n_docs_with FROM w GROUP BY h),
+        |agg AS (
+        |  SELECT w.doc_id, COUNT(*) AS n_windows,
+        |         SUM(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM w JOIN c USING (h) GROUP BY w.doc_id)
+        |SELECT doc_id, n_windows, CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_shared AS DOUBLE) / n_windows AS shared_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q93_quantize_int8" ->
       """WITH s AS (

@@ -379,6 +379,27 @@ class LlmSpec extends SparkSpec {
     assert(err <= 1e-7)
   }
 
+  test("substring dup stats: shared windows counted cross-doc, distinct within doc") {
+    // k=4, stride=2: windows of "abcdefgh" at 1,3,5 -> abcd, cdef, efgh
+    val df = Seq(
+      (0L, "abcdefgh"),
+      (1L, "abcdXYZW"),   // shares only the abcd window with doc 0
+      (2L, "qrstuvwx"),   // shares nothing
+      (3L, "ab"))         // shorter than k: one partial window
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(df, "doc_id", "text", k = 4, stride = 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_windows") == 3 && out(0).getAs[Long]("n_shared") == 1)
+    assert(out(1).getAs[Long]("n_windows") == 3 && out(1).getAs[Long]("n_shared") == 1)
+    assert(out(2).getAs[Long]("n_shared") == 0)
+    assert(out(3).getAs[Long]("n_windows") == 1 && out(3).getAs[Long]("n_shared") == 0)
+    assert(out(0).getAs[Double]("shared_frac") == 1.0 / 3)
+    // a window repeated INSIDE one doc only is not "shared"
+    val rep = Seq((9L, "abcdabcd")).toDF("doc_id", "text")
+    val r = Dedup.substringDupStats(rep, "doc_id", "text", k = 4, stride = 4).head()
+    assert(r.getAs[Long]("n_windows") == 1 && r.getAs[Long]("n_shared") == 0)
+  }
+
   test("decontaminate: overlap counted against the benchmark gram set only") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
