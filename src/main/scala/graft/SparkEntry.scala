@@ -22,7 +22,8 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    (brute/LSH/IVF, single-query and batched many-query forms),
   *    multimodal, deterministic sampling, benchmark decontamination
   *    q89, PII scrub q90, per-source mixing table q91, int8
-  *    embedding quantization q93, substring-dup stats q94
+  *    embedding quantization q93, substring-dup stats q94, sequence
+  *    packing q95, BM25 lexical retrieval q96
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) retrieval over a document corpus — the BM25-family
+  * complement to the embedding-ANN operators in [[Similarity]]: a
+  * training-data pipeline uses it for targeted corpus search,
+  * benchmark-leak hunts, and quality probes where exact term match
+  * beats cosine.
+  *
+  * Relational shape (the inverted index, as tables): token rows →
+  * per-(doc, term) tf aggregation (shuffle keyed on doc), per-term
+  * document frequencies for the query's terms only (tiny — broadcast),
+  * score = per-doc sum of per-term contributions, window top-k. Work
+  * is linear in corpus tokens; nothing all-pairs anywhere.
+  *
+  * Determinism across engines: the classic BM25 idf is `ln((N-df+0.5)/
+  * (df+0.5))` — a transcendental whose last bits differ between libm
+  * implementations. This variant keeps the SAME monotone ranking
+  * inputs but rational: idf_odds = (N-df+0.5)/(df+0.5) (one IEEE
+  * division — bit-portable), and sums per-term contributions in FIXED
+  * POINT (floor(contrib·2²⁰) as BIGINT) so the cross-row addition
+  * order cannot perturb low bits. The reported score is
+  * score_fp / 2²⁰ — an exact power-of-two division.
+  */
+object Retrieval {
+
+  /** Per-(doc, term) frequency table `(id, s, tf)` plus doc lengths
+    * `(id, dl)` — the inverted-index build, reusable across queries
+    * (persist/bucket by `s` at production scale).
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.shingleRows(docs, idCol, textCol, n = 1)
+      .groupBy("id", "s").agg(count(lit(1)).as("tf"))
+
+  /** BM25-style top-k: score every doc containing at least one query
+    * term, return the k best (score desc, id asc — total order).
+    * `k1`/`b` are the standard BM25 knobs; both appear in the score
+    * as plain literal arithmetic so an oracle reproduces bit-for-bit.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val g = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+    val dft = tf.filter(col("s").isin(queryTerms: _*))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val contrib = col("idf") * (col("tf") * (lit(k1) + lit(1.0))) / denom
+    tf.filter(col("s").isin(queryTerms: _*))
+      .join(dl, "id")
+      .join(broadcast(dft), "s")
+      .crossJoin(broadcast(g))
+      .withColumn("avgdl", col("tot_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("fp", floor(contrib * lit(1048576.0)).cast("long"))
+      .groupBy("id")
+      .agg(sum("fp").as("score_fp"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+      .select(col("id"), (col("score_fp").cast("double") / lit(1048576.0)).as("score"),
+        col("n_terms_hit"))
+  }
+}

@@ -61,4 +61,36 @@ object Sampling {
       .filter(col("_take_rn") <= cnt)
       .drop("_take_rn")
   }
+
+  /** Sequence packing — assign docs to fixed token-budget bins (the
+    * batch-assembly step before pretraining: concatenate docs until
+    * the context window fills). Greedy fill in deterministic md5-hash
+    * order; a doc that straddles the budget stays in the bin where it
+    * started (overflow-tolerant packing). Adds `shard` (md5-derived,
+    * `shards`-way) and `bin` (per-shard running token count DIV
+    * budget).
+    *
+    * Scale shape: packing is inherently sequential, so it runs PER
+    * SHARD — the window keys on the shard and parallelism scales with
+    * `shards` (pick shards ≈ cluster cores; bins are only comparable
+    * within a shard, which is exactly how pipelines pack in practice:
+    * per output file). One window shuffle keyed on shard.
+    */
+  def packBins(df: DataFrame, keyCol: Column, tokenCol: Column,
+               budget: Long, shards: Int = 8): DataFrame = {
+    require(budget > 0 && shards > 0,
+      s"budget and shards must be positive, got budget=$budget shards=$shards")
+    val shard = pmod(conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(shards.toLong))
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("_cum", sum(tokenCol.cast("long")).over(w))
+      // the bin where the doc STARTS: tokens before it DIV budget
+      // (integer division — exact at any cumulative size)
+      .withColumn("_start", col("_cum") - tokenCol.cast("long"))
+      .withColumn("bin", expr(s"_start div ${budget}L"))
+      .drop("_cum", "_start")
+  }
 }

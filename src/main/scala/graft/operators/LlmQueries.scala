@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Declared correctness queries for the LLM-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) over
@@ -214,6 +214,34 @@ object LlmQueries {
         col("shared_frac"))
       .orderBy("doc_id")
 
+  /** q95 sequence packing: docs → fixed token-budget bins in
+    * deterministic hash order, packed per shard (the batch-assembly
+    * step before pretraining; parallelism scales with the shard
+    * count). Output is per-(shard, bin) fill statistics; the oracle
+    * replays the identical running-sum window.
+    */
+  def q95(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens", TextAnalysis.tokenCountCol(col("text")))
+    Sampling.packBins(docs, col("doc_id"), col("n_tokens"),
+        budget = 2048L, shards = 8)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  /** q96 BM25-style lexical retrieval: top-10 docs for a 3-term query
+    * — the keyword complement of the embedding-ANN queries. Rational
+    * idf + fixed-point contribution sums keep every score bit-equal
+    * across engines (see Retrieval scaladoc); the oracle rebuilds the
+    * inverted index and the identical score arithmetic.
+    */
+  def q96(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "merge", "vector"), k = 10)
+      .select(col("id").as("doc_id"), col("score"), col("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+
   /** q48 SimHash bucket groups. */
   def q48(s: SparkSession, d: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
@@ -378,6 +406,8 @@ object LlmQueries {
     "q91_source_mix" -> q91 _,
     "q93_quantize_int8" -> q93 _,
     "q94_substring_dup" -> q94 _,
+    "q95_pack_bins" -> q95 _,
+    "q96_bm25_topk" -> q96 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -635,6 +665,48 @@ object LlmQueries {
          |       CAST(SUM(CASE WHEN n_fail = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
          |       CAST(SUM(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "q95_pack_bins" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS INTEGER) AS n_tokens FROM documents),
+         |sh AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+         |         md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM t),
+         |c AS (
+         |  SELECT shard, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sh),
+         |bb AS (SELECT shard, (cum - n_tokens) // 2048 AS bin, n_tokens FROM c)
+         |SELECT shard, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM bb GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    "q96_bm25_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest($toksExpr) AS s FROM documents),
+         |tf AS (SELECT id, s, COUNT(*) AS tf FROM tok GROUP BY id, s),
+         |dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+         |g AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+         |dft AS (SELECT s, COUNT(*) AS df FROM tf
+         |        WHERE s IN ('spark', 'merge', 'vector') GROUP BY s),
+         |sc AS (
+         |  SELECT tf.id,
+         |    CAST(floor(
+         |      ((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * (tf.tf * (1.2 + 1.0))
+         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+         |                        / (CAST(g.tot AS DOUBLE) / g.n_docs)))
+         |      * 1048576.0) AS BIGINT) AS fp
+         |  FROM tf JOIN dl USING (id) JOIN dft d USING (s) CROSS JOIN g
+         |  WHERE tf.s IN ('spark', 'merge', 'vector')),
+         |agg AS (SELECT id, SUM(fp) AS score_fp, COUNT(*) AS n_terms_hit
+         |        FROM sc GROUP BY id),
+         |topk AS (SELECT * FROM agg ORDER BY score_fp DESC, id LIMIT 10)
+         |SELECT id AS doc_id, CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+         |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+         |FROM topk ORDER BY score DESC, doc_id""".stripMargin,
 
     "q94_substring_dup" ->
       """WITH w0 AS (

@@ -379,6 +379,53 @@ class LlmSpec extends SparkSpec {
     assert(err <= 1e-7)
   }
 
+  test("packBins: greedy per-shard fill, bin = where the doc starts, deterministic") {
+    val df = (0L until 40L).map(i => (i, 100)).toDF("doc_id", "n_tokens")
+    val out = Sampling.packBins(df, $"doc_id", $"n_tokens", budget = 250L, shards = 2)
+      .cache()
+    // deterministic: same input -> identical assignment
+    val again = Sampling.packBins(df, $"doc_id", $"n_tokens", budget = 250L, shards = 2)
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // every doc assigned exactly one (shard, bin); shards as declared
+    assert(out.count() == 40)
+    assert(out.select("shard").distinct().as[Long].collect().toSet.subsetOf(Set(0L, 1L)))
+    // within a shard, bins fill in order: doc at running-total t gets bin t/250;
+    // with 100-token docs the pattern is bins of 3,2,3,2,... (300,200 tokens)
+    val fills = out.groupBy("shard", "bin").count()
+      .orderBy("shard", "bin").as[(Long, Long, Long)].collect()
+    val byShard = fills.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    byShard.values.foreach { bins =>
+      // contiguous from 0; full bins hold 2-3 docs (300/200-token
+      // alternation), only the final bin may be a partial remainder
+      assert(bins.map(_._2).toSeq == (0L until bins.length).toSeq)
+      assert(bins.init.forall { case (_, _, n) => n == 2 || n == 3 })
+      assert(bins.last._3 <= 3)
+    }
+    // a doc longer than the budget still lands in the bin where it starts
+    val big = Seq((1L, 1000), (2L, 10)).toDF("doc_id", "n_tokens")
+    val b = Sampling.packBins(big, $"doc_id", $"n_tokens", budget = 250L, shards = 1)
+    assert(b.select("bin").as[Long].collect().toSet.nonEmpty)
+  }
+
+  test("bm25TopK: term-frequency ranking with length normalization, exact ties broken by id") {
+    val docs = Seq(
+      (0L, "spark spark spark join"),        // tf=3, short
+      (1L, "spark join merge filter scan"),  // tf=1
+      (2L, "join merge filter scan batch"),  // no query term
+      (3L, "spark spark join merge filter scan batch row column value")) // tf=2, long
+      .toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect()
+    // only docs containing the term appear; highest tf/shortest doc first
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(0L, 3L, 1L))
+    assert(top.head.getAs[Double]("score") > top.last.getAs[Double]("score"))
+    // multi-term query counts distinct terms hit
+    val multi = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark", "merge"), k = 10)
+      .collect()
+    assert(multi.find(_.getAs[Long]("id") == 1L).get.getAs[Long]("n_terms_hit") == 2)
+  }
+
   test("substring dup stats: shared windows counted cross-doc, distinct within doc") {
     // k=4, stride=2: windows of "abcdefgh" at 1,3,5 -> abcd, cdef, efgh
     val df = Seq(
