@@ -269,6 +269,19 @@ object RasterQueries {
     RasterOps.rasterize(dem(s), Gt, CutRing, burnValue = 9999.0)
       .select("px", "py", "v").orderBy("py", "px")
 
+  /** q97 Horn 3×3 gradient (gdaldem slope/aspect kernel as a SCATTER
+    * stencil — 9-role explode + one center-keyed aggregation) with a
+    * rational slope classification on the gradient magnitude (p²+q² —
+    * no transcendental, so every value oracle-compares exactly).
+    */
+  def q97(s: SparkSession, d: String): DataFrame =
+    RasterOps.hornGradient(dem(s), cellSize = 5.0)
+      .withColumn("mag2", col("p") * col("p") + col("q") * col("q"))
+      .withColumn("slope_class",
+        when(col("mag2") >= 100.0, 2).when(col("mag2") >= 25.0, 1).otherwise(0))
+      .select("px", "py", "p", "q", "slope_class")
+      .orderBy("py", "px")
+
   /** q57 E4 forward-target trig (vectorized calc_fwd). */
   def q57(s: SparkSession, d: String): DataFrame = {
     val obs = s.range(30).select(
@@ -475,6 +488,7 @@ object RasterQueries {
     "q65_geotiff_roundtrip" -> q65 _,
     "q66_warp_utm_to_geo" -> q66 _,
     "q67_rasterize_burn" -> q67 _,
+    "q97_horn_gradient" -> q97 _,
     "q68_los_extended" -> q68 _,
   )
 
@@ -672,6 +686,30 @@ object RasterQueries {
          |SELECT px, py, v FROM dem
          |WHERE px >= 64 AND px < 192 AND py >= 32 AND py < 96
          |ORDER BY py, px""".stripMargin,
+
+    "q97_horn_gradient" ->
+      s"""WITH $demCte,
+         |src AS (SELECT px, py, v FROM dem WHERE v <> -32768.0),
+         |con AS (
+         |  SELECT s.px - dx.d AS cx, s.py - dy.d AS cy,
+         |         dx.d AS dx, dy.d AS dy, s.v
+         |  FROM src s
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+         |g AS (
+         |  SELECT cx, cy, COUNT(*) AS n,
+         |         SUM((dx * (2 - abs(dy))) * v) AS sx,
+         |         SUM((dy * (2 - abs(dx))) * v) AS sy
+         |  FROM con GROUP BY cx, cy),
+         |pq AS (
+         |  SELECT CAST(cx AS INTEGER) AS px, CAST(cy AS INTEGER) AS py,
+         |         sx / 40.0 AS p, sy / 40.0 AS q
+         |  FROM g WHERE n = 9)
+         |SELECT px, py, p, q,
+         |       CAST(CASE WHEN p * p + q * q >= 100.0 THEN 2
+         |                 WHEN p * p + q * q >= 25.0 THEN 1
+         |                 ELSE 0 END AS INTEGER) AS slope_class
+         |FROM pq ORDER BY py, px""".stripMargin,
 
     "q66_warp_utm_to_geo" -> warpOracle,
 

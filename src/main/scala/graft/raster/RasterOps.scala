@@ -209,4 +209,40 @@ object RasterOps {
     df.groupBy("rid").agg(
       min("px").as("minPx"), min("py").as("minPy"),
       max("px").as("maxPx"), max("py").as("maxPy"))
+
+  /** Horn 3×3 gradient over a pixel frame (the gdaldem slope/aspect
+    * kernel — a terrain-analysis extension beyond the reference's own
+    * operator set): p = dz/dx and q = dz/dy via the (1,2,1) weighted
+    * central differences, divided by 8·cellSize.
+    *
+    * Plan shape: a SCATTER stencil — each valid pixel explodes to its
+    * nine (dx,dy) roles and one hash aggregation keyed on the center
+    * rebuilds every neighborhood (complementing the gather-join
+    * stencil the warp kernels use). One shuffle, 9× the row volume of
+    * the frame — constant fan-out, so it scales like any other
+    * pixel-keyed aggregation. Only full neighborhoods emit (n = 9):
+    * edges and pixels adjacent to nodata are excluded, which is the
+    * conservative gdaldem contract.
+    *
+    * Determinism: weighted sums add integer-valued doubles (DEM values
+    * × integer weights), exact at any aggregation order; p and q are
+    * one IEEE division each — oracle-comparable bit-for-bit.
+    */
+  def hornGradient(df: DataFrame, cellSize: Double,
+                   ndv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val offs = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    df.filter(col("v") =!= ndv)
+      .select(col("rid"), col("band"), col("px"), col("py"), col("v"),
+        explode(offs).as("o"))
+      .groupBy(col("rid"), col("band"),
+        (col("px") - col("o.dx")).as("px"), (col("py") - col("o.dy")).as("py"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o.dx") * (lit(2) - abs(col("o.dy")))) * col("v")).as("sx"),
+        sum((col("o.dy") * (lit(2) - abs(col("o.dx")))) * col("v")).as("sy"))
+      .filter(col("n") === 9)
+      .select(col("rid"), col("band"), col("px"), col("py"),
+        (col("sx") / lit(8 * cellSize)).as("p"),
+        (col("sy") / lit(8 * cellSize)).as("q"))
+  }
 }

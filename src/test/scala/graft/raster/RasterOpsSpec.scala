@@ -154,4 +154,25 @@ class RasterOpsSpec extends SparkSpec {
     val direct = d.withColumn("v", $"v" * 2)
     assert(doubled.except(direct).count() == 0)
   }
+
+  test("hornGradient: exact on ramps, interior-only, nodata poisons its neighborhood") {
+    def frame(v: (Int, Int) => Double) = (for (py <- 0 until 5; px <- 0 until 5)
+      yield (0, 1, px, py, v(px, py))).toDF("rid", "band", "px", "py", "v")
+    // pure x-ramp z = px: p = 1/cellSize exactly, q = 0; only the 3x3 interior emits
+    val gx = RasterOps.hornGradient(frame((px, _) => px.toDouble), cellSize = 1.0)
+      .orderBy("py", "px").collect()
+    assert(gx.length == 9)
+    assert(gx.forall(r => r.getAs[Double]("p") == 1.0 && r.getAs[Double]("q") == 0.0))
+    assert(gx.map(r => (r.getAs[Int]("px"), r.getAs[Int]("py"))).toSet ==
+      (for (y <- 1 to 3; x <- 1 to 3) yield (x, y)).toSet)
+    // y-ramp with cellSize 2: q = 1/2
+    val gy = RasterOps.hornGradient(frame((_, py) => py.toDouble), cellSize = 2.0)
+      .collect()
+    assert(gy.forall(r => r.getAs[Double]("q") == 0.5 && r.getAs[Double]("p") == 0.0))
+    // a nodata pixel at (2,2) removes every center whose 3x3 touches it
+    val nd = RasterOps.hornGradient(
+      frame((px, py) => if (px == 2 && py == 2) PixelFrame.Dem.Ndv else px.toDouble),
+      cellSize = 1.0).collect()
+    assert(nd.isEmpty) // (2,2) sits in all nine interior neighborhoods
+  }
 }
