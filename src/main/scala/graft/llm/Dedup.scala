@@ -116,10 +116,12 @@ object Dedup {
     *
     * Shape: one projection builds the window array (k-char strings —
     * rows carry windows, never the whole text), explode, distinct per
-    * (doc, window-hash), then the window-hash aggregation counts
-    * cross-doc occurrences and an equi-join on the hash marks shared
-    * windows back onto docs. Work is linear in corpus chars / stride;
-    * both shuffles key on the window hash — the same
+    * (doc, window-hash), then ONE count-over-window keyed on the hash
+    * marks cross-doc occurrences in place (a groupBy+self-join
+    * formulation was measured 4× slower — it recomputes the whole
+    * explode pipeline once per use and its counts side only
+    * broadcast-joins while small). Work is linear in corpus chars /
+    * stride; the marking shuffle keys on the window hash — the same
     * bucket-everything posture as the other dedup families.
     */
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
@@ -134,9 +136,8 @@ object Dedup {
       .select(col("id"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
-    val counts = windows.groupBy("h")
-      .agg(count(lit(1)).as("n_docs_with"))
-    windows.join(counts, "h")
+    windows
+      .withColumn("n_docs_with", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("n_docs_with") > 1, 1).otherwise(0)).as("n_shared"))

@@ -114,6 +114,43 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"))
 
+  /** Unigram language-model quality score (the CCNet/KenLM-style
+    * perplexity filter, reduced to its relational core): fit a
+    * unigram model on the corpus itself (add-one-smoothed token
+    * frequencies), then score every doc by its mean token
+    * log-probability — low scores flag out-of-distribution/garbage
+    * text exactly the way the reference pipelines use LM perplexity.
+    *
+    * Shape: token rows → one global token-count aggregation (the
+    * model — vocabulary-sized, broadcast back), equi-join tokens to
+    * their probabilities, one per-doc aggregation. Two shuffles, both
+    * keyed on data-sized keys; the model never leaves the cluster.
+    *
+    * Determinism: ln is evaluated once per DISTINCT token (the model
+    * side), immediately quantized to fixed point
+    * (floor(ln(p)·2²⁰) as BIGINT); per-doc sums then add integers, so
+    * aggregation order cannot perturb anything, and the reported mean
+    * is one division. An engine pair whose ln differs in the last ulp
+    * could in principle floor a model value differently; with a
+    * vocabulary of distinct tokens the boundary probability is ~2⁻³²
+    * per token and the oracle gate would catch it loudly.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.shingleRows(df, idCol, textCol, n = 1)
+    val counts = toks.groupBy("s").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("tot"), count(lit(1)).as("vocab"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("s"),
+        floor(log((col("c") + lit(1.0)) / (col("tot") + col("vocab")))
+          * lit(1048576.0)).cast("long").as("lp_fp"))
+    toks.join(broadcast(model), "s")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_fp").as("sum_fp"))
+      .select(col("id"), col("n_tokens"),
+        (col("sum_fp").cast("double") / lit(1048576.0) / col("n_tokens"))
+          .as("mean_logp"))
+  }
+
   /** Repetition quality signals (the Gopher/MassiveText-style
     * pretraining filters, adapted to token level — the fixture corpus
     * carries no line structure): distinct-token ratio, and the

@@ -242,6 +242,17 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("score"), col("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** q98 unigram LM quality score (the CCNet-style perplexity filter's
+    * relational core): add-one-smoothed token model fit on the corpus,
+    * mean token log-prob per doc via fixed-point sums (see
+    * TextAnalysis.unigramLogProb). The oracle refits the identical
+    * model and replays the same quantized arithmetic.
+    */
+  def q98(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("mean_logp"))
+      .orderBy("doc_id")
+
   /** q48 SimHash bucket groups. */
   def q48(s: SparkSession, d: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
@@ -408,6 +419,7 @@ object LlmQueries {
     "q94_substring_dup" -> q94 _,
     "q95_pack_bins" -> q95 _,
     "q96_bm25_topk" -> q96 _,
+    "q98_unigram_logprob" -> q98 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -707,6 +719,22 @@ object LlmQueries {
          |SELECT id AS doc_id, CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
          |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
          |FROM topk ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q98_unigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest($toksExpr) AS s FROM documents),
+         |cnt AS (SELECT s, COUNT(*) AS c FROM tok GROUP BY s),
+         |tot AS (SELECT SUM(c) AS tot, COUNT(*) AS vocab FROM cnt),
+         |model AS (
+         |  SELECT s,
+         |         CAST(floor(ln((c + 1.0) / (tot + vocab)) * 1048576.0) AS BIGINT) AS lp_fp
+         |  FROM cnt CROSS JOIN tot),
+         |agg AS (
+         |  SELECT t.id, COUNT(*) AS n_tokens, SUM(m.lp_fp) AS sum_fp
+         |  FROM tok t JOIN model m USING (s) GROUP BY t.id)
+         |SELECT id AS doc_id, n_tokens,
+         |       CAST(sum_fp AS DOUBLE) / 1048576.0 / n_tokens AS mean_logp
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q94_substring_dup" ->
       """WITH w0 AS (

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -377,6 +377,35 @@ class LlmSpec extends SparkSpec {
       .select(max(aggregate($"errs", lit(0.0), (a, e) => greatest(a, e))
         - $"q_scale" / lit(127.0))).head().getDouble(0)
     assert(err <= 1e-7)
+  }
+
+  test("unigram LM score: common-token docs beat rare/garbage docs; exact mean") {
+    val df = Seq(
+      (0L, "the the the the"),          // most frequent token
+      (1L, "the the zzz the"),          // one rare token drags the mean down
+      (2L, "zzz qqq vvv www"))          // all-rare garbage
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .orderBy("id").collect()
+    val scores = out.map(_.getAs[Double]("mean_logp"))
+    assert(scores(0) > scores(1) && scores(1) > scores(2))
+    // exact check for doc 0: p(the) = (7+1)/(12+5); fp floor, /2^20, /4
+    val expected = math.floor(math.log(8.0 / 17.0) * 1048576.0) / 1048576.0
+    assert(scores(0) == expected)
+    assert(out(0).getAs[Long]("n_tokens") == 4)
+  }
+
+  test("quantized int8 corpus keeps ANN recall (dequantized IVF vs exact floats)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val deq = Similarity.quantizeInt8(emb).select($"vec_id",
+      Similarity.dequantizeCol($"q_codes", $"q_scale").as("embedding"))
+    val exact = Similarity.bruteTopK(emb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.bruteTopK(deq, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // int8 keeps ~99.9% of the vector's direction: top-10 overlap ≥ 8
+    assert(exact.intersect(quant).size >= 8, s"recall too low: $exact vs $quant")
   }
 
   test("packBins: greedy per-shard fill, bin = where the doc starts, deterministic") {
