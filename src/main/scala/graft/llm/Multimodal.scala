@@ -82,16 +82,25 @@ object Multimodal {
     val isPng = r.payload.length > 8 &&
       (r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P' &&
       r.payload(2) == 'N' && r.payload(3) == 'G'
-    if (isPng) {
-      val (w, h, pix) = graft.sources.Png.decode(r.payload)
-      val sum = pix.foldLeft(0L)((acc, p) => (acc * 31 + (p & 0xffffffffL)) % 1000000007L)
-      MediaFeatures(r.media_id, r.kind, r.payload.length, sum, Some(w), Some(h))
-    } else {
-      val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-      val dims = jpegDims(r.payload)
-      MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
-        width = dims.map(_._1), height = dims.map(_._2))
+    // a signature-matching but corrupt payload must yield honest NULL
+    // dims + the raw-byte checksum, never a task failure
+    val decoded = if (isPng)
+      try Some(graft.sources.Png.decode(r.payload)) catch { case _: Exception => None }
+    else None
+    decoded match {
+      case Some((w, h, pix)) =>
+        val sum = pix.foldLeft(0L)((acc, p) => (acc * 31 + (p & 0xffffffffL)) % 1000000007L)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, sum, Some(w), Some(h))
+      case None =>
+        decodeNonPng(r)
     }
+  }
+
+  private def decodeNonPng(r: MediaRow): MediaFeatures = {
+    val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    val dims = jpegDims(r.payload)
+    MediaFeatures(r.media_id, r.kind, r.payload.length, sum,
+      width = dims.map(_._1), height = dims.map(_._2))
   }
 
   /** Feature extraction: narrow per-partition map over the media

@@ -51,11 +51,20 @@ object Png {
     var done = false
     while (!done && pos + 8 <= png.length) {
       val len = readInt(png, pos)
+      // a corrupt length would otherwise drive copyOfRange into a
+      // multi-GB zero-padded allocation (it pads past the source end)
+      require(len >= 0 && pos + 8 + len.toLong + 4 <= png.length,
+        s"PNG chunk overruns file (len=$len at $pos)")
       val typ = new String(png, pos + 4, 4, "ASCII")
       val data = java.util.Arrays.copyOfRange(png, pos + 8, pos + 8 + len)
       typ match {
         case "IHDR" =>
+          require(data.length >= 13, "IHDR chunk too short")
           w = readInt(data, 0); h = readInt(data, 4)
+          // cap implausible dims before any w*h-derived allocation
+          // (2²⁶ px = 256 MB ARGB — far above any engine-embedded use)
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+            s"implausible PNG dimensions ${w}x$h")
           require(data(8) == 8 && data(9) == 6, "only 8-bit RGBA supported")
           require(data(12) == 0, "interlaced PNG not supported")
         case "IDAT" => idat.write(data)
@@ -64,6 +73,7 @@ object Png {
       }
       pos += 8 + len + 4 // length + type + data + crc
     }
+    require(done && w > 0, "PNG ends before IHDR/IEND")
     val raw = inflate(idat.toByteArray, h * (1 + w * 4))
     val stride = w * 4
     val cur = new Array[Byte](stride)

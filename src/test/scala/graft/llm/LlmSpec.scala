@@ -205,6 +205,14 @@ class LlmSpec extends SparkSpec {
     assert(f.width.contains(6) && f.height.contains(4) && f.n_bytes == png.length)
     val expectSum = pix.foldLeft(0L)((a, p) => (a * 31 + (p & 0xffffffffL)) % 1000000007L)
     assert(f.checksum == expectSum)
+    // a PNG-signed but corrupt payload degrades to honest NULL dims +
+    // the raw-byte checksum (never a task failure)
+    val corrupt = png.take(20)
+    val cf = Multimodal.extractFeatures(
+      Seq((2L, "image", corrupt)).toDF("media_id", "kind", "payload")).collect().head
+    assert(cf.width.isEmpty && cf.height.isEmpty && cf.n_bytes == 20)
+    val rawSum = corrupt.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(cf.checksum == rawSum)
   }
   test("multimodal: JPEG SOF dims parsed; undecodable kinds get honest NULLs") {
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -40,4 +40,40 @@ class PngSpec extends AnyFunSuite with PropCheck {
   test("decode rejects non-PNG input") {
     assertThrows[IllegalArgumentException](Png.decode("not a png at all!!".getBytes))
   }
+
+  test("corruption fuzz: truncations and byte flips reject cleanly, never hang or return garbage") {
+    val w = 16; val h = 12
+    val pix = Array.tabulate(w * h)(i => (i * 2654435761L).toInt)
+    val png = Png.encode(w, h, pix)
+    // every truncation prefix either decodes to the exact original
+    // (impossible before IEND, but allowed) or throws a clean exception
+    for (len <- 0 until png.length) {
+      val cut = png.take(len)
+      try {
+        val (w2, h2, back) = Png.decode(cut)
+        assert(w2 == w && h2 == h && back.sameElements(pix),
+          s"truncation at $len decoded to different pixels")
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException | _: java.util.zip.DataFormatException => ()
+      }
+    }
+    // single-byte corruptions across the whole file: same contract
+    // (a flipped pixel byte inside IDAT may legally decode to other
+    // pixels of the same dimensions — inflate has no integrity check
+    // and CRCs are not verified by this decoder; dims must still hold)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 400) {
+      val bad = png.clone()
+      val at = rnd.nextInt(bad.length)
+      bad(at) = (bad(at) ^ (1 + rnd.nextInt(255))).toByte
+      try {
+        val (w2, h2, back) = Png.decode(bad)
+        assert(w2 * h2 == back.length, s"flip at $at broke the dims/pixels contract")
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException | _: java.util.zip.DataFormatException => ()
+      }
+    }
+  }
 }
