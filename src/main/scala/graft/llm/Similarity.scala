@@ -379,4 +379,25 @@ object Similarity {
     */
   def dequantizeCol(codes: Column, scale: Column): Column =
     transform(codes, c => (c.cast("double") * scale / lit(127.0)).cast("float"))
+
+  /** Per-group embedding centroids (the SemDeDup/cluster-curation
+    * primitive: mean vector per stratum, used to measure domain drift
+    * and route semantic dedup). Relational shape: dimensions explode
+    * to rows and ONE aggregation keys on (group, dim) — the layout
+    * that scales to any corpus and dimension count, with map-side
+    * partial aggregation doing most of the work.
+    *
+    * Determinism: each component is quantized to fixed point BEFORE
+    * the cross-row sum (floor(x·2²⁰) as BIGINT), so the mean is an
+    * integer sum + one division — aggregation order cannot perturb
+    * it, and an oracle reproduces every value exactly.
+    */
+  def groupCentroids(emb: DataFrame, groupCol: Column,
+                     vecCol: String = "embedding"): DataFrame =
+    emb.select(groupCol.as("grp"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * lit(1048576.0)).cast("long")).as("sum_fp"))
+      .select(col("grp"), col("dim"), col("n"),
+        (col("sum_fp").cast("double") / lit(1048576.0) / col("n")).as("mean"))
 }

@@ -253,6 +253,45 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("mean_logp"))
       .orderBy("doc_id")
 
+  /** q99 per-group embedding centroids: dim-keyed aggregation with
+    * fixed-point component sums (see Similarity.groupCentroids) —
+    * the SemDeDup-style cluster-curation primitive, here stratified
+    * by vec_id mod 4.
+    */
+  def q99(s: SparkSession, d: String): DataFrame =
+    Similarity.groupCentroids(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        col("vec_id") % 4)
+      .orderBy("grp", "dim")
+
+  /** q100 the full curation pipeline in ONE declarative plan — the
+    * end-to-end flow a pretraining corpus actually runs, composed
+    * from the operators this engine ships: Gopher-style quality
+    * filter → prefix-fingerprint dedup (keep lowest id per group) →
+    * language tagging → deterministic stratified downsampling →
+    * per-language corpus accounting. The oracle composes the same
+    * stages as CTEs; one hash mismatch anywhere in the chain fails
+    * the gate, so this query certifies the operators COMPOSE, not
+    * just that each works alone.
+    */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    val kept = TextAnalysis.qualityVerdict(Tables.documents(s, d))
+      .filter(col("keep") === 1)
+    val deduped = kept
+      .withColumn("h", md5(substring(col("text"), 1, 64)))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
+    Sampling.stratifiedSample(deduped, col("lang_pred"), col("doc_id"),
+        Seq("en" -> 0.5), defaultRate = 1.0)
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang_pred")
+  }
+
   /** q48 SimHash bucket groups. */
   def q48(s: SparkSession, d: String): DataFrame =
     Dedup.simhashBuckets(Tables.documents(s, d), "doc_id", "text")
@@ -420,6 +459,8 @@ object LlmQueries {
     "q95_pack_bins" -> q95 _,
     "q96_bm25_topk" -> q96 _,
     "q98_unigram_logprob" -> q98 _,
+    "q99_group_centroids" -> q99 _,
+    "q100_curation_pipeline" -> q100 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -719,6 +760,55 @@ object LlmQueries {
          |SELECT id AS doc_id, CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
          |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
          |FROM topk ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q99_group_centroids" ->
+      """WITH comp AS (
+        |  SELECT vec_id % 4 AS grp, CAST(i - 1 AS INTEGER) AS dim,
+        |         CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT) AS fp
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i))
+        |SELECT grp, dim, COUNT(*) AS n,
+        |       CAST(SUM(fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean
+        |FROM comp GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
+
+    "q100_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tokens, toks,
+         |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lex_diversity,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio
+         |  FROM t),
+         |kept AS (
+         |  SELECT * FROM m
+         |  WHERE (CASE WHEN n_tokens < 5 OR n_tokens > 5000 THEN 1 ELSE 0 END
+         |     + CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 1 ELSE 0 END
+         |     + CASE WHEN lex_diversity < 0.3 THEN 1 ELSE 0 END
+         |     + CASE WHEN punct_ratio > 0.2 THEN 1 ELSE 0 END) = 0),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 64))
+         |                                 ORDER BY doc_id) AS rk
+         |    FROM kept)
+         |  WHERE rk = 1),
+         |lg AS (
+         |  SELECT doc_id, n_tokens, CASE
+         |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) > 0 THEN 'ru'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) > 0 THEN 'ar'
+         |    WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+         |         / len(toks) >= 0.05 THEN 'en'
+         |    ELSE 'other' END AS lang_pred
+         |  FROM dedup),
+         |sampled AS (
+         |  SELECT * FROM lg
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |          / 1152921504606846976.0
+         |        < CASE lang_pred WHEN 'en' THEN 0.5 ELSE 1.0 END)
+         |SELECT lang_pred, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM sampled GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "q98_unigram_logprob" ->
       s"""WITH tok AS (

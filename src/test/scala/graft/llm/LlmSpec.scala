@@ -416,6 +416,20 @@ class LlmSpec extends SparkSpec {
     assert(exact.intersect(quant).size >= 8, s"recall too low: $exact vs $quant")
   }
 
+  test("groupCentroids: exact dim-keyed means; fixed-point survives any row order") {
+    val emb = Seq(
+      (0L, Array(1.0f, -2.0f)),
+      (2L, Array(3.0f, 4.0f)),   // group 0 with vec 0
+      (1L, Array(0.5f, 0.25f)))  // group 1 alone
+      .toDF("vec_id", "embedding")
+    val c = Similarity.groupCentroids(emb, $"vec_id" % 2)
+      .orderBy("grp", "dim").collect()
+    assert(c.length == 4)
+    assert(c(0).getAs[Long]("n") == 2 && c(0).getAs[Double]("mean") == 2.0)  // (1+3)/2
+    assert(c(1).getAs[Double]("mean") == 1.0)                                // (-2+4)/2
+    assert(c(2).getAs[Double]("mean") == 0.5 && c(3).getAs[Double]("mean") == 0.25)
+  }
+
   test("packBins: greedy per-shard fill, bin = where the doc starts, deterministic") {
     val df = (0L until 40L).map(i => (i, 100)).toDF("doc_id", "n_tokens")
     val out = Sampling.packBins(df, $"doc_id", $"n_tokens", budget = 250L, shards = 2)
