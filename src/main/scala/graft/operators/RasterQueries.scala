@@ -282,6 +282,15 @@ object RasterQueries {
       .select("px", "py", "p", "q", "slope_class")
       .orderBy("py", "px")
 
+  /** q101 hillshade (gdaldem analog) over the Horn gradient: rational
+    * per-pixel illumination against constant light literals shared
+    * verbatim with the oracle, floor-scaled to 0–255 bytes.
+    */
+  def q101(s: SparkSession, d: String): DataFrame =
+    RasterOps.hillshade(dem(s), cellSize = 5.0)
+      .select("px", "py", "shade")
+      .orderBy("py", "px")
+
   /** q57 E4 forward-target trig (vectorized calc_fwd). */
   def q57(s: SparkSession, d: String): DataFrame = {
     val obs = s.range(30).select(
@@ -489,6 +498,7 @@ object RasterQueries {
     "q66_warp_utm_to_geo" -> q66 _,
     "q67_rasterize_burn" -> q67 _,
     "q97_horn_gradient" -> q97 _,
+    "q101_hillshade" -> q101 _,
     "q68_los_extended" -> q68 _,
   )
 
@@ -686,6 +696,35 @@ object RasterQueries {
          |SELECT px, py, v FROM dem
          |WHERE px >= 64 AND px < 192 AND py >= 32 AND py < 96
          |ORDER BY py, px""".stripMargin,
+
+    "q101_hillshade" -> {
+      val (sinAlt, cosAlt, sinAz, cosAz) = RasterOps.hillshadeConstants(315.0, 45.0)
+      s"""WITH $demCte,
+         |src AS (SELECT px, py, v FROM dem WHERE v <> -32768.0),
+         |con AS (
+         |  SELECT s.px - dx.d AS cx, s.py - dy.d AS cy,
+         |         dx.d AS dx, dy.d AS dy, s.v
+         |  FROM src s
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+         |g AS (
+         |  SELECT cx, cy, COUNT(*) AS n,
+         |         SUM((dx * (2 - abs(dy))) * v) AS sx,
+         |         SUM((dy * (2 - abs(dx))) * v) AS sy
+         |  FROM con GROUP BY cx, cy),
+         |pq AS (
+         |  SELECT CAST(cx AS INTEGER) AS px, CAST(cy AS INTEGER) AS py,
+         |         sx / 40.0 AS p, sy / 40.0 AS q
+         |  FROM g WHERE n = 9),
+         |sh AS (
+         |  SELECT px, py,
+         |         ($sinAlt - $cosAlt * (p * $sinAz + q * $cosAz))
+         |           / sqrt(1.0 + p * p + q * q) AS shade_raw
+         |  FROM pq)
+         |SELECT px, py,
+         |       CAST(floor(greatest(0.0, shade_raw) * 255.0 + 0.5) AS INTEGER) AS shade
+         |FROM sh ORDER BY py, px""".stripMargin
+    },
 
     "q97_horn_gradient" ->
       s"""WITH $demCte,

@@ -245,4 +245,38 @@ object RasterOps {
         (col("sx") / lit(8 * cellSize)).as("p"),
         (col("sy") / lit(8 * cellSize)).as("q"))
   }
+
+  /** Hillshade over the [[hornGradient]] output (the gdaldem
+    * hillshade analog): illumination = n̂·l̂ for the surface normal
+    * (-p, -q, 1)/√(1+p²+q²) against a light at (azimuth, altitude),
+    * scaled to 0–255. The per-pixel math is RATIONAL in (p, q): the
+    * light components are constant sin/cos literals evaluated once on
+    * the driver, and √ is IEEE-correctly-rounded everywhere — so the
+    * byte values oracle-compare exactly (the only transcendentals
+    * live in driver-side constants shared verbatim with the SQL).
+    */
+  def hillshade(df: DataFrame, cellSize: Double,
+                azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0,
+                ndv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val az = math.toRadians(azimuthDeg); val alt = math.toRadians(altitudeDeg)
+    val (sinAlt, cosAlt, sinAz, cosAz) =
+      (math.sin(alt), math.cos(alt), math.sin(az), math.cos(az))
+    hornGradient(df, cellSize, ndv)
+      .withColumn("shade_raw",
+        (lit(sinAlt) - lit(cosAlt) * (col("p") * lit(sinAz) + col("q") * lit(cosAz)))
+          / sqrt(lit(1.0) + col("p") * col("p") + col("q") * col("q")))
+      .withColumn("shade",
+        floor(greatest(lit(0.0), col("shade_raw")) * lit(255.0) + lit(0.5)).cast("int"))
+      .drop("shade_raw")
+  }
+
+  /** The hillshade light constants for an (azimuth, altitude) pair,
+    * printed as shortest-round-trip literals — shared with SQL
+    * oracles so both engines compute from identical doubles.
+    */
+  def hillshadeConstants(azimuthDeg: Double, altitudeDeg: Double): (String, String, String, String) = {
+    val az = math.toRadians(azimuthDeg); val alt = math.toRadians(altitudeDeg)
+    (math.sin(alt).toString, math.cos(alt).toString,
+      math.sin(az).toString, math.cos(az).toString)
+  }
 }

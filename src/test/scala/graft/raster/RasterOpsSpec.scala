@@ -175,4 +175,22 @@ class RasterOpsSpec extends SparkSpec {
       cellSize = 1.0).collect()
     assert(nd.isEmpty) // (2,2) sits in all nine interior neighborhoods
   }
+
+  test("hillshade: flat terrain shades to sin(alt); slopes facing away are darker") {
+    def frame(v: (Int, Int) => Double) = (for (py <- 0 until 5; px <- 0 until 5)
+      yield (0, 1, px, py, v(px, py))).toDF("rid", "band", "px", "py", "v")
+    // flat: p=q=0 -> shade = floor(sin(45 deg)*255 + 0.5) = 180, every pixel
+    val flat = RasterOps.hillshade(frame((_, _) => 7.0), cellSize = 1.0).collect()
+    assert(flat.nonEmpty && flat.forall(_.getAs[Int]("shade") == 180))
+    // light from az=315 (NW): a surface RISING eastward faces west —
+    // toward the light — so it shades brighter than flat; a surface
+    // rising westward faces east, away from the light -> darker
+    val eastRising = RasterOps.hillshade(frame((px, _) => px * 2.0), cellSize = 1.0)
+      .head().getAs[Int]("shade")
+    val westRising = RasterOps.hillshade(frame((px, _) => -px * 2.0), cellSize = 1.0)
+      .head().getAs[Int]("shade")
+    assert(eastRising > 180 && westRising < 180)
+    // byte range respected
+    assert(flat.forall(r => r.getAs[Int]("shade") >= 0 && r.getAs[Int]("shade") <= 255))
+  }
 }
