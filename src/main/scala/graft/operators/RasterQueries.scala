@@ -718,7 +718,7 @@ object RasterQueries {
          |  FROM g WHERE n = 9),
          |sh AS (
          |  SELECT px, py,
-         |         ($sinAlt - $cosAlt * (p * $sinAz + q * $cosAz))
+         |         ($sinAlt - $cosAlt * (p * $sinAz - q * $cosAz))
          |           / sqrt(1.0 + p * p + q * q) AS shade_raw
          |  FROM pq)
          |SELECT px, py,

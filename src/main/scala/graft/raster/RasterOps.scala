@@ -248,8 +248,17 @@ object RasterOps {
 
   /** Hillshade over the [[hornGradient]] output (the gdaldem
     * hillshade analog): illumination = n̂·l̂ for the surface normal
-    * (-p, -q, 1)/√(1+p²+q²) against a light at (azimuth, altitude),
-    * scaled to 0–255. The per-pixel math is RATIONAL in (p, q): the
+    * against a light at (azimuth, altitude), scaled to 0–255.
+    *
+    * Axis convention: `py` is a ROW index increasing southward (the
+    * conventional north-up raster), so `q = ∂z/∂py` points SOUTH and
+    * the northward derivative is `-q`. The illumination term is
+    * therefore `sinAlt - cosAlt*(p*sinAz - q*cosAz)` — matching
+    * gdaldem's negative-nsres handling: under az=315 a north-facing
+    * slope (z rising southward, q > 0) brightens and a south-facing
+    * slope darkens.
+    *
+    * The per-pixel math is RATIONAL in (p, q): the
     * light components are constant sin/cos literals evaluated once on
     * the driver, and √ is IEEE-correctly-rounded everywhere — so the
     * byte values oracle-compare exactly (the only transcendentals
@@ -263,7 +272,7 @@ object RasterOps {
       (math.sin(alt), math.cos(alt), math.sin(az), math.cos(az))
     hornGradient(df, cellSize, ndv)
       .withColumn("shade_raw",
-        (lit(sinAlt) - lit(cosAlt) * (col("p") * lit(sinAz) + col("q") * lit(cosAz)))
+        (lit(sinAlt) - lit(cosAlt) * (col("p") * lit(sinAz) - col("q") * lit(cosAz)))
           / sqrt(lit(1.0) + col("p") * col("p") + col("q") * col("q")))
       .withColumn("shade",
         floor(greatest(lit(0.0), col("shade_raw")) * lit(255.0) + lit(0.5)).cast("int"))

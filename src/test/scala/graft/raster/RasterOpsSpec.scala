@@ -190,6 +190,20 @@ class RasterOpsSpec extends SparkSpec {
     val westRising = RasterOps.hillshade(frame((px, _) => -px * 2.0), cellSize = 1.0)
       .head().getAs[Int]("shade")
     assert(eastRising > 180 && westRising < 180)
+    // N/S pin (gdaldem negative-nsres convention): py increases
+    // SOUTHWARD, so z rising with py is a NORTH-facing slope — toward
+    // an az=315 light -> brighter than flat; z falling with py faces
+    // south, away from the light -> darker
+    val northFacing = RasterOps.hillshade(frame((_, py) => py * 2.0), cellSize = 1.0)
+      .head().getAs[Int]("shade")
+    val southFacing = RasterOps.hillshade(frame((_, py) => -py * 2.0), cellSize = 1.0)
+      .head().getAs[Int]("shade")
+    assert(northFacing > 180 && southFacing < 180)
+    // the NW light treats north-facing and west-facing slopes of
+    // equal grade the same up to an ulp in the light constants
+    // (azimuth symmetry about the 315 axis)
+    assert(math.abs(northFacing - eastRising) <= 1 &&
+      math.abs(southFacing - westRising) <= 1)
     // byte range respected
     assert(flat.forall(r => r.getAs[Int]("shade") >= 0 && r.getAs[Int]("shade") <= 255))
   }
