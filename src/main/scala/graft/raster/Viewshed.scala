@@ -372,4 +372,141 @@ object Viewshed {
       case other     => throw new IllegalArgumentException(s"unknown combine op $other")
     }
   }
+
+  /** Observers-as-DATA multi-observer combine: the scale twin of
+    * [[viewshedCombineObs]]. The Seq form compiles one plan branch per
+    * observer — fine at the reference's 254-input cap
+    * (`viewshed_calc.py:245`), but a grid driver
+    * (`viewshed_grid_params.py:37-47`) can emit thousands of
+    * observers, and plan size must not scale with observer count.
+    * Here observers arrive as a DataFrame
+    * `(oid int, ox int, oy int, oz double, maxr double,
+    *   dirdeg double, aperturedeg double)` and the plan holds ONE
+    * sweep subtree regardless of N:
+    *
+    *  1. radius PREFILTER as a tile-grid equi-join — each observer
+    *     expands to the `tilePx`-pixel tiles its radius touches (a
+    *     metadata-sized generate), the DEM keys each pixel by its
+    *     tile, and a hash join on (tx,ty) pairs pixels only with
+    *     observers that can reach them. No broadcast-nested-loop over
+    *     the DEM, no per-observer plan branch; AQE broadcasts the
+    *     observer-tile side while it is small and degrades to a
+    *     shuffle join when it is not.
+    *  2. the SAME (rid, band, bucket) window pass as the Seq path,
+    *     with rid = oid — sort parallelism scales as obs×buckets.
+    *  3. combine with out-of-range compensation: the prefilter drops
+    *     rows the Seq path carries as [[StNodata]], so `min` clamps to
+    *     StNodata wherever a pixel misses ≥1 observer (all states are
+    *     ≥ 0), and every op left-joins back to the DEM frame to fill
+    *     pixels no observer reaches with the all-StNodata stack value
+    *     (0 for max/min/count; combine-ndv 255 for count_z/unique) —
+    *     bit-equal to [[viewshedCombineObs]] for omni observers.
+    *
+    * Sector crop differs in one documented respect: the Seq path
+    * replays the reference's 50-point polygonized sector ring
+    * (`viewshed_calc.py:453-478`); a per-row point-in-polygon against
+    * N driver-side rings would reintroduce per-observer plan state, so
+    * this path tests the ANALYTIC arc (wrapped angular distance to the
+    * compass direction ≤ aperture/2) — the shape the ring approximates.
+    * Pixels within the chord sagitta of the arc boundary (< 0.005 px
+    * at the reference's 50-point ring) may differ.
+    */
+  def viewshedCombineTable(dem: DataFrame, observers: DataFrame, op: String,
+                           cellSize: Double,
+                           refractionCoeff: Double = Radio.AtmosphericRefractionCoeff,
+                           nBuckets: Int = 64,
+                           demNdv: Double = PixelFrame.Dem.Ndv,
+                           tilePx: Int = 64): DataFrame = {
+    require(tilePx > 0, "tilePx must be positive")
+    val cc = 1.0 - refractionCoeff
+
+    // observer ground height: equi-join against the DEM (broadcast of
+    // the metadata-sized observer table, output stays observer-sized)
+    val obsH = broadcast(observers)
+      .join(dem.select(col("px").as("ox"), col("py").as("oy"), col("v").as("h0")),
+        Seq("ox", "oy"))
+      .withColumn("rpx", col("maxr") / lit(cellSize))
+
+    // tile fan-out on the observer side only: obs × (2r/tilePx)² rows
+    val obsTiles = obsH
+      .withColumn("tx", explode(sequence(
+        floor((col("ox") - col("rpx")) / lit(tilePx)).cast("long"),
+        floor((col("ox") + col("rpx")) / lit(tilePx)).cast("long"))))
+      .withColumn("ty", explode(sequence(
+        floor((col("oy") - col("rpx")) / lit(tilePx)).cast("long"),
+        floor((col("oy") + col("rpx")) / lit(tilePx)).cast("long"))))
+
+    val demT = dem.drop("rid")
+      .withColumn("tx", floor(col("px") / lit(tilePx)).cast("long"))
+      .withColumn("ty", floor(col("py") / lit(tilePx)).cast("long"))
+
+    val dx = col("px") - col("ox")
+    val dy = col("py") - col("oy")
+    val geom = demT.join(obsTiles, Seq("tx", "ty"))
+      .filter(!(col("px") === col("ox") && col("py") === col("oy")))
+      .withColumn("dist", sqrt((dx * dx + dy * dy).cast("double")) * cellSize)
+      .filter(col("dist") <= col("maxr")) // the radius prefilter
+      .withColumn("bucket",
+        pmod(floor((atan2(dy.cast("double"), dx.cast("double")) + math.Pi)
+          / (2 * math.Pi) * nBuckets), lit(nBuckets)).cast("int"))
+      .withColumn("hc", lit(-cc) * col("dist") * col("dist") / lit(2 * Radio.SphereRadius))
+      .withColumn("ratio",
+        when(col("v") === demNdv, lit(null)) // nodata never obstructs
+          .otherwise((col("v") + col("hc") - (col("h0") + col("oz"))) / col("dist")))
+      .withColumn("rid", col("oid"))
+      .withColumn("vmaxr", col("maxr"))
+
+    val states = sweepStatesCol(geom, col("vmaxr"), demNdv)
+
+    // analytic-arc sector crop as pure column math (see scaladoc):
+    // math-convention pixel angle vs compass heading 90-dir, wrapped
+    val withSec = states
+      .join(broadcast(observers.select(col("oid").as("rid"), col("ox"), col("oy"),
+        col("dirdeg"), col("aperturedeg"))), Seq("rid"))
+    val aDeg = degrees(atan2(-(col("py") - col("oy")).cast("double"),
+      (col("px") - col("ox")).cast("double")))
+    val headDir = pmod(lit(90.0) - col("dirdeg"), lit(360.0))
+    val delta = abs(pmod(aDeg - headDir + lit(180.0), lit(360.0)) - lit(180.0))
+    val cropped = withSec.withColumn("state",
+      when(col("aperturedeg") < 360.0 && delta > col("aperturedeg") / 2,
+        lit(StNodata)).otherwise(col("state")))
+
+    val stack = cropped
+      .select(col("rid"), col("band"), col("px"), col("py"), col("state").as("v"))
+
+    // combine + out-of-range compensation (prefiltered rows are the
+    // Seq path's StNodata rows; all states are ≥ 0)
+    val combined = op match {
+      case "max"   => Combine.vsMax(stack)
+      case "min"   =>
+        val total = observers.agg(count(lit(1)).as("n_total"))
+        stack.groupBy("band", "px", "py")
+          .agg(min("v").as("mv"), count(lit(1)).as("nin"))
+          .crossJoin(broadcast(total))
+          .select(col("band"), col("px"), col("py"),
+            when(col("nin") < col("n_total"), lit(StNodata))
+              .otherwise(col("mv")).as("v"))
+      case "count"   => Combine.vsCount(stack)
+      case "count_z" => Combine.vsCountZ(stack)
+      case "unique"  => Combine.vsUnique(stack)
+      case other     => throw new IllegalArgumentException(s"unknown combine op $other")
+    }
+    val fill = op match {
+      case "count_z" | "unique" => Combine.CombNdv
+      case _                    => StNodata
+    }
+    // Seq-path fidelity edge: a pixel hosting EVERY observer is in no
+    // branch of viewshedCombineObs and so absent from its output —
+    // exclude it from the fill (a ≤1-row broadcast anti join)
+    val allObsAt = observers
+      .groupBy(col("ox").as("px"), col("oy").as("py"))
+      .agg(count(lit(1)).as("n_at"))
+      .crossJoin(observers.agg(count(lit(1)).as("n_total")))
+      .filter(col("n_at") === col("n_total"))
+      .select("px", "py")
+    dem.select(col("band"), col("px"), col("py"))
+      .join(broadcast(allObsAt), Seq("px", "py"), "left_anti")
+      .join(combined, Seq("band", "px", "py"), "left")
+      .withColumn("v", coalesce(col("v"), lit(fill)))
+  }
 }

@@ -307,6 +307,66 @@ class LosViewshedSpec extends SparkSpec {
     assert(viaSector == viaObs)
   }
 
+  test("viewshedCombineTable: bit-equal to viewshedCombineObs for omni observers, every op") {
+    val dem = PixelFrame.dem(spark, 41, 41) // varied synthetic terrain
+    val obsSeq = Seq(
+      Viewshed.Observer(10, 10, 15.0, maxR = 60.0),
+      Viewshed.Observer(30, 30, 15.0, maxR = 45.0),
+      Viewshed.Observer(20, 5, 10.0, maxR = 30.0))
+    val obsTable = obsSeq.zipWithIndex.map { case (o, i) =>
+      (i, o.ox, o.oy, o.oz, o.maxR, o.directionDeg, o.apertureDeg)
+    }.toDF("oid", "ox", "oy", "oz", "maxr", "dirdeg", "aperturedeg")
+    for (op <- Seq("max", "min", "count", "count_z", "unique")) {
+      val viaSeq = Viewshed.viewshedCombineObs(dem, obsSeq, op, cellSize = 5.0,
+          nBuckets = 16)
+        .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+      val viaTable = Viewshed.viewshedCombineTable(dem, obsTable, op, cellSize = 5.0,
+          nBuckets = 16, tilePx = 8)
+        .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+      assert(viaTable == viaSeq, s"op=$op: table combine diverged from the Seq path")
+    }
+  }
+
+  test("viewshedCombineTable: analytic-arc sector crop agrees with the polygonized Seq path") {
+    // odd direction/aperture keep pixel centers off the arc boundary,
+    // where the 50-point ring's chord sagitta could differ
+    val dem = flatDem(21, 21)
+    // maxr 8.3: no pixel-center distance (sqrt of an integer) falls
+    // within the ring's chord sagitta of the radius boundary
+    val obsTable = Seq(
+      (0, 10, 10, 5.0, 8.3, 0.0, 360.0),   // omni
+      (1, 10, 10, 5.0, 8.3, 33.0, 77.0))   // narrow north-east arc
+      .toDF("oid", "ox", "oy", "oz", "maxr", "dirdeg", "aperturedeg")
+    val viaSeq = Viewshed.viewshedCombineObs(dem,
+        Seq(Viewshed.Observer(10, 10, 5.0, 8.3),
+          Viewshed.Observer(10, 10, 5.0, 8.3, 33.0, 77.0)),
+        op = "count", cellSize = 1.0, nBuckets = 16)
+      .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+    val viaTable = Viewshed.viewshedCombineTable(dem, obsTable, op = "count",
+        cellSize = 1.0, nBuckets = 16, tilePx = 8)
+      .select("px", "py", "v").as[(Int, Int, Double)].collect().toSet
+    assert(viaTable == viaSeq)
+  }
+
+  test("viewshedCombineTable: ONE window subtree regardless of observer count") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dem = PixelFrame.dem(spark, 41, 41)
+    val obsTable = (0 until 25).map { i =>
+      (i, 5 + (i % 5) * 7, 5 + (i / 5) * 7, 12.0, 50.0, 0.0, 360.0)
+    }.toDF("oid", "ox", "oy", "oz", "maxr", "dirdeg", "aperturedeg")
+    val vs = Viewshed.viewshedCombineTable(dem, obsTable, op = "count",
+      cellSize = 5.0, nBuckets = 16)
+    val plan = vs.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1, s"expected a single Window node, plan:\n$plan")
+    // and the sweep geometry appears once, not once per observer: the
+    // DEM relation is scanned a bounded number of times (dem pixels,
+    // observer heights, final fill) — never 25 branches
+    val scans = "LocalTableScan|Range".r.findAllIn(plan).length
+    assert(scans <= 10, s"plan scales with observer count:\n$plan")
+    assert(!plan.contains("Union"), s"plan has per-observer branches:\n$plan")
+  }
+
   test("summaryExtended: RadioCalcType columns (clearance/elev angle/LOS range/power)") {
     val flat = flatDem(60, 60).withColumn("v", lit(100.0))
     val pairs = Seq((0, 5.0, 5.0, 10.0, 50.0, 50.0, 5.0, 300.0))
