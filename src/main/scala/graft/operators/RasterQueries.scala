@@ -241,6 +241,25 @@ object RasterQueries {
       .orderBy("py", "px")
   }
 
+  /** q102 observers-as-DATA viewshed grid: the same 3×3 grid as q83,
+    * but the observers arrive as a TABLE and the plan holds one sweep
+    * subtree regardless of observer count
+    * ([[graft.raster.Viewshed.viewshedCombineTable]] — the scale form
+    * of the reference's grid fan-out, `viewshed_grid_params.py:37-47`:
+    * tile-key equi-join radius prefilter instead of N union branches).
+    * Oracle: identical to q83's — the two paths are bit-equal.
+    */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val obs = (for { ox <- Seq(40, 60, 80); oy <- Seq(40, 60, 80) } yield (ox, oy))
+      .zipWithIndex.map { case ((ox, oy), i) => (i, ox, oy, 12.0, 150.0, 0.0, 360.0) }
+    import s.implicits._
+    val obsTable = obs.toDF("oid", "ox", "oy", "oz", "maxr", "dirdeg", "aperturedeg")
+    Viewshed.viewshedCombineTable(PixelFrame.dem(s, VsW, VsH), obsTable,
+        op = "count", cellSize = 5.0, tilePx = 32)
+      .select(col("px"), col("py"), col("v"))
+      .orderBy("py", "px")
+  }
+
   /** q87 Okumura-Hata median path loss over the LOS pair fixture:
     * urban/suburban/open-area losses from frequency, ground distance
     * and the two mast heights (published empirical model — with FSPL
@@ -483,6 +502,7 @@ object RasterQueries {
     "q81_viewshed_combine_sector" -> q81 _,
     "q82_los_diffraction" -> q82 _,
     "q83_viewshed_grid" -> q83 _,
+    "q102_viewshed_obs_table" -> q102 _,
     "q87_hata_loss" -> q87 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
@@ -660,6 +680,7 @@ object RasterQueries {
     "q68_los_extended" -> losExtOracle,
     "q82_los_diffraction" -> losDiffractionOracle,
     "q83_viewshed_grid" -> viewshedGridOracle,
+    "q102_viewshed_obs_table" -> viewshedGridOracle,
     "q87_hata_loss" -> hataOracle,
 
     "q60_utm_forward" -> utmOracle,
