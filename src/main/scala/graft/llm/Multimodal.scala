@@ -83,9 +83,17 @@ object Multimodal {
       (r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P' &&
       r.payload(2) == 'N' && r.payload(3) == 'G'
     // a signature-matching but corrupt payload must yield honest NULL
-    // dims + the raw-byte checksum, never a task failure
+    // dims + the raw-byte checksum, never a task failure — but ONLY
+    // for the exception set the hardened decoder actually throws on
+    // malformed input (the PngSpec fuzz contract); anything else is a
+    // genuine decoder defect and must surface
     val decoded = if (isPng)
-      try Some(graft.sources.Png.decode(r.payload)) catch { case _: Exception => None }
+      try Some(graft.sources.Png.decode(r.payload)) catch {
+        case _: IllegalArgumentException          => None
+        case _: ArrayIndexOutOfBoundsException    => None
+        case _: NegativeArraySizeException        => None
+        case _: java.util.zip.DataFormatException => None
+      }
     else None
     decoded match {
       case Some((w, h, pix)) =>

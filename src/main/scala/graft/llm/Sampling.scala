@@ -80,6 +80,13 @@ object Sampling {
                budget: Long, shards: Int = 8): DataFrame = {
     require(budget > 0 && shards > 0,
       s"budget and shards must be positive, got budget=$budget shards=$shards")
+    // the window partitions by the COMPUTED shard column — a same-named
+    // input column would silently capture the partitioning (and the
+    // output/temp names would be overwritten), so refuse the collision
+    val reserved = Seq("shard", "bin", "_cum", "_start")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"packBins writes columns ${reserved.mkString(", ")}; input already has ${clash.mkString(", ")}")
     val shard = pmod(conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
       .cast("long"), lit(shards.toLong))
     val w = Window.partitionBy("shard")

@@ -93,7 +93,11 @@ object TextAnalysis {
       (acc, c) => (acc * 31 + c) % 1000000007L)
   /** PII patterns shared by detection, redaction, and the SQL oracles.
     * Both are ASCII-classed and valid in Java regex AND RE2 (DuckDB),
-    * so an oracle reproduces match-for-match.
+    * so an oracle reproduces match-for-match — ON ASCII TEXT. The `\b`
+    * anchors in Ipv4Re diverge between engines next to non-ASCII word
+    * characters (Java's \b is Unicode-aware where RE2's is ASCII), so
+    * the cross-engine contract assumes ASCII input; fixtures and
+    * oracles must keep that property (q90's documents fixture does).
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -150,6 +150,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF at-rest: partitioned corpus prunes via DPP and matches the inline plan") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val model = Similarity.IvfModel(
+      (0 until 4).map(c => Array.tabulate(64)(i => ((c * 37 + i * 13) % 41 - 20) / 10.0)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_at_rest").toString
+    Similarity.assignIvf(emb, model).write.mode("overwrite")
+      .partitionBy("ivf_c").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val qs = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val atRest = Similarity.ivfTopKBatch(corpus, model, qs, topK = 5, nprobe = 2,
+      assignedCol = Some("ivf_c"))
+    // the partitioned scan carries a dynamic-pruning subquery on the
+    // cluster key — the at-rest read touches only probed partitions
+    val plan = atRest.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected DPP on ivf_c in the at-rest plan:\n$plan")
+    // and the pruned plan returns exactly the inline-assignment result
+    val inline = Similarity.ivfTopKBatch(emb, model, qs, topK = 5, nprobe = 2)
+      .select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pruned = atRest.select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(pruned == inline)
+  }
+
   test("LSH recall vs brute force on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteTopK(emb, 0L, 10).select("vec_id").as[Long].collect().toSet
@@ -457,6 +485,11 @@ class LlmSpec extends SparkSpec {
     val big = Seq((1L, 1000), (2L, 10)).toDF("doc_id", "n_tokens")
     val b = Sampling.packBins(big, $"doc_id", $"n_tokens", budget = 250L, shards = 1)
     assert(b.select("bin").as[Long].collect().toSet.nonEmpty)
+    // reserved-name collision is refused, not silently overwritten
+    val clash = Seq((1L, 10, 99)).toDF("doc_id", "n_tokens", "shard")
+    val err = intercept[IllegalArgumentException](
+      Sampling.packBins(clash, $"doc_id", $"n_tokens", budget = 250L))
+    assert(err.getMessage.contains("shard"))
   }
 
   test("bm25TopK: term-frequency ranking with length normalization, exact ties broken by id") {
