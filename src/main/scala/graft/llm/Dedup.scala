@@ -311,6 +311,20 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Lineage-truncation strategy for the iterative CC loops:
+    * executor-pinned `localCheckpoint` by default, RELIABLE
+    * `checkpoint()` into `dir` when given (survives executor loss —
+    * the dynamic-allocation / spot-instance posture at cluster scale).
+    */
+  private def checkpointed(sample: DataFrame,
+                           dir: Option[String]): DataFrame => DataFrame =
+    dir match {
+      case None => _.localCheckpoint()
+      case Some(d) =>
+        sample.sparkSession.sparkContext.setCheckpointDir(d)
+        _.checkpoint()
+    }
+
   /** Connected components over a near-dup pair graph — the closure of
     * the fuzzy-dedup pipeline: LSH emits PAIRS, but the removal
     * decision needs CLUSTERS (a∼b, b∼c ⇒ {a,b,c} keep one doc).
@@ -330,17 +344,25 @@ object Dedup {
     * the loop body — same per-round shuffle shape, so the 100 TB cost
     * model is unchanged. The per-round `count` action is the
     * convergence check, standard for iterative Spark.
+    *
+    * Checkpointing: `localCheckpoint` (default) pins blocks to
+    * executors — right for a static cluster, fatal under dynamic
+    * allocation (losing an executor loses the truncated lineage).
+    * Pass `checkpointDir` to use RELIABLE `checkpoint()` into that
+    * (HDFS/S3/DBFS) directory instead; same labels, executor-loss
+    * tolerant, one write+read of the frame per round.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointed(pairs, checkpointDir)
+    val edges = ckpt(pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct())
     // seed with the neighborhood min — a free first propagation round
     // (min over labels ≡ min over ids when labels are the identity)
-    var labels = edges.groupBy(col("src").as("id"))
+    var labels = ckpt(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("mn"), col("id")).as("lab"))
-      .localCheckpoint()
+      .select(col("id"), least(col("mn"), col("id")).as("lab")))
     var it = 0
     var converged = edges.isEmpty
     while (!converged && it < maxIter) {
@@ -350,11 +372,10 @@ object Dedup {
       // convergence probe then reads checkpoint blocks instead of
       // paying an extra join+shuffle per round (min-prop labels only
       // ever decrease, so "changed" ≡ nlab < lab)
-      val next = labels.join(prop, Seq("id"), "left")
+      val next = ckpt(labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg"))
-        .localCheckpoint()
+          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
       converged = next.filter(col("chg")).isEmpty
       labels = next.drop("chg")
       it += 1
@@ -380,12 +401,14 @@ object Dedup {
     *  - small-star: every node c connects its smaller neighbors and
     *    itself to their minimum — collapses toward the root.
     */
-  def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 30,
+                                     checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointed(pairs, checkpointDir)
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-    var edges = canon(pairs.select(col("id_a").cast("long").as("x"),
-      col("id_b").cast("long").as("y"))).localCheckpoint()
+    var edges = ckpt(canon(pairs.select(col("id_a").cast("long").as("x"),
+      col("id_b").cast("long").as("y"))))
     var it = 0
     var done = edges.isEmpty
     while (!done && it < maxIter) {
@@ -400,10 +423,9 @@ object Dedup {
       // small-star: center every node on its larger endpoint
       val sNbrs = ls.select(col("v").as("c"), col("u").as("n")) // n < c by canon
       val ssMin = sNbrs.groupBy("c").agg(min(col("n")).as("m"))
-      val next = canon(
+      val next = ckpt(canon(
         sNbrs.join(ssMin, "c").select(col("n").as("x"), col("m").as("y"))
-          .unionByName(ssMin.select(col("c").as("x"), col("m").as("y"))))
-        .localCheckpoint()
+          .unionByName(ssMin.select(col("c").as("x"), col("m").as("y")))))
       done = next.exceptAll(edges).unionByName(edges.exceptAll(next)).isEmpty
       edges = next
       it += 1

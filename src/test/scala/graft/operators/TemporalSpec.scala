@@ -68,6 +68,24 @@ class TemporalSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: reliable checkpoint() path yields identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // the reliable path actually materialized checkpoint files
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+    val chain = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val altLocal = Dedup.connectedComponentsAlternating(chain)
+      .as[(Long, Long)].collect().toMap
+    val altReliable = Dedup.connectedComponentsAlternating(chain, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(altReliable == altLocal)
+  }
+
   test("connectedComponents: empty pair set yields empty labeling") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).count() == 0)
