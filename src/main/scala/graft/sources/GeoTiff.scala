@@ -786,6 +786,57 @@ object GeoTiff {
                     crs: CrsTag = CrsTag.Wgs84Geo, tileSize: Int = 0,
                     compression: Int = 8, bands: Int = 1,
                     bigTiff: Boolean = false): Array[Byte] = {
+    pages.zipWithIndex.foreach { case ((w, h, values), i) =>
+      require(values.length == w.toLong * h * bands,
+        s"page $i: expected ${w.toLong * h * bands} values (chunky), got ${values.length}")
+    }
+    val out = new ByteArrayOutputStream()
+    writePyramidImpl(out,
+      pages.map { case (w, h, values) => StreamPage(w, h, i => values(i.toInt)) },
+      dtype, gt, nodata, rowsPerStrip, predictor, crs, tileSize, compression,
+      bands, bigTiff, materialize = true, maxBytes = Int.MaxValue.toLong)
+    out.toByteArray
+  }
+
+  /** A lazily-valued page for [[writePyramid]]: `at(i)` returns the
+    * sample at chunky index `i = (y*w + x)*bands + b` — backed by an
+    * array, a memory-mapped source, a tile cache, whatever the caller
+    * has. The writer pulls each sample exactly twice (sizing pass +
+    * streaming pass).
+    */
+  final case class StreamPage(w: Int, h: Int, at: Long => Double)
+
+  /** STREAMING twin of [[encodePyramid]]: identical byte layout
+    * (`header | page0 IFD | ext | segments | page1 …`), pushed to an
+    * `OutputStream` with BOUNDED heap — the >2 GiB / BigTIFF export
+    * path the in-memory encoder refuses (COG output contract,
+    * `gdalos_trans.py:773-816`). Per page it runs TWO segment passes:
+    * pass 1 compresses each segment to learn the byte counts the IFD
+    * (written BEFORE the segment data) must carry, pass 2 recompresses
+    * and streams — peak heap is one raw+compressed segment plus the
+    * O(nSegments) offset arrays, never the file and never a full page.
+    * Deterministic codecs (LZW/DEFLATE/PackBits/JPEG here) make the
+    * two passes agree, so output is byte-identical to
+    * [[encodePyramid]] on the same inputs (GeoTiffSpec pins this).
+    * Classic (non-Big) TIFF offsets are checked against the u32 limit
+    * instead of silently truncating. Returns total bytes written.
+    */
+  def writePyramid(out: java.io.OutputStream, pages: Seq[StreamPage],
+                   dtype: DType, gt: GeoTransform, nodata: Option[Double] = None,
+                   rowsPerStrip: Int = 64, predictor: Int = 1,
+                   crs: CrsTag = CrsTag.Wgs84Geo, tileSize: Int = 0,
+                   compression: Int = 8, bands: Int = 1,
+                   bigTiff: Boolean = false): Long =
+    writePyramidImpl(out, pages, dtype, gt, nodata, rowsPerStrip, predictor,
+      crs, tileSize, compression, bands, bigTiff, materialize = false,
+      maxBytes = Long.MaxValue)
+
+  private def writePyramidImpl(out: java.io.OutputStream, pages: Seq[StreamPage],
+                               dtype: DType, gt: GeoTransform, nodata: Option[Double],
+                               rowsPerStrip: Int, predictor: Int, crs: CrsTag,
+                               tileSize: Int, compression: Int, bands: Int,
+                               bigTiff: Boolean, materialize: Boolean,
+                               maxBytes: Long): Long = {
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
       "TIFF tile size must be a positive multiple of 16")
     require(bands >= 1 && bands <= 16, s"unsupported band count $bands")
@@ -838,70 +889,73 @@ object GeoTiff {
       }
       out.toByteArray
     }
+    def writeSample(raw: Array[Byte], i: Int, v: Double): Unit = dtype match {
+      case DtByte => raw(i) = v.toInt.toByte
+      case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
+      case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
+      case DtFloat64 =>
+        // LE word order: low 32 bits first (see decodeSegment)
+        val bits = java.lang.Double.doubleToLongBits(v)
+        writeS32(raw, i * 8, bits.toInt, be = false)
+        writeS32(raw, i * 8 + 4, (bits >>> 32).toInt, be = false)
+    }
 
-    /** One page block `[IFD | ext data | strip data]` laid out at
-      * `base`; returns (bytes, absolute position of the next-IFD
-      * pointer inside the block) for chain patching.
+    /** Compressed segments (strips or tiles) of one page, produced
+      * lazily — one raw + one compressed segment live at a time.
       */
-    def buildPage(pageIdx: Int, w: Int, h: Int, values: Array[Double],
-                  base: Long): (Array[Byte], Long) = {
-      require(values.length == w.toLong * h * bands,
-        s"page $pageIdx: expected ${w.toLong * h * bands} values (chunky), got ${values.length}")
-      val tiled = tileSize > 0
-      val pad = nodata.getOrElse(0.0)
-      def writeSample(raw: Array[Byte], i: Int, v: Double): Unit = dtype match {
-        case DtByte => raw(i) = v.toInt.toByte
-        case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
-        case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
-        case DtFloat64 =>
-          // LE word order: low 32 bits first (see decodeSegment)
-          val bits = java.lang.Double.doubleToLongBits(v)
-          writeS32(raw, i * 8, bits.toInt, be = false)
-          writeS32(raw, i * 8 + 4, (bits >>> 32).toInt, be = false)
-      }
-      val strips: Seq[Array[Byte]] =
-        if (tiled) {
-          val ts = tileSize
-          val ta = (w + ts - 1) / ts
-          val td = (h + ts - 1) / ts
-          for (ty <- 0 until td; tx <- 0 until ta) yield {
-            val raw = new Array[Byte](ts * ts * bands * bps)
-            var i = 0
-            while (i < ts * ts * bands) {
-              val p = i / bands; val b = i % bands
-              val sx = tx * ts + p % ts
-              val sy = ty * ts + p / ts
-              // JPEG edge tiles replicate the border pixel (a hard
-              // nodata edge would bleed DCT ringing into valid pixels)
-              writeSample(raw, i,
-                if (sx < w && sy < h) values((sy * w + sx) * bands + b)
-                else if (compression == 7)
-                  values((math.min(sy, h - 1) * w + math.min(sx, w - 1)) * bands + b)
-                else pad)
-              i += 1
-            }
-            if (predictor == 2) diffRows(raw, ts, ts, bps)
-            else if (predictor == 3) fpDiffRows(raw, ts, ts, bands, bps)
-            if (compression == 7) jpegEncode(raw, ts, ts, bands) else compress(raw)
+    def segments(w: Int, h: Int, at: Long => Double): Iterator[Array[Byte]] =
+      if (tileSize > 0) {
+        val ts = tileSize
+        val ta = (w + ts - 1) / ts
+        val td = (h + ts - 1) / ts
+        val pad = nodata.getOrElse(0.0)
+        for (ty <- (0 until td).iterator; tx <- (0 until ta).iterator) yield {
+          val raw = new Array[Byte](ts * ts * bands * bps)
+          var i = 0
+          while (i < ts * ts * bands) {
+            val p = i / bands; val b = i % bands
+            val sx = tx * ts + p % ts
+            val sy = ty * ts + p / ts
+            // JPEG edge tiles replicate the border pixel (a hard
+            // nodata edge would bleed DCT ringing into valid pixels)
+            writeSample(raw, i,
+              if (sx < w && sy < h) at((sy.toLong * w + sx) * bands + b)
+              else if (compression == 7)
+                at((math.min(sy, h - 1).toLong * w + math.min(sx, w - 1)) * bands + b)
+              else pad)
+            i += 1
           }
-        } else {
-          val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-          (0 until nStrips).map { s =>
-            val y0 = s * rowsPerStrip
-            val rows = math.min(rowsPerStrip, h - y0)
-            val raw = new Array[Byte](rows * w * bands * bps)
-            var i = 0
-            while (i < rows * w * bands) {
-              writeSample(raw, i, values(y0 * w * bands + i)) // chunky rows are contiguous
-              i += 1
-            }
-            if (predictor == 2) diffRows(raw, w, rows, bps)
-            else if (predictor == 3) fpDiffRows(raw, w, rows, bands, bps)
-            if (compression == 7) jpegEncode(raw, w, rows, bands) else compress(raw)
-          }
+          if (predictor == 2) diffRows(raw, ts, ts, bps)
+          else if (predictor == 3) fpDiffRows(raw, ts, ts, bands, bps)
+          if (compression == 7) jpegEncode(raw, ts, ts, bands) else compress(raw)
         }
-      val stripSizes = strips.map(_.length.toLong)
-      val nStrips = strips.length
+      } else {
+        val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+        (0 until nStrips).iterator.map { st =>
+          val y0 = st * rowsPerStrip
+          val rows = math.min(rowsPerStrip, h - y0)
+          val raw = new Array[Byte](rows * w * bands * bps)
+          var i = 0
+          while (i < rows * w * bands) {
+            writeSample(raw, i, at(y0.toLong * w * bands + i)) // chunky rows are contiguous
+            i += 1
+          }
+          if (predictor == 2) diffRows(raw, w, rows, bps)
+          else if (predictor == 3) fpDiffRows(raw, w, rows, bands, bps)
+          if (compression == 7) jpegEncode(raw, w, rows, bands) else compress(raw)
+        }
+      }
+
+    /** IFD + external tag data of one page laid out at `base` with the
+      * given compressed segment byte counts; segment data follows the
+      * block immediately. Returns (block bytes, offset WITHIN the
+      * block of the next-IFD pointer) so the chain patch happens
+      * before the block is streamed.
+      */
+    def pageBlock(pageIdx: Int, w: Int, h: Int, stripSizes: Seq[Long],
+                  base: Long): (Array[Byte], Int) = {
+      val tiled = tileSize > 0
+      val nStrips = stripSizes.length
       val segOffTag = if (tiled) TTileOffsets else TStripOffsets
 
       val ascii = nodata.map(nd =>
@@ -968,17 +1022,19 @@ object GeoTiff {
       }
       var stripOff = extOff
       val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
+      if (!bigTiff) require(stripOff <= 0xFFFFFFFFL,
+        s"classic TIFF offsets overflow the u32 limit at $stripOff bytes — set bigTiff=true")
       val soIdx = tags.indexWhere(_.id == segOffTag)
       val soBytes = leBytes(stripOffsets, offTyp)
       System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
 
-      val out = new ByteArrayOutputStream()
-      out.write(leBytes(Seq(tags.length.toLong), if (bigTiff) 16 else 3),
+      val outB = new ByteArrayOutputStream()
+      outB.write(leBytes(Seq(tags.length.toLong), if (bigTiff) 16 else 3),
         0, cntSz)
       tags.zip(extOffsets).foreach { case (t, ext) =>
-        out.write(leBytes(Seq(t.id.toLong), 3))
-        out.write(leBytes(Seq(t.typ.toLong), 3))
-        out.write(leBytes(Seq(t.cnt.toLong), if (bigTiff) 16 else 4))
+        outB.write(leBytes(Seq(t.id.toLong), 3))
+        outB.write(leBytes(Seq(t.typ.toLong), 3))
+        outB.write(leBytes(Seq(t.cnt.toLong), if (bigTiff) 16 else 4))
         val valueField: Array[Byte] = (t.inline, t.ext, ext) match {
           case (Some(v), _, _) =>
             leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(inlineCap, 0.toByte)
@@ -986,62 +1042,69 @@ object GeoTiff {
           case (_, _, Some(o)) => leBytes(Seq(o), offTyp)
           case _ => Array.fill(inlineCap)(0.toByte)
         }
-        out.write(valueField, 0, inlineCap)
+        outB.write(valueField, 0, inlineCap)
       }
-      val nextPtrPos = base + cntSz + tags.length * entrySz
-      out.write(leBytes(Seq(0L), offTyp)) // next IFD — patched by the chain
+      outB.write(leBytes(Seq(0L), offTyp)) // next IFD — patched by the chain
       tags.zip(extOffsets).foreach {
-        case (t, Some(_)) => out.write(t.ext.get)
+        case (t, Some(_)) => outB.write(t.ext.get)
         case _ => ()
       }
-      strips.foreach(out.write)
-      (out.toByteArray, nextPtrPos)
+      (outB.toByteArray, cntSz + tags.length * entrySz)
     }
 
-    // assemble: header | page0 | page1 | ... with next-IFD pointers
-    val file = new ByteArrayOutputStream()
-    file.write('I'); file.write('I')
+    // stream: header | page0 block | page0 segments | page1 block | …
+    val header = new ByteArrayOutputStream()
+    header.write('I'); header.write('I')
     if (bigTiff) {
-      file.write(43); file.write(0)
-      file.write(8); file.write(0)  // offset size
-      file.write(0); file.write(0)  // reserved
-      file.write(leBytes(Seq(16L), 16)) // first IFD at 16 (u64)
+      header.write(43); header.write(0)
+      header.write(8); header.write(0)  // offset size
+      header.write(0); header.write(0)  // reserved
+      header.write(leBytes(Seq(16L), 16)) // first IFD at 16 (u64)
     } else {
-      file.write(42); file.write(0)
-      file.write(leBytes(Seq(8L), 4)) // first IFD at 8
+      header.write(42); header.write(0)
+      header.write(leBytes(Seq(8L), 4)) // first IFD at 8
     }
-    var blocks = Vector.empty[(Array[Byte], Long)] // (bytes, nextPtrPos)
+    out.write(header.toByteArray)
     var base = headerSz.toLong
-    pages.zipWithIndex.foreach { case ((w, h, vals), i) =>
-      val (bytes, ptr) = buildPage(i, w, h, vals, base)
-      blocks :+= (bytes, ptr)
-      base += bytes.length
-    }
-    // the whole file is assembled in one Array[Byte], so the encoder's
-    // hard ceiling is 2 GiB regardless of the BigTIFF flag (BigTIFF
-    // lifts the FORMAT's 4 GiB offset limit, not this in-memory one);
-    // larger outputs belong in the distributed COG parquet layout
-    require(base <= Int.MaxValue,
-      s"encodePyramid assembles in memory; $base bytes exceeds the 2 GiB " +
-        "Array ceiling — write the COG parquet layout instead")
-    val all = new Array[Byte](base.toInt)
-    var pos = headerSz
-    blocks.zipWithIndex.foreach { case ((bytes, _), i) =>
-      System.arraycopy(bytes, 0, all, pos, bytes.length)
-      pos += bytes.length
-    }
-    // patch the chain: page i's next pointer → page i+1's base
-    var pageBase = headerSz.toLong
-    blocks.zipWithIndex.foreach { case ((bytes, ptr), i) =>
-      if (i < blocks.length - 1) {
-        val nextBase = pageBase + bytes.length
+    pages.zipWithIndex.foreach { case (pg, i) =>
+      // pass 1: segment byte counts (materialized in the in-memory
+      // path, compressed-and-discarded in the streaming path — except
+      // COMPRESSION=NONE, where a segment's byte count IS its raw size
+      // and the sizing pass is pure arithmetic)
+      val cached = if (materialize) segments(pg.w, pg.h, pg.at).toVector else null
+      val sizes: Seq[Long] =
+        if (materialize) cached.map(_.length.toLong)
+        else if (compression == 1) {
+          if (tileSize > 0) {
+            val ta = (pg.w + tileSize - 1) / tileSize
+            val td = (pg.h + tileSize - 1) / tileSize
+            Vector.fill(ta * td)(tileSize.toLong * tileSize * bands * bps)
+          } else {
+            val nStrips = (pg.h + rowsPerStrip - 1) / rowsPerStrip
+            (0 until nStrips).map { st =>
+              math.min(rowsPerStrip, pg.h - st * rowsPerStrip).toLong * pg.w * bands * bps
+            }.toVector
+          }
+        }
+        else segments(pg.w, pg.h, pg.at).map(_.length.toLong).toVector
+      val (block, ptrRel) = pageBlock(i, pg.w, pg.h, sizes, base)
+      val pageLen = block.length + sizes.sum
+      require(base + pageLen <= maxBytes,
+        s"encodePyramid assembles in memory; ${base + pageLen} bytes exceeds the 2 GiB " +
+          "Array ceiling — stream via writePyramid or write the COG parquet layout instead")
+      if (i < pages.length - 1) {
+        // the chain patch happens in the block BEFORE it streams
+        val nextBase = base + pageLen
         var j = 0
-        while (j < ptrSz) { all(ptr.toInt + j) = ((nextBase >> (8 * j)) & 0xff).toByte; j += 1 }
+        while (j < ptrSz) { block(ptrRel + j) = ((nextBase >> (8 * j)) & 0xff).toByte; j += 1 }
       }
-      pageBase += bytes.length
+      out.write(block)
+      // pass 2: the segment data itself
+      if (materialize) cached.foreach(out.write)
+      else segments(pg.w, pg.h, pg.at).foreach(out.write)
+      base += pageLen
     }
-    System.arraycopy(file.toByteArray, 0, all, 0, headerSz)
-    all
+    base
   }
 
   /** Apply TIFF predictor 2 (forward differencing) in place. */

@@ -266,10 +266,17 @@ object Trans {
     val rawBytes = pages.map { case (pw, ph, _) =>
       pw.toLong * ph * (dtype.bits / 8) }.sum
     val useBig = bigTiff.getOrElse(rawBytes > (1L << 32) - (1L << 24))
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      graft.sources.GeoTiff.encodePyramid(pages, dtype, p.outGt, Some(ndv),
-        crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs)),
-        tileSize = tileSize, bigTiff = useBig))
+    // stream page-by-page: per-page pixel arrays stay (bounded by
+    // maxPixels), but the FILE is never assembled in memory — large
+    // BigTIFF outputs write through the two-pass segment streamer
+    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    try graft.sources.GeoTiff.writePyramid(out,
+      pages.map { case (pw, ph, pv) =>
+        graft.sources.GeoTiff.StreamPage(pw, ph, i => pv(i.toInt)) },
+      dtype, p.outGt, Some(ndv),
+      crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs)),
+      tileSize = tileSize, bigTiff = useBig)
+    finally out.close()
   }
 
   /** Plan + execute + write (steps 5–7): COG-layout parquet, optional

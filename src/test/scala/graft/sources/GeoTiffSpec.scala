@@ -786,4 +786,53 @@ class GeoTiffSpec extends SparkSpec {
                  | _: NegativeArraySizeException => () }
     }
   }
+  test("writePyramid streams byte-identical output to encodePyramid across configs") {
+    val gt = GeoTransform(10.0, 0.5, 0, 40.0, 0, -0.5)
+    val w = 50; val h = 34
+    val vals = Array.tabulate(w * h)(i => ((i * 7) % 997).toDouble)
+    val ow = (w + 1) / 2; val oh = (h + 1) / 2
+    val ovr = Array.tabulate(ow * oh)(i => (i % 256).toDouble)
+    val rgb = Array.tabulate(w * h * 3)(i => (i % 251).toDouble)
+    // (pages, dtype, rowsPerStrip, predictor, tileSize, compression, bands, bigTiff)
+    val configs = Seq(
+      (Seq((w, h, vals), (ow, oh, ovr)), GeoTiff.DtInt16, 8, 1, 0, 8, 1, false),
+      (Seq((w, h, vals), (ow, oh, ovr)), GeoTiff.DtInt16, 8, 2, 0, 5, 1, true),
+      (Seq((w, h, vals)), GeoTiff.DtFloat32, 64, 3, 16, 5, 1, false),
+      (Seq((w, h, vals)), GeoTiff.DtFloat64, 16, 1, 0, 32773, 1, false),
+      (Seq((w, h, rgb)), GeoTiff.DtByte, 64, 1, 16, 7, 3, false),
+      (Seq((w, h, vals)), GeoTiff.DtByte, 32, 1, 32, 1, 1, true))
+    for ((pages, dt, rps, pred, ts, comp, bands, big) <- configs) {
+      val mem = GeoTiff.encodePyramid(pages, dt, gt, nodata = Some(-32768.0),
+        rowsPerStrip = rps, predictor = pred, tileSize = ts,
+        compression = comp, bands = bands, bigTiff = big)
+      val sink = new java.io.ByteArrayOutputStream()
+      val streamPages = pages.map { case (pw, ph, pv) =>
+        GeoTiff.StreamPage(pw, ph, i => pv(i.toInt)) }
+      val n = GeoTiff.writePyramid(sink, streamPages, dt, gt,
+        nodata = Some(-32768.0), rowsPerStrip = rps, predictor = pred,
+        tileSize = ts, compression = comp, bands = bands, bigTiff = big)
+      val streamed = sink.toByteArray
+      assert(n == mem.length.toLong, s"config ($dt,$rps,$pred,$ts,$comp,$bands,$big)")
+      assert(java.util.Arrays.equals(streamed, mem),
+        s"byte divergence for config ($dt,$rps,$pred,$ts,$comp,$bands,$big)")
+    }
+    // the streaming path writes straight to a FILE (no whole-file
+    // buffer anywhere) and the result reads back
+    val f = Files.createTempFile("graft_stream", ".tif")
+    val os = Files.newOutputStream(f)
+    try GeoTiff.writePyramid(os, Seq(GeoTiff.StreamPage(w, h, i => vals(i.toInt))),
+      GeoTiff.DtInt16, gt, nodata = Some(-32768.0), tileSize = 16, bigTiff = true)
+    finally os.close()
+    val info = GeoTiff.readInfo(f.toString)
+    assert(info.width == w && info.height == h)
+    Files.deleteIfExists(f)
+    // classic-offset overflow refuses instead of truncating: a fake
+    // page claiming u32-breaking size via uncompressed Float64 strips
+    val hugeSide = 24000 // 24000*24000*8B = 4.6 GB > u32
+    val err = intercept[IllegalArgumentException](
+      GeoTiff.writePyramid(new java.io.OutputStream { def write(b: Int): Unit = () },
+        Seq(GeoTiff.StreamPage(hugeSide, hugeSide, _ => 0.0)),
+        GeoTiff.DtFloat64, gt, compression = 1, rowsPerStrip = hugeSide))
+    assert(err.getMessage.contains("bigTiff"))
+  }
 }
