@@ -314,6 +314,49 @@ object LlmQueries {
     Similarity.bucketHistogram(Tables.embeddings(s, d), planes = 4)
       .orderBy("bucket")
 
+  /** Shared q85/q103 oracle: the batched-IVF search re-derived in SQL
+    * (fixed q79 quantizer inlined per (c, dim)). q103 runs the SAME
+    * search against the at-rest partitioned corpus — one oracle text
+    * gates both plans.
+    */
+  private lazy val ivfBatchOracle: String = {
+      // fixed centroid formula shared with q79, inlined per (c, dim)
+      val cv = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13) % 41 - 20) AS DOUBLE) / 10.0)"
+      def sqDist(vec: String) = foldSum(
+        s"list_transform(range(1, 65), i -> (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv)" +
+          s" * (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv))")
+      s"""WITH cent AS (SELECT CAST(c AS INTEGER) AS c FROM range(4) t(c)),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 6),
+         |qd AS (SELECT q.qid, q.qv, cent.c, ${sqDist("q.qv")} AS d
+         |       FROM q CROSS JOIN cent),
+         |probe AS (
+         |  SELECT qid, c FROM (
+         |    SELECT qid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, c) AS rn
+         |    FROM qd)
+         |  WHERE rn <= 2),
+         |ad AS (
+         |  SELECT e.vec_id, e.embedding, cent.c, ${sqDist("e.embedding")} AS d
+         |  FROM embeddings e CROSS JOIN cent),
+         |an AS (
+         |  SELECT vec_id, embedding, c,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |  FROM ad),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id,
+         |         ${dotExpr("a.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("a.embedding", "a.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS cc
+         |  FROM an a JOIN probe p ON a.c = p.c
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE a.rn = 1 AND a.vec_id <> p.qid),
+         |rk AS (
+         |  SELECT qid, vec_id, cc,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cc DESC, vec_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT qid, vec_id, ROUND(cc, 6) AS cosine, rank FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Fixed literal IVF centroids shared by q79 and its oracle: small
     * exact rationals (n/10 with |n| ≤ 20), identical doubles in any
     * engine. The Lloyd fit stays test-covered in LlmSpec (iterative
@@ -364,6 +407,34 @@ object LlmQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.ivfTopKBatch(emb, Similarity.IvfModel(ivfFixedCentroids), qs,
         topK = 5, nprobe = 2)
+      .select(col("qid"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** q103 IVF at-rest pruning: the q85 search against a corpus
+    * PRE-ASSIGNED by [[graft.llm.Similarity.assignIvf]] and written
+    * PARTITIONED BY the cluster key — the production ingest shape the
+    * assignIvf scaladoc promises. The probe equi-join then prunes the
+    * partitioned scan dynamically (DPP: the scan's PartitionFilters
+    * carry a dynamicpruning subquery on `ivf_c`, LlmSpec pins it), so
+    * a query touches nprobe/k of the data at rest instead of paying
+    * k×dim distance folds per row. Bit-equal to q85; one shared
+    * oracle gates both.
+    */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val model = Similarity.IvfModel(ivfFixedCentroids)
+    val atRest = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_ivf_at_rest_${Integer.toHexString(d.hashCode)}").toString
+    Similarity.assignIvf(emb, model).write.mode("overwrite")
+      .partitionBy("ivf_c").parquet(atRest)
+    val corpus = s.read.parquet(atRest)
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopKBatch(corpus, model, qs, topK = 5, nprobe = 2,
+        assignedCol = Some("ivf_c"))
       .select(col("qid"), col("vec_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy("qid", "rank")
@@ -445,6 +516,7 @@ object LlmQueries {
     "q79_ann_ivf" -> q79 _,
     "q84_ann_batch_brute" -> q84 _,
     "q85_ann_batch_ivf" -> q85 _,
+    "q103_ann_ivf_at_rest" -> q103 _,
     "q86_ann_batch_lsh" -> q86 _,
     "q52_multimodal_features" -> q52 _,
     "q64_dedup_embed" -> q64 _,
@@ -993,43 +1065,8 @@ object LlmQueries {
          |SELECT qid, vec_id, ROUND(c, 6) AS cosine, rank FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
-    "q85_ann_batch_ivf" -> {
-      // fixed centroid formula shared with q79, inlined per (c, dim)
-      val cv = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13) % 41 - 20) AS DOUBLE) / 10.0)"
-      def sqDist(vec: String) = foldSum(
-        s"list_transform(range(1, 65), i -> (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv)" +
-          s" * (CAST($vec[CAST(i AS INTEGER)] AS DOUBLE) - $cv))")
-      s"""WITH cent AS (SELECT CAST(c AS INTEGER) AS c FROM range(4) t(c)),
-         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 6),
-         |qd AS (SELECT q.qid, q.qv, cent.c, ${sqDist("q.qv")} AS d
-         |       FROM q CROSS JOIN cent),
-         |probe AS (
-         |  SELECT qid, c FROM (
-         |    SELECT qid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, c) AS rn
-         |    FROM qd)
-         |  WHERE rn <= 2),
-         |ad AS (
-         |  SELECT e.vec_id, e.embedding, cent.c, ${sqDist("e.embedding")} AS d
-         |  FROM embeddings e CROSS JOIN cent),
-         |an AS (
-         |  SELECT vec_id, embedding, c,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
-         |  FROM ad),
-         |cand AS (
-         |  SELECT p.qid, a.vec_id,
-         |         ${dotExpr("a.embedding", "q.qv")}
-         |           / (SQRT(${dotExpr("a.embedding", "a.embedding")})
-         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS cc
-         |  FROM an a JOIN probe p ON a.c = p.c
-         |  JOIN q ON q.qid = p.qid
-         |  WHERE a.rn = 1 AND a.vec_id <> p.qid),
-         |rk AS (
-         |  SELECT qid, vec_id, cc,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cc DESC, vec_id) AS INTEGER) AS rank
-         |  FROM cand)
-         |SELECT qid, vec_id, ROUND(cc, 6) AS cosine, rank FROM rk
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
+    "q85_ann_batch_ivf" -> ivfBatchOracle,
+    "q103_ann_ivf_at_rest" -> ivfBatchOracle,
 
     "q86_ann_batch_lsh" ->
       s"""WITH bucketed AS (
