@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.net.{HttpURLConnection, URL}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Geodesic, Radio}
+
+/** A14 REST path-loss backend — the `z_rest` profile service client
+  * (`viewshed/viewshed_calc.py:808-878`): observer→target pairs go out
+  * as batched JSON POSTs, one request per SLICE of identical origin
+  * (`get_calc_slices`, `viewshed_calc.py:605-617`), and the response's
+  * `operationResult.pathLossTable` comes back as `medianLoss` /
+  * `isRFLOS` per destination row; free-space loss is computed LOCALLY
+  * from the 2-D geodesic distance (`calc_dist` + `calc_free_space_loss`,
+  * `viewshed_calc.py:620-638` — pyproj `Geod.inv` ↔ [[Geodesic.inverse]],
+  * same `20(log₁₀d + log₁₀f) − 27.55` constant via [[Radio.fspl]]).
+  *
+  * Spark shape: `repartition` on the origin key co-locates each
+  * origin's targets, `sortWithinPartitions` makes runs contiguous, and
+  * a `mapPartitions` pass chunks each partition into origin slices and
+  * POSTs them — requests fan out across executors, one connection per
+  * slice, never a driver-side loop. Per-slice buffering is bounded by
+  * targets-per-origin (the reference caps multi-point inputs via
+  * `vp_slice`/`max_rs`, mirrored by `Jobs.capInputs`).
+  *
+  * The zero-egress build gates this against an in-process
+  * `com.sun.net.httpserver` stub (RestProfileSpec + the q105 oracle
+  * query); against the real deployment only `Config.url` changes.
+  */
+object RestProfile {
+
+  /** Request-level knobs (`viewshed_calc.py:835-845`: kFactor,
+    * samplingInterval, fernelOrder, plus the radiobase parameter map
+    * merged into the payload root as `as_radiobase_params` does).
+    */
+  final case class Config(url: String, kFactor: Double, samplingInterval: Double,
+                          fernelOrder: Int = 0,
+                          radioBaseParams: Map[String, Double] = Map.empty,
+                          connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
+
+  final case class PairRow(pair_id: Long, ox: Double, oy: Double, oz: Double,
+                           tx: Double, ty: Double, tz: Double,
+                           freq_mhz: Double, pol_deg: Double)
+
+  final case class LossRow(pair_id: Long, path_loss: Double, is_rf_los: Boolean,
+                           free_space_loss: Double)
+
+  /** pairs(pair_id, ox, oy, oz, tx, ty, tz, freq_mhz, pol_deg) →
+    * (pair_id, path_loss, is_rf_los, free_space_loss) through the REST
+    * backend at `cfg.url`.
+    *
+    * Replay caution: like any side-effecting scan, the HTTP pass
+    * re-executes when Spark re-runs the stage — an `orderBy` directly
+    * above it range-SAMPLES the child first (one extra full pass), and
+    * every action replans from the scan. `persist()` the result before
+    * wide transformations or multiple actions if duplicate requests
+    * matter (the service is a read-only calculator, so replays are
+    * correct, just wasteful).
+    */
+  def pathLoss(pairs: DataFrame, cfg: Config): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val ds: Dataset[PairRow] = pairs.select(
+      col("pair_id").cast("long"), col("ox").cast("double"),
+      col("oy").cast("double"), col("oz").cast("double"),
+      col("tx").cast("double"), col("ty").cast("double"),
+      col("tz").cast("double"), col("freq_mhz").cast("double"),
+      col("pol_deg").cast("double")).as[PairRow]
+    ds.repartition(col("ox"), col("oy"), col("oz"))
+      .sortWithinPartitions("ox", "oy", "oz", "pair_id")
+      .mapPartitions { it =>
+        val runs = new Iterator[Vector[PairRow]] {
+          private val base = it.buffered
+          def hasNext: Boolean = base.hasNext
+          def next(): Vector[PairRow] = {
+            val h = base.head
+            val b = Vector.newBuilder[PairRow]
+            while (base.hasNext && base.head.ox == h.ox &&
+              base.head.oy == h.oy && base.head.oz == h.oz) b += base.next()
+            b.result()
+          }
+        }
+        runs.flatMap(slice => postSlice(slice, cfg))
+      }
+      .toDF()
+  }
+
+  /** The slice payload (`viewshed_calc.py:835-856`): origin as WKT,
+    * per-destination rows with 1-based `rowId` in slice order.
+    */
+  private[sources] def buildRequest(slice: Seq[PairRow], cfg: Config): String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("kFactor", cfg.kFactor)
+    root.put("samplingInterval", cfg.samplingInterval)
+    root.put("originPointWKTGeoWGS84", s"POINT(${slice.head.ox}, ${slice.head.oy})")
+    root.put("isfeet1", false)
+    root.put("fernelOrder", cfg.fernelOrder)
+    root.put("originAntHeight", slice.head.oz)
+    val rows = root.putArray("destPointsRows")
+    slice.zipWithIndex.foreach { case (p, idx) =>
+      val r = rows.addObject()
+      r.put("destPointWKTGeoWGS84", s"POINT(${p.tx}, ${p.ty})")
+      r.put("destAntHeight", p.tz)
+      r.put("isfeet", false)
+      r.put("frequencyMhz", p.freq_mhz)
+      r.put("polarizationDeg", p.pol_deg)
+      r.put("rowId", idx + 1)
+    }
+    cfg.radioBaseParams.foreach { case (k, v) => root.put(k, v) }
+    m.writeValueAsString(root)
+  }
+
+  /** `operationResult.pathLossTable` → (medianLoss, isRFLOS) per row,
+    * in table order (`viewshed_calc.py:861-870`).
+    */
+  private[sources] def parseResponse(body: String): Seq[(Double, Boolean)] = {
+    val table = new ObjectMapper().readTree(body)
+      .path("operationResult").path("pathLossTable")
+    require(table.isArray,
+      "malformed REST response: operationResult.pathLossTable missing")
+    (0 until table.size).map { i =>
+      val row = table.get(i)
+      (row.path("medianLoss").asDouble, row.path("isRFLOS").asBoolean)
+    }
+  }
+
+  /** Deterministic in-process stand-in for the z_rest service — the
+    * zero-egress gate target for A14. It parses the REAL request shape
+    * and answers the REAL response shape
+    * (`operationResult.pathLossTable`), but with a FIXED rational
+    * formula the DuckDB oracle can replay exactly:
+    * `medianLoss = 100 + 2·rowId + destAntHeight + frequencyMhz/100 +
+    * originAntHeight`, `isRFLOS = rowId odd`. Lazily started on a
+    * loopback port, one instance per JVM (local-mode executors share
+    * it; a real deployment swaps only `Config.url`).
+    */
+  object Stub {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    @volatile private var server: HttpServer = _
+    val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def url: String = synchronized {
+      if (server == null) {
+        server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/pathloss", new HttpHandler {
+          def handle(ex: HttpExchange): Unit = {
+            requestCount.incrementAndGet()
+            val m = new ObjectMapper()
+            val req = m.readTree(ex.getRequestBody.readAllBytes())
+            val originH = req.path("originAntHeight").asDouble
+            val rows = req.path("destPointsRows")
+            val root = m.createObjectNode()
+            val tbl = root.putObject("operationResult").putArray("pathLossTable")
+            (0 until rows.size).foreach { i =>
+              val r = rows.get(i)
+              val rowId = r.path("rowId").asInt
+              val destH = r.path("destAntHeight").asDouble
+              val freq = r.path("frequencyMhz").asDouble
+              val o = tbl.addObject()
+              o.put("rowId", rowId)
+              o.put("medianLoss", 100.0 + 2.0 * rowId + destH + freq / 100.0 + originH)
+              o.put("isRFLOS", rowId % 2 == 1)
+            }
+            val bytes = m.writeValueAsString(root).getBytes("UTF-8")
+            ex.getResponseHeaders.add("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            val os = ex.getResponseBody
+            try os.write(bytes) finally os.close()
+          }
+        })
+        server.setExecutor(null) // caller threads; fine for a test stub
+        server.start()
+        sys.addShutdownHook(if (server != null) server.stop(0))
+      }
+      s"http://127.0.0.1:${server.getAddress.getPort}/pathloss"
+    }
+  }
+
+  private def postSlice(slice: Vector[PairRow], cfg: Config): Iterator[LossRow] = {
+    val conn = new URL(cfg.url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setConnectTimeout(cfg.connectTimeoutMs)
+    conn.setReadTimeout(cfg.readTimeoutMs)
+    val payload = buildRequest(slice, cfg).getBytes("UTF-8")
+    val os = conn.getOutputStream
+    try os.write(payload) finally os.close()
+    val code = conn.getResponseCode
+    require(code == 200, s"REST path-loss backend returned HTTP $code from ${cfg.url}")
+    val body = try new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    finally conn.disconnect()
+    val losses = parseResponse(body)
+    require(losses.length == slice.length,
+      s"pathLossTable returned ${losses.length} rows for ${slice.length} destinations")
+    slice.zip(losses).iterator.map { case (p, (loss, los)) =>
+      // calc_dist is 2-D (`viewshed_calc.py:872-874` note): pyproj
+      // inv(lons=ox, lats=oy, …) — our inverse takes (lat, lon)
+      val dist = Geodesic.inverse(p.oy, p.ox, p.ty, p.tx).distM
+      LossRow(p.pair_id, loss, los, Radio.fspl(dist, p.freq_mhz))
+    }
+  }
+}
