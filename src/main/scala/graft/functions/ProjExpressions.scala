@@ -125,6 +125,46 @@ case class AeqdInverseLon(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+case class AeqdSphereForwardX(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdSphereForwardX"
+  override protected def evalKernel(lat: Double, lon: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdSphereForwardX(lat, lon, lat0, lon0)
+  override def prettyName: String = "aeqd_sphere_forward_x"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+case class AeqdSphereForwardY(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdSphereForwardY"
+  override protected def evalKernel(lat: Double, lon: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdSphereForwardY(lat, lon, lat0, lon0)
+  override def prettyName: String = "aeqd_sphere_forward_y"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+case class AeqdSphereInverseLat(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdSphereInverseLat"
+  override protected def evalKernel(x: Double, y: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdSphereInverseLat(x, y, lat0, lon0)
+  override def prettyName: String = "aeqd_sphere_inverse_lat"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+case class AeqdSphereInverseLon(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression) extends Proj4Expr {
+  override def kernel: String = "aeqdSphereInverseLon"
+  override protected def evalKernel(x: Double, y: Double, lat0: Double, lon0: Double): Double =
+    ProjKernels.aeqdSphereInverseLon(x, y, lat0, lon0)
+  override def prettyName: String = "aeqd_sphere_inverse_lon"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** 2-ary projection expression (a point), same static-kernel codegen
   * contract as [[ProjExpr]] — the datum-shift surface.
   */
@@ -245,6 +285,14 @@ object GraftFunctions {
       args => AeqdInverseLat(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
     fn("aeqd_inverse_lon", "longitude of (x, y) in aeqd centered (lat0, lon0)",
       args => AeqdInverseLon(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("aeqd_sphere_forward_x", "x of (lat, lon) in spherical aeqd centered (lat0, lon0)",
+      args => AeqdSphereForwardX(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("aeqd_sphere_forward_y", "y of (lat, lon) in spherical aeqd centered (lat0, lon0)",
+      args => AeqdSphereForwardY(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("aeqd_sphere_inverse_lat", "latitude of (x, y) in spherical aeqd centered (lat0, lon0)",
+      args => AeqdSphereInverseLat(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
+    fn("aeqd_sphere_inverse_lon", "longitude of (x, y) in spherical aeqd centered (lat0, lon0)",
+      args => AeqdSphereInverseLon(d(args(0)), d(args(1)), d(args(2)), d(args(3)))),
     fn("ed50_to_wgs84_lat", "WGS84 latitude of an ED50 (lat, lon)",
       args => Ed50ToWgs84Lat(d(args(0)), d(args(1)))),
     fn("ed50_to_wgs84_lon", "WGS84 longitude of an ED50 (lat, lon)",

@@ -55,4 +55,57 @@ object ProjKernels {
     Proj.Aeqd(lat0, lon0).inverse(x, y)._1
   def aeqdInverseLon(x: Double, y: Double, lat0: Double, lon0: Double): Double =
     Proj.Aeqd(lat0, lon0).inverse(x, y)._2
+
+  // SPHERICAL aeqd — the closed-form (non-iterative) twin of the
+  // ellipsoidal Aeqd above, on the authalic-free GRS sphere
+  // R = 6378137 (Radio.SphereRadius). Why it exists: the ellipsoidal
+  // inverse runs the iterative geodesic direct problem, which no SQL
+  // oracle can replay; these formulas are pure sin/cos/asin/atan2 and
+  // are written EXACTLY as the q105 oracle writes them (same
+  // association, explicit *PI()/180 degree conversion), so both
+  // engines compute identical doubles.
+  private val SphereR = 6378137.0
+
+  def aeqdSphereForwardX(lat: Double, lon: Double, lat0: Double, lon0: Double): Double = {
+    val phi0 = lat0 * math.Pi / 180; val phi = lat * math.Pi / 180
+    val dlam = (lon - lon0) * math.Pi / 180
+    val cosc = math.sin(phi0) * math.sin(phi) +
+      math.cos(phi0) * math.cos(phi) * math.cos(dlam)
+    val c = math.acos(math.max(-1.0, math.min(1.0, cosc)))
+    if (c == 0.0) 0.0
+    else SphereR * c / math.sin(c) * (math.cos(phi) * math.sin(dlam))
+  }
+
+  def aeqdSphereForwardY(lat: Double, lon: Double, lat0: Double, lon0: Double): Double = {
+    val phi0 = lat0 * math.Pi / 180; val phi = lat * math.Pi / 180
+    val dlam = (lon - lon0) * math.Pi / 180
+    val cosc = math.sin(phi0) * math.sin(phi) +
+      math.cos(phi0) * math.cos(phi) * math.cos(dlam)
+    val c = math.acos(math.max(-1.0, math.min(1.0, cosc)))
+    if (c == 0.0) 0.0
+    else SphereR * c / math.sin(c) *
+      (math.cos(phi0) * math.sin(phi) - math.sin(phi0) * math.cos(phi) * math.cos(dlam))
+  }
+
+  def aeqdSphereInverseLat(x: Double, y: Double, lat0: Double, lon0: Double): Double = {
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) lat0
+    else {
+      val c = rho / SphereR
+      val phi0 = lat0 * math.Pi / 180
+      math.asin(math.cos(c) * math.sin(phi0) +
+        y * math.sin(c) * math.cos(phi0) / rho) * 180 / math.Pi
+    }
+  }
+
+  def aeqdSphereInverseLon(x: Double, y: Double, lat0: Double, lon0: Double): Double = {
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) lon0
+    else {
+      val c = rho / SphereR
+      val phi0 = lat0 * math.Pi / 180
+      lon0 + math.atan2(x * math.sin(c),
+        rho * math.cos(c) * math.cos(phi0) - y * math.sin(c) * math.sin(phi0)) * 180 / math.Pi
+    }
+  }
 }

@@ -260,6 +260,116 @@ object RasterQueries {
       .orderBy("py", "px")
   }
 
+  /** q104 A14 REST path-loss backend (z_rest,
+    * `viewshed/viewshed_calc.py:808-878`) against the in-process stub:
+    * 12 pairs over 3 shared origins go out as 3 slice POSTs
+    * (`get_calc_slices` semantics — one request per identical-origin
+    * run), and the stub's deterministic rational formula comes back as
+    * `path_loss`/`is_rf_los`, replayed exactly by the oracle's
+    * ROW_NUMBER-per-origin rewrite. The Vincenty-based free-space-loss
+    * column stays spec-gated (iterative geodesics are not
+    * SQL-expressible); only the REST-carried columns compare here.
+    */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    val pairs = s.range(12).select(
+      col("id").cast("long").as("pair_id"),
+      ((col("id") % 3) * 10 + lit(20.5)).as("ox"),
+      ((col("id") % 3) * 5 + lit(30.25)).as("oy"),
+      (lit(10.0) + (col("id") % 3).cast("double")).as("oz"),
+      (lit(20.0) + col("id") * lit(0.5)).as("tx"),
+      (lit(31.0) + (col("id") % 5) * lit(0.25)).as("ty"),
+      (lit(5.0) + (col("id") % 2).cast("double")).as("tz"),
+      ((col("id") % 4) * 300 + lit(100)).cast("double").as("freq_mhz"),
+      ((col("id") % 2) * 90).cast("double").as("pol_deg"))
+    graft.sources.RestProfile.pathLoss(pairs,
+        graft.sources.RestProfile.Config(graft.sources.RestProfile.Stub.url,
+          kFactor = 1.33, samplingInterval = 30.0))
+      .select(col("pair_id"), col("path_loss"), col("is_rf_los"))
+      .orderBy("pair_id")
+  }
+
+  /** q105 — the FULL reference lifecycle as one oracle query (§3.2
+    * steps 2–5, `viewshed_calc.py:272-322` + `gdalos_selector.py`):
+    * C5 nearest-center routing over a 2-zone catalog picks each
+    * observer's DEM; the routed geographic tile warps (bilinear) to an
+    * observer-centered azimuthal-equidistant grid; the E2 sweep runs
+    * there; each observer's states warp BACK (nearest) onto a common
+    * geographic grid; vs_count combines the two layers. The projection
+    * is the SPHERICAL aeqd twin (`ProjKernels.aeqdSphere*`) — closed
+    * form, so the whole chain is SQL-replayable where the ellipsoidal
+    * path (iterative geodesics, WarpSpec-gated) is not. The two
+    * observers straddle the zone boundary (lon 36.0, centers 33/39),
+    * so routing sends them to DIFFERENT overlapping tiles and their
+    * 150 m footprints overlap on the common grid — the combine sees
+    * counts of 0, 1 AND 2.
+    */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val res = 0.0005; val zw = 100; val zh = 60
+    def zoneDem(rid: Int, a: Int, b: Int, m: Int): DataFrame =
+      s.range(zw.toLong * zh).select(
+        lit(rid).as("rid"), lit(1).as("band"),
+        (col("id") % zw).cast("int").as("px"),
+        (col("id") / zw).cast("int").as("py"),
+        (((col("id") % zw) * a + (col("id") / zw) * b) % m).cast("double").as("v"))
+    val gts = Map(0 -> GeoTransform(35.95, res, 0, 30.06, 0, -res),
+                  1 -> GeoTransform(35.96, res, 0, 30.06, 0, -res))
+    val dems = Map(0 -> zoneDem(0, 7, 13, 997), 1 -> zoneDem(1, 11, 5, 887))
+    val cat = Seq((0, "cat/srtm_w84u36_x35_y30.tif"),
+                  (1, "cat/srtm_w84u37_x36_y30.tif")).toDF("rid", "path")
+    val obs = Seq((0, 35.9995, 30.03), (1, 36.0005, 30.03)).toDF("point_id", "x", "y")
+    // C5 selector — driver-side metadata, like the reference's
+    // DataSetSelector (2 rows)
+    val routed = Catalog.route(obs, cat)
+      .select("point_id", "rid").as[(Int, Int)].collect().toMap
+
+    val cell = 30.0; val maxR = 150.0; val half = 5; val n = 2 * half + 1
+    val aeqdGt = GeoTransform(-(half + 0.5) * cell, cell, 0, (half + 0.5) * cell, 0, -cell)
+    val oGt = GeoTransform(35.9975, 0.0003, 0, 30.0325, 0, -0.0003)
+    val oW = 17; val oH = 17
+    val grid = s.range(oW.toLong * oH).select(
+      (col("id") % oW).cast("int").as("px"),
+      (col("id") / oW).cast("int").as("py"))
+
+    def layer(k: Int, obsLon: Double, obsLat: Double): DataFrame = {
+      val rid = routed(k)
+      val warped = Warp.warp(dems(rid), gts(rid), aeqdGt, n, n,
+        invMap = (x, y) => (
+          call_function("aeqd_sphere_inverse_lon", x, y, lit(obsLat), lit(obsLon)),
+          call_function("aeqd_sphere_inverse_lat", x, y, lit(obsLat), lit(obsLon))),
+        ndv = PixelFrame.Dem.Ndv)
+      val states = Viewshed.viewshed(warped, half, half, oz = 15.0,
+        cellSize = cell, maxR = maxR, nBuckets = 16)
+      val gx = lit(oGt.c0) + (col("px") + lit(0.5)) * lit(oGt.c1)
+      val gy = lit(oGt.c3) + (col("py") + lit(0.5)) * lit(oGt.c5)
+      val ax = call_function("aeqd_sphere_forward_x", gy, gx, lit(obsLat), lit(obsLon))
+      val ay = call_function("aeqd_sphere_forward_y", gy, gx, lit(obsLat), lit(obsLon))
+      grid
+        .withColumn("spx", floor((ax - lit(aeqdGt.c0)) / lit(aeqdGt.c1)).cast("int"))
+        .withColumn("spy", floor((ay - lit(aeqdGt.c3)) / lit(aeqdGt.c5)).cast("int"))
+        .join(states.select(col("px").as("spx"), col("py").as("spy"), col("state")),
+          Seq("spx", "spy"), "left")
+        .select(lit(k).as("rid"), lit(1).as("band"), col("px"), col("py"),
+          coalesce(col("state"), lit(0.0)).as("v"))
+    }
+    Combine.vsCount(layer(0, 35.9995, 30.03).unionByName(layer(1, 36.0005, 30.03)))
+      .select(col("px"), col("py"), col("v"))
+      .orderBy("py", "px")
+  }
+
+  /** q106 A1 GeoPackage raster read: the pure-JDK SQLite b-tree walk
+    * (incl. overflow-page chains) pulls the committed fixture's tile
+    * pyramid, executors decode the PNG tiles, and the oracle replays
+    * the generator's pixel formula (`tools/make_gpkg_fixture.py`:
+    * v = (px·3 + py·5) % 251).
+    */
+  def q106(s: SparkSession, d: String): DataFrame =
+    graft.sources.Gpkg.pixelFrame(s,
+        "/root/repo/src/test/resources/fixtures/demo.gpkg")
+      .select(col("px"), col("py"), col("v"))
+      .orderBy("py", "px")
+
   /** q87 Okumura-Hata median path loss over the LOS pair fixture:
     * urban/suburban/open-area losses from frequency, ground distance
     * and the two mast heights (published empirical model — with FSPL
@@ -503,6 +613,9 @@ object RasterQueries {
     "q82_los_diffraction" -> q82 _,
     "q83_viewshed_grid" -> q83 _,
     "q102_viewshed_obs_table" -> q102 _,
+    "q104_rest_pathloss" -> q104 _,
+    "q105_geo_lifecycle" -> q105 _,
+    "q106_gpkg_read" -> q106 _,
     "q87_hata_loss" -> q87 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
@@ -681,6 +794,28 @@ object RasterQueries {
     "q82_los_diffraction" -> losDiffractionOracle,
     "q83_viewshed_grid" -> viewshedGridOracle,
     "q102_viewshed_obs_table" -> viewshedGridOracle,
+
+    "q105_geo_lifecycle" -> geoLifecycleOracle,
+
+    "q106_gpkg_read" ->
+      """SELECT CAST(i % 128 AS INTEGER) AS px, CAST(i // 128 AS INTEGER) AS py,
+        |       CAST(((i % 128) * 3 + (i // 128) * 5) % 251 AS DOUBLE) AS v
+        |FROM range(16384) t(i) ORDER BY py, px""".stripMargin,
+
+    "q104_rest_pathloss" ->
+      """WITH p AS (
+        |  SELECT i AS pair_id,
+        |         (i % 3) * 10 + 20.5 AS ox, (i % 3) * 5 + 30.25 AS oy,
+        |         10.0 + (i % 3) AS oz, 5.0 + (i % 2) AS tz,
+        |         (i % 4) * 300 + 100 AS freq_mhz
+        |  FROM range(12) t(i)),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ox, oy, oz ORDER BY pair_id) AS INTEGER) AS row_id
+        |  FROM p)
+        |SELECT pair_id,
+        |       100.0 + 2.0 * row_id + tz + freq_mhz / 100.0 + oz AS path_loss,
+        |       row_id % 2 = 1 AS is_rf_los
+        |FROM r ORDER BY pair_id""".stripMargin,
     "q87_hata_loss" -> hataOracle,
 
     "q60_utm_forward" -> utmOracle,
@@ -1155,6 +1290,142 @@ object RasterQueries {
        |         WHEN ratio >= COALESCE(obstruction, -1e300) THEN 5.0
        |         ELSE 2.0 END AS state
        |  FROM ob$sfx)""".stripMargin
+
+  /** q105 oracle: the whole geographic lifecycle in SQL — routing from
+    * the catalog paths, the spherical-aeqd bilinear warp (q66's
+    * fixed-slot tap algebra), the sector sweep (sweepCtesFor's formula
+    * at cell 30 / 16 buckets), the nearest-state back-warp, and the
+    * vs_count combine. Every formula is written with the SAME text and
+    * association as the Scala kernels (`ProjKernels.aeqdSphere*`,
+    * `Warp.warp`, `Viewshed.sweepGeom`), so both engines compute
+    * identical doubles.
+    */
+  private def geoChainCtes(k: Int, lon: Double, lat: Double): String = {
+    val phi0 = s"($lat * PI() / 180)"
+    s"""src_o$k AS (
+       |  SELECT d.jx, d.jy, d.v, d.c0 FROM demz d, route r
+       |  WHERE r.point_id = $k AND d.rid = r.rid),
+       |meta_o$k AS (SELECT MAX(c0) AS c0 FROM src_o$k),
+       |wgrid_o$k AS (
+       |  SELECT CAST(i % 11 AS INTEGER) AS px, CAST(i // 11 AS INTEGER) AS py,
+       |         -165.0 + (CAST(i % 11 AS INTEGER) + 0.5) * 30.0 AS gx,
+       |         165.0 + (CAST(i // 11 AS INTEGER) + 0.5) * (-30.0) AS gy
+       |  FROM range(121) t(i)),
+       |wr_o$k AS (SELECT px, py, gx, gy, SQRT(gx * gx + gy * gy) AS rho FROM wgrid_o$k),
+       |wc_o$k AS (SELECT *, rho / 6378137.0 AS ccc FROM wr_o$k),
+       |wll_o$k AS (
+       |  SELECT px, py,
+       |    CASE WHEN rho = 0.0 THEN $lat
+       |         ELSE ASIN(COS(ccc) * SIN($phi0) + gy * SIN(ccc) * COS($phi0) / rho) * 180 / PI() END AS slat,
+       |    CASE WHEN rho = 0.0 THEN $lon
+       |         ELSE $lon + ATAN2(gx * SIN(ccc), rho * COS(ccc) * COS($phi0) - gy * SIN(ccc) * SIN($phi0)) * 180 / PI() END AS slon
+       |  FROM wc_o$k),
+       |wfx_o$k AS (
+       |  SELECT w.px, w.py, (w.slon - m.c0) / 5.0E-4 - 0.5 AS fx,
+       |         (w.slat - 30.06) / (-5.0E-4) - 0.5 AS fy
+       |  FROM wll_o$k w CROSS JOIN meta_o$k m),
+       |wanch_o$k AS (
+       |  SELECT px, py, CAST(FLOOR(fx) AS INTEGER) AS ax, CAST(FLOOR(fy) AS INTEGER) AS ay,
+       |         fx - FLOOR(fx) AS ox, fy - FLOOR(fy) AS oy
+       |  FROM wfx_o$k),
+       |wtap_o$k AS (
+       |  SELECT w.px, w.py, t.tap, w.ax + t.dx AS jx, w.ay + t.dy AS jy,
+       |         GREATEST(1.0 - ABS(t.dx - w.ox), 0.0) * GREATEST(1.0 - ABS(t.dy - w.oy), 0.0) AS wgt
+       |  FROM wanch_o$k w CROSS JOIN (VALUES (0, 0, 0), (1, 1, 0), (2, 0, 1), (3, 1, 1)) t(tap, dx, dy)),
+       |wj_o$k AS (
+       |  SELECT w.px, w.py, w.tap, w.wgt, s.v AS sv,
+       |         (s.v IS NOT NULL AND s.v <> -32768.0) AS valid
+       |  FROM wtap_o$k w LEFT JOIN src_o$k s ON w.jx = s.jx AND w.jy = s.jy),
+       |wslot_o$k AS (
+       |  SELECT px, py,
+       |    COALESCE(MAX(CASE WHEN tap = 0 AND valid THEN wgt END), 0.0) AS w0,
+       |    COALESCE(MAX(CASE WHEN tap = 1 AND valid THEN wgt END), 0.0) AS w1,
+       |    COALESCE(MAX(CASE WHEN tap = 2 AND valid THEN wgt END), 0.0) AS w2,
+       |    COALESCE(MAX(CASE WHEN tap = 3 AND valid THEN wgt END), 0.0) AS w3,
+       |    COALESCE(MAX(CASE WHEN tap = 0 AND valid THEN wgt * sv END), 0.0) AS wv0,
+       |    COALESCE(MAX(CASE WHEN tap = 1 AND valid THEN wgt * sv END), 0.0) AS wv1,
+       |    COALESCE(MAX(CASE WHEN tap = 2 AND valid THEN wgt * sv END), 0.0) AS wv2,
+       |    COALESCE(MAX(CASE WHEN tap = 3 AND valid THEN wgt * sv END), 0.0) AS wv3
+       |  FROM wj_o$k GROUP BY px, py),
+       |wdem_o$k AS (
+       |  SELECT px, py,
+       |    CASE WHEN (w0 + w1 + w2 + w3) > 0 THEN (wv0 + wv1 + wv2 + wv3) / (w0 + w1 + w2 + w3)
+       |         ELSE -32768.0 END AS v
+       |  FROM wslot_o$k),
+       |obsv_o$k AS (SELECT v AS h0 FROM wdem_o$k WHERE px = 5 AND py = 5),
+       |geo_o$k AS (
+       |  SELECT d.px, d.py, d.v, o.h0,
+       |    SQRT(CAST((d.px - 5) * (d.px - 5) + (d.py - 5) * (d.py - 5) AS DOUBLE)) * 30.0 AS dist,
+       |    CAST(((CAST(FLOOR((ATAN2(CAST(d.py - 5 AS DOUBLE), CAST(d.px - 5 AS DOUBLE)) + PI())
+       |           / (2 * PI()) * 16) AS BIGINT) % 16) + 16) % 16 AS INTEGER) AS bucket
+       |  FROM wdem_o$k d CROSS JOIN obsv_o$k o
+       |  WHERE NOT (d.px = 5 AND d.py = 5)),
+       |rr_o$k AS (
+       |  SELECT *, (-(1 - 1.0/7)) * dist * dist / 12756274.0 AS hc FROM geo_o$k),
+       |rat_o$k AS (
+       |  SELECT *, CASE WHEN v = -32768.0 THEN NULL
+       |                 ELSE (v + hc - (h0 + 15.0)) / dist END AS ratio
+       |  FROM rr_o$k),
+       |ob_o$k AS (
+       |  SELECT *, MAX(ratio) OVER (PARTITION BY bucket ORDER BY dist, px, py
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS obstruction
+       |  FROM rat_o$k),
+       |states_o$k AS (
+       |  SELECT px, py,
+       |    CASE WHEN dist > 150.0 THEN 0.0
+       |         WHEN v = -32768.0 THEN 1.0
+       |         WHEN ratio >= COALESCE(obstruction, -1e300) THEN 5.0
+       |         ELSE 2.0 END AS state
+       |  FROM ob_o$k),
+       |fwd0_o$k AS (
+       |  SELECT px, py, ogx, ogy,
+       |         SIN($phi0) * SIN(ogy * PI() / 180) + COS($phi0) * COS(ogy * PI() / 180) * COS((ogx - $lon) * PI() / 180) AS cosc
+       |  FROM ogrid),
+       |fwdc_o$k AS (SELECT px, py, ogx, ogy, ACOS(GREATEST(-1.0, LEAST(1.0, cosc))) AS ccc FROM fwd0_o$k),
+       |fwd_o$k AS (
+       |  SELECT px, py,
+       |    CASE WHEN ccc = 0.0 THEN 0.0
+       |         ELSE 6378137.0 * ccc / SIN(ccc) * (COS(ogy * PI() / 180) * SIN((ogx - $lon) * PI() / 180)) END AS x,
+       |    CASE WHEN ccc = 0.0 THEN 0.0
+       |         ELSE 6378137.0 * ccc / SIN(ccc) * (COS($phi0) * SIN(ogy * PI() / 180) - SIN($phi0) * COS(ogy * PI() / 180) * COS((ogx - $lon) * PI() / 180)) END AS y
+       |  FROM fwdc_o$k),
+       |lay_o$k AS (
+       |  SELECT g.px, g.py, COALESCE(s.state, 0.0) AS v
+       |  FROM (SELECT f.px, f.py,
+       |               CAST(FLOOR((f.x - (-165.0)) / 30.0) AS INTEGER) AS spx,
+       |               CAST(FLOOR((f.y - 165.0) / (-30.0)) AS INTEGER) AS spy
+       |        FROM fwd_o$k f) g
+       |  LEFT JOIN states_o$k s ON g.spx = s.px AND g.spy = s.py)""".stripMargin
+  }
+
+  private lazy val geoLifecycleOracle: String =
+    s"""WITH demz AS (
+       |  SELECT 0 AS rid, CAST(i % 100 AS INTEGER) AS jx, CAST(i // 100 AS INTEGER) AS jy,
+       |         CAST(((i % 100) * 7 + (i // 100) * 13) % 997 AS DOUBLE) AS v, 35.95 AS c0
+       |  FROM range(6000) t(i)
+       |  UNION ALL
+       |  SELECT 1, CAST(i % 100 AS INTEGER), CAST(i // 100 AS INTEGER),
+       |         CAST(((i % 100) * 11 + (i // 100) * 5) % 887 AS DOUBLE), 35.96
+       |  FROM range(6000) t(i)),
+       |cata AS (SELECT * FROM (VALUES (0, 'cat/srtm_w84u36_x35_y30.tif'),
+       |                              (1, 'cat/srtm_w84u37_x36_y30.tif')) c(rid, path)),
+       |pts AS (SELECT * FROM (VALUES (0, 35.9995), (1, 36.0005)) p(point_id, x)),
+       |route AS (
+       |  SELECT point_id, rid FROM (
+       |    SELECT p.point_id, c.rid,
+       |           ROW_NUMBER() OVER (PARTITION BY p.point_id
+       |             ORDER BY ABS(p.x - (CAST(regexp_extract(c.path, 'w84u([-+]?[0-9]*\\.?[0-9]+)', 1) AS DOUBLE) * 6 - 183)), c.rid) AS rn
+       |    FROM pts p CROSS JOIN cata c) WHERE rn = 1),
+       |ogrid AS (
+       |  SELECT CAST(i % 17 AS INTEGER) AS px, CAST(i // 17 AS INTEGER) AS py,
+       |         35.9975 + (CAST(i % 17 AS INTEGER) + 0.5) * 3.0E-4 AS ogx,
+       |         30.0325 + (CAST(i // 17 AS INTEGER) + 0.5) * (-3.0E-4) AS ogy
+       |  FROM range(289) t(i)),
+       |${geoChainCtes(0, 35.9995, 30.03)},
+       |${geoChainCtes(1, 36.0005, 30.03)}
+       |SELECT px, py, CAST(SUM(CASE WHEN v > 4.0 THEN 1 ELSE 0 END) AS DOUBLE) AS v
+       |FROM (SELECT * FROM lay_o0 UNION ALL SELECT * FROM lay_o1)
+       |GROUP BY px, py ORDER BY py, px""".stripMargin
 
   /** The q40/q78 observer's chain (ends in a CTE named `states`). */
   private lazy val sweepStatesCte: String =

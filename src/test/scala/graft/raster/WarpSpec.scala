@@ -276,4 +276,32 @@ class WarpSpec extends SparkSpec {
       abs(col("lon") - col("lon2")) > 5e-6)
     assert(bad.count() == 0)
   }
+  test("spherical aeqd kernels: forward/inverse round-trip; q105 chain composes") {
+    import graft.functions.ProjKernels
+    // round-trip: inverse(forward(p)) returns p to sub-mm angular error
+    for ((lat, lon) <- Seq((30.03, 35.9995), (29.0, 36.5), (31.2, 35.2))) {
+      val x = ProjKernels.aeqdSphereForwardX(lat, lon, 30.03, 36.0)
+      val y = ProjKernels.aeqdSphereForwardY(lat, lon, 30.03, 36.0)
+      val lat2 = ProjKernels.aeqdSphereInverseLat(x, y, 30.03, 36.0)
+      val lon2 = ProjKernels.aeqdSphereInverseLon(x, y, 30.03, 36.0)
+      assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9, s"($lat,$lon)")
+    }
+    // center maps to origin; origin inverts to center
+    assert(ProjKernels.aeqdSphereForwardX(30.03, 36.0, 30.03, 36.0) == 0.0)
+    assert(ProjKernels.aeqdSphereInverseLat(0.0, 0.0, 30.03, 36.0) == 30.03)
+    // distances from the center are exact great-circle distances: a
+    // point 0.001 deg north sits ~111 m up the y axis, x ~ 0
+    val yN = ProjKernels.aeqdSphereForwardY(30.031, 36.0, 30.03, 36.0)
+    assert(yN > 110 && yN < 112.5)
+    assert(math.abs(ProjKernels.aeqdSphereForwardX(30.031, 36.0, 30.03, 36.0)) < 1e-6)
+    // the q105 composition: 17x17 common grid, counts in {0,1,2} with
+    // real overlap (some pixel seen by BOTH zone-routed observers)
+    import spark.implicits._
+    val out = graft.operators.RasterQueries.q105(spark, "/root/testdata/sf0.001")
+      .as[(Int, Int, Double)].collect()
+    assert(out.length == 289)
+    val counts = out.map(_._3).toSet
+    assert(counts.subsetOf(Set(0.0, 1.0, 2.0)), s"unexpected counts $counts")
+    assert(counts.contains(2.0), "expected overlapping viewsheds on the common grid")
+  }
 }
