@@ -8,12 +8,12 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *
   * Query groups:
   *  - q01–q24 relational spine (Relational; q20 histogram median)
-  *  - q25–q41, q56–q63, q65–q68, q73, q78, q80–q83, q87, q97, q101–q102 raster
+  *  - q25–q41, q56–q63, q65–q68, q73, q78, q80–q83, q87, q97, q101–q102, q104–q106 raster
   *    engine: trans pipeline, combine, overviews, catalog/mosaic/
   *    selector, LOS (incl. P.526 knife-edge diffraction q82 and
   *    Okumura-Hata loss q87), viewshed (sweep + exact + sector crops,
   *    single/multi-observer/3×3 grid fan-out q83), GeoTIFF
-  *    round-trip, warp, rasterize, Horn slope stencil q97 + hillshade q101, observers-as-table viewshed grid q102, binary tile payloads
+  *    round-trip, warp, rasterize, Horn slope stencil q97 + hillshade q101, observers-as-table viewshed grid q102, REST path-loss backend vs in-process stub q104, catalog-routed spherical-aeqd geographic lifecycle q105, GPKG tile-container read q106, binary tile payloads
   *    (RasterQueries)
   *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86, q88–q91, q93–q96, q98–q100, q103
   *    LLM-pipeline:

@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A1 GeoPackage raster-tile reader (`open_ds` accepts GPKG,
+  * `gdalos_trans.py:318-320`) — a pure-JDK SQLite b-tree page reader
+  * specialized to the OGC GeoPackage tile schema (12-128r17 §2.2):
+  * `gpkg_contents` rows with `data_type='tiles'` name a tile-pyramid
+  * table `(id, zoom_level, tile_column, tile_row, tile_data)` whose
+  * blobs are PNG/JPEG tiles; `gpkg_tile_matrix` carries the per-zoom
+  * grid. The SQLite file format is public and stable
+  * (sqlite.org/fileformat2): 100-byte header, fixed-size pages,
+  * table b-trees of varint-encoded records, overflow-page chains for
+  * large payloads — all implemented here against the format spec,
+  * like the GeoTIFF codec.
+  *
+  * Scale posture: a GeoPackage is a single-FILE container (SQLite), so
+  * the b-tree walk is inherently a one-reader scan — this reader runs
+  * driver-side like the raster catalog metadata, and [[pixelFrame]]
+  * parallelizes the PNG DECODE (the actual work) across executors.
+  * Petabyte corpora live in the A3 COG-parquet layout; GPKG is an
+  * interchange format the reference lists, supported for reading
+  * what users hand us.
+  */
+object Gpkg {
+
+  final case class TileMatrix(zoom: Int, matrixW: Int, matrixH: Int,
+                              tileW: Int, tileH: Int,
+                              pxSizeX: Double, pxSizeY: Double)
+  final case class TileEntry(zoom: Int, col: Int, row: Int, data: Array[Byte])
+  final case class Contents(tableName: String, dataType: String,
+                            minX: Double, minY: Double,
+                            maxX: Double, maxY: Double, srsId: Long)
+
+  // ---------------- SQLite format primitives ----------------
+
+  private def u16(a: Array[Byte], o: Int): Int =
+    ((a(o) & 0xff) << 8) | (a(o + 1) & 0xff)
+
+  private def u32(a: Array[Byte], o: Int): Long =
+    ((a(o) & 0xffL) << 24) | ((a(o + 1) & 0xffL) << 16) |
+      ((a(o + 2) & 0xffL) << 8) | (a(o + 3) & 0xffL)
+
+  /** SQLite varint: 1–9 bytes, 7 high-order-first bits per byte, the
+    * 9th byte contributing all 8. Returns (value, bytesRead).
+    */
+  private def varint(a: Array[Byte], o: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val b = a(o + i) & 0xff
+      v = (v << 7) | (b & 0x7f)
+      i += 1
+      if ((b & 0x80) == 0) return (v, i)
+    }
+    ((v << 8) | (a(o + 8) & 0xff), 9)
+  }
+
+  private final class Db(path: String) extends AutoCloseable {
+    private val raf = new RandomAccessFile(path, "r")
+    private val header = new Array[Byte](100)
+    raf.seek(0); raf.readFully(header)
+    require(new String(header, 0, 15, "ISO-8859-1") == "SQLite format 3",
+      s"$path is not an SQLite/GeoPackage file")
+    val pageSize: Int = u16(header, 16) match { case 1 => 65536; case n => n }
+    private val reserved = header(20) & 0xff
+    val usable: Int = pageSize - reserved
+
+    def page(n: Long): Array[Byte] = {
+      val buf = new Array[Byte](pageSize)
+      raf.seek((n - 1) * pageSize)
+      raf.readFully(buf)
+      buf
+    }
+    override def close(): Unit = raf.close()
+  }
+
+  /** Decode one record (payload of a table-leaf cell) into column
+    * values: null / Long / Double / Array[Byte] / String.
+    */
+  private def record(p: Array[Byte]): IndexedSeq[Any] = {
+    val (hdrLen, n0) = varint(p, 0)
+    var o = n0
+    val types = ArrayBuffer.empty[Long]
+    while (o < hdrLen) {
+      val (t, n) = varint(p, o); types += t; o += n
+    }
+    var d = hdrLen.toInt
+    types.map { t =>
+      def intN(bytes: Int): Long = {
+        var v = if ((p(d) & 0x80) != 0) -1L else 0L // sign-extend
+        var i = 0
+        while (i < bytes) { v = (v << 8) | (p(d + i) & 0xffL); i += 1 }
+        d += bytes; v
+      }
+      t match {
+        case 0 => null
+        case 1 => intN(1)
+        case 2 => intN(2)
+        case 3 => intN(3)
+        case 4 => intN(4)
+        case 5 => intN(6)
+        case 6 => intN(8)
+        case 7 => val v = java.lang.Double.longBitsToDouble(intN(8)); v
+        case 8 => 0L
+        case 9 => 1L
+        case n if n >= 12 && n % 2 == 0 =>
+          val len = ((n - 12) / 2).toInt
+          val b = java.util.Arrays.copyOfRange(p, d, d + len); d += len; b
+        case n if n >= 13 =>
+          val len = ((n - 13) / 2).toInt
+          val s = new String(p, d, len, "UTF-8"); d += len; s
+        case other => throw new IllegalArgumentException(s"serial type $other")
+      }
+    }.toIndexedSeq
+  }
+
+  /** Walk a table b-tree, yielding (rowid, columns) per row. Handles
+    * interior pages, page 1's 100-byte offset, and overflow chains
+    * (payload spill, sqlite.org/fileformat2 §1.6).
+    */
+  private def tableRows(db: Db, rootPage: Long): Seq[(Long, IndexedSeq[Any])] = {
+    val out = ArrayBuffer.empty[(Long, IndexedSeq[Any])]
+    def walk(pageNo: Long): Unit = {
+      val pg = db.page(pageNo)
+      val base = if (pageNo == 1) 100 else 0
+      val typ = pg(base) & 0xff
+      val nCells = u16(pg, base + 3)
+      typ match {
+        case 0x05 => // interior table
+          val ptrArr = base + 12
+          for (i <- 0 until nCells) walk(u32(pg, u16(pg, ptrArr + 2 * i)))
+          walk(u32(pg, base + 8)) // right-most child
+        case 0x0d => // leaf table
+          val ptrArr = base + 8
+          for (i <- 0 until nCells) {
+            var o = u16(pg, ptrArr + 2 * i)
+            val (payLen, n1) = varint(pg, o); o += n1
+            val (rowid, n2) = varint(pg, o); o += n2
+            val u = db.usable
+            val x = u - 35
+            val payload =
+              if (payLen <= x) java.util.Arrays.copyOfRange(pg, o, o + payLen.toInt)
+              else {
+                // spilled payload: K bytes inline, the rest chained
+                val m = (u - 12) * 32 / 255 - 23
+                val k0 = m + ((payLen - m) % (u - 4))
+                val inline = (if (k0 <= x) k0 else m).toInt
+                val buf = new Array[Byte](payLen.toInt)
+                System.arraycopy(pg, o, buf, 0, inline)
+                var next = u32(pg, o + inline)
+                var filled = inline
+                while (next != 0 && filled < payLen) {
+                  val op = db.page(next)
+                  val take = math.min(u - 4, payLen.toInt - filled)
+                  System.arraycopy(op, 4, buf, filled, take)
+                  filled += take
+                  next = u32(op, 0)
+                }
+                require(filled == payLen, s"short overflow chain: $filled of $payLen")
+                buf
+              }
+            out += ((rowid, record(payload)))
+          }
+        case other =>
+          throw new IllegalArgumentException(f"unexpected b-tree page type 0x$other%02x")
+      }
+    }
+    walk(rootPage)
+    out.toSeq
+  }
+
+  /** sqlite_master: table name → root page. */
+  private def masterTables(db: Db): Map[String, Long] =
+    tableRows(db, 1).flatMap { case (_, cols) =>
+      (cols(0), cols(1), cols(3)) match {
+        case ("table", name: String, root: Long) => Some(name -> root)
+        case _ => None
+      }
+    }.toMap
+
+  /** The tiles table named by gpkg_contents, its per-zoom matrices and
+    * every tile blob.
+    */
+  def readTiles(path: String): (Contents, Seq[TileMatrix], Seq[TileEntry]) = {
+    val db = new Db(path)
+    try {
+      val master = masterTables(db)
+      def root(t: String): Long = master.getOrElse(t,
+        throw new IllegalArgumentException(s"$path: no $t table — not a GeoPackage?"))
+      val contents = tableRows(db, root("gpkg_contents")).map(_._2)
+        .find(_(1) == "tiles")
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: gpkg_contents has no data_type='tiles' row"))
+      def dbl(a: Any): Double = a match {
+        case d: Double => d; case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(s"expected number, got $other")
+      }
+      val c = Contents(contents(0).asInstanceOf[String], "tiles",
+        dbl(contents(5)), dbl(contents(6)), dbl(contents(7)), dbl(contents(8)),
+        contents(9).asInstanceOf[Long])
+      val matrices = tableRows(db, root("gpkg_tile_matrix")).map(_._2)
+        .filter(_(0) == c.tableName)
+        .map(r => TileMatrix(r(1).asInstanceOf[Long].toInt,
+          r(2).asInstanceOf[Long].toInt, r(3).asInstanceOf[Long].toInt,
+          r(4).asInstanceOf[Long].toInt, r(5).asInstanceOf[Long].toInt,
+          dbl(r(6)), dbl(r(7))))
+      val tiles = tableRows(db, root(c.tableName)).map { case (_, r) =>
+        // id INTEGER PRIMARY KEY is the rowid alias (stored NULL)
+        TileEntry(r(1).asInstanceOf[Long].toInt, r(2).asInstanceOf[Long].toInt,
+          r(3).asInstanceOf[Long].toInt, r(4).asInstanceOf[Array[Byte]])
+      }
+      (c, matrices, tiles)
+    } finally db.close()
+  }
+
+  /** Pixel frame of one zoom level: the container walk is driver-side
+    * (file metadata, like the catalog), the PNG decode of each tile is
+    * EXECUTOR work. Emits (rid=0, band=1, px, py, v) with v = the R
+    * channel as double, global pixel coords = tile grid × tile size.
+    */
+  def pixelFrame(spark: SparkSession, path: String, zoom: Int = 0): DataFrame = {
+    import spark.implicits._
+    val (_, matrices, tiles) = readTiles(path)
+    val tm = matrices.find(_.zoom == zoom).getOrElse(
+      throw new IllegalArgumentException(s"$path: no tile matrix for zoom $zoom"))
+    val picked = tiles.filter(_.zoom == zoom)
+      .map(t => (t.col, t.row, t.data))
+    val (tw, th) = (tm.tileW, tm.tileH)
+    spark.createDataset(picked)
+      .flatMap { case (tc, tr, data) =>
+        val (w, h, argb) = Png.decode(data)
+        for (y <- 0 until h; x <- 0 until w) yield (
+          0, 1, tc * tw + x, tr * th + y,
+          ((argb(y * w + x) >> 16) & 0xff).toDouble)
+      }
+      .toDF("rid", "band", "px", "py", "v")
+  }
+}
