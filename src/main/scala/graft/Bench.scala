@@ -28,6 +28,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Wall-clock budget for the whole measurement phase (seconds).
+    // The round-8 driver run produced its full JSON line but was
+    // killed at the harness timeout before exit (rc 124) — the query
+    // count had grown past what the fixed per-query protocol fits.
+    // The budget degrades ITERATIONS, never coverage: when the
+    // remaining per-query allowance shrinks, late queries drop from
+    // warmup+3(+pad-to-5) to warmup+2, then warmup+1 — every query
+    // still gets at least one warm timed run.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+    val wallT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - wallT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,31 +88,46 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    var queriesDone = 0
+
+    // Per-query run allowance from the remaining budget: seconds left
+    // per remaining query decides the tier. >2.5 s/query affords the
+    // full warmup+3+pad-to-5 protocol; the floor is warmup+1.
+    def timedRunsAllowed(): Int = {
+      val remQ = math.max(names.size - queriesDone, 1)
+      val perQ = (budgetSec - elapsed()) / remQ
+      if (perQ > 2.5) iters.max(1)        // full protocol, padding allowed
+      else if (perQ > 1.2) iters.min(2).max(1)
+      else 1
+    }
 
     def timeQuery(name: String): Double = {
       val fn = SparkEntry.queries(name)
+      val allowed = timedRunsAllowed()
       try {
         runOnce(fn) // warmup: JIT + codegen + file-listing caches
-        var times = (1 to iters).map(_ => runOnce(fn))
+        var times = (1 to allowed).map(_ => runOnce(fn))
         // sub-second queries get min-of-5: cheap to re-run, and at
         // that scale a single one-sided multi-second outlier (GC,
-        // co-tenant) can otherwise double or triple a recorded min
-        if (times.min < 1.0 && times.size < 5)
+        // co-tenant) can otherwise double or triple a recorded min —
+        // but only while the budget affords the full protocol
+        if (allowed >= iters && times.min < 1.0 && times.size < 5)
           times = times ++ (times.size until 5).map(_ => runOnce(fn))
         times.min // min — see scaladoc
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           -1.0
-      }
+      } finally queriesDone += 1
     }
 
     var merged = scala.collection.mutable.LinkedHashMap(names.map(n => n -> timeQuery(n)): _*)
     var canary = if (errors.contains(CanaryName)) -1.0
       else { try runOnce(SparkEntry.queries(CanaryName)) catch { case _: Throwable => -1.0 } }
     var degraded = false
-    if (canary < 0 || canary > CanaryCeiling ||
-        merged.get(CanaryName).exists(t => t > CanaryCeiling)) {
+    if ((canary < 0 || canary > CanaryCeiling ||
+        merged.get(CanaryName).exists(t => t > CanaryCeiling)) &&
+        elapsed() < budgetSec * 1.1) {
       System.err.println(f"WARN: canary $CanaryName at $canary%.2fs " +
         f"(ceiling $CanaryCeiling%.1fs) — degraded pass suspected; re-running")
       for (n <- names if merged(n) >= 0) {
@@ -123,7 +149,7 @@ object Bench {
     // slow time). Bounded to 10 retries per run.
     val suspects = names.filter(n => merged(n) >= 0 &&
       prevTimes.get(n).exists(p => p > 0 && merged(n) > 3 * p)).take(10)
-    for (n <- suspects) {
+    for (n <- suspects if elapsed() < budgetSec * 1.1) {
       System.err.println(f"NOTE: ${n} at ${merged(n)}%.2fs > 3x previous " +
         f"${prevTimes(n)}%.2fs — deferred re-time")
       val t2 = timeQuery(n)
@@ -132,10 +158,29 @@ object Bench {
     }
     val results = names.map(n => n -> merged(n))
 
-    // formatted-plan dump (cheap — no execution) for scale audit
+    // JSON first — the record must be out before any post-processing,
+    // so a harness timeout landing during the plan dump or shutdown
+    // cannot lose the round's numbers
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"degraded":$degraded,"codecache_ok":$codeCacheOk,"wall":${elapsed()}}"""
+    println(json)
+    System.out.flush()
+    // also persist the full JSON: a scraped log tail can truncate the
+    // (long) queries map and silently drop per-query entries
+    try Files.writeString(Paths.get("bench_last.json"), json + "\n")
+    catch { case _: Throwable => () }
+
+    // formatted-plan dump for scale audit. NOT free: building a
+    // query's DataFrame runs its driver-side prep (q103 writes its
+    // at-rest corpus, q106 walks the GPKG b-tree, …), so the round-8
+    // timeout actually landed HERE, after the JSON was already out.
+    // The clock is checked per query, stopping at 1.2× budget.
     try {
       Files.createDirectories(Paths.get("plans"))
-      for (name <- names) {
+      for (name <- names if elapsed() < budgetSec * 1.2) {
         try {
           val plan = SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -143,17 +188,9 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"degraded":$degraded,"codecache_ok":$codeCacheOk}"""
-    println(json)
-    // also persist the full JSON: a scraped log tail can truncate the
-    // (long) queries map and silently drop per-query entries
-    try Files.writeString(Paths.get("bench_last.json"), json + "\n")
-    catch { case _: Throwable => () }
     spark.stop()
+    // local[n] leaves no work behind; exit promptly rather than wait
+    // out lingering non-daemon threads under a ticking harness timeout
+    sys.exit(0)
   }
 }

@@ -44,5 +44,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // exit promptly even if a stray non-daemon thread (e.g. a stub
+    // HTTP server started by a query) survived — all outputs are on
+    // disk by this point, and the harness timeout is ticking
+    sys.exit(0)
   }
 }

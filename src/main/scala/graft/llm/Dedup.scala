@@ -315,13 +315,31 @@ object Dedup {
     * executor-pinned `localCheckpoint` by default, RELIABLE
     * `checkpoint()` into `dir` when given (survives executor loss —
     * the dynamic-allocation / spot-instance posture at cluster scale).
+    *
+    * The checkpoint directory is a GLOBAL SparkContext setting, so we
+    * only set it when unset; a concurrent caller asking for a
+    * DIFFERENT directory on the same context would otherwise race
+    * (last writer wins) and both jobs would silently share one
+    * directory. That conflict is an error here, not a silent rebind.
     */
   private def checkpointed(sample: DataFrame,
                            dir: Option[String]): DataFrame => DataFrame =
     dir match {
       case None => _.localCheckpoint()
       case Some(d) =>
-        sample.sparkSession.sparkContext.setCheckpointDir(d)
+        val sc = sample.sparkSession.sparkContext
+        val want = new org.apache.hadoop.fs.Path(d).toUri.getPath
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(d)
+          case Some(cur) =>
+            // setCheckpointDir appends a random UUID subdir; compare on
+            // the requested prefix
+            val curPath = new org.apache.hadoop.fs.Path(cur).toUri.getPath
+            require(curPath.startsWith(want),
+              s"SparkContext checkpoint dir already set to $cur; refusing to " +
+                s"rebind it to $d mid-flight (global setting — set it once per " +
+                "application, or pass checkpointDir=None for localCheckpoint)")
+        }
         _.checkpoint()
     }
 

@@ -17,6 +17,31 @@ import graft.llm.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalys
   */
 object LlmQueries {
 
+  /** Scratch dir for q103's at-rest corpus: keyed by the FULL
+    * sanitized dataset path (no hashCode collisions between data
+    * dirs) plus a per-JVM token (concurrent processes on the same
+    * dataset don't race on overwrite; re-runs within one JVM reuse
+    * the path, so `mode(overwrite)` stays idempotent). Recursively
+    * removed on JVM exit.
+    */
+  private val jvmToken: String = java.util.UUID.randomUUID.toString.take(8)
+  private val atRestDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def atRestDir(d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    atRestDirs.computeIfAbsent(key, { k =>
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivf_at_rest_${k}_$jvmToken")
+      val root = f.toPath
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }))
+      f.toString
+    })
+  }
+
   /** q42 text metrics: token counts (whitespace + BPE-ish subword
     * regex) + quality signals per doc.
     */
@@ -425,9 +450,7 @@ object LlmQueries {
   def q103(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val model = Similarity.IvfModel(ivfFixedCentroids)
-    val atRest = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_ivf_at_rest_${Integer.toHexString(d.hashCode)}").toString
+    val atRest = atRestDir(d)
     Similarity.assignIvf(emb, model).write.mode("overwrite")
       .partitionBy("ivf_c").parquet(atRest)
     val corpus = s.read.parquet(atRest)

@@ -365,8 +365,7 @@ object RasterQueries {
     * v = (px·3 + py·5) % 251).
     */
   def q106(s: SparkSession, d: String): DataFrame =
-    graft.sources.Gpkg.pixelFrame(s,
-        "/root/repo/src/test/resources/fixtures/demo.gpkg")
+    graft.sources.Gpkg.pixelFrame(s, graft.sources.Gpkg.demoFixture())
       .select(col("px"), col("py"), col("v"))
       .orderBy("py", "px")
 

@@ -28,6 +28,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Gpkg {
 
+  /** The committed demo fixture, resolved without assuming the
+    * checkout lives at any particular absolute path: (1) the
+    * source-tree location relative to the working directory, (2) the
+    * test classpath (copied to a temp file when packed in a jar —
+    * the SQLite reader needs a real file), (3) the historical
+    * absolute path as a last resort.
+    */
+  def demoFixture(): String = {
+    val rel = java.nio.file.Paths.get(
+      "src", "test", "resources", "fixtures", "demo.gpkg")
+    if (java.nio.file.Files.exists(rel)) return rel.toAbsolutePath.toString
+    val res = getClass.getResource("/fixtures/demo.gpkg")
+    if (res != null) {
+      if (res.getProtocol == "file")
+        return new java.io.File(res.toURI).getAbsolutePath
+      val tmp = java.nio.file.Files.createTempFile("graft-demo", ".gpkg")
+      val in = res.openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      return tmp.toString
+    }
+    "/root/repo/src/test/resources/fixtures/demo.gpkg"
+  }
+
   final case class TileMatrix(zoom: Int, matrixW: Int, matrixH: Int,
                               tileW: Int, tileH: Int,
                               pxSizeX: Double, pxSizeY: Double)
@@ -66,6 +92,21 @@ object Gpkg {
     raf.seek(0); raf.readFully(header)
     require(new String(header, 0, 15, "ISO-8859-1") == "SQLite format 3",
       s"$path is not an SQLite/GeoPackage file")
+    // Header bytes 18/19 are the file-format write/read versions
+    // (sqlite.org/fileformat2 §1.3): 1 = rollback journal, 2 = WAL.
+    // A WAL-mode file keeps its latest commits in a -wal sidecar this
+    // reader does not replay — reading the main file alone could
+    // silently miss recently written tiles, so refuse outright.
+    require((header(18) & 0xff) <= 1 && (header(19) & 0xff) <= 1,
+      s"$path is a WAL-mode SQLite file (format versions ${header(18) & 0xff}/" +
+        s"${header(19) & 0xff}); checkpoint it first (PRAGMA journal_mode=DELETE " +
+        "or sqlite3 .backup) — the -wal sidecar is not replayed here")
+    // Offset 68: application_id. OGC 12-128r17 Req 2 mandates 'GPKG'
+    // (0x47504B47). Tolerate other ids (plain SQLite with the tile
+    // schema still reads fine) but note the nonconformance once.
+    if (u32(header, 68) != 0x47504B47L)
+      System.err.println(s"WARN: $path application_id != 'GPKG' " +
+        "(OGC 12-128r17 Req 2); reading anyway")
     val pageSize: Int = u16(header, 16) match { case 1 => 65536; case n => n }
     private val reserved = header(20) & 0xff
     val usable: Int = pageSize - reserved

@@ -174,7 +174,18 @@ object RestProfile {
           }
         })
         server.setExecutor(null) // caller threads; fine for a test stub
-        server.start()
+        // start() spawns the "HTTP-Dispatcher" thread, which inherits
+        // daemon status from its CREATOR. Started from the main thread
+        // it is non-daemon and then blocks JVM exit forever — the
+        // shutdown hook that would stop() it only fires once exit has
+        // BEGUN, which requires the dispatcher to be gone: a deadlock
+        // that held the round-8 bench JVM open past the harness
+        // timeout (rc 124). Starting from a short-lived daemon thread
+        // makes the dispatcher daemon, so the stub never pins the JVM.
+        val starter = new Thread(() => server.start(), "rest-stub-starter")
+        starter.setDaemon(true)
+        starter.start()
+        starter.join()
         sys.addShutdownHook(if (server != null) server.stop(0))
       }
       s"http://127.0.0.1:${server.getAddress.getPort}/pathloss"

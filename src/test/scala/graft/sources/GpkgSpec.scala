@@ -12,7 +12,7 @@ import graft.SparkSpec
 class GpkgSpec extends SparkSpec {
   import spark.implicits._
 
-  private val fixture = "/root/repo/src/test/resources/fixtures/demo.gpkg"
+  private val fixture = Gpkg.demoFixture()
 
   test("readTiles: contents, tile matrix, and overflow-chained blobs") {
     val (c, matrices, tiles) = Gpkg.readTiles(fixture)
@@ -37,9 +37,10 @@ class GpkgSpec extends SparkSpec {
     px.foreach { case (x, y, v) =>
       assert(v == ((x * 3 + y * 5) % 251).toDouble, s"pixel ($x,$y)")
     }
-    // non-GPKG input is refused with a clear message
+    // non-SQLite input is refused with a clear message (any committed
+    // non-SQLite file will do — no dependency outside the checkout)
     val err = intercept[IllegalArgumentException](
-      Gpkg.readTiles("/root/reference/data/maps/srtm1_x35_y32.tif"))
+      Gpkg.readTiles("build.sbt"))
     assert(err.getMessage.contains("not an SQLite"))
   }
 }

@@ -51,6 +51,10 @@ def main():
         os.remove(OUT)
     db = sqlite3.connect(OUT)
     db.execute("PRAGMA page_size = 4096")
+    # OGC 12-128r17 Req 2: application_id 'GPKG' (0x47504B47); Req 2
+    # (since 1.2) also pins user_version to the spec version number.
+    db.execute("PRAGMA application_id = 1196444487")
+    db.execute("PRAGMA user_version = 10300")
     db.executescript("""
 CREATE TABLE gpkg_spatial_ref_sys (
   srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
