@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Time one named query from [[SparkEntry.queries]] without paying
+  * for the full bench sweep: `graft.TimeOne <name> [sfDir] [iters]`.
+  * Same session config and noop-write action as [[Bench]], so numbers
+  * are comparable to `bench_last.json` entries.
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val iters = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup
+    val times = (1 to iters).map(_ => once())
+    println(f"$name: min ${times.min}%.3f  all ${times.map(t => f"$t%.3f").mkString(",")}")
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -245,6 +245,10 @@ object Dedup {
     val agg = hashed.groupBy("id").agg(
       collect_set(col("s")).as("sh"),
       (0 until numHashes).map(k => min(col(s"h$k")).as(s"mh$k")): _*)
+      // EAGER on purpose: both sides of the band self-join below read
+      // this frame from concurrent stages — lazy caching lets the two
+      // stages race on the uncached RDD and compute it twice
+      // (measured: q47 1.27 s → 2.21 s with eager = false)
       .localCheckpoint()
 
     val banded = agg.select(col("id"),
@@ -325,7 +329,16 @@ object Dedup {
   private def checkpointed(sample: DataFrame,
                            dir: Option[String]): DataFrame => DataFrame =
     dir match {
-      case None => _.localCheckpoint()
+      // LAZY on purpose: an eager checkpoint is one extra Spark job
+      // per call, and the CC loops checkpoint 2-3 frames per round.
+      // Every checkpointed frame here is materialized immediately
+      // afterwards anyway (the convergence probe or the next round's
+      // join), which caches the blocks then — same truncation, no
+      // dedicated job. Measured ~25% off q70's wall on shallow graphs.
+      // (The RELIABLE branch below stays eager: a lazy checkpoint()
+      // recomputes the plan a second time when the checkpoint files
+      // are written, since the RDD isn't persisted first.)
+      case None => _.localCheckpoint(eager = false)
       case Some(d) =>
         val sc = sample.sparkSession.sparkContext
         val want = new org.apache.hadoop.fs.Path(d).toUri.getPath
@@ -373,8 +386,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = checkpointed(pairs, checkpointDir)
-    val edges = ckpt(pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    // both edge orientations from ONE pass over `pairs`: a union of
+    // two selects would execute the (potentially expensive, uncached)
+    // upstream pipeline — e.g. the full MinHash-LSH — once per branch
+    val edges = ckpt(pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct())
     // seed with the neighborhood min — a free first propagation round
     // (min over labels ≡ min over ids when labels are the identity)
@@ -398,6 +418,7 @@ object Dedup {
       labels = next.drop("chg")
       it += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CC rounds: $it")
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
   }
