@@ -78,6 +78,22 @@ object Dedup {
       .select("id", "s")
   }
 
+  /** One BPE-style merge round at corpus scale: the frequency of every
+    * adjacent whitespace-token pair — the statistic a tokenizer
+    * trainer's merge step ranks — plus each pair's document frequency.
+    * Reuses [[shingleRows]]'s relational 2-gram shape (one split per
+    * doc, explode, window lead); the aggregation shuffles once on the
+    * pair key with map-side partials, so at 100 TB the pair
+    * dictionary, not the corpus, is what moves between executors.
+    * Single-token documents contribute nothing (their partial 1-gram
+    * row carries no separator and is dropped).
+    */
+  def adjacentPairCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRows(df, idCol, textCol, n = 2)
+      .filter(col("s").contains(" ")) // tokens are \s+-split: no spaces inside
+      .groupBy(col("s").as("pair"))
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("id")).as("n_docs"))
+
   /** Benchmark decontamination: per-document word-n-gram overlap with
     * an evaluation/benchmark corpus — the GPT-3/PaLM-style "n-gram
     * collision" check a pretraining pipeline runs before mixing, so

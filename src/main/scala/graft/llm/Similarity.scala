@@ -380,6 +380,33 @@ object Similarity {
   def dequantizeCol(codes: Column, scale: Column): Column =
     transform(codes, c => (c.cast("double") * scale / lit(127.0)).cast("float"))
 
+  /** Matryoshka truncation diagnostics: per vector, the full L2 norm,
+    * the norm of the first `m` dimensions, the energy fraction those
+    * dimensions keep (‖v[..m]‖²/‖v‖²), and the first component after
+    * renormalizing the truncated vector — the bookkeeping a pipeline
+    * runs before storing MRL-style short embeddings for cheap
+    * first-pass retrieval. Pure per-row expressions inside
+    * whole-stage codegen; no shuffle.
+    *
+    * Determinism: squares accumulate in array order (left fold) and
+    * `sqrt`/division are correctly-rounded IEEE ops, so any engine
+    * replaying the same fold produces identical bits — no rounding
+    * needed in the compared columns.
+    */
+  def matryoshka(df: DataFrame, m: Int, vecCol: String = "embedding"): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    def ssq(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    df.withColumn("ss_full", ssq(vd))
+      .withColumn("ss_m", ssq(slice(vd, 1, m)))
+      .select(col("vec_id"),
+        sqrt(col("ss_full")).as("norm_full"),
+        sqrt(col("ss_m")).as("norm_m"),
+        when(col("ss_full") === 0.0, lit(0.0))
+          .otherwise(col("ss_m") / col("ss_full")).as("energy_frac"),
+        when(col("ss_m") === 0.0, lit(0.0))
+          .otherwise(element_at(vd, 1) / sqrt(col("ss_m"))).as("e1_renorm"))
+  }
+
   /** Per-group embedding centroids (the SemDeDup/cluster-curation
     * primitive: mean vector per stratum, used to measure domain drift
     * and route semantic dedup). Relational shape: dimensions explode

@@ -495,6 +495,31 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** q107 BPE merge statistic: the 50 most frequent adjacent
+    * whitespace-token pairs across the corpus with occurrence and
+    * document counts — one merge round of tokenizer training as a
+    * relational plan ([[graft.llm.Dedup.adjacentPairCounts]]).
+    * Deterministic order: count desc, then pair. The oracle rebuilds
+    * the same pairs from DuckDB list functions.
+    */
+  def q107(s: SparkSession, d: String): DataFrame =
+    Dedup.adjacentPairCounts(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(50)
+
+  /** q108 matryoshka truncation audit: full/16-dim norms, kept-energy
+    * fraction, and the renormalized first component per embedding —
+    * the precompute for storing MRL-style short vectors
+    * ([[graft.llm.Similarity.matryoshka]]). In-order square folds +
+    * IEEE sqrt/div are bit-portable, so the compared doubles carry no
+    * rounding.
+    */
+  def q108(s: SparkSession, d: String): DataFrame =
+    Similarity.matryoshka(
+        Tables.embeddings(s, d).select("vec_id", "embedding"), m = 16)
+      .orderBy("vec_id")
+
   /** q52 multimodal plumbing: binary payloads through the stub
     * feature extractor (typed mapPartitions path).
     */
@@ -556,6 +581,8 @@ object LlmQueries {
     "q98_unigram_logprob" -> q98 _,
     "q99_group_centroids" -> q99 _,
     "q100_curation_pipeline" -> q100 _,
+    "q107_pair_merges" -> q107 _,
+    "q108_matryoshka" -> q108 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -904,6 +931,33 @@ object LlmQueries {
          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM sampled GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q107_pair_merges" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |pairs AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(ts)),
+         |           i -> ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER) + 1])) AS pair
+         |  FROM toks)
+         |SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM pairs GROUP BY pair
+         |ORDER BY n_occ DESC, pair LIMIT 50""".stripMargin,
+
+    "q108_matryoshka" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |           (acc, x) -> acc + x * x) AS ss_full,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(embedding[1:16], x -> CAST(x AS DOUBLE))),
+        |           (acc, x) -> acc + x * x) AS ss_m,
+        |         CAST(embedding[1] AS DOUBLE) AS e1
+        |  FROM embeddings)
+        |SELECT vec_id, sqrt(ss_full) AS norm_full, sqrt(ss_m) AS norm_m,
+        |       CASE WHEN ss_full = 0 THEN 0.0 ELSE ss_m / ss_full END AS energy_frac,
+        |       CASE WHEN ss_m = 0 THEN 0.0 ELSE e1 / sqrt(ss_m) END AS e1_renorm
+        |FROM v ORDER BY vec_id""".stripMargin,
 
     "q98_unigram_logprob" ->
       s"""WITH tok AS (

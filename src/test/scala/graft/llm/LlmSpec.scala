@@ -574,6 +574,34 @@ class LlmSpec extends SparkSpec {
     assert(re.agg(sum("n_emails") + sum("n_ipv4")).head().getLong(0) == 0L)
   }
 
+  test("adjacentPairCounts: exact pair multiplicities; 1-token docs contribute nothing") {
+    val df = Seq(
+      (0L, "a b a b c"),   // pairs: "a b","b a","a b","b c"
+      (1L, "a b"),         // pair:  "a b"
+      (2L, "solo"),        // no pairs
+      (3L, "  a   b  "))   // whitespace runs collapse: "a b"
+      .toDF("doc_id", "text")
+    val got = Dedup.adjacentPairCounts(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+      .map { case (p, o, d2) => p -> ((o, d2)) }.toMap
+    assert(got == Map("a b" -> ((4L, 3L)), "b a" -> ((1L, 1L)), "b c" -> ((1L, 1L))))
+  }
+
+  test("matryoshka: energy fraction and renormalized component from in-order folds") {
+    val df = Seq(
+      (0L, Array(3.0f, 4.0f, 0.0f, 0.0f)), // full norm 5, m=2 norm 5 -> all energy kept
+      (1L, Array(1.0f, 0.0f, 1.0f, 1.0f)), // m=2 keeps 1 of 3
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: guarded, no NaN
+      .toDF("vec_id", "embedding")
+    val r = Similarity.matryoshka(df, m = 2)
+      .orderBy("vec_id")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(r(0) == ((0L, 5.0, 5.0, 1.0, 3.0 / 5.0)))
+    assert(r(1)._2 == math.sqrt(3.0) && r(1)._3 == 1.0)
+    assert(r(1)._4 == 1.0 / 3.0 && r(1)._5 == 1.0)
+    assert(r(2) == ((2L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("source mix stats: integer aggregates per source, rate from counts") {
     val df = Seq(
       // src0: one keeper, one too-short doc (n_tokens < 5 fails)
