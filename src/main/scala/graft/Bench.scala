@@ -29,14 +29,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Wall-clock budget for the whole measurement phase (seconds).
-    // The round-8 driver run produced its full JSON line but was
-    // killed at the harness timeout before exit (rc 124) — the query
-    // count had grown past what the fixed per-query protocol fits.
-    // The budget degrades ITERATIONS, never coverage: when the
+    // The round-8 driver run produced its full JSON line yet ended
+    // rc 124: the REST stub's non-daemon HTTP dispatcher kept the JVM
+    // alive until the harness timeout (fixed at the stub + sys.exit
+    // below). The budget is the second line of defense as the query
+    // count grows: it degrades ITERATIONS, never coverage — when the
     // remaining per-query allowance shrinks, late queries drop from
-    // warmup+3(+pad-to-5) to warmup+2, then warmup+1 — every query
-    // still gets at least one warm timed run.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+    // warmup+3(+pad-to-5) to warmup+2, then warmup+1, so every query
+    // still gets at least one warm timed run and the sweep lands
+    // well inside any plausible harness limit.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "360").toDouble
     val wallT0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - wallT0) / 1e9
     val spark = SparkSession.builder()
