@@ -192,7 +192,10 @@ object Similarity {
                          vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // norms precomputed per VECTOR (O(N) folds), not per candidate
-    // pair (O(pairs) folds) — same value, one third of the fold work
+    // pair (O(pairs) folds) — same value, one third of the fold work.
+    // The self-join recomputes this projection once per side; caching
+    // it was MEASURED SLOWER at sf0.1 (vector payloads are
+    // memory-bandwidth-heavy, the folds are cheap codegen).
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", bucketCol(col("vec"), planes))
       .withColumn("nrm", normCol(col("vec")))

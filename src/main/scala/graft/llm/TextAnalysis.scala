@@ -140,6 +140,13 @@ object TextAnalysis {
     * per token and the oracle gate would catch it loudly.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token rows feed both the model fit (counts → totals → log-probs)
+    // and the per-doc scoring join — the plan re-tokenizes per branch
+    // (3 corpus scans). Deliberately NOT cached: materializing the
+    // exploded token rows measured no better than recomputing them
+    // from the compressed scan (within noise, same host, sf0.1) while
+    // pinning executor memory; tokenize is cheap codegen, token rows
+    // are memory-bandwidth-heavy, so recompute wins the tie.
     val toks = Dedup.shingleRows(df, idCol, textCol, n = 1)
     val counts = toks.groupBy("s").agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum("c").as("tot"), count(lit(1)).as("vocab"))

@@ -537,9 +537,13 @@ object LlmQueries {
     */
   def q64(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val doubled = emb.unionByName(emb.select(
-      (col("vec_id") + 100000).as("vec_id"),
-      transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    // original + scaled copy from ONE scan (a union of two selects
+    // reads the parquet once per branch)
+    val doubled = emb.select(explode(array(
+        struct(col("vec_id"), col("embedding")),
+        struct((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
     // 8 planes → 256 buckets: candidate volume drops ~16× vs 4 planes
     // with identical recall for scaled copies (every sign bit preserved)
     Similarity.cosineNearDupPairs(doubled, threshold = 0.99, planes = 8)
