@@ -15,7 +15,7 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    single/multi-observer/3×3 grid fan-out q83), GeoTIFF
   *    round-trip, warp, rasterize, Horn slope stencil q97 + hillshade q101, observers-as-table viewshed grid q102, REST path-loss backend vs in-process stub q104, catalog-routed spherical-aeqd geographic lifecycle q105, GPKG tile-container read q106, binary tile payloads
   *    (RasterQueries)
-  *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86, q88–q91, q93–q96, q98–q100, q103, q107–q108
+  *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86, q88–q91, q93–q96, q98–q100, q103, q107–q110
   *    LLM-pipeline:
   *    text analysis + repetition + quality verdict, dedup (exact/
   *    prefix/minhash/simhash/ngram/embedding + cluster closure), ANN
@@ -26,7 +26,9 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    embedding quantization q93, substring-dup stats q94, sequence
   *    packing q95, BM25 lexical retrieval q96, unigram LM score q98,
   *    group centroids q99, composed curation pipeline q100,
-  *    tokenizer pair-merge counts q107, matryoshka truncation q108
+  *    tokenizer pair-merge counts q107, matryoshka truncation q108,
+  *    vocabulary-coverage/OOV audit q109, training-sequence
+  *    windowing q110
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,

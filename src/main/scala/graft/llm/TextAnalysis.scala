@@ -139,6 +139,61 @@ object TextAnalysis {
     * vocabulary of distinct tokens the boundary probability is ~2⁻³²
     * per token and the oracle gate would catch it loudly.
     */
+  /** Vocabulary coverage / OOV audit: fix the vocabulary to the
+    * `vocabSize` most frequent corpus tokens (count desc, token asc —
+    * a total order, so the boundary is deterministic), then report
+    * per document how many token OCCURRENCES fall outside it — the
+    * measurement that sizes a tokenizer's vocab against a corpus.
+    *
+    * Scale shape: token counts shuffle once on the token key
+    * (map-side partials), the vocab is top-K of that aggregate
+    * (vocab-sized, broadcast), and the per-doc pass is a broadcast
+    * left-join + doc-keyed aggregation — the corpus is never
+    * shuffled on anything wider than the doc id.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    val tok = Dedup.shingleRows(df, idCol, textCol, n = 1)
+    val vocab = tok.groupBy("s").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("s")).limit(vocabSize)
+      .select(col("s"), lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("in_v"), lit(0))).as("n_in_vocab"))
+      .select(col("id"), col("n_tok"), col("n_in_vocab"),
+        ((col("n_tok") - col("n_in_vocab")).cast("double") / col("n_tok"))
+          .as("oov_rate"))
+  }
+
+  /** Training-sequence windowing: split each document's token stream
+    * into `window`-token chunks at `stride` (< window ⇒ overlap) —
+    * the document → training-example step of a pretraining pipeline.
+    * Emits (id, chunk_id, n_tokens, chunk_md5) with the md5 taken
+    * over the space-joined chunk so an oracle can certify every
+    * chunk's CONTENT, not just its shape. Short documents yield one
+    * (possibly short) chunk; the tail chunk is whatever remains.
+    *
+    * Scale shape: one scan, tokens stay as a per-row ARRAY (no
+    * explode to token rows); chunk starts generate per doc and
+    * `slice` projects each window — per-row codegen, no shuffle, no
+    * window function.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
+    val nChunks = when(size(col("ts")) <= window, lit(0))
+      .otherwise(ceil((size(col("ts")) - lit(window)).cast("double") / stride).cast("int"))
+    df.select(col(idCol).as("id"), tokensCol(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"),
+        explode(sequence(lit(0), nChunks)).as("chunk_id"))
+      .select(col("id"), col("chunk_id"),
+        slice(col("ts"), col("chunk_id") * stride + 1, lit(window)).as("w"))
+      .select(col("id"), col("chunk_id"),
+        size(col("w")).as("n_tokens"),
+        md5(concat_ws(" ", col("w"))).as("chunk_md5"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // token rows feed both the model fit (counts → totals → log-probs)
     // and the per-doc scoring join — the plan re-tokenizes per branch

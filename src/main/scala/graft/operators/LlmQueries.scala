@@ -520,6 +520,36 @@ object LlmQueries {
         Tables.embeddings(s, d).select("vec_id", "embedding"), m = 16)
       .orderBy("vec_id")
 
+  /** q109 vocabulary coverage: OOV occurrence counts per document
+    * against the 20 most frequent corpus tokens
+    * ([[graft.llm.TextAnalysis.oovStats]]) — the audit that sizes a
+    * tokenizer vocab. The fixture vocabulary is 31 tokens, so the
+    * 20-token cut yields genuinely varying per-doc OOV rates. The
+    * oracle refits the same top-K (count desc, token asc) and
+    * replays the join.
+    */
+  def q109(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.oovStats(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        vocabSize = 20)
+      .select(col("id").as("doc_id"), col("n_tok"), col("n_in_vocab"),
+        col("oov_rate"))
+      .orderBy("doc_id")
+
+  /** q110 training-sequence windowing: 32-token chunks at stride 24
+    * over every document ([[graft.llm.TextAnalysis.chunkWindows]]) —
+    * the document → training-example step, content-certified per
+    * chunk by md5. The oracle rebuilds identical windows with DuckDB
+    * list slicing.
+    */
+  def q110(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkWindows(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        window = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   /** q52 multimodal plumbing: binary payloads through the stub
     * feature extractor (typed mapPartitions path).
     */
@@ -587,6 +617,8 @@ object LlmQueries {
     "q100_curation_pipeline" -> q100 _,
     "q107_pair_merges" -> q107 _,
     "q108_matryoshka" -> q108 _,
+    "q109_vocab_oov" -> q109 _,
+    "q110_chunk_windows" -> q110 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -962,6 +994,36 @@ object LlmQueries {
         |       CASE WHEN ss_full = 0 THEN 0.0 ELSE ss_m / ss_full END AS energy_frac,
         |       CASE WHEN ss_m = 0 THEN 0.0 ELSE e1 / sqrt(ss_m) END AS e1_renorm
         |FROM v ORDER BY vec_id""".stripMargin,
+
+    "q109_vocab_oov" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest($toksExpr) AS s FROM documents),
+         |vocab AS (
+         |  SELECT s, 1 AS in_v FROM (
+         |    SELECT s, COUNT(*) AS c FROM tok GROUP BY s
+         |    ORDER BY c DESC, s LIMIT 20)),
+         |j AS (SELECT t.id, COALESCE(v.in_v, 0) AS in_v
+         |      FROM tok t LEFT JOIN vocab v ON t.s = v.s)
+         |SELECT id AS doc_id, COUNT(*) AS n_tok,
+         |       CAST(SUM(in_v) AS BIGINT) AS n_in_vocab,
+         |       CAST(COUNT(*) - SUM(in_v) AS DOUBLE) / COUNT(*) AS oov_rate
+         |FROM j GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q110_chunk_windows" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, ts,
+         |         unnest(range(0, CASE WHEN len(ts) <= 32 THEN 1
+         |                ELSE CAST(ceil((len(ts) - 32) / 24.0) AS BIGINT) + 1 END)) AS chunk_id
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, chunk_id,
+         |         ts[CAST(chunk_id * 24 + 1 AS INTEGER):CAST(least(chunk_id * 24 + 32, len(ts)) AS INTEGER)] AS w
+         |  FROM chunks)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |       CAST(len(w) AS INTEGER) AS n_tokens,
+         |       md5(array_to_string(w, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q98_unigram_logprob" ->
       s"""WITH tok AS (

@@ -602,6 +602,39 @@ class LlmSpec extends SparkSpec {
     assert(r(2) == ((2L, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("oovStats: top-K vocab by (count desc, token asc); occurrences counted, not types") {
+    val df = Seq(
+      (0L, "a a a b b c"), // a:3 b:2 c:1
+      (1L, "c c d"))       // c:2 d:1  => counts a3 b2 c3 d1; top2 = a,c (c ties b? c=3 > b=2)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovStats(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    // vocab = {a(3), c(3)} (count desc, then token asc among ties)
+    assert(got(0) == ((0L, 6L, 4L, 2.0 / 6.0))) // b b out
+    assert(got(1) == ((1L, 3L, 2L, 1.0 / 3.0))) // d out
+  }
+
+  test("chunkWindows: stride overlap, short-doc single chunk, content md5") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, window 4 stride 3
+      (1L, "one two"))                                // short: single chunk
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+    // doc 0: ceil((10-4)/3)=2 -> chunks 0,1,2 with starts 1,4,7
+    val exp0 = Seq(Seq(1, 2, 3, 4), Seq(4, 5, 6, 7), Seq(7, 8, 9, 10))
+    assert(got.count(_._1 == 0L) == 3)
+    got.filter(_._1 == 0L).zip(exp0).foreach { case ((_, cid, n, h), toks) =>
+      assert(n == 4)
+      val txt = toks.map(i => s"t$i").mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h == md, s"chunk $cid")
+    }
+    assert(got.filter(_._1 == 1L).toSeq.map(c => (c._2, c._3)) == Seq((0, 2)))
+  }
+
   test("source mix stats: integer aggregates per source, rate from counts") {
     val df = Seq(
       // src0: one keeper, one too-short doc (n_tokens < 5 fails)
