@@ -94,6 +94,72 @@ object Dedup {
       .groupBy(col("s").as("pair"))
       .agg(count(lit(1)).as("n_occ"), count_distinct(col("id")).as("n_docs"))
 
+  /** Corpus duplicated-n-gram accounting (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — the analysis table
+    * that motivates dedup): the `k` most-repeated word n-grams with
+    * total occurrence counts and document frequencies. Partial grams
+    * from short documents are excluded (an n-gram must span n
+    * tokens), duplication means n_occ ≥ 2, and (count desc, gram asc)
+    * is a total order so the top-k boundary is deterministic.
+    *
+    * Scale shape: gram rows shuffle ONCE on the gram key with
+    * map-side partial aggregation, and the top-k collapses to a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows) — no global sort, no full gram dictionary materialized.
+    */
+  def topDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, k: Int = 20): DataFrame =
+    shingleRows(df, idCol, textCol, n)
+      .filter(size(split(col("s"), " ")) === n) // full grams only
+      .groupBy(col("s").as("gram"))
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(k)
+
+  /** Deterministic Bloom filter over a key column: `numHashes` bit
+    * positions per key, each `md5(key || '#' || j)`'s top 60 bits mod
+    * `numBits`. Returns ONE row holding the sorted distinct set
+    * positions — the filter is at most `numBits` entries regardless
+    * of corpus size, i.e. model-metadata-sized and broadcastable.
+    * Every ingredient (md5, hex slice, mod) is engine-portable, so an
+    * oracle can rebuild the identical filter.
+    *
+    * This is the streaming/cross-shard pre-filter shape: build once
+    * over the seen corpus (one shuffle of positions, ≤ numBits
+    * distinct rows), broadcast, and probe with per-row expressions —
+    * no join against the seen corpus itself. No false negatives;
+    * false-positive rate ≈ (fill)^numHashes, audited by [[bloomProbe]]
+    * against the exact join.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String,
+                numBits: Int, numHashes: Int): DataFrame =
+    keys.select(col(keyCol).cast("string").as("key"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .select((conv(substring(md5(
+          concat(col("key"), lit("#"), col("j").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % numBits).as("pos"))
+      .agg(sort_array(collect_set(col("pos"))).as("bits"))
+
+  /** Membership probe against a [[bloomBits]] filter: each probe key
+    * is "maybe seen" iff ALL of its positions are set. The filter row
+    * is broadcast-cross-joined (one row); the test is a per-row
+    * `forall`/`array_contains` — at `numBits` ≤ a few million the
+    * sorted-array scan is cache-resident; beyond that the same
+    * positions pack into a bitset expression without changing the
+    * contract.
+    */
+  def bloomProbe(probes: DataFrame, keyCol: String, bits: DataFrame,
+                 numBits: Int, numHashes: Int): DataFrame = {
+    val positions = transform(sequence(lit(0), lit(numHashes - 1)),
+      j => conv(substring(md5(
+          concat(col(keyCol).cast("string"), lit("#"), j.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % numBits)
+    probes.crossJoin(broadcast(bits))
+      .withColumn("maybe_seen", forall(positions, p => array_contains(col("bits"), p)))
+      .drop("bits")
+  }
+
   /** Benchmark decontamination: per-document word-n-gram overlap with
     * an evaluation/benchmark corpus — the GPT-3/PaLM-style "n-gram
     * collision" check a pretraining pipeline runs before mixing, so

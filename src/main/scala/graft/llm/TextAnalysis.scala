@@ -194,6 +194,71 @@ object TextAnalysis {
         md5(concat_ws(" ", col("w"))).as("chunk_md5"))
   }
 
+  /** Gopher/MassiveText duplicated-n-gram mass per document: of a
+    * document's full word n-grams, the fraction of OCCURRENCES that
+    * belong to a gram repeated within the same document, and the
+    * char-weighted variant (occurrence count × gram length — the
+    * occurrence-weighted reading of Gopher's "fraction of characters
+    * in duplicate n-grams"; the fixture corpus has no line structure,
+    * so the line-based siblings don't discriminate here). Documents
+    * shorter than n tokens carry zero grams and report 0.0.
+    *
+    * Scale shape: gram rows aggregate per (doc, gram) then per doc —
+    * two hash aggregations on doc-prefixed keys, work linear in
+    * corpus tokens; the final left join only restores gram-less short
+    * docs and joins on the doc id. All fractions are exact integer
+    * ratios through one IEEE division — engine-portable.
+    */
+  def dupGramStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val per = Dedup.shingleRows(df, idCol, textCol, n)
+      .filter(size(split(col("s"), " ")) === n)
+      .groupBy("id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"),
+        sum(col("c") * length(col("s"))).as("mass"),
+        sum(when(col("c") >= 2, col("c") * length(col("s"))).otherwise(0L))
+          .as("dup_mass"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_occ").cast("double") / col("n_grams"))
+          .as("dup_gram_frac"),
+        when(coalesce(col("mass"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_mass").cast("double") / col("mass"))
+          .as("dup_char_frac"))
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus unigram LM ([[unigramLogProb]]), then assign head/middle/
+    * tail buckets by `ntile(nBuckets)` WITHIN each `groupCol` value
+    * (CCNet buckets per language) ordered by score descending with
+    * the doc id as a total-order tie-break.
+    *
+    * Scale shape: the window is PARTITIONED by the group column, so
+    * the rank sort distributes across groups (per-group skew bounds
+    * the longest task — at web-corpus scale each language shard is
+    * further split by snapshot/source before bucketing, or bucket
+    * thresholds come from a quantile sketch and assignment becomes a
+    * per-row CASE; this exact-rank form is the certifiable gate for
+    * that pipeline). Ordering doubles cross-engine is safe here: the
+    * score is an exact fixed-point integer sum divided in the same
+    * association on both sides, so ties and order agree bit-for-bit.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(df, idCol, textCol)
+    val meta = df.select(col(idCol).as("id"), col(groupCol).as("grp"))
+    scored.join(meta, "id")
+      .select(col("id"), col("grp"), col("n_tokens"), col("mean_logp"),
+        ntile(nBuckets).over(
+          Window.partitionBy("grp").orderBy(col("mean_logp").desc, col("id")))
+          .as("ppl_bucket"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // token rows feed both the model fit (counts → totals → log-probs)
     // and the per-doc scoring join — the plan re-tokenizes per branch

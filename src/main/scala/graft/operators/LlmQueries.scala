@@ -550,6 +550,68 @@ object LlmQueries {
         col("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** q111 CCNet-style perplexity buckets: every document scored by
+    * the corpus unigram LM, then head/middle/tail terciles assigned
+    * per LANGUAGE ([[graft.llm.TextAnalysis.perplexityBuckets]] —
+    * CCNet buckets within each language shard). The oracle refits the
+    * q98 model and replays the same partitioned ntile; the score's
+    * fixed-point integer core makes the cross-engine ordering exact.
+    */
+  def q111(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.perplexityBuckets(
+        Tables.documents(s, d).select("doc_id", "text", "lang"),
+        "doc_id", "text", groupCol = "lang", nBuckets = 3)
+      .select(col("id").as("doc_id"), col("grp").as("lang"),
+        col("n_tokens"), col("mean_logp"), col("ppl_bucket"))
+      .orderBy("doc_id")
+
+  /** q113 Bloom-filter membership pre-filter: a 4096-bit / 3-hash
+    * Bloom built over the even-id half of the corpus (md5 text keys,
+    * [[graft.llm.Dedup.bloomBits]]), probed by the odd-id half —
+    * alongside the EXACT answer from the key join, so the result is
+    * its own false-positive audit (maybe_seen ⊇ actually_seen, never
+    * the reverse). The filter is a fixed-size broadcast regardless of
+    * corpus size; the oracle rebuilds the identical bit set.
+    */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val seen = docs.filter(col("doc_id") % 2 === 0).select(md5(col("text")).as("key"))
+    val probes = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("key"))
+    val bits = Dedup.bloomBits(seen, "key", numBits = 4096, numHashes = 3)
+    Dedup.bloomProbe(probes, "key", bits, numBits = 4096, numHashes = 3)
+      .join(broadcast(seen.distinct().withColumn("hit", lit(1))), Seq("key"), "left")
+      .select(col("doc_id"),
+        col("maybe_seen").cast("int").as("maybe_seen"),
+        col("hit").isNotNull.cast("int").as("actually_seen"))
+      .orderBy("doc_id")
+  }
+
+  /** q112 corpus duplicated-n-gram accounting: the 20 most-repeated
+    * word 3-grams with occurrence and document counts
+    * ([[graft.llm.Dedup.topDuplicatedGrams]] — the Lee et al.
+    * analysis that motivates dedup). One shuffle on the gram key;
+    * the top-k is a TakeOrderedAndProject, not a global sort.
+    */
+  def q112(s: SparkSession, d: String): DataFrame =
+    Dedup.topDuplicatedGrams(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        n = 3, k = 20)
+      .orderBy(col("n_occ").desc, col("gram"))
+
+  /** q114 per-document duplicated-gram mass (Gopher repetition
+    * signal, [[graft.llm.TextAnalysis.dupGramStats]]): fraction of a
+    * doc's 2-gram occurrences (and their char mass) belonging to
+    * grams repeated within the doc. Short docs report zero.
+    */
+  def q114(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dupGramStats(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        n = 2)
+      .select(col("id").as("doc_id"), col("n_grams"),
+        col("dup_gram_frac"), col("dup_char_frac"))
+      .orderBy("doc_id")
+
   /** q52 multimodal plumbing: binary payloads through the stub
     * feature extractor (typed mapPartitions path).
     */
@@ -619,6 +681,10 @@ object LlmQueries {
     "q108_matryoshka" -> q108 _,
     "q109_vocab_oov" -> q109 _,
     "q110_chunk_windows" -> q110 _,
+    "q111_ppl_buckets" -> q111 _,
+    "q112_top_dup_grams" -> q112 _,
+    "q113_bloom_prefilter" -> q113 _,
+    "q114_dup_gram_mass" -> q114 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1024,6 +1090,88 @@ object LlmQueries {
          |       CAST(len(w) AS INTEGER) AS n_tokens,
          |       md5(array_to_string(w, ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q113_bloom_prefilter" ->
+      """WITH seen AS (
+        |  SELECT md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+        |h AS (SELECT key, unnest(range(0, 3)) AS j FROM seen),
+        |bits AS (
+        |  SELECT DISTINCT
+        |         CAST('0x' || substr(md5(key || '#' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS pos
+        |  FROM h),
+        |probe AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 1),
+        |pp AS (SELECT doc_id, key, unnest(range(0, 3)) AS j FROM probe),
+        |ppos AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(key || '#' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 4096 AS pos
+        |  FROM pp),
+        |memb AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN BOOL_AND(pos IN (SELECT pos FROM bits)) THEN 1 ELSE 0 END AS INTEGER) AS maybe_seen
+        |  FROM ppos GROUP BY doc_id),
+        |ex AS (SELECT DISTINCT key FROM seen)
+        |SELECT p.doc_id, m.maybe_seen,
+        |       CAST(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS actually_seen
+        |FROM probe p JOIN memb m USING (doc_id) LEFT JOIN ex e ON p.key = e.key
+        |ORDER BY doc_id""".stripMargin,
+
+    "q112_top_dup_grams" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |           i -> concat_ws(' ', w[CAST(i AS INTEGER)],
+         |                w[CAST(i AS INTEGER) + 1], w[CAST(i AS INTEGER) + 2]))) AS gram
+         |  FROM t0),
+         |c AS (SELECT gram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+         |      FROM g GROUP BY gram)
+         |SELECT gram, n_occ, n_docs FROM c
+         |WHERE n_occ >= 2 ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
+
+    "q114_dup_gram_mass" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+         |           i -> concat_ws(' ', w[CAST(i AS INTEGER)],
+         |                w[CAST(i AS INTEGER) + 1]))) AS s
+         |  FROM t0),
+         |pc AS (SELECT doc_id, s, COUNT(*) AS c FROM g GROUP BY doc_id, s),
+         |per AS (SELECT doc_id, SUM(c) AS n_grams,
+         |               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+         |               SUM(c * length(s)) AS mass,
+         |               SUM(CASE WHEN c >= 2 THEN c * length(s) ELSE 0 END) AS dup_mass
+         |        FROM pc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+         |            ELSE CAST(p.dup_occ AS DOUBLE) / p.n_grams END AS dup_gram_frac,
+         |       CASE WHEN COALESCE(p.mass, 0) = 0 THEN 0.0
+         |            ELSE CAST(p.dup_mass AS DOUBLE) / p.mass END AS dup_char_frac
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q111_ppl_buckets" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest($toksExpr) AS s FROM documents),
+         |cnt AS (SELECT s, COUNT(*) AS c FROM tok GROUP BY s),
+         |tot AS (SELECT SUM(c) AS tot, COUNT(*) AS vocab FROM cnt),
+         |model AS (
+         |  SELECT s,
+         |         CAST(floor(ln((c + 1.0) / (tot + vocab)) * 1048576.0) AS BIGINT) AS lp_fp
+         |  FROM cnt CROSS JOIN tot),
+         |agg AS (
+         |  SELECT t.id, COUNT(*) AS n_tokens, SUM(m.lp_fp) AS sum_fp
+         |  FROM tok t JOIN model m USING (s) GROUP BY t.id),
+         |scored AS (
+         |  SELECT a.id, d.lang, a.n_tokens,
+         |         CAST(a.sum_fp AS DOUBLE) / 1048576.0 / a.n_tokens AS mean_logp
+         |  FROM agg a JOIN documents d ON a.id = d.doc_id)
+         |SELECT id AS doc_id, lang, n_tokens, mean_logp,
+         |       CAST(ntile(3) OVER (PARTITION BY lang
+         |              ORDER BY mean_logp DESC, id) AS INTEGER) AS ppl_bucket
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q98_unigram_logprob" ->
       s"""WITH tok AS (

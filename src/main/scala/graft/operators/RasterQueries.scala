@@ -419,6 +419,17 @@ object RasterQueries {
       .select("px", "py", "shade")
       .orderBy("py", "px")
 
+  /** q115 gdaldem terrain indices (TRI/TPI/roughness,
+    * [[graft.raster.RasterOps.terrainIndices]]): Riley ruggedness,
+    * topographic position, and window range in one scatter-stencil
+    * aggregation over the DEM — every value rational-or-√exact, so
+    * the oracle compares bit-for-bit.
+    */
+  def q115(s: SparkSession, d: String): DataFrame =
+    RasterOps.terrainIndices(dem(s))
+      .select("px", "py", "tri", "tpi", "roughness")
+      .orderBy("py", "px")
+
   /** q57 E4 forward-target trig (vectorized calc_fwd). */
   def q57(s: SparkSession, d: String): DataFrame = {
     val obs = s.range(30).select(
@@ -631,6 +642,7 @@ object RasterQueries {
     "q67_rasterize_burn" -> q67 _,
     "q97_horn_gradient" -> q97 _,
     "q101_hillshade" -> q101 _,
+    "q115_terrain_indices" -> q115 _,
     "q68_los_extended" -> q68 _,
   )
 
@@ -880,6 +892,26 @@ object RasterQueries {
          |       CAST(floor(greatest(0.0, shade_raw) * 255.0 + 0.5) AS INTEGER) AS shade
          |FROM sh ORDER BY py, px""".stripMargin
     },
+
+    "q115_terrain_indices" ->
+      s"""WITH $demCte,
+         |src AS (SELECT px, py, v FROM dem WHERE v <> -32768.0),
+         |con AS (
+         |  SELECT s.px - dx.d AS cx, s.py - dy.d AS cy,
+         |         dx.d AS dx, dy.d AS dy, s.v
+         |  FROM src s
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+         |g AS (
+         |  SELECT cx, cy, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss,
+         |         MIN(v) AS mn, MAX(v) AS mx,
+         |         MAX(CASE WHEN dx = 0 AND dy = 0 THEN v END) AS c
+         |  FROM con GROUP BY cx, cy)
+         |SELECT CAST(cx AS INTEGER) AS px, CAST(cy AS INTEGER) AS py,
+         |       sqrt(ss - c * c - 2.0 * c * (s - c) + 8.0 * c * c) AS tri,
+         |       c - (s - c) / 8.0 AS tpi,
+         |       mx - mn AS roughness
+         |FROM g WHERE n = 9 ORDER BY py, px""".stripMargin,
 
     "q97_horn_gradient" ->
       s"""WITH $demCte,

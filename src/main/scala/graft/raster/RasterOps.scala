@@ -279,6 +279,44 @@ object RasterOps {
       .drop("shade_raw")
   }
 
+  /** gdaldem-family 3×3 terrain indices in ONE scatter aggregation
+    * (the [[hornGradient]] plan shape — 9-role explode, center-keyed
+    * hash agg, full neighborhoods only):
+    *  - `tri`  — Riley Terrain Ruggedness Index
+    *    √Σ(vₙ−c)² over the 8 neighbors, decomposed into the
+    *    aggregable form √(Σv² − c² − 2c(Σv−c) + 8c²) so no
+    *    per-neighbor center value is needed;
+    *  - `tpi`  — Topographic Position Index, c − mean(8 neighbors)
+    *    (the /8 is a power-of-two division — exact);
+    *  - `roughness` — max − min of the full 3×3 window.
+    * The DEM fixture is integer-valued, so every sum (including Σv²)
+    * is order-independent-exact and the single √ is IEEE-rounded —
+    * all three compare bit-for-bit cross-engine.
+    */
+  def terrainIndices(df: DataFrame,
+                     ndv: Double = PixelFrame.Dem.Ndv): DataFrame = {
+    val offs = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    df.filter(col("v") =!= ndv)
+      .select(col("rid"), col("band"), col("px"), col("py"), col("v"),
+        explode(offs).as("o"))
+      .groupBy(col("rid"), col("band"),
+        (col("px") - col("o.dx")).as("px"), (col("py") - col("o.dy")).as("py"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"),
+        min(col("v")).as("mn"),
+        max(col("v")).as("mx"),
+        max(when(col("o.dx") === 0 && col("o.dy") === 0, col("v"))).as("c"))
+      .filter(col("n") === 9)
+      .select(col("rid"), col("band"), col("px"), col("py"),
+        sqrt(col("ss") - col("c") * col("c")
+          - lit(2.0) * col("c") * (col("s") - col("c"))
+          + lit(8.0) * col("c") * col("c")).as("tri"),
+        (col("c") - (col("s") - col("c")) / lit(8.0)).as("tpi"),
+        (col("mx") - col("mn")).as("roughness"))
+  }
+
   /** The hillshade light constants for an (azimuth, altitude) pair,
     * printed as shortest-round-trip literals — shared with SQL
     * oracles so both engines compute from identical doubles.

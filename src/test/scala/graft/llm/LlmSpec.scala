@@ -635,6 +635,68 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).toSeq.map(c => (c._2, c._3)) == Seq((0, 2)))
   }
 
+  test("bloom filter: no false negatives; tiny filter forces audited false positives") {
+    val seen = Seq("alpha", "beta", "gamma").toDF("key")
+    val bits = Dedup.bloomBits(seen, "key", numBits = 64, numHashes = 3)
+    val b = bits.as[Seq[Long]].collect().head
+    assert(b.size <= 9 && b == b.sorted && b.forall(p => p >= 0 && p < 64))
+    val probes = (Seq("alpha", "beta", "gamma") ++ (0 until 200).map(i => s"novel$i"))
+      .toDF("key")
+    val got = Dedup.bloomProbe(probes, "key", bits, numBits = 64, numHashes = 3)
+      .as[(String, Boolean)].collect().toMap
+    // every inserted key answers maybe (no false negatives)
+    assert(Seq("alpha", "beta", "gamma").forall(got(_)))
+    // with <=9 of 64 bits set, most of 200 novels are rejected, some
+    // collide (fp rate ~ (9/64)^3 ~ 0.3%) — all deterministic
+    val fps = (0 until 200).count(i => got(s"novel$i"))
+    assert(fps < 20, s"fp count $fps")
+  }
+
+  test("topDuplicatedGrams: occurrence multiplicity, doc frequency, partial grams excluded") {
+    val df = Seq(
+      (0L, "a b c a b c x"),  // "a b c" twice in doc 0
+      (1L, "a b c d"),        // once more in doc 1; "b c d" once
+      (2L, "p q"))            // too short for a 3-gram
+      .toDF("doc_id", "text")
+    val got = Dedup.topDuplicatedGrams(df, "doc_id", "text", n = 3, k = 10)
+      .as[(String, Long, Long)].collect()
+    // only "a b c" is duplicated (3 occurrences across 2 docs);
+    // "b c a"/"c a b"/"b c d"... are singletons, doc 2 contributes none
+    assert(got.toSeq == Seq(("a b c", 3L, 2L)))
+  }
+
+  test("dupGramStats: within-doc duplicated 2-gram mass; short docs report zero") {
+    val df = Seq(
+      (0L, "a b a b a"), // 2-grams: "a b","b a","a b","b a" -> all 4 dup
+      (1L, "x y z"),     // "x y","y z" -> none dup
+      (2L, "solo"))      // no 2-gram
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupGramStats(df, "doc_id", "text", n = 2)
+      .orderBy("id").as[(Long, Long, Double, Double)].collect()
+    assert(got(0) == ((0L, 4L, 1.0, 1.0)))
+    assert(got(1) == ((1L, 2L, 0.0, 0.0)))
+    assert(got(2) == ((2L, 0L, 0.0, 0.0)))
+  }
+
+  test("perplexityBuckets: per-group ntile on the LM score, desc order, id tie-break") {
+    // corpus LM: common tokens score higher; doc of rare tokens lands
+    // in the tail bucket of its group
+    val df = Seq(
+      (0L, "a a a a", "g1"), // all high-frequency -> best score in g1
+      (1L, "a a b b", "g1"),
+      (2L, "x y z w", "g1"), // singletons -> worst score in g1
+      (3L, "a a a b", "g2"),
+      (4L, "q r s t", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityBuckets(df, "doc_id", "text", "lang", nBuckets = 2)
+      .select("id", "grp", "ppl_bucket")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._3)).toSeq ==
+      Seq((0L, 1), (1L, 1), (2L, 2), (3L, 1), (4L, 2)))
+    // ntile(2) over 3 rows puts 2 in the first bucket (remainder-first)
+    assert(got.count(r => r._2 == "g1" && r._3 == 1) == 2)
+  }
+
   test("source mix stats: integer aggregates per source, rate from counts") {
     val df = Seq(
       // src0: one keeper, one too-short doc (n_tokens < 5 fails)

@@ -176,6 +176,32 @@ class RasterOpsSpec extends SparkSpec {
     assert(nd.isEmpty) // (2,2) sits in all nine interior neighborhoods
   }
 
+  test("terrainIndices: ramp TRI/TPI/roughness exact; flat is all-zero; interior-only") {
+    def frame(v: (Int, Int) => Double) = (for (py <- 0 until 5; px <- 0 until 5)
+      yield (0, 1, px, py, v(px, py))).toDF("rid", "band", "px", "py", "v")
+    // flat: every index is exactly zero on the 3x3 interior
+    val flat = RasterOps.terrainIndices(frame((_, _) => 7.0)).collect()
+    assert(flat.length == 9)
+    assert(flat.forall(r => r.getAs[Double]("tri") == 0.0 &&
+      r.getAs[Double]("tpi") == 0.0 && r.getAs[Double]("roughness") == 0.0))
+    // x-ramp z = 2*px: neighbor diffs are (-2,0,2) per column ->
+    // TRI = sqrt(6*4) ; TPI = 0 (symmetric) ; roughness = 4
+    val ramp = RasterOps.terrainIndices(frame((px, _) => px * 2.0)).collect()
+    assert(ramp.forall(r => r.getAs[Double]("tri") == math.sqrt(24.0) &&
+      r.getAs[Double]("tpi") == 0.0 && r.getAs[Double]("roughness") == 4.0))
+    // a center spike of +8 at (2,2): its own TPI is 8, its neighbors' TPI is -1
+    val spike = RasterOps.terrainIndices(
+      frame((px, py) => if (px == 2 && py == 2) 8.0 else 0.0))
+      .collect().map(r => ((r.getAs[Int]("px"), r.getAs[Int]("py")),
+        (r.getAs[Double]("tri"), r.getAs[Double]("tpi"), r.getAs[Double]("roughness")))).toMap
+    assert(spike((2, 2)) == ((math.sqrt(512.0), 8.0, 8.0)))
+    assert(spike((1, 1)) == ((8.0, -1.0, 8.0)))
+    // nodata poisons every neighborhood containing it
+    val nd = RasterOps.terrainIndices(
+      frame((px, py) => if (px == 2 && py == 2) PixelFrame.Dem.Ndv else 0.0)).collect()
+    assert(nd.isEmpty)
+  }
+
   test("hillshade: flat terrain shades to sin(alt); slopes facing away are darker") {
     def frame(v: (Int, Int) => Double) = (for (py <- 0 until 5; px <- 0 until 5)
       yield (0, 1, px, py, v(px, py))).toDF("rid", "band", "px", "py", "v")
