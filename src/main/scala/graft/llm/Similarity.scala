@@ -212,9 +212,10 @@ object Similarity {
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Coarse quantizer: k centroids. Deterministic everywhere — init
-    * picks evenly-spaced vectors by id, Lloyd updates average in
-    * DECIMAL-free but order-safe form (means of float-cast doubles;
-    * assignment ties break to the lower centroid index).
+    * picks the k vectors with the smallest md5(id) hash (a fixed
+    * uniform draw), Lloyd updates average in DECIMAL-free but
+    * order-safe form (means of float-cast doubles; assignment ties
+    * break to the lower centroid index).
     */
   final case class IvfModel(centroids: Seq[Array[Double]])
 
@@ -233,12 +234,17 @@ object Similarity {
     * heavy work (assignment + per-dimension means) is distributed;
     * only the k×dim centroid table ever reaches the driver — the
     * model is planner metadata, like the reference's DataSetSelector.
+    *
+    * Init is ONE pass: the k vectors with the smallest md5(id) (id as
+    * tie-break) — a deterministic uniform draw that collapses to a
+    * TakeOrderedAndProject (per-partition heaps of k rows, driver
+    * merge), with no separate `count()` scan and no dense-id
+    * assumption (the old stride init paid both).
     */
   def fitIvf(emb: DataFrame, k: Int, iters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
-    val n = emb.count()
-    val step = math.max(n / k, 1)
-    val init = emb.filter(col(idCol) % step === 0).orderBy(idCol).limit(k)
+    val init = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     var model = IvfModel(init)
