@@ -297,47 +297,56 @@ object Dedup {
     * 16× less digest work than per-salt md5s, bit-reproducible in any
     * engine via exact BIGINT arithmetic.
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-                 shingleLen: Int = 3): DataFrame = {
-    val rowsPerBand = numHashes / bands
+  /** Shared signature build for the LSH pipelines: per doc, the
+    * jaccard-verify shingle SET plus the `numHashes` signature minima.
+    *
+    * The affine transforms ride as COLUMNS of the shingle row (not a
+    * ×k row fan-out), then ONE aggregation yields minima and shingle
+    * set together. (Runtime subexpression elimination evaluates the
+    * shared md5 once even after CollapseProject inlines it per
+    * column.) The result is MATERIALIZED: consumed by the band
+    * explode and the verify joins; column pruning makes the
+    * consumers' subplans differ, so ReuseExchange cannot dedup them
+    * and without materialization the whole shingle+hash pipeline
+    * would recompute per consumer. One row per doc — the same thing
+    * MLlib's LSH caches. localCheckpoint (not persist): its blocks
+    * are reclaimed by the ContextCleaner when the frame is GC'd, so
+    * repeated invocations in a long-lived session don't leak cache
+    * entries (a .persist here was observed accumulating CacheManager
+    * warnings across bench iterations), and EAGER on purpose: the
+    * band join's sides read this frame from concurrent stages — lazy
+    * caching lets two stages race on the uncached RDD and compute it
+    * twice (measured: q47 1.27 s → 2.21 s with eager = false).
+    * Trade: lineage is truncated, so executor loss fails the query
+    * instead of recomputing — at cluster scale prefer a
+    * reliable-storage checkpoint dir for this stage.
+    */
+  private def signatureAgg(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int, shingleLen: Int): DataFrame = {
     val shRows = shingleRows(df, idCol, textCol, shingleLen)
-
-    // numHashes affine transforms of one base hash as COLUMNS of the
-    // shingle row (not a ×16 row fan-out), then ONE aggregation yields
-    // the signature minima AND the jaccard-verify shingle set — the
-    // aggregated frame is reused by the band explode and both verify
-    // joins. (Runtime subexpression elimination evaluates the shared
-    // md5 once even after CollapseProject inlines it per column.)
     val hashed = shRows.select(col("id") +: col("s") +:
       (0 until numHashes).map(k =>
         minhashAffineCol(k, minhashBaseCol(col("s"))).as(s"h$k")): _*)
-    // materialized: consumed three times (band explode + both verify
-    // joins); column pruning makes the consumers' subplans differ, so
-    // ReuseExchange cannot dedup them and without materialization the
-    // whole shingle+hash pipeline would recompute 3×. One row per
-    // doc — the same thing MLlib's LSH caches. localCheckpoint (not
-    // persist): its blocks are reclaimed by the ContextCleaner when
-    // the frame is GC'd, so repeated invocations in a long-lived
-    // session don't leak cache entries (a .persist here was observed
-    // accumulating CacheManager warnings across bench iterations).
-    // Trade: lineage is truncated, so executor loss fails the query
-    // instead of recomputing — at cluster scale prefer a
-    // reliable-storage checkpoint dir for this stage.
-    val agg = hashed.groupBy("id").agg(
+    hashed.groupBy("id").agg(
       collect_set(col("s")).as("sh"),
       (0 until numHashes).map(k => min(col(s"h$k")).as(s"mh$k")): _*)
-      // EAGER on purpose: both sides of the band self-join below read
-      // this frame from concurrent stages — lazy caching lets the two
-      // stages race on the uncached RDD and compute it twice
-      // (measured: q47 1.27 s → 2.21 s with eager = false)
       .localCheckpoint()
+  }
 
-    val banded = agg.select(col("id"),
+  /** Band keys of a [[signatureAgg]] frame: (id, band, bkey) rows. */
+  private def bandedOf(agg: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    agg.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           col(s"mh${b * rowsPerBand + r}").cast("string")): _*))
       }: _*)).as(Seq("band", "bkey")))
+
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+                 shingleLen: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
+    val banded = bandedOf(agg, bands, rowsPerBand)
 
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
@@ -353,6 +362,56 @@ object Dedup {
         / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** FUZZY cross-corpus decontamination: MinHash-banded train ×
+    * benchmark join, exact-Jaccard verified — the paraphrase-leak
+    * complement to [[decontaminate]]'s exact n-gram check (a
+    * benchmark item lightly rephrased into the training set shares
+    * most shingles but few exact long grams). Returns one row per
+    * CONTAMINATED train doc: how many benchmark docs it fuzzily
+    * matches, the best Jaccard, and that best match's id (ties:
+    * highest jaccard, then lowest benchmark id).
+    *
+    * Scale shape: identical to [[minhashLsh]] except the bucket join
+    * meets two different corpora (train signatures never self-join),
+    * so candidate volume is driven by cross-corpus band collisions
+    * only; the verify stage then runs on candidates, never all pairs.
+    * Both signature frames are built by the shared [[signatureAgg]]
+    * (one aggregation each, materialized once).
+    */
+  def minhashCrossMatch(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5,
+                        shingleLen: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val ta = signatureAgg(train, idCol, textCol, numHashes, shingleLen)
+    val ba = signatureAgg(bench, idCol, textCol, numHashes, shingleLen)
+    val candidates = bandedOf(ta, bands, rowsPerBand)
+      .select(col("band"), col("bkey"), col("id").as("id_t"))
+      .join(bandedOf(ba, bands, rowsPerBand)
+        .select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .select("id_t", "id_b").distinct()
+    val f = candidates
+      .join(ta.select(col("id").as("id_t"), col("sh").as("sh_a")), "id_t")
+      .join(ba.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_t", "id_b", "jaccard")
+    // argmax mirrored relationally (max join-back + min id) so an SQL
+    // oracle replays the identical tie-break on identical doubles
+    val agg = f.groupBy("id_t").agg(
+      count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
+    val pick = f.join(agg.select(col("id_t"), col("max_jaccard")),
+        Seq("id_t"))
+      .filter(col("jaccard") === col("max_jaccard"))
+      .groupBy("id_t").agg(min(col("id_b")).as("bench_id"))
+    agg.join(pick, "id_t")
+      .select(col("id_t"), col("n_matches"), col("max_jaccard"), col("bench_id"))
   }
 
   /** 16-bit SimHash from salted-md5 hex digits: bit k is the sign of

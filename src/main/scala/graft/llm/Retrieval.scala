@@ -30,9 +30,60 @@ object Retrieval {
     * `(id, dl)` — the inverted-index build, reusable across queries
     * (persist/bucket by `s` at production scale).
     */
-  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    Dedup.shingleRows(docs, idCol, textCol, n = 1)
-      .groupBy("id", "s").agg(count(lit(1)).as("tf"))
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 1): DataFrame = {
+    val rows = Dedup.shingleRows(docs, idCol, textCol, n)
+    val full = if (n == 1) rows
+      else rows.filter(size(split(col("s"), " ")) === n) // full grams only
+    full.groupBy("id", "s").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Sparse TF-IDF cosine similarity join — the lexical near-duplicate
+    * detector: weight every (doc, term) cell tf·idf, meet documents
+    * through the inverted index (an equi-join on the term key — only
+    * docs SHARING a term ever pair), and keep pairs whose cosine
+    * clears `threshold`.
+    *
+    * Terms are word `n`-grams: with n ≥ 2 the term space is large and
+    * document frequencies small, so the self-join is genuinely sparse;
+    * `maxDf` drops hub terms (stop-gram removal) BEFORE weighting —
+    * the knob that bounds per-term pair fan-out to maxDf², exactly the
+    * q75 blocked-join posture (and the join is hinted shuffle_hash so
+    * the corpus-sized weight table is never broadcast).
+    *
+    * Determinism: idf collapses to fixed point per term
+    * (floor(ln(N/df)·2¹⁶) — the q98 precedent: one transcendental,
+    * identical formula text in both engines), so weights, dots, and
+    * norms are exact BIGINT sums in any order; the final cosine is
+    * dot/(√n2a·√n2b) — three IEEE ops from exact integers. The 2¹⁶
+    * scale keeps Σ(w²) under 2⁶³ for web-corpus N and kilotoken docs;
+    * at larger scale drop the fixed point a few bits or sum DECIMAL.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDf: Int = 50,
+                       threshold: Double = 0.5): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, n)
+    val nd = tf.agg(count_distinct(col("id")).as("n_docs"))
+    val dfs = tf.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(dfs, "s").crossJoin(broadcast(nd))
+      .select(col("id"), col("s"),
+        (col("tf") * floor(log(col("n_docs").cast("double") / col("df"))
+          * lit(65536.0)).cast("long")).as("w_fp"))
+    val norms = w.groupBy("id").agg(sum(col("w_fp") * col("w_fp")).as("n2"))
+    val dots = w.as("a")
+      .join(w.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w_fp") * col("b.w_fp")).as("dot_fp"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2b")), "id_b")
+      .withColumn("cosine", col("dot_fp").cast("double") /
+        (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 
   /** BM25-style top-k: score every doc containing at least one query
     * term, return the k best (score desc, id asc — total order).

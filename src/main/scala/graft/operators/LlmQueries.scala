@@ -565,6 +565,40 @@ object LlmQueries {
         col("n_tokens"), col("mean_logp"), col("ppl_bucket"))
       .orderBy("doc_id")
 
+  /** q117 fuzzy decontamination
+    * ([[graft.llm.Dedup.minhashCrossMatch]]): MinHash-banded train
+    * (even ids) × benchmark (odd ids) join, exact-Jaccard verified at
+    * 0.5 — the paraphrase-leak complement to q89's exact n-gram
+    * check. One row per contaminated train doc with match count, best
+    * Jaccard, and the argmax benchmark id (relational tie-break the
+    * oracle replays).
+    */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Dedup.minhashCrossMatch(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id_t").as("doc_id"), col("n_matches"),
+        col("max_jaccard"), col("bench_id"))
+      .orderBy("doc_id")
+  }
+
+  /** q116 sparse TF-IDF cosine near-dup join
+    * ([[graft.llm.Retrieval.tfidfCosinePairs]]): trigram terms,
+    * df ≤ 50 stop-gram cap, cosine ≥ 0.5 — documents meet ONLY
+    * through the inverted index, never all-pairs. Fixed-point idf
+    * keeps every sum exact; the oracle replays the identical
+    * weighting and join.
+    */
+  def q116(s: SparkSession, d: String): DataFrame =
+    Retrieval.tfidfCosinePairs(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        n = 3, maxDf = 50, threshold = 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("cosine"))
+      .orderBy("doc_a", "doc_b")
+
   /** q113 Bloom-filter membership pre-filter: a 4096-bit / 3-hash
     * Bloom built over the even-id half of the corpus (md5 text keys,
     * [[graft.llm.Dedup.bloomBits]]), probed by the odd-id half —
@@ -685,6 +719,8 @@ object LlmQueries {
     "q112_top_dup_grams" -> q112 _,
     "q113_bloom_prefilter" -> q113 _,
     "q114_dup_gram_mass" -> q114 _,
+    "q116_tfidf_pairs" -> q116 _,
+    "q117_fuzzy_decontaminate" -> q117 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -733,8 +769,12 @@ object LlmQueries {
   /** q47's verified-pair pipeline (no terminal ORDER BY) — shared by
     * the q47 oracle and embedded as a CTE body by the q70 closure.
     */
-  private val minhashPairsSql: String =
-    s"""WITH $shinglesCte,
+  /** Shared shingle→sign→band CTE chain (no WITH keyword) — the
+    * q47/q70 self-join and the q117 cross-corpus join both start
+    * from this `banded` frame.
+    */
+  private val minhashBandedCte: String =
+    s"""$shinglesCte,
        |sig AS (
        |  -- universal hashing: one md5-derived base per shingle, k
        |  -- affine transforms (a_k x + b_k) mod p -- mirrors
@@ -750,8 +790,15 @@ object LlmQueries {
        |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
        |         md5(CAST(sigs[CAST(b AS INTEGER) * 4 + 1] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 2] AS VARCHAR) || '|'
        |             || CAST(sigs[CAST(b AS INTEGER) * 4 + 3] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 4] AS VARCHAR)) AS bkey
-       |  FROM sig CROSS JOIN range(0, 4) t(b)),
-       |pairs AS (
+       |  FROM sig CROSS JOIN range(0, 4) t(b))""".stripMargin
+
+  // NOTE: concatenated, not interpolated — minhashBandedCte is already
+  // margin-stripped, and a second stripMargin would eat the first pipe
+  // of any continuation line starting with `||` (turning string concat
+  // into bitwise-or in the oracle).
+  private val minhashPairsSql: String =
+    s"WITH $minhashBandedCte,\n" +
+    """pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id)
@@ -1090,6 +1137,56 @@ object LlmQueries {
          |       CAST(len(w) AS INTEGER) AS n_tokens,
          |       md5(array_to_string(w, ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q117_fuzzy_decontaminate" ->
+      (s"WITH $minhashBandedCte,\n" +
+      """cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_t, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+         |v AS (
+         |  SELECT id_t, id_b,
+         |         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |           / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+         |  FROM cand),
+         |f AS (SELECT * FROM v WHERE jaccard >= 0.5),
+         |agg AS (
+         |  SELECT id_t, COUNT(*) AS n_matches, MAX(jaccard) AS max_jaccard
+         |  FROM f GROUP BY id_t),
+         |pick AS (
+         |  SELECT f.id_t, MIN(f.id_b) AS bench_id
+         |  FROM f JOIN agg ON f.id_t = agg.id_t AND f.jaccard = agg.max_jaccard
+         |  GROUP BY f.id_t)
+        |SELECT agg.id_t AS doc_id, agg.n_matches, agg.max_jaccard, pick.bench_id
+        |FROM agg JOIN pick ON agg.id_t = pick.id_t ORDER BY doc_id""".stripMargin),
+
+    "q116_tfidf_pairs" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |           i -> concat_ws(' ', w[CAST(i AS INTEGER)],
+         |                w[CAST(i AS INTEGER) + 1], w[CAST(i AS INTEGER) + 2]))) AS s
+         |  FROM t0),
+         |tf AS (SELECT doc_id AS id, s, COUNT(*) AS tf FROM g GROUP BY doc_id, s),
+         |nd AS (SELECT COUNT(DISTINCT id) AS n_docs FROM tf),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY s HAVING COUNT(*) <= 50),
+         |wt AS (
+         |  SELECT t.id, t.s,
+         |         t.tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / d.df) * 65536.0) AS BIGINT) AS w_fp
+         |  FROM tf t JOIN dfq d USING (s) CROSS JOIN nd n),
+         |nrm AS (SELECT id, SUM(w_fp * w_fp) AS n2 FROM wt GROUP BY id),
+         |dots AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.w_fp * b.w_fp) AS dot_fp
+         |  FROM wt a JOIN wt b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |c AS (
+         |  SELECT d.id_a, d.id_b,
+         |         CAST(d.dot_fp AS DOUBLE) /
+         |           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |  FROM dots d JOIN nrm na ON d.id_a = na.id JOIN nrm nb ON d.id_b = nb.id)
+         |SELECT id_a AS doc_a, id_b AS doc_b, cosine FROM c
+         |WHERE cosine >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q113_bloom_prefilter" ->
       """WITH seen AS (

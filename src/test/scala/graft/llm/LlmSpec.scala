@@ -635,6 +635,55 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).toSeq.map(c => (c._2, c._3)) == Seq((0, 2)))
   }
 
+  test("minhashCrossMatch: train-bench fuzzy hits with argmax pick; no within-corpus pairs") {
+    val mk = (id: Long, t: String) => (id, t)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val train = Seq(
+      mk(0L, base),                       // near-identical to bench doc 10
+      mk(2L, "completely different words nothing shared here at all zone"),
+      mk(4L, base.replace("today", "tonight"))) // also close to 10
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      mk(10L, base + " extra"),
+      mk(12L, "unrelated benchmark prompt with its own vocabulary set"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCrossMatch(train, bench, "doc_id", "text",
+        threshold = 0.3)
+      .orderBy("id_t").as[(Long, Long, Double, Long)].collect()
+    // contaminated train docs only; doc 2 never appears
+    assert(got.map(_._1).toSet.subsetOf(Set(0L, 4L)))
+    val hit0 = got.find(_._1 == 0L).get
+    assert(hit0._4 == 10L && hit0._3 > 0.5)
+    // train docs 0 and 4 are near-dups of EACH OTHER but cross-match
+    // never pairs within a corpus (their pair is absent by shape)
+    assert(got.forall(r => r._4 >= 10L))
+  }
+
+  test("tfidfCosinePairs: identical docs hit cosine 1.0; disjoint docs never pair; maxDf drops hubs") {
+    val df = Seq(
+      (0L, "red fish blue fish swim deep"),
+      (1L, "red fish blue fish swim deep"),  // exact copy of 0
+      (2L, "green bird tall tree sing loud"), // disjoint from 0/1
+      (3L, "red fish blue fish jump high"))   // shares a 3-gram prefix with 0/1
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfCosinePairs(df, "doc_id", "text",
+        n = 3, maxDf = 10, threshold = 0.0)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    // sqrt(n2)*sqrt(n2) rounds a couple of ulps off n2, so the self-pair
+    // cosine is 1 ± 2^-51 (deterministic — the oracle rounds identically)
+    assert(math.abs(got.find(r => r._1 == 0L && r._2 == 1L).get._3 - 1.0) < 1e-12)
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+    assert(pairs((0L, 3L)) && pairs((1L, 3L)))
+    val partial = got.find(r => r._1 == 0L && r._2 == 3L).get._3
+    assert(partial > 0.0 && partial < 1.0)
+    // a maxDf of 1 drops every term shared by two docs -> no pairs at all
+    val none = Retrieval.tfidfCosinePairs(df, "doc_id", "text",
+      n = 3, maxDf = 1, threshold = 0.0).count()
+    assert(none == 0L)
+  }
+
   test("bloom filter: no false negatives; tiny filter forces audited false positives") {
     val seen = Seq("alpha", "beta", "gamma").toDF("key")
     val bits = Dedup.bloomBits(seen, "key", numBits = 64, numHashes = 3)
