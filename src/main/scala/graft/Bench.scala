@@ -89,7 +89,13 @@ object Bench {
       m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
+    // Optional comma-separated subset for local iteration on one
+    // query's plan (e.g. SPARK_GRAFT_BENCH_ONLY=q116_tfidf_pairs).
+    // Unset (the driver's case) benches the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     var queriesDone = 0
 
     // Per-query run allowance from the remaining budget: seconds left
