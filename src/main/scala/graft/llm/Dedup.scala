@@ -29,6 +29,25 @@ object Dedup {
     df.groupBy(exactKeyCol(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text normalization for robust dedup (the usual
+    * pre-hash pass of a web-corpus pipeline): lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim. Every piece
+    * is Java∩RE2-portable (the PII-scrub regex contract), so an
+    * oracle normalizes identically.
+    */
+  def normalizeTextCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup on the NORMALIZED text ([[normalizeTextCol]]):
+    * catches case/punctuation/whitespace variants that byte-level
+    * [[exactDedup]] misses. Same one-aggregation plan and the same
+    * (h, keep_id, n_copies) contract.
+    */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizeTextCol(col(textCol))).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Word n-gram shingle set of a text column (distinct).
     *
     * NOTE array-expression form: Catalyst's CollapseProject inlines

@@ -135,24 +135,7 @@ object Multimodal {
     */
   def thumbnailOf(payload: Array[Byte], maxDim: Int): Option[(Int, Int, Int, Int, Array[Byte])] = {
     require(maxDim > 0, "maxDim must be positive")
-    val isPng = payload.length > 8 &&
-      (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
-      payload(2) == 'N' && payload(3) == 'G'
-    val isJpeg = payload.length > 2 &&
-      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
-    val decoded: Option[(Int, Int, Array[Int])] =
-      if (isPng)
-        try { val (w, h, pix) = graft.sources.Png.decode(payload); Some((w, h, pix)) }
-        catch { case _: Exception => None }
-      else if (isJpeg)
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          if (img == null) None
-          else Some((img.getWidth, img.getHeight,
-            img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
-        } catch { case _: Exception => None }
-      else None
-    decoded.map { case (w, h, pix) =>
+    decodeImage(payload).map { case (w, h, pix) =>
       val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
       val tw = math.max(1, math.floor(w * scale).toInt)
       val th = math.max(1, math.floor(h * scale).toInt)
@@ -187,6 +170,96 @@ object Multimodal {
           MediaThumb(r.media_id, r.kind, None, None, None, None, None)
       }
     })
+  }
+
+  /** 64-bit perceptual average-hash (aHash) of an image payload: the
+    * decoded image sampled to an 8×8 luma grid (nearest-center, the
+    * [[thumbnailOf]] convention), bit k set iff cell k's luma exceeds
+    * the grid mean. Compared via `luma·64 > Σluma` in exact integers —
+    * no rounding seam — which makes the hash INVARIANT under uniform
+    * brightness shifts (the mean shifts identically), the property
+    * that lets it catch re-encoded/re-leveled copies byte hashes
+    * miss. None for undecodable payloads.
+    */
+  def aHashOf(payload: Array[Byte]): Option[Long] =
+    decodeImage(payload).map { case (w, h, pix) =>
+      val luma = new Array[Long](64)
+      var i = 0
+      while (i < 64) {
+        val sy = math.min(h - 1, ((i / 8 + 0.5) * h / 8).toInt)
+        val sx = math.min(w - 1, ((i % 8 + 0.5) * w / 8).toInt)
+        val p = pix(sy * w + sx)
+        luma(i) = (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff)
+          + 114L * (p & 0xff)) / 1000L
+        i += 1
+      }
+      val sum = luma.sum
+      (0 until 64).foldLeft(0L)((acc, k) =>
+        if (luma(k) * 64L > sum) acc | (1L << k) else acc)
+    }
+
+  /** Shared image decode (PNG via the in-repo codec, JPEG via
+    * ImageIO) — the [[thumbnailOf]] front half, factored for reuse.
+    */
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val isPng = payload.length > 8 &&
+      (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length > 2 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    if (isPng)
+      try { val (w, h, pix) = graft.sources.Png.decode(payload); Some((w, h, pix)) }
+      catch { case _: Exception => None }
+    else if (isJpeg)
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else Some((img.getWidth, img.getHeight,
+          img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
+      } catch { case _: Exception => None }
+    else None
+  }
+
+  /** An image-hash bucket row: hash, multiplicity, kept id. */
+  final case class HashBucket(ahash: Long, n_images: Long, keep_id: Long)
+
+  /** Perceptual-hash image dedup: aHash per payload on the executors
+    * (payloads never shuffle — only the 8-byte hash and id continue),
+    * one hash aggregation for the duplicate buckets. The visual
+    * sibling of exact dedup; at 100 TB this is the standard
+    * image-corpus dedup pass (hash at ingest, bucket at rest).
+    */
+  def imageHashBuckets(media: DataFrame)
+                      (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        aHashOf(r.payload).map(h => (r.media_id, h))))
+      .toDF("media_id", "ahash")
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keep_id"))
+      .filter(col("n_images") > 1)
+  }
+
+  /** Deterministic PNG media fixture over the documents table: 16×16
+    * patterns keyed by `doc_id mod 7`, with odd ids uniformly
+    * brightness-shifted (+24 per channel, clamped below saturation) —
+    * byte-distinct from their even siblings but aHash-identical, the
+    * invariance [[aHashOf]] exists to demonstrate.
+    */
+  def syntheticPngMedia(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val k = (id % 7).toInt
+      val shift = if (id % 2 == 1) 24 else 0
+      val pix = Array.tabulate(16 * 16) { i =>
+        val x = i % 16; val y = i / 16
+        // pattern values stay ≤ 192 so the +24 shift never clips
+        val v = ((x * (k + 3) + y * (2 * k + 5)) % 7) * 32 + shift
+        0xff000000 | (v << 16) | (v << 8) | v
+      }
+      MediaRow(id, "image/png", graft.sources.Png.encode(16, 16, pix))
+    }).toDF()
   }
 
   /** Frame-sampling plumbing for video-like payloads: fan one payload

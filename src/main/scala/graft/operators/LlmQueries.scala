@@ -565,6 +565,39 @@ object LlmQueries {
         col("n_tokens"), col("mean_logp"), col("ppl_bucket"))
       .orderBy("doc_id")
 
+  /** q119 perceptual image dedup
+    * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
+    * payloads (7 patterns over the documents table, odd ids uniformly
+    * brightness-shifted so they are byte-distinct), executor-side
+    * aHash, one aggregation for the duplicate buckets. NOT
+    * SQL-expressible (real PNG decode) — declared without an oracle,
+    * so the driver records the weaker rows-only check; the aHash
+    * invariance and bucket contract are spec-gated in LlmSpec.
+    */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.imageHashBuckets(
+        Multimodal.syntheticPngMedia(Tables.documents(s, d)))
+      .orderBy("ahash")
+  }
+
+  /** q118 normalization-aware dedup
+    * ([[graft.llm.Dedup.normalizedDedup]]): the corpus doubled with
+    * uppercased/punctuated copies (`UPPER(text) + " !!"`) — byte-exact
+    * q45 dedup cannot pair them, the canonical-form hash pairs every
+    * constructed copy with its original. Same one-aggregation plan as
+    * exact dedup.
+    */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val u = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(upper(col("text")), lit(" !!")).as("text")))
+    Dedup.normalizedDedup(u, "doc_id", "text")
+      .filter(col("n_copies") > 1)
+      .orderBy("h")
+  }
+
   /** q117 fuzzy decontamination
     * ([[graft.llm.Dedup.minhashCrossMatch]]): MinHash-banded train
     * (even ids) × benchmark (odd ids) join, exact-Jaccard verified at
@@ -721,6 +754,8 @@ object LlmQueries {
     "q114_dup_gram_mass" -> q114 _,
     "q116_tfidf_pairs" -> q116 _,
     "q117_fuzzy_decontaminate" -> q117 _,
+    "q118_normalized_dedup" -> q118 _,
+    "q119_image_hash_dedup" -> q119 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1137,6 +1172,19 @@ object LlmQueries {
          |       CAST(len(w) AS INTEGER) AS n_tokens,
          |       md5(array_to_string(w, ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q118_normalized_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+        |  FROM u)
+        |SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM n GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
 
     "q117_fuzzy_decontaminate" ->
       (s"WITH $minhashBandedCte,\n" +

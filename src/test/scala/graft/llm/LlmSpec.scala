@@ -635,6 +635,41 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).toSeq.map(c => (c._2, c._3)) == Seq((0, 2)))
   }
 
+  test("normalizedDedup: case/punct/whitespace variants collapse; distinct texts don't") {
+    val df = Seq(
+      (0L, "Hello,  World!"),
+      (1L, "hello world"),
+      (2L, "HELLO ... world"),
+      (3L, "another document"))
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(df, "doc_id", "text")
+      .filter($"n_copies" > 1).as[(String, Long, Long)].collect()
+    assert(got.length == 1 && got.head._2 == 0L && got.head._3 == 3L)
+  }
+
+  test("aHash: invariant under uniform brightness shift, distinct across patterns; buckets dedup") {
+    def png(k: Int, shift: Int): Array[Byte] = {
+      val pix = Array.tabulate(16 * 16) { i =>
+        val x = i % 16; val y = i / 16
+        val v = ((x * (k + 3) + y * (2 * k + 5)) % 7) * 32 + shift
+        0xff000000 | (v << 16) | (v << 8) | v
+      }
+      graft.sources.Png.encode(16, 16, pix)
+    }
+    val base = Multimodal.aHashOf(png(1, 0)).get
+    assert(Multimodal.aHashOf(png(1, 24)).get == base) // shift cancels in mean
+    assert(Multimodal.aHashOf(png(2, 0)).get != base)  // different pattern
+    assert(Multimodal.aHashOf("not an image".getBytes("UTF-8")).isEmpty)
+    // bucket contract over the synthetic media: ids with equal id%7
+    // collapse regardless of the odd-id brightness shift
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(14).select($"id".as("doc_id"))
+    val buckets = Multimodal.imageHashBuckets(Multimodal.syntheticPngMedia(docs))
+      .as[(Long, Long, Long)].collect()
+    assert(buckets.length == 7 && buckets.forall(_._2 == 2L))
+    assert(buckets.map(_._3).sorted.toSeq == (0L to 6L))
+  }
+
   test("minhashCrossMatch: train-bench fuzzy hits with argmax pick; no within-corpus pairs") {
     val mk = (id: Long, t: String) => (id, t)
     val base = "the quick brown fox jumps over the lazy dog again and again today"
