@@ -62,6 +62,46 @@ object Sampling {
       .drop("_take_rn")
   }
 
+  /** Temperature-scaled source mixing (the multilingual α-sampling of
+    * mBERT/XLM-R, α = 0.5 ⇒ T = 2): sampling weight w_s ∝ √n_s, so
+    * small sources are upweighted relative to their share; the keep
+    * rate for stratum s under a total budget B is
+    * min(1, B·w_s / (Σw · n_s)), applied with the same deterministic
+    * [[hashUniformCol]] draw as every sampler here.
+    *
+    * Determinism: √ is IEEE-correctly-rounded in every engine (why
+    * α = 0.5 and not a pow() temperature — pow's last bit is libm-
+    * dependent), and the weights collapse to FIXED POINT
+    * (floor(√n·2³⁰) as BIGINT) before the cross-stratum sum, so Σw is
+    * exact in any order; the rate is then one double division chain
+    * from exact integers.
+    *
+    * Scale shape: one stratum-keyed count aggregation (tiny result),
+    * rates broadcast back, per-row hash filter — the corpus is
+    * scanned twice and never shuffled.
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, keyCol: String,
+                     budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1073741824.0)).cast("long"))
+    val tot = counts.agg(sum("w_fp").as("sum_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (col("w_fp") * lit(budget)).cast("double")
+          / (col("sum_w").cast("double") * col("n_docs"))))
+    val kept = df
+      .join(broadcast(rates.select(col("stratum").as(stratumCol), col("rate"))),
+        stratumCol)
+      .filter(hashUniformCol(col(keyCol)) < col("rate"))
+      .groupBy(col(stratumCol).as("stratum")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_docs"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Sequence packing — assign docs to fixed token-budget bins (the
     * batch-assembly step before pretraining: concatenate docs until
     * the context window fills). Greedy fill in deterministic md5-hash

@@ -565,6 +565,19 @@ object LlmQueries {
         col("n_tokens"), col("mean_logp"), col("ppl_bucket"))
       .orderBy("doc_id")
 
+  /** q120 temperature-mixed sampling
+    * ([[graft.llm.Sampling.temperatureMix]]): α = 0.5 source mixing
+    * to a 250-doc budget over the documents table — √-weighted rates
+    * upweight small sources, every keep decision a deterministic hash
+    * draw. The oracle replays weights (fixed-point √), rates, and the
+    * per-row draws.
+    */
+  def q120(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureMix(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "source", "doc_id", budget = 250)
+      .orderBy("stratum")
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -756,6 +769,7 @@ object LlmQueries {
     "q117_fuzzy_decontaminate" -> q117 _,
     "q118_normalized_dedup" -> q118 _,
     "q119_image_hash_dedup" -> q119 _,
+    "q120_temperature_mix" -> q120 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1172,6 +1186,27 @@ object LlmQueries {
          |       CAST(len(w) AS INTEGER) AS n_tokens,
          |       md5(array_to_string(w, ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q120_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source AS stratum, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT stratum, n_docs,
+        |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1073741824.0) AS BIGINT) AS w_fp
+        |  FROM c),
+        |t AS (SELECT SUM(w_fp) AS sum_w FROM w),
+        |r AS (
+        |  SELECT stratum, n_docs,
+        |         least(1.0, CAST(w_fp * 250 AS DOUBLE) / (CAST(sum_w AS DOUBLE) * n_docs)) AS rate
+        |  FROM w CROSS JOIN t),
+        |k AS (
+        |  SELECT d.source AS stratum, COUNT(*) AS n_kept
+        |  FROM documents d JOIN r ON d.source = r.stratum
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |          / 1152921504606846976.0 < r.rate
+        |  GROUP BY d.source)
+        |SELECT r.stratum, r.n_docs, r.rate, COALESCE(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k ON r.stratum = k.stratum ORDER BY r.stratum""".stripMargin,
 
     "q118_normalized_dedup" ->
       """WITH u AS (

@@ -635,6 +635,28 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).toSeq.map(c => (c._2, c._3)) == Seq((0, 2)))
   }
 
+  test("temperatureMix: sqrt weights upweight small sources; rates clamp at 1; kept <= n") {
+    // 400 docs in src_big, 16 in src_small: proportional sampling at
+    // B=100 would keep ~96/4; sqrt weights shift toward the tail
+    val df = ((0 until 400).map(i => (i.toLong, "src_big")) ++
+      (400 until 416).map(i => (i.toLong, "src_small")))
+      .toDF("doc_id", "source")
+    val got = Sampling.temperatureMix(df, "source", "doc_id", budget = 100)
+      .orderBy("stratum").as[(String, Long, Double, Long)].collect()
+    val big = got(0); val small = got(1)
+    assert(big._1 == "src_big" && big._2 == 400L)
+    assert(small._1 == "src_small" && small._2 == 16L)
+    // sqrt weighting: w_big/w_small = sqrt(400/16) = 5 -> rates
+    // big = 100*20/(24*400) ~ 0.208, small = 100*4/(24*16) ~ 1.04 -> clamped 1.0
+    assert(small._3 == 1.0 && small._4 == 16L) // tail kept whole
+    assert(big._3 > 0.18 && big._3 < 0.24)
+    assert(big._4 <= big._2 && big._4 > 0)
+    // idempotent: the same call keeps the same rows
+    val again = Sampling.temperatureMix(df, "source", "doc_id", budget = 100)
+      .orderBy("stratum").as[(String, Long, Double, Long)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("normalizedDedup: case/punct/whitespace variants collapse; distinct texts don't") {
     val df = Seq(
       (0L, "Hello,  World!"),
