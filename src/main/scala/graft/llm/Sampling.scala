@@ -88,10 +88,14 @@ object Sampling {
       .withColumn("w_fp",
         floor(sqrt(col("n_docs").cast("double")) * lit(1073741824.0)).cast("long"))
     val tot = counts.agg(sum("w_fp").as("sum_w"))
+    // stratum-count-sized (a handful of rows) but derived from a full
+    // corpus scan — materialized so its two consumers (the keep filter
+    // and the output join) don't each re-pay that scan
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn("rate", least(lit(1.0),
         (col("w_fp") * lit(budget)).cast("double")
           / (col("sum_w").cast("double") * col("n_docs"))))
+      .localCheckpoint()
     val kept = df
       .join(broadcast(rates.select(col("stratum").as(stratumCol), col("rate"))),
         stratumCol)
