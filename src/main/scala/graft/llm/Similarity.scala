@@ -209,6 +209,49 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** k-nearest-neighbor graph over the whole corpus (the structure
+    * SemDeDup / semantic clustering / diversity sampling build
+    * first): for every vector, its top-`k` cosine neighbors among
+    * candidates sharing its hyperplane bucket. The directed
+    * complement of [[cosineNearDupPairs]] — that op keeps pairs above
+    * a global threshold; this one keeps each vector's best k however
+    * similar, so isolated vectors still get neighbors.
+    *
+    * Scale shape: candidates form ONLY inside buckets (never
+    * all-pairs; `planes` from [[autoPlanes]] keeps per-bucket volume
+    * ~linear), and the top-k is a window over the candidate rows
+    * keyed by the source vector — rank truncation happens in the
+    * shuffle, nothing corpus-sized is ever collected. Missing
+    * neighbors (bucket smaller than k+1) simply emit fewer rows,
+    * matching what an IVF probe of one cell returns.
+    *
+    * Determinism: cosines are the same left-to-right fold on both
+    * engines (bit-identical doubles), and the rank orders by
+    * (cosine DESC, neighbor id) — a total order, so ties cannot
+    * reshuffle ranks across engines.
+    */
+  def knnGraph(emb: DataFrame, k: Int, planes: Int = 4,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", bucketCol(col("vec"), planes))
+      .withColumn("nrm", normCol(col("vec")))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, "bucket").filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine",
+        dotCol(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"),
+        col("id_b").as("nbr_id"), col("cosine"))
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Coarse quantizer: k centroids. Deterministic everywhere — init

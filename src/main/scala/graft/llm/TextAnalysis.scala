@@ -299,6 +299,48 @@ object TextAnalysis {
     * aggregation key, costing more than the saved second scan. Total
     * shuffled gram rows are the same either way.)
     */
+  /** Hashed-n-gram linear classifier score (the fastText-style
+    * quality/domain classifier every curation pipeline applies at
+    * corpus scale — CCNet's lang filter, GPT-3/LLaMA's Wikipedia-vs-
+    * CommonCrawl quality model): word unigrams + bigrams hash into
+    * `buckets` weight slots, a doc's score is the mean slot weight
+    * over its gram occurrences, `keep` thresholds at 0.
+    *
+    * The model is DATA, not code: a `buckets`-row weight table
+    * broadcast to the gram rows — exactly how a trained coefficient
+    * vector ships to 1000 executors (swap the generated table for a
+    * real model's weights and nothing else changes). Here the weights
+    * are a deterministic hash of the slot id (this engine has no
+    * trainer), which exercises the identical plan: explode grams →
+    * bucket key → broadcast equi-join → one doc-keyed aggregation.
+    * The corpus shuffles once, on the doc id, with integer partial
+    * sums; the model never exceeds model size on the wire.
+    *
+    * Determinism: weights are integer fixed-point (2^-20 steps in
+    * [-1, 1]), so the per-doc sum is an integer aggregation immune to
+    * order, and the reported mean is one final division.
+    */
+  def hashedNgramScore(df: DataFrame, idCol: String, textCol: String,
+                       buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val grams = Dedup.shingleRows(df, idCol, textCol, n = 1)
+      .unionByName(Dedup.shingleRows(df, idCol, textCol, n = 2))
+    val bucketed = grams.select(col("id"),
+      (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+        % buckets).as("b"))
+    val weights = df.sparkSession.range(buckets.toLong).select(
+      col("id").as("b"),
+      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2097153L - 1048576L).as("w_fp"))
+    bucketed.join(broadcast(weights), "b")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum("w_fp").as("sum_fp"))
+      .select(col("id"), col("n_grams"), col("sum_fp"),
+        (col("sum_fp").cast("double") / 1048576.0 / col("n_grams"))
+          .as("mean_w"),
+        when(col("sum_fp") >= 0, 1).otherwise(0).as("keep"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def stats(n: Int, prefix: String): DataFrame =
       Dedup.shingleRows(df, idCol, textCol, n)

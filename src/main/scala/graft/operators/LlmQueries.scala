@@ -572,6 +572,32 @@ object LlmQueries {
     * draw. The oracle replays weights (fixed-point √), rates, and the
     * per-row draws.
     */
+  /** q121 hashed-n-gram classifier score
+    * ([[graft.llm.TextAnalysis.hashedNgramScore]]): the fastText-style
+    * quality-classifier application — unigram+bigram occurrences
+    * hashed into 1024 weight slots, model-as-broadcast-table, one
+    * doc-keyed aggregation. The oracle regenerates the identical
+    * weight table from the slot-id hash and replays the join.
+    */
+  def q121(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedNgramScore(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_grams"), col("sum_fp"),
+        col("mean_w"), col("keep"))
+      .orderBy("doc_id")
+
+  /** q122 corpus k-NN graph ([[graft.llm.Similarity.knnGraph]]):
+    * top-3 cosine neighbors per vector, candidates restricted to
+    * hyperplane buckets (16 buckets at 4 planes over the 500-vector
+    * fixture), rank truncated inside the window — the SemDeDup /
+    * semantic-clustering prerequisite structure.
+    */
+  def q122(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        k = 3, planes = 4)
+      .select(col("vec_id"), col("rank").as("rnk"), col("nbr_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id", "rnk")
+
   def q120(s: SparkSession, d: String): DataFrame =
     Sampling.temperatureMix(
         Tables.documents(s, d).select("doc_id", "source"),
@@ -770,6 +796,8 @@ object LlmQueries {
     "q118_normalized_dedup" -> q118 _,
     "q119_image_hash_dedup" -> q119 _,
     "q120_temperature_mix" -> q120 _,
+    "q121_hashed_classifier" -> q121 _,
+    "q122_knn_graph" -> q122 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -859,6 +887,47 @@ object LlmQueries {
        |        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q121_hashed_classifier" ->
+      s"""WITH t AS (SELECT doc_id AS id, $toksExpr AS w FROM documents),
+         |uni AS (SELECT id, unnest(w) AS s FROM t),
+         |big AS (
+         |  SELECT id, unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+         |    i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]))) AS s
+         |  FROM t),
+         |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+         |gb AS (
+         |  SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1024 AS b
+         |  FROM grams),
+         |wt AS (
+         |  SELECT range AS b,
+         |         CAST('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+         |           % 2097153 - 1048576 AS w_fp
+         |  FROM range(0, 1024)),
+         |agg AS (
+         |  SELECT id, COUNT(*) AS n_grams, SUM(w_fp) AS sum_fp
+         |  FROM gb JOIN wt USING (b) GROUP BY id)
+         |SELECT id AS doc_id, n_grams, CAST(sum_fp AS BIGINT) AS sum_fp,
+         |       CAST(sum_fp AS DOUBLE) / 1048576.0 / n_grams AS mean_w,
+         |       CASE WHEN sum_fp >= 0 THEN 1 ELSE 0 END AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q122_knn_graph" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
+         |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id),
+         |ranked AS (
+         |  SELECT id_a, id_b, c,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+         |  FROM pairs)
+         |SELECT id_a AS vec_id, CAST(rn AS INTEGER) AS rnk, id_b AS nbr_id,
+         |       ROUND(c, 6) AS cosine
+         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
     "q42_text_metrics" ->
       s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents)
          |SELECT doc_id,

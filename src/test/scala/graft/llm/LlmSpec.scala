@@ -821,4 +821,45 @@ class LlmSpec extends SparkSpec {
     assert(v(0).getAs[Long]("kept_tokens") == 10 && v(0).getAs[Double]("keep_rate") == 0.5)
     assert(v(1).getAs[Long]("n_keep") == 1 && v(1).getAs[Double]("keep_rate") == 1.0)
   }
+
+  test("hashedNgramScore: gram counts, bounded mean, keep threshold, text-determinism") {
+    val df = Seq(
+      (0L, "the quick brown fox"), // 4 uni + 3 bi = 7 grams
+      (1L, "the quick brown fox"), // identical text -> identical score
+      (2L, "solo"),                // 1 uni + 1 fallback "bigram" = 2 grams
+      (3L, "completely different words here now"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashedNgramScore(df, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSeq == Seq(7L, 7L, 2L, 9L))
+    // identical text -> identical sum and verdict
+    assert(got(0)._3 == got(1)._3 && got(0)._5 == got(1)._5)
+    // weights live in [-1, 1] fixed-point, so the mean must too
+    assert(got.forall(r => r._4 >= -1.0 && r._4 <= 1.0))
+    assert(got.forall(r => (r._5 == 1) == (r._3 >= 0)))
+  }
+
+  test("knnGraph: scalar multiples rank first at cosine 1; no self edges; rank <= k") {
+    val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val emb = Seq(
+      (0L, dir),
+      (1L, dir.map(_ * 2)),  // same direction -> same bucket, cosine 1
+      (2L, dir.map(_ * 3)),  // same direction
+      (3L, dir.map(x => -x)) // opposite -> different bucket, unreachable
+    ).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, k = 2, planes = 4)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // each of 0,1,2 sees exactly the other two at cosine ~1, id tie-break
+    for (id <- Seq(0L, 1L, 2L)) {
+      val nbrs = g(id)
+      assert(nbrs.length == 2)
+      assert(nbrs.map(_._3).toSeq == Seq(0L, 1L, 2L).filter(_ != id))
+      assert(nbrs.forall(n => math.abs(n._4 - 1.0) < 1e-9))
+      assert(nbrs.forall(n => n._3 != id))
+    }
+    // vector 3 is alone in its bucket -> no rows at all
+    assert(!g.contains(3L))
+  }
 }
