@@ -144,4 +144,27 @@ object Sampling {
       .withColumn("bin", expr(s"_start div ${budget}L"))
       .drop("_cum", "_start")
   }
+
+  /** Token-budget subsample: per group, walk documents in
+    * deterministic md5(id) order accumulating whitespace-token
+    * counts, and keep the prefix whose cumulative total stays within
+    * `budget` — the "take N tokens per source/language" cut every
+    * mixture recipe specifies in tokens, not documents.
+    *
+    * One window shuffle keyed on the group (the same shape as
+    * [[packBins]]); the hash order makes the kept prefix a uniform
+    * draw that is stable under corpus repartitioning and appends of
+    * NEW groups, and reproducible by any engine from the same md5.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: Column, textCol: Column,
+                        groupCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy("grp")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(groupCol.as("grp"), idCol.cast("long").as("id"),
+        TextAnalysis.tokenCountCol(textCol).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

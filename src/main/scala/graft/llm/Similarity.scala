@@ -479,4 +479,37 @@ object Similarity {
         sum(floor(col("x").cast("double") * lit(1048576.0)).cast("long")).as("sum_fp"))
       .select(col("grp"), col("dim"), col("n"),
         (col("sum_fp").cast("double") / lit(1048576.0) / col("n")).as("mean"))
+
+  /** SemDeDup-style semantic prune: threshold the [[knnGraph]] edges
+    * at cosine ≥ tau, close them transitively
+    * ([[Dedup.connectedComponents]] — labels are each component's
+    * minimum id), and keep exactly one representative per semantic
+    * cluster (the label holder; singletons keep themselves).
+    *
+    * Scale shape: edges are O(n·k) by construction (the kNN rank
+    * truncation), so the CC input never approaches the all-pairs
+    * volume even when buckets are dense; the representative choice
+    * is free (keep ⇔ id = cluster label — no extra shuffle beyond
+    * the cluster-size window). This is the semantic companion to the
+    * lexical MinHash prune (q47→q70): near-duplicate MEANING, not
+    * near-duplicate bytes.
+    */
+  def semanticPrune(emb: DataFrame, k: Int, planes: Int, tau: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val edges = knnGraph(emb, k, planes, idCol, vecCol)
+      .filter(col("cosine") >= tau)
+      .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+        greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+      .distinct()
+    val labels = Dedup.connectedComponents(edges)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col(idCol).cast("long").as("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+  }
 }

@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming-sketch operators for corpus-scale frequency and
+  * cardinality estimation — the structures a 100 TB pipeline keeps
+  * instead of exact tables when the key space (tokens, URLs, shingle
+  * hashes) no longer fits anywhere:
+  *
+  *  - count-min sketch: a depth×width counter grid; point-frequency
+  *    estimates are min over depth salted-hash rows, one-sided
+  *    (est ≥ exact) with error ≤ εN at width ≈ e/ε;
+  *  - HyperLogLog: 2^p max-ρ registers per group; distinct-count
+  *    estimates from the harmonic register mean.
+  *
+  * Both sketches are BUILT as ordinary aggregations (groupBy over
+  * derived keys — map-side partial aggregation, one shuffle of at
+  * most depth×width / 2^p rows per group), so they parallelize and
+  * merge exactly like any Spark agg: sketches of shards union and
+  * re-aggregate into the sketch of the whole corpus (min/max/sum are
+  * associative). Nothing is collected to the driver.
+  *
+  * Determinism: all counters are integers; ρ is derived from md5 hex
+  * via `bin()` string length (no log2); the single HLL division is
+  * fixed-point-scaled and floored, so every output column is exact
+  * cross-engine. The fixed-point ρ cap at 2^-20 (registers deeper
+  * than ρ=20 contribute 0) biases the raw estimate by < 10^-4
+  * relative — documented, deterministic, and mirrored by the oracle.
+  */
+object Sketches {
+
+  /** Count-min sketch of whitespace-token frequencies: (r, b, cnt)
+    * for r < depth rows and b < width buckets, bucket = salted
+    * md5(r:token) mod width. Built from the exact token-count
+    * aggregation (equivalent to per-occurrence increments, one
+    * aggregation cheaper).
+    */
+  def cmsSketch(df: DataFrame, textCol: String,
+                depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"depth and width must be positive, got depth=$depth width=$width")
+    val exact = df
+      .select(explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    exact
+      .select(col("cnt"), col("tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("tok"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+          .as("b"),
+        col("cnt"))
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+  }
+
+  /** CMS audit: estimate vs exact for the `probes` most frequent
+    * tokens (count desc, token asc — a TakeOrdered, never a global
+    * window). est = min over the depth rows of the probed bucket;
+    * err = est − exact ≥ 0 by construction. The sketch side is
+    * depth×width rows → broadcast to the probe join.
+    */
+  def cmsAudit(df: DataFrame, textCol: String, depth: Int = 4,
+               width: Int = 256, probes: Int = 20): DataFrame = {
+    require(probes > 0, s"probes must be positive, got $probes")
+    val sketch = cmsSketch(df, textCol, depth, width)
+    val exact = df
+      .select(explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(probes)
+    exact
+      .select(col("tok"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("tok"), col("exact"), col("r"),
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("tok"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+          .as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("tok", "exact").agg(min("cnt").as("est"))
+      .select(col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("err"))
+  }
+
+  /** Per-group HyperLogLog distinct-token registers and raw estimate
+    * (p = 8 → m = 256 registers). Register = first md5 hex byte; the
+    * remaining 56 hash bits give ρ = leading zeros + 1 via
+    * `57 − length(bin(v))` (bin drops leading zeros in both engines;
+    * v = 0 → ρ = 57). One (grp, reg) aggregation, ≤ 256 rows per
+    * group shuffled.
+    *
+    * Output per group: n_exact (the exact distinct count, for the
+    * audit), n_regs (registers hit), total_fp (Σ 2^(20−ρ) over all
+    * 256 registers, empty = 2^20, ρ > 20 = 0 — the 2^20 fixed-point
+    * harmonic-mean denominator), est (floor(α·m²·2^20 / total_fp),
+    * the raw HLL estimate without small/large-range correction).
+    */
+  /** alpha_256 · m² · 2^20, evaluated once on the driver — the same
+    * Double is interpolated into the oracle text (Double.toString
+    * round-trips exactly), so both engines divide by the identical
+    * constant.
+    */
+  val hllAlphaM2Fp: Double = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 1048576.0
+
+  def hllDistinct(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val m = 256
+    val alphaM2Fp = hllAlphaM2Fp
+    val t = df.select(col(groupCol).as("grp"),
+      explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
+    val hashed = t.select(col("grp"), col("tok"),
+        md5(col("tok")).as("h"))
+      .select(col("grp"), col("tok"),
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("reg"),
+        conv(substring(col("h"), 3, 14), 16, 10).cast("long").as("v"))
+      .select(col("grp"), col("tok"), col("reg"),
+        when(col("v") === 0L, lit(57))
+          .otherwise(lit(57) - length(bin(col("v")))).as("rho"))
+    val regs = hashed.groupBy("grp", "reg").agg(max("rho").as("rho"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_regs"),
+        sum(when(col("rho") <= 20,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - rho AS INT))"))
+          .otherwise(lit(0L))).as("sum_nz"))
+    val nExact = t.groupBy("grp").agg(countDistinct("tok").as("n_exact"))
+    regs.join(nExact, "grp")
+      .select(col("grp"), col("n_exact"), col("n_regs"),
+        (col("sum_nz") + (lit(m.toLong) - col("n_regs")) * lit(1048576L))
+          .as("total_fp"))
+      .withColumn("est",
+        floor(lit(alphaM2Fp) / col("total_fp").cast("double")).cast("long"))
+  }
+
+  /** Tie-corrected Mann-Whitney AUC of an integer score against a
+    * boolean label, computed from the per-score-value histogram — no
+    * pairwise join, no per-row global sort: one groupBy over distinct
+    * score values, then a running window over that (already reduced)
+    * histogram. 2U = Σ_s p(s)·(2·cumneg(<s) + q(s)) keeps everything
+    * integer; auc_fp = floor(2U·2^20 / (2·n_pos·n_neg)).
+    */
+  def rankAuc(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
+              labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val byScore = df
+      .select(scoreCol.cast("long").as("s"), labelCol.cast("boolean").as("y"))
+      .groupBy("s").agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("q"))
+    // the window runs over distinct score VALUES (the histogram), so
+    // its single partition holds |score domain| rows, not |corpus|
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cq", coalesce(sum("q").over(w), lit(0L)))
+      .agg(sum("p").as("n_pos"), sum("q").as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cq") + col("q"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("(u2 * 1048576L) div (2L * n_pos * n_neg)").as("auc_fp"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Declared correctness queries for the LLM-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) over
@@ -598,6 +598,68 @@ object LlmQueries {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id", "rnk")
 
+  /** q123 SemDeDup semantic prune
+    * ([[graft.llm.Similarity.semanticPrune]]): q122's kNN edges
+    * thresholded at cosine ≥ 0.3, closed transitively (the same
+    * min-label CC as q70), one representative kept per semantic
+    * cluster. Edge volume is O(n·k) by the rank truncation; the
+    * oracle replays the identical graph through a recursive CTE.
+    */
+  def q123(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticPrune(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        k = 3, planes = 4, tau = 0.3)
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("keep").cast("int").as("keep"))
+      .orderBy("vec_id")
+
+  /** q124 count-min-sketch frequency audit
+    * ([[graft.llm.Sketches.cmsAudit]]): 4×256 salted-hash counter
+    * grid built as one aggregation; estimates (min over the 4 rows)
+    * vs exact counts for the 20 most frequent tokens. err ≥ 0 by
+    * construction (CMS is one-sided) — the oracle checks the exact
+    * overestimate, not just the shape.
+    */
+  def q124(s: SparkSession, d: String): DataFrame =
+    Sketches.cmsAudit(Tables.documents(s, d), "text",
+        depth = 4, width = 256, probes = 20)
+      .orderBy("tok")
+
+  /** q125 HyperLogLog per-source distinct tokens
+    * ([[graft.llm.Sketches.hllDistinct]]): 256 max-ρ registers per
+    * source (ρ from md5 via bin()-length, no log2), fixed-point
+    * harmonic denominator, floored raw estimate — alongside the
+    * exact distinct count so the estimate's honesty is part of the
+    * gate.
+    */
+  def q125(s: SparkSession, d: String): DataFrame =
+    Sketches.hllDistinct(Tables.documents(s, d), "source", "text")
+      .select(col("grp").as("source"), col("n_exact"), col("n_regs"),
+        col("total_fp"), col("est"))
+      .orderBy("source")
+
+  /** q126 tie-corrected rank AUC ([[graft.llm.Sketches.rankAuc]]):
+    * Mann-Whitney AUC of the token-count "classifier" against the
+    * lang='en' label, computed from the per-score histogram — no
+    * pairwise join, all-integer (2U and a 2^20 fixed-point quotient).
+    */
+  def q126(s: SparkSession, d: String): DataFrame =
+    Sketches.rankAuc(Tables.documents(s, d),
+      TextAnalysis.tokenCountCol(col("text")), col("lang") === "en")
+
+  /** q127 token-budget subsample
+    * ([[graft.llm.Sampling.tokenBudgetSample]]): per source, keep
+    * the md5-ordered document prefix totalling ≤ 800 whitespace
+    * tokens — the tokens-not-documents mixture cut, one window
+    * shuffle keyed on the source.
+    */
+  def q127(s: SparkSession, d: String): DataFrame =
+    Sampling.tokenBudgetSample(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source"), budget = 800L)
+      .select(col("grp").as("source"), col("id").as("doc_id"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "cum_tokens", "doc_id")
+
   def q120(s: SparkSession, d: String): DataFrame =
     Sampling.temperatureMix(
         Tables.documents(s, d).select("doc_id", "source"),
@@ -798,6 +860,11 @@ object LlmQueries {
     "q120_temperature_mix" -> q120 _,
     "q121_hashed_classifier" -> q121 _,
     "q122_knn_graph" -> q122 _,
+    "q123_semantic_prune" -> q123 _,
+    "q124_cms_audit" -> q124 _,
+    "q125_hll_distinct" -> q125 _,
+    "q126_rank_auc" -> q126 _,
+    "q127_token_budget" -> q127 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -910,6 +977,124 @@ object LlmQueries {
          |       CAST(sum_fp AS DOUBLE) / 1048576.0 / n_grams AS mean_w,
          |       CASE WHEN sum_fp >= 0 THEN 1 ELSE 0 END AS keep
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q123_semantic_prune" ->
+      s"""WITH RECURSIVE bucketed AS (
+         |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
+         |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id),
+         |ranked AS (
+         |  SELECT id_a, id_b, c,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+         |  FROM pairs),
+         |und AS (
+         |  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+         |  FROM ranked WHERE rn <= 3 AND c >= 0.3),
+         |edges AS (SELECT u AS src, v AS dst FROM und
+         |          UNION ALL SELECT v, u FROM und),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT a.vec_id, COALESCE(c.cluster_id, a.vec_id) AS cluster_id
+         |  FROM embeddings a LEFT JOIN cl c ON c.id = a.vec_id)
+         |SELECT vec_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS keep
+         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    "q124_cms_audit" ->
+      s"""WITH tok AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |ex AS (SELECT tok, COUNT(*) AS exact FROM tok GROUP BY tok),
+         |rws AS (SELECT range AS r FROM range(0, 4)),
+         |sk0 AS (
+         |  SELECT r,
+         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 256 AS b,
+         |         exact AS cnt
+         |  FROM ex CROSS JOIN rws),
+         |sketch AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sk0 GROUP BY r, b),
+         |top AS (SELECT tok, exact FROM ex ORDER BY exact DESC, tok LIMIT 20),
+         |probe AS (
+         |  SELECT tok, exact, r,
+         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 256 AS b
+         |  FROM top CROSS JOIN rws),
+         |est AS (
+         |  SELECT p.tok, p.exact, MIN(s.cnt) AS est
+         |  FROM probe p JOIN sketch s ON s.r = p.r AND s.b = p.b
+         |  GROUP BY p.tok, p.exact)
+         |SELECT tok, exact, est, est - exact AS err FROM est ORDER BY tok""".stripMargin,
+
+    "q125_hll_distinct" ->
+      s"""WITH t AS (SELECT source AS grp, unnest($toksExpr) AS tok FROM documents),
+         |h AS (
+         |  SELECT grp, tok,
+         |         CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS reg,
+         |         CAST('0x' || substr(md5(tok), 3, 14) AS BIGINT) AS v
+         |  FROM t),
+         |r AS (
+         |  SELECT grp, reg,
+         |         CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS rho
+         |  FROM h),
+         |regs AS (SELECT grp, reg, MAX(rho) AS rho FROM r GROUP BY grp, reg),
+         |agg AS (
+         |  SELECT grp, COUNT(*) AS n_regs,
+         |         CAST(SUM(CASE WHEN rho <= 20
+         |                       THEN CAST(1 AS BIGINT) << CAST(20 - rho AS INTEGER)
+         |                       ELSE 0 END) AS BIGINT) AS sum_nz
+         |  FROM regs GROUP BY grp),
+         |ex AS (SELECT grp, COUNT(DISTINCT tok) AS n_exact FROM t GROUP BY grp),
+         |fin AS (
+         |  SELECT a.grp, e.n_exact, a.n_regs,
+         |         a.sum_nz + (256 - a.n_regs) * 1048576 AS total_fp
+         |  FROM agg a JOIN ex e USING (grp))
+         |SELECT grp AS source, n_exact, n_regs, total_fp,
+         |       CAST(FLOOR(${Sketches.hllAlphaM2Fp} / CAST(total_fp AS DOUBLE)) AS BIGINT) AS est
+         |FROM fin ORDER BY source""".stripMargin,
+
+    "q126_rank_auc" ->
+      s"""WITH t AS (
+         |  SELECT CAST(len($toksExpr) AS BIGINT) AS s, (lang = 'en') AS y
+         |  FROM documents),
+         |hist AS (
+         |  SELECT s, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+         |  FROM t GROUP BY s),
+         |cum AS (
+         |  SELECT s, p, q,
+         |         COALESCE(CAST(SUM(q) OVER (ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |           0) AS cq
+         |  FROM hist),
+         |agg AS (
+         |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+         |         CAST(SUM(p * (2 * cq + q)) AS BIGINT) AS u2
+         |  FROM cum)
+         |SELECT n_pos, n_neg, u2,
+         |       (u2 * 1048576) // (2 * n_pos * n_neg) AS auc_fp
+         |FROM agg""".stripMargin,
+
+    "q127_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source AS grp, doc_id AS id,
+         |         CAST(len($toksExpr) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT grp, id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY grp
+         |           ORDER BY md5(CAST(id AS VARCHAR)), id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM t)
+         |SELECT grp AS source, id AS doc_id, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 800
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
 
     "q122_knn_graph" ->
       s"""WITH bucketed AS (

@@ -862,4 +862,85 @@ class LlmSpec extends SparkSpec {
     // vector 3 is alone in its bucket -> no rows at all
     assert(!g.contains(3L))
   }
+
+  test("semanticPrune: scalar multiples cluster under min label; singletons keep themselves") {
+    val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val other = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f))
+    val emb = Seq(
+      (0L, dir), (1L, dir.map(_ * 2)), (2L, dir.map(_ * 3)), // one cluster
+      (7L, other))                                           // singleton
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticPrune(emb, k = 2, planes = 4, tau = 0.9)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L), (7L, 7L, 1L)))
+    // keep exactly the label holder of each cluster
+    assert(got.filter(_._4).map(_._1).toSeq == Seq(0L, 7L))
+  }
+
+  test("cms: estimate >= exact always; exact recovered when the sketch is wide") {
+    val d = docs
+    val audit = Sketches.cmsAudit(d, "text", depth = 4, width = 4096, probes = 50)
+      .as[(String, Long, Long, Long)].collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(r => r._3 >= r._2 && r._4 == r._3 - r._2)) // one-sided
+    // 4096 buckets over ~40 distinct tokens: collisions are unlikely in
+    // EVERY one of the 4 rows, so the min recovers the exact count
+    assert(audit.forall(r => r._3 == r._2))
+    // narrow sketch: still one-sided, and "the" (6 occurrences) keeps
+    // its exact count as a lower bound
+    val narrow = Sketches.cmsAudit(d, "text", depth = 2, width = 4, probes = 50)
+      .as[(String, Long, Long, Long)].collect()
+    assert(narrow.forall(r => r._3 >= r._2))
+    val the = narrow.find(_._1 == "the").get
+    assert(the._2 == 6L && the._3 >= 6L)
+  }
+
+  test("hllDistinct: registers bounded by 256 and by n_exact; estimate in a sane band") {
+    val many = (0 until 400).map(i => (i.toLong, s"tok$i word$i")).toDF("doc_id", "text")
+      .withColumn("source", lit("s0"))
+    val got = Sketches.hllDistinct(many, "source", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (_, nExact, nRegs, totalFp, est) = got.head
+    assert(nExact == 800L)
+    assert(nRegs <= 256L && nRegs <= nExact)
+    // every register hit lowers the denominator below the all-empty sum
+    assert(totalFp < 256L * 1048576L)
+    // raw HLL at m=256 on n=800: ~1.065/sqrt(256) ≈ 6.6% rel error;
+    // accept a generous 3-sigma band
+    assert(est > 600L && est < 1000L, s"est=$est")
+  }
+
+  test("rankAuc: perfect separation -> 1.0; all-ties -> 0.5; fixed point exact") {
+    val sep = Seq((1L, false), (2L, false), (10L, true), (11L, true))
+      .toDF("s", "y")
+    val a1 = Sketches.rankAuc(sep, col("s"), col("y"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(a1 == ((2L, 2L, 8L, 1048576L))) // u2 = 2*n_pos*n_neg
+    val ties = Seq((5L, false), (5L, true), (5L, false), (5L, true))
+      .toDF("s", "y")
+    val a2 = Sketches.rankAuc(ties, col("s"), col("y"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(a2._3 == 4L && a2._4 == 524288L) // 2U = n_pos*n_neg -> auc 0.5
+  }
+
+  test("tokenBudgetSample: per-group cumulative cut, deterministic order, budget respected") {
+    val d = Seq(
+      (0L, "a b c d", "s0"), (1L, "e f g h", "s0"), (2L, "i j k l", "s0"),
+      (3L, "one two", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.tokenBudgetSample(d, col("doc_id"), col("text"),
+        col("source"), budget = 8L)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+    // s0: exactly two of the three 4-token docs fit the 8-token budget
+    val s0 = got.filter(_._1 == "s0")
+    assert(s0.length == 2 && s0.map(_._4).toSeq == Seq(4L, 8L))
+    // the kept prefix is the md5(id)-order prefix — stable under reruns
+    val again = Sampling.tokenBudgetSample(d, col("doc_id"), col("text"),
+        col("source"), budget = 8L)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(got.toSeq == again.toSeq)
+    assert(got.filter(_._1 == "s1").map(_._2).toSeq == Seq(3L))
+  }
 }
