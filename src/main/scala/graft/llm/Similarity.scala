@@ -502,7 +502,13 @@ object Similarity {
       .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
         greatest(col("vec_id"), col("nbr_id")).as("id_b"))
       .distinct()
-    val labels = Dedup.connectedComponents(edges)
+    // kNN graphs chain through embedding space (diameter ~14 rounds
+    // of plain min-propagation measured at sf0.1), so turn on path
+    // compression: rounds drop to O(log diameter). (The star-
+    // contraction CC was ALSO tried here and lost 2× — its per-round
+    // exceptAll convergence check outweighs the round savings at
+    // this edge volume.)
+    val labels = Dedup.connectedComponents(edges, compress = true)
       .withColumnRenamed("doc_id", "vec_id")
     emb.select(col(idCol).cast("long").as("vec_id"))
       .join(labels, Seq("vec_id"), "left")

@@ -323,11 +323,30 @@ object TextAnalysis {
   def hashedNgramScore(df: DataFrame, idCol: String, textCol: String,
                        buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
-    val grams = Dedup.shingleRows(df, idCol, textCol, n = 1)
-      .unionByName(Dedup.shingleRows(df, idCol, textCol, n = 2))
+    // One tokenization feeds BOTH gram orders (vs a union of two
+    // shingleRows passes = two corpus scans + a window shuffle+sort
+    // for the bigram side). Bigrams pair each token with its
+    // successor; a 1-token doc contributes its bare token as the
+    // partial bigram, matching shingleRows(n=2)'s concat_ws(null)
+    // degenerate row, so the gram MULTISET (count-sensitive below)
+    // is identical to the two-pass form.
+    val t = col("t")
+    val bigrams = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(t)
+    val grams = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id")) // spread single-file inputs; pre-aligns the final groupBy
+      .select(col("id"), tokensCol(col("text")).as("t"))
+      .select(col("id"), explode(concat(t, bigrams)).as("s"))
+    // coalesce makes the join key non-nullable so the inner join adds
+    // no IsNotNull filter — without it the md5 chain is evaluated
+    // TWICE per gram row (once in the pushed null-filter, once in the
+    // key projection). conv over md5 hex never actually nulls, so the
+    // value is unchanged and the oracle needs no mirror.
     val bucketed = grams.select(col("id"),
-      (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-        % buckets).as("b"))
+      coalesce(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+        % buckets, lit(0L)).as("b"))
     val weights = df.sparkSession.range(buckets.toLong).select(
       col("id").as("b"),
       (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)

@@ -96,6 +96,10 @@ class TemporalSpec extends SparkSpec {
     val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
     assert(cc.length == 20 && cc.forall(_._2 == 0L))
+    // path compression: identical labels on the same worst case
+    val ccz = Dedup.connectedComponents(pairs, compress = true)
+      .as[(Long, Long)].collect()
+    assert(ccz.length == 20 && ccz.forall(_._2 == 0L))
   }
 
   test("alternating (large-star/small-star) CC equals min propagation on random graphs") {
@@ -110,6 +114,9 @@ class TemporalSpec extends SparkSpec {
         val a = Dedup.connectedComponentsAlternating(pairs).as[(Long, Long)].collect().toMap
         val b = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
         assert(a == b, s"trial $trial: $raw")
+        val c = Dedup.connectedComponents(pairs, compress = true)
+          .as[(Long, Long)].collect().toMap
+        assert(c == b, s"trial $trial (compress): $raw")
       }
     }
     // worst case for min-prop, logarithmic for alternation
