@@ -15,7 +15,7 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    single/multi-observer/3×3 grid fan-out q83), GeoTIFF
   *    round-trip, warp, rasterize, Horn slope stencil q97 + hillshade q101 + TRI/TPI/roughness q115, observers-as-table viewshed grid q102, REST path-loss backend vs in-process stub q104, catalog-routed spherical-aeqd geographic lifecycle q105, GPKG tile-container read q106, binary tile payloads
   *    (RasterQueries)
-  *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86, q88–q91, q93–q96, q98–q100, q103, q107–q114, q116–q127
+  *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86, q88–q91, q93–q96, q98–q100, q103, q107–q114, q116–q130
   *    LLM-pipeline:
   *    text analysis + repetition + quality verdict, dedup (exact/
   *    prefix/minhash/simhash/ngram/embedding + cluster closure), ANN
@@ -37,7 +37,8 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    hashed-n-gram classifier scoring q121, corpus k-NN graph q122,
   *    SemDeDup semantic prune q123, count-min-sketch audit q124,
   *    HyperLogLog distinct q125, rank AUC q126, token-budget
-  *    subsample q127
+  *    subsample q127, DSIR importance weights q128, curriculum
+  *    interleave q129, token-entropy quality q130
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,

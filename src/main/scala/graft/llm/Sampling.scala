@@ -156,6 +156,29 @@ object Sampling {
     * draw that is stable under corpus repartitioning and appends of
     * NEW groups, and reproducible by any engine from the same md5.
     */
+  /** Deterministic round-robin source interleave — the data-ORDER
+    * companion to the mixing samplers: rank docs within each source
+    * by the usual md5 draw, then emit in (round, source) order, so
+    * consecutive training batches cycle through sources instead of
+    * draining one file at a time (the "shuffle across sources"
+    * guarantee pipelines need when shards are written source-major).
+    * Sources of unequal size simply drop out of later rounds.
+    *
+    * Scale shape: one window shuffle keyed on the source for the
+    * round number, then a range-partitioned sort on (round, source) —
+    * both standard exchanges; no driver-side state. The emitted ORDER
+    * is the operator's contract (the driver's gate checks row order
+    * exactly).
+    */
+  def curriculumInterleave(df: DataFrame, idCol: Column,
+                           sourceCol: Column): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    df.select(sourceCol.as("source"), idCol.cast("long").as("id"))
+      .withColumn("round", row_number().over(w))
+      .orderBy("round", "source", "id")
+  }
+
   def tokenBudgetSample(df: DataFrame, idCol: Column, textCol: Column,
                         groupCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

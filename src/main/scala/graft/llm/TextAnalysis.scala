@@ -320,33 +320,46 @@ object TextAnalysis {
     * [-1, 1]), so the per-doc sum is an integer aggregation immune to
     * order, and the reported mean is one final division.
     */
-  def hashedNgramScore(df: DataFrame, idCol: String, textCol: String,
-                       buckets: Int = 1024): DataFrame = {
-    require(buckets > 0, s"need buckets > 0, got $buckets")
-    // One tokenization feeds BOTH gram orders (vs a union of two
-    // shingleRows passes = two corpus scans + a window shuffle+sort
-    // for the bigram side). Bigrams pair each token with its
-    // successor; a 1-token doc contributes its bare token as the
-    // partial bigram, matching shingleRows(n=2)'s concat_ws(null)
-    // degenerate row, so the gram MULTISET (count-sensitive below)
-    // is identical to the two-pass form.
-    val t = col("t")
+  /** One-pass unigram+bigram gram rows: `docs` must carry `id` and
+    * `text` columns (extras ride along), output replaces `text` with
+    * gram rows `s`. One tokenization feeds BOTH gram orders (vs a
+    * union of two shingleRows passes = two corpus scans + a window
+    * shuffle+sort for the bigram side). Bigrams pair each token with
+    * its successor; a 1-token doc contributes its bare token as the
+    * partial bigram, matching shingleRows(n=2)'s concat_ws(null)
+    * degenerate row, so the gram MULTISET (consumers here are
+    * count-sensitive) is identical to the two-pass form.
+    */
+  private[llm] def uniBigramRows(docs: DataFrame): DataFrame = {
+    val t = col("_t")
     val bigrams = when(size(t) >= 2,
       zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat_ws(" ", a, b))).otherwise(t)
-    val grams = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val carry = docs.columns.toSeq.filterNot(Set("id", "text")).map(col)
+    docs
       .repartition(col("id")) // spread single-file inputs; pre-aligns the final groupBy
-      .select(col("id"), tokensCol(col("text")).as("t"))
-      .select(col("id"), explode(concat(t, bigrams)).as("s"))
-    // coalesce makes the join key non-nullable so the inner join adds
-    // no IsNotNull filter — without it the md5 chain is evaluated
-    // TWICE per gram row (once in the pushed null-filter, once in the
-    // key projection). conv over md5 hex never actually nulls, so the
-    // value is unchanged and the oracle needs no mirror.
+      .select(col("id") +: tokensCol(col("text")).as("_t") +: carry: _*)
+      .select(col("id") +: explode(concat(t, bigrams)).as("s") +: carry: _*)
+  }
+
+  /** Gram row → hash-bucket key in [0, buckets). The coalesce makes
+    * the key non-nullable so a downstream inner join adds no
+    * IsNotNull filter — without it the md5 chain is evaluated TWICE
+    * per gram row (once in the pushed null-filter, once in the key
+    * projection). conv over md5 hex never actually nulls, so the
+    * value is unchanged and oracles need no mirror.
+    */
+  private def gramBucketCol(s: Column, buckets: Int): Column =
+    coalesce(conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+      % buckets, lit(0L))
+
+  def hashedNgramScore(df: DataFrame, idCol: String, textCol: String,
+                       buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val grams = uniBigramRows(
+      df.select(col(idCol).as("id"), col(textCol).as("text")))
     val bucketed = grams.select(col("id"),
-      coalesce(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-        % buckets, lit(0L)).as("b"))
+      gramBucketCol(col("s"), buckets).as("b"))
     val weights = df.sparkSession.range(buckets.toLong).select(
       col("id").as("b"),
       (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
@@ -359,6 +372,85 @@ object TextAnalysis {
           .as("mean_w"),
         when(col("sum_fp") >= 0, 1).otherwise(0).as("keep"))
   }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each doc
+    * by the log-likelihood RATIO of two hashed-n-gram bag models —
+    * one fit on the `target` subset (the distribution you want more
+    * of, e.g. curated sources), one on the full raw corpus. Word
+    * unigrams+bigrams hash into `buckets` slots; both models are
+    * add-one-smoothed multinomials over the slots; a doc's weight is
+    * Σ_grams [ln p_target(b) − ln p_raw(b)], reported as a per-gram
+    * mean, with `keep` thresholding at 0 (doc looks more target-like
+    * than raw).
+    *
+    * Scale shape: the corpus is gram-expanded twice — once collapsing
+    * to the `buckets`-row count table (map-side partial aggregation
+    * makes the shuffle ~buckets keys per partition), once for scoring
+    * against the broadcast model. Recomputing the gram pass beats
+    * materializing O(corpus tokens) gram rows at 100 TB (same
+    * cache-vs-recompute call as temperatureMix; see README). Both
+    * models fit in one aggregation: c_raw counts every gram, c_tgt
+    * counts the target-flagged ones.
+    *
+    * Determinism: per-slot log-probabilities collapse to fixed point
+    * (floor(ln·2²⁰), the q98/unigram-logprob recipe — ln of identical
+    * doubles agrees across engines, and the floor snaps away the last
+    * bit), so the per-doc sum is an integer aggregation immune to
+    * order; the reported mean is one final division chain.
+    */
+  def dsirWeight(df: DataFrame, idCol: String, textCol: String,
+                 target: Column, buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    def grams = uniBigramRows(df.select(col(idCol).as("id"),
+        col(textCol).as("text"), target.cast("int").as("tgt")))
+      .select(col("id"), col("tgt"), gramBucketCol(col("s"), buckets).as("b"))
+    val cnt = grams.groupBy("b").agg(
+      count(lit(1)).as("c_raw"), sum(col("tgt").cast("long")).as("c_tgt"))
+    val tot = cnt.agg(sum("c_raw").as("tot_raw"), sum("c_tgt").as("tot_tgt"))
+    val model = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      (floor(log((col("c_tgt") + 1.0) / (col("tot_tgt") + lit(buckets)))
+          * 1048576.0).cast("long")
+        - floor(log((col("c_raw") + 1.0) / (col("tot_raw") + lit(buckets)))
+          * 1048576.0).cast("long")).as("w_fp"))
+    grams.join(broadcast(model), "b")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum("w_fp").as("sum_lr_fp"))
+      .select(col("id"), col("n_grams"), col("sum_lr_fp"),
+        (col("sum_lr_fp").cast("double") / 1048576.0 / col("n_grams"))
+          .as("mean_lr"),
+        when(col("sum_lr_fp") >= 0, 1).otherwise(0).as("keep"))
+  }
+
+  /** Token-level Shannon entropy per document — the "gibberish vs
+    * natural text" quality signal (low entropy = repetitive spam,
+    * suspiciously high = random token soup): H = ln n − (Σ c·ln c)/n
+    * over the token frequency vector. Relational shape: token rows →
+    * (doc, token) counts → one doc-keyed aggregation; two shuffles,
+    * both with map-side partial aggregation.
+    *
+    * Determinism: Σ c·ln c collapses per TERM to fixed point
+    * (c·floor(ln c · 2²⁰) — exact integers, order-immune); ln n is a
+    * single transcendental on an identical double (engines agree on
+    * one call; it's the cross-ROW accumulation of doubles that
+    * diverges, and there is none here).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.shingleRows(df, idCol, textCol, n = 1)
+      .groupBy("id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * floor(log(col("c").cast("double")) * 1048576.0)
+          .cast("long")).as("sum_clnc_fp"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        // floor-snap to 1e-6: ln(n) is the one transcendental here and
+        // JVM vs DuckDB libm disagree in the last ulp (~1e-16) —
+        // everything else in the chain is integer-exact
+        (floor((log(col("n_tokens").cast("double"))
+          - (col("sum_clnc_fp").cast("double") / 1048576.0)
+            / col("n_tokens")) * 1000000.0).cast("double") / 1000000.0)
+          .as("entropy"))
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def stats(n: Int, prefix: String): DataFrame =

@@ -660,6 +660,40 @@ object LlmQueries {
         col("n_tokens"), col("cum_tokens"))
       .orderBy("source", "cum_tokens", "doc_id")
 
+  /** q128 DSIR importance weights
+    * ([[graft.llm.TextAnalysis.dsirWeight]]): log-likelihood ratio of
+    * a target hashed-n-gram model (sources src0-src2, the "curated"
+    * slice) against the raw-corpus model, fixed-point per-slot logs,
+    * keep ⇔ more target-like. The oracle refits both multinomials
+    * from scratch.
+    */
+  def q128(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dsirWeight(Tables.documents(s, d), "doc_id", "text",
+        target = col("source").isin("src0", "src1", "src2"), buckets = 512)
+      .select(col("id").as("doc_id"), col("n_grams"), col("sum_lr_fp"),
+        col("mean_lr"), col("keep"))
+      .orderBy("doc_id")
+
+  /** q129 curriculum interleave
+    * ([[graft.llm.Sampling.curriculumInterleave]]): md5-ranked
+    * round-robin across the 20 sources; the emitted ROW ORDER is the
+    * training order and is exactly what the gate checks.
+    */
+  def q129(s: SparkSession, d: String): DataFrame =
+    Sampling.curriculumInterleave(Tables.documents(s, d),
+      col("doc_id"), col("source"))
+
+  /** q130 token-entropy quality signal
+    * ([[graft.llm.TextAnalysis.tokenEntropy]]): per-doc Shannon
+    * entropy of the token frequency vector, term-wise fixed-point
+    * Σ c·ln c so the cross-row sum is integer-exact.
+    */
+  def q130(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"))
+      .orderBy("doc_id")
+
   def q120(s: SparkSession, d: String): DataFrame =
     Sampling.temperatureMix(
         Tables.documents(s, d).select("doc_id", "source"),
@@ -865,6 +899,9 @@ object LlmQueries {
     "q125_hll_distinct" -> q125 _,
     "q126_rank_auc" -> q126 _,
     "q127_token_budget" -> q127 _,
+    "q128_dsir_weights" -> q128 _,
+    "q129_curriculum_order" -> q129 _,
+    "q130_token_entropy" -> q130 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1095,6 +1132,61 @@ object LlmQueries {
          |SELECT grp AS source, id AS doc_id, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 800
          |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+
+    "q128_dsir_weights" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, $toksExpr AS w,
+         |         CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END AS tgt
+         |  FROM documents),
+         |uni AS (SELECT id, tgt, unnest(w) AS s FROM t),
+         |big AS (
+         |  SELECT id, tgt, unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+         |    i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]))) AS s
+         |  FROM t),
+         |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+         |gb AS (
+         |  SELECT id, tgt, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 512 AS b
+         |  FROM grams),
+         |cnt AS (
+         |  SELECT b, COUNT(*) AS c_raw, SUM(tgt) AS c_tgt FROM gb GROUP BY b),
+         |tot AS (
+         |  SELECT SUM(c_raw) AS tot_raw, SUM(c_tgt) AS tot_tgt FROM cnt),
+         |model AS (
+         |  SELECT b,
+         |         CAST(floor(ln((c_tgt + 1.0) / (tot_tgt + 512)) * 1048576.0) AS BIGINT)
+         |       - CAST(floor(ln((c_raw + 1.0) / (tot_raw + 512)) * 1048576.0) AS BIGINT)
+         |           AS w_fp
+         |  FROM cnt CROSS JOIN tot),
+         |agg AS (
+         |  SELECT id, COUNT(*) AS n_grams, SUM(w_fp) AS sum_lr_fp
+         |  FROM gb JOIN model USING (b) GROUP BY id)
+         |SELECT id AS doc_id, n_grams, CAST(sum_lr_fp AS BIGINT) AS sum_lr_fp,
+         |       CAST(sum_lr_fp AS DOUBLE) / 1048576.0 / n_grams AS mean_lr,
+         |       CASE WHEN sum_lr_fp >= 0 THEN 1 ELSE 0 END AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q129_curriculum_order" ->
+      """SELECT source, doc_id AS id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS round
+        |FROM documents
+        |ORDER BY round, source, id""".stripMargin,
+
+    "q130_token_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest($toksExpr) AS s FROM documents),
+         |cnt AS (SELECT id, s, COUNT(*) AS c FROM tok GROUP BY id, s),
+         |agg AS (
+         |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS n_distinct,
+         |         CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT)) AS BIGINT)
+         |           AS sum_clnc_fp
+         |  FROM cnt GROUP BY id)
+         |SELECT id AS doc_id, n_tokens, n_distinct,
+         |       floor((ln(CAST(n_tokens AS DOUBLE))
+         |         - (CAST(sum_clnc_fp AS DOUBLE) / 1048576.0) / n_tokens)
+         |         * 1000000.0) / 1000000.0 AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q122_knn_graph" ->
       s"""WITH bucketed AS (

@@ -943,4 +943,67 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
     assert(got.filter(_._1 == "s1").map(_._2).toSeq == Seq(3L))
   }
+
+  test("dsirWeight: target-like docs score above raw-like, identical text identical score") {
+    // target vocabulary (tgt=true docs) vs disjoint raw vocabulary
+    val d = Seq(
+      (0L, "alpha beta gamma alpha beta", true),
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "delta epsilon zeta eta theta", false),
+      (3L, "alpha beta gamma alpha beta", false)) // target-vocab text, raw-flagged
+      .toDF("doc_id", "text", "is_tgt")
+    val got = TextAnalysis.dsirWeight(d, "doc_id", "text", col("is_tgt"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    // 5 uni + 4 bi = 9 grams for the 5-token docs
+    assert(got.map(_._2).toSeq == Seq(9L, 9L, 9L, 9L))
+    // identical text -> identical weight REGARDLESS of its own flag
+    // (the model scores content, not labels)
+    assert(got(0)._3 == got(1)._3 && got(0)._3 == got(3)._3)
+    // relative ordering is the contract (absolute sign is smoothing-
+    // dependent at toy scale: the +buckets denominators swamp tiny
+    // counts): target-vocab text must outscore raw-only-vocab text,
+    // and keep must mirror the fixed-point sum's sign
+    assert(got(0)._4 > got(2)._4)
+    assert(got.forall(r => (r._5 == 1) == (r._3 >= 0)))
+  }
+
+  test("curriculumInterleave: rounds cycle sources, order deterministic, sizes respected") {
+    val d = Seq(
+      (0L, "s0"), (1L, "s0"), (2L, "s0"),
+      (3L, "s1"), (4L, "s1"),
+      (5L, "s2"))
+      .toDF("doc_id", "source")
+    val got = Sampling.curriculumInterleave(d, col("doc_id"), col("source"))
+      .as[(String, Long, Int)].collect()
+    assert(got.length == 6)
+    // round 1 contains every source exactly once, in source order
+    assert(got.take(3).map(_._1).toSeq == Seq("s0", "s1", "s2"))
+    // s2 exhausted after round 1, s1 after round 2
+    assert(got.slice(3, 5).map(_._1).toSeq == Seq("s0", "s1"))
+    assert(got(5)._1 == "s0" && got(5)._3 == 3)
+    // per-source round numbers are 1..n_source
+    assert(got.filter(_._1 == "s0").map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // deterministic under re-run
+    val again = Sampling.curriculumInterleave(d, col("doc_id"), col("source"))
+      .as[(String, Long, Int)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("tokenEntropy: uniform maxes at ln n, constant doc is 0, counts exact") {
+    val d = Seq(
+      (0L, "a b c d"),     // 4 distinct -> H = ln 4
+      (1L, "a a a a"),     // constant -> H = 0
+      (2L, "a a b b c c")) // uniform over 3 -> H = ln 3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq((4L, 4L), (4L, 1L), (6L, 3L)))
+    assert(math.abs(got(0)._4 - math.log(4)) < 1e-5)
+    assert(math.abs(got(1)._4) < 1e-5)
+    assert(math.abs(got(2)._4 - math.log(3)) < 1e-5)
+    // entropy of a frequency vector is bounded by ln(n_distinct)
+    assert(got.forall(r => r._4 <= math.log(r._3.toDouble) + 1e-9))
+  }
 }
