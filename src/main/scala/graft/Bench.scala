@@ -49,6 +49,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-schema contract check (see Tables.fixtureDrift): surfaces
+    // a driver-side fixture regeneration as readable lines up front
+    Tables.fixtureDrift(spark, sfDir)
+      .foreach(m => System.err.println(s"[fixture-drift] $m"))
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
@@ -129,21 +133,51 @@ object Bench {
       } finally queriesDone += 1
     }
 
-    var merged = scala.collection.mutable.LinkedHashMap(names.map(n => n -> timeQuery(n)): _*)
-    var canary = if (errors.contains(CanaryName)) -1.0
-      else { try runOnce(SparkEntry.queries(CanaryName)) catch { case _: Throwable => -1.0 } }
-    var degraded = false
-    if ((canary < 0 || canary > CanaryCeiling ||
-        merged.get(CanaryName).exists(t => t > CanaryCeiling)) &&
-        elapsed() < budgetSec * 1.1) {
-      System.err.println(f"WARN: canary $CanaryName at $canary%.2fs " +
-        f"(ceiling $CanaryCeiling%.1fs) — degraded pass suspected; re-running")
-      for (n <- names if merged(n) >= 0) {
-        val t2 = try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => merged(n) }
-        merged(n) = math.min(merged(n), t2)
+    // Interleaved canary probes (round-10 hardening): the round-9
+    // driver pass was co-tenant-degraded DURING the sweep but its
+    // single post-pass canary ran after the load subsided — green
+    // canary, 3–9× inflated per-query numbers, `degraded:false`. A
+    // probe every ~20 queries pins the degradation to the window it
+    // happened in; any bad probe marks the pass suspect even if the
+    // box is quiet again by the end.
+    val probeEvery = 20
+    val canaryProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    def probeCanary(): Double =
+      try runOnce(SparkEntry.queries(CanaryName)) catch { case _: Throwable => -1.0 }
+    val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (n <- names) {
+      merged(n) = timeQuery(n)
+      if (queriesDone % probeEvery == 0 && queriesDone < names.size) {
+        val p = probeCanary()
+        canaryProbes += p
+        if (p < 0 || p > CanaryCeiling)
+          System.err.println(f"WARN: mid-pass canary probe at $p%.2fs " +
+            f"after $queriesDone queries (ceiling $CanaryCeiling%.1fs)")
       }
-      canary = try runOnce(SparkEntry.queries(CanaryName)) catch { case _: Throwable => -1.0 }
-      degraded = canary < 0 || canary > CanaryCeiling
+    }
+    var canary = if (errors.contains(CanaryName)) -1.0 else probeCanary()
+    val probeBad = canaryProbes.exists(p => p < 0 || p > CanaryCeiling)
+    var degraded = false
+    if (canary < 0 || canary > CanaryCeiling || probeBad ||
+        merged.get(CanaryName).exists(t => t > CanaryCeiling)) {
+      if (elapsed() < budgetSec * 1.1) {
+        System.err.println(f"WARN: canary $CanaryName at $canary%.2fs / " +
+          s"probes ${canaryProbes.map(p => f"$p%.2f").mkString(",")} " +
+          f"(ceiling $CanaryCeiling%.1fs) — degraded pass suspected; re-running")
+        for (n <- names if merged(n) >= 0) {
+          val t2 = try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => merged(n) }
+          merged(n) = math.min(merged(n), t2)
+        }
+        canary = probeCanary()
+        degraded = canary < 0 || canary > CanaryCeiling
+      } else {
+        // no budget for the rerun — the record is suspect and must SAY
+        // so (round 9's silent-clean path). Numbers stay as measured;
+        // the flag tells the grader not to trust them.
+        System.err.println("WARN: canary failed and budget forbids rerun — " +
+          "recording degraded=true")
+        degraded = true
+      }
     }
 
     // Deferred outlier retry: a co-tenant CPU burst can span ALL of a
@@ -173,7 +207,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"degraded":$degraded,"codecache_ok":$codeCacheOk,"wall":${elapsed()}}"""
+    val probesJson = canaryProbes.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"canary_probes":$probesJson,"degraded":$degraded,"codecache_ok":$codeCacheOk,"wall":${elapsed()}}"""
     println(json)
     System.out.flush()
     // also persist the full JSON: a scraped log tail can truncate the

@@ -15,8 +15,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-schema contract: one readable line per drifted column
+    // beats N opaque analysis errors when the driver regenerates
+    // parquet with new physical types (the round-9 events.ts incident)
+    Tables.fixtureDrift(spark, sfDir)
+      .foreach(m => System.err.println(s"[fixture-drift] $m"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated subset for local iteration on one
+    // query's gate (mirrors Bench's SPARK_GRAFT_BENCH_ONLY). The
+    // oracle_sql.json dump below is filtered to the same subset so
+    // tools/check_oracle.py runs clean on a partial out dir. Unset
+    // (the driver's case) verifies the full suite.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir).persist()
         // single-file output only while it is verifiably small — a
@@ -41,6 +55,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -704,10 +704,20 @@ object LlmQueries {
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
     * brightness-shifted so they are byte-distinct), executor-side
-    * aHash, one aggregation for the duplicate buckets. NOT
-    * SQL-expressible (real PNG decode) — declared without an oracle,
-    * so the driver records the weaker rows-only check; the aHash
-    * invariance and bucket contract are spec-gated in LlmSpec.
+    * aHash, one aggregation for the duplicate buckets.
+    *
+    * Oracle (round 10 — closes the suite's last rows-only gate): the
+    * PNG decode itself is not SQL-expressible, but the fixture makes
+    * the aHash a pure function of `doc_id % 7` (the brightness shift
+    * is exactly the invariance aHash provides), so the oracle embeds
+    * the 7 hash constants — computed by an INDEPENDENT replay of the
+    * generator formula + aHash spec (8×8 nearest-center sample, luma
+    * = v on greyscale, bit iff v·64 > Σv; tools/q119_ahash_oracle.py)
+    * — and replays the bucket/group/filter stage in SQL. A decode or
+    * hash regression changes the Spark values and breaks the
+    * hash-match, so the full pipeline is gated, not just the
+    * aggregation. Pixel-level decode edge cases stay spec-gated in
+    * LlmSpec.
     */
   def q119(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
@@ -1553,6 +1563,17 @@ object LlmQueries {
         |  GROUP BY d.source)
         |SELECT r.stratum, r.n_docs, r.rate, COALESCE(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN k ON r.stratum = k.stratum ORDER BY r.stratum""".stripMargin,
+
+    "q119_image_hash_dedup" ->
+      """WITH hk(k, ahash) AS (VALUES
+        |    (0, 4379601722262086460), (1, -8680820740569200761),
+        |    (2, 6245319962565193046), (3, 5504566643220138316),
+        |    (4, -72056498821201921), (5, 3921748740079983414),
+        |    (6, -6509625287690119771)),
+        |m AS (
+        |  SELECT d.doc_id, hk.ahash FROM documents d JOIN hk ON d.doc_id % 7 = hk.k)
+        |SELECT ahash, COUNT(*) AS n_images, MIN(doc_id) AS keep_id
+        |FROM m GROUP BY ahash HAVING COUNT(*) > 1 ORDER BY ahash""".stripMargin,
 
     "q118_normalized_dedup" ->
       """WITH u AS (
