@@ -13,7 +13,7 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    selector, LOS (incl. P.526 knife-edge diffraction q82 and
   *    Okumura-Hata loss q87), viewshed (sweep + exact + sector crops,
   *    single/multi-observer/3×3 grid fan-out q83), GeoTIFF
-  *    round-trip, warp, rasterize, Horn slope stencil q97 + hillshade q101 + TRI/TPI/roughness q115, observers-as-table viewshed grid q102, REST path-loss backend vs in-process stub q104, catalog-routed spherical-aeqd geographic lifecycle q105, GPKG tile-container read q106, binary tile payloads
+  *    round-trip, warp, rasterize, Horn slope stencil q97 + hillshade q101 + TRI/TPI/roughness q115, observers-as-table viewshed grid q102, REST path-loss backend vs in-process stub q104, catalog-routed spherical-aeqd geographic lifecycle q105, GPKG tile-container read q106, WMS remote-raster read vs in-process TMS stub q131, binary tile payloads
   *    (RasterQueries)
   *  - q42–q52, q64, q69, q70, q75–q77, q79, q84–q86, q88–q91, q93–q96, q98–q100, q103, q107–q114, q116–q130
   *    LLM-pipeline:

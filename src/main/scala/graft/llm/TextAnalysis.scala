@@ -467,4 +467,99 @@ object TextAnalysis {
         (col("uni_top").cast("double") / col("uni_total")).as("top_unigram_frac"),
         (col("bi_top").cast("double") / col("bi_total")).as("top_bigram_frac"))
   }
+
+  /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the published
+    * web-scale smoothing that deliberately drops normalization):
+    * per scored bigram,
+    *
+    *   S(w₂|w₁) = c(w₁w₂)/c(w₁)                 if the TRAIN corpus saw the bigram
+    *            = 0.4·(c(w₂)+1)/(N+V)           otherwise (add-one unigram
+    *                                             backoff; covers OOV w₂ at c=0)
+    *
+    * fit on `train`, scored on `score` — the held-out shape is the
+    * point: a model fit on its own scoring corpus never backs off
+    * (every bigram is seen by construction) and the n_backoff column
+    * would be dead. This is the CCNet/KenLM perplexity-filter pattern
+    * one rung up from [[unigramLogProb]]'s q98: fit on trusted text,
+    * score crawl text, filter on mean log-score.
+    *
+    * Determinism: the q98 fixed-point convention — every log factors
+    * through `floor(ln(ratio-of-exact-integers)·2²⁰)` per MODEL ENTRY
+    * (or per backoff row), summed as BIGINT, one double division at
+    * the end.
+    *
+    * Scale shape: the bigram model is corpus-sized — it is NEVER
+    * broadcast; scoring meets it in a shuffle equi-join on the gram
+    * string, the unigram side joins on w₂ the same way, and the only
+    * broadcast is the 1-row totals frame. Work is linear in train +
+    * score tokens; shuffles key on gram/doc-id.
+    */
+  def bigramLogProb(train: DataFrame, score: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val Fp = 1048576.0 // 2^20, the q98 quantum
+    val uniCnt = Dedup.shingleRows(train, idCol, textCol, n = 1)
+      .groupBy("s").agg(count(lit(1)).as("c"))
+    val totals = uniCnt.agg(sum("c").as("n_tot"), count(lit(1)).as("vocab"))
+    def bigrams(df: DataFrame): DataFrame =
+      Dedup.shingleRows(df, idCol, textCol, n = 2)
+        .filter(col("s").contains(" ")) // drops single-token docs' degenerate row
+    val bigModel = bigrams(train)
+      .groupBy("s").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("s"), " ", 1))
+      .join(uniCnt.select(col("s").as("w1"), col("c").as("c1")), "w1")
+      .select(col("s"),
+        floor(log(col("cb") / col("c1")) * Fp).cast("long").as("lp_big_fp"))
+    bigrams(score)
+      .select(col("id"), col("s"), substring_index(col("s"), " ", -1).as("w2"))
+      .join(bigModel, Seq("s"), "left")
+      .join(uniCnt.select(col("s").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        coalesce(col("lp_big_fp"),
+          floor(log(lit(0.4) * (coalesce(col("c2"), lit(0L)) + lit(1.0))
+            / (col("n_tot") + col("vocab"))) * Fp).cast("long")).as("lp_fp"),
+        col("lp_big_fp").isNull.cast("long").as("backoff"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("backoff").as("n_backoff"),
+        sum("lp_fp").as("sum_fp"))
+      .select(col("id"), col("n_bigrams"), col("n_backoff"),
+        (col("sum_fp").cast("double") / Fp / col("n_bigrams")).as("mean_logs"))
+  }
+
+  /** HTML extraction — the ingest-side boilerplate strip every
+    * crawl-derived corpus passes through before any quality/dedup
+    * stage: drop `<script>`/`<style>` blocks WHOLESALE (their text is
+    * code, not prose), drop comments, strip remaining tags, decode
+    * the five predefined XML entities, collapse whitespace. Pure
+    * per-row codegen'd column work — no shuffle, no UDF. Regexes are
+    * Java∩RE2-portable (the [[withPii]] constraint, so the DuckDB
+    * oracle replays them verbatim): `(?s)` DOTALL prefix instead of
+    * flags arguments, no backreferences, non-greedy block bodies.
+    * Entity decode order matters: `&amp;` LAST, or `&amp;lt;` would
+    * double-decode — both engines apply the same chain.
+    */
+  def htmlExtractCol(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[htmlExtractCol]] over a frame: (id, clean text + audit
+    * columns). `kept_frac` is the extraction yield — the boilerplate
+    * share is a standard crawl-quality signal (near-zero yield =
+    * navigation page). */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(htmlCol).as("html"))
+      .withColumn("clean", htmlExtractCol(col("html")))
+      .select(col("id"), col("clean"),
+        length(col("clean")).as("n_chars_clean"),
+        (length(col("clean")).cast("double") / length(col("html")))
+          .as("kept_frac"))
 }

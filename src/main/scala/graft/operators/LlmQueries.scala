@@ -694,6 +694,49 @@ object LlmQueries {
         col("entropy"))
       .orderBy("doc_id")
 
+  /** q132 bigram Stupid-Backoff LM
+    * ([[graft.llm.TextAnalysis.bigramLogProb]]): model fit on the
+    * even-id half of the corpus, the odd-id half scored — the
+    * held-out split is what makes the backoff path live (a model
+    * scoring its own training corpus never backs off). One rung up
+    * from q98's unigram filter; the corpus-sized bigram model meets
+    * the scoring rows in a shuffle equi-join, never a broadcast. The
+    * oracle refits the identical model and replays the same
+    * fixed-point arithmetic.
+    */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    TextAnalysis.bigramLogProb(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("mean_logs"))
+      .orderBy("doc_id")
+  }
+
+  /** q133 HTML extraction
+    * ([[graft.llm.TextAnalysis.htmlExtract]]): each document wrapped
+    * in a deterministic HTML shell — head/title, a `<script>` whose
+    * body contains a bare `<` (the case a naive tag-strip corrupts),
+    * a `<style>` block, a comment, and an `&amp;` entity — then the
+    * extraction chain (block drop → comment drop → tag strip →
+    * entity decode → whitespace collapse) recovers the text. Output
+    * compares the full cleaned string by md5 plus the yield ratio;
+    * the oracle replays the identical Java∩RE2 regex chain.
+    */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val shellHead = "<html><head><title>doc</title><script>var x = 1 < 2;" +
+      "</script><style>p { color: red; }</style></head><body><div class=\"main\"><p>"
+    val shellTail = "</p></div><!-- footer --> &amp; fin</body></html>"
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit(shellHead), col("text"), lit(shellTail)).as("html"))
+    TextAnalysis.htmlExtract(docs, "doc_id", "html")
+      .select(col("id").as("doc_id"), md5(col("clean")).as("clean_md5"),
+        col("n_chars_clean"), col("kept_frac"))
+      .orderBy("doc_id")
+  }
+
   def q120(s: SparkSession, d: String): DataFrame =
     Sampling.temperatureMix(
         Tables.documents(s, d).select("doc_id", "source"),
@@ -912,6 +955,8 @@ object LlmQueries {
     "q128_dsir_weights" -> q128 _,
     "q129_curriculum_order" -> q129 _,
     "q130_token_entropy" -> q130 _,
+    "q132_bigram_backoff" -> q132 _,
+    "q133_html_extract" -> q133 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1197,6 +1242,66 @@ object LlmQueries {
          |         - (CAST(sum_clnc_fp AS DOUBLE) / 1048576.0) / n_tokens)
          |         * 1000000.0) / 1000000.0 AS entropy
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q132_bigram_backoff" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id AS id, $toksExpr AS w FROM documents WHERE doc_id % 2 = 0),
+         |ttok AS (SELECT id, unnest(w) AS s FROM tr),
+         |cnt AS (SELECT s, COUNT(*) AS c FROM ttok GROUP BY s),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot, COUNT(*) AS vocab FROM cnt),
+         |tb AS (
+         |  SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS s,
+         |         w[CAST(i AS INTEGER)] AS w1
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+         |bc AS (SELECT s, w1, COUNT(*) AS cb FROM tb GROUP BY s, w1),
+         |bm AS (
+         |  SELECT bc.s,
+         |         CAST(floor(ln(CAST(cb AS DOUBLE) / c1.c) * 1048576.0) AS BIGINT) AS lp_big_fp
+         |  FROM bc JOIN cnt c1 ON bc.w1 = c1.s),
+         |sc AS (
+         |  SELECT doc_id AS id, $toksExpr AS w FROM documents WHERE doc_id % 2 = 1),
+         |sb AS (
+         |  SELECT id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS s,
+         |         w[CAST(i AS INTEGER) + 1] AS w2
+         |  FROM (SELECT id, w, unnest(range(1, len(w))) AS i FROM sc)),
+         |sr AS (
+         |  SELECT sb.id,
+         |         COALESCE(bm.lp_big_fp,
+         |           CAST(floor(ln(0.4 * (COALESCE(c2.c, 0) + 1.0)
+         |             / (tot.n_tot + tot.vocab)) * 1048576.0) AS BIGINT)) AS lp_fp,
+         |         CASE WHEN bm.lp_big_fp IS NULL THEN 1 ELSE 0 END AS backoff
+         |  FROM sb LEFT JOIN bm ON sb.s = bm.s
+         |       LEFT JOIN cnt c2 ON sb.w2 = c2.s
+         |       CROSS JOIN tot)
+         |SELECT id AS doc_id, COUNT(*) AS n_bigrams,
+         |       CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+         |       CAST(SUM(lp_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_logs
+         |FROM sr GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q133_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>doc</title><script>var x = 1 < 2;</script><style>p { color: red; }</style></head><body><div class="main"><p>'
+        |         || text || '</p></div><!-- footer --> &amp; fin</body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, html,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(html,
+        |                   '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |                 '(?s)<!--.*?-->', ' ', 'g'),
+        |               '(?s)<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&apos;', ''''), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |       CAST(length(clean) AS INTEGER) AS n_chars_clean,
+        |       CAST(length(clean) AS DOUBLE) / length(html) AS kept_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q122_knn_graph" ->
       s"""WITH bucketed AS (

@@ -369,6 +369,22 @@ object RasterQueries {
       .select(col("px"), col("py"), col("v"))
       .orderBy("py", "px")
 
+  /** q131 A1 WMS remote-raster read — the reference's `.xml` input
+    * kind (`gdalos_trans.py:832-833`): a GDAL-WMS TMS config parsed
+    * from XML, the level-1 tile grid (2×2 tiles of 32×32) planned as
+    * a `spark.range`, tiles fetched over HTTP from the in-process
+    * [[graft.sources.Wms.Stub]] and PNG-decoded on executors. The
+    * oracle replays the stub's pixel formula
+    * (v = (gx·3 + gy·7) mod 251) over the 64×64 global grid.
+    */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    val cfg = graft.sources.Wms.parseConfig(
+      graft.sources.Wms.demoConfigXml(graft.sources.Wms.Stub.url))
+    graft.sources.Wms.pixelFrame(s, cfg, level = 1)
+      .select(col("px"), col("py"), col("v"))
+      .orderBy("py", "px")
+  }
+
   /** q87 Okumura-Hata median path loss over the LOS pair fixture:
     * urban/suburban/open-area losses from frequency, ground distance
     * and the two mast heights (published empirical model — with FSPL
@@ -626,6 +642,7 @@ object RasterQueries {
     "q104_rest_pathloss" -> q104 _,
     "q105_geo_lifecycle" -> q105 _,
     "q106_gpkg_read" -> q106 _,
+    "q131_wms_read" -> q131 _,
     "q87_hata_loss" -> q87 _,
     "q41_partition_grid" -> q41 _,
     "q56_cutline_mask" -> q56 _,
@@ -812,6 +829,11 @@ object RasterQueries {
       """SELECT CAST(i % 128 AS INTEGER) AS px, CAST(i // 128 AS INTEGER) AS py,
         |       CAST(((i % 128) * 3 + (i // 128) * 5) % 251 AS DOUBLE) AS v
         |FROM range(16384) t(i) ORDER BY py, px""".stripMargin,
+
+    "q131_wms_read" ->
+      """SELECT CAST(i % 64 AS INTEGER) AS px, CAST(i // 64 AS INTEGER) AS py,
+        |       CAST(((i % 64) * 3 + (i // 64) * 7) % 251 AS DOUBLE) AS v
+        |FROM range(4096) t(i) ORDER BY py, px""".stripMargin,
 
     "q104_rest_pathloss" ->
       """WITH p AS (

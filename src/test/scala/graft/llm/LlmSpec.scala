@@ -1006,4 +1006,50 @@ class LlmSpec extends SparkSpec {
     // entropy of a frequency vector is bounded by ln(n_distinct)
     assert(got.forall(r => r._4 <= math.log(r._3.toDouble) + 1e-9))
   }
+
+  test("bigramLogProb: seen bigrams beat backoff; OOV backs off; self-scoring never backs off") {
+    val train = Seq(
+      (0L, "the cat sat"),
+      (2L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat"),     // all bigrams seen in train
+      (3L, "the dog sat"),     // "the dog" and "dog sat" unseen; dog is OOV
+      (5L, "solo"))            // single token -> no bigrams, absent from output
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(train, score, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 3L)) // doc 5 has no bigrams
+    val (seen, unseen) = (got(0), got(1))
+    assert(seen._2 == 2L && seen._3 == 0L)   // 2 bigrams, zero backoff
+    assert(unseen._2 == 2L && unseen._3 == 2L) // both bigrams backed off
+    // backoff mass-leaks by design (Stupid Backoff): unseen text scores lower
+    assert(unseen._4 < seen._4)
+    // "the cat" has c(bigram)=2, c(the)=2 -> lp = ln(1) = 0;
+    // "cat sat" has c=1, c(cat)=2 -> ln(0.5); mean = ln(0.5)/2 exactly
+    // (fixed-point floor at 2^20 keeps this within one quantum)
+    assert(math.abs(seen._4 - math.log(0.5) / 2) < 2e-6)
+    // a model scored on its own training corpus never backs off
+    val self = TextAnalysis.bigramLogProb(train, train, "doc_id", "text")
+      .agg(sum("n_backoff")).as[Long].head()
+    assert(self == 0L)
+  }
+
+  test("htmlExtract: script/style/comment bodies die, tags strip, entities decode, yield sane") {
+    val d = Seq(
+      (0L, "<html><head><script>var a = 1 < 2 && x > 0;</script></head>" +
+        "<body><p>hello   world</p><!-- hidden words --></body></html>"),
+      (1L, "<div>x &amp;lt; y</div>"), // decode order: &amp; LAST -> "x &lt; y"
+      (2L, "plain text, no markup"))
+      .toDF("doc_id", "html")
+    val got = TextAnalysis.htmlExtract(d, "doc_id", "html")
+      .orderBy("id")
+      .as[(Long, String, Int, Double)].collect()
+    assert(got(0)._2 == "hello world") // script body + comment + tags gone, ws collapsed
+    assert(got(1)._2 == "x &lt; y")    // single-pass decode, no double-decode
+    assert(got(2)._2 == "plain text, no markup")
+    assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    assert(got(2)._4 == 1.0) // markup-free input is all yield
+  }
 }
