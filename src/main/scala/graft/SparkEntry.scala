@@ -38,7 +38,10 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    SemDeDup semantic prune q123, count-min-sketch audit q124,
   *    HyperLogLog distinct q125, rank AUC q126, token-budget
   *    subsample q127, DSIR importance weights q128, curriculum
-  *    interleave q129, token-entropy quality q130
+  *    interleave q129, token-entropy quality q130, bigram
+  *    Stupid-Backoff LM on a held-out split q132, HTML boilerplate
+  *    extraction q133, grouped exact length quantiles q134,
+  *    dedup-aware content-hash split + leakage audit q135
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,

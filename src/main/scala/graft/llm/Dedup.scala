@@ -48,6 +48,36 @@ object Dedup {
     df.groupBy(md5(normalizeTextCol(col(textCol))).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Dedup-aware deterministic split assignment — the train/val/test
+    * partitioner every corpus release runs, with the one property a
+    * naive id-keyed split gets WRONG: the split key is the hash of
+    * the NORMALIZED CONTENT, not the doc id, so byte-identical and
+    * case/punct-variant copies land in the SAME split by
+    * construction and exact duplicates can never leak train→test
+    * (the evaluation-contamination failure mode id-hashing silently
+    * ships). Near-dup leakage still needs the MinHash decontamination
+    * pass (q117) — this closes the exact tier only.
+    *
+    * Percentage buckets come from the same md5-prefix arithmetic as
+    * every sampler here (exact BIGINT, engine-portable); split
+    * boundaries are integer percents. One narrow projection — no
+    * shuffle; downstream writers partition by the `split` column.
+    */
+  def hashSplit(df: DataFrame, idCol: String, textCol: String,
+                trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct ($trainPct) and trainPct+valPct < 100 (${trainPct + valPct})")
+    val h = md5(normalizeTextCol(col(textCol)))
+    df.select(col(idCol).as("id"), h.as("h"))
+      .withColumn("pct",
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("pct") < trainPct, "train")
+          .when(col("pct") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select("id", "h", "pct", "split")
+  }
+
   /** Word n-gram shingle set of a text column (distinct).
     *
     * NOTE array-expression form: Catalyst's CollapseProject inlines

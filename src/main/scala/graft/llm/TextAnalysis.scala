@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -562,4 +563,39 @@ object TextAnalysis {
         length(col("clean")).as("n_chars_clean"),
         (length(col("clean")).cast("double") / length(col("html")))
           .as("kept_frac"))
+
+  /** Grouped EXACT quantiles by nearest rank — the corpus-report
+    * primitive (doc-length distribution per source is the first table
+    * in every dataset card). Nearest-rank selection, not
+    * interpolation: the k-th smallest value with k = ⌈p·n⌉, computed
+    * in INTEGER arithmetic (`(n·num + den − 1) div den`) so there is
+    * no float p·n to round differently across engines — the result is
+    * an actual corpus value, bit-exact everywhere.
+    *
+    * Why not `percentile_approx`: at 100 TB the approx sketch is the
+    * right default for dashboards, but its output is
+    * algorithm-defined (GK sketch internals), so no independent
+    * engine can verify it. This exact form costs ONE per-group sort
+    * (window) — for the grouped-report shape (many small groups) the
+    * sort parallelizes across groups and is cheap; for a single
+    * billion-row group reach for the sketch and give up the oracle.
+    *
+    * `quantiles` are (label, numerator) with denominator 100, e.g.
+    * ("p50", 50). One window pass; one filter per requested quantile
+    * over the same frame; per-group joins on the tiny result. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       quantiles: Seq[(String, Int)]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val counts = ranked.filter(col("_rn") === 1)
+      .select(col(groupCol), col("_n").as("n_docs"))
+    quantiles.foldLeft(counts) { case (acc, (label, num)) =>
+      val picked = ranked
+        .filter(col("_rn") === expr(s"(_n * $num + 99) div 100"))
+        .select(col(groupCol), col(valueCol).as(label))
+      acc.join(picked, groupCol)
+    }
+  }
 }

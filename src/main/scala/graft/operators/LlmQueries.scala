@@ -743,6 +743,39 @@ object LlmQueries {
         "source", "doc_id", budget = 250)
       .orderBy("stratum")
 
+  /** q134 grouped exact length quantiles
+    * ([[graft.llm.TextAnalysis.groupedQuantiles]]): nearest-rank
+    * p50/p90/p99 of `n_chars` per source — the dataset-card corpus
+    * report, selected in integer arithmetic so both engines pick the
+    * identical corpus value (no interpolation, no float p·n).
+    */
+  def q134(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.groupedQuantiles(
+        Tables.documents(s, d).select("source", "n_chars"),
+        "source", "n_chars", Seq(("p50", 50), ("p90", 90), ("p99", 99)))
+      .orderBy("source")
+
+  /** q135 dedup-aware hash split
+    * ([[graft.llm.Dedup.hashSplit]]): 80/10/10 train/val/test
+    * assignment keyed on the hash of the NORMALIZED content (not the
+    * doc id), so duplicate content provably lands in one split; the
+    * query audits exactly that — `n_leaky_groups` counts content
+    * groups straddling splits and must be 0 by construction. The
+    * oracle replays assignment and audit.
+    */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val a = Dedup.hashSplit(Tables.documents(s, d), "doc_id", "text",
+      trainPct = 80, valPct = 10)
+    val leaks = a.groupBy("h")
+      .agg(countDistinct("split").as("ns"))
+      .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_leaky_groups"))
+    a.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("h").as("n_groups"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("split")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -957,6 +990,8 @@ object LlmQueries {
     "q130_token_entropy" -> q130 _,
     "q132_bigram_backoff" -> q132 _,
     "q133_html_extract" -> q133 _,
+    "q134_length_quantiles" -> q134 _,
+    "q135_hash_split" -> q135 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1668,6 +1703,42 @@ object LlmQueries {
         |  GROUP BY d.source)
         |SELECT r.stratum, r.n_docs, r.rate, COALESCE(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN k ON r.stratum = k.stratum ORDER BY r.stratum""".stripMargin,
+
+    "q134_length_quantiles" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |c AS (SELECT source, n AS n_docs FROM r WHERE rn = 1),
+        |q50 AS (SELECT source, n_chars AS p50 FROM r WHERE rn = (n * 50 + 99) // 100),
+        |q90 AS (SELECT source, n_chars AS p90 FROM r WHERE rn = (n * 90 + 99) // 100),
+        |q99 AS (SELECT source, n_chars AS p99 FROM r WHERE rn = (n * 99 + 99) // 100)
+        |SELECT c.source, c.n_docs, q50.p50, q90.p90, q99.p99
+        |FROM c JOIN q50 USING (source) JOIN q90 USING (source) JOIN q99 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    "q135_hash_split" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, h, CAST('0x' || substr(h, 1, 15) AS BIGINT) % 100 AS pct
+        |  FROM a),
+        |c AS (
+        |  SELECT doc_id, h,
+        |         CASE WHEN pct < 80 THEN 'train'
+        |              WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b),
+        |l AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |           AS n_leaky_groups
+        |  FROM (SELECT h, COUNT(DISTINCT split) AS ns FROM c GROUP BY h))
+        |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_groups,
+        |       l.n_leaky_groups
+        |FROM c CROSS JOIN l GROUP BY split, l.n_leaky_groups ORDER BY split""".stripMargin,
 
     "q119_image_hash_dedup" ->
       """WITH hk(k, ahash) AS (VALUES

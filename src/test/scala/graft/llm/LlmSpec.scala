@@ -1036,6 +1036,34 @@ class LlmSpec extends SparkSpec {
     assert(self == 0L)
   }
 
+  test("groupedQuantiles: nearest-rank picks actual values; ties and tiny groups exact") {
+    val d = (1 to 10).map(i => ("a", i.toLong)) ++ Seq(("b", 5L), ("b", 5L), ("b", 7L))
+    val got = TextAnalysis.groupedQuantiles(d.toDF("source", "n_chars"),
+        "source", "n_chars", Seq(("p50", 50), ("p90", 90), ("p99", 99)))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // group a: 1..10 -> k50 = ceil(5.0) = 5, k90 = 9, k99 = ceil(9.9) = 10
+    assert(got(0) == (("a", 10L, 5L, 9L, 10L)))
+    // group b: [5,5,7] -> k50 = ceil(1.5) = 2 -> 5; k90 = ceil(2.7) = 3 -> 7
+    assert(got(1) == (("b", 3L, 5L, 7L, 7L)))
+  }
+
+  test("hashSplit: content-keyed, so duplicates land in one split; bounds respected") {
+    val d = Seq(
+      (0L, "The quick brown fox!"),
+      (1L, "the quick  brown fox"), // normalization-equal to 0 -> same split
+      (2L, "an entirely different document"),
+      (3L, "yet another one here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.hashSplit(d, "doc_id", "text", trainPct = 80, valPct = 10)
+      .as[(Long, String, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 == got(1L)._2 && got(0L)._4 == got(1L)._4) // same hash, same split
+    assert(got.values.forall(r => r._3 >= 0 && r._3 < 100))
+    assert(got.values.map(_._4).toSet.subsetOf(Set("train", "val", "test")))
+    intercept[IllegalArgumentException](
+      Dedup.hashSplit(d, "doc_id", "text", trainPct = 90, valPct = 10))
+  }
+
   test("htmlExtract: script/style/comment bodies die, tags strip, entities decode, yield sane") {
     val d = Seq(
       (0L, "<html><head><script>var a = 1 < 2 && x > 0;</script></head>" +
