@@ -413,6 +413,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** LSH calibration report — the tuning instrument for every MinHash
+    * parameter choice in this file: over the BANDED CANDIDATE pairs
+    * (the same generation as [[minhashLsh]], so the report measures
+    * the estimator exactly where the pipeline uses it), compare the
+    * signature-component Jaccard ESTIMATE (matching minima / k — the
+    * textbook unbiased estimator) against the EXACT shingle Jaccard,
+    * bucketed by exact-Jaccard decile:
+    * (decile, n_pairs, mean_est, mean_exact, mean_abs_err). A
+    * well-calibrated sketch shows mean_est ≈ mean_exact per decile;
+    * widening |err| at low deciles is the signal to raise k, missing
+    * low-decile mass entirely is the band/row trade biting (recall
+    * loss the report cannot see — pair generation is band-gated by
+    * construction, which is also why it stays CHEAP at scale).
+    *
+    * Determinism: per-pair doubles are fine (both engines do the same
+    * IEEE ops on the same values) but group MEANS are not (double
+    * addition is order-sensitive) — so every averaged quantity rides
+    * as an integer (`matches` itself; `floor(x·2²⁰)` for
+    * exact/|err|), is SUMMED as BIGINT (order-free), and divides once
+    * at the end — the q98 convention applied to aggregate reporting.
+    *
+    * Scale shape: [[signatureAgg]]'s single materialized frame feeds
+    * band explode AND both verify sides; candidates (not all pairs)
+    * pay the signature-compare; one small group-by on the decile key.
+    */
+  def lshCalibration(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 16, bands: Int = 4,
+                     shingleLen: Int = 3): DataFrame = {
+    val Fp = 1048576.0 // 2^20
+    val rowsPerBand = numHashes / bands
+    val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
+    val banded = bandedOf(agg, bands, rowsPerBand)
+    val pairs = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    def side(tag: String) = agg.select(
+      col("id").as(s"id_$tag") +: col("sh").as(s"sh_$tag") +:
+        (0 until numHashes).map(k => col(s"mh$k").as(s"${tag}$k")): _*)
+    pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .withColumn("matches",
+        (0 until numHashes).map(k =>
+          when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("exact", col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .withColumn("est", col("matches") / lit(numHashes.toDouble))
+      .select(
+        least(floor(col("exact") * 10).cast("long"), lit(9L)).cast("int").as("decile"),
+        col("matches").cast("long").as("m"),
+        floor(col("exact") * Fp).cast("long").as("exact_fp"),
+        floor(abs(col("est") - col("exact")) * Fp).cast("long").as("err_fp"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("m").as("sum_m"), sum("exact_fp").as("sum_exact"),
+        sum("err_fp").as("sum_err"))
+      .select(col("decile"), col("n_pairs"),
+        (col("sum_m").cast("double") / numHashes / col("n_pairs")).as("mean_est"),
+        (col("sum_exact").cast("double") / Fp / col("n_pairs")).as("mean_exact"),
+        (col("sum_err").cast("double") / Fp / col("n_pairs")).as("mean_abs_err"))
+  }
+
   /** FUZZY cross-corpus decontamination: MinHash-banded train ×
     * benchmark join, exact-Jaccard verified — the paraphrase-leak
     * complement to [[decontaminate]]'s exact n-gram check (a

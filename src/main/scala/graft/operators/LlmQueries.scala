@@ -776,6 +776,29 @@ object LlmQueries {
       .orderBy("split")
   }
 
+  /** q136 LSH calibration report
+    * ([[graft.llm.Dedup.lshCalibration]]): over the q47 pipeline's
+    * own banded candidates, signature-estimated vs exact Jaccard
+    * bucketed by exact decile — the tuning instrument for every
+    * MinHash parameter in the dedup family. Averages ride as integer
+    * sums (matches; floor-2²⁰ fixed point) so group means are
+    * order-free in both engines; the oracle replays signatures,
+    * candidates and the same quantized arithmetic.
+    */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    // corpus ∪ half-prefix variants: the fixture's own duplicates are
+    // all near-exact (decile 9 only — a one-row report); the
+    // constructed prefixes share roughly half their shingles with the
+    // original, so the calibration table spans the mid deciles where
+    // an estimator actually earns its keep
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val u = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, length(text) DIV 2)").as("text")))
+    Dedup.lshCalibration(u, "doc_id", "text")
+      .orderBy("decile")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -992,6 +1015,7 @@ object LlmQueries {
     "q133_html_extract" -> q133 _,
     "q134_length_quantiles" -> q134 _,
     "q135_hash_split" -> q135 _,
+    "q136_lsh_calibration" -> q136 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1703,6 +1727,56 @@ object LlmQueries {
         |  GROUP BY d.source)
         |SELECT r.stratum, r.n_docs, r.rate, COALESCE(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN k ON r.stratum = k.stratum ORDER BY r.stratum""".stripMargin,
+
+    "q136_lsh_calibration" ->
+      (s"""WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, substr(text, 1, length(text) // 2) AS text
+          |  FROM documents),
+          |sh0 AS (
+          |  SELECT doc_id, $toksExpr AS w FROM corpus),
+          |sh AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+          |           i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1], w[CAST(i AS INTEGER) + 2]))) AS sh
+          |  FROM sh0),
+          |sig AS (
+          |  SELECT doc_id, sh,
+          |         list_transform(range(0, 16),
+          |           k -> list_aggregate(list_transform(sh,
+          |             s -> ((1 + ((k * 2654435761) % 2038074742))
+          |                     * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2038074743)
+          |                   + ((k * 40503 + 17) % 2038074743)) % 2038074743), 'min')) AS sigs
+          |  FROM sh),
+          |banded AS (
+          |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
+          |         md5(CAST(sigs[CAST(b AS INTEGER) * 4 + 1] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 2] AS VARCHAR) || '|'
+          |             || CAST(sigs[CAST(b AS INTEGER) * 4 + 3] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 4] AS VARCHAR)) AS bkey
+          |  FROM sig CROSS JOIN range(0, 4) t(b)),
+          |""".stripMargin +
+      """pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT len(list_filter(range(0, 16),
+         |           k -> sa.sigs[CAST(k AS INTEGER) + 1] = sb.sigs[CAST(k AS INTEGER) + 1])) AS m,
+         |         len(list_intersect(sa.sh, sb.sh)) AS i,
+         |         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u
+         |  FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id
+         |       JOIN sig sb ON p.id_b = sb.doc_id),
+         |r AS (
+         |  SELECT CAST(least(CAST(floor((CAST(i AS DOUBLE) / u) * 10) AS BIGINT), 9) AS INTEGER) AS decile,
+         |         m,
+         |         CAST(floor((CAST(i AS DOUBLE) / u) * 1048576.0) AS BIGINT) AS exact_fp,
+         |         CAST(floor(abs(m / 16.0 - CAST(i AS DOUBLE) / u) * 1048576.0) AS BIGINT) AS err_fp
+         |  FROM j)
+         |SELECT decile, COUNT(*) AS n_pairs,
+         |       CAST(SUM(m) AS DOUBLE) / 16 / COUNT(*) AS mean_est,
+         |       CAST(SUM(exact_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_exact,
+         |       CAST(SUM(err_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_abs_err
+         |FROM r GROUP BY decile ORDER BY decile""".stripMargin),
 
     "q134_length_quantiles" ->
       """WITH r AS (

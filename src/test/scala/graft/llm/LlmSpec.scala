@@ -1036,6 +1036,24 @@ class LlmSpec extends SparkSpec {
     assert(self == 0L)
   }
 
+  test("lshCalibration: exact dups estimate 1.0; deciles bounded; integer means") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different words about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshCalibration(d, "doc_id", "text")
+      .orderBy("decile")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(got.forall(r => r._3 >= 0 && r._3 <= 1 && r._4 >= 0 && r._4 <= 1))
+    // the exact-dup pair (0,1) lands in decile 9 with est = exact = 1, err 0
+    val top = got.last
+    assert(top._1 == 9 && top._3 == 1.0 && top._4 == 1.0 && top._5 == 0.0)
+  }
+
   test("groupedQuantiles: nearest-rank picks actual values; ties and tiny groups exact") {
     val d = (1 to 10).map(i => ("a", i.toLong)) ++ Seq(("b", 5L), ("b", 5L), ("b", 7L))
     val got = TextAnalysis.groupedQuantiles(d.toDF("source", "n_chars"),
