@@ -413,6 +413,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Paragraph-level duplication stats — the RefinedWeb/Dolma
+    * line-dedup signal, structure-aware where [[substring-window
+    * q94]] is byte-window-blind: split each document into paragraph
+    * units, hash each unit, count corpus-wide occurrences, and report
+    * per doc how much of it is made of paragraphs that appear
+    * elsewhere (boilerplate headers, license blocks, navigation text
+    * — the mass a paragraph-dedup pass would strip). The fixture
+    * corpus carries no newline structure, so the unit boundary is the
+    * sentence seam `". "`; a real crawl passes `"\n\n?"`. Units
+    * shorter than `minLen` are noise (stub sentences, initials) and
+    * are excluded on BOTH the count and report sides.
+    *
+    * Scale shape: one generate (explode) keyed by the paragraph hash
+    * — bounded-width shuffle key, work linear in corpus paragraphs;
+    * the occurrence table joins back on the same key (no broadcast:
+    * the paragraph table is corpus-sized), then one doc-keyed
+    * aggregation. The same three-stage shape as q94.
+    */
+  def paragraphDupStats(df: DataFrame, idCol: String, textCol: String,
+                        splitPattern: String = "\\. ",
+                        minLen: Int = 20): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id")) // single-file inputs otherwise serialize the split
+      .select(col("id"), explode(split(col("text"), splitPattern)).as("p"))
+      .filter(length(col("p")) >= minLen)
+      .select(col("id"), md5(col("p")).as("h"))
+    val occ = paras.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    paras.join(occ, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .select(col("id"), col("n_paras"), col("n_dup_paras"),
+        (col("n_dup_paras").cast("double") / col("n_paras")).as("dup_frac"))
+  }
+
   /** LSH calibration report — the tuning instrument for every MinHash
     * parameter choice in this file: over the BANDED CANDIDATE pairs
     * (the same generation as [[minhashLsh]], so the report measures

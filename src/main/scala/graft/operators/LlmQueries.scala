@@ -799,6 +799,19 @@ object LlmQueries {
       .orderBy("decile")
   }
 
+  /** q137 paragraph-dedup mass
+    * ([[graft.llm.Dedup.paragraphDupStats]]): sentence-seam units
+    * (the fixture has no newline structure), md5-keyed corpus
+    * occurrence counts, per-doc duplicated-paragraph fraction — the
+    * structure-aware complement of q94's byte windows. Oracle replays
+    * split, length floor, hash, and the occurrence join.
+    */
+  def q137(s: SparkSession, d: String): DataFrame =
+    Dedup.paragraphDupStats(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_paras"), col("n_dup_paras"),
+        col("dup_frac"))
+      .orderBy("doc_id")
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1016,6 +1029,7 @@ object LlmQueries {
     "q134_length_quantiles" -> q134 _,
     "q135_hash_split" -> q135 _,
     "q136_lsh_calibration" -> q136 _,
+    "q137_paragraph_dedup" -> q137 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1777,6 +1791,20 @@ object LlmQueries {
          |       CAST(SUM(exact_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_exact,
          |       CAST(SUM(err_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_abs_err
          |FROM r GROUP BY decile ORDER BY decile""".stripMargin),
+
+    "q137_paragraph_dedup" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS p FROM documents),
+        |p AS (
+        |  SELECT doc_id, md5(p) AS h FROM p0 WHERE length(p) >= 20),
+        |occ AS (SELECT h, COUNT(*) AS n_occ FROM p GROUP BY h),
+        |a AS (
+        |  SELECT doc_id, COUNT(*) AS n_paras,
+        |         CAST(SUM(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+        |  FROM p JOIN occ USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_paras, n_dup_paras,
+        |       CAST(n_dup_paras AS DOUBLE) / n_paras AS dup_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q134_length_quantiles" ->
       """WITH r AS (

@@ -1036,6 +1036,23 @@ class LlmSpec extends SparkSpec {
     assert(self == 0L)
   }
 
+  test("paragraphDupStats: shared paragraphs counted, short units excluded, clean docs zero") {
+    val boiler = "all rights reserved by the publisher"
+    val d = Seq(
+      (0L, s"unique opening sentence of the first doc. $boiler. and a closing thought here"),
+      (1L, s"a different opening for the second doc. $boiler. another unique ending sentence"),
+      (2L, "totally original text with no shared paragraphs at all"),
+      (3L, "ok. hi. no")) // every unit under minLen -> absent from output
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDupStats(d, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(got(0) == ((0L, 3L, 1L, 1.0 / 3)))  // the boilerplate unit is shared
+    assert(got(1) == ((1L, 3L, 1L, 1.0 / 3)))
+    assert(got(2) == ((2L, 1L, 0L, 0.0)))
+  }
+
   test("lshCalibration: exact dups estimate 1.0; deciles bounded; integer means") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
