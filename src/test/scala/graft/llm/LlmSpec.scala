@@ -1036,6 +1036,31 @@ class LlmSpec extends SparkSpec {
     assert(self == 0L)
   }
 
+  test("aHash of the q119 fixture patterns equals the committed oracle constants") {
+    // locks the Scala pipeline (pattern render -> PNG encode -> decode
+    // -> aHash) to the 7 constants the q119 oracle embeds (derived
+    // independently by tools/q119_ahash_oracle.py) — a drift in either
+    // the fixture formula or the hash fails HERE, not at driver time
+    val expected = Map(
+      0L -> 4379601722262086460L, 1L -> -8680820740569200761L,
+      2L -> 6245319962565193046L, 3L -> 5504566643220138316L,
+      4L -> -72056498821201921L, 5L -> 3921748740079983414L,
+      6L -> -6509625287690119771L)
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.syntheticPngMedia(
+        (0L to 6L).toDF("doc_id"))
+      .as[Multimodal.MediaRow].collect()
+    for (r <- media) {
+      val h = Multimodal.aHashOf(r.payload)
+      assert(h.contains(expected(r.media_id % 7)), s"doc ${r.media_id}")
+    }
+    // and the odd-id brightness-shifted twins collapse onto the same constants
+    val shifted = Multimodal.syntheticPngMedia((7L to 13L).toDF("doc_id"))
+      .as[Multimodal.MediaRow].collect()
+    for (r <- shifted)
+      assert(Multimodal.aHashOf(r.payload).contains(expected(r.media_id % 7)))
+  }
+
   test("paragraphDupStats: shared paragraphs counted, short units excluded, clean docs zero") {
     val boiler = "all rights reserved by the publisher"
     val d = Seq(
@@ -1069,6 +1094,26 @@ class LlmSpec extends SparkSpec {
     // the exact-dup pair (0,1) lands in decile 9 with est = exact = 1, err 0
     val top = got.last
     assert(top._1 == 9 && top._3 == 1.0 && top._4 == 1.0 && top._5 == 0.0)
+  }
+
+  test("groupedQuantiles: random groups agree with local nearest-rank selection") {
+    val rnd = new scala.util.Random(42)
+    val groups = (0 until 30).map { g =>
+      g.toString -> Seq.fill(1 + rnd.nextInt(50))(rnd.nextInt(1000).toLong)
+    }
+    val df = groups.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("source", "n_chars")
+    val got = TextAnalysis.groupedQuantiles(df, "source", "n_chars",
+        Seq(("p50", 50), ("p90", 90), ("p99", 99)))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((g, vs) <- groups) {
+      val sorted = vs.sorted
+      def nr(p: Int) = sorted(((vs.size.toLong * p + 99) / 100).toInt - 1)
+      val r = got(g)
+      assert(r._2 == vs.size.toLong, s"group $g count")
+      assert((r._3, r._4, r._5) == ((nr(50), nr(90), nr(99))), s"group $g quantiles")
+    }
   }
 
   test("groupedQuantiles: nearest-rank picks actual values; ties and tiny groups exact") {
