@@ -41,7 +41,7 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    interleave q129, token-entropy quality q130, bigram
   *    Stupid-Backoff LM on a held-out split q132, HTML boilerplate
   *    extraction q133, grouped exact length quantiles q134,
-  *    dedup-aware content-hash split + leakage audit q135, LSH calibration report q136, paragraph-dedup mass q137
+  *    dedup-aware content-hash split + leakage audit q135, LSH calibration report q136, paragraph-dedup mass q137, streaming-LSH ingest candidates q138 (stream≡batch)
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,

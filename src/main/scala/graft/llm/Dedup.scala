@@ -276,16 +276,12 @@ object Dedup {
         (col("n_shared").cast("double") / col("n_windows")).as("shared_frac"))
   }
 
-  /** One salted minhash value: the first 15 hex chars (60 bits) of the
-    * salted md5, as a BIGINT. Numeric on purpose: `min` over longs
-    * aggregates in HashAggregate (primitive mutable buffer), while
-    * `min` over the hex *string* falls back to SortAggregate — a full
-    * sort of the doc×salt×shingle table (measured 28.8 s vs ~4 s at
-    * 5000 docs). DuckDB mirrors via `('0x' || substr(md5(..),1,15))::BIGINT`.
-    */
-  def minhashValCol(salt: Column, shingle: Column): Column =
-    conv(substring(md5(concat(salt.cast("string"), lit(":"), shingle)), 1, 15), 16, 10)
-      .cast("long")
+  // (the legacy per-salt md5 minhash — `md5(salt:shingle)` per (k,
+  // shingle) — was removed in round 10 when minhashSigCol switched to
+  // the affine family below; hashes stay numeric BIGINTs on purpose:
+  // `min` over longs aggregates in HashAggregate, while min over hex
+  // strings falls back to a full-sort SortAggregate — measured 28.8 s
+  // vs ~4 s at 5000 docs)
 
   /** Universal-hash prime (< 2³¹, so aₖ·x stays inside a long). */
   val MinhashP: Long = 2038074743L
@@ -307,11 +303,21 @@ object Dedup {
     (lit(a) * base + lit(b)) % MinhashP
   }
 
-  /** MinHash signature: `numHashes` salted minima over the shingle set. */
-  def minhashSigCol(shingles: Column, numHashes: Int): Column =
+  /** MinHash signature: `numHashes` minima over the shingle set —
+    * the PER-ROW form (no corpus shuffle; what the streaming LSH
+    * detector rides). Round 10: switched from per-salt md5s to the
+    * SAME affine universal-hash family as [[signatureAgg]]/the
+    * oracles, so the per-row and relational pipelines produce
+    * bit-identical signatures (q138 gates this; the legacy per-salt
+    * form silently diverged). The base md5 is digested once per
+    * shingle via a nested transform, then the k affine transforms
+    * fold over the base array. */
+  def minhashSigCol(shingles: Column, numHashes: Int): Column = {
+    val bases = transform(shingles, s => minhashBaseCol(s))
     array((0 until numHashes).map { k =>
-      array_min(transform(shingles, s => minhashValCol(lit(k), s)))
+      array_min(transform(bases, b => minhashAffineCol(k, b)))
     }: _*)
+  }
 
   /** LSH band keys: split the signature into `bands` bands of
     * `rowsPerBand` and hash each band. Docs sharing any band key are

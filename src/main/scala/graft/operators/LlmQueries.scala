@@ -812,6 +812,23 @@ object LlmQueries {
         col("dup_frac"))
       .orderBy("doc_id")
 
+  /** q138 LSH candidate generation, ingest shape
+    * ([[graft.streaming.EventStream.streamingLshCandidates]] batch
+    * twin — the stream≡batch equality itself is asserted in
+    * EventStreamSpec): per-row signatures + band keys (no corpus
+    * shuffle — what makes the op streamable), earliest bucket
+    * occupant retained, every later arrival emitted as a candidate
+    * against it. `ts` is derived from `doc_id` so the arrival order
+    * is deterministic and the oracle's bucket-first is a plain MIN.
+    */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      timestamp_seconds(col("doc_id")).as("ts"), col("text"))
+    graft.streaming.EventStream.streamingLshCandidates(
+        docs, "doc_id", "text", "ts")
+      .orderBy("doc_id", "band")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1030,6 +1047,7 @@ object LlmQueries {
     "q135_hash_split" -> q135 _,
     "q136_lsh_calibration" -> q136 _,
     "q137_paragraph_dedup" -> q137 _,
+    "q138_lsh_ingest" -> q138 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1791,6 +1809,15 @@ object LlmQueries {
          |       CAST(SUM(exact_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_exact,
          |       CAST(SUM(err_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_abs_err
          |FROM r GROUP BY decile ORDER BY decile""".stripMargin),
+
+    "q138_lsh_ingest" ->
+      (s"WITH $minhashBandedCte,\n" +
+      """b2 AS (
+         |  SELECT doc_id, band, CAST(band AS VARCHAR) || ':' || bkey AS bkey,
+         |         MIN(doc_id) OVER (PARTITION BY band, bkey) AS first_id
+         |  FROM banded)
+         |SELECT doc_id, first_id, band, bkey
+         |FROM b2 WHERE doc_id <> first_id ORDER BY doc_id, band""".stripMargin),
 
     "q137_paragraph_dedup" ->
       """WITH p0 AS (

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -118,6 +119,89 @@ object EventStream {
       keyed.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark("content_key")
     else keyed.dropDuplicates("content_key")
+  }
+
+  /** A banded document row feeding [[streamingLshCandidates]]. */
+  final case class BandedDoc(doc_id: Long, ts: Timestamp, band: Int, bkey: String)
+
+  /** An ingest-time near-dup candidate: `doc_id` collided with the
+    * bucket whose first (retained) occupant is `first_id`. */
+  final case class LshCandidate(doc_id: Long, first_id: Long, band: Int, bkey: String)
+
+  /** Streaming MinHash-LSH candidate detection — the near-dup face of
+    * [[streamingDedup]] and the streaming twin of the q47 batch
+    * pipeline's GENERATION stage: each arriving document computes its
+    * signature and band keys PER ROW (the [[graft.llm.Dedup]] column
+    * forms — no corpus shuffle, which is what makes it streamable),
+    * and a per-bucket `flatMapGroupsWithState` emits a candidate row
+    * whenever a later document lands in a bucket some earlier
+    * document already claimed. State is ONE doc id per occupied
+    * bucket, evicted by event-time timeout at the watermark horizon —
+    * bounded at any stream length.
+    *
+    * Contract notes: this is the candidate-GENERATION stage only —
+    * the exact-Jaccard verify needs both texts and stays a batch join
+    * downstream (`Dedup.minhashLsh` semantics; at ingest you quarantine
+    * candidates, you don't drop them). A pair colliding in several
+    * bands emits once per band (same multiplicity the batch band
+    * explode produces before its `distinct()`); dedup after the
+    * verify join as the batch pipeline does. On a BATCH frame the
+    * same call degrades to the window form (earliest `(ts, doc_id)`
+    * per bucket is the retained occupant) — one definition, two
+    * runners, equality asserted in EventStreamSpec.
+    */
+  def streamingLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, watermark: String = "1 hour",
+                             numHashes: Int = 16, bands: Int = 4,
+                             shingleLen: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val sig = graft.llm.Dedup.minhashSigCol(
+      graft.llm.Dedup.shinglesCol(col(textCol), shingleLen), numHashes)
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        posexplode(graft.llm.Dedup.bandKeysCol(sig, bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+      // the band index rides inside the state key so band-b buckets
+      // never alias band-b' buckets with equal minima hashes
+      .select(col("doc_id"), col("ts"), col("band").cast("int").as("band"),
+        concat_ws(":", col("band").cast("string"), col("bkey")).as("bkey"))
+    if (banded.isStreaming) {
+      def handle(key: String, rows: Iterator[BandedDoc],
+                 state: GroupState[Long]): Iterator[LshCandidate] = {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          // arrival order within a micro-batch is not defined; (ts, id)
+          // makes the retained occupant deterministic — the same order
+          // the batch twin's struct-min uses
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+          var first = state.getOption.getOrElse(-1L)
+          val out = Seq.newBuilder[LshCandidate]
+          for (r <- sorted) {
+            if (first < 0) first = r.doc_id
+            else if (r.doc_id != first)
+              out += LshCandidate(r.doc_id, first, r.band, key)
+          }
+          state.update(first)
+          state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max, watermark)
+          out.result().iterator
+        }
+      }
+      banded.withWatermark("ts", watermark)
+        .as[BandedDoc]
+        .groupByKey(_.bkey)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(handle)
+        .toDF()
+    } else {
+      val w = Window.partitionBy("bkey")
+      banded
+        .withColumn("first_id",
+          min(struct(col("ts"), col("doc_id"))).over(w).getField("doc_id"))
+        .filter(col("doc_id") =!= col("first_id"))
+        .select(col("doc_id"), col("first_id"), col("band"), col("bkey"))
+    }
   }
 
   /** Watermarked stream-stream interval join (click attribution): each

@@ -177,6 +177,40 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.count() == 2)
   }
 
+  test("streaming LSH candidates equal the batch twin; state survives micro-batch seams") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // 1 and 3 are exact dups (every band collides); 2 is unrelated;
+    // 5 arrives a LATER micro-batch and still collides with 1's buckets
+    val fix = Seq(
+      (1L, t(1), "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, t(2), "completely different words about spark shuffles and joins here"),
+      (3L, t(3), "the quick brown fox jumps over the lazy dog again and again"))
+    val late = Seq(
+      (5L, t(10), "the quick brown fox jumps over the lazy dog again and again"))
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.streamingLshCandidates(
+        stream.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("lsh_cand")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      stream.addData(fix); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      val streamed = spark.table("lsh_cand")
+        .select("doc_id", "first_id", "band", "bkey")
+        .orderBy("doc_id", "band").collect().toSeq
+      val batch = EventStream.streamingLshCandidates(
+          (fix ++ late).toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+        .orderBy("doc_id", "band").collect().toSeq
+      assert(streamed == batch)
+      // exact dups collide in all 4 bands, each pairing back to doc 1
+      val byDoc = streamed.groupBy(_.getAs[Long]("doc_id"))
+      assert(byDoc(3L).size == 4 && byDoc(3L).forall(_.getAs[Long]("first_id") == 1L))
+      assert(byDoc(5L).size == 4 && byDoc(5L).forall(_.getAs[Long]("first_id") == 1L))
+      assert(!byDoc.contains(2L)) // the unrelated doc never collides
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the batch twin; bounds inclusive") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val clicks = MemoryStream[Event]
