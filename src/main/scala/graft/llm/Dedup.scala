@@ -388,6 +388,21 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Relational signature pipeline → band-key rows (id, band, bkey):
+    * the [[signatureAgg]]+[[bandedOf]] chain exposed for consumers
+    * outside the LSH joins (the q138 ingest twin). Produces the SAME
+    * keys as the per-row [[minhashSigCol]]+[[bandKeysCol]] forms
+    * (shared affine hash family; equality spec-locked in
+    * EventStreamSpec) but ~an order of magnitude faster on a full
+    * corpus — array-expression shingling re-inlines per element and
+    * never enters whole-stage codegen, the relational form is one
+    * explode + one aggregation. */
+  def bandedKeys(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleLen: Int = 3): DataFrame =
+    bandedOf(signatureAgg(df, idCol, textCol, numHashes, shingleLen),
+      bands, numHashes / bands)
+
   /** Band keys of a [[signatureAgg]] frame: (id, band, bkey) rows. */
   private def bandedOf(agg: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     agg.select(col("id"),

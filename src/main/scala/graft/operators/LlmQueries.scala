@@ -815,11 +815,14 @@ object LlmQueries {
   /** q138 LSH candidate generation, ingest shape
     * ([[graft.streaming.EventStream.streamingLshCandidates]] batch
     * twin — the stream≡batch equality itself is asserted in
-    * EventStreamSpec): per-row signatures + band keys (no corpus
-    * shuffle — what makes the op streamable), earliest bucket
-    * occupant retained, every later arrival emitted as a candidate
-    * against it. `ts` is derived from `doc_id` so the arrival order
-    * is deterministic and the oracle's bucket-first is a plain MIN.
+    * EventStreamSpec): earliest bucket occupant retained, every later
+    * arrival emitted as a candidate against it. The batch runner uses
+    * the relational signature pipeline (per-row array-expression
+    * signatures are the streaming strategy for small micro-batches;
+    * on a full corpus they measured 20+ min vs ~2 s — the array-form
+    * re-inlining trap, see the EventStream scaladoc). `ts` is derived
+    * from `doc_id` so the arrival order is deterministic and the
+    * oracle's bucket-first is a plain MIN.
     */
   def q138(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"),

@@ -157,17 +157,23 @@ object EventStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val sig = graft.llm.Dedup.minhashSigCol(
-      graft.llm.Dedup.shinglesCol(col(textCol), shingleLen), numHashes)
-    val banded = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
-        posexplode(graft.llm.Dedup.bandKeysCol(sig, bands, rowsPerBand))
-          .as(Seq("band", "bkey")))
-      // the band index rides inside the state key so band-b buckets
-      // never alias band-b' buckets with equal minima hashes
+    // the band index rides inside the state/window key so band-b
+    // buckets never alias band-b' buckets with equal minima hashes
+    def keyed(df: DataFrame): DataFrame = df
       .select(col("doc_id"), col("ts"), col("band").cast("int").as("band"),
         concat_ws(":", col("band").cast("string"), col("bkey")).as("bkey"))
-    if (banded.isStreaming) {
+    if (docs.isStreaming) {
+      // streaming strategy: signatures + band keys PER ROW (the
+      // Dedup column forms) — a micro-batch is small, and per-row
+      // evaluation needs no shuffle before the stateful op. The
+      // repartition still spreads a one-partition micro-batch so the
+      // signature work isn't pinned to one task.
+      val sig = graft.llm.Dedup.minhashSigCol(
+        graft.llm.Dedup.shinglesCol(col(textCol), shingleLen), numHashes)
+      val banded = keyed(docs.repartition(col(idCol))
+        .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+          posexplode(graft.llm.Dedup.bandKeysCol(sig, bands, rowsPerBand))
+            .as(Seq("band", "bkey"))))
       def handle(key: String, rows: Iterator[BandedDoc],
                  state: GroupState[Long]): Iterator[LshCandidate] = {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -195,6 +201,18 @@ object EventStream {
           GroupStateTimeout.EventTimeTimeout)(handle)
         .toDF()
     } else {
+      // batch strategy: the RELATIONAL signature pipeline (the q47
+      // machinery) — identical band keys by construction (shared
+      // affine family; stream≡batch asserted in EventStreamSpec), but
+      // one explode + one aggregation instead of per-row array
+      // expressions, which re-inline per element, never enter
+      // whole-stage codegen, and measured 20+ minutes on a full
+      // corpus where this form takes ~2 s
+      val banded = keyed(
+        graft.llm.Dedup.bandedKeys(docs, idCol, textCol, numHashes, bands, shingleLen)
+          .select(col("id").as("doc_id"), col("band"), col("bkey"))
+          .join(docs.select(col(idCol).cast("long").as("doc_id"),
+            col(tsCol).as("ts")), "doc_id"))
       val w = Window.partitionBy("bkey")
       banded
         .withColumn("first_id",
