@@ -841,4 +841,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Corpus snapshot diff — the incremental-ingest audit: two corpus
+    * versions full-outer-joined on the document id, classified by
+    * content hash into `added` (id only in the new snapshot),
+    * `removed` (only in the old), `changed` (both, md5 differs) and
+    * `unchanged`, with per-status document counts and character mass
+    * on each side. This is the report an append-mostly 100 TB corpus
+    * store runs between crawls to size the re-processing wave (only
+    * `added`+`changed` re-enter the dedup/quality pipeline).
+    *
+    * Scale shape: ONE full-outer hash join on the id (both sides
+    * shuffle-partitioned by the join key — co-partitioned at rest if
+    * the store bucketed by id, in which case the exchange vanishes),
+    * then a 4-row aggregate. Content equality rides on md5, so the
+    * wide text columns never shuffle — only (id, hash, length).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def keyed(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"),
+      length(col(textCol)).cast("long").as("n"))
+    val j = keyed(oldDf).alias("o")
+      .join(keyed(newDf).alias("n"), col("o.id") === col("n.id"), "full_outer")
+    j.select(
+        when(col("o.id").isNull, "added")
+          .when(col("n.id").isNull, "removed")
+          .when(col("o.h") =!= col("n.h"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("o.n"), lit(0L)).as("chars_old"),
+        coalesce(col("n.n"), lit(0L)).as("chars_new"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars_old").as("chars_old"),
+        sum("chars_new").as("chars_new"))
+  }
 }

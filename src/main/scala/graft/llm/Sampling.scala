@@ -190,4 +190,60 @@ object Sampling {
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Concat-and-chunk accounting — the GPT-style pretraining sequence
+    * construction: docs are hash-routed to shards, concatenated in
+    * deterministic md5 order with one EOD token appended to each, and
+    * the shard's token stream is cut into fixed `seqLen` training
+    * sequences. Reports, per shard, what that construction costs:
+    * how many sequences come out, how many docs straddle a sequence
+    * boundary (their content gets split across two training examples
+    * — the cross-doc-attention / truncation signal), and the tail
+    * padding wasted in the shard's last sequence.
+    *
+    * Where [[packBins]] assigns each doc to the bin where it STARTS
+    * (document-atomic packing, padding between docs), this operator
+    * models the concatenate-then-split discipline (no padding except
+    * the shard tail, docs split at boundaries) — the two standard
+    * disciplines, as one assignment operator and one accounting
+    * operator.
+    *
+    * Scale shape: one window shuffle keyed on the shard (pick shards ≈
+    * cluster cores), then a ≤`shards`-row aggregate. The boundary test
+    * stays in integer arithmetic — `start div L` vs `(end-1) div L`
+    * over cumulative sums — so any engine replays it exactly.
+    */
+  def concatChunkStats(df: DataFrame, keyCol: Column, tokenCol: Column,
+                       seqLen: Long, shards: Int = 8): DataFrame = {
+    require(seqLen > 0 && shards > 0,
+      s"seqLen and shards must be positive, got seqLen=$seqLen shards=$shards")
+    val k = col("_k")
+    val shard = pmod(conv(substring(md5(k.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(shards.toLong))
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(k.cast("string")), k)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(keyCol.as("_k"), tokenCol.cast("long").as("_n"))
+      .withColumn("shard", shard)
+      // +1: every doc contributes its tokens plus one EOD separator
+      .withColumn("_cum", sum(col("_n") + lit(1L)).over(w))
+      .withColumn("_start", col("_cum") - col("_n") - lit(1L))
+      // content straddles iff its first and last CONTENT token land in
+      // different sequences (EOD excluded; empty docs never straddle)
+      .withColumn("_straddle",
+        col("_n") > 0 &&
+          expr(s"_start div ${seqLen}L") =!=
+          expr(s"(_cum - 2) div ${seqLen}L"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("_cum").as("total_tokens"),
+        sum(when(col("_straddle"), 1L).otherwise(0L)).as("n_straddle"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${seqLen - 1}L) div ${seqLen}L"))
+      .withColumn("tail_pad",
+        col("n_seqs") * lit(seqLen) - col("total_tokens"))
+      .select("shard", "n_docs", "total_tokens", "n_seqs", "n_straddle",
+        "tail_pad")
+  }
 }

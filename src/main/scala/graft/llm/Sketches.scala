@@ -130,6 +130,58 @@ object Sketches {
         floor(lit(alphaM2Fp) / col("total_fp").cast("double")).cast("long"))
   }
 
+  /** Two-pass exact heavy hitters — the Misra-Gries sketch used the
+    * way a 100 TB pipeline actually uses it: pass 1 runs a
+    * capacity-`k` Misra-Gries summary INSIDE each partition
+    * (`mapPartitions`, O(k) state, no shuffle) and unions the
+    * surviving candidate keys; pass 2 exact-counts ONLY those
+    * candidates (a broadcast semi-join prunes the shuffle to ≤ k·P
+    * keys) and keeps keys with `cnt·k > N`, i.e. frequency > N/k.
+    *
+    * The per-partition MG guarantee (an item with local count
+    * > n_p/(k+1) always survives a capacity-k summary) plus the
+    * pigeonhole over partitions makes the candidate set a PROVEN
+    * superset of every key with global frequency > N/k — so the exact
+    * second pass returns exactly the true heavy-hitter set, bit-equal
+    * for any partitioning, which is what lets a deterministic oracle
+    * gate a sketch-pruned plan. Output: (tok, cnt, n_total).
+    *
+    * Scale shape: pass 1 is embarrassingly parallel with k-bounded
+    * state; pass 2 shuffles only candidate keys (≤ k·P rows after the
+    * map-side filter). The full-vocabulary groupBy this replaces is
+    * the thing that dies at 100 TB (token/URL/n-gram domains in the
+    * billions); here the shuffle volume is independent of vocabulary
+    * size.
+    */
+  def heavyHitters(toks: DataFrame, k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val ds = toks.select(col("tok").cast("string").as("tok")).as[String]
+    val cands = ds.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts(t) = c + 1
+          case None if counts.size < k => counts(t) = 1L
+          case None =>
+            // decrement-all: the O(k) amortized MG overflow step
+            val dead = counts.iterator
+              .filter { case (_, c) => c == 1L }.map(_._1).toArray
+            counts.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.select(col("tok").cast("string").as("tok"))
+      .join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k.toLong) > col("n_total"))
+  }
+
   /** Tie-corrected Mann-Whitney AUC of an integer score against a
     * boolean label, computed from the per-score-value histogram — no
     * pairwise join, no per-row global sort: one groupBy over distinct

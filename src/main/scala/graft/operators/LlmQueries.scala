@@ -832,6 +832,57 @@ object LlmQueries {
       .orderBy("doc_id", "band")
   }
 
+  /** q139 concat-chunk sequence accounting
+    * ([[graft.llm.Sampling.concatChunkStats]]): the GPT-style
+    * concatenate-then-split pretraining construction — docs hash-
+    * routed to 8 shards, concatenated in md5 order with an EOD token
+    * each, cut into 128-token sequences; per shard: sequences
+    * produced, docs straddling a sequence boundary, tail padding.
+    * The packing-discipline complement of q95 (document-atomic bins).
+    * Oracle replays the cumulative-sum window and the integer
+    * boundary test.
+    */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Sampling.concatChunkStats(docs, col("doc_id"),
+        TextAnalysis.tokenCountCol(col("text")), seqLen = 128L, shards = 8)
+      .orderBy("shard")
+  }
+
+  /** q140 sketch-pruned heavy hitters
+    * ([[graft.llm.Sketches.heavyHitters]]): tokens with corpus
+    * frequency > N/30 via per-partition Misra-Gries candidates + an
+    * exact candidate-only second pass — the shuffle never sees the
+    * full vocabulary, yet the MG superset guarantee makes the result
+    * exact and partitioning-independent, so a plain SQL frequency
+    * oracle gates the sketch-pruned plan.
+    */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+    Sketches.heavyHitters(toks, k = 30).orderBy("tok")
+  }
+
+  /** q141 corpus snapshot diff
+    * ([[graft.llm.Dedup.snapshotDiff]]): old snapshot = ids with
+    * `doc_id % 5 != 4`, new snapshot = ids with `doc_id % 5 != 0`
+    * where every `doc_id % 7 == 3` doc gained a ` [rev2]` suffix —
+    * so all four statuses (added/removed/changed/unchanged) appear.
+    * One full-outer join on the id, hashes instead of text on the
+    * wire, 4-row report. Oracle replays the join and the md5
+    * classification.
+    */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val oldSnap = docs.filter(col("doc_id") % 5 =!= 4)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy("status")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1051,6 +1102,9 @@ object LlmQueries {
     "q136_lsh_calibration" -> q136 _,
     "q137_paragraph_dedup" -> q137 _,
     "q138_lsh_ingest" -> q138 _,
+    "q139_concat_chunks" -> q139 _,
+    "q140_heavy_hitters" -> q140 _,
+    "q141_snapshot_diff" -> q141 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1821,6 +1875,61 @@ object LlmQueries {
          |  FROM banded)
          |SELECT doc_id, first_id, band, bkey
          |FROM b2 WHERE doc_id <> first_id ORDER BY doc_id, band""".stripMargin),
+
+    "q141_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+        |new AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (
+        |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |         COALESCE(length(o.text), 0) AS chars_old,
+        |         COALESCE(length(n.text), 0) AS chars_new
+        |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n_docs,
+        |       CAST(SUM(chars_old) AS BIGINT) AS chars_old,
+        |       CAST(SUM(chars_new) AS BIGINT) AS chars_new
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "q140_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |n AS (SELECT COUNT(*) AS n_total FROM tok)
+         |SELECT tok, COUNT(*) AS cnt, n.n_total
+         |FROM tok CROSS JOIN n GROUP BY tok, n.n_total
+         |HAVING COUNT(*) * 30 > n.n_total ORDER BY tok""".stripMargin,
+
+    "q139_concat_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens FROM documents),
+         |sh AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+         |         md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM t),
+         |c AS (
+         |  SELECT shard, n_tokens,
+         |         SUM(n_tokens + 1) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |                                 ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sh),
+         |st AS (
+         |  SELECT shard, n_tokens, cum,
+         |         CASE WHEN n_tokens > 0
+         |                   AND (cum - n_tokens - 1) // 128 <> (cum - 2) // 128
+         |              THEN 1 ELSE 0 END AS straddle
+         |  FROM c),
+         |a AS (
+         |  SELECT shard, COUNT(*) AS n_docs,
+         |         CAST(MAX(cum) AS BIGINT) AS total_tokens,
+         |         CAST(SUM(straddle) AS BIGINT) AS n_straddle
+         |  FROM st GROUP BY shard)
+         |SELECT shard, n_docs, total_tokens,
+         |       (total_tokens + 127) // 128 AS n_seqs, n_straddle,
+         |       ((total_tokens + 127) // 128) * 128 - total_tokens AS tail_pad
+         |FROM a ORDER BY shard""".stripMargin,
 
     "q137_paragraph_dedup" ->
       """WITH p0 AS (

@@ -1160,4 +1160,66 @@ class LlmSpec extends SparkSpec {
     assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
     assert(got(2)._4 == 1.0) // markup-free input is all yield
   }
+
+  test("concatChunkStats: totals conserve tokens+EOD, straddles match a local replay") {
+    val n = 64
+    val rows = (0L until n).map(i => (i, (i % 7 + 1).toInt)).toDF("id", "nt")
+    val seqLen = 16L
+    val got = Sampling.concatChunkStats(rows, $"id", $"nt", seqLen, shards = 4)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == n)                   // every doc lands in one shard
+    // token conservation: Σ(tokens+1 EOD) over all docs == Σ shard totals
+    assert(got.map(_._3).sum == (0L until n).map(_ % 7 + 1 + 1).sum)
+    // local replay of one shard: same md5 order, same boundary test
+    val md5hex = (v: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shardOf = (v: Long) =>
+      java.lang.Long.parseLong(md5hex(v).take(15), 16) % 4
+    got.foreach { case (shard, nDocs, total, nSeqs, nStrad, tailPad) =>
+      val members = (0L until n).filter(shardOf(_) == shard)
+        .sortBy(i => (md5hex(i), i))
+      assert(nDocs == members.size)
+      var cum = 0L; var strad = 0L
+      members.foreach { i =>
+        val nt = i % 7 + 1
+        val start = cum; cum += nt + 1
+        if (nt > 0 && start / seqLen != (cum - 2) / seqLen) strad += 1
+      }
+      assert(total == cum && nStrad == strad)
+      assert(nSeqs == (total + seqLen - 1) / seqLen)
+      assert(tailPad == nSeqs * seqLen - total && tailPad >= 0 && tailPad < seqLen)
+    }
+  }
+
+  test("heavyHitters: equals the exact full-vocab answer on a skewed large vocabulary") {
+    // zipf-ish: token t_i appears (1000 / (i+1)) times over a 400-token
+    // vocab -> capacity 20 MG must prune hard yet miss no hitter
+    val rows = (0 until 400).flatMap(i => Seq.fill(1000 / (i + 1))(s"t$i"))
+    val toks = rows.toDF("tok").repartition(7) // partitioning must not matter
+    val got = Sketches.heavyHitters(toks, k = 20)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val n = rows.size.toLong
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 20 > n }.toMap
+    assert(got.map(_._1).toSet == exact.keySet)
+    got.foreach { case (t, c, nt) => assert(c == exact(t) && nt == n) }
+    assert(exact.nonEmpty && exact.size < 20) // the threshold actually cuts
+  }
+
+  test("snapshotDiff: all four statuses, counts and char mass from a local replay") {
+    val oldDf = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val newDf = Seq((0L, "alpha"), (1L, "beta v2"), (2L, "gamma"), (9L, "epsilon"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldDf, newDf, "doc_id", "text")
+      .orderBy("status")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L, "unchanged" -> 2L))
+    val byStatus = got.map(r => r._1 -> r).toMap
+    assert(byStatus("added") == ("added", 1L, 0L, 7L))      // epsilon
+    assert(byStatus("removed") == ("removed", 1L, 5L, 0L))  // delta
+    assert(byStatus("changed") == ("changed", 1L, 4L, 7L))  // beta -> beta v2
+  }
 }
