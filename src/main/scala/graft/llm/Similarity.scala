@@ -209,6 +209,38 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic cross-corpus decontamination — the embedding-space twin
+    * of the n-gram fuzzy decontamination: training vectors whose
+    * cosine against ANY benchmark vector reaches `threshold` are
+    * flagged, with per-train-row hit count and best (max, rounded)
+    * cosine. Candidates form only where the two corpora share a
+    * hyperplane bucket, and the benchmark side — always orders of
+    * magnitude smaller than the training corpus — is explicitly
+    * broadcast, so the training corpus is never shuffled at all: one
+    * scan, map-side bucket join, one train-id aggregation. This is
+    * the decontamination shape that survives 100 TB of train against
+    * a few MB of benchmarks.
+    */
+  def crossCorpusContamination(train: DataFrame, bench: DataFrame,
+                               threshold: Double, planes: Int = 8,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    def keyed(df: DataFrame, tag: String) = df.select(
+        col(idCol).as(s"id_$tag"), col(vecCol).as(s"vec_$tag"))
+      .withColumn(s"bucket_$tag", bucketCol(col(s"vec_$tag"), planes))
+      .withColumn(s"nrm_$tag", normCol(col(s"vec_$tag")))
+    keyed(train, "t")
+      .join(broadcast(keyed(bench, "b")),
+        col("bucket_t") === col("bucket_b"))
+      .withColumn("cosine",
+        dotCol(col("vec_t"), col("vec_b")) / (col("nrm_t") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_t").as("train_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("cosine")), 6).as("max_cosine"))
+  }
+
   /** k-nearest-neighbor graph over the whole corpus (the structure
     * SemDeDup / semantic clustering / diversity sampling build
     * first): for every vector, its top-`k` cosine neighbors among

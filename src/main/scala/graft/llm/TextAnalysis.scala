@@ -598,4 +598,45 @@ object TextAnalysis {
       acc.join(picked, groupCol)
     }
   }
+
+  /** Robust per-group outlier report — median/MAD instead of
+    * mean/stddev, so a handful of monster documents cannot drag the
+    * fence they are judged against (the failure mode of z-score
+    * filters on crawl data). A value is an outlier iff
+    * `|x − median| > c·MAD`, everything in the integer domain of the
+    * input column: nearest-rank medians pick ACTUAL corpus values
+    * (via [[groupedQuantiles]]), deviations and the fence stay exact
+    * integers, so any engine replays the verdict bit-for-bit.
+    *
+    * Scale shape: two group-keyed window passes (value rank, then
+    * deviation rank) and two joins against per-group 1-row tables —
+    * both explicitly broadcast; the corpus itself shuffles only on
+    * the group key, twice. Output per group: n_docs, med, mad,
+    * n_outliers, outlier_mass (the value sum carried by outliers).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  c: Int = 3): DataFrame = {
+    require(c > 0, s"fence multiplier must be positive, got $c")
+    val med = groupedQuantiles(
+        df.select(col(groupCol), col(valueCol)), groupCol, valueCol,
+        Seq(("med", 50)))
+      .select(col(groupCol), col("med"))
+    val dev = df.select(col(groupCol), col(valueCol))
+      .join(broadcast(med), groupCol)
+      .withColumn("_dev", abs(col(valueCol) - col("med")))
+    val mad = groupedQuantiles(
+        dev.select(col(groupCol), col("_dev")), groupCol, "_dev",
+        Seq(("mad", 50)))
+      .select(col(groupCol), col("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("_out", col("_dev") > lit(c.toLong) * col("mad"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        first("med").as("med"),
+        first("mad").as("mad"),
+        sum(when(col("_out"), 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(sum(when(col("_out"), col(valueCol).cast("long"))), lit(0L))
+          .as("outlier_mass"))
+  }
 }

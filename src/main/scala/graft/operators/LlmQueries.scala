@@ -883,6 +883,39 @@ object LlmQueries {
       .orderBy("status")
   }
 
+  /** q142 robust length-outlier report
+    * ([[graft.llm.TextAnalysis.madOutliers]]): per-source median/MAD
+    * fence over `n_chars`, outlier iff |x − med| > 3·MAD — the
+    * heavy-tail-safe version of the z-score length filter, all in
+    * integer arithmetic (nearest-rank medians pick actual corpus
+    * values). The sf fixtures discriminate naturally (a few sources
+    * carry genuine tail docs). Oracle replays both nearest-rank
+    * windows and the integer fence.
+    */
+  def q142(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.madOutliers(
+        Tables.documents(s, d).select("source", "n_chars"),
+        "source", "n_chars", c = 3)
+      .orderBy("source")
+
+  /** q143 semantic cross-corpus decontamination
+    * ([[graft.llm.Similarity.crossCorpusContamination]]): the
+    * embedding twin of q117's n-gram fuzzy decontamination —
+    * benchmark = every 10th vector exactly ×2-scaled (same hyperplane
+    * bucket, cosine 1 with its source; the fixture's max natural
+    * cross-cosine is 0.51), train corpus never shuffles (bucket join
+    * against the broadcast benchmark side). Flags each contaminated
+    * train row with hit count and max cosine.
+    */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    Similarity.crossCorpusContamination(emb, bench, threshold = 0.9, planes = 8)
+      .orderBy("train_id")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1105,6 +1138,8 @@ object LlmQueries {
     "q139_concat_chunks" -> q139 _,
     "q140_heavy_hitters" -> q140 _,
     "q141_snapshot_diff" -> q141 _,
+    "q142_mad_outliers" -> q142 _,
+    "q143_semantic_decontam" -> q143 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1875,6 +1910,52 @@ object LlmQueries {
          |  FROM banded)
          |SELECT doc_id, first_id, band, bkey
          |FROM b2 WHERE doc_id <> first_id ORDER BY doc_id, band""".stripMargin),
+
+    "q143_semantic_decontam" ->
+      s"""WITH t AS (
+         |  SELECT vec_id AS id_t, embedding AS vec_t,
+         |         ${bucketExpr("embedding", 8)} AS bkt,
+         |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm_t
+         |  FROM embeddings),
+         |b0 AS (
+         |  SELECT vec_id + 200000 AS id_b,
+         |         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS vec_b
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |b AS (
+         |  SELECT id_b, vec_b, ${bucketExpr("vec_b", 8)} AS bkt,
+         |         SQRT(${dotExpr("vec_b", "vec_b")}) AS nrm_b
+         |  FROM b0),
+         |hits AS (
+         |  SELECT t.id_t, ${dotExpr("t.vec_t", "b.vec_b")} / (t.nrm_t * b.nrm_b) AS c
+         |  FROM t JOIN b USING (bkt))
+         |SELECT id_t AS train_id, COUNT(*) AS n_hits,
+         |       ROUND(MAX(c), 6) AS max_cosine
+         |FROM hits WHERE c >= 0.9 GROUP BY id_t ORDER BY train_id""".stripMargin,
+
+    "q142_mad_outliers" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |r AS (
+        |  SELECT source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |m AS (SELECT source, n_chars AS med FROM r WHERE rn = (n * 50 + 99) // 100),
+        |dv AS (
+        |  SELECT d.source, d.n_chars, m.med,
+        |         ABS(d.n_chars - m.med) AS dev
+        |  FROM d JOIN m USING (source)),
+        |r2 AS (
+        |  SELECT source, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM dv),
+        |md AS (SELECT source, dev AS mad FROM r2 WHERE rn = (n * 50 + 99) // 100)
+        |SELECT dv.source, COUNT(*) AS n_docs, MIN(dv.med) AS med, MIN(md.mad) AS mad,
+        |       CAST(SUM(CASE WHEN dv.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       CAST(COALESCE(SUM(CASE WHEN dv.dev > 3 * md.mad THEN dv.n_chars END), 0)
+        |         AS BIGINT) AS outlier_mass
+        |FROM dv JOIN md USING (source) GROUP BY dv.source ORDER BY dv.source""".stripMargin,
 
     "q141_snapshot_diff" ->
       """WITH old AS (

@@ -1222,4 +1222,33 @@ class LlmSpec extends SparkSpec {
     assert(byStatus("removed") == ("removed", 1L, 5L, 0L))  // delta
     assert(byStatus("changed") == ("changed", 1L, 4L, 7L))  // beta -> beta v2
   }
+
+  test("madOutliers: a monster doc is fenced out without dragging the fence") {
+    // group g: 7 values near 100 plus one at 10000 — a mean/stddev
+    // fence would be dragged to ~3500 and miss it; median/MAD flags
+    // exactly that one. med = rank-4 of 8 = 100; devs sorted
+    // 0,2,2,5,5,10,10,9900 -> MAD = rank-4 = 5; fence 15.
+    val vals = Seq(90L, 95L, 98L, 100L, 102L, 105L, 110L, 10000L)
+    val d = vals.map(("g", _)) ++ Seq.fill(3)(("h", 50L))
+    val got = TextAnalysis.madOutliers(d.toDF("source", "n_chars"),
+        "source", "n_chars", c = 3)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got(0) == ("g", 8L, 100L, 5L, 1L, 10000L))
+    assert(got(1) == ("h", 3L, 50L, 0L, 0L, 0L)) // constant group: zero MAD, zero outliers
+  }
+
+  test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
+    val mk = (seed: Long) => Array.tabulate(64)(i =>
+      (((seed * 37 + i * 13) % 19) - 9).toFloat)
+    val train = (0L until 12L).map(i => (i, mk(i))).toDF("vec_id", "embedding")
+    val bench = Seq((100L, mk(3).map(_ * 2f)), (101L, mk(7).map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.crossCorpusContamination(train, bench,
+        threshold = 0.99, planes = 4)
+      .orderBy("train_id")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(3L, 7L))
+    assert(got.forall(r => r._2 == 1L && r._3 == 1.0))
+  }
 }
