@@ -842,6 +842,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** First-occurrence n-gram novelty — per-document attribution of
+    * which distinct n-grams the document introduced to the corpus
+    * (global first occurrence = the gram's minimum doc id). The
+    * per-doc novelty ratio is the "does this doc add anything" signal
+    * dedup-adjacent curation uses to rank near-identical boilerplate
+    * below genuinely new text, and summed novelty counts audit how
+    * fast a growing corpus saturates its gram space.
+    *
+    * Scale shape: relational shingles ([[shingleRows]] — linear, no
+    * expression re-inlining), one (id, gram) distinct, one gram-keyed
+    * MIN aggregation (map-side partials), a gram-keyed join back, and
+    * a doc-keyed count — every exchange on a key with corpus-scale
+    * cardinality, nothing collected.
+    */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val grams = shingleRows(df, idCol, textCol, n).distinct()
+    val firstDoc = grams.groupBy("s").agg(min("id").as("first_id"))
+    grams.join(firstDoc, "s")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** Corpus snapshot diff — the incremental-ingest audit: two corpus
     * versions full-outer-joined on the document id, classified by
     * content hash into `added` (id only in the new snapshot),

@@ -26,11 +26,12 @@ object LlmQueries {
     */
   private val jvmToken: String = java.util.UUID.randomUUID.toString.take(8)
   private val atRestDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def atRestDir(d: String): String = {
-    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def atRestDir(d: String,
+                        prefix: String = "graft_ivf_at_rest"): String = {
+    val key = prefix + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
     atRestDirs.computeIfAbsent(key, { k =>
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivf_at_rest_${k}_$jvmToken")
+        s"${k}_$jvmToken")
       val root = f.toPath
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try {
@@ -916,6 +917,53 @@ object LlmQueries {
       .orderBy("train_id")
   }
 
+  /** q144 first-occurrence gram novelty
+    * ([[graft.llm.Dedup.gramNovelty]]): per-doc count of distinct
+    * word-3-grams whose corpus-wide first occurrence (min doc id) is
+    * this document, plus the novelty ratio — the "adds anything new?"
+    * curation signal. Oracle replays shingling, the gram-min
+    * aggregation and the attribution join.
+    */
+  def q144(s: SparkSession, d: String): DataFrame =
+    Dedup.gramNovelty(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+        col("novelty"))
+      .orderBy("doc_id")
+
+  /** q145 bucketed at-rest dedup layout: the documents table is
+    * written `bucketBy(16, h)` on the content hash (an external table
+    * in scratch space, keyed to the dataset dir like q103's IVF
+    * layout), re-read through the catalog, and the duplicate-group
+    * histogram computed ON TOP of the bucketed scan — whose reported
+    * output partitioning already satisfies the aggregation's required
+    * distribution, so the corpus-cardinality `groupBy(h)` runs with
+    * NO Exchange (asserted on the physical plan in PlanShapeSpec; the
+    * only exchange left keys the ≤#distinct-group-sizes histogram).
+    * This is the at-rest answer to dedup's shuffle: pay the
+    * partitioning once at ingest, and every content-keyed dedup,
+    * join, or count afterwards is exchange-free — the difference
+    * between re-shuffling 100 TB per run and never shuffling it
+    * again.
+    */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val tbl = ("graft_docs_bucketed_" + d).replaceAll("[^A-Za-z0-9_]", "_")
+    val dir = atRestDir(d, "graft_docs_bucketed")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // corpus ∪ every-3rd-doc copies: the fixture alone has no exact
+    // dups, so the histogram would be one row — the constructed copies
+    // make the n_copies=2 bucket real and the gate discriminating
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode("overwrite").option("path", dir)
+      .bucketBy(16, "h").saveAsTable(tbl)
+    s.table(tbl)
+      .groupBy("h").agg(count(lit(1)).as("n_copies"))
+      .groupBy("n_copies").agg(count(lit(1)).as("n_groups"))
+      .orderBy("n_copies")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1140,6 +1188,8 @@ object LlmQueries {
     "q141_snapshot_diff" -> q141 _,
     "q142_mad_outliers" -> q142 _,
     "q143_semantic_decontam" -> q143 _,
+    "q144_gram_novelty" -> q144 _,
+    "q145_bucketed_dedup" -> q145 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1910,6 +1960,28 @@ object LlmQueries {
          |  FROM banded)
          |SELECT doc_id, first_id, band, bkey
          |FROM b2 WHERE doc_id <> first_id ORDER BY doc_id, band""".stripMargin),
+
+    "q145_bucketed_dedup" ->
+      """WITH u AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT md5(text) AS h, COUNT(*) AS n_copies
+        |  FROM u GROUP BY md5(text))
+        |SELECT n_copies, COUNT(*) AS n_groups
+        |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+
+    "q144_gram_novelty" ->
+      s"""WITH $shinglesCte,
+         |g AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |f AS (SELECT s, MIN(doc_id) AS first_id FROM g GROUP BY s)
+         |SELECT g.doc_id, COUNT(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_novel,
+         |       CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / COUNT(*) AS novelty
+         |FROM g JOIN f USING (s) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "q143_semantic_decontam" ->
       s"""WITH t AS (

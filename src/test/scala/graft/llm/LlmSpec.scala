@@ -1238,6 +1238,17 @@ class LlmSpec extends SparkSpec {
     assert(got(1) == ("h", 3L, 50L, 0L, 0L, 0L)) // constant group: zero MAD, zero outliers
   }
 
+  test("gramNovelty: earliest doc owns shared grams; exact counts on a hand corpus") {
+    val d = Seq(
+      (0L, "a b c d"),         // grams "a b c","b c d" — both novel
+      (1L, "a b c d"),         // identical: novelty 0
+      (2L, "x y z a b c"))     // 4 grams, "a b c" first seen in doc 0
+      .toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(d, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2L, 1.0), (1L, 2L, 0L, 0.0), (2L, 4L, 3L, 0.75)))
+  }
+
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
     val mk = (seed: Long) => Array.tabulate(64)(i =>
       (((seed * 37 + i * 13) % 19) - 9).toFloat)

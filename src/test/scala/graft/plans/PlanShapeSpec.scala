@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the at-rest layouts: the claims
+  * the scaladocs make about exchanges must hold on the executed plan,
+  * not just in prose.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed at-rest table: bucket-key aggregation has no Exchange; control does") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_spec_t")
+    (0 until 100).map(i => (i.toLong, s"h${i % 7}")).toDF("id", "h")
+      .write.mode("overwrite").option("path", dir.toString)
+      .bucketBy(4, "h").saveAsTable("graft_bucket_spec_t")
+    try {
+      val agg = spark.table("graft_bucket_spec_t")
+        .groupBy("h").agg(count(lit(1)).as("n"))
+      assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == (0 until 7).map(i => s"h$i" -> (if (i < 2) 15L else 14L)).toMap)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-key aggregation should be exchange-free, got:\n$plan")
+      // control: aggregating on a NON-bucket key must still shuffle —
+      // otherwise the assertion above proves nothing about bucketing
+      val ctrl = spark.table("graft_bucket_spec_t")
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      ctrl.collect()
+      assert(ctrl.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_spec_t")
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+}
