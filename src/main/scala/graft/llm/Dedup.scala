@@ -78,6 +78,41 @@ object Dedup {
       .select("id", "h", "pct", "split")
   }
 
+  /** Cluster-closed train/val/test split — the near-dup-aware
+    * strengthening of [[hashSplit]]: where the hash split keys on
+    * exact content (byte-identical dups provably co-split), this
+    * keys the split hash on the NEAR-DUP CLUSTER label (connected
+    * component of the verified LSH pair graph), so documents that
+    * are merely similar — paraphrases, boilerplate variants, partial
+    * copies — also land in one split. This is the split discipline
+    * decontamination papers actually call for: an eval doc whose
+    * near-duplicate sits in train is leaked, even if no byte-exact
+    * copy does.
+    *
+    * Docs outside the pair graph are their own singleton cluster
+    * (label = own id). Scale shape: the pair graph is the already-
+    * bucketed LSH output, the closure is the O(log n)-round
+    * [[connectedComponents]], and the label join is one id-keyed
+    * exchange; the split itself is a per-row hash.
+    */
+  def clusterClosedSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                         trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct ($trainPct) and trainPct+valPct < 100 (${trainPct + valPct})")
+    val cc = connectedComponents(pairs).withColumnRenamed("doc_id", "id")
+    df.select(col(idCol).cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("id")))
+      .withColumn("pct",
+        conv(substring(md5(col("cid").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("pct") < trainPct, "train")
+          .when(col("pct") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select("id", "cid", "split")
+  }
+
   /** Word n-gram shingle set of a text column (distinct).
     *
     * NOTE array-expression form: Catalyst's CollapseProject inlines

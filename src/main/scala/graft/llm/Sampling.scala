@@ -191,6 +191,48 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Target-mixture domain reweighting — the "data recipe" operator:
+    * given an explicit target share per domain (basis points, summing
+    * to ≤ 10000; unlisted domains get the remainder spread by their
+    * actual mass), emit each domain's sampling weight
+    * `w = target_share / actual_share` in floor-2²⁰ fixed point, plus
+    * the token budget that weight implies. Mixture recipes (e.g.
+    * upsample curated text 3×, downsample crawl to 40%) are stated
+    * exactly this way, and the fixed-point arithmetic makes the
+    * recipe reproducible by any engine — no float shares.
+    *
+    * `w_fp = floor(target_bp · N_total · 2²⁰ / (10000 · n_domain))`,
+    * `budget_tokens = floor(n_tokens · w_fp / 2²⁰)`.
+    *
+    * Scale shape: one domain-keyed aggregation (map-side partials to
+    * ≤|domains| rows) + a broadcast of the total — the corpus itself
+    * is scanned once and never reshuffled.
+    */
+  def targetMixture(df: DataFrame, domainCol: Column, tokenCol: Column,
+                    targetsBp: Seq[(String, Long)]): DataFrame = {
+    require(targetsBp.map(_._2).forall(_ > 0) && targetsBp.map(_._2).sum <= 10000L,
+      s"target basis points must be positive and sum to <= 10000, got $targetsBp")
+    val perDomain = df
+      .select(domainCol.as("domain"), tokenCol.cast("long").as("nt"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val total = perDomain.agg(sum("n_docs").as("n_total"))
+    val bp = targetsBp.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
+      when(col("domain") === k, lit(v)).otherwise(acc)
+    }
+    perDomain.crossJoin(broadcast(total))
+      .withColumn("target_bp", bp)
+      // unlisted domains: keep their natural share (weight 1.0)
+      .withColumn("w_fp",
+        when(col("target_bp").isNotNull,
+          expr("(target_bp * n_total * 1048576L) div (10000L * n_docs)"))
+          .otherwise(lit(1048576L)))
+      .withColumn("budget_tokens", expr("(n_tokens * w_fp) div 1048576L"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        coalesce(col("target_bp"), lit(-1L)).as("target_bp"),
+        col("w_fp"), col("budget_tokens"))
+  }
+
   /** Concat-and-chunk accounting — the GPT-style pretraining sequence
     * construction: docs are hash-routed to shards, concatenated in
     * deterministic md5 order with one EOD token appended to each, and

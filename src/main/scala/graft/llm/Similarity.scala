@@ -151,6 +151,30 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** ANN recall audit — recall@k of the hyperplane-LSH index against
+    * exact brute force, per query, in ONE plan: the ground-truth
+    * top-k (broadcast cross-score) left-joined with the LSH top-k on
+    * (query, neighbor), hits counted per query. This is the tuning
+    * instrument for `planes`: the [[lshCalibration]] twin for the
+    * embedding index — run it on a query sample whenever the corpus
+    * distribution drifts, and resize planes until measured recall
+    * meets the target. At scale the truth side runs on the SAME
+    * sampled query set (brute force over queries×corpus is linear in
+    * the corpus for a bounded sample), so the audit stays a corpus
+    * scan, not a corpus shuffle.
+    */
+  def annRecall(emb: DataFrame, queries: DataFrame, k: Int,
+                planes: Int = 8): DataFrame = {
+    val truth = bruteTopKBatch(emb, queries, k)
+    val approx = lshTopKBatch(emb, queries, k, planes)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k_eval"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("k_eval"))
+  }
+
   /** All-bucket histogram — diagnostics for bucket balance (skew in
     * the bucket key is the scale risk of LSH partitioning).
     */

@@ -964,6 +964,58 @@ object LlmQueries {
       .orderBy("n_copies")
   }
 
+  /** q146 cluster-closed split
+    * ([[graft.llm.Dedup.clusterClosedSplit]]): q135's leakage-free
+    * split upgraded from exact-content keys to NEAR-DUP cluster keys
+    * (q47's verified pair graph closed by q70's components) — split
+    * assignment hashes the cluster label, so paraphrase-level
+    * duplicates provably co-split; `n_leaky_clusters` audits exactly
+    * that and must be 0 by construction. The oracle replays pairs,
+    * recursive closure, and the split hash.
+    */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5)
+    val a = Dedup.clusterClosedSplit(docs, "doc_id",
+      pairs.select("id_a", "id_b"), trainPct = 80, valPct = 10)
+    val leaks = a.groupBy("cid")
+      .agg(countDistinct("split").as("ns"))
+      .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_leaky_clusters"))
+    a.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("cid").as("n_clusters"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("split")
+  }
+
+  /** q147 target-mixture reweighting
+    * ([[graft.llm.Sampling.targetMixture]]): an explicit data recipe
+    * — four named sources pinned to 8%/6%/4%/2% (basis points), the
+    * rest keeping natural share — emitted as fixed-point sampling
+    * weights and implied token budgets. One domain aggregation, no
+    * corpus shuffle. Oracle replays the integer weight formula.
+    */
+  def q147(s: SparkSession, d: String): DataFrame =
+    Sampling.targetMixture(
+        Tables.documents(s, d), col("source"),
+        TextAnalysis.tokenCountCol(col("text")),
+        Seq("src1" -> 800L, "src4" -> 600L, "src7" -> 400L, "src12" -> 200L))
+      .orderBy("domain")
+
+  /** q148 ANN recall audit ([[graft.llm.Similarity.annRecall]]):
+    * recall@5 of the 4-plane LSH index vs exact brute force for the
+    * q84/q86 query set, one plan. The oracle replays both rankings
+    * and the hit join.
+    */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.annRecall(emb, qs, k = 5, planes = 4)
+      .orderBy("qid")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1190,6 +1242,9 @@ object LlmQueries {
     "q143_semantic_decontam" -> q143 _,
     "q144_gram_novelty" -> q144 _,
     "q145_bucketed_dedup" -> q145 _,
+    "q146_cluster_split" -> q146 _,
+    "q147_target_mixture" -> q147 _,
+    "q148_ann_recall" -> q148 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1960,6 +2015,91 @@ object LlmQueries {
          |  FROM banded)
          |SELECT doc_id, first_id, band, bkey
          |FROM b2 WHERE doc_id <> first_id ORDER BY doc_id, band""".stripMargin),
+
+    "q148_ann_recall" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${bucketExpr("embedding", 4)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+         |      FROM bucketed WHERE vec_id < 6),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotExpr("e.embedding", "q.qv")}
+         |               / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |                  * SQRT(${dotExpr("q.qv", "q.qv")})) DESC, e.vec_id) AS rank
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+         |  WHERE rank <= 5),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotExpr("e.embedding", "q.qv")}
+         |               / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |                  * SQRT(${dotExpr("q.qv", "q.qv")})) DESC, e.vec_id) AS rank
+         |    FROM bucketed e JOIN q ON e.bucket = q.qb WHERE e.vec_id <> q.qid)
+         |  WHERE rank <= 5)
+         |SELECT t.qid, COUNT(*) AS k_eval,
+         |       CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0)
+         |         AS BIGINT) AS n_hit,
+         |       CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0)
+         |         AS DOUBLE) / COUNT(*) AS recall
+         |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+
+    "q147_target_mixture" ->
+      s"""WITH t AS (
+         |  SELECT source AS domain, CAST(len($toksExpr) AS BIGINT) AS nt
+         |  FROM documents),
+         |pd AS (
+         |  SELECT domain, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY domain),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM pd),
+         |w AS (
+         |  SELECT domain, n_docs, n_tokens,
+         |         CASE domain WHEN 'src1' THEN 800 WHEN 'src4' THEN 600
+         |                     WHEN 'src7' THEN 400 WHEN 'src12' THEN 200 END AS tbp,
+         |         tot.n_total
+         |  FROM pd CROSS JOIN tot),
+         |f AS (
+         |  SELECT domain, n_docs, n_tokens,
+         |         COALESCE(tbp, -1) AS target_bp,
+         |         CASE WHEN tbp IS NOT NULL
+         |              THEN (tbp * n_total * 1048576) // (10000 * n_docs)
+         |              ELSE 1048576 END AS w_fp
+         |  FROM w)
+         |SELECT domain, n_docs, n_tokens, CAST(target_bp AS BIGINT) AS target_bp,
+         |       CAST(w_fp AS BIGINT) AS w_fp,
+         |       CAST((n_tokens * w_fp) // 1048576 AS BIGINT) AS budget_tokens
+         |FROM f ORDER BY domain""".stripMargin,
+
+    "q146_cluster_split" ->
+      ("WITH RECURSIVE verified AS (\n" + minhashPairsSql + "\n),\n" +
+       """edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cid
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |c AS (
+         |  SELECT doc_id, cid,
+         |         CASE WHEN CAST('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |              WHEN CAST('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM m),
+         |l AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |           AS n_leaky_clusters
+         |  FROM (SELECT cid, COUNT(DISTINCT split) AS ns FROM c GROUP BY cid))
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cid) AS n_clusters,
+         |       l.n_leaky_clusters
+         |FROM c CROSS JOIN l GROUP BY split, l.n_leaky_clusters ORDER BY split""".stripMargin),
 
     "q145_bucketed_dedup" ->
       """WITH u AS (

@@ -1249,6 +1249,52 @@ class LlmSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 2L, 1.0), (1L, 2L, 0L, 0.0), (2L, 4L, 3L, 0.75)))
   }
 
+  test("clusterClosedSplit: near-dup cluster members co-split; singletons get own label") {
+    val d = Seq(
+      (0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"),
+      (5L, "f"), (6L, "g"), (7L, "h"), (8L, "i"), (9L, "j"))
+      .toDF("doc_id", "text")
+    // pair graph: {0,1,2} chained, {5,6} — the rest are singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterClosedSplit(d, "doc_id", pairs, 80, 10)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    val byId = got.map(r => r._1 -> r).toMap
+    // cluster labels: component minimum
+    assert(Seq(0L, 1L, 2L).map(byId(_)._2).distinct == Seq(0L))
+    assert(Seq(5L, 6L).map(byId(_)._2).distinct == Seq(5L))
+    assert(Seq(3L, 4L, 7L, 8L, 9L).forall(i => byId(i)._2 == i))
+    // the leakage guarantee: same cluster -> same split, always
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+  }
+
+  test("targetMixture: fixed-point weights hit the recipe; unlisted domains keep weight 1") {
+    val d = (0 until 60).map(i => (s"dom${i % 3}", 10L)).toDF("domain", "nt")
+    // dom0 pinned to 5000 bp (half the corpus) while holding 1/3 of it:
+    // w = 0.5/(1/3) = 1.5 -> 1572864 in 2^20 fixed point
+    val got = Sampling.targetMixture(d, $"domain", $"nt", Seq("dom0" -> 5000L))
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got(0) == ("dom0", 20L, 200L, 5000L, 1572864L, 300L))
+    assert(got(1) == ("dom1", 20L, 200L, -1L, 1048576L, 200L))
+    assert(got(2) == ("dom2", 20L, 200L, -1L, 1048576L, 200L))
+  }
+
+  test("annRecall: exact-duplicate neighbors are found by the bucketed index at recall 1") {
+    val mk = (seed: Long) => Array.tabulate(8)(i =>
+      (((seed * 31 + i * 17) % 23) - 11).toFloat)
+    // corpus of 10 base vectors + their exact ×2 copies: each copy is
+    // its source's true AND bucketed nearest neighbor
+    val base = (0L until 10L).map(i => (i, mk(i)))
+    val emb = (base ++ base.map { case (i, v) => (i + 100, v.map(_ * 2f)) })
+      .toDF("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity.annRecall(emb, qs, k = 1, planes = 3)
+      .orderBy("qid").as[(Long, Long, Long, Double)].collect()
+    assert(got.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 1.0))
+  }
+
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
     val mk = (seed: Long) => Array.tabulate(64)(i =>
       (((seed * 37 + i * 13) % 19) - 9).toFloat)
