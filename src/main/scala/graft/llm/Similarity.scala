@@ -175,6 +175,36 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / col("k_eval"))
   }
 
+  /** Per-dimension embedding health audit — dead dimensions (all-zero
+    * components), range, and moment sums per coordinate: the checks
+    * run before building an ANN index or a quantizer, because a dead
+    * or near-constant dimension wastes index bits and a wild one
+    * dominates every distance. All compare columns are exact
+    * integers: components quantize to floor(v·2²⁰) for first-moment
+    * sums and floor(v·2¹⁰) for squared sums (q² ≤ 2²⁸ keeps the
+    * integer sum overflow-free past 10¹² rows per dimension), so the
+    * audit is bit-stable across engines and partitionings — no float
+    * accumulation order anywhere.
+    *
+    * Scale shape: posexplode to (dim, component) rows, one dim-keyed
+    * aggregation with map-side partials — the shuffle carries
+    * |dims|·P partial rows, never the corpus.
+    */
+  def dimensionAudit(emb: DataFrame,
+                     vecCol: String = "embedding"): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"),
+        floor(col("v").cast("double") * lit(1048576.0)).as("q20"),
+        floor(col("v").cast("double") * lit(1024.0)).as("q10"),
+        (col("v") === 0.0f).as("z"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("z"), 1L).otherwise(0L)).as("n_zero"),
+        min("q20").as("min_fp"),
+        max("q20").as("max_fp"),
+        sum("q20").as("sum_fp"),
+        sum(col("q10") * col("q10")).as("sumsq_fp"))
+
   /** All-bucket histogram — diagnostics for bucket balance (skew in
     * the bucket key is the scale risk of LSH partitioning).
     */

@@ -599,6 +599,36 @@ object TextAnalysis {
     }
   }
 
+  /** Vocabulary coverage curve — the report every tokenizer design
+    * starts from: tokens ranked by corpus frequency, with cumulative
+    * occurrence share in floor-2²⁰ fixed point, answering "how much
+    * of the corpus do the top-k types cover?" (the OOV-rate/vocab-
+    * size trade). Rank ties break by token text so the curve is
+    * unique; shares ride as exact integer sums until the single
+    * fixed-point division.
+    *
+    * Scale shape: one token aggregation (map-side partials), then a
+    * window over the REDUCED vocabulary table — the single partition
+    * holds |vocab| rows, not |corpus| (the q126 histogram-window
+    * idiom); a corpus-scale type inventory would cap or bucket the
+    * tail first.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = df
+      .select(explode(tokensCol(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .withColumn("cum_cnt", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("rank"), col("tok"), col("cnt"),
+        expr("(cum_cnt * 1048576L) div total").as("cum_share_fp"))
+  }
+
   /** Robust per-group outlier report — median/MAD instead of
     * mean/stddev, so a handful of monster documents cannot drag the
     * fence they are judged against (the failure mode of z-score

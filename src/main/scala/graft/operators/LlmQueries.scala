@@ -1016,6 +1016,26 @@ object LlmQueries {
       .orderBy("qid")
   }
 
+  /** q149 vocabulary coverage curve
+    * ([[graft.llm.TextAnalysis.vocabCoverage]]): frequency-ranked
+    * token types with fixed-point cumulative corpus share — the
+    * vocab-size-vs-OOV trade table. Oracle replays the ranking and
+    * the integer share arithmetic.
+    */
+  def q149(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, d))
+      .orderBy("rank")
+
+  /** q150 embedding dimension audit
+    * ([[graft.llm.Similarity.dimensionAudit]]): per-coordinate
+    * dead-component counts, quantized range and moment sums — the
+    * pre-index health check, every compare column an exact integer.
+    * Oracle replays the quantization and sums.
+    */
+  def q150(s: SparkSession, d: String): DataFrame =
+    Similarity.dimensionAudit(Tables.embeddings(s, d))
+      .orderBy("dim")
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1245,6 +1265,8 @@ object LlmQueries {
     "q146_cluster_split" -> q146 _,
     "q147_target_mixture" -> q147 _,
     "q148_ann_recall" -> q148 _,
+    "q149_vocab_coverage" -> q149 _,
+    "q150_dimension_audit" -> q150 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2015,6 +2037,37 @@ object LlmQueries {
          |  FROM banded)
          |SELECT doc_id, first_id, band, bkey
          |FROM b2 WHERE doc_id <> first_id ORDER BY doc_id, band""".stripMargin),
+
+    "q150_dimension_audit" ->
+      """WITH x AS (
+        |  SELECT CAST(r.range AS INTEGER) - 1 AS dim,
+        |         embedding[CAST(r.range AS INTEGER)] AS v
+        |  FROM embeddings CROSS JOIN range(1, 65) r),
+        |q AS (
+        |  SELECT dim,
+        |         CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q20,
+        |         CAST(FLOOR(CAST(v AS DOUBLE) * 1024) AS BIGINT) AS q10,
+        |         CASE WHEN v = 0 THEN 1 ELSE 0 END AS z
+        |  FROM x)
+        |SELECT dim, COUNT(*) AS n, CAST(SUM(z) AS BIGINT) AS n_zero,
+        |       MIN(q20) AS min_fp, MAX(q20) AS max_fp,
+        |       CAST(SUM(q20) AS BIGINT) AS sum_fp,
+        |       CAST(SUM(q10 * q10) AS BIGINT) AS sumsq_fp
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q149_vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |r AS (
+         |  SELECT tok, cnt,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS rank,
+         |         SUM(cnt) OVER (ORDER BY cnt DESC, tok
+         |                        ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+         |         SUM(cnt) OVER () AS total
+         |  FROM c)
+         |SELECT rank, tok, cnt,
+         |       CAST((cum_cnt * 1048576) // total AS BIGINT) AS cum_share_fp
+         |FROM r ORDER BY rank""".stripMargin,
 
     "q148_ann_recall" ->
       s"""WITH bucketed AS (

@@ -1295,6 +1295,26 @@ class LlmSpec extends SparkSpec {
     assert(got.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 1.0))
   }
 
+  test("vocabCoverage: rank by frequency then token, exact fixed-point cumulative shares") {
+    val d = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(d)
+      .orderBy("rank").as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", 3L, 524288L),    // floor(3·2^20/6)
+      (2, "b", 2L, 873813L),    // floor(5·2^20/6)
+      (3, "c", 1L, 1048576L)))
+  }
+
+  test("dimensionAudit: dead dims counted, quantized moments exact") {
+    val emb = Seq((0L, Array(0.0f, 1.5f)), (1L, Array(0.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimensionAudit(emb)
+      .orderBy("dim").as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got(0) == (0, 2L, 2L, 0L, 0L, 0L, 0L)) // dead dimension
+    // q20 = 1572864 / -524288; q10 = 1536 / -512 -> sumsq 2621440
+    assert(got(1) == (1, 2L, 0L, -524288L, 1572864L, 1048576L, 2621440L))
+  }
+
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
     val mk = (seed: Long) => Array.tabulate(64)(i =>
       (((seed * 37 + i * 13) % 19) - 9).toFloat)
