@@ -904,6 +904,34 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Cross-source duplication matrix — which sources carry the same
+    * content: documents fingerprint by prefix hash (the q46 family),
+    * each (fingerprint, source) pair counted once, and source pairs
+    * sharing a fingerprint aggregated into a matrix of shared-group
+    * counts. This is the provenance diagnostic behind mirror
+    * detection and license triage: a hot cell means one source
+    * republishes another, and its groups should be deduped across —
+    * not within — sources.
+    *
+    * Scale shape: one distinct over (hash, source) — cardinality ≤
+    * corpus —, a hash-keyed self-join whose per-key fan-out is
+    * bounded by the handful of sources sharing a fingerprint (never
+    * all-pairs over docs), and a ≤|sources|² aggregation.
+    */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+                           sourceCol: String,
+                           prefixLen: Int = 64): DataFrame = {
+    val hs = df.select(
+        md5(substring(col(textCol), 1, prefixLen)).as("h"),
+        col(sourceCol).as("src"))
+      .distinct()
+    hs.alias("a")
+      .join(hs.alias("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_groups"))
+  }
+
   /** Corpus snapshot diff — the incremental-ingest audit: two corpus
     * versions full-outer-joined on the document id, classified by
     * content hash into `added` (id only in the new snapshot),

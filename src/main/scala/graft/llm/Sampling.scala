@@ -233,6 +233,28 @@ object Sampling {
         col("w_fp"), col("budget_tokens"))
   }
 
+  /** Power-of-two batch-shape histogram — docs bucketed by the
+    * smallest 2^b ≥ token count (the shapes a padded-batch trainer
+    * actually allocates), reporting per bucket the docs, real tokens,
+    * and the padding that shape costs. The report that decides
+    * between padded batching and the concat-chunk discipline
+    * ([[concatChunkStats]]), and sizes dynamic-shape compilation
+    * caches. Bucket index stays in integer arithmetic
+    * (`length(bin(n−1))` — no log2 float), so any engine replays it.
+    * Scale shape: per-row bucket expression + one ≤64-key
+    * aggregation.
+    */
+  def powerOfTwoBatchShapes(df: DataFrame, tokenCol: Column): DataFrame =
+    df.select(tokenCol.cast("long").as("n"))
+      .withColumn("bucket",
+        when(col("n") <= 1, lit(0))
+          .otherwise(length(bin(col("n") - 1))).cast("int"))
+      .withColumn("pad_to", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("tokens"),
+        sum(col("pad_to") - col("n")).as("padding"))
+
   /** Concat-and-chunk accounting — the GPT-style pretraining sequence
     * construction: docs are hash-routed to shards, concatenated in
     * deterministic md5 order with one EOD token appended to each, and

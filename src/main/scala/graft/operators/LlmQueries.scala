@@ -1036,6 +1036,28 @@ object LlmQueries {
     Similarity.dimensionAudit(Tables.embeddings(s, d))
       .orderBy("dim")
 
+  /** q151 cross-source duplication matrix
+    * ([[graft.llm.Dedup.crossSourceDupMatrix]]): source pairs sharing
+    * 64-char-prefix fingerprints (the fixture's natural duplicate
+    * family) — the provenance/mirror-detection diagnostic. Oracle
+    * replays fingerprint, distinct, and the ordered pair join.
+    */
+  def q151(s: SparkSession, d: String): DataFrame =
+    Dedup.crossSourceDupMatrix(Tables.documents(s, d), "text", "source")
+      .orderBy("src_a", "src_b")
+
+  /** q152 power-of-two batch shapes
+    * ([[graft.llm.Sampling.powerOfTwoBatchShapes]]): docs bucketed by
+    * the padded shape a batch trainer would allocate, with the
+    * padding each shape costs — integer bucket index via binary
+    * string length, no float log2. Oracle replays the bit-length
+    * arithmetic.
+    */
+  def q152(s: SparkSession, d: String): DataFrame =
+    Sampling.powerOfTwoBatchShapes(Tables.documents(s, d),
+        TextAnalysis.tokenCountCol(col("text")))
+      .orderBy("bucket")
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1267,6 +1289,8 @@ object LlmQueries {
     "q148_ann_recall" -> q148 _,
     "q149_vocab_coverage" -> q149 _,
     "q150_dimension_audit" -> q150 _,
+    "q151_source_dup_matrix" -> q151 _,
+    "q152_batch_shapes" -> q152 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2037,6 +2061,25 @@ object LlmQueries {
          |  FROM banded)
          |SELECT doc_id, first_id, band, bkey
          |FROM b2 WHERE doc_id <> first_id ORDER BY doc_id, band""".stripMargin),
+
+    "q151_source_dup_matrix" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT md5(substr(text, 1, 64)) AS h, source AS src
+        |  FROM documents)
+        |SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared_groups
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
+        |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin,
+
+    "q152_batch_shapes" ->
+      s"""WITH t AS (SELECT CAST(len($toksExpr) AS BIGINT) AS n FROM documents),
+         |b AS (
+         |  SELECT n, CASE WHEN n <= 1 THEN 0
+         |                 ELSE length(bin(n - 1)) END AS bucket
+         |  FROM t)
+         |SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_docs,
+         |       CAST(SUM(n) AS BIGINT) AS tokens,
+         |       CAST(SUM((CAST(1 AS BIGINT) << bucket) - n) AS BIGINT) AS padding
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q150_dimension_audit" ->
       """WITH x AS (

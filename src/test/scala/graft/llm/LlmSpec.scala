@@ -1315,6 +1315,31 @@ class LlmSpec extends SparkSpec {
     assert(got(1) == (1, 2L, 0L, -524288L, 1572864L, 1048576L, 2621440L))
   }
 
+  test("crossSourceDupMatrix: shared fingerprints pair sources once, within-source dups don't") {
+    val prefix = "x" * 64
+    val d = Seq(
+      (0L, prefix + " tail one", "sA"),
+      (1L, prefix + " tail two", "sB"),   // shares the 64-prefix with 0
+      (2L, prefix + " tail three", "sB"), // same source again: distinct() collapses it
+      (3L, "completely other text", "sC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(d, "text", "source")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("sA", "sB", 1L)))
+  }
+
+  test("powerOfTwoBatchShapes: exact bit-length buckets and padding") {
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L).toDF("n")
+    val got = Sampling.powerOfTwoBatchShapes(d, $"n")
+      .orderBy("bucket").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 1L, 1L, 0L),    // n=1 -> shape 1
+      (1, 1L, 2L, 0L),    // n=2 -> shape 2
+      (2, 2L, 7L, 1L),    // n=3,4 -> shape 4, padding 1
+      (3, 2L, 13L, 3L),   // n=5,8 -> shape 8, padding 3
+      (4, 1L, 9L, 7L)))   // n=9 -> shape 16, padding 7
+  }
+
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
     val mk = (seed: Long) => Array.tabulate(64)(i =>
       (((seed * 37 + i * 13) % 19) - 9).toFloat)
