@@ -41,7 +41,17 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    interleave q129, token-entropy quality q130, bigram
   *    Stupid-Backoff LM on a held-out split q132, HTML boilerplate
   *    extraction q133, grouped exact length quantiles q134,
-  *    dedup-aware content-hash split + leakage audit q135, LSH calibration report q136, paragraph-dedup mass q137, streaming-LSH ingest candidates q138 (stream≡batch)
+  *    dedup-aware content-hash split + leakage audit q135, LSH calibration report q136, paragraph-dedup mass q137, streaming-LSH ingest candidates q138 (stream≡batch),
+  *    concat-chunk sequence accounting q139, sketch-pruned heavy
+  *    hitters q140 (Misra-Gries candidates + exact verify), corpus
+  *    snapshot diff q141, robust MAD length outliers q142, semantic
+  *    cross-corpus decontamination q143, first-occurrence gram
+  *    novelty q144, bucketed at-rest dedup layout q145 (exchange-free
+  *    content groupBy), near-dup cluster-closed split q146,
+  *    target-mixture reweighting q147, ANN recall audit q148,
+  *    vocabulary coverage curve q149, embedding dimension audit q150,
+  *    cross-source duplication matrix q151, power-of-two batch-shape
+  *    histogram q152
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,
