@@ -255,6 +255,38 @@ object Sampling {
         sum("n").as("tokens"),
         sum(col("pad_to") - col("n")).as("padding"))
 
+  /** Deterministic upsampling materializer — turns fixed-point
+    * sampling weights (the [[targetMixture]] output) into actual row
+    * multiplicity: every doc emits `floor(w)` copies plus one more
+    * iff its md5 draw falls under `frac(w)` (in the same 2²⁰
+    * fixed point), so the EXPECTED emitted mass matches the recipe
+    * exactly while every copy decision is reproducible — no RNG, and
+    * upsampling w<1 degenerates to the usual keep/drop filter.
+    * Emitted rows carry a `copy` index so downstream shuffles
+    * de-correlate the duplicates (e.g. salt the training-order hash
+    * with it).
+    *
+    * Scale shape: per-row `explode(sequence(...))` — output size is
+    * the recipe's, input never shuffles.
+    */
+  def materializeWeights(df: DataFrame, keyCol: Column,
+                         weightFpCol: Column): DataFrame = {
+    val draw = pmod(
+      conv(substring(md5(concat(keyCol.cast("string"), lit(":up"))), 1, 15),
+        16, 10).cast("long"),
+      lit(1048576L))
+    df.withColumn("_wfp", weightFpCol.cast("long"))
+      // integer div/mod only — Column./ is double division and would
+      // round the whole-copy count at large fixed-point weights
+      .withColumn("_n_copies",
+        expr("_wfp div 1048576L") +
+          when(draw < expr("_wfp % 1048576L"), 1L).otherwise(0L))
+      .filter(col("_n_copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("_n_copies") - 1)))
+      .drop("_wfp", "_n_copies")
+  }
+
   /** Concat-and-chunk accounting — the GPT-style pretraining sequence
     * construction: docs are hash-routed to shards, concatenated in
     * deterministic md5 order with one EOD token appended to each, and

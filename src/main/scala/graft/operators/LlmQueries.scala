@@ -1058,6 +1058,27 @@ object LlmQueries {
         TextAnalysis.tokenCountCol(col("text")))
       .orderBy("bucket")
 
+  /** q153 materialized recipe
+    * ([[graft.llm.Sampling.materializeWeights]] over the q147
+    * weights): the target mixture actually EMITTED — every doc
+    * replicated floor(w) times plus a deterministic fractional copy,
+    * then per-source emitted docs/tokens. Closes the recipe loop:
+    * q147 states the weights, q153 proves the corpus they produce.
+    * Oracle replays weights, copy counts, and the aggregation.
+    */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCountCol(col("text")).cast("long").as("n_tokens"))
+    val w = Sampling.targetMixture(docs, col("source"), col("n_tokens"),
+        Seq("src1" -> 800L, "src4" -> 600L, "src7" -> 400L, "src12" -> 200L))
+      .select(col("domain").as("source"), col("w_fp"))
+    Sampling.materializeWeights(docs.join(broadcast(w), "source"),
+        col("doc_id"), col("w_fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_emitted"), sum("n_tokens").as("emitted_tokens"))
+      .orderBy("source")
+  }
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1291,6 +1312,7 @@ object LlmQueries {
     "q150_dimension_audit" -> q150 _,
     "q151_source_dup_matrix" -> q151 _,
     "q152_batch_shapes" -> q152 _,
+    "q153_materialized_recipe" -> q153 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2069,6 +2091,34 @@ object LlmQueries {
         |SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared_groups
         |FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
         |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin,
+
+    "q153_materialized_recipe" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, CAST(len($toksExpr) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |pd AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM pd),
+         |w AS (
+         |  SELECT source,
+         |         CASE WHEN tbp IS NOT NULL
+         |              THEN (tbp * n_total * 1048576) // (10000 * n_docs)
+         |              ELSE 1048576 END AS w_fp
+         |  FROM (SELECT source, n_docs,
+         |               CASE source WHEN 'src1' THEN 800 WHEN 'src4' THEN 600
+         |                           WHEN 'src7' THEN 400 WHEN 'src12' THEN 200 END AS tbp,
+         |               tot.n_total
+         |        FROM pd CROSS JOIN tot)),
+         |c AS (
+         |  SELECT d.doc_id, d.source, d.n_tokens,
+         |         w.w_fp // 1048576
+         |           + CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':up'), 1, 15) AS BIGINT)
+         |                       % 1048576 < w.w_fp % 1048576
+         |                  THEN 1 ELSE 0 END AS n_copies
+         |  FROM docs d JOIN w USING (source))
+         |SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_emitted,
+         |       CAST(SUM(n_copies * n_tokens) AS BIGINT) AS emitted_tokens
+         |FROM c WHERE n_copies > 0 GROUP BY source ORDER BY source""".stripMargin,
 
     "q152_batch_shapes" ->
       s"""WITH t AS (SELECT CAST(len($toksExpr) AS BIGINT) AS n FROM documents),

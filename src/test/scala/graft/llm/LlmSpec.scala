@@ -1340,6 +1340,32 @@ class LlmSpec extends SparkSpec {
       (4, 1L, 9L, 7L)))   // n=9 -> shape 16, padding 7
   }
 
+  test("materializeWeights: whole copies exact, fractional copies hash-deterministic, w<=0 drops") {
+    val d = (0L until 200L).toDF("id")
+      .withColumn("w_fp",
+        when($"id" < 50, lit(3145728L))       // w = 3.0 -> exactly 3 copies
+          .when($"id" < 100, lit(1048576L))   // w = 1.0 -> exactly 1 copy
+          .when($"id" < 150, lit(524288L))    // w = 0.5 -> keep-or-drop
+          .otherwise(lit(0L)))                // w = 0 -> always dropped
+    val got = Sampling.materializeWeights(d, $"id", $"w_fp")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert((0L until 50L).forall(got(_) == 3L))
+    assert((50L until 100L).forall(got(_) == 1L))
+    assert((150L until 200L).forall(!got.contains(_)))
+    val half = (100L until 150L).flatMap(got.get)
+    assert(half.forall(_ == 1L))
+    assert(half.size > 10 && half.size < 40) // the 2^-20 draw keeps ~half
+    // determinism: a second run emits the identical multiset
+    val again = Sampling.materializeWeights(d, $"id", $"w_fp")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // copy indices are dense 0..n-1 (the salt downstream shuffles need)
+    val copies = Sampling.materializeWeights(d.filter($"id" < 50), $"id", $"w_fp")
+      .groupBy("id").agg(sort_array(collect_list("copy")).as("c"))
+      .as[(Long, Seq[Long])].collect()
+    assert(copies.forall(_._2 == Seq(0L, 1L, 2L)))
+  }
+
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
     val mk = (seed: Long) => Array.tabulate(64)(i =>
       (((seed * 37 + i * 13) % 19) - 9).toFloat)
