@@ -904,6 +904,68 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every char `k`-gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM — the
+    * guarantee is positional: any shared substring of length
+    * ≥ w+k−1 chars yields at least one shared fingerprint, while the
+    * selected set is ~2/(w+1) of all grams. This is the LOCAL
+    * fingerprinting family — it detects partial overlap (a copied
+    * paragraph inside an otherwise new doc) that whole-doc hashes
+    * (q44) and doc-level shingle LSH miss at low overall similarity.
+    *
+    * Scale shape: a per-doc position generate (linear in text
+    * length), the window-min inside an id-keyed window (docs
+    * co-locate, nothing global), one distinct. Pairing consumers
+    * should hub-cap the fingerprint (see [[winnowedPairs]]) exactly
+    * like q116's maxDf — ubiquitous boilerplate fingerprints are the
+    * skew risk, not the pair join itself.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .repartition(col("id"))
+      .select(col("id"), col("t"),
+        posexplode(sequence(lit(1),
+          greatest(length(col("t")) - (k - 1), lit(1)))).as(Seq("i", "pos")))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(substring(col("t"), col("pos"), lit(k))), 1, 15),
+          16, 10).cast("long").as("h"),
+        (length(col("t")) - (k - 1)).as("np"))
+      .withColumn("minh", min("h").over(win))
+      // only FULL windows select (pos ≤ np−w+1); short docs keep their
+      // single partial-window minimum so every doc fingerprints
+      .filter(col("pos") <= greatest(col("np") - (w - 1), lit(1)))
+      .select(col("id"), col("minh").as("fp"))
+      .distinct()
+  }
+
+  /** Shared-winnowed-fingerprint doc pairs — the MOSS match report:
+    * docs ranked by how many selected fingerprints they share.
+    * Fingerprints appearing in more than `maxDf` docs are dropped
+    * before pairing (corpus-wide boilerplate — the hub that would
+    * otherwise square the join), so per-fingerprint fan-out is
+    * bounded by maxDf².
+    */
+  def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 4, maxDf: Int = 8,
+                    minShared: Int = 5): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(rare, "fp")
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Cross-source duplication matrix — which sources carry the same
     * content: documents fingerprint by prefix hash (the q46 family),
     * each (fingerprint, source) pair counted once, and source pairs

@@ -1079,6 +1079,18 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** q154 winnowed fingerprint matches
+    * ([[graft.llm.Dedup.winnowedPairs]]): the MOSS local-overlap
+    * report — shared window-min char-8-gram fingerprints per doc
+    * pair, hub-capped. Catches partial copies (a shared paragraph in
+    * otherwise-different docs) that doc-level similarity misses.
+    * Oracle replays positions, hashes, the window minimum and the
+    * capped pair join.
+    */
+  def q154(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowedPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1313,6 +1325,7 @@ object LlmQueries {
     "q151_source_dup_matrix" -> q151 _,
     "q152_batch_shapes" -> q152 _,
     "q153_materialized_recipe" -> q153 _,
+    "q154_winnow_matches" -> q154 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2091,6 +2104,32 @@ object LlmQueries {
         |SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared_groups
         |FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
         |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin,
+
+    "q154_winnow_matches" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, text,
+        |         unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS pos
+        |  FROM documents),
+        |h AS (
+        |  SELECT id, pos,
+        |         CAST('0x' || substr(md5(substr(text, CAST(pos AS INTEGER), 8)), 1, 15) AS BIGINT) AS h,
+        |         length(text) - 7 AS np
+        |  FROM p),
+        |wmin AS (
+        |  SELECT id, pos, np,
+        |         MIN(h) OVER (PARTITION BY id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+        |  FROM h),
+        |fp AS (
+        |  SELECT DISTINCT id, minh AS fp FROM wmin
+        |  WHERE pos <= greatest(np - 3, 1)),
+        |rare AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+        |  WHERE df <= 8),
+        |kept AS (SELECT id, fp FROM fp JOIN rare USING (fp))
+        |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+        |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
 
     "q153_materialized_recipe" ->
       s"""WITH docs AS (

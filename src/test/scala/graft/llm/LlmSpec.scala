@@ -1207,6 +1207,28 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.size < 20) // the threshold actually cuts
   }
 
+  test("heavyHitters property: partitioning never changes the answer (random zipf corpora)") {
+    val gen = for {
+      vocab <- org.scalacheck.Gen.choose(5, 60)
+      skew  <- org.scalacheck.Gen.choose(1, 4)
+      parts <- org.scalacheck.Gen.choose(1, 11)
+      k     <- org.scalacheck.Gen.choose(3, 12)
+    } yield (vocab, skew, parts, k)
+    new graft.PropCheck {}.forAllN(gen, n = 12) { case (vocab, skew, parts, k) =>
+      val rows = (0 until vocab).flatMap(i =>
+        Seq.fill(math.max(1, 200 / math.pow(i + 1, skew).toInt))(s"t$i"))
+      val n = rows.size.toLong
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      val got = Sketches.heavyHitters(
+          rows.toDF("tok").repartition(parts), k)
+        .as[(String, Long, Long)].collect()
+      assert(got.map(_._1).toSet == exact.keySet,
+        s"vocab=$vocab skew=$skew parts=$parts k=$k")
+      got.foreach { case (t, c, nt) => assert(c == exact(t) && nt == n) }
+    }
+  }
+
   test("snapshotDiff: all four statuses, counts and char mass from a local replay") {
     val oldDf = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
       .toDF("doc_id", "text")
@@ -1364,6 +1386,25 @@ class LlmSpec extends SparkSpec {
       .groupBy("id").agg(sort_array(collect_list("copy")).as("c"))
       .as[(Long, Seq[Long])].collect()
     assert(copies.forall(_._2 == Seq(0L, 1L, 2L)))
+  }
+
+  test("winnowing: shared substrings >= w+k-1 guarantee a shared fingerprint; disjoint docs don't pair") {
+    val copied = "the exact copied paragraph that appears in both documents here"
+    val d = Seq(
+      (0L, s"first document unique opening text. $copied trailing original matter one"),
+      (1L, s"second doc other beginning words entirely. $copied and a different ending"),
+      (2L, "totally disjoint content with zero overlap of any eight gram sequence XYZW"))
+      .toDF("doc_id", "text")
+    // the Schleimer guarantee: the 60+ char shared substring (>= w+k-1 = 11)
+    // must yield at least one common selected fingerprint
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(0L) & fps(1L)).nonEmpty)
+    // selection density: ~2/(w+1) of positions, never more than all
+    assert(fps(0L).size < 80)
+    val pairs = Dedup.winnowedPairs(d, "doc_id", "text", minShared = 2, maxDf = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
   }
 
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
