@@ -953,7 +953,13 @@ object Dedup {
   def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, w: Int = 4, maxDf: Int = 8,
                     minShared: Int = 5): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    // materialize the fingerprint table once: it feeds the df-count
+    // aggregate AND both sides of the pair self-join, so without the
+    // cut the per-position md5 + window-min subtree replays up to 4×
+    // (measured 13.8 s → 3.9 s at sf0.1). Same economics as q116's
+    // inverted index: (id, fp) is two longs per selected gram —
+    // ~2/(w+1) of corpus chars — far cheaper to pin than to recompute.
+    val fps = winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
