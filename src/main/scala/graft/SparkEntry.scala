@@ -51,7 +51,9 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    target-mixture reweighting q147, ANN recall audit q148,
   *    vocabulary coverage curve q149, embedding dimension audit q150,
   *    cross-source duplication matrix q151, power-of-two batch-shape
-  *    histogram q152
+  *    histogram q152, deterministic upsampling materializer q153,
+  *    winnowed MOSS fingerprint matches q154, contrastive triplet
+  *    mining q155
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,

@@ -604,4 +604,57 @@ object Similarity {
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .withColumn("keep", col("vec_id") === col("cluster_id"))
   }
+
+  /** Contrastive triplet mining — per anchor vector, the HARDEST
+    * positive (same label, LOWEST cosine: the far member of its own
+    * class) and the HARDEST negative (different label, HIGHEST
+    * cosine: the impostor), the pair-selection step behind
+    * triplet/InfoNCE fine-tuning data (FaceNet semi-hard mining,
+    * Schroff et al. 2015, re-expressed as a corpus self-join).
+    *
+    * Scale shape: candidates form ONLY inside hyperplane buckets
+    * (the [[knnGraph]] shape — never all-pairs; `planes` from
+    * [[autoPlanes]] at corpus scale), and both extrema reduce inside
+    * ONE anchor-keyed aggregation over the candidate rows — min/max
+    * structs, no window sort, nothing collected. Anchors whose
+    * bucket holds no same-label (or no other-label) neighbor emit
+    * NULL on that side rather than dropping — mining coverage is
+    * itself a signal (a NULL-positive anchor is an isolated class
+    * member; a NULL-negative bucket is class-pure).
+    *
+    * Determinism: cosines are the shared left-fold (bit-identical
+    * across engines); extrema tie-break on candidate id via struct
+    * ordering (cosine, ±id), a total order.
+    */
+  def tripletMine(emb: DataFrame, planes: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bucketed = emb.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("int").as("lab"), col(vecCol).as("vec"))
+      .withColumn("bucket", bucketCol(col("vec"), planes))
+      .withColumn("nrm", normCol(col("vec")))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("lab").as("lab_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("lab").as("lab_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, "bucket").filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine",
+        dotCol(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .groupBy(col("id_a").as("vec_id"), col("lab_a").as("label"))
+      .agg(
+        // hardest positive: same label, min cosine; ties → lower id.
+        // min over (cosine, id) structs orders lexicographically —
+        // exactly (min cosine, then min id).
+        min(when(col("lab_a") === col("lab_b"),
+          struct(col("cosine").as("c"), col("id_b").as("nid")))).as("p"),
+        // hardest negative: other label, max cosine; ties → lower id
+        // (struct max on (cosine, -id) maximizes -id, i.e. minimizes
+        // id), mirroring the positive side's tie-break.
+        max(when(col("lab_a") =!= col("lab_b"),
+          struct(col("cosine").as("c"), (-col("id_b")).as("nid")))).as("ng"))
+      .select(col("vec_id"), col("label"),
+        col("p.nid").as("pos_id"), col("p.c").as("pos_cosine"),
+        (-col("ng.nid")).as("neg_id"), col("ng.c").as("neg_cosine"))
+  }
 }

@@ -1091,6 +1091,18 @@ object LlmQueries {
     Dedup.winnowedPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** q155 contrastive triplet mining
+    * ([[graft.llm.Similarity.tripletMine]]): per anchor, the hardest
+    * same-label positive (min cosine) and hardest other-label
+    * negative (max cosine), candidates restricted to hyperplane
+    * buckets, extrema folded in one anchor-keyed aggregation.
+    * Oracle replays buckets, the cosine fold, and both extrema with
+    * the same (cosine, id) tie-break.
+    */
+  def q155(s: SparkSession, d: String): DataFrame =
+    Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
+      .orderBy("vec_id")
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1326,6 +1338,7 @@ object LlmQueries {
     "q152_batch_shapes" -> q152 _,
     "q153_materialized_recipe" -> q153 _,
     "q154_winnow_matches" -> q154 _,
+    "q155_triplet_mine" -> q155 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2130,6 +2143,36 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q155_triplet_mine" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, label, embedding,
+         |         ${bucketExpr("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, a.label AS lab_a,
+         |         b.vec_id AS id_b, b.label AS lab_b,
+         |         ${dotExpr("a.embedding", "b.embedding")}
+         |           / (SQRT(${dotExpr("a.embedding", "a.embedding")})
+         |              * SQRT(${dotExpr("b.embedding", "b.embedding")})) AS c
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |pos AS (
+         |  SELECT id_a, id_b, c,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c ASC, id_b ASC) AS rn
+         |  FROM cand WHERE lab_a = lab_b),
+         |neg AS (
+         |  SELECT id_a, id_b, c,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b ASC) AS rn
+         |  FROM cand WHERE lab_a <> lab_b),
+         |anchors AS (SELECT DISTINCT id_a, lab_a FROM cand)
+         |SELECT an.id_a AS vec_id, an.lab_a AS label,
+         |       p.id_b AS pos_id, p.c AS pos_cosine,
+         |       n.id_b AS neg_id, n.c AS neg_cosine
+         |FROM anchors an
+         |LEFT JOIN pos p ON p.id_a = an.id_a AND p.rn = 1
+         |LEFT JOIN neg n ON n.id_a = an.id_a AND n.rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "q153_materialized_recipe" ->
       s"""WITH docs AS (

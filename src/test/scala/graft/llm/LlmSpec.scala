@@ -863,6 +863,42 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("tripletMine: hardest positive is the far same-label member, hardest negative the impostor") {
+    val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val near = dir.clone(); near(5) = near(5) + 0.5f // same signs, cosine < 1
+    val emb = Seq(
+      (0L, dir, 0),           // anchor class 0
+      (1L, dir.map(_ * 2), 0), // parallel twin, cosine 1
+      (2L, near, 0),           // perturbed member, cosine < 1
+      (3L, dir.map(_ * 4), 1), // impostor: other label, cosine 1
+      (4L, dir.map(x => -x), 1)) // opposite bucket, unreachable
+      .toDF("vec_id", "embedding", "label")
+    // fixture precondition: 0..3 co-bucket, 4 does not
+    graft.functions.GraftFunctions.register(spark)
+    val buckets = emb.select(col("vec_id"),
+      Similarity.bucketCol(col("embedding"), 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(i => buckets(i) == buckets(0L)))
+    assert(buckets(4L) != buckets(0L))
+    val got = Similarity.tripletMine(emb, planes = 4)
+      .orderBy("vec_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L)) // 4 is alone
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // anchors 0 and 1: hardest positive is the PERTURBED member (min
+    // cosine), not the parallel twin; hardest negative the impostor
+    for (id <- Seq(0L, 1L)) {
+      assert(byId(id).getLong(2) == 2L && byId(id).getDouble(3) < 1.0 - 1e-9)
+      assert(byId(id).getLong(4) == 3L && math.abs(byId(id).getDouble(5) - 1.0) < 1e-9)
+    }
+    // anchor 2: both positives are parallel (equal cosine) -> id tie-break to 0
+    assert(byId(2L).getLong(2) == 0L)
+    // anchor 3: no same-label neighbor in bucket -> NULL positive side;
+    // hardest negative is a parallel vector at cosine ~1
+    assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3))
+    assert(Seq(0L, 1L).contains(byId(3L).getLong(4)))
+    assert(math.abs(byId(3L).getDouble(5) - 1.0) < 1e-9)
+  }
+
   test("semanticPrune: scalar multiples cluster under min label; singletons keep themselves") {
     val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
     val other = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f))
