@@ -138,28 +138,29 @@ object Dedup {
     * saves a distinct exchange.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3): DataFrame = {
+                  n: Int = 3, carry: Seq[String] = Nil): DataFrame = {
+    val kept = carry.map(col)
     // n = 1 degenerates to plain token rows — no lead() needed, so
     // skip the window's shuffle+sort entirely
     if (n == 1)
-      return df.select(col(idCol).as("id"), col(textCol).as("text"))
+      return df.select(col(idCol).as("id") +: col(textCol).as("text") +: kept: _*)
         .repartition(col("id"))
-        .select(col("id"), explode(TextAnalysis.tokensCol(col("text"))).as("s"))
+        .select(col("id") +: explode(TextAnalysis.tokensCol(col("text"))).as("s") +: kept: _*)
     val w = Window.partitionBy("id").orderBy("pos")
     // the full/partial condition comes from the SAME window (is the
     // last lead populated?), never from a token count — a size(split)
     // column would land in the Project ABOVE the generate and re-split
     // the whole document once per TOKEN row (measured ~3 s of the old
     // ~3.7 s stage at 260k rows; this form is ~0.7 s)
-    df.select(col(idCol).as("id"), col(textCol).as("text"))
+    df.select(col(idCol).as("id") +: col(textCol).as("text") +: kept: _*)
       .repartition(col("id")) // single-file inputs otherwise serialize the split
-      .select(col("id"), posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
-      .select(col("id"), col("pos"),
+      .select(col("id") +: posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")) +: kept: _*)
+      .select(col("id") +: col("pos") +:
         concat_ws(" ", col("tok") +:
-          (1 until n).map(k => lead(col("tok"), k).over(w)): _*).as("s"),
-        lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
+          (1 until n).map(k => lead(col("tok"), k).over(w)): _*).as("s") +:
+        lead(col("tok"), n - 1).over(w).isNotNull.as("full") +: kept: _*)
       .filter(col("full") || col("pos") === 0) // ≡ pos ≤ max(n_tok − n, 0)
-      .select("id", "s")
+      .select(col("id") +: col("s") +: kept: _*)
   }
 
   /** One BPE-style merge round at corpus scale: the frequency of every
@@ -998,6 +999,53 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_shared_groups"))
+  }
+
+  /** Per-source MinHash sketch overlap — the ESTIMATE companion to
+    * [[crossSourceDupMatrix]]'s exact prefix matrix: each source's
+    * distinct shingle set reduces to a `numHashes`-wide MinHash
+    * signature (the [[minhashAffineCol]] family), and cross-source
+    * content overlap is read off signature agreement —
+    * `P(min_a = min_b) = J(A,B)`, so `n_agree/H` estimates Jaccard
+    * with ~1/√H error and NO doc-pair or gram-pair work at all.
+    *
+    * This is the mergeable-sketch idiom at its purest: per-source
+    * minima are associative, so 100 TB shards sketch independently
+    * and merge by `min` — the matrix costs one gram distinct + one
+    * source-keyed aggregation regardless of corpus size, while any
+    * exact overlap requires a gram-keyed join. Signatures
+    * (|sources|·H rows of two longs) localCheckpoint so the corpus
+    * aggregation runs once, not once per self-join side.
+    *
+    * Determinism: exact BIGINT affine arithmetic over md5 bases —
+    * bit-identical in any engine; the estimate is an integer count
+    * over H, so no float accumulation exists anywhere.
+    */
+  def sourceMinhashOverlap(df: DataFrame, idCol: String, sourceCol: String,
+                           textCol: String, numHashes: Int = 64,
+                           n: Int = 3): DataFrame = {
+    require(numHashes > 0, s"need numHashes > 0, got $numHashes")
+    // relational shingles (the array-form explode re-inlines the
+    // token split per element under CollapseProject — the q138
+    // cautionary anchor; measured 9.4 s vs 2.5 s here), source
+    // carried through the gram build so no doc→source join is needed
+    val grams = shingleRows(
+        df.select(col(idCol), col(sourceCol).as("src"), col(textCol)),
+        idCol, textCol, n, carry = Seq("src"))
+      .select("src", "s")
+      .distinct()
+    val sig = grams.select(col("src"), minhashBaseCol(col("s")).as("b"))
+      .groupBy("src")
+      .agg(array((0 until numHashes).map(k =>
+        min(minhashAffineCol(k, col("b")))): _*).as("sig"))
+      .localCheckpoint()
+    val kv = sig.select(col("src"), posexplode(col("sig")).as(Seq("k", "mh")))
+    kv.alias("a")
+      .join(kv.alias("b"),
+        col("a.k") === col("b.k") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("jaccard_est", col("n_agree").cast("double") / numHashes)
   }
 
   /** Corpus snapshot diff — the incremental-ingest audit: two corpus

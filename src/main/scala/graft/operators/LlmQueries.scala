@@ -1103,6 +1103,17 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q156 source MinHash overlap matrix
+    * ([[graft.llm.Dedup.sourceMinhashOverlap]]): cross-source
+    * Jaccard ESTIMATED from per-source 64-hash MinHash signatures —
+    * mergeable sketches, no pair work; the estimate twin of q151's
+    * exact prefix matrix. Oracle replays the shingles, the affine
+    * hash family, the per-source minima and the agreement count.
+    */
+  def q156(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceMinhashOverlap(Tables.documents(s, d), "doc_id", "source", "text")
+      .orderBy("src_a", "src_b")
+
   /** q119 perceptual image dedup
     * ([[graft.llm.Multimodal.imageHashBuckets]]): deterministic PNG
     * payloads (7 patterns over the documents table, odd ids uniformly
@@ -1339,6 +1350,7 @@ object LlmQueries {
     "q153_materialized_recipe" -> q153 _,
     "q154_winnow_matches" -> q154 _,
     "q155_triplet_mine" -> q155 _,
+    "q156_source_minhash_overlap" -> q156 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2143,6 +2155,31 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q156_source_minhash_overlap" ->
+      s"""WITH sh0 AS (
+         |  SELECT source, $toksExpr AS w FROM documents),
+         |shl AS (
+         |  SELECT source,
+         |         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+         |           i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1], w[CAST(i AS INTEGER) + 2]))) AS sh
+         |  FROM sh0),
+         |g AS (SELECT DISTINCT source AS src, unnest(sh) AS s FROM shl),
+         |bs AS (
+         |  SELECT src,
+         |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2038074743 AS b
+         |  FROM g),
+         |sig AS (
+         |  SELECT src, k,
+         |         MIN(((1 + ((k * 2654435761) % 2038074742)) * b
+         |              + ((k * 40503 + 17) % 2038074743)) % 2038074743) AS mh
+         |  FROM bs CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
+         |  GROUP BY src, k)
+         |SELECT a.src AS src_a, b2.src AS src_b,
+         |       CAST(SUM(CASE WHEN a.mh = b2.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |       CAST(SUM(CASE WHEN a.mh = b2.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS jaccard_est
+         |FROM sig a JOIN sig b2 ON a.k = b2.k AND a.src < b2.src
+         |GROUP BY a.src, b2.src ORDER BY src_a, src_b""".stripMargin,
 
     "q155_triplet_mine" ->
       s"""WITH bucketed AS (

@@ -863,6 +863,26 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("sourceMinhashOverlap: identical sources agree on every hash, disjoint sources on none") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon", "srcA"),
+      (1L, "alpha beta gamma delta epsilon", "srcB"), // same content, other source
+      (2L, "zeta eta theta iota kappa", "srcC"))      // disjoint grams
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceMinhashOverlap(df, "doc_id", "source", "text")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    // identical shingle sets -> every one of the 64 minima agrees
+    assert(byPair(("srcA", "srcB"))._3 == 64L)
+    assert(byPair(("srcA", "srcB"))._4 == 1.0)
+    // disjoint shingle sets -> agreement only via affine collisions (none here)
+    assert(byPair(("srcA", "srcC"))._3 == 0L)
+    assert(byPair(("srcB", "srcC"))._3 == 0L)
+  }
+
   test("tripletMine: hardest positive is the far same-label member, hardest negative the impostor") {
     val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
     val near = dir.clone(); near(5) = near(5) + 0.5f // same signs, cosine < 1
