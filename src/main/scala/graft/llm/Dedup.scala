@@ -1001,6 +1001,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_groups"))
   }
 
+  /** Dedup savings report — the capacity-planning number dedup work
+    * is justified by: per source, document and token mass BEFORE and
+    * AFTER global exact dedup (canonical copy = the corpus-wide
+    * minimum id per content hash, so a source that republishes
+    * another's text loses those docs to the earlier source — the
+    * cross-source semantics mirror-triage needs). `token_keep_rate`
+    * is the per-source effective-data fraction; summed over sources
+    * it is the corpus' effective size after exact dedup.
+    *
+    * Scale shape: one hash-keyed MIN aggregation (hashes move, text
+    * never does), one hash join back, one ≤|sources| aggregation —
+    * all map-side-partial-friendly; nothing quadratic, nothing
+    * collected.
+    */
+  def dedupSavings(df: DataFrame, idCol: String, sourceCol: String,
+                   textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      col(sourceCol).as("src"),
+      md5(col(textCol)).as("h"),
+      TextAnalysis.tokenCountCol(col(textCol)).cast("long").as("n_tok"))
+    val canonical = docs.groupBy("h").agg(min("id").as("keep_id"))
+    docs.join(canonical, "h")
+      .groupBy(col("src").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") === col("keep_id"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("id") === col("keep_id"), col("n_tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .withColumn("token_keep_rate",
+        col("n_tokens_kept").cast("double") / col("n_tokens"))
+  }
+
   /** Per-source MinHash sketch overlap — the ESTIMATE companion to
     * [[crossSourceDupMatrix]]'s exact prefix matrix: each source's
     * distinct shingle set reduces to a `numHashes`-wide MinHash

@@ -1103,6 +1103,17 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q157 dedup savings report
+    * ([[graft.llm.Dedup.dedupSavings]]): per-source doc/token mass
+    * before vs after global exact dedup (canonical = corpus-min id
+    * per content hash — cross-source semantics), with the
+    * token-keep-rate that prices the dedup stage. Oracle replays the
+    * hash, the min-id canonical choice and both aggregations.
+    */
+  def q157(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSavings(Tables.documents(s, d), "doc_id", "source", "text")
+      .orderBy("source")
+
   /** q156 source MinHash overlap matrix
     * ([[graft.llm.Dedup.sourceMinhashOverlap]]): cross-source
     * Jaccard ESTIMATED from per-source 64-hash MinHash signatures —
@@ -1351,6 +1362,7 @@ object LlmQueries {
     "q154_winnow_matches" -> q154 _,
     "q155_triplet_mine" -> q155 _,
     "q156_source_minhash_overlap" -> q156 _,
+    "q157_dedup_savings" -> q157 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2155,6 +2167,22 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q157_dedup_savings" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, source AS src, md5(text) AS h,
+         |         CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |canon AS (SELECT h, MIN(id) AS keep_id FROM docs GROUP BY h)
+         |SELECT d.src AS source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN d.id = c.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |       CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN d.id = c.keep_id THEN d.n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+         |       CAST(SUM(CASE WHEN d.id = c.keep_id THEN d.n_tok ELSE 0 END) AS DOUBLE)
+         |         / CAST(SUM(d.n_tok) AS DOUBLE) AS token_keep_rate
+         |FROM docs d JOIN canon c USING (h)
+         |GROUP BY d.src ORDER BY source""".stripMargin,
 
     "q156_source_minhash_overlap" ->
       s"""WITH sh0 AS (

@@ -863,6 +863,21 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("dedupSavings: cross-source duplicate loses to the earlier source; uniques keep everything") {
+    val df = Seq(
+      (0L, "one two three", "srcA"),   // canonical (min id for this text)
+      (1L, "one two three", "srcA"),   // within-source dup
+      (2L, "one two three", "srcB"),   // cross-source dup -> lost to srcA
+      (3L, "four five", "srcB"))       // unique
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupSavings(df, "doc_id", "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("srcA", 2L, 1L, 6L, 3L, 0.5),
+      ("srcB", 2L, 1L, 5L, 2L, 0.4)))
+  }
+
   test("sourceMinhashOverlap: identical sources agree on every hash, disjoint sources on none") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon", "srcA"),
