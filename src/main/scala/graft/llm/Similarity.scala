@@ -605,6 +605,75 @@ object Similarity {
       .withColumn("keep", col("vec_id") === col("cluster_id"))
   }
 
+  /** Deterministic Lloyd k-means refinement — the clustering loop
+    * behind topic balancing, cluster-based curation and IVF index
+    * builds, exposed as an operator: start from the fixed formula
+    * centroids (the q79 IVF quantizer family), run `rounds` full
+    * Lloyd updates, and report the final assignment histogram with
+    * exact fixed-point inertia.
+    *
+    * Fully distributed — the model is a ONE-ROW DataFrame holding
+    * `array<array<double>>` centroids that rides a broadcast to the
+    * corpus scan; assignment is a per-row fold over the k candidate
+    * centroids (argmin, ties → lowest index), and the update is one
+    * (cluster, dim) aggregation whose means use 2²⁰ fixed-point sums
+    * (integer arithmetic — aggregation order cannot perturb them).
+    * Nothing is ever collected to the driver; per round the corpus
+    * is scanned twice (assign+update in one plan) and only
+    * (cluster, dim) partials shuffle. Empty clusters drop out and
+    * the survivors re-index densely by their old id order — both
+    * engines replay the same rule.
+    *
+    * Determinism: distances are the shared left fold over exact
+    * float→double casts; means are exact integer sums divided twice
+    * (correctly-rounded IEEE ops); inertia accumulates as
+    * `floor(d·2²⁰)` BIGINTs. Every value is bit-reproducible in any
+    * engine, so a SQL oracle replays the full iteration.
+    */
+  def lloydRefine(emb: DataFrame, k: Int = 8, rounds: Int = 1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got k=$k rounds=$rounds")
+    val FP = 1048576.0 // 2^20
+    val init = (0 until k).map(c =>
+      (0 until 64).map(i => ((c * 37 + i * 13) % 41 - 20) / 10.0))
+    val spark = emb.sparkSession
+    def sqDist(vec: Column, cv: Column): Column =
+      aggregate(zip_with(vec, cv,
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x)
+    def assign(model: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(model))
+        .withColumn("dists", transform(col("cents"), cv => sqDist(col(vecCol), cv)))
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          (array_position(col("dists"), array_min(col("dists"))) - 1)
+            .cast("int").as("c"),
+          array_min(col("dists")).as("d"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("c"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("c", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * FP).cast("long")).as("s"))
+        .withColumn("m", col("s").cast("double") / FP / col("n"))
+        .groupBy("c")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .agg(transform(array_sort(collect_list(struct(col("c"), col("cv")))),
+          s => s.getField("cv")).as("cents"))
+    val model0 = spark.range(1).select(
+      typedLit(init).as("cents"))
+    val finalModel = (0 until rounds).foldLeft(model0) { (m, _) =>
+      // one row; checkpoint keeps round r+1's plan from replaying
+      // round r's corpus aggregation on both assign arms
+      update(assign(m)).localCheckpoint()
+    }
+    assign(finalModel)
+      .groupBy(col("c").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("d") * FP).cast("long")).as("inertia_fp"))
+      .withColumn("inertia", col("inertia_fp").cast("double") / FP)
+  }
+
   /** Contrastive triplet mining — per anchor vector, the HARDEST
     * positive (same label, LOWEST cosine: the far member of its own
     * class) and the HARDEST negative (different label, HIGHEST

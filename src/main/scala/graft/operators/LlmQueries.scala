@@ -1103,6 +1103,18 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q158 Lloyd k-means refinement
+    * ([[graft.llm.Similarity.lloydRefine]]): one full distributed
+    * Lloyd round from the q79 formula centroids — broadcast one-row
+    * model, per-row argmin assignment, fixed-point (cluster, dim)
+    * mean update — then the final assignment histogram with exact
+    * 2²⁰ fixed-point inertia. Oracle replays the whole iteration:
+    * formula init, argmin, integer mean sums, re-assignment.
+    */
+  def q158(s: SparkSession, d: String): DataFrame =
+    Similarity.lloydRefine(Tables.embeddings(s, d), k = 8, rounds = 1)
+      .orderBy("cluster")
+
   /** q157 dedup savings report
     * ([[graft.llm.Dedup.dedupSavings]]): per-source doc/token mass
     * before vs after global exact dedup (canonical = corpus-min id
@@ -1363,6 +1375,7 @@ object LlmQueries {
     "q155_triplet_mine" -> q155 _,
     "q156_source_minhash_overlap" -> q156 _,
     "q157_dedup_savings" -> q157 _,
+    "q158_lloyd_kmeans" -> q158 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2167,6 +2180,41 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q158_lloyd_kmeans" -> {
+      // formula centroid component for (c, i): matches lloydRefine's init
+      val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13) % 41 - 20) AS DOUBLE) / 10.0)"
+      def ed(i: String) = s"CAST(e.embedding[CAST($i AS INTEGER)] AS DOUBLE)"
+      val distInit = foldSum(
+        s"list_transform(range(1, 65), i -> (${ed("i")} - $cv0) * (${ed("i")} - $cv0))")
+      val distUpd = foldSum(
+        s"list_transform(range(1, 65), i -> (${ed("i")} - cv[CAST(i AS INTEGER)]) * (${ed("i")} - cv[CAST(i AS INTEGER)]))")
+      s"""WITH a1 AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         list_transform(range(0, 8), c -> $distInit) AS dists
+         |  FROM embeddings e),
+         |a1c AS (
+         |  SELECT vec_id, embedding,
+         |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c
+         |  FROM a1),
+         |mm AS (
+         |  SELECT c, i AS dim, COUNT(*) AS n,
+         |         SUM(CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s
+         |  FROM a1c CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+         |  GROUP BY c, i),
+         |m2 AS (SELECT c, dim, CAST(s AS DOUBLE) / 1048576.0 / n AS m FROM mm),
+         |cent2 AS (SELECT c, list(m ORDER BY dim) AS cv FROM m2 GROUP BY c),
+         |cl AS (SELECT list(cv ORDER BY c) AS cents FROM cent2),
+         |a2 AS (
+         |  SELECT e.vec_id,
+         |         list_transform(cents, cv -> $distUpd) AS dists
+         |  FROM embeddings e CROSS JOIN cl)
+         |SELECT CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS cluster,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CAST(FLOOR(list_aggregate(dists, 'min') * 1048576.0) AS BIGINT)) AS BIGINT) AS inertia_fp,
+         |       CAST(SUM(CAST(FLOOR(list_aggregate(dists, 'min') * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 AS inertia
+         |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin
+    },
 
     "q157_dedup_savings" ->
       s"""WITH docs AS (

@@ -863,6 +863,25 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("lloydRefine: identical vectors collapse to their own centroid at zero inertia; rounds=0 histograms the init") {
+    val v = Array.tabulate(64)(i => (0.3f * (i % 5 - 2)))
+    val emb = (0L until 5L).map(id => (id, v)).toDF("vec_id", "embedding")
+    // one Lloyd round: the surviving cluster's centroid is the fixed-point
+    // mean of five identical vectors -> re-assignment distance quantizes
+    // to zero at 2^20, and the dead clusters re-index the survivor to 0
+    val r1 = Similarity.lloydRefine(emb, k = 8, rounds = 1)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(r1.toSeq == Seq((0, 5L, 0L, 0.0)))
+    // rounds=0 reports the init-formula assignment: one bucket, all rows
+    val r0 = Similarity.lloydRefine(emb, k = 8, rounds = 0)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(r0.length == 1 && r0(0)._2 == 5L && r0(0)._3 > 0L)
+    // deterministic: a second run is bit-identical
+    val r1b = Similarity.lloydRefine(emb, k = 8, rounds = 1)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(r1.toSeq == r1b.toSeq)
+  }
+
   test("dedupSavings: cross-source duplicate loses to the earlier source; uniques keep everything") {
     val df = Seq(
       (0L, "one two three", "srcA"),   // canonical (min id for this text)
