@@ -374,6 +374,40 @@ object TextAnalysis {
         when(col("sum_fp") >= 0, 1).otherwise(0).as("keep"))
   }
 
+  /** Classifier calibration buckets — the reliability table for the
+    * [[hashedNgramScore]] quality classifier: docs bucketed by
+    * FIXED-WIDTH score intervals over the bounded [-1, 1] range
+    * (never a global ntile sort — bucket membership is a per-row
+    * expression, so the table costs one ≤`nb`-key aggregation at any
+    * corpus size), each bucket reporting its observed positive rate
+    * against its mean score. A calibrated classifier tracks the
+    * diagonal; the gap is what threshold tuning and Platt-style
+    * rescaling consume.
+    *
+    * Determinism: per-doc scores quantize to floor(mean_w·2²⁰)
+    * before the cross-row sum (the integer-sum idiom), so bucket
+    * means are order-immune; rates are integer-count divisions.
+    */
+  def calibrationBuckets(df: DataFrame, idCol: String, textCol: String,
+                         label: Column, nb: Int = 10): DataFrame = {
+    require(nb > 0, s"need nb > 0, got $nb")
+    val labels = df.select(col(idCol).as("id"), label.cast("boolean").as("y"))
+    hashedNgramScore(df, idCol, textCol)
+      .join(labels, "id")
+      .withColumn("mw_fp", floor(col("mean_w") * 1048576.0).cast("long"))
+      .withColumn("bucket",
+        least(greatest(floor((col("mean_w") + 1.0) * (nb / 2.0)).cast("int"),
+          lit(0)), lit(nb - 1)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum("mw_fp").as("sum_mw_fp"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        (col("sum_mw_fp").cast("double") / 1048576.0 / col("n"))
+          .as("mean_score"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each doc
     * by the log-likelihood RATIO of two hashed-n-gram bag models —

@@ -1103,6 +1103,19 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q159 classifier calibration buckets
+    * ([[graft.llm.TextAnalysis.calibrationBuckets]]): the q121
+    * quality classifier's reliability table — fixed-width score
+    * buckets over [-1,1] (a per-row expression, no ntile sort),
+    * observed `lang='en'` positive rate vs fixed-point mean score
+    * per bucket. Oracle replays the q121 scoring chain, the bucket
+    * rule and both rates.
+    */
+  def q159(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.calibrationBuckets(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en")
+      .orderBy("bucket")
+
   /** q158 Lloyd k-means refinement
     * ([[graft.llm.Similarity.lloydRefine]]): one full distributed
     * Lloyd round from the q79 formula centroids — broadcast one-row
@@ -1376,6 +1389,7 @@ object LlmQueries {
     "q156_source_minhash_overlap" -> q156 _,
     "q157_dedup_savings" -> q157 _,
     "q158_lloyd_kmeans" -> q158 _,
+    "q159_calibration_buckets" -> q159 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2180,6 +2194,39 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q159_calibration_buckets" ->
+      s"""WITH t AS (SELECT doc_id AS id, $toksExpr AS w FROM documents),
+         |uni AS (SELECT id, unnest(w) AS s FROM t),
+         |big AS (
+         |  SELECT id, unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+         |    i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]))) AS s
+         |  FROM t),
+         |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+         |gb AS (
+         |  SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1024 AS b
+         |  FROM grams),
+         |wt AS (
+         |  SELECT range AS b,
+         |         CAST('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+         |           % 2097153 - 1048576 AS w_fp
+         |  FROM range(0, 1024)),
+         |agg AS (
+         |  SELECT id, COUNT(*) AS n_grams, SUM(w_fp) AS sum_fp
+         |  FROM gb JOIN wt USING (b) GROUP BY id),
+         |scored AS (
+         |  SELECT a.id, CAST(a.sum_fp AS DOUBLE) / 1048576.0 / a.n_grams AS mean_w,
+         |         (d.lang = 'en') AS y
+         |  FROM agg a JOIN documents d ON a.id = d.doc_id),
+         |bk AS (
+         |  SELECT LEAST(GREATEST(CAST(FLOOR((mean_w + 1.0) * 5.0) AS INTEGER), 0), 9) AS bucket,
+         |         CAST(FLOOR(mean_w * 1048576.0) AS BIGINT) AS mw_fp, y
+         |  FROM scored)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pos_rate,
+         |       CAST(SUM(mw_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_score
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q158_lloyd_kmeans" -> {
       // formula centroid component for (c, i): matches lloydRefine's init

@@ -863,6 +863,34 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("calibrationBuckets: matches a per-doc replay of the score/bucket rule; counts conserve") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps", "en"),
+      (1L, "the quick brown fox jumps", "en"), // identical text, same bucket
+      (2L, "uno dos tres cuatro cinco seis", "es"),
+      (3L, "completely different words here now", "en"),
+      (4L, "short", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val perDoc = TextAnalysis.hashedNgramScore(df, "doc_id", "text")
+      .join(df.select(col("doc_id").as("id"), (col("lang") === "en").as("y")), "id")
+      .as[(Long, Long, Long, Double, Int, Boolean)].collect()
+    // replay the fixed-width bucket rule + fixed-point means in Scala
+    val expected = perDoc.groupBy { r =>
+      math.min(math.max(math.floor((r._4 + 1.0) * 5.0).toInt, 0), 9)
+    }.map { case (b, rs) =>
+      val mwSum = rs.map(r => math.floor(r._4 * 1048576.0).toLong).sum
+      (b, rs.length.toLong, rs.count(_._6).toLong,
+        rs.count(_._6).toDouble / rs.length,
+        mwSum.toDouble / 1048576.0 / rs.length)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.calibrationBuckets(df, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == 5L)
+  }
+
   test("lloydRefine: identical vectors collapse to their own centroid at zero inertia; rounds=0 histograms the init") {
     val v = Array.tabulate(64)(i => (0.3f * (i % 5 - 2)))
     val emb = (0L until 5L).map(id => (id, v)).toDF("vec_id", "embedding")
