@@ -1001,6 +1001,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_groups"))
   }
 
+  /** Chunk-stitch join — directional boundary matching for corpora
+    * ingested as page/chunk fragments: a row whose LAST `k` chars
+    * hash-match another row's FIRST `k` chars is a continuation
+    * candidate (`id_a` → `id_b`). This is the reconstruction
+    * primitive behind re-assembling crawl chunks, detecting articles
+    * split across rows, and auditing overlap-chunked ingestion; its
+    * edge set feeds [[connectedComponents]] when whole chains are
+    * wanted.
+    *
+    * Scale shape: two constant-width hash projections (the text
+    * never leaves its scan), df ≤ `maxDf` hub caps on BOTH boundary
+    * sides (an empty-page boundary would otherwise square the
+    * join — same discipline as [[winnowedPairs]]), one equi-join on
+    * the 32-char hash. Rows shorter than `k` don't participate.
+    */
+  def chunkStitch(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 24, maxDf: Int = 8): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("t"))
+      .filter(length(col("t")) >= k)
+    val heads = base.select(col("id"),
+      md5(col("t").substr(lit(1), lit(k))).as("h"))
+    val tails = base.select(col("id"),
+      md5(col("t").substr(length(col("t")) - (k - 1), lit(k))).as("h"))
+    def capped(d: DataFrame) = d.join(
+      d.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("h"), "h")
+    capped(tails).alias("a")
+      .join(capped(heads).alias("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("boundary_h"))
+  }
+
   /** Dedup savings report — the capacity-planning number dedup work
     * is justified by: per source, document and token mass BEFORE and
     * AFTER global exact dedup (canonical copy = the corpus-wide

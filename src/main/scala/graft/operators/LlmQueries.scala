@@ -1103,6 +1103,27 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q160 chunk-stitch reconstruction
+    * ([[graft.llm.Dedup.chunkStitch]]): documents ≥ 48 chars split
+    * into two 24-char-overlapping chunks (even/odd chunk ids — a
+    * deterministic replay of overlap-chunked ingestion), then the
+    * boundary join re-discovers every split: tail-24 hash of the
+    * first chunk equals head-24 hash of the second. Oracle replays
+    * the chunking, both hash projections, the df caps and the join.
+    */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    val kk = 24
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 2 * kk)
+    val half = floor(length(col("text")) / 2).cast("int")
+    val c1 = docs.select((col("doc_id") * 2).as("chunk_id"),
+      col("text").substr(lit(1), half + kk).as("t"))
+    val c2 = docs.select((col("doc_id") * 2 + 1).as("chunk_id"),
+      col("text").substr(half + 1, length(col("text")) - half).as("t"))
+    Dedup.chunkStitch(c1.unionByName(c2), "chunk_id", "t", k = kk)
+      .orderBy("id_a", "id_b")
+  }
+
   /** q159 classifier calibration buckets
     * ([[graft.llm.TextAnalysis.calibrationBuckets]]): the q121
     * quality classifier's reliability table — fixed-width score
@@ -1390,6 +1411,7 @@ object LlmQueries {
     "q157_dedup_savings" -> q157 _,
     "q158_lloyd_kmeans" -> q158 _,
     "q159_calibration_buckets" -> q159 _,
+    "q160_chunk_stitch" -> q160 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2194,6 +2216,25 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q160_chunk_stitch" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(FLOOR(length(text) / 2) AS INTEGER) AS half
+        |  FROM documents WHERE length(text) >= 48),
+        |chunks AS (
+        |  SELECT doc_id * 2 AS id, substr(text, 1, half + 24) AS t FROM d
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS id, substr(text, half + 1, length(text) - half) AS t FROM d),
+        |base AS (SELECT id, t FROM chunks WHERE length(t) >= 24),
+        |heads AS (SELECT id, md5(substr(t, 1, 24)) AS h FROM base),
+        |tails AS (SELECT id, md5(substr(t, length(t) - 23, 24)) AS h FROM base),
+        |hk AS (SELECT id, h FROM heads
+        |       WHERE h IN (SELECT h FROM heads GROUP BY h HAVING COUNT(*) <= 8)),
+        |tk AS (SELECT id, h FROM tails
+        |       WHERE h IN (SELECT h FROM tails GROUP BY h HAVING COUNT(*) <= 8))
+        |SELECT a.id AS id_a, b.id AS id_b, a.h AS boundary_h
+        |FROM tk a JOIN hk b ON a.h = b.h AND a.id <> b.id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q159_calibration_buckets" ->
       s"""WITH t AS (SELECT doc_id AS id, $toksExpr AS w FROM documents),

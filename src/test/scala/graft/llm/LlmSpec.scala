@@ -863,6 +863,23 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("chunkStitch: directional boundary match found; hub boundaries capped; short rows excluded") {
+    val k = 8
+    val overlap = "BOUNDARY"                       // exactly k chars
+    val a = "first part text " + overlap          // tail-8 == overlap
+    val b = overlap + " second part text"         // head-8 == overlap
+    val hub = (0 until 10).map(i => (100L + i, "HUBHUBHU" + s" hub copy $i"))
+    val feeder = (50L, "feeder row text " + "HUBHUBHU")
+    val df = ((0L, a) +: (1L, b) +: (2L, "unrelated content entirely") +:
+      (3L, "tiny") +: feeder +: hub).toDF("doc_id", "text")
+    val got = Dedup.chunkStitch(df, "doc_id", "text", k = k, maxDf = 8)
+      .as[(Long, Long, String)].collect()
+    // 0 -> 1 found; the reverse direction does not exist; the feeder's
+    // 10 candidate hub heads exceed maxDf and are dropped wholesale;
+    // the 4-char row never participates
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((0L, 1L)))
+  }
+
   test("calibrationBuckets: matches a per-doc replay of the score/bucket rule; counts conserve") {
     val df = Seq(
       (0L, "the quick brown fox jumps", "en"),
