@@ -26,7 +26,11 @@ import org.apache.spark.sql.execution.ExplainMode
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver's local[32] protocol. The v0 scaffold
+    // defaulted to 4, so anchors recorded through round 10's first
+    // half mix 4-thread (builder local passes) and 32-thread (driver
+    // rounds) numbers — see BASELINE.md's round-10 re-anchor note.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Wall-clock budget for the whole measurement phase (seconds).
     // The round-8 driver run produced its full JSON line yet ended

@@ -113,6 +113,36 @@ object Dedup {
       .select("id", "cid", "split")
   }
 
+  /** Quality-aware canonical selection — the keep-policy upgrade
+    * over min-id dedup: within each near-dup cluster (the connected
+    * components of a verified LSH pair graph) keep the member with
+    * the HIGHEST quality score (ties → lowest id), not the earliest
+    * id. This is what production dedup actually ships — among five
+    * crawls of the same article, keep the longest/cleanest copy, not
+    * whichever was ingested first.
+    *
+    * Scale shape: the CC labels are O(log n) rounds over O(pairs)
+    * edges (never all-pairs — the LSH candidates are banded), the
+    * per-cluster argmax folds in ONE min/max-struct aggregation over
+    * (quality, −id) (no window sort), and the winner joins back on
+    * the cluster key. Singletons keep themselves.
+    */
+  def canonicalByQuality(df: DataFrame, idCol: String, pairs: DataFrame,
+                         quality: Column): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("doc_id", "id")
+    val withC = df.select(col(idCol).cast("long").as("id"),
+        quality.cast("long").as("q"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), col("q"),
+        coalesce(col("cluster_id"), col("id")).as("cid"))
+    val best = withC.groupBy("cid")
+      .agg(max(struct(col("q").as("bq"), (-col("id")).as("nid"))).as("b"))
+      .select(col("cid"), (-col("b.nid")).as("keep_id"))
+    withC.join(best, "cid")
+      .select(col("id"), col("cid"), col("q"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
+
   /** Word n-gram shingle set of a text column (distinct).
     *
     * NOTE array-expression form: Catalyst's CollapseProject inlines

@@ -1103,6 +1103,22 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q161 quality-canonical dedup selection
+    * ([[graft.llm.Dedup.canonicalByQuality]]): within each verified
+    * LSH near-dup cluster keep the highest-token-count member (ties
+    * → lowest id) — the keep-longest policy production dedup ships,
+    * replacing min-id canonicalization. Oracle replays the q47
+    * banded pairs, the recursive CC closure and the argmax rule.
+    */
+  def q161(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5)
+    Dedup.canonicalByQuality(docs, "doc_id", pairs.select("id_a", "id_b"),
+        TextAnalysis.tokenCountCol(col("text")))
+      .orderBy("id")
+  }
+
   /** q160 chunk-stitch reconstruction
     * ([[graft.llm.Dedup.chunkStitch]]): documents ≥ 48 chars split
     * into two 24-char-overlapping chunks (even/odd chunk ids — a
@@ -1412,6 +1428,7 @@ object LlmQueries {
     "q158_lloyd_kmeans" -> q158 _,
     "q159_calibration_buckets" -> q159 _,
     "q160_chunk_stitch" -> q160 _,
+    "q161_quality_canonical" -> q161 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2216,6 +2233,29 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q161_quality_canonical" ->
+      ("WITH RECURSIVE verified AS (\n" + minhashPairsSql + "\n),\n" +
+       s"""edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT d.doc_id AS id, COALESCE(cl.cluster_id, d.doc_id) AS cid,
+         |         CAST(len($toksExpr) AS BIGINT) AS q
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |best AS (
+         |  SELECT cid, id AS keep_id FROM (
+         |    SELECT cid, id,
+         |           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY q DESC, id ASC) AS rn
+         |    FROM m) WHERE rn = 1)
+         |SELECT m.id, m.cid, m.q, (m.id = b.keep_id) AS keep
+         |FROM m JOIN best b USING (cid) ORDER BY id""".stripMargin),
 
     "q160_chunk_stitch" ->
       """WITH d AS (

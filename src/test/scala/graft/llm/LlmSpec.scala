@@ -863,6 +863,20 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("canonicalByQuality: argmax quality wins the cluster with id tie-break; singletons keep themselves") {
+    val docs = Seq((0L, 5L), (1L, 9L), (2L, 9L), (7L, 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalByQuality(docs, "doc_id", pairs, col("quality"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 0L, 5L, false),
+      (1L, 0L, 9L, true),  // q=9 beats q=5; ties with id 2 -> lower id
+      (2L, 0L, 9L, false),
+      (7L, 7L, 1L, true))) // singleton keeps itself
+  }
+
   test("chunkStitch: directional boundary match found; hub boundaries capped; short rows excluded") {
     val k = 8
     val overlap = "BOUNDARY"                       // exactly k chars
