@@ -56,7 +56,8 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    mining q155, per-source MinHash sketch overlap q156, dedup
   *    savings report q157, deterministic Lloyd k-means q158,
   *    classifier calibration buckets q159, chunk-stitch boundary
-  *    reconstruction q160, quality-canonical dedup selection q161
+  *    reconstruction q160, quality-canonical dedup selection q161,
+  *    Hamming-banded binary near-dup q162
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,

@@ -605,6 +605,50 @@ object Similarity {
       .withColumn("keep", col("vec_id") === col("cluster_id"))
   }
 
+  /** Hamming-banded binary-sketch near-dup — the multi-index Hamming
+    * family (the simhash-retrieval idea applied to EMBEDDING sign
+    * bits): each vector compresses to a `bits`-bit hyperplane
+    * signature (one codegen kernel pass), the signature splits into
+    * `bands` exact-match band keys, and any vector pair sharing a
+    * band becomes a candidate verified by full Hamming distance ≤
+    * `maxDist`. By pigeonhole, any pair within `bands − 1` bit flips
+    * of each other shares at least one intact band — so recall is
+    * structural for maxDist < bands, not probabilistic.
+    *
+    * This is the binary companion to the float-cosine families:
+    * signatures are 8 bytes regardless of dimension (64-dim float
+    * embedding → 32 bits = 32× compression), the verify is one XOR +
+    * popcount (no dot product), and at rest the band key is a
+    * partition column. Scale shape mirrors MinHash banding: band
+    * equi-join, never all-pairs; signatures localCheckpoint so the
+    * 32-plane kernel runs once, not once per join side.
+    */
+  def hammingNearDup(emb: DataFrame, bits: Int = 32, bands: Int = 4,
+                     maxDist: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(bits > 0 && bits < 64 && bands > 0 && bits % bands == 0,
+      s"need 0 < bits < 64 divisible by bands; got bits=$bits bands=$bands")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bw = bits / bands
+    val sigs = emb.select(col(idCol).cast("long").as("id"),
+        bucketCol(col(vecCol), bits).as("sig"))
+      .localCheckpoint()
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bw).bitwiseAND(lit((1L << bw) - 1))): _*))
+        .as(Seq("band", "bkey")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Deterministic Lloyd k-means refinement — the clustering loop
     * behind topic balancing, cluster-based curation and IVF index
     * builds, exposed as an operator: start from the fixed formula

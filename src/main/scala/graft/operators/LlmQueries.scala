@@ -1103,6 +1103,18 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q162 Hamming-banded binary near-dup
+    * ([[graft.llm.Similarity.hammingNearDup]]): 32-bit hyperplane
+    * signatures, 4 exact-match bands (structural recall for pairs
+    * within 3 bit flips), XOR+popcount verify at Hamming ≤ 4 — the
+    * binary multi-index companion to the float-cosine dedup
+    * families. Oracle replays the sign bits, band split and
+    * popcount verify.
+    */
+  def q162(s: SparkSession, d: String): DataFrame =
+    Similarity.hammingNearDup(Tables.embeddings(s, d))
+      .orderBy("id_a", "id_b")
+
   /** q161 quality-canonical dedup selection
     * ([[graft.llm.Dedup.canonicalByQuality]]): within each verified
     * LSH near-dup cluster keep the highest-token-count member (ties
@@ -1429,6 +1441,7 @@ object LlmQueries {
     "q159_calibration_buckets" -> q159 _,
     "q160_chunk_stitch" -> q160 _,
     "q161_quality_canonical" -> q161 _,
+    "q162_hamming_neardup" -> q162 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2233,6 +2246,22 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q162_hamming_neardup" ->
+      s"""WITH s AS (
+         |  SELECT vec_id AS id, ${bucketExpr("embedding", 32)} AS sig
+         |  FROM embeddings),
+         |bd AS (
+         |  SELECT id, sig, band, (sig >> (band * 8)) & 255 AS bkey
+         |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bd a JOIN bd b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+         |FROM p WHERE bit_count(xor(sig_a, sig_b)) <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q161_quality_canonical" ->
       ("WITH RECURSIVE verified AS (\n" + minhashPairsSql + "\n),\n" +

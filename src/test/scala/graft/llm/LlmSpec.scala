@@ -863,6 +863,27 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("hammingNearDup: parallel vectors pair at distance 0; opposed vectors never candidate") {
+    val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val emb = Seq(
+      (0L, dir),
+      (1L, dir.map(_ * 2)),   // same sign pattern -> identical signature
+      (2L, dir.map(x => -x)), // every plane flips -> no shared band
+      (3L, Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hammingNearDup(emb)
+      .as[(Long, Long, Int)].collect()
+    assert(got.toSeq == Seq((0L, 1L, 0)))
+    // the signature really is the 32-plane bucket: distance matches a
+    // direct recompute from bucketCol signatures
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = emb.select(col("vec_id"),
+      Similarity.bucketCol(col("embedding"), 32).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) == 0)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) == 32)
+  }
+
   test("canonicalByQuality: argmax quality wins the cluster with id tie-break; singletons keep themselves") {
     val docs = Seq((0L, 5L), (1L, 9L), (2L, 9L), (7L, 1L))
       .toDF("doc_id", "quality")
