@@ -59,9 +59,10 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    reconstruction q160, quality-canonical dedup selection q161,
   *    Hamming-banded binary near-dup q162
   *    (LlmQueries)
-  *  - q53–q55, q71, q72, q74, q92 events: JSON/string probes,
+  *  - q53–q55, q71, q72, q74, q92, q163 events: JSON/string probes,
   *    streaming batch-twins, as-of join, range join, session windows,
-  *    stream-stream attribution join q92 (EventQueries)
+  *    stream-stream attribution join q92, ordered conversion funnel
+  *    q163 (EventQueries)
   */
 object SparkEntry {
 

@@ -115,6 +115,19 @@ object EventQueries {
       .orderBy("click_id", "view_id")
   }
 
+  /** q163 ordered funnel ([[Temporal.funnel]]): view → click →
+    * purchase per user, each stage strictly after the previous
+    * stage's completion and within a re-armed 1-hour window; report
+    * is per-stage survivor counts + conversion vs head and previous.
+    * Oracle replays the per-stage MIN chain and both rates.
+    */
+  def q163(s: SparkSession, d: String): DataFrame =
+    Temporal.funnel(
+        Tables.events(s, d).withColumn("t_us", expr("unix_micros(ts)")),
+        "user_id", "t_us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 3600000000L)
+      .orderBy("stage_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_events_json" -> q53 _,
     "q54_string_paths" -> q54 _,
@@ -123,6 +136,7 @@ object EventQueries {
     "q72_range_join" -> q72 _,
     "q74_session_windows" -> q74 _,
     "q92_attrib_join" -> q92 _,
+    "q163_event_funnel" -> q163 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,8 +200,29 @@ object EventQueries {
         |  AND p.t_us >= e.s_us AND p.t_us < e.e_us
         |GROUP BY e.err_id ORDER BY err_id""".stripMargin,
 
+    "q163_event_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS st FROM events),
+        |s1 AS (SELECT u, MIN(t) AS t FROM e WHERE st = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE e.st = 'click' AND e.t > s1.t AND e.t <= s1.t + 3600000000 GROUP BY e.u),
+        |s3 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE e.st = 'purchase' AND e.t > s2.t AND e.t <= s2.t + 3600000000 GROUP BY e.u),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT stage_idx, stage, CAST(n AS BIGINT) AS n_users,
+        |  CASE WHEN FIRST_VALUE(n) OVER (ORDER BY stage_idx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) = 0 THEN 0.0
+        |       ELSE CAST(n AS DOUBLE) / FIRST_VALUE(n) OVER (ORDER BY stage_idx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) END AS conv_from_head,
+        |  CASE WHEN COALESCE(LAG(n) OVER (ORDER BY stage_idx), n) = 0 THEN 0.0
+        |       ELSE CAST(n AS DOUBLE) / COALESCE(LAG(n) OVER (ORDER BY stage_idx), n)
+        |       END AS conv_from_prev
+        |FROM c ORDER BY stage_idx""".stripMargin,
+
     "q92_attrib_join" ->
-      """WITH c AS (
+"""WITH c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
         |  FROM events WHERE event_type = 'click'),
         |v AS (

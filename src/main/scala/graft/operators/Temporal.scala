@@ -100,4 +100,56 @@ object Temporal {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__cell")
   }
+
+  /** Ordered funnel analysis — the staged-conversion report: per
+    * entity, stage k counts only if some stage-k event lands STRICTLY
+    * AFTER the entity's stage-(k−1) completion time and within
+    * `windowUs` of it (each stage re-arms the window — the classic
+    * product-analytics funnel). Per stage: entities reaching it,
+    * conversion vs the funnel head and vs the previous stage.
+    *
+    * Scale shape: stage k is one entity-keyed MIN aggregation over
+    * the stage's events joined against the (monotonically shrinking)
+    * survivor frame of stage k−1 — every shuffle keys on the entity,
+    * no corpus-wide window, nothing collected; the report itself is
+    * |stages| rows. Events need ONE scan per stage of the already
+    * type-filtered slice; at rest, a table partitioned by event type
+    * turns each stage scan into a partition-pruned read.
+    */
+  def funnel(ev: DataFrame, entityCol: String, tsCol: String,
+             stageCol: String, stages: Seq[String],
+             windowUs: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(windowUs > 0, "windowUs must be positive")
+    val spark = ev.sparkSession
+    val base = ev.select(col(entityCol).as("u"),
+      col(tsCol).cast("long").as("t"), col(stageCol).as("st"))
+    // survivor frames: (u, t = completion time of this stage)
+    val survivors = stages.tail.scanLeft(
+      base.filter(col("st") === stages.head).groupBy("u")
+        .agg(min("t").as("t"))) { (prev, stage) =>
+      base.filter(col("st") === stage)
+        .join(prev.select(col("u"), col("t").as("pt")), "u")
+        .filter(col("t") > col("pt") && col("t") <= col("pt") + windowUs)
+        .groupBy("u").agg(min("t").as("t"))
+    }
+    val counts = survivors.zip(stages).zipWithIndex.map {
+      case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.orderBy("stage_idx")
+    // |stages| rows: the single-partition windows are free
+    counts
+      .withColumn("head_n", first("n_users").over(w))
+      .withColumn("prev_n", coalesce(lag("n_users", 1).over(wPrev), col("n_users")))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        when(col("head_n") === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("head_n")).as("conv_from_head"),
+        when(col("prev_n") === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("prev_n")).as("conv_from_prev"))
+  }
 }

@@ -126,4 +126,21 @@ class TemporalSpec extends SparkSpec {
     assert(Dedup.connectedComponentsAlternating(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
   }
+
+  test("funnel: strict order and re-armed window gate each stage; rates vs head and prev") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full path
+      (2L, 10L, "view"), (2L, 5L, "click"), (2L, 40L, "purchase"),  // click BEFORE view: chain broken
+      (3L, 10L, "click"), (3L, 20L, "purchase"),                    // never viewed: not in funnel
+      (4L, 10L, "view"), (4L, 111L, "click"))                       // click outside the 100-us window
+      .toDF("user_id", "t_us", "event_type")
+    val got = graft.operators.Temporal.funnel(ev, "user_id", "t_us",
+        "event_type", Seq("view", "click", "purchase"), windowUs = 100L)
+      .orderBy("stage_idx")
+      .as[(Int, String, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1, "view", 3L, 1.0, 1.0),
+      (2, "click", 1L, 1.0 / 3, 1.0 / 3),
+      (3, "purchase", 1L, 1.0 / 3, 1.0)))
+  }
 }
