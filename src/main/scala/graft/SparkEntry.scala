@@ -59,10 +59,11 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    reconstruction q160, quality-canonical dedup selection q161,
   *    Hamming-banded binary near-dup q162
   *    (LlmQueries)
-  *  - q53–q55, q71, q72, q74, q92, q163 events: JSON/string probes,
-  *    streaming batch-twins, as-of join, range join, session windows,
-  *    stream-stream attribution join q92, ordered conversion funnel
-  *    q163 (EventQueries)
+  *  - q53–q55, q71, q72, q74, q92, q163, q164 events: JSON/string
+  *    probes, streaming batch-twins, as-of join, range join, session
+  *    windows, stream-stream attribution join q92, ordered
+  *    conversion funnel q163, retention cohort matrix q164
+  *    (EventQueries)
   */
 object SparkEntry {
 

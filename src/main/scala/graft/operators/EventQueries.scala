@@ -128,6 +128,18 @@ object EventQueries {
         Seq("view", "click", "purchase"), windowUs = 3600000000L)
       .orderBy("stage_idx")
 
+  /** q164 retention cohorts ([[Temporal.retentionCohorts]]): users
+    * cohorted by first-seen DAY, day-offset retention matrix out to
+    * +7 — active counts, cohort sizes, rates. Oracle replays the
+    * bucket floor, first-seen MIN, the (user, day) distinct and both
+    * aggregations.
+    */
+  def q164(s: SparkSession, d: String): DataFrame =
+    Temporal.retentionCohorts(
+        Tables.events(s, d).withColumn("t_us", expr("unix_micros(ts)")),
+        "user_id", "t_us", bucketUs = 86400000000L, maxOffset = 7)
+      .orderBy("cohort", "offset")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_events_json" -> q53 _,
     "q54_string_paths" -> q54 _,
@@ -137,6 +149,7 @@ object EventQueries {
     "q74_session_windows" -> q74 _,
     "q92_attrib_join" -> q92 _,
     "q163_event_funnel" -> q163 _,
+    "q164_retention_cohorts" -> q164 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -199,6 +212,23 @@ object EventQueries {
         |FROM p JOIN e ON p.user_id = e.user_id
         |  AND p.t_us >= e.s_us AND p.t_us < e.e_us
         |GROUP BY e.err_id ORDER BY err_id""".stripMargin,
+
+    "q164_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id AS u,
+        |         (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS b
+        |  FROM events),
+        |first AS (SELECT u, MIN(b) AS cohort FROM e GROUP BY u),
+        |sizes AS (SELECT cohort, COUNT(*) AS cohort_n FROM first GROUP BY cohort),
+        |act AS (SELECT DISTINCT u, b FROM e)
+        |SELECT f.cohort, CAST(a.b - f.cohort AS INTEGER) AS "offset",
+        |       CAST(COUNT(*) AS BIGINT) AS n_active,
+        |       CAST(s.cohort_n AS BIGINT) AS cohort_n,
+        |       CAST(COUNT(*) AS DOUBLE) / s.cohort_n AS retention
+        |FROM act a JOIN first f ON a.u = f.u JOIN sizes s ON s.cohort = f.cohort
+        |WHERE a.b - f.cohort <= 7
+        |GROUP BY f.cohort, a.b - f.cohort, s.cohort_n
+        |ORDER BY f.cohort, "offset"""".stripMargin,
 
     "q163_event_funnel" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS st FROM events),

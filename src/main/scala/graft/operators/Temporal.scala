@@ -101,6 +101,41 @@ object Temporal {
       .drop("__cell")
   }
 
+  /** Retention cohort analysis — the funnel's longitudinal
+    * companion: entities cohort by the time bucket of their FIRST
+    * event, and each later bucket in which they appear marks them
+    * retained at that offset. Output is the (cohort, offset) matrix
+    * with active counts, cohort sizes and retention rates — the
+    * table behind every "day-N retention" curve.
+    *
+    * Scale shape: one entity-keyed MIN aggregation (first-seen), one
+    * (entity, bucket) distinct, a join back on the entity and one
+    * (cohort, offset) aggregation — every shuffle keys on the entity
+    * or a bounded (cohort, offset) pair; no windows, nothing
+    * collected. Bucket arithmetic is exact integer floor division.
+    */
+  def retentionCohorts(ev: DataFrame, entityCol: String, tsCol: String,
+                       bucketUs: Long, maxOffset: Int): DataFrame = {
+    require(bucketUs > 0 && maxOffset >= 0,
+      s"need bucketUs > 0, maxOffset >= 0; got $bucketUs/$maxOffset")
+    def cell(c: Column): Column = {
+      val v = c.cast("long")
+      ((v - pmod(v, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    }
+    val e = ev.select(col(entityCol).as("u"), cell(col(tsCol)).as("b"))
+    val first = e.groupBy("u").agg(min("b").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_n"))
+    e.distinct()
+      .join(first, "u")
+      .withColumn("offset", (col("b") - col("cohort")).cast("int"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_active")) // (u, b) distinct ⇒ count = users
+      .join(sizes, "cohort")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_n"))
+  }
+
   /** Ordered funnel analysis — the staged-conversion report: per
     * entity, stage k counts only if some stage-k event lands STRICTLY
     * AFTER the entity's stage-(k−1) completion time and within

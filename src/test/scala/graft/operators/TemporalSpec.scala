@@ -127,6 +127,24 @@ class TemporalSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
   }
 
+  test("retentionCohorts: first-seen bucket cohorts, offset matrix, exact rates") {
+    val ev = Seq(
+      (1L, 3L), (1L, 12L), (1L, 35L),  // user 1: cohort 0, active buckets 0,1,3
+      (2L, 7L), (2L, 8L),              // user 2: cohort 0, bucket 0 only (dup row collapses)
+      (3L, 15L), (3L, 27L))            // user 3: cohort 1, buckets 1,2
+      .toDF("user_id", "t_us")
+    val got = graft.operators.Temporal.retentionCohorts(
+        ev, "user_id", "t_us", bucketUs = 10L, maxOffset = 7)
+      .orderBy("cohort", "offset")
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 0, 2L, 2L, 1.0),
+      (0L, 1, 1L, 2L, 0.5),
+      (0L, 3, 1L, 2L, 0.5),
+      (1L, 0, 1L, 1L, 1.0),
+      (1L, 1, 1L, 1L, 1.0)))
+  }
+
   test("funnel: strict order and re-armed window gate each stage; rates vs head and prev") {
     val ev = Seq(
       (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full path
