@@ -57,7 +57,8 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    savings report q157, deterministic Lloyd k-means q158,
   *    classifier calibration buckets q159, chunk-stitch boundary
   *    reconstruction q160, quality-canonical dedup selection q161,
-  *    Hamming-banded binary near-dup q162
+  *    Hamming-banded binary near-dup q162, distribution-drift PSI
+  *    audit q165
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92, q163, q164 events: JSON/string
   *    probes, streaming batch-twins, as-of join, range join, session

@@ -374,6 +374,48 @@ object TextAnalysis {
         when(col("sum_fp") >= 0, 1).otherwise(0).as("keep"))
   }
 
+  /** Distribution-drift audit (Population Stability Index) — the
+    * between-snapshots alarm a recurring ingest runs before letting a
+    * new crawl into the mix: a numeric column (here: any count)
+    * buckets by power-of-two magnitude (per-row bit-length — no
+    * quantile sort at any scale), old/new bucket shares smooth by
+    * add-one, and each bucket contributes
+    * `(p_new − p_old)·ln(p_new/p_old)` to the PSI (>0.25 total is
+    * the classic "investigate" fence). One ≤64-key aggregation over
+    * the corpus; the share/PSI math runs on the ≤64-row histogram.
+    *
+    * Determinism: shares are exact integer divisions; `ln` of
+    * identical doubles agrees across engines and the contribution
+    * snaps to floor·2²⁰ fixed point (the q98 recipe), so the PSI is
+    * an integer sum any engine reproduces.
+    */
+  def distributionDrift(df: DataFrame, valueCol: Column,
+                        isNew: Column): DataFrame = {
+    val hist = df.select(valueCol.cast("long").as("n"),
+        isNew.cast("boolean").as("nu"))
+      .withColumn("bucket",
+        when(col("n") <= 1, lit(0))
+          .otherwise(length(bin(col("n") - 1))).cast("int"))
+      .groupBy("bucket")
+      .agg(sum(when(!col("nu"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("nu"), 1L).otherwise(0L)).as("n_new"))
+    // ≤64 histogram rows: the single-partition window is free
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    hist
+      .withColumn("tot_old", sum("n_old").over(w))
+      .withColumn("tot_new", sum("n_new").over(w))
+      .withColumn("nb", count(lit(1)).over(w))
+      .withColumn("p_old",
+        (col("n_old") + 1).cast("double") / (col("tot_old") + col("nb")))
+      .withColumn("p_new",
+        (col("n_new") + 1).cast("double") / (col("tot_new") + col("nb")))
+      .withColumn("psi_fp",
+        floor((col("p_new") - col("p_old")) * log(col("p_new") / col("p_old"))
+          * 1048576.0).cast("long"))
+      .select("bucket", "n_old", "n_new", "p_old", "p_new", "psi_fp")
+  }
+
   /** Classifier calibration buckets — the reliability table for the
     * [[hashedNgramScore]] quality classifier: docs bucketed by
     * FIXED-WIDTH score intervals over the bounded [-1, 1] range

@@ -1103,6 +1103,19 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q165 distribution-drift PSI
+    * ([[graft.llm.TextAnalysis.distributionDrift]]): the
+    * between-snapshots Population Stability Index over the doc
+    * length distribution — snapshots split deterministically by
+    * doc-id parity, power-of-two magnitude buckets, add-one
+    * smoothed shares, fixed-point PSI contributions. Oracle replays
+    * buckets, shares and the ln fold.
+    */
+  def q165(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.distributionDrift(Tables.documents(s, d),
+        col("n_chars"), col("doc_id") % 2 === 1)
+      .orderBy("bucket")
+
   /** q162 Hamming-banded binary near-dup
     * ([[graft.llm.Similarity.hammingNearDup]]): 32-bit hyperplane
     * signatures, 4 exact-match bands (structural recall for pairs
@@ -1442,6 +1455,7 @@ object LlmQueries {
     "q160_chunk_stitch" -> q160 _,
     "q161_quality_canonical" -> q161 _,
     "q162_hamming_neardup" -> q162 _,
+    "q165_distribution_drift" -> q165 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2246,6 +2260,29 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q165_distribution_drift" ->
+      """WITH d AS (
+        |  SELECT n_chars AS n, (doc_id % 2 = 1) AS nu FROM documents),
+        |hist AS (
+        |  SELECT CASE WHEN n <= 1 THEN 0
+        |              ELSE CAST(length(bin(n - 1)) AS INTEGER) END AS bucket,
+        |         CAST(SUM(CASE WHEN nu THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+        |         CAST(SUM(CASE WHEN nu THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT bucket, n_old, n_new,
+        |         SUM(n_old) OVER () AS tot_old, SUM(n_new) OVER () AS tot_new,
+        |         COUNT(*) OVER () AS nb
+        |  FROM hist),
+        |p AS (
+        |  SELECT bucket, n_old, n_new,
+        |         CAST(n_old + 1 AS DOUBLE) / (tot_old + nb) AS p_old,
+        |         CAST(n_new + 1 AS DOUBLE) / (tot_new + nb) AS p_new
+        |  FROM t)
+        |SELECT bucket, n_old, n_new, p_old, p_new,
+        |       CAST(FLOOR((p_new - p_old) * ln(p_new / p_old) * 1048576.0) AS BIGINT) AS psi_fp
+        |FROM p ORDER BY bucket""".stripMargin,
 
     "q162_hamming_neardup" ->
       s"""WITH s AS (

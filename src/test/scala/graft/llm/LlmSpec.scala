@@ -863,6 +863,29 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("distributionDrift: identical snapshots score zero; shifted magnitudes match a scalar replay") {
+    val same = ((0L until 8L).map(i => (i, 10L))).toDF("doc_id", "n")
+    val zero = TextAnalysis.distributionDrift(same, col("n"), col("doc_id") % 2 === 1)
+      .as[(Int, Long, Long, Double, Double, Long)].collect()
+    assert(zero.length == 1 && zero(0)._6 == 0L) // p_old == p_new exactly
+    // old: all 10s (bucket 4), new: all 100s (bucket 7)
+    val shifted = ((0L until 8L).map(i =>
+      (i, if (i % 2 == 1) 100L else 10L))).toDF("doc_id", "n")
+    val got = TextAnalysis.distributionDrift(shifted, col("n"), col("doc_id") % 2 === 1)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double, Double, Long)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((4, 4L, 0L), (7, 0L, 4L)))
+    // scalar replay of the smoothing + fixed-point PSI rule
+    for (r <- got) {
+      val pOld = (r._2 + 1).toDouble / (4 + 2)
+      val pNew = (r._3 + 1).toDouble / (4 + 2)
+      assert(r._4 == pOld && r._5 == pNew)
+      assert(r._6 == math.floor((pNew - pOld) * math.log(pNew / pOld) * 1048576.0).toLong)
+      assert(r._6 > 0L) // genuine drift contributes positively
+    }
+  }
+
   test("hammingNearDup: parallel vectors pair at distance 0; opposed vectors never candidate") {
     val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
     val emb = Seq(
