@@ -374,6 +374,42 @@ object TextAnalysis {
         when(col("sum_fp") >= 0, 1).otherwise(0).as("keep"))
   }
 
+  /** Encoding-health audit — the mojibake/control-character filter
+    * every web-crawl pipeline runs before text enters the mix
+    * (CCNet/RefinedWeb-style): per source, documents carrying U+FFFD
+    * replacement characters (the decoder's "I gave up" marker),
+    * documents with C0 control characters (binary-in-text leakage),
+    * documents failing an 80 % printable-ASCII floor (exact integer
+    * comparison `5·n_ascii ≥ 4·n_chars` — no float threshold), and
+    * the corpus-level ASCII mass ratio.
+    *
+    * Scale shape: pure per-row character classes (regex in the
+    * Java∩RE2 common subset, the q90 discipline — `\\s` is avoided
+    * because the engines disagree on vertical tab) + one ≤|sources|
+    * aggregation.
+    */
+  def encodingHealth(df: DataFrame, sourceCol: String,
+                     textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nRepl = nChars - length(translate(t, "\uFFFD", ""))
+    val nCtrl = nChars -
+      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val nAscii = length(regexp_replace(t, "[^\\x20-\\x7E\\t\\n\\r]", ""))
+    df.select(col(sourceCol).as("source"), nChars.cast("long").as("nc"),
+        nRepl.cast("long").as("nr"), nCtrl.cast("long").as("nk"),
+        nAscii.cast("long").as("na"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nr") > 0, 1L).otherwise(0L)).as("n_mojibake"),
+        sum(when(col("nk") > 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("nr") > 0 || col("nk") > 0 ||
+          col("na") * 5 < col("nc") * 4, 1L).otherwise(0L)).as("n_unhealthy"),
+        sum("na").as("ascii_chars"), sum("nc").as("total_chars"))
+      .withColumn("ascii_ratio",
+        col("ascii_chars").cast("double") / col("total_chars"))
+  }
+
   /** Distribution-drift audit (Population Stability Index) — the
     * between-snapshots alarm a recurring ingest runs before letting a
     * new crawl into the mix: a numeric column (here: any count)

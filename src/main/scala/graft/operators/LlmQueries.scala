@@ -1103,6 +1103,22 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q166 encoding-health audit
+    * ([[graft.llm.TextAnalysis.encodingHealth]]): deterministic
+    * corruption injected over the (all-ASCII) fixture — U+FFFD
+    * appended to doc_id % 7 == 0, a BEL control char to
+    * doc_id % 11 == 0 — then the per-source mojibake / control-char
+    * / ASCII-floor report re-discovers exactly those docs. Oracle
+    * replays the injection and every character class.
+    */
+  def q166(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.encodingHealth(
+        Tables.documents(s, d).withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit("\uFFFD")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("")).otherwise(lit("")))),
+        "source", "text")
+      .orderBy("source")
+
   /** q165 distribution-drift PSI
     * ([[graft.llm.TextAnalysis.distributionDrift]]): the
     * between-snapshots Population Stability Index over the doc
@@ -1456,6 +1472,7 @@ object LlmQueries {
     "q161_quality_canonical" -> q161 _,
     "q162_hamming_neardup" -> q162 _,
     "q165_distribution_drift" -> q165 _,
+    "q166_encoding_health" -> q166 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2260,6 +2277,27 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q166_encoding_health" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         text || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+        |              || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, length(t) AS nc,
+        |         length(t) - length(translate(t, chr(65533), '')) AS nr,
+        |         length(t) - length(regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS nk,
+        |         length(regexp_replace(t, '[^\x20-\x7E\t\n\r]', '', 'g')) AS na
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
+        |       CAST(SUM(CASE WHEN nk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |       CAST(SUM(CASE WHEN nr > 0 OR nk > 0 OR na * 5 < nc * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_unhealthy,
+        |       CAST(SUM(na) AS BIGINT) AS ascii_chars,
+        |       CAST(SUM(nc) AS BIGINT) AS total_chars,
+        |       CAST(SUM(na) AS DOUBLE) / CAST(SUM(nc) AS BIGINT) AS ascii_ratio
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     "q165_distribution_drift" ->
       """WITH d AS (

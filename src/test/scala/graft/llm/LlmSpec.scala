@@ -863,6 +863,23 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("encodingHealth: mojibake, control chars and the ASCII floor each flag independently") {
+    val df = Seq(
+      (0L, "clean ascii text", "srcA"),
+      (1L, "broken \uFFFD decode", "srcA"),   // replacement char
+      (2L, "bell\u0007embedded", "srcB"),     // C0 control
+      (3L, "ööööööööööööööööööö ok", "srcB"), // 19 non-ascii of 22 -> fails floor
+      (4L, "fine text here", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.encodingHealth(df, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)].collect()
+    val a = got(0); val b = got(1)
+    assert(a._1 == "srcA" && a._2 == 2L && a._3 == 1L && a._4 == 0L && a._5 == 1L)
+    assert(b._1 == "srcB" && b._2 == 3L && b._3 == 0L && b._4 == 1L && b._5 == 2L)
+    assert(a._8 < 1.0 && b._8 < 1.0) // corrupt chars count against the mass
+  }
+
   test("distributionDrift: identical snapshots score zero; shifted magnitudes match a scalar replay") {
     val same = ((0L until 8L).map(i => (i, 10L))).toDF("doc_id", "n")
     val zero = TextAnalysis.distributionDrift(same, col("n"), col("doc_id") % 2 === 1)
