@@ -60,11 +60,11 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    Hamming-banded binary near-dup q162, distribution-drift PSI
   *    audit q165, encoding-health audit q166
   *    (LlmQueries)
-  *  - q53–q55, q71, q72, q74, q92, q163, q164 events: JSON/string
+  *  - q53–q55, q71, q72, q74, q92, q163, q164, q167 events: JSON/string
   *    probes, streaming batch-twins, as-of join, range join, session
   *    windows, stream-stream attribution join q92, ordered
-  *    conversion funnel q163, retention cohort matrix q164
-  *    (EventQueries)
+  *    conversion funnel q163, retention cohort matrix q164, burst
+  *    detection q167 (EventQueries)
   */
 object SparkEntry {
 

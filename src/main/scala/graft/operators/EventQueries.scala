@@ -140,6 +140,19 @@ object EventQueries {
         "user_id", "t_us", bucketUs = 86400000000L, maxOffset = 7)
       .orderBy("cohort", "offset")
 
+  /** q167 burst cells ([[Temporal.burstCells]]): per event type and
+    * hour, event counts vs the mean of the 6 full preceding hours
+    * (dense cell axis — silent hours count as zero), bursts at
+    * ratio ≥ 2. Oracle replays the dense axis, the trailing window
+    * and the exact-count ratio.
+    */
+  def q167(s: SparkSession, d: String): DataFrame =
+    Temporal.burstCells(
+        Tables.events(s, d).withColumn("t_us", expr("unix_micros(ts)")),
+        "event_type", "t_us", cellUs = 3600000000L, trail = 6,
+        threshold = 2.0)
+      .orderBy("k", "c")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_events_json" -> q53 _,
     "q54_string_paths" -> q54 _,
@@ -150,6 +163,7 @@ object EventQueries {
     "q92_attrib_join" -> q92 _,
     "q163_event_funnel" -> q163 _,
     "q164_retention_cohorts" -> q164 _,
+    "q167_burst_cells" -> q167 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,6 +226,34 @@ object EventQueries {
         |FROM p JOIN e ON p.user_id = e.user_id
         |  AND p.t_us >= e.s_us AND p.t_us < e.e_us
         |GROUP BY e.err_id ORDER BY err_id""".stripMargin,
+
+    "q167_burst_cells" ->
+      """WITH e AS (
+        |  SELECT event_type AS k,
+        |         (epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000 AS c
+        |  FROM events),
+        |hist AS (SELECT k, c, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, c),
+        |span AS (SELECT MIN(c) AS c0, MAX(c) AS c1 FROM hist),
+        |dense AS (
+        |  SELECT ks.k, g.c, COALESCE(h.n, 0) AS n
+        |  FROM (SELECT DISTINCT k FROM hist) ks
+        |  CROSS JOIN (SELECT unnest(range(c0, c1 + 1)) AS c FROM span) g
+        |  LEFT JOIN hist h ON h.k = ks.k AND h.c = g.c),
+        |t AS (
+        |  SELECT k, c, n,
+        |         COUNT(*) OVER (PARTITION BY k ORDER BY c
+        |           ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS tn,
+        |         COALESCE(SUM(n) OVER (PARTITION BY k ORDER BY c
+        |           ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0) AS tsum
+        |  FROM dense)
+        |SELECT k, c, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN tn = 6 THEN CAST(tsum AS DOUBLE) / 6 END AS trail_mean,
+        |       CASE WHEN tn = 6 AND tsum > 0
+        |            THEN CAST(n AS DOUBLE) / (CAST(tsum AS DOUBLE) / 6) END AS ratio,
+        |       COALESCE((CASE WHEN tn = 6 AND tsum > 0
+        |            THEN CAST(n AS DOUBLE) / (CAST(tsum AS DOUBLE) / 6) END) >= 2.0,
+        |          FALSE) AS burst
+        |FROM t ORDER BY k, c""".stripMargin,
 
     "q164_retention_cohorts" ->
       """WITH e AS (

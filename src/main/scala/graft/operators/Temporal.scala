@@ -101,6 +101,52 @@ object Temporal {
       .drop("__cell")
   }
 
+  /** Burst detection — the rate-anomaly monitor over a keyed event
+    * stream: counts bucket per (key, time cell), each cell compares
+    * against the mean of the `trail` FULL preceding cells, and cells
+    * at `ratio ≥ threshold` flag as bursts. Ratios are exact-count
+    * divisions (sum/width of integers — no variance estimate, no
+    * float accumulation), so the flags are bit-reproducible.
+    *
+    * Scale shape: one (key, cell) aggregation over the stream, then
+    * a per-key ordered window over the CELL HISTOGRAM (|keys|·|cells|
+    * rows — hours, not events), never over raw events. Cells with
+    * fewer than `trail` predecessors emit NULL ratio (no baseline)
+    * rather than a misleading partial mean.
+    */
+  def burstCells(ev: DataFrame, keyCol: String, tsCol: String,
+                 cellUs: Long, trail: Int,
+                 threshold: Double): DataFrame = {
+    require(cellUs > 0 && trail > 0, s"need cellUs/trail > 0, got $cellUs/$trail")
+    def cell(c: Column): Column = {
+      val v = c.cast("long")
+      ((v - pmod(v, lit(cellUs))) / lit(cellUs)).cast("long")
+    }
+    val hist = ev.select(col(keyCol).as("k"), cell(col(tsCol)).as("c"))
+      .groupBy("k", "c").agg(count(lit(1)).as("n"))
+    // gaps matter: an empty cell between events must count as 0 in
+    // the baseline, so the trailing window runs over a DENSE cell
+    // axis joined per key (cells bounded by the observed span)
+    val span = hist.agg(min("c").as("c0"), max("c").as("c1"))
+    val dense = hist.select("k").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("k"), explode(sequence(col("c0"), col("c1"))).as("c"))
+      .join(hist, Seq("k", "c"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("k").orderBy("c").rowsBetween(-trail, -1)
+    dense
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("trail_mean",
+        when(col("trail_n") === trail,
+          col("trail_sum").cast("double") / trail))
+      .withColumn("ratio",
+        when(col("trail_mean") > 0.0, col("n").cast("double") / col("trail_mean")))
+      .withColumn("burst",
+        coalesce(col("ratio") >= threshold, lit(false)))
+      .select("k", "c", "n", "trail_mean", "ratio", "burst")
+  }
+
   /** Retention cohort analysis — the funnel's longitudinal
     * companion: entities cohort by the time bucket of their FIRST
     * event, and each later bucket in which they appear marks them

@@ -127,6 +127,27 @@ class TemporalSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
   }
 
+  test("burstCells: dense axis counts silent cells as zero; burst fires only with a full baseline") {
+    // key A: 1 event/cell in cells 0..5, then 4 events in cell 6 (burst);
+    // cell 7 empty (ratio vs baseline that now includes the burst)
+    val ev = ((0L until 6L).map(c => ("A", c * 10L)) ++
+      Seq.fill(4)(("A", 60L)) :+ (("A", 80L)))
+      .toDF("k", "t_us")
+    val got = graft.operators.Temporal.burstCells(ev, "k", "t_us",
+        cellUs = 10L, trail = 6, threshold = 2.0)
+      .orderBy("c")
+      .collect()
+    // cells 0..5: no full 6-cell baseline -> NULL mean, burst false
+    for (i <- 0 until 6) {
+      assert(got(i).isNullAt(3) && !got(i).getBoolean(5))
+    }
+    // cell 6: baseline mean 1.0, n=4 -> ratio 4.0, burst
+    assert(got(6).getDouble(3) == 1.0 && got(6).getDouble(4) == 4.0 && got(6).getBoolean(5))
+    // cell 7: silent (dense axis), baseline (1+1+1+1+1+4)/6=1.5, n=0 -> ratio 0
+    assert(got(7).getLong(2) == 0L && got(7).getDouble(3) == 1.5 &&
+      got(7).getDouble(4) == 0.0 && !got(7).getBoolean(5))
+  }
+
   test("retentionCohorts: first-seen bucket cohorts, offset matrix, exact rates") {
     val ev = Seq(
       (1L, 3L), (1L, 12L), (1L, 35L),  // user 1: cohort 0, active buckets 0,1,3
