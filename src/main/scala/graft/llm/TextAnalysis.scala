@@ -374,6 +374,31 @@ object TextAnalysis {
         when(col("sum_fp") >= 0, 1).otherwise(0).as("keep"))
   }
 
+  /** Tokenizer fertility table — the bytes-per-token economics that
+    * size token budgets across sources/languages: per source, total
+    * chars, whitespace-token and BPE-ish subword counts
+    * ([[subwordCountCol]]), and the two fertility ratios
+    * (chars/token, chars/subword) plus subwords-per-word — the
+    * number a mixture planner multiplies byte masses by before
+    * token-budget math, and the per-source drift signal when a
+    * tokenizer change lands. Pure per-row counts + one ≤|sources|
+    * aggregation; ratios are single exact-integer divisions.
+    */
+  def tokenizerFertility(df: DataFrame, sourceCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("nc"),
+        tokenCountCol(col(textCol)).cast("long").as("nw"),
+        subwordCountCol(col(textCol)).cast("long").as("ns"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("chars"),
+        sum("nw").as("words"), sum("ns").as("subwords"))
+      .select(col("source"), col("n_docs"), col("chars"), col("words"),
+        col("subwords"),
+        (col("chars").cast("double") / col("words")).as("chars_per_word"),
+        (col("chars").cast("double") / col("subwords")).as("chars_per_subword"),
+        (col("subwords").cast("double") / col("words")).as("fertility"))
+
   /** Encoding-health audit — the mojibake/control-character filter
     * every web-crawl pipeline runs before text enters the mix
     * (CCNet/RefinedWeb-style): per source, documents carrying U+FFFD

@@ -1103,6 +1103,16 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q168 tokenizer fertility table
+    * ([[graft.llm.TextAnalysis.tokenizerFertility]]): per-source
+    * chars/words/subwords masses and the fertility ratios that turn
+    * byte budgets into token budgets. Oracle replays the token and
+    * subword regexes and the exact-integer ratio chain.
+    */
+  def q168(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenizerFertility(Tables.documents(s, d), "source", "text")
+      .orderBy("source")
+
   /** q166 encoding-health audit
     * ([[graft.llm.TextAnalysis.encodingHealth]]): deterministic
     * corruption injected over the (all-ASCII) fixture — U+FFFD
@@ -1473,6 +1483,7 @@ object LlmQueries {
     "q162_hamming_neardup" -> q162 _,
     "q165_distribution_drift" -> q165 _,
     "q166_encoding_health" -> q166 _,
+    "q168_tokenizer_fertility" -> q168 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2277,6 +2288,21 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q168_tokenizer_fertility" ->
+      s"""WITH m AS (
+         |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
+         |         CAST(len($toksExpr) AS BIGINT) AS nw,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS ns
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(nc) AS BIGINT) AS chars,
+         |       CAST(SUM(nw) AS BIGINT) AS words,
+         |       CAST(SUM(ns) AS BIGINT) AS subwords,
+         |       CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nw) AS BIGINT) AS chars_per_word,
+         |       CAST(SUM(nc) AS DOUBLE) / CAST(SUM(ns) AS BIGINT) AS chars_per_subword,
+         |       CAST(SUM(ns) AS DOUBLE) / CAST(SUM(nw) AS BIGINT) AS fertility
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     "q166_encoding_health" ->
       """WITH d AS (

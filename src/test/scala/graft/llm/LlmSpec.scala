@@ -863,6 +863,20 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("tokenizerFertility: exact char/word/subword masses and ratio chain") {
+    val df = Seq(
+      (0L, "ab cd-ef", "srcA"),        // 2 words; subwords ab,cd,-,ef = 4
+      (1L, "hello world 123", "srcA"), // 3 words; 3 subwords
+      (2L, "x", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.tokenizerFertility(df, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("srcA", 2L, 23L, 5L, 7L, 23.0 / 5, 23.0 / 7, 7.0 / 5),
+      ("srcB", 1L, 1L, 1L, 1L, 1.0, 1.0, 1.0)))
+  }
+
   test("encodingHealth: mojibake, control chars and the ASCII floor each flag independently") {
     val df = Seq(
       (0L, "clean ascii text", "srcA"),
