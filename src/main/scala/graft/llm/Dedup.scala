@@ -1031,6 +1031,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_groups"))
   }
 
+  /** Sorted-neighborhood candidate pairs — the classic NON-hash
+    * blocking family (Hernández-Stolfo merge/purge): docs sort by
+    * text within a short prefix block, and each doc pairs with its
+    * immediate sorted successor, graded by a power-of-two
+    * prefix-agreement ladder (8/16/32/64 chars). Near-identical
+    * texts are adjacent in sort order, so the candidate volume is
+    * EXACTLY n − |blocks| pairs — no banding tuning, no hash
+    * collisions — at the price of only catching dups that agree on
+    * their prefix (the complement of MinHash's position-agnostic
+    * recall; production pipelines run both).
+    *
+    * Scale shape: the block key IS the range partitioner (the window
+    * partitions by it — never a global single-partition sort), one
+    * exchange + per-block sort, a `lead()`, and a per-row CASE
+    * ladder. Ordering ties break on (text, id) — a total order, so
+    * neighbors are deterministic in any engine.
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockLen: Int = 2, minLevel: Int = 16): DataFrame = {
+    require(blockLen > 0, s"need blockLen > 0, got $blockLen")
+    val w = Window.partitionBy("blk").orderBy("t", "id")
+    def pfx(c: Column, n: Int) = substring(c, 1, n)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .withColumn("blk", substring(col("t"), 1, blockLen))
+      .withColumn("nid", lead("id", 1).over(w))
+      .withColumn("nt", lead("t", 1).over(w))
+      .filter(col("nid").isNotNull)
+      .withColumn("prefix_level",
+        when(pfx(col("t"), 64) === pfx(col("nt"), 64), 64)
+          .when(pfx(col("t"), 32) === pfx(col("nt"), 32), 32)
+          .when(pfx(col("t"), 16) === pfx(col("nt"), 16), 16)
+          .when(pfx(col("t"), 8) === pfx(col("nt"), 8), 8)
+          .otherwise(0))
+      .filter(col("prefix_level") >= minLevel)
+      .select(col("id").as("id_a"), col("nid").as("id_b"),
+        col("prefix_level"))
+  }
+
   /** Chunk-stitch join — directional boundary matching for corpora
     * ingested as page/chunk fragments: a row whose LAST `k` chars
     * hash-match another row's FIRST `k` chars is a continuation

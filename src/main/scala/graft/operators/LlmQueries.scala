@@ -1103,6 +1103,17 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q169 sorted-neighborhood pairs
+    * ([[graft.llm.Dedup.sortedNeighborPairs]]): the merge/purge
+    * blocking family — successor pairs in (2-char block, text, id)
+    * sort order graded by the 8/16/32/64 prefix-agreement ladder,
+    * kept at level ≥ 16. Oracle replays the block window, the lead
+    * and the ladder.
+    */
+  def q169(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   /** q168 tokenizer fertility table
     * ([[graft.llm.TextAnalysis.tokenizerFertility]]): per-source
     * chars/words/subwords masses and the fertility ratios that turn
@@ -1484,6 +1495,7 @@ object LlmQueries {
     "q165_distribution_drift" -> q165 _,
     "q166_encoding_health" -> q166 _,
     "q168_tokenizer_fertility" -> q168 _,
+    "q169_sorted_neighbors" -> q169 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2288,6 +2300,25 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q169_sorted_neighbors" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id, text AS t, substr(text, 1, 2) AS blk,
+        |         LEAD(doc_id) OVER (PARTITION BY substr(text, 1, 2)
+        |           ORDER BY text, doc_id) AS nid,
+        |         LEAD(text) OVER (PARTITION BY substr(text, 1, 2)
+        |           ORDER BY text, doc_id) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, nid,
+        |         CASE WHEN substr(t, 1, 64) = substr(nt, 1, 64) THEN 64
+        |              WHEN substr(t, 1, 32) = substr(nt, 1, 32) THEN 32
+        |              WHEN substr(t, 1, 16) = substr(nt, 1, 16) THEN 16
+        |              WHEN substr(t, 1, 8) = substr(nt, 1, 8) THEN 8
+        |              ELSE 0 END AS prefix_level
+        |  FROM s WHERE nid IS NOT NULL)
+        |SELECT id AS id_a, nid AS id_b, prefix_level
+        |FROM g WHERE prefix_level >= 16 ORDER BY id_a, id_b""".stripMargin,
 
     "q168_tokenizer_fertility" ->
       s"""WITH m AS (

@@ -863,6 +863,22 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("sortedNeighborPairs: successor pairs within block, ladder grades, below-threshold dropped") {
+    val base = "a shared prefix that runs well past sixty four characters in total x"
+    val df = Seq(
+      (5L, base + " tail one"),   // three docs agreeing on 64+ chars:
+      (1L, base + " tail two"),   // adjacent in sort order -> 2 pairs
+      (9L, base + " tail three"),
+      (3L, "a different text entirely"), // same 'a ' block, agrees only to level 2 -> dropped
+      (7L, "zz far away block"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborPairs(df, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect()
+    // sort order of tails: "one" < "three" < "two" -> 5,9,1 adjacency
+    assert(got.toSeq == Seq((5L, 9L, 64), (9L, 1L, 64)))
+  }
+
   test("tokenizerFertility: exact char/word/subword masses and ratio chain") {
     val df = Seq(
       (0L, "ab cd-ef", "srcA"),        // 2 words; subwords ab,cd,-,ef = 4
