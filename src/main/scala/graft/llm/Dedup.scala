@@ -1069,6 +1069,38 @@ object Dedup {
         col("prefix_level"))
   }
 
+  /** Edit-distance-verified near-dup pairs — the exact-verify stage
+    * the blocking families feed: sorted-neighborhood candidates
+    * (level ≥ 8 — a loose gate, the verify does the work) scored by
+    * Levenshtein distance over `cap`-char prefixes, kept when
+    * `dist·5 ≤ max(len)` (normalized edit similarity ≥ 0.8 as an
+    * exact integer comparison — no float threshold). Edit distance
+    * is the only metric here that sees transposed/edited MIDDLES
+    * that both prefix ladders and token shingles blur.
+    *
+    * Scale shape: candidates are the n − |blocks| successor pairs
+    * (never all-pairs), and the O(cap²) dynamic program runs per
+    * CANDIDATE on bounded prefixes — the cap is the scale control,
+    * documented at the call site. Levenshtein is a deterministic
+    * integer metric, bit-identical in any engine.
+    */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockLen: Int = 2, cap: Int = 128): DataFrame = {
+    val cand = sortedNeighborPairs(df, idCol, textCol, blockLen, minLevel = 8)
+    val texts = df.select(col(idCol).cast("long").as("id"),
+      substring(col(textCol), 1, cap).as("t"))
+    cand
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("max_len", greatest(length(col("t_a")), length(col("t_b"))))
+      .filter(col("edit_dist") * 5 <= col("max_len"))
+      .select(col("id_a"), col("id_b"), col("prefix_level"),
+        col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+          .as("edit_sim"))
+  }
+
   /** Chunk-stitch join — directional boundary matching for corpora
     * ingested as page/chunk fragments: a row whose LAST `k` chars
     * hash-match another row's FIRST `k` chars is a continuation

@@ -1103,6 +1103,17 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q170 edit-distance verified pairs
+    * ([[graft.llm.Dedup.editVerifiedPairs]]): sorted-neighborhood
+    * candidates verified by Levenshtein over 128-char prefixes at
+    * exact-integer similarity ≥ 0.8 — the edit-distance dedup
+    * family. Oracle replays the candidate window, DuckDB's
+    * levenshtein (the identical integer metric) and the threshold.
+    */
+  def q170(s: SparkSession, d: String): DataFrame =
+    Dedup.editVerifiedPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   /** q169 sorted-neighborhood pairs
     * ([[graft.llm.Dedup.sortedNeighborPairs]]): the merge/purge
     * blocking family — successor pairs in (2-char block, text, id)
@@ -1496,6 +1507,7 @@ object LlmQueries {
     "q166_encoding_health" -> q166 _,
     "q168_tokenizer_fertility" -> q168 _,
     "q169_sorted_neighbors" -> q169 _,
+    "q170_edit_verified" -> q170 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2300,6 +2312,32 @@ object LlmQueries {
         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY a.id, b.id HAVING COUNT(*) >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q170_edit_verified" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id, text AS t, substr(text, 1, 2) AS blk,
+        |         LEAD(doc_id) OVER (PARTITION BY substr(text, 1, 2)
+        |           ORDER BY text, doc_id) AS nid,
+        |         LEAD(text) OVER (PARTITION BY substr(text, 1, 2)
+        |           ORDER BY text, doc_id) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT id AS id_a, nid AS id_b,
+        |         CASE WHEN substr(t, 1, 64) = substr(nt, 1, 64) THEN 64
+        |              WHEN substr(t, 1, 32) = substr(nt, 1, 32) THEN 32
+        |              WHEN substr(t, 1, 16) = substr(nt, 1, 16) THEN 16
+        |              WHEN substr(t, 1, 8) = substr(nt, 1, 8) THEN 8
+        |              ELSE 0 END AS prefix_level,
+        |         substr(t, 1, 128) AS t_a, substr(nt, 1, 128) AS t_b
+        |  FROM s WHERE nid IS NOT NULL),
+        |v AS (
+        |  SELECT id_a, id_b, prefix_level,
+        |         levenshtein(t_a, t_b) AS edit_dist,
+        |         GREATEST(length(t_a), length(t_b)) AS max_len
+        |  FROM g WHERE prefix_level >= 8)
+        |SELECT id_a, id_b, prefix_level, CAST(edit_dist AS INTEGER) AS edit_dist,
+        |       1.0 - CAST(edit_dist AS DOUBLE) / max_len AS edit_sim
+        |FROM v WHERE edit_dist * 5 <= max_len ORDER BY id_a, id_b""".stripMargin,
 
     "q169_sorted_neighbors" ->
       """WITH s AS (

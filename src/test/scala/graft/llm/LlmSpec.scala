@@ -863,6 +863,22 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("editVerifiedPairs: a middle edit passes the verify; heavy edits fail it") {
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val edited = base.replace("jumps", "jumped") // 2 edits, middle of the text
+    val heavy = base.take(10) + " completely rewritten tail that shares almost nothing more"
+    val df = Seq((0L, base), (1L, edited), (2L, heavy))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(df, "doc_id", "text")
+      .as[(Long, Long, Int, Int, Double)].collect()
+    // sort order: heavy ("the c...") < edited ("the quick...jumped") < base;
+    // candidates (2,1) heavy-edited: fails verify; (1,0) edited-base: passes
+    assert(got.length == 1)
+    val r = got(0)
+    assert(Set(r._1, r._2) == Set(0L, 1L))
+    assert(r._4 == 2 && r._5 > 0.95)
+  }
+
   test("sortedNeighborPairs: successor pairs within block, ladder grades, below-threshold dropped") {
     val base = "a shared prefix that runs well past sixty four characters in total x"
     val df = Seq(
