@@ -1031,6 +1031,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_groups"))
   }
 
+  /** Dedup family-overlap matrix — the capstone evaluation a
+    * pipeline designer runs to CHOOSE families and thresholds: the
+    * same corpus goes through four independent near-dup detectors
+    * (MinHash-LSH shingle banding, winnowed local fingerprints,
+    * blocked char-n-gram Jaccard, edit-distance-verified sorted
+    * neighbors), every discovered pair gets a family bitmask, and
+    * the report counts pairs per mask — the diagonal shows what only
+    * one family sees, the high-mask rows what everything agrees on.
+    * Families that only ever co-fire are redundant; a family with a
+    * large exclusive count is earning its cost.
+    *
+    * Scale shape: each family keeps its own bucketed/blocked plan
+    * (nothing here is all-pairs), pairs normalize to (min, max) id,
+    * and the overlap is one (id_a, id_b) aggregation over the union
+    * of pair sets — pair-volume-sized, orders of magnitude below the
+    * corpus.
+    */
+  def familyOverlapMatrix(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    def norm(p: DataFrame) = p.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"))
+    val fams: Seq[(String, DataFrame)] = Seq(
+      "minhash" -> norm(minhashLsh(docs, idCol, textCol,
+        numHashes = 16, bands = 4, threshold = 0.5).select("id_a", "id_b")),
+      "winnow" -> norm(winnowedPairs(docs, idCol, textCol)
+        .select("id_a", "id_b")),
+      "ngram" -> norm(ngramJaccardBlocked(docs, idCol, textCol,
+        prefixLen = 32, n = 5, threshold = 0.7).select("id_a", "id_b")),
+      "edit" -> norm(editVerifiedPairs(docs, idCol, textCol)
+        .select("id_a", "id_b")))
+    val tagged = fams.zipWithIndex.map { case ((_, df), i) =>
+      df.withColumn("bit", lit((1 << i).toLong)) }
+    tagged.reduce(_ unionByName _)
+      .groupBy("id_a", "id_b").agg(sum("bit").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("families", concat_ws("+",
+        fams.zipWithIndex.map { case ((name, _), i) =>
+          when(col("mask").bitwiseAND(lit((1L << i))) > 0, name)
+        }: _*))
+  }
+
   /** Sorted-neighborhood candidate pairs — the classic NON-hash
     * blocking family (Hernández-Stolfo merge/purge): docs sort by
     * text within a short prefix block, and each doc pairs with its

@@ -1103,6 +1103,18 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q171 dedup family-overlap matrix
+    * ([[graft.llm.Dedup.familyOverlapMatrix]]): the same corpus
+    * through four independent near-dup families (q47 MinHash-LSH,
+    * q154 winnowing, q75 blocked n-gram Jaccard, q170 edit-verify),
+    * pairs counted per family bitmask — the threshold-choosing
+    * evaluation. Oracle composes the four already-proven family
+    * replays and the mask aggregation.
+    */
+  def q171(s: SparkSession, d: String): DataFrame =
+    Dedup.familyOverlapMatrix(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("mask")
+
   /** q170 edit-distance verified pairs
     * ([[graft.llm.Dedup.editVerifiedPairs]]): sorted-neighborhood
     * candidates verified by Levenshtein over 128-char prefixes at
@@ -1508,6 +1520,7 @@ object LlmQueries {
     "q168_tokenizer_fertility" -> q168 _,
     "q169_sorted_neighbors" -> q169 _,
     "q170_edit_verified" -> q170 _,
+    "q171_family_matrix" -> q171 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1596,7 +1609,7 @@ object LlmQueries {
        |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
        |        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q121_hashed_classifier" ->
       s"""WITH t AS (SELECT doc_id AS id, $toksExpr AS w FROM documents),
          |uni AS (SELECT id, unnest(w) AS s FROM t),
@@ -3340,4 +3353,39 @@ object LlmQueries {
         |       CAST(NULL AS INTEGER) AS height
         |FROM f ORDER BY media_id""".stripMargin,
   )
+
+  /** q171 composes the four ALREADY-PROVEN family replays (q47,
+    * q154, q75, q170 — embedded verbatim as subqueries, so the pair
+    * semantics cannot drift from their individually gated forms) and
+    * adds only the mask aggregation on top.
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("q171_family_matrix" -> {
+      // substitute AFTER stripMargin: the embedded family SQL contains
+      // lines beginning with the `||` concat operator, which a second
+      // stripMargin pass would truncate into invalid SQL
+      """WITH mh AS (SELECT id_a, id_b FROM (%MH%)),
+        |wn AS (SELECT id_a, id_b FROM (%WN%)),
+        |ng AS (SELECT id_a, id_b FROM (%NG%)),
+        |ed AS (SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b
+        |       FROM (%ED%)),
+        |u AS (
+        |  SELECT id_a, id_b, CAST(SUM(bit) AS BIGINT) AS mask FROM (
+        |    SELECT id_a, id_b, 1 AS bit FROM mh
+        |    UNION ALL SELECT id_a, id_b, 2 FROM wn
+        |    UNION ALL SELECT id_a, id_b, 4 FROM ng
+        |    UNION ALL SELECT id_a, id_b, 8 FROM ed)
+        |  GROUP BY id_a, id_b)
+        |SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       concat_ws('+',
+        |         CASE WHEN mask & 1 > 0 THEN 'minhash' END,
+        |         CASE WHEN mask & 2 > 0 THEN 'winnow' END,
+        |         CASE WHEN mask & 4 > 0 THEN 'ngram' END,
+        |         CASE WHEN mask & 8 > 0 THEN 'edit' END) AS families
+        |FROM u GROUP BY mask ORDER BY mask""".stripMargin
+        .replace("%MH%", baseOracles("q47_dedup_minhash"))
+        .replace("%WN%", baseOracles("q154_winnow_matches"))
+        .replace("%NG%", baseOracles("q75_dedup_ngram"))
+        .replace("%ED%", baseOracles("q170_edit_verified"))
+    })
 }

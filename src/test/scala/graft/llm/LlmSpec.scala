@@ -863,6 +863,15 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("familyOverlapMatrix: an exact duplicate pair fires all four families") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq((0L, t), (1L, t), (2L, "zzz wholly unrelated content words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.familyOverlapMatrix(df, "doc_id", "text")
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq((15L, 1L, "minhash+winnow+ngram+edit")))
+  }
+
   test("editVerifiedPairs: a middle edit passes the verify; heavy edits fail it") {
     val base = "the quick brown fox jumps over the lazy dog again and again ok"
     val edited = base.replace("jumps", "jumped") // 2 edits, middle of the text
