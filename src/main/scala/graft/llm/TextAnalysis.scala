@@ -374,6 +374,41 @@ object TextAnalysis {
         when(col("sum_fp") >= 0, 1).otherwise(0).as("keep"))
   }
 
+  /** Curation survival funnel — the yield report a pipeline owner
+    * reads before anything else: per source, documents surviving
+    * each successive admission gate (Gopher-style quality verdict →
+    * PII-free → encoding-healthy) as CUMULATIVE conjunctions, plus
+    * the end-to-end yield rate. Ordering matters and is fixed:
+    * each stage's count is "survived everything up to here", so the
+    * columns read as the funnel narrowing left to right.
+    *
+    * Scale shape: every gate is a per-row expression
+    * ([[qualityVerdict]], [[withPii]], the [[encodingHealth]]
+    * character classes) — one corpus scan, one ≤|sources|
+    * aggregation, integer counts and a single division.
+    */
+  def curationFunnel(df: DataFrame, sourceCol: String,
+                     textCol: String): DataFrame = {
+    val p = withPii(qualityVerdict(df, textCol), textCol)
+    val t = col(textCol)
+    val nChars = length(t)
+    val nRepl = nChars - length(translate(t, "\uFFFD", ""))
+    val nCtrl = nChars -
+      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val nAscii = length(regexp_replace(t, "[^\\x20-\\x7E\\t\\n\\r]", ""))
+    val healthy = nRepl === 0 && nCtrl === 0 && nAscii * 5 >= nChars * 4
+    p.withColumn("pass_q", col("keep") === 1)
+      .withColumn("pass_p", col("pass_q") && col("has_pii") === 0)
+      .withColumn("pass_e", col("pass_p") && healthy)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("pass_p"), 1L).otherwise(0L)).as("n_no_pii"),
+        sum(when(col("pass_e"), 1L).otherwise(0L)).as("n_clean"))
+      .withColumn("yield_rate",
+        col("n_clean").cast("double") / col("n_docs"))
+  }
+
   /** Tokenizer fertility table — the bytes-per-token economics that
     * size token budgets across sources/languages: per source, total
     * chars, whitespace-token and BPE-ish subword counts

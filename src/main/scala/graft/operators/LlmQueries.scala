@@ -1103,6 +1103,26 @@ object LlmQueries {
     Similarity.tripletMine(Tables.embeddings(s, d), planes = 4)
       .orderBy("vec_id")
 
+  /** q172 curation survival funnel
+    * ([[graft.llm.TextAnalysis.curationFunnel]]): per-source docs
+    * surviving quality verdict → PII-free → encoding-healthy as
+    * cumulative gates, over a corpus seeded with the q90 PII
+    * formulas and the q166 corruption formulas (fixture is clean on
+    * both axes). Oracle replays the seeds and all three gates.
+    */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).withColumn("text", concat(col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" host 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\uFFFD")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("\u0007")).otherwise(lit(""))))
+    TextAnalysis.curationFunnel(seeded, "source", "text")
+      .orderBy("source")
+  }
+
   /** q171 dedup family-overlap matrix
     * ([[graft.llm.Dedup.familyOverlapMatrix]]): the same corpus
     * through four independent near-dup families (q47 MinHash-LSH,
@@ -1521,6 +1541,7 @@ object LlmQueries {
     "q169_sorted_neighbors" -> q169 _,
     "q170_edit_verified" -> q170 _,
     "q171_family_matrix" -> q171 _,
+    "q172_curation_funnel" -> q172 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3352,6 +3373,51 @@ object LlmQueries {
         |       CAST(NULL AS INTEGER) AS width,
         |       CAST(NULL AS INTEGER) AS height
         |FROM f ORDER BY media_id""".stripMargin,
+
+    "q172_curation_funnel" -> {
+      val em = TextAnalysis.EmailRe
+      val ip = TextAnalysis.Ipv4Re
+      s"""WITH seeded AS (
+         |  SELECT doc_id, source,
+         |         text
+         |         || CASE WHEN doc_id % 7 = 0
+         |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |              ELSE '' END
+         |         || CASE WHEN doc_id % 11 = 0
+         |              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         |              ELSE '' END
+         |         || CASE WHEN doc_id % 5 = 0 THEN chr(65533) ELSE '' END
+         |         || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS text
+         |  FROM documents),
+         |t AS (SELECT source, text, $toksExpr AS toks FROM seeded),
+         |m AS (
+         |  SELECT source, text,
+         |         CAST(len(toks) AS INTEGER) AS n_tokens,
+         |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lex_diversity,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio
+         |  FROM t),
+         |f AS (
+         |  SELECT source,
+         |    ((CASE WHEN n_tokens < 5 OR n_tokens > 5000 THEN 1 ELSE 0 END
+         |      + CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 1 ELSE 0 END
+         |      + CASE WHEN lex_diversity < 0.3 THEN 1 ELSE 0 END
+         |      + CASE WHEN punct_ratio > 0.2 THEN 1 ELSE 0 END) = 0) AS pass_q,
+         |    (len(regexp_extract_all(text, '$em')) = 0
+         |       AND len(regexp_extract_all(text, '$ip')) = 0) AS no_pii,
+         |    (length(text) - length(translate(text, chr(65533), '')) = 0
+         |       AND length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) = 0
+         |       AND length(regexp_replace(text, '[^\\x20-\\x7E\\t\\n\\r]', '', 'g')) * 5 >= length(text) * 4) AS healthy
+         |  FROM m)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(SUM(CASE WHEN pass_q AND no_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_no_pii,
+         |       CAST(SUM(CASE WHEN pass_q AND no_pii AND healthy THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |       CAST(SUM(CASE WHEN pass_q AND no_pii AND healthy THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*) AS yield_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
   )
 
   /** q171 composes the four ALREADY-PROVEN family replays (q47,

@@ -863,6 +863,19 @@ class LlmSpec extends SparkSpec {
     assert(!g.contains(3L))
   }
 
+  test("curationFunnel: gates narrow cumulatively — quality, then PII, then encoding") {
+    val good = "the quick brown fox jumps over lazy dogs today"
+    val df = Seq(
+      (0L, good, "srcA"),                                    // survives everything
+      (1L, "reach me at someone@example.com for details today", "srcA"), // PII
+      (2L, good + " \uFFFD", "srcA"),                  // mojibake
+      (3L, "a a a a a a", "srcA"))                           // fails quality (diversity)
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.curationFunnel(df, "source", "text")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(("srcA", 4L, 3L, 2L, 1L, 0.25)))
+  }
+
   test("familyOverlapMatrix: an exact duplicate pair fires all four families") {
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val df = Seq((0L, t), (1L, t), (2L, "zzz wholly unrelated content words here"))
