@@ -613,7 +613,10 @@ object Similarity {
     * band becomes a candidate verified by full Hamming distance ≤
     * `maxDist`. By pigeonhole, any pair within `bands − 1` bit flips
     * of each other shares at least one intact band — so recall is
-    * structural for maxDist < bands, not probabilistic.
+    * structural ONLY for maxDist < bands (the default, bands − 1);
+    * passing maxDist ≥ bands is allowed but recall for pairs at
+    * distance ≥ bands is best-effort (a pair can flip one bit in
+    * every band and share no key).
     *
     * This is the binary companion to the float-cosine families:
     * signatures are 8 bytes regardless of dimension (64-dim float
@@ -624,7 +627,7 @@ object Similarity {
     * 32-plane kernel runs once, not once per join side.
     */
   def hammingNearDup(emb: DataFrame, bits: Int = 32, bands: Int = 4,
-                     maxDist: Int = 4, idCol: String = "vec_id",
+                     maxDist: Int = 3, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     require(bits > 0 && bits < 64 && bands > 0 && bits % bands == 0,
       s"need 0 < bits < 64 divisible by bands; got bits=$bits bands=$bands")

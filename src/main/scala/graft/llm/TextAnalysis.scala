@@ -390,13 +390,8 @@ object TextAnalysis {
   def curationFunnel(df: DataFrame, sourceCol: String,
                      textCol: String): DataFrame = {
     val p = withPii(qualityVerdict(df, textCol), textCol)
-    val t = col(textCol)
-    val nChars = length(t)
-    val nRepl = nChars - length(translate(t, "\uFFFD", ""))
-    val nCtrl = nChars -
-      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
-    val nAscii = length(regexp_replace(t, "[^\\x20-\\x7E\\t\\n\\r]", ""))
-    val healthy = nRepl === 0 && nCtrl === 0 && nAscii * 5 >= nChars * 4
+    val e = EncodingClasses(col(textCol))
+    val healthy = e.nRepl === 0 && e.nCtrl === 0 && e.nAscii * 5 >= e.nChars * 4
     p.withColumn("pass_q", col("keep") === 1)
       .withColumn("pass_p", col("pass_q") && col("has_pii") === 0)
       .withColumn("pass_e", col("pass_p") && healthy)
@@ -434,6 +429,20 @@ object TextAnalysis {
         (col("chars").cast("double") / col("subwords")).as("chars_per_subword"),
         (col("subwords").cast("double") / col("words")).as("fertility"))
 
+  /** Encoding character classes shared by [[encodingHealth]] and
+    * [[curationFunnel]] — one definition so the funnel's `pass_e`
+    * gate cannot desynchronize from the audit's classes. Regexes stay
+    * in the Java∩RE2 common subset (the q90 discipline; `\\s` avoided
+    * because engines disagree on vertical tab).
+    */
+  private final case class EncodingClasses(t: Column) {
+    val nChars: Column = length(t)
+    val nRepl: Column = nChars - length(translate(t, "�", ""))
+    val nCtrl: Column = nChars -
+      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val nAscii: Column = length(regexp_replace(t, "[^\\x20-\\x7E\\t\\n\\r]", ""))
+  }
+
   /** Encoding-health audit — the mojibake/control-character filter
     * every web-crawl pipeline runs before text enters the mix
     * (CCNet/RefinedWeb-style): per source, documents carrying U+FFFD
@@ -450,15 +459,10 @@ object TextAnalysis {
     */
   def encodingHealth(df: DataFrame, sourceCol: String,
                      textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nChars = length(t)
-    val nRepl = nChars - length(translate(t, "\uFFFD", ""))
-    val nCtrl = nChars -
-      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
-    val nAscii = length(regexp_replace(t, "[^\\x20-\\x7E\\t\\n\\r]", ""))
-    df.select(col(sourceCol).as("source"), nChars.cast("long").as("nc"),
-        nRepl.cast("long").as("nr"), nCtrl.cast("long").as("nk"),
-        nAscii.cast("long").as("na"))
+    val e = EncodingClasses(col(textCol))
+    df.select(col(sourceCol).as("source"), e.nChars.cast("long").as("nc"),
+        e.nRepl.cast("long").as("nr"), e.nCtrl.cast("long").as("nk"),
+        e.nAscii.cast("long").as("na"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("nr") > 0, 1L).otherwise(0L)).as("n_mojibake"),

@@ -230,7 +230,7 @@ object EventQueries {
     "q167_burst_cells" ->
       """WITH e AS (
         |  SELECT event_type AS k,
-        |         (epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000 AS c
+        |         (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000) // 3600000000 AS c
         |  FROM events),
         |hist AS (SELECT k, c, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k, c),
         |span AS (SELECT MIN(c) AS c0, MAX(c) AS c1 FROM hist),
@@ -258,7 +258,7 @@ object EventQueries {
     "q164_retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id AS u,
-        |         (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS b
+        |         (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS b
         |  FROM events),
         |first AS (SELECT u, MIN(b) AS cohort FROM e GROUP BY u),
         |sizes AS (SELECT cohort, COUNT(*) AS cohort_n FROM first GROUP BY cohort),

@@ -1179,7 +1179,7 @@ object LlmQueries {
     TextAnalysis.encodingHealth(
         Tables.documents(s, d).withColumn("text", concat(col("text"),
           when(col("doc_id") % 7 === 0, lit("\uFFFD")).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, lit("")).otherwise(lit("")))),
+          when(col("doc_id") % 11 === 0, lit("\u0007")).otherwise(lit("")))),
         "source", "text")
       .orderBy("source")
 
@@ -1199,7 +1199,7 @@ object LlmQueries {
   /** q162 Hamming-banded binary near-dup
     * ([[graft.llm.Similarity.hammingNearDup]]): 32-bit hyperplane
     * signatures, 4 exact-match bands (structural recall for pairs
-    * within 3 bit flips), XOR+popcount verify at Hamming ≤ 4 — the
+    * within 3 bit flips), XOR+popcount verify at Hamming ≤ 3 — the
     * binary multi-index companion to the float-cosine dedup
     * families. Oracle replays the sign bits, band split and
     * popcount verify.
@@ -2464,7 +2464,7 @@ object LlmQueries {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
          |SELECT id_a, id_b,
          |       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-         |FROM p WHERE bit_count(xor(sig_a, sig_b)) <= 4
+         |FROM p WHERE bit_count(xor(sig_a, sig_b)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q161_quality_canonical" ->

@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Exact floor-division time bucket: v ↦ ⌊v / width⌋ in pure
+    * integer arithmetic. `pmod` makes the numerator the FLOOR
+    * multiple of `width` (nonnegative remainder even for pre-1970
+    * timestamps), and integral `div` on an exact multiple has no
+    * remainder — so the result is exact for the full long range,
+    * unlike a double division (only exact below 2^53) or a truncated
+    * `%` (diverges from floor for negative v). Oracles mirror this
+    * with DuckDB's `(v - ((v % w) + w) % w) // w` (DuckDB `%` and
+    * `//` both truncate toward zero).
+    */
+  private def floorDivCell(widthUs: Long)(c: Column): Column =
+    call_function("div",
+      c.cast("long") - pmod(c.cast("long"), lit(widthUs)), lit(widthUs))
+
   /** Backward (most-recent-at-or-before) as-of join: for each left
     * row, attach the payload of the latest right row with the same
     * `on` keys and `right(rightTime) <= left(leftTime)`; left rows
@@ -118,10 +132,7 @@ object Temporal {
                  cellUs: Long, trail: Int,
                  threshold: Double): DataFrame = {
     require(cellUs > 0 && trail > 0, s"need cellUs/trail > 0, got $cellUs/$trail")
-    def cell(c: Column): Column = {
-      val v = c.cast("long")
-      ((v - pmod(v, lit(cellUs))) / lit(cellUs)).cast("long")
-    }
+    val cell = floorDivCell(cellUs) _
     val hist = ev.select(col(keyCol).as("k"), cell(col(tsCol)).as("c"))
       .groupBy("k", "c").agg(count(lit(1)).as("n"))
     // gaps matter: an empty cell between events must count as 0 in
@@ -164,10 +175,7 @@ object Temporal {
                        bucketUs: Long, maxOffset: Int): DataFrame = {
     require(bucketUs > 0 && maxOffset >= 0,
       s"need bucketUs > 0, maxOffset >= 0; got $bucketUs/$maxOffset")
-    def cell(c: Column): Column = {
-      val v = c.cast("long")
-      ((v - pmod(v, lit(bucketUs))) / lit(bucketUs)).cast("long")
-    }
+    val cell = floorDivCell(bucketUs) _
     val e = ev.select(col(entityCol).as("u"), cell(col(tsCol)).as("b"))
     val first = e.groupBy("u").agg(min("b").as("cohort"))
     val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_n"))
@@ -202,7 +210,6 @@ object Temporal {
              windowUs: Long): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
     require(windowUs > 0, "windowUs must be positive")
-    val spark = ev.sparkSession
     val base = ev.select(col(entityCol).as("u"),
       col(tsCol).cast("long").as("t"), col(stageCol).as("st"))
     // survivor frames: (u, t = completion time of this stage)
