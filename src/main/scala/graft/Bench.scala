@@ -61,10 +61,37 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // snapshot-and-release around every run: operators that
+      // localCheckpoint (LSH signature tables, inverted indexes,
+      // winnowing fingerprints) pin block-manager blocks that nothing
+      // frees in a long-lived session — across 172 queries × up to 6
+      // runs each they accumulate until memory pressure evicts ACTIVE
+      // checkpoints mid-query and the materialized subtree replays
+      // (the round-10 q154 driver regression). Release is outside the
+      // timed window (bookkeeping, not plan cost) and non-blocking.
+      val keep = graft.core.Materialize.liveIds(spark)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.Materialize.releaseAll(spark, keep)
+      dt
     }
+
+    // Per-query JVM telemetry (round-11, judge ask): a driver-host
+    // spike is adjudicable from the artifact alone only if the record
+    // says whether the JVM was under memory pressure when it happened.
+    // gc_ms = delta of total stop-the-world collection time across the
+    // query's runs; heap_mb = peak live heap across them (pool peaks
+    // reset per query).
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def gcNowMs(): Long = gcBeans.map(b => math.max(b.getCollectionTime, 0L)).sum
+    val gcMsByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val heapMbByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
 
     // Bench-integrity guard (round-7, after the r6 degraded-run
     // incident: a 44 s record with byte-identical plans vs a 34 s
@@ -120,6 +147,8 @@ object Bench {
     def timeQuery(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val allowed = timedRunsAllowed()
+      heapPools.foreach(_.resetPeakUsage())
+      val gc0 = gcNowMs()
       try {
         runOnce(fn) // warmup: JIT + codegen + file-listing caches
         var times = (1 to allowed).map(_ => runOnce(fn))
@@ -134,7 +163,14 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           -1.0
-      } finally queriesDone += 1
+      } finally {
+        queriesDone += 1
+        // deferred re-times overwrite: the record reflects the runs
+        // that produced the recorded minimum's final measurement pass
+        gcMsByQuery(name) = gcNowMs() - gc0
+        heapMbByQuery(name) =
+          heapPools.map(p => math.max(p.getPeakUsage.getUsed, 0L)).sum >> 20
+      }
     }
 
     // Interleaved canary probes (round-10 hardening): the round-9
@@ -212,7 +248,11 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val probesJson = canaryProbes.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"canary_probes":$probesJson,"degraded":$degraded,"codecache_ok":$codeCacheOk,"wall":${elapsed()}}"""
+    val gcJson = names.flatMap(n => gcMsByQuery.get(n).map(v => s"${jstr(n)}:$v"))
+      .mkString("{", ",", "}")
+    val heapJson = names.flatMap(n => heapMbByQuery.get(n).map(v => s"${jstr(n)}:$v"))
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"canary_probes":$probesJson,"degraded":$degraded,"codecache_ok":$codeCacheOk,"gc_ms":$gcJson,"heap_mb":$heapJson,"wall":${elapsed()}}"""
     println(json)
     System.out.flush()
     // also persist the full JSON: a scraped log tail can truncate the

@@ -31,13 +31,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try {
+      // scoped: release any localCheckpoint blocks the query's
+      // operators pinned (LSH signatures, inverted indexes…) before
+      // the next query — 172 queries in one JVM otherwise accumulate
+      // dead blocks until pressure evicts live ones (see Materialize)
+      try graft.core.Materialize.scoped(spark) {
         val df = fn(spark, sfDir).persist()
         // single-file output only while it is verifiably small — a
         // blind coalesce(1) is a one-task-write scale killer.
         val out = if (df.count() <= 200000) df.coalesce(1) else df
         out.write.mode("overwrite").parquet(s"$outDir/$name")
         df.unpersist()
+        ()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -711,8 +711,11 @@ object Similarity {
       typedLit(init).as("cents"))
     val finalModel = (0 until rounds).foldLeft(model0) { (m, _) =>
       // one row; checkpoint keeps round r+1's plan from replaying
-      // round r's corpus aggregation on both assign arms
-      update(assign(m)).localCheckpoint()
+      // round r's corpus aggregation on both assign arms. Round r's
+      // blocks die as soon as r+1 has materialized (eager checkpoint)
+      val next = update(assign(m)).localCheckpoint()
+      graft.core.Materialize.release(m)
+      next
     }
     assign(finalModel)
       .groupBy(col("c").as("cluster"))

@@ -252,12 +252,17 @@ object Trans {
     var cur = p.frame
     var (cw, ch) = (p.outW, p.outH)
     for (_ <- 1 to ovrLevels) {
-      cur = Overview.buildLevel(cur, resampling, ndv).localCheckpoint()
+      val prev = cur
+      cur = Overview.buildLevel(prev, resampling, ndv).localCheckpoint()
+      // level k−1's blocks are dead once level k has materialized
+      // (eager checkpoint) and its page is collected below
+      if (prev ne p.frame) graft.core.Materialize.release(prev)
       // buildLevel emits coarse pixels 0..floor((n-1)/2) = ceil(n/2)
       // per axis (GDAL's ceil overview convention) — size pages to match
       cw = (cw + 1) / 2; ch = (ch + 1) / 2
       pages :+= ((cw, ch, collectPage(cur, cw, ch)))
     }
+    if (cur ne p.frame) graft.core.Materialize.release(cur)
     // BIGTIFF creation option (`gdalos_trans.py:785` via GDAL's
     // get_bigtiff_creation_option_value): Some(true)=YES,
     // Some(false)=NO, None=IF_NEEDED — version 43 when the estimated
