@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, Literal, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** H4 as native Catalyst expressions (SURVEY §7.3 preference order:
   * custom `Expression` with `doGenCode` beats a Scala UDF): UTM ⇄
@@ -316,7 +316,15 @@ object GraftFunctions {
     fn("tile_pack", "double tile array to LE binary samples of a dtype width",
       args => TilePack(args(0), args(1))),
     fn("tile_unpack", "LE binary tile samples back to a double array",
-      args => TileUnpack(args(0), args(1))))
+      args => TileUnpack(args(0), args(1))),
+    fn("winnow_fps", "distinct winnowing fingerprints of a document (char k-grams, window w)",
+      args => WinnowFps(args(0), constInt(args(1), "k"), constInt(args(2), "w"))))
+
+  private def constInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"winnow_fps: $name must be an integer literal, got $other")
+  }
 
   private def fn(name: String, usage: String, b: Builder) =
     (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), b)

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level text-fingerprint kernels. The winnowing selection
+  * (Schleimer, Wilkerson & Aiken 2003, the MOSS algorithm) is a
+  * per-document computation — hash every char k-gram, keep each
+  * w-window's minimum, dedup — with NO cross-row dependency, so the
+  * natural Spark shape is one scalar expression per document, not a
+  * per-position row explosion. The row form (posexplode → md5+conv
+  * per position row → partitionBy(id) window min → distinct) was
+  * measured at 3.4 s for a 1.45M-position corpus against a 1.8 s
+  * floor for the generate alone — the per-position expression-eval
+  * and row-materialization overhead dominates, not the hashing. This
+  * kernel runs the whole document in one tight JVM loop inside
+  * whole-stage codegen and eliminates the window shuffle entirely
+  * (fingerprinting becomes embarrassingly row-parallel — the correct
+  * 100 TB shape).
+  *
+  * Hash semantics are IDENTICAL to the expression form the DuckDB
+  * oracles replay: fingerprint = first 60 bits of md5 of the UTF-8
+  * bytes of the k-char substring, numerically equal to
+  * `conv(substring(md5(g), 1, 15), 16, 10)` — 15 hex digits are the
+  * top 60 bits of the big-endian digest prefix.
+  */
+object TextKernels {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** `conv(substring(md5(bytes), 1, 15), 16, 10)` as bit arithmetic:
+    * the first 15 hex digits of the digest are its top 60 bits.
+    */
+  private def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val dig = d.digest()
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (dig(i) & 0xffL); i += 1 }
+    l >>> 4
+  }
+
+  /** Start-byte offset of every char (index 0..nChars); only built
+    * for non-ASCII strings — ASCII byte offsets ARE char offsets.
+    */
+  private def charOffsets(bytes: Array[Byte], nChars: Int): Array[Int] = {
+    val offs = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (c < nChars) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(nChars) = bytes.length
+    offs
+  }
+
+  /** Distinct winnowing fingerprints of `t` (char k-grams, window w),
+    * first-occurrence order. Exactly the selection of the SQL row
+    * form over positions 1..max(nChars−k+1, 1) with the window
+    * min over rows [pos, pos+w−1] kept for pos ≤ max(nChars−k−w+2, 1)
+    * — including the short-document edges (a doc shorter than k
+    * fingerprints its whole text; shorter than k+w−1 keeps its single
+    * partial-window minimum).
+    */
+  def winnowFps(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val nChars = t.numChars()
+    val bytes = t.getBytes
+    val offs = if (bytes.length == nChars) null else charOffsets(bytes, nChars)
+    val nPos = math.max(nChars - (k - 1), 1)
+    val hs = new Array[Long](nPos)
+    var p = 0
+    while (p < nPos) {
+      val endChar = math.min(p + k, nChars)
+      val startB = if (offs == null) math.min(p, bytes.length) else offs(p)
+      val endB = if (offs == null) endChar else offs(endChar)
+      hs(p) = md5Prefix60(bytes, startB, endB - startB)
+      p += 1
+    }
+    val selEnd = math.max(nChars - k - w + 2, 1) // ≤ nPos by construction
+    val seen = new java.util.HashSet[java.lang.Long](selEnd * 2)
+    val out = new Array[Long](selEnd)
+    var n = 0
+    var i = 0
+    while (i < selEnd) {
+      var m = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, nPos)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      if (seen.add(m)) { out(n) = m; n += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, n))
+  }
+}
+
+/** `winnow_fps(text, k, w)`: the distinct winnowing fingerprint set
+  * of a document as one codegen call — see [[TextKernels.winnowFps]].
+  * k and w must be integer literals (they shape the kernel, not the
+  * data). Null text yields null (no fingerprints), matching SQL
+  * null propagation.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  require(k > 0 && w > 0, s"winnow_fps: k and w must be positive, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.winnowFps(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFps($t, $k, $w);")
+
+  override def prettyName: String = "winnow_fps"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

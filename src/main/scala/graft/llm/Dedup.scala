@@ -945,33 +945,30 @@ object Dedup {
     * paragraph inside an otherwise new doc) that whole-doc hashes
     * (q44) and doc-level shingle LSH miss at low overall similarity.
     *
-    * Scale shape: a per-doc position generate (linear in text
-    * length), the window-min inside an id-keyed window (docs
-    * co-locate, nothing global), one distinct. Pairing consumers
-    * should hub-cap the fingerprint (see [[winnowedPairs]]) exactly
-    * like q116's maxDf — ubiquitous boilerplate fingerprints are the
-    * skew risk, not the pair join itself.
+    * Scale shape: ONE codegen kernel call per document
+    * ([[graft.functions.TextKernels.winnowFps]] — hash array, window
+    * minima, per-doc dedup in a single JVM loop) followed by an
+    * explode; fingerprinting is embarrassingly row-parallel with NO
+    * shuffle required by the algorithm. (The earlier row form —
+    * posexplode → per-position md5 expression → id-keyed window min —
+    * carried ~2× the cost in per-position expression eval and row
+    * materialization, plus the window exchange; the kernel emits the
+    * same distinct (id, fp) set, same 60-bit md5-prefix hash the
+    * oracles replay.) The repartition spreads documents across cores
+    * when the input is a single small file; at scale the scan's own
+    * partitioning already provides it. Pairing consumers should
+    * hub-cap the fingerprint (see [[winnowedPairs]]) exactly like
+    * q116's maxDf — ubiquitous boilerplate fingerprints are the skew
+    * risk, not the pair join itself.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
-    val win = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .repartition(col("id"))
-      .select(col("id"), col("t"),
-        posexplode(sequence(lit(1),
-          greatest(length(col("t")) - (k - 1), lit(1)))).as(Seq("i", "pos")))
-      .select(col("id"), col("pos"),
-        conv(substring(md5(substring(col("t"), col("pos"), lit(k))), 1, 15),
-          16, 10).cast("long").as("h"),
-        (length(col("t")) - (k - 1)).as("np"))
-      .withColumn("minh", min("h").over(win))
-      // only FULL windows select (pos ≤ np−w+1); short docs keep their
-      // single partial-window minimum so every doc fingerprints
-      .filter(col("pos") <= greatest(col("np") - (w - 1), lit(1)))
-      .select(col("id"), col("minh").as("fp"))
-      .distinct()
+      .select(col("id"),
+        explode(call_function("winnow_fps", col("t"), lit(k), lit(w))).as("fp"))
   }
 
   /** Shared-winnowed-fingerprint doc pairs — the MOSS match report:
@@ -1046,21 +1043,29 @@ object Dedup {
     * (nothing here is all-pairs), pairs normalize to (min, max) id,
     * and the overlap is one (id_a, id_b) aggregation over the union
     * of pair sets — pair-volume-sized, orders of magnitude below the
-    * corpus.
+    * corpus. The four families all read ONE materialized corpus
+    * projection instead of four independent storage scans: the
+    * matrix is the only operator that walks the same text four ways,
+    * so it pays one scan + one block-manager pin (spilling to local
+    * disk beyond memory) rather than 4× the remote scan+decode. The
+    * pinned blocks are released by the caller's session hygiene
+    * ([[graft.core.Materialize]] scoped/releaseAll) once the matrix
+    * is consumed.
     */
   def familyOverlapMatrix(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol)).localCheckpoint()
     def norm(p: DataFrame) = p.select(
       least(col("id_a"), col("id_b")).as("id_a"),
       greatest(col("id_a"), col("id_b")).as("id_b"))
     val fams: Seq[(String, DataFrame)] = Seq(
-      "minhash" -> norm(minhashLsh(docs, idCol, textCol,
+      "minhash" -> norm(minhashLsh(base, idCol, textCol,
         numHashes = 16, bands = 4, threshold = 0.5).select("id_a", "id_b")),
-      "winnow" -> norm(winnowedPairs(docs, idCol, textCol)
+      "winnow" -> norm(winnowedPairs(base, idCol, textCol)
         .select("id_a", "id_b")),
-      "ngram" -> norm(ngramJaccardBlocked(docs, idCol, textCol,
+      "ngram" -> norm(ngramJaccardBlocked(base, idCol, textCol,
         prefixLen = 32, n = 5, threshold = 0.7).select("id_a", "id_b")),
-      "edit" -> norm(editVerifiedPairs(docs, idCol, textCol)
+      "edit" -> norm(editVerifiedPairs(base, idCol, textCol)
         .select("id_a", "id_b")))
     val tagged = fams.zipWithIndex.map { case ((_, df), i) =>
       df.withColumn("bit", lit((1 << i).toLong)) }
