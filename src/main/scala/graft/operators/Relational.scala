@@ -283,6 +283,36 @@ object Relational {
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
       .limit(10)
 
+  /** Q173 salted hot-key join + two-phase aggregation — the explicit
+    * skew lever ([[Skew.saltedJoin]]/[[Skew.saltedAgg]]) under the
+    * oracle. `l_returnflag` is the worst-case shuffle key: 3 values,
+    * ~N/3 of the fact per key, so an unsalted shuffle join or
+    * single-phase agg funnels a third of 100 TB through ONE reducer
+    * (beyond any AQE split threshold). saltedJoin spreads each key
+    * across 8 deterministic salt partitions (dim replicated ×8);
+    * saltedAgg re-aggregates in two phases (partials on (key, salt),
+    * final on key). Both are provably the plain join+agg — the
+    * oracle IS the unsalted SQL. The weighted sum stays exact in
+    * doubles (integer quantities × integer weights, far below 2^53),
+    * so partial-sum order cannot diverge between engines.
+    * PlanShapeSpec pins the physical shape: with broadcast disabled
+    * the join's exchanges hash on (rf, _salt), never on rf alone.
+    */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d).select(col("l_returnflag").as("rf"),
+      col("l_orderkey"), col("l_quantity"))
+    val dim = Seq(("A", 10L), ("N", 20L), ("R", 30L)).toDF("rf", "w")
+    val joined = Skew.saltedJoin(li, dim, "rf", salts = 8,
+      saltSource = col("l_orderkey"))
+    Skew.saltedAgg(joined, "rf", salts = 8, saltSource = col("l_orderkey"),
+      agg1 = Seq(count(lit(1)).as("pc"),
+        sum(col("l_quantity") * col("w")).as("pwq")),
+      agg2 = Seq(sum(col("pc")).as("n"), sum(col("pwq")).as("wq")))
+      .select(col("rf"), col("n"), round(col("wq"), 2).as("wq"))
+      .orderBy("rf")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter" -> q01 _,
     "q02_ordered_projection" -> q02 _,
@@ -308,6 +338,7 @@ object Relational {
     "q22_running_max_window" -> q22 _,
     "q23_threshold_ladder" -> q23 _,
     "q24_orderby_limit" -> q24 _,
+    "q173_salted_skew" -> q173 _,
   )
 
   /** DuckDB-dialect oracles; column names/aliases match the Spark side
@@ -416,5 +447,12 @@ object Relational {
     "q24_orderby_limit" ->
       """SELECT p_partkey, p_retailprice FROM part
         |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+    // the UNSALTED join+agg: salting must be invisible in the result
+    "q173_salted_skew" ->
+      """WITH dim(rf, w) AS (VALUES ('A', 10), ('N', 20), ('R', 30))
+        |SELECT l.l_returnflag AS rf, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(l.l_quantity * d.w), 2) AS wq
+        |FROM lineitem l JOIN dim d ON d.rf = l.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -38,4 +38,30 @@ class PlanShapeSpec extends SparkSpec {
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
   }
+
+  test("saltedJoin: with broadcast disabled, every join exchange hashes on (key, _salt)") {
+    // hot key worth salting: 5k rows of one key
+    val fact = spark.range(5100).select(
+      when($"id" < 5000, lit("hot")).otherwise(concat(lit("k"), $"id" % 7)).as("k"),
+      $"id".as("uid"))
+    val dim = Seq(("hot", 1L), ("k0", 2L), ("k1", 3L)).toDF("k", "w")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8,
+        saltSource = $"uid")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the salt must be part of EVERY hash-partitioning the join
+      // introduces — a partitioning on the bare key would put the hot
+      // key back on one reducer and the salt would be decorative
+      val parts = "hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(parts.nonEmpty, s"expected shuffle exchanges, got:\n$plan")
+      assert(parts.forall(p => p.contains("_salt")),
+        s"every join exchange must include _salt, got $parts in:\n$plan")
+      assert(parts.forall(p => p.contains("k#")),
+        s"exchanges must still key on the join key, got $parts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
