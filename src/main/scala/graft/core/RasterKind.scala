@@ -15,6 +15,18 @@ sealed trait RasterKind {
       case Pal if !expandRgb => if (fastMode) Nearest else Mode
       case _                 => if (fastMode) Average else Cubic
     }
+
+  /** Native at-rest sample width for COG-layout tile payloads
+    * ([[graft.sources.Sinks]]): Byte kinds store 8 bits/sample, DTMs
+    * Int16 (the reference's GTiff convention — resampled overviews
+    * truncate to the integer grid exactly like GDAL's), Unknown stays
+    * lossless Float64.
+    */
+  def atRestDtypeCode: Int = this match {
+    case Photo | Pal => 8
+    case Dtm         => 16
+    case Unknown     => 64
+  }
 }
 
 object RasterKind {

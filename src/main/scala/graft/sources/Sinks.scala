@@ -23,11 +23,42 @@ object Sinks {
     * (`TILED/BLOCKXSIZE` + clustered-layout options assembled at
     * `gdalos_trans.py:773-816`). `buckets` bounds file count; within a
     * file tiles are (ty,tx)-sorted for monotone range scans.
+    *
+    * Tile payloads go to rest as dtype-tagged BINARY (SURVEY §7.4:
+    * little-endian samples at the raster's native width via
+    * `tile_pack`), not `ARRAY<DOUBLE>` — an Int16 DEM is 4× smaller
+    * on disk and on every downstream scan, exactly like the
+    * reference's GTiff staying Int16 instead of inflating to Float64.
+    * `dtypeCode` is the sample bit width (8 Byte, 16 Int16, 32
+    * Float32, 64 Float64 — bit-exact); integer codes truncate like
+    * the GeoTiff writer, so callers pick the code from the raster
+    * kind ([[graft.core.RasterKind]]), defaulting to lossless 64.
+    * The `dtype` column makes files self-describing —
+    * [[readCogLayout]] restores the `ARRAY<DOUBLE>` compute form.
     */
-  def writeCogLayout(tiles: DataFrame, path: String, buckets: Int = 8): Unit =
-    tiles.repartitionByRange(buckets, col("ty"), col("tx"))
+  def writeCogLayout(tiles: DataFrame, path: String, buckets: Int = 8,
+                     dtypeCode: Int = 64): Unit = {
+    val packed = tiles.schema.find(_.name == "data").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _)) =>
+        graft.raster.PixelFrame.packBinary(tiles, dtypeCode)
+      case _ => tiles // already binary (or no tile payload): pass through
+    }
+    packed.repartitionByRange(buckets, col("ty"), col("tx"))
       .sortWithinPartitions("ty", "tx")
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Read a [[writeCogLayout]] directory back to the `ARRAY<DOUBLE>`
+    * compute form (self-describing via the `dtype` column; legacy
+    * array-payload layouts pass through unchanged).
+    */
+  def readCogLayout(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("dtype")) graft.raster.PixelFrame.unpackBinary(df)
+    else df
+  }
 
   /** B5 alpha/JPEG exclusion rule (`gdalos_trans.py:437-459`): JPEG +
     * YCBCR cannot carry an alpha band — drop band 4 when writing

@@ -293,14 +293,17 @@ object Trans {
           ovrLevels: Int = 0): Option[TransPlan] =
     plan(df, gt, w, h, opt).map { p =>
       val tiles = PixelFrame.pack(p.frame, tileSize, opt.dstNdv)
-      Sinks.writeCogLayout(tiles, outPath)
+      // tiles go to rest at the kind's native sample width (Int16 for
+      // DTMs — 4× smaller than ARRAY<DOUBLE>), matching the GTiff path
+      val dtypeCode = opt.kind.atRestDtypeCode
+      Sinks.writeCogLayout(tiles, outPath, dtypeCode = dtypeCode)
       if (ovrLevels > 0) {
         val alg = opt.resampling.getOrElse(opt.kind.resamplingAlg(fastMode = true))
         val pyr = Overview.buildPyramid(p.frame, ovrLevels, alg, opt.dstNdv)
           .filter(col("ovr") > 0)
         Sinks.writeCogLayout(
           PixelFrame.pack(pyr, tileSize, opt.dstNdv, extraKeys = Seq("ovr")),
-          outPath + ".ovr")
+          outPath + ".ovr", dtypeCode = dtypeCode)
       }
       Sinks.infoSink(p.frame, outPath)
       p

@@ -50,6 +50,19 @@ class TransSpec extends SparkSpec {
       out, tileSize = 16, ovrLevels = 2).get
     val base = spark.read.parquet(out)
     assert(base.count() > 0 && base.columns.contains("data"))
+    // DTM payloads rest as Int16 binary (kind-driven dtype tag)
+    assert(base.schema("data").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(base.select("dtype").distinct().as[Int].collect().toSeq == Seq(16))
+    // self-describing read restores ARRAY<DOUBLE>, values intact for
+    // the integer-valued DEM
+    val restored = graft.sources.Sinks.readCogLayout(spark, out)
+    assert(restored.schema("data").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false) ||
+      restored.schema("data").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = true))
     val ovr = spark.read.parquet(out + ".ovr")
     // two pyramid levels, kept distinct by the ovr key
     assert(ovr.select("ovr").distinct().as[Int].collect().sorted.toSeq == Seq(1, 2))
