@@ -1685,6 +1685,45 @@ class LlmSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
   }
 
+  test("reliable-checkpoint CC reproduces q70's labels on the sf0.01 corpus; checkpoint files clean up") {
+    // the 100 TB path (dynamic allocation / spot instances): RELIABLE
+    // checkpoint() into a directory instead of executor-pinned
+    // localCheckpoint, exercised at fixture scale on the REAL q70
+    // pipeline (LSH pairs over the sf0.01 corpus), not a toy graph —
+    // keeps the path from rotting as the CC loop evolves.
+    def listFiles(d: java.io.File): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getAbsolutePath)
+      if (d.exists()) walk(d).toSet else Set.empty
+    }
+    val sc = spark.sparkContext
+    // the checkpoint dir is a GLOBAL context setting another suite may
+    // have already bound — reuse it if so (connectedComponents refuses
+    // to rebind mid-flight by design)
+    val dir = sc.getCheckpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("cc_ckpt_llm").toString)
+    val root = new java.io.File(new org.apache.hadoop.fs.Path(dir).toUri.getPath)
+    val before = listFiles(root)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5).select("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(local.nonEmpty, "sf0.01 LSH pairs should form at least one cluster")
+    assert(reliable == local,
+      "reliable checkpoint() must produce the identical labeling")
+    // the reliable path wrote real checkpoint files...
+    val created = listFiles(root) -- before
+    assert(created.nonEmpty, s"expected checkpoint files under $dir")
+    // ...and they clean up: delete this run's files, verify no residue
+    created.foreach(p => { java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(p)); () })
+    assert((listFiles(root) -- before).isEmpty, "checkpoint residue left behind")
+  }
+
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
     val mk = (seed: Long) => Array.tabulate(64)(i =>
       (((seed * 37 + i * 13) % 19) - 9).toFloat)
