@@ -69,7 +69,11 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("connectedComponents: reliable checkpoint() path yields identical labels") {
-    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    // the checkpoint dir is a GLOBAL context setting; another suite
+    // (LlmSpec's sf0.01 reliable-CC test) may have bound it already —
+    // reuse it then, since connectedComponents refuses to rebind
+    val dir = spark.sparkContext.getCheckpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("cc_ckpt").toString)
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
     val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
@@ -77,7 +81,8 @@ class TemporalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(reliable == local)
     // the reliable path actually materialized checkpoint files
-    assert(new java.io.File(dir).listFiles().nonEmpty)
+    assert(new java.io.File(
+      new org.apache.hadoop.fs.Path(dir).toUri.getPath).listFiles().nonEmpty)
     val chain = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val altLocal = Dedup.connectedComponentsAlternating(chain)
       .as[(Long, Long)].collect().toMap
