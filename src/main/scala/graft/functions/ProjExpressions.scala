@@ -318,12 +318,14 @@ object GraftFunctions {
     fn("tile_unpack", "LE binary tile samples back to a double array",
       args => TileUnpack(args(0), args(1))),
     fn("winnow_fps", "distinct winnowing fingerprints of a document (char k-grams, window w)",
-      args => WinnowFps(args(0), constInt(args(1), "k"), constInt(args(2), "w"))))
+      args => WinnowFps(args(0), constInt(args(1), "k"), constInt(args(2), "w"))),
+    fn("shingles", "per-position word n-grams of a document",
+      args => Shingles(args(0), constInt(args(1), "n"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
-      s"winnow_fps: $name must be an integer literal, got $other")
+      s"$name must be an integer literal, got $other")
   }
 
   private def fn(name: String, usage: String, b: Builder) =

@@ -103,6 +103,93 @@ object TextKernels {
   }
 }
 
+object ShingleKernel {
+
+  /** Java-regex `\s` without UNICODE_CHARACTER_CLASS — the exact
+    * class Spark's `split(text, "\\s+")` matches. All five chars are
+    * ASCII, and multi-byte UTF-8 sequences never contain bytes <
+    * 0x80, so a byte scan tokenizes any UTF-8 text identically to
+    * the regex split.
+    */
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Word n-gram rows of `t`, one per position, exactly the
+    * `posexplode(tokens) → concat_ws(" ", tok, lead…)` row form:
+    * full windows for docs with ≥ n tokens (ntok − n + 1 shingles,
+    * in order, duplicates preserved — consumers dedupe themselves),
+    * one partial shingle of ALL tokens for shorter non-empty docs
+    * (concat_ws skips the null leads), no rows for token-less docs.
+    * n = 1 degenerates to the token list.
+    */
+  def shingles(t: UTF8String, n: Int): ArrayData = {
+    val bytes = t.getBytes
+    // token boundaries as byte slices
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < bytes.length) {
+      if (!isSpace(bytes(i))) {
+        val s = i
+        while (i < bytes.length && !isSpace(bytes(i))) i += 1
+        starts.add(s); ends.add(i)
+      } else i += 1
+    }
+    val ntok = starts.size()
+    if (ntok == 0) return ArrayData.toArrayData(Array.empty[UTF8String])
+    def join(from: Int, until: Int): UTF8String = {
+      var len = until - from - 1 // separators
+      var j = from
+      while (j < until) { len += ends.get(j) - starts.get(j); j += 1 }
+      val out = new Array[Byte](len)
+      var o = 0
+      j = from
+      while (j < until) {
+        if (j > from) { out(o) = ' '; o += 1 }
+        val tl = ends.get(j) - starts.get(j)
+        System.arraycopy(bytes, starts.get(j), out, o, tl)
+        o += tl
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+    val nSh = math.max(ntok - n + 1, 1)
+    val out = new Array[UTF8String](nSh)
+    if (ntok < n) out(0) = join(0, ntok)
+    else {
+      var p = 0
+      while (p < nSh) { out(p) = join(p, p + n); p += 1 }
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** `shingles(text, n)`: per-position word n-grams of a document as
+  * one codegen call — see [[ShingleKernel.shingles]]. Replaces the
+  * posexplode + lead-window row form (which paid an id-keyed window
+  * sort per corpus and per-row expression eval per token); `explode`
+  * of this array reproduces the same rows with no shuffle required
+  * by the tokenization.
+  */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n > 0, s"shingles: n must be positive, got $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    ShingleKernel.shingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingles($t, $n);")
+
+  override def prettyName: String = "shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `winnow_fps(text, k, w)`: the distinct winnowing fingerprint set
   * of a document as one codegen call — see [[TextKernels.winnowFps]].
   * k and w must be integer literals (they shape the kernel, not the

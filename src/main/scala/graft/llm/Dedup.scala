@@ -170,27 +170,23 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     val kept = carry.map(col)
-    // n = 1 degenerates to plain token rows — no lead() needed, so
-    // skip the window's shuffle+sort entirely
-    if (n == 1)
-      return df.select(col(idCol).as("id") +: col(textCol).as("text") +: kept: _*)
-        .repartition(col("id"))
-        .select(col("id") +: explode(TextAnalysis.tokensCol(col("text"))).as("s") +: kept: _*)
-    val w = Window.partitionBy("id").orderBy("pos")
-    // the full/partial condition comes from the SAME window (is the
-    // last lead populated?), never from a token count — a size(split)
-    // column would land in the Project ABOVE the generate and re-split
-    // the whole document once per TOKEN row (measured ~3 s of the old
-    // ~3.7 s stage at 260k rows; this form is ~0.7 s)
+    // ONE codegen kernel call per document (graft.functions.Shingles:
+    // byte-scan tokenizer identical to split(text, "\\s+"), in-order
+    // n-gram join) + explode — no window, no per-token expression
+    // rows. The earlier lead()-window row form paid an id-keyed
+    // window sort per corpus and was the dominant cost of every
+    // shingle consumer; the kernel emits the SAME rows (full windows
+    // for docs with ≥ n tokens, one partial shingle for shorter
+    // non-empty docs, nothing for token-less docs — concat_ws
+    // null-skip semantics). The repartition spreads documents across
+    // cores when the input is a single small file; the tokenization
+    // itself needs no shuffle.
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id") +: col(textCol).as("text") +: kept: _*)
-      .repartition(col("id")) // single-file inputs otherwise serialize the split
-      .select(col("id") +: posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")) +: kept: _*)
-      .select(col("id") +: col("pos") +:
-        concat_ws(" ", col("tok") +:
-          (1 until n).map(k => lead(col("tok"), k).over(w)): _*).as("s") +:
-        lead(col("tok"), n - 1).over(w).isNotNull.as("full") +: kept: _*)
-      .filter(col("full") || col("pos") === 0) // ≡ pos ≤ max(n_tok − n, 0)
-      .select(col("id") +: col("s") +: kept: _*)
+      .repartition(col("id"))
+      .select(col("id") +:
+        explode(call_function("shingles", col("text"), lit(n))).as("s") +:
+        kept: _*)
   }
 
   /** One BPE-style merge round at corpus scale: the frequency of every
