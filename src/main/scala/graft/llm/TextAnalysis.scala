@@ -579,9 +579,16 @@ object TextAnalysis {
   def dsirWeight(df: DataFrame, idCol: String, textCol: String,
                  target: Column, buckets: Int = 512): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
-    def grams = uniBigramRows(df.select(col(idCol).as("id"),
+    // materialized: the gram pipeline (tokenize → uni+bigram explode →
+    // md5 bucket) feeds BOTH the model fit and the per-doc scoring
+    // join; as a plain def it replayed the corpus pass per consumer.
+    // Three ints per gram row — far cheaper to pin than to recompute;
+    // blocks are released by the caller's session hygiene
+    // (graft.core.Materialize).
+    val grams = uniBigramRows(df.select(col(idCol).as("id"),
         col(textCol).as("text"), target.cast("int").as("tgt")))
       .select(col("id"), col("tgt"), gramBucketCol(col("s"), buckets).as("b"))
+      .localCheckpoint()
     val cnt = grams.groupBy("b").agg(
       count(lit(1)).as("c_raw"), sum(col("tgt").cast("long")).as("c_tgt"))
     val tot = cnt.agg(sum("c_raw").as("tot_raw"), sum("c_tgt").as("tot_tgt"))
