@@ -320,7 +320,9 @@ object GraftFunctions {
     fn("winnow_fps", "distinct winnowing fingerprints of a document (char k-grams, window w)",
       args => WinnowFps(args(0), constInt(args(1), "k"), constInt(args(2), "w"))),
     fn("shingles", "per-position word n-grams of a document",
-      args => Shingles(args(0), constInt(args(1), "n"))))
+      args => Shingles(args(0), constInt(args(1), "n"))),
+    fn("winnow_pos", "winnowing-selected (pos, fp) pairs of a document",
+      args => WinnowPos(args(0), constInt(args(1), "k"), constInt(args(2), "w"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -72,9 +72,13 @@ object TextKernels {
     * fingerprints its whole text; shorter than k+w−1 keeps its single
     * partial-window minimum).
     */
-  def winnowFps(t: UTF8String, k: Int, w: Int): ArrayData = {
-    val nChars = t.numChars()
-    val bytes = t.getBytes
+  /** 60-bit md5 prefix of every char k-gram start position
+    * (1..max(nChars−k+1, 1); the last gram clamps for short docs) —
+    * the shared hash pass of [[winnowFps]] and
+    * [[WinnowPosKernel.winnowPos]].
+    */
+  private[functions] def gramHashes(bytes: Array[Byte], nChars: Int,
+                                    k: Int): Array[Long] = {
     val offs = if (bytes.length == nChars) null else charOffsets(bytes, nChars)
     val nPos = math.max(nChars - (k - 1), 1)
     val hs = new Array[Long](nPos)
@@ -86,6 +90,14 @@ object TextKernels {
       hs(p) = md5Prefix60(bytes, startB, endB - startB)
       p += 1
     }
+    hs
+  }
+
+  def winnowFps(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val nChars = t.numChars()
+    val bytes = t.getBytes
+    val hs = gramHashes(bytes, nChars, k)
+    val nPos = hs.length
     val selEnd = math.max(nChars - k - w + 2, 1) // ≤ nPos by construction
     val seen = new java.util.HashSet[java.lang.Long](selEnd * 2)
     val out = new Array[Long](selEnd)
@@ -101,6 +113,70 @@ object TextKernels {
     }
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, n))
   }
+}
+
+object WinnowPosKernel {
+
+  /** [[TextKernels.winnowFps]] keeping POSITIONS: the distinct
+    * (pos, fp) pairs where pos is the 1-based start of the k-gram
+    * selected as its w-window's minimum (ties → lowest pos, the
+    * strictly-less scan — same rule as DuckDB's windowed arg_min in
+    * frame order). Content-anchored: two copies of a shared
+    * substring select the same GRAMS, so `substring(t, pos, k)` is
+    * identical across copies — the exact-verify handle the
+    * fingerprint alone (60 bits, collision-able) cannot give.
+    */
+  def winnowPos(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val nChars = t.numChars()
+    val bytes = t.getBytes
+    val hs = TextKernels.gramHashes(bytes, nChars, k)
+    val nPos = hs.length
+    val selEnd = math.max(nChars - k - w + 2, 1)
+    val seen = new java.util.HashSet[Integer](selEnd * 2)
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](selEnd)
+    var n = 0
+    var i = 0
+    while (i < selEnd) {
+      var mi = i
+      var j = i + 1
+      val end = math.min(i + w, nPos)
+      while (j < end) { if (hs(j) < hs(mi)) mi = j; j += 1 }
+      if (seen.add(mi)) {
+        out(n) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](mi + 1, hs(mi)))
+        n += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, n).asInstanceOf[Array[Any]])
+  }
+}
+
+/** `winnow_pos(text, k, w)`: winnowing-selected (pos, fp) pairs —
+  * see [[WinnowPosKernel.winnowPos]].
+  */
+case class WinnowPos(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  require(k > 0 && w > 0, s"winnow_pos: k and w must be positive, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    WinnowPosKernel.winnowPos(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WinnowPosKernel.winnowPos($t, $k, $w);")
+
+  override def prettyName: String = "winnow_pos"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object ShingleKernel {

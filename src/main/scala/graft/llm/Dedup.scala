@@ -1144,6 +1144,66 @@ object Dedup {
           .as("edit_sim"))
   }
 
+  /** Exact duplicated-substring pairs — the EXACT-match complement of
+    * the approximate families (the dedup Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * builds from a suffix array): document pairs sharing a VERBATIM
+    * substring of at least `minLen + w − 1` chars, with the match
+    * VERIFIED on the actual text, not just a hash.
+    *
+    * Suffix arrays don't distribute; the relational equivalent is
+    * content-anchored seed selection. A positional stride would
+    * break cross-copy alignment (the two copies start at different
+    * offsets), so seeds select by WINNOWING over `minLen`-char grams
+    * ([[graft.functions.WinnowPosKernel]] — each w-window's minimal
+    * gram, ties → lowest pos): selection depends only on gram
+    * CONTENT, so both copies of a shared substring select the same
+    * grams, and by the winnowing guarantee any shared substring of
+    * length ≥ minLen + w − 1 yields at least one shared seed —
+    * structural recall, and the equality verify on the seed grams
+    * removes 60-bit-hash false positives, making the report exact.
+    *
+    * Scale shape: one kernel call per document (~2/(w+1) of
+    * positions selected), seeds in more than `maxDf` docs dropped
+    * before pairing (corpus boilerplate — the hub cap, same
+    * discipline as [[winnowedPairs]]), the pair join keys on the
+    * 60-bit fingerprint, and the verify compares the two seed GRAMS
+    * (`minLen` chars each) carried on the seed rows — never whole
+    * documents. Output: one row per doc pair with the distinct
+    * shared-span count and the earliest (pos_a, pos_b) match span.
+    */
+  def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int = 50, w: Int = 16,
+                          maxDf: Int = 8): DataFrame = {
+    require(minLen > 0 && w > 0, s"need minLen/w > 0, got $minLen/$w")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val seeds = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .repartition(col("id"))
+      .select(col("id"), col("t"),
+        explode(call_function("winnow_pos", col("t"), lit(minLen), lit(w)))
+          .as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"),
+        substring(col("t"), col("s.pos"), lit(minLen)).as("g"))
+    val rare = seeds.groupBy("fp")
+      .agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = seeds.join(rare, "fp")
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      // exact verify: the actual grams must match, not just the hash
+      .filter(col("a.g") === col("b.g"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count_distinct(col("a.pos"), col("b.pos")).as("n_spans"),
+        min(struct(col("a.pos").as("pa"), col("b.pos").as("pb")))
+          .as("first_span"))
+      .select(col("id_a"), col("id_b"), col("n_spans"),
+        col("first_span.pa").as("pos_a"),
+        col("first_span.pb").as("pos_b"))
+  }
+
   /** Chunk-stitch join — directional boundary matching for corpora
     * ingested as page/chunk fragments: a row whose LAST `k` chars
     * hash-match another row's FIRST `k` chars is a continuation

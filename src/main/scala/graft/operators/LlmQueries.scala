@@ -1138,6 +1138,29 @@ object LlmQueries {
     * formulas and the q166 corruption formulas (fixture is clean on
     * both axes). Oracle replays the seeds and all three gates.
     */
+  /** q174 exact duplicated-substring pairs
+    * ([[graft.llm.Dedup.exactSubstringPairs]] — the suffix-array
+    * family of Lee et al. 2022 as content-anchored winnowing seeds +
+    * verbatim verify): deterministic injection plants a 90-char
+    * paragraph on every doc_id % 9 == 0 doc, keyed by
+    * doc_id − doc_id % 18 so exactly the (18k, 18k+9) doc pairs
+    * share one — each planted 50-gram contains a full key copy, so
+    * no planted seed becomes corpus boilerplate. The oracle replays
+    * the injection, the winnowing argmin selection, the hub cap and
+    * the exact-gram verify.
+    */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
+    val injected = Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          repeat(concat(lit(" exact-dup "), lpad(key.cast("string"), 7, "0")), 5))
+          .otherwise(lit(""))))
+    Dedup.exactSubstringPairs(injected, "doc_id", "text",
+        minLen = 50, w = 16, maxDf = 8)
+      .orderBy("id_a", "id_b")
+  }
+
   def q172(s: SparkSession, d: String): DataFrame = {
     val seeded = Tables.documents(s, d).withColumn("text", concat(col("text"),
       when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
@@ -1570,6 +1593,7 @@ object LlmQueries {
     "q170_edit_verified" -> q170 _,
     "q171_family_matrix" -> q171 _,
     "q172_curation_funnel" -> q172 _,
+    "q174_exact_substrings" -> q174 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3401,6 +3425,46 @@ object LlmQueries {
         |       CAST(NULL AS INTEGER) AS width,
         |       CAST(NULL AS INTEGER) AS height
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // replays: injection, 50-gram hashes, windowed arg_min winnowing
+    // selection (ties -> lowest pos, same as the kernel's strictly-
+    // less scan), hub cap on DISTINCT docs, exact-gram verify,
+    // lexicographic-min first span
+    "q174_exact_substrings" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |         text || CASE WHEN doc_id % 9 = 0
+        |           THEN repeat(' exact-dup ' || lpad(CAST(doc_id - doc_id % 18 AS VARCHAR), 7, '0'), 5)
+        |           ELSE '' END AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT id, t, unnest(range(1, greatest(length(t) - 49, 1) + 1)) AS pos FROM d),
+        |h AS (
+        |  SELECT id, t, pos,
+        |         CAST('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 50)), 1, 15) AS BIGINT) AS h,
+        |         length(t) - 49 AS np
+        |  FROM p),
+        |wm AS (
+        |  SELECT id, pos AS s, np,
+        |         arg_min(pos, h) OVER (PARTITION BY id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mpos
+        |  FROM h),
+        |sel AS (
+        |  SELECT DISTINCT id, mpos FROM wm WHERE s <= greatest(np - 15, 1)),
+        |seeds AS (
+        |  SELECT sel.id, sel.mpos AS pos, h.h AS fp,
+        |         substr(h.t, CAST(sel.mpos AS INTEGER), 50) AS g
+        |  FROM sel JOIN h ON h.id = sel.id AND h.pos = sel.mpos),
+        |rare AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(DISTINCT id) AS df FROM seeds GROUP BY fp)
+        |  WHERE df <= 8),
+        |kept AS (SELECT seeds.* FROM seeds JOIN rare USING (fp))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(COUNT(DISTINCT (a.pos, b.pos)) AS BIGINT) AS n_spans,
+        |       CAST(struct_extract(MIN((a.pos, b.pos)), 1) AS INTEGER) AS pos_a,
+        |       CAST(struct_extract(MIN((a.pos, b.pos)), 2) AS INTEGER) AS pos_b
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id AND a.g = b.g
+        |GROUP BY a.id, b.id ORDER BY id_a, id_b""".stripMargin,
 
     "q172_curation_funnel" -> {
       val em = TextAnalysis.EmailRe

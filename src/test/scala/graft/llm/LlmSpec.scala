@@ -1724,6 +1724,33 @@ class LlmSpec extends SparkSpec {
     assert((listFiles(root) -- before).isEmpty, "checkpoint residue left behind")
   }
 
+  test("exactSubstringPairs: shared substring >= minLen+w-1 is structurally caught; boilerplate hub-caps away") {
+    def rand(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val shared = rand(7, 20 + 15) // minLen + w - 1 at (20, 16)
+    val boiler = rand(8, 60)      // appears in EVERY doc -> df cap drops it
+    val docs = Seq(
+      (0L, rand(1, 80) + shared + rand(2, 40) + boiler),
+      (1L, rand(3, 33) + shared + boiler + rand(4, 70)),
+      (2L, rand(5, 100) + boiler + rand(6, 50)),
+      (3L, rand(9, 90) + boiler),
+      (4L, boiler + rand(10, 95))).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairs(docs, "doc_id", "text",
+        minLen = 20, w = 16, maxDf = 2)
+      .as[(Long, Long, Long, Int, Int)].collect()
+    // winnowing guarantee: docs 0 and 1 share `shared` (length exactly
+    // minLen+w-1) and MUST pair; the boilerplate in all 5 docs must NOT
+    // create any other pair (df = 5 > maxDf = 2)
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    // the reported first span points at the real verbatim match
+    val (_, _, _, pa, pb) = pairs.head
+    val (ta, tb) = (docs.orderBy("doc_id").as[(Long, String)].collect()(0)._2,
+      docs.orderBy("doc_id").as[(Long, String)].collect()(1)._2)
+    assert(ta.substring(pa - 1, pa - 1 + 20) == tb.substring(pb - 1, pb - 1 + 20))
+  }
+
   test("crossCorpusContamination: scaled bench copies hit at cosine 1, train never pairs with itself") {
     val mk = (seed: Long) => Array.tabulate(64)(i =>
       (((seed * 37 + i * 13) % 19) - 9).toFloat)
