@@ -322,7 +322,9 @@ object GraftFunctions {
     fn("shingles", "per-position word n-grams of a document",
       args => Shingles(args(0), constInt(args(1), "n"))),
     fn("winnow_pos", "winnowing-selected (pos, fp) pairs of a document",
-      args => WinnowPos(args(0), constInt(args(1), "k"), constInt(args(2), "w"))))
+      args => WinnowPos(args(0), constInt(args(1), "k"), constInt(args(2), "w"))),
+    fn("minhash_sig", "distinct shingle set + MinHash signature of a document",
+      args => MinhashSig(args(0), constInt(args(1), "n"), constInt(args(2), "numHashes"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -34,10 +34,17 @@ object TextKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** The MinHash modulus (see [[graft.llm.Dedup.MinhashP]] — defined
+    * here so the kernel and the expression layer share one constant).
+    * Small enough that (P−1)² fits a long, so the affine transforms
+    * stay in exact integer arithmetic.
+    */
+  val MinhashP: Long = 2038074743L
+
   /** `conv(substring(md5(bytes), 1, 15), 16, 10)` as bit arithmetic:
     * the first 15 hex digits of the digest are its top 60 bits.
     */
-  private def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
+  private[functions] def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md5.get()
     d.reset()
     d.update(bytes, off, len)
@@ -262,6 +269,92 @@ case class Shingles(child: Expression, n: Int)
       s"${ev.value} = graft.functions.ShingleKernel.shingles($t, $n);")
 
   override def prettyName: String = "shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashKernel {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Per-document MinHash signature + distinct shingle set in ONE
+    * call: tokenize ([[ShingleKernel]] — identical to the SQL row
+    * form), dedupe shingles (first-occurrence order; minima over the
+    * distinct set equal minima over the multiset), one md5 per
+    * DISTINCT shingle reduced mod p, then `numHashes` affine minima
+    * (aₖ·x + bₖ) mod p with the same LCG coefficients as
+    * [[graft.llm.Dedup.minhashAffineCol]] — bit-identical signatures,
+    * no per-shingle row explosion, no aggregation exchange. Returns
+    * null for token-less docs (the row form emits no rows for them).
+    */
+  def minhashSig(t: UTF8String, n: Int, numHashes: Int): Any = {
+    val arr = ShingleKernel.shingles(t, n)
+    val m = arr.numElements()
+    if (m == 0) return null
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < m) { seen.add(arr.getUTF8String(i)); i += 1 }
+    val p = TextKernels.MinhashP
+    val nd = seen.size()
+    val bases = new Array[Long](nd)
+    val sh = new Array[UTF8String](nd)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      sh(j) = s
+      val b = s.getBytes
+      bases(j) = TextKernels.md5Prefix60(b, 0, b.length) % p
+      j += 1
+    }
+    val mh = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val a = 1L + ((k * 2654435761L) % (p - 1))
+      val bk = (k * 40503L + 17L) % p
+      var mn = Long.MaxValue
+      var x = 0
+      while (x < nd) {
+        val v = (a * bases(x) + bk) % p
+        if (v < mn) mn = v
+        x += 1
+      }
+      mh(k) = mn
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](
+      ArrayData.toArrayData(sh), ArrayData.toArrayData(mh)))
+  }
+}
+
+/** `minhash_sig(text, shingleLen, numHashes)`: a document's distinct
+  * word-shingle set and MinHash signature as one codegen call — see
+  * [[MinhashKernel.minhashSig]].
+  */
+case class MinhashSig(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with Serializable {
+  require(n > 0 && numHashes > 0,
+    s"minhash_sig: n and numHashes must be positive, got n=$n numHashes=$numHashes")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sh",
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("mh",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+
+  // token-less docs yield null (mirrors the row form emitting no rows)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    MinhashKernel.minhashSig(t.asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      Object r = graft.functions.MinhashKernel.minhashSig($t, $n, $numHashes);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+    """)
+
+  override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

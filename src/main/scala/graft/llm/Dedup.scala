@@ -346,7 +346,7 @@ object Dedup {
   // vs ~4 s at 5000 docs)
 
   /** Universal-hash prime (< 2³¹, so aₖ·x stays inside a long). */
-  val MinhashP: Long = 2038074743L
+  val MinhashP: Long = graft.functions.TextKernels.MinhashP
 
   /** Base hash: first 15 hex chars of md5 as BIGINT, reduced mod p —
     * computed ONCE per shingle; the k hash functions derive from it
@@ -440,13 +440,22 @@ object Dedup {
     */
   private def signatureAgg(df: DataFrame, idCol: String, textCol: String,
                            numHashes: Int, shingleLen: Int): DataFrame = {
-    val shRows = shingleRows(df, idCol, textCol, shingleLen)
-    val hashed = shRows.select(col("id") +: col("s") +:
-      (0 until numHashes).map(k =>
-        minhashAffineCol(k, minhashBaseCol(col("s"))).as(s"h$k")): _*)
-    hashed.groupBy("id").agg(
-      collect_set(col("s")).as("sh"),
-      (0 until numHashes).map(k => min(col(s"h$k")).as(s"mh$k")): _*)
+    // ONE minhash_sig kernel call per document (round 11): shingle
+    // set + all numHashes minima in a single codegen loop — replaces
+    // the shingle-row explode + 16 hash columns + groupBy(id)
+    // aggregation (same bit-identical signatures, one exchange and
+    // one corpus row-expansion fewer). Token-less docs yield null and
+    // drop, exactly as the row form emitted no rows for them.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id")) // spread single-file inputs across cores
+      .select(col("id"),
+        call_function("minhash_sig", col("text"), lit(shingleLen),
+          lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id") +: col("sig.sh").as("sh") +:
+        (0 until numHashes).map(k =>
+          element_at(col("sig.mh"), k + 1).as(s"mh$k")): _*)
       .localCheckpoint()
   }
 
