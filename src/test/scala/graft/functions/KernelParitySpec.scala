@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.Dedup
+
+/** Randomized parity gates for the round-11 codegen text kernels:
+  * each kernel must emit EXACTLY the rows of the SQL expression form
+  * it replaced (which is also what the DuckDB oracles replay). The
+  * corpus fixtures are ASCII and well-formed; these tests attack the
+  * edges — unicode (multi-byte, supplementary pairs), every Java
+  * `\s` whitespace char (incl. vertical tab), leading/trailing
+  * runs, empty/one-char/short documents.
+  */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val whitespace = Seq(" ", "\t", "\n", "\u000B", "\f", "\r")
+  // whole symbols only — the emoji are surrogate PAIRS and must stay
+  // paired to remain valid UTF-8
+  private val symbols = Seq("a", "b", "c", "j", "α", "β", "δ",
+    "一", "二", "五", "😀", "😁", "0", "7", "9")
+  private def randDoc(seed: Int): String = {
+    val r = new scala.util.Random(seed)
+    val n = r.nextInt(120)
+    (1 to n).map { _ =>
+      if (r.nextInt(4) == 0) whitespace(r.nextInt(whitespace.size))
+      else symbols(r.nextInt(symbols.size))
+    }.mkString
+  }
+
+  private def docs(): DataFrame = {
+    val edge = Seq("", " ", "\u000B\u000B", "x", "ab", "  padded  ",
+      " nbsp is not java-space ", "ταυτο ταυτο ταυτο")
+    (edge ++ (1 to 60).map(randDoc)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val d1 = a.exceptAll(b).count()
+    val d2 = b.exceptAll(a).count()
+    assert(d1 == 0 && d2 == 0, s"$what diverged: +$d1 / -$d2 rows")
+  }
+
+  test("shingles kernel == posexplode+lead row form (n = 1, 2, 3) on unicode/whitespace edges") {
+    val d = docs()
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = Dedup.shingleRows(d, "doc_id", "text", n)
+      val reference =
+        if (n == 1)
+          d.select(col("doc_id").as("id"),
+            explode(graft.llm.TextAnalysis.tokensCol(col("text"))).as("s"))
+        else {
+          val w = Window.partitionBy("id").orderBy("pos")
+          d.select(col("doc_id").as("id"), col("text"))
+            .select(col("id"),
+              posexplode(graft.llm.TextAnalysis.tokensCol(col("text")))
+                .as(Seq("pos", "tok")))
+            .select(col("id"), col("pos"),
+              concat_ws(" ", col("tok") +:
+                (1 until n).map(k => lead(col("tok"), k).over(w)): _*).as("s"),
+              lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
+            .filter(col("full") || col("pos") === 0)
+            .select(col("id"), col("s"))
+        }
+      assertSameRows(kernel, reference, s"shingles n=$n")
+    }
+  }
+
+  test("winnow_fps kernel == md5+window row form on unicode/whitespace edges") {
+    val d = docs().filter(length(col("text")) > 0)
+    val (k, w) = (8, 4)
+    val kernel = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val reference = d
+      .select(col("doc_id").cast("long").as("id"), col("text").as("t"))
+      .select(col("id"), col("t"),
+        posexplode(sequence(lit(1),
+          greatest(length(col("t")) - (k - 1), lit(1)))).as(Seq("i", "pos")))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(substring(col("t"), col("pos"), lit(k))), 1, 15),
+          16, 10).cast("long").as("h"),
+        (length(col("t")) - (k - 1)).as("np"))
+      .withColumn("minh", min("h").over(win))
+      .filter(col("pos") <= greatest(col("np") - (w - 1), lit(1)))
+      .select(col("id"), col("minh").as("fp"))
+      .distinct()
+    assertSameRows(kernel, reference, "winnow_fps")
+  }
+
+  test("minhash_sig kernel == shingle-row hash aggregation (signatures and shingle SETS)") {
+    val d = docs()
+    graft.functions.GraftFunctions.register(spark)
+    val numHashes = 16
+    val kernel = d
+      .select(col("doc_id").as("id"),
+        call_function("minhash_sig", col("text"), lit(3), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), array_sort(col("sig.sh")).as("sh"), col("sig.mh").as("mh"))
+    val rows = Dedup.shingleRows(d, "doc_id", "text", 3)
+    val reference = rows
+      .select(col("id") +: col("s") +: (0 until numHashes).map(k =>
+        Dedup.minhashAffineCol(k, Dedup.minhashBaseCol(col("s"))).as(s"h$k")): _*)
+      .groupBy("id")
+      .agg(array_sort(collect_set(col("s"))).as("sh"),
+        array((0 until numHashes).map(k => min(col(s"h$k"))): _*).as("mh"))
+    assertSameRows(kernel, reference, "minhash_sig")
+  }
+
+  test("winnow_pos positions select real grams whose hash is the fingerprint") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs().filter(length(col("text")) >= 1)
+    val seeds = d
+      .select(col("doc_id").as("id"), col("text").as("t"))
+      .select(col("id"), col("t"),
+        explode(call_function("winnow_pos", col("t"), lit(8), lit(4))).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"),
+        conv(substring(md5(substring(col("t"), col("s.pos"), lit(8))), 1, 15),
+          16, 10).cast("long").as("expected"))
+    assert(seeds.filter(col("fp") =!= col("expected")).count() == 0)
+    // and the fingerprint SET matches winnow_fps exactly
+    val viaPos = seeds.select("id", "fp").distinct()
+    val viaFps = Dedup.winnowFingerprints(d, "doc_id", "text", 8, 4)
+    assertSameRows(viaPos, viaFps, "winnow_pos fp set")
+  }
+}
