@@ -39,6 +39,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("kernelized text pipelines carry no Window and at most the input-spread Exchange") {
+    // the round-11 kernels replaced window/aggregation row pipelines;
+    // these pins keep a refactor from quietly reintroducing the
+    // id-keyed window sort or a second exchange
+    val d = (0L until 50L).map(i =>
+      (i, s"doc $i " + ("lorem ipsum dolor sit amet " * 5))).toDF("doc_id", "text")
+    for ((name, df) <- Seq(
+      "winnowFingerprints" -> graft.llm.Dedup.winnowFingerprints(d, "doc_id", "text"),
+      "shingleRows" -> graft.llm.Dedup.shingleRows(d, "doc_id", "text", 3))) {
+      df.collect()
+      // the AQE string repeats the plan under "== Initial Plan ==" —
+      // count exchanges in the final section only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Window"), s"$name must not window:\n$plan")
+      val nEx = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(nEx <= 1, s"$name should shuffle at most once (input spread), got $nEx:\n$plan")
+    }
+  }
+
   test("saltedJoin: with broadcast disabled, every join exchange hashes on (key, _salt)") {
     // hot key worth salting: 5k rows of one key
     val fact = spark.range(5100).select(
