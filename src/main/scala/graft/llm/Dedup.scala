@@ -1163,37 +1163,52 @@ object Dedup {
     * Suffix arrays don't distribute; the relational equivalent is
     * content-anchored seed selection. A positional stride would
     * break cross-copy alignment (the two copies start at different
-    * offsets), so seeds select by WINNOWING over `minLen`-char grams
-    * ([[graft.functions.WinnowPosKernel]] — each w-window's minimal
-    * gram, ties → lowest pos): selection depends only on gram
-    * CONTENT, so both copies of a shared substring select the same
-    * grams, and by the winnowing guarantee any shared substring of
-    * length ≥ minLen + w − 1 yields at least one shared seed —
-    * structural recall, and the equality verify on the seed grams
-    * removes 60-bit-hash false positives, making the report exact.
+    * offsets), so anchors select by WINNOWING over cheap
+    * `anchorK`-char grams ([[graft.functions.WinnowPosKernel]] —
+    * each w-window's minimal gram, ties → lowest pos): selection
+    * depends only on gram CONTENT, so both copies of a shared
+    * substring select the same anchors. The SEED is then the full
+    * `minLen`-char gram starting at each selected anchor — hashed
+    * only at the ~2/(w+1) selected density, not at every position
+    * (at corpus scale the hash pass is the cost; anchoring on 8-char
+    * grams cuts its byte volume ~minLen/anchorK-fold). Recall is
+    * structural: a shared substring of length ≥ (w − 1) + minLen
+    * puts a selected anchor in its first w offsets (the winnowing
+    * guarantee at anchorK ≤ minLen) with the anchor's minLen-gram
+    * still inside the shared region — and the equality verify on the
+    * seed grams removes 60-bit-hash false positives, making the
+    * report exact.
     *
-    * Scale shape: one kernel call per document (~2/(w+1) of
-    * positions selected), seeds in more than `maxDf` docs dropped
-    * before pairing (corpus boilerplate — the hub cap, same
-    * discipline as [[winnowedPairs]]), the pair join keys on the
-    * 60-bit fingerprint, and the verify compares the two seed GRAMS
-    * (`minLen` chars each) carried on the seed rows — never whole
-    * documents. Output: one row per doc pair with the distinct
-    * shared-span count and the earliest (pos_a, pos_b) match span.
+    * Scale shape: one kernel call per document, seeds in more than
+    * `maxDf` docs dropped before pairing (corpus boilerplate — the
+    * hub cap, same discipline as [[winnowedPairs]]), the pair join
+    * keys on the 60-bit seed hash, and the verify compares the two
+    * seed GRAMS (`minLen` chars each) carried on the seed rows —
+    * never whole documents. Output: one row per doc pair with the
+    * distinct shared-span count and the earliest (pos_a, pos_b)
+    * match span.
     */
   def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
                           minLen: Int = 50, w: Int = 16,
-                          maxDf: Int = 8): DataFrame = {
-    require(minLen > 0 && w > 0, s"need minLen/w > 0, got $minLen/$w")
+                          maxDf: Int = 8, anchorK: Int = 8): DataFrame = {
+    require(minLen > 0 && w > 0 && anchorK > 0 && anchorK <= minLen,
+      s"need 0 < anchorK <= minLen and w > 0, got $anchorK/$minLen/$w")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val seeds = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .repartition(col("id"))
       .select(col("id"), col("t"),
-        explode(call_function("winnow_pos", col("t"), lit(minLen), lit(w)))
+        explode(call_function("winnow_pos", col("t"), lit(anchorK), lit(w)))
           .as("s"))
-      .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"),
+      .select(col("id"), col("s.pos").as("pos"),
         substring(col("t"), col("s.pos"), lit(minLen)).as("g"))
+      .withColumn("fp",
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      // three consumers (df-cap agg + both pair-join sides) — without
+      // the cut the anchor+hash pipeline replays per consumer (same
+      // economics as winnowedPairs' fps; blocks released by the
+      // caller's session hygiene)
+      .localCheckpoint()
     val rare = seeds.groupBy("fp")
       .agg(count_distinct(col("id")).as("df"))
       .filter(col("df") <= maxDf)

@@ -1146,7 +1146,8 @@ object LlmQueries {
     * doc_id − doc_id % 18 so exactly the (18k, 18k+9) doc pairs
     * share one — each planted 50-gram contains a full key copy, so
     * no planted seed becomes corpus boilerplate. The oracle replays
-    * the injection, the winnowing argmin selection, the hub cap and
+    * the injection, the 8-char-anchor winnowing argmin selection,
+    * the 50-gram seed hashing at selected anchors, the hub cap and
     * the exact-gram verify.
     */
   def q174(s: SparkSession, d: String): DataFrame = {
@@ -3426,9 +3427,10 @@ object LlmQueries {
         |       CAST(NULL AS INTEGER) AS height
         |FROM f ORDER BY media_id""".stripMargin,
 
-    // replays: injection, 50-gram hashes, windowed arg_min winnowing
-    // selection (ties -> lowest pos, same as the kernel's strictly-
-    // less scan), hub cap on DISTINCT docs, exact-gram verify,
+    // replays: injection, 8-char ANCHOR hashes + windowed arg_min
+    // winnowing selection (ties -> lowest pos, same as the kernel's
+    // strictly-less scan), 50-gram seed hashing at selected anchors
+    // only, hub cap on DISTINCT docs, exact-gram verify,
     // lexicographic-min first span
     "q174_exact_substrings" ->
       """WITH d AS (
@@ -3438,11 +3440,11 @@ object LlmQueries {
         |           ELSE '' END AS t
         |  FROM documents),
         |p AS (
-        |  SELECT id, t, unnest(range(1, greatest(length(t) - 49, 1) + 1)) AS pos FROM d),
+        |  SELECT id, t, unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS pos FROM d),
         |h AS (
         |  SELECT id, t, pos,
-        |         CAST('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 50)), 1, 15) AS BIGINT) AS h,
-        |         length(t) - 49 AS np
+        |         CAST('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 8)), 1, 15) AS BIGINT) AS h,
+        |         length(t) - 7 AS np
         |  FROM p),
         |wm AS (
         |  SELECT id, pos AS s, np,
@@ -3452,9 +3454,10 @@ object LlmQueries {
         |sel AS (
         |  SELECT DISTINCT id, mpos FROM wm WHERE s <= greatest(np - 15, 1)),
         |seeds AS (
-        |  SELECT sel.id, sel.mpos AS pos, h.h AS fp,
-        |         substr(h.t, CAST(sel.mpos AS INTEGER), 50) AS g
-        |  FROM sel JOIN h ON h.id = sel.id AND h.pos = sel.mpos),
+        |  SELECT sel.id, sel.mpos AS pos,
+        |         CAST('0x' || substr(md5(substr(d.t, CAST(sel.mpos AS INTEGER), 50)), 1, 15) AS BIGINT) AS fp,
+        |         substr(d.t, CAST(sel.mpos AS INTEGER), 50) AS g
+        |  FROM sel JOIN d ON d.id = sel.id),
         |rare AS (
         |  SELECT fp FROM (SELECT fp, COUNT(DISTINCT id) AS df FROM seeds GROUP BY fp)
         |  WHERE df <= 8),

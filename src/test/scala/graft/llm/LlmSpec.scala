@@ -1730,12 +1730,17 @@ class LlmSpec extends SparkSpec {
       (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
     }
     val shared = rand(7, 20 + 15) // minLen + w - 1 at (20, 16)
-    val boiler = rand(8, 60)      // appears in EVERY doc -> df cap drops it
+    // appears in EVERY doc -> df cap drops it. Kept INTERIOR with >= 30
+    // distinct chars after it everywhere: a doc-END occurrence gets
+    // extra truncated-window anchors the interior occurrences don't,
+    // and two docs sharing the boilerplate as a SUFFIX then genuinely
+    // pair on it (correct behavior, but not what this test probes)
+    val boiler = rand(8, 60)
     val docs = Seq(
-      (0L, rand(1, 80) + shared + rand(2, 40) + boiler),
+      (0L, rand(1, 80) + shared + rand(2, 40) + boiler + rand(11, 30)),
       (1L, rand(3, 33) + shared + boiler + rand(4, 70)),
       (2L, rand(5, 100) + boiler + rand(6, 50)),
-      (3L, rand(9, 90) + boiler),
+      (3L, rand(9, 90) + boiler + rand(12, 34)),
       (4L, boiler + rand(10, 95))).toDF("doc_id", "text")
     val pairs = Dedup.exactSubstringPairs(docs, "doc_id", "text",
         minLen = 20, w = 16, maxDf = 2)
