@@ -268,7 +268,10 @@ object Bench {
     try {
       Files.createDirectories(Paths.get("plans"))
       for (name <- names if elapsed() < budgetSec * 1.2) {
-        try {
+        // scoped: building a DataFrame runs eager localCheckpoints
+        // (LSH signature tables, q174 seeds) — release them per dump
+        // or 174 builds accumulate blocks nothing will ever read
+        try graft.core.Materialize.scoped(spark) {
           val plan = SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.explainString(ExplainMode.fromString("formatted"))
           Files.writeString(Paths.get(s"plans/$name.txt"), plan)
