@@ -811,9 +811,20 @@ object Dedup {
         .select(col("id"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
           (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
-      converged = next.filter(col("chg")).isEmpty
       labels = next.drop("chg")
       it += 1
+      // probe rounds 1-2, then every SECOND round: the probe is the
+      // round's only action (it materializes the lazy checkpoints),
+      // so skipping alternate probes folds two rounds into one job.
+      // Dense LSH graphs converge in 1-2 rounds — probing those
+      // unconditionally avoids ever paying a wasted round there —
+      // while the log-round graphs (q123's kNN chains run 12 rounds)
+      // drop to ~half the probe jobs for at most one idempotent
+      // extra round (the flag still witnesses exactly the LAST
+      // round: chg empty there ⇒ fixpoint, regardless of earlier
+      // rounds)
+      if (it <= 2 || it % 2 == 0 || it == maxIter)
+        converged = next.filter(col("chg")).isEmpty
     }
     if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CC rounds: $it")
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
