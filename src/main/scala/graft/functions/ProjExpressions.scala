@@ -324,7 +324,9 @@ object GraftFunctions {
     fn("winnow_pos", "winnowing-selected (pos, fp) pairs of a document",
       args => WinnowPos(args(0), constInt(args(1), "k"), constInt(args(2), "w"))),
     fn("minhash_sig", "distinct shingle set + MinHash signature of a document",
-      args => MinhashSig(args(0), constInt(args(1), "n"), constInt(args(2), "numHashes"))))
+      args => MinhashSig(args(0), constInt(args(1), "n"), constInt(args(2), "numHashes"))),
+    fn("hashed_ngram_score", "hashed unigram+bigram classifier gram count and weight sum",
+      args => HashedNgramScore(args(0), constInt(args(1), "buckets"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -326,6 +326,110 @@ object MinhashKernel {
   }
 }
 
+object HashedScoreKernel {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Weight table of the hashed-n-gram classifier: slot b weighs
+    * `md5prefix60(b) % 2097153 − 1048576` (the same decimal-string
+    * md5 the oracle's `range(0, buckets)` derivation replays).
+    * Computed once per `buckets` value and shared across threads —
+    * the in-kernel equivalent of the broadcast weight table.
+    */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  private def weights(buckets: Int): Array[Long] =
+    weightCache.computeIfAbsent(buckets, b => {
+      val w = new Array[Long](b)
+      var i = 0
+      while (i < b) {
+        val s = String.valueOf(i)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        w(i) = TextKernels.md5Prefix60(s, 0, s.length) % 2097153L - 1048576L
+        i += 1
+      }
+      w
+    })
+
+  /** Per-document hashed unigram+bigram classifier score in one pass:
+    * tokenize ([[ShingleKernel]] — identical to the SQL row form),
+    * hash every unigram and space-joined bigram into `buckets` slots
+    * (md5-prefix-60 mod buckets — the exact `gramBucketCol`
+    * expression), and sum the slot weights. The gram MULTISET matches
+    * `uniBigramRows`: ntok unigrams + (ntok−1) bigrams for docs with
+    * ≥ 2 tokens, the single token TWICE for 1-token docs (its
+    * degenerate "partial bigram"), null (no rows) for token-less
+    * docs. Returns struct(n_grams, sum_fp) — exact integers, so the
+    * downstream mean/keep projections are bit-identical to the
+    * aggregated row form.
+    */
+  def hashedScore(t: UTF8String, buckets: Int): Any = {
+    val toks = ShingleKernel.shingles(t, 1)
+    val ntok = toks.numElements()
+    if (ntok == 0) return null
+    val w = weights(buckets)
+    var n = 0L
+    var sum = 0L
+    var i = 0
+    while (i < ntok) {
+      val b = toks.getUTF8String(i).getBytes
+      sum += w((TextKernels.md5Prefix60(b, 0, b.length) % buckets).toInt)
+      n += 1
+      i += 1
+    }
+    if (ntok >= 2) {
+      i = 0
+      while (i < ntok - 1) {
+        val a = toks.getUTF8String(i).getBytes
+        val c = toks.getUTF8String(i + 1).getBytes
+        val big = new Array[Byte](a.length + 1 + c.length)
+        System.arraycopy(a, 0, big, 0, a.length)
+        big(a.length) = ' '
+        System.arraycopy(c, 0, big, a.length + 1, c.length)
+        sum += w((TextKernels.md5Prefix60(big, 0, big.length) % buckets).toInt)
+        n += 1
+        i += 1
+      }
+    } else {
+      val b = toks.getUTF8String(0).getBytes
+      sum += w((TextKernels.md5Prefix60(b, 0, b.length) % buckets).toInt)
+      n += 1
+    }
+    new GenericInternalRow(Array[Any](n, sum))
+  }
+}
+
+/** `hashed_ngram_score(text, buckets)`: a document's hashed-n-gram
+  * classifier gram count and fixed-point weight sum as one codegen
+  * call — see [[HashedScoreKernel.hashedScore]]. Turns the
+  * fastText-style scorer (Joulin et al. 2016) from explode + weight
+  * join + doc-keyed aggregation into a map-only corpus scan.
+  */
+case class HashedNgramScore(child: Expression, buckets: Int)
+    extends UnaryExpression with Serializable {
+  require(buckets > 0, s"hashed_ngram_score: buckets must be positive, got $buckets")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_fp", LongType, nullable = false)))
+
+  // token-less docs yield null (mirrors the row form emitting no rows)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    HashedScoreKernel.hashedScore(t.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      Object r = graft.functions.HashedScoreKernel.hashedScore($t, $buckets);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+    """)
+
+  override def prettyName: String = "hashed_ngram_score"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(text, shingleLen, numHashes)`: a document's distinct
   * word-shingle set and MinHash signature as one codegen call — see
   * [[MinhashKernel.minhashSig]].

@@ -357,17 +357,29 @@ object TextAnalysis {
   def hashedNgramScore(df: DataFrame, idCol: String, textCol: String,
                        buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
-    val grams = uniBigramRows(
-      df.select(col(idCol).as("id"), col(textCol).as("text")))
-    val bucketed = grams.select(col("id"),
-      gramBucketCol(col("s"), buckets).as("b"))
-    val weights = df.sparkSession.range(buckets.toLong).select(
-      col("id").as("b"),
-      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 2097153L - 1048576L).as("w_fp"))
-    bucketed.join(broadcast(weights), "b")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"), sum("w_fp").as("sum_fp"))
+    // ONE hashed_ngram_score kernel call per document (round 11):
+    // scoring a doc is row-local — hash each unigram/bigram into its
+    // weight slot and sum — so the gram explode, the broadcast weight
+    // join, and the doc-keyed aggregation all collapse into a
+    // map-only corpus scan (the correct 100 TB shape: no exchange
+    // the algorithm doesn't need). Gram multiset, slot hash, and
+    // weight table are bit-identical to the row form the DuckDB
+    // oracle replays. repartition(id) only spreads single-file local
+    // inputs and pre-aligns q159's label join.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      // token-less docs (the kernel's null case) drop HERE, as a cheap
+      // scan-pushed predicate: rlike(\S) ⟺ "has a non-\s char" ⟺
+      // ntok > 0 (the kernel tokenizes on exactly Java-regex \s). A
+      // post-kernel isNotNull filter instead gets pushed below the
+      // repartition and re-inlines the kernel — every doc would pay
+      // it twice (once in the filter, once in the projection).
+      .filter(col("text").rlike("\\S"))
+      .repartition(col("id"))
+      .select(col("id"),
+        call_function("hashed_ngram_score", col("text"), lit(buckets)).as("hs"))
+      .select(col("id"), col("hs.n_grams").as("n_grams"),
+        col("hs.sum_fp").as("sum_fp"))
       .select(col("id"), col("n_grams"), col("sum_fp"),
         (col("sum_fp").cast("double") / 1048576.0 / col("n_grams"))
           .as("mean_w"),

@@ -111,6 +111,40 @@ class KernelParitySpec extends SparkSpec {
     assertSameRows(kernel, reference, "minhash_sig")
   }
 
+  test("hashed_ngram_score kernel == explode + weight-join row form (buckets = 64)") {
+    val d = docs()
+    graft.functions.GraftFunctions.register(spark)
+    val buckets = 64
+    val kernel = d
+      .filter(col("text").rlike("\\S"))
+      .select(col("doc_id").as("id"),
+        call_function("hashed_ngram_score", col("text"), lit(buckets)).as("hs"))
+      .select(col("id"), col("hs.n_grams").as("n_grams"),
+        col("hs.sum_fp").as("sum_fp"))
+    // the uniBigramRows multiset: every token, then the space-joined
+    // bigrams for ≥2-token docs or the single token again for 1-token
+    // docs (its degenerate partial bigram); token-less docs emit none
+    val bigrams = when(size(col("_t")) >= 2,
+      zip_with(slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(col("_t"))
+    val grams = d
+      .select(col("doc_id").as("id"),
+        graft.llm.TextAnalysis.tokensCol(col("text")).as("_t"))
+      .select(col("id"), explode(concat(col("_t"), bigrams)).as("s"))
+    val weights = spark.range(buckets.toLong).select(col("id").as("b"),
+      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2097153L - 1048576L).as("w_fp"))
+    val reference = grams
+      .select(col("id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+          % buckets).as("b"))
+      .join(broadcast(weights), "b")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum("w_fp").as("sum_fp"))
+    assertSameRows(kernel, reference, "hashed_ngram_score")
+  }
+
   test("winnow_pos positions select real grams whose hash is the fingerprint") {
     graft.functions.GraftFunctions.register(spark)
     val d = docs().filter(length(col("text")) >= 1)
