@@ -1111,8 +1111,18 @@ object Dedup {
     * ladder. Ordering ties break on (text, id) — a total order, so
     * neighbors are deterministic in any engine.
     */
-  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
-                          blockLen: Int = 2, minLevel: Int = 16): DataFrame = {
+  /** Shared successor scan of the sorted-neighborhood family: each
+    * doc with its immediate (block, text, id)-sorted successor and
+    * the 8/16/32/64 prefix-agreement level, TEXTS STILL ABOARD —
+    * consumers that need them ([[editVerifiedPairs]]'s Levenshtein
+    * verify) read them straight off the window rows instead of
+    * joining the corpus back in (the texts already rode the
+    * window's sort; two id-keyed re-joins shuffled them again for
+    * nothing).
+    */
+  private def sortedSuccessors(df: DataFrame, idCol: String,
+                               textCol: String,
+                               blockLen: Int): DataFrame = {
     require(blockLen > 0, s"need blockLen > 0, got $blockLen")
     val w = Window.partitionBy("blk").orderBy("t", "id")
     def pfx(c: Column, n: Int) = substring(c, 1, n)
@@ -1127,10 +1137,14 @@ object Dedup {
           .when(pfx(col("t"), 16) === pfx(col("nt"), 16), 16)
           .when(pfx(col("t"), 8) === pfx(col("nt"), 8), 8)
           .otherwise(0))
+  }
+
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockLen: Int = 2, minLevel: Int = 16): DataFrame =
+    sortedSuccessors(df, idCol, textCol, blockLen)
       .filter(col("prefix_level") >= minLevel)
       .select(col("id").as("id_a"), col("nid").as("id_b"),
         col("prefix_level"))
-  }
 
   /** Edit-distance-verified near-dup pairs — the exact-verify stage
     * the blocking families feed: sorted-neighborhood candidates
@@ -1149,12 +1163,15 @@ object Dedup {
     */
   def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                         blockLen: Int = 2, cap: Int = 128): DataFrame = {
-    val cand = sortedNeighborPairs(df, idCol, textCol, blockLen, minLevel = 8)
-    val texts = df.select(col(idCol).cast("long").as("id"),
-      substring(col(textCol), 1, cap).as("t"))
-    cand
-      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
-      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+    // candidates carry their capped texts off the successor window —
+    // zero joins (the two id-keyed corpus re-joins this replaced were
+    // the only exchanges besides the window's own block sort)
+    sortedSuccessors(df, idCol, textCol, blockLen)
+      .filter(col("prefix_level") >= 8)
+      .select(col("id").as("id_a"), col("nid").as("id_b"),
+        col("prefix_level"),
+        substring(col("t"), 1, cap).as("t_a"),
+        substring(col("nt"), 1, cap).as("t_b"))
       .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
       .withColumn("max_len", greatest(length(col("t_a")), length(col("t_b"))))
       .filter(col("edit_dist") * 5 <= col("max_len"))
