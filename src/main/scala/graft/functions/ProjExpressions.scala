@@ -326,7 +326,9 @@ object GraftFunctions {
     fn("minhash_sig", "distinct shingle set + MinHash signature of a document",
       args => MinhashSig(args(0), constInt(args(1), "n"), constInt(args(2), "numHashes"))),
     fn("hashed_ngram_score", "hashed unigram+bigram classifier gram count and weight sum",
-      args => HashedNgramScore(args(0), constInt(args(1), "buckets"))))
+      args => HashedNgramScore(args(0), constInt(args(1), "buckets"))),
+    fn("hashed_gram_hist", "hashed unigram+bigram bucket histogram of a document",
+      args => HashedGramHist(args(0), constInt(args(1), "buckets"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

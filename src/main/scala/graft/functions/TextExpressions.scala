@@ -351,29 +351,23 @@ object HashedScoreKernel {
       w
     })
 
-  /** Per-document hashed unigram+bigram classifier score in one pass:
-    * tokenize ([[ShingleKernel]] — identical to the SQL row form),
-    * hash every unigram and space-joined bigram into `buckets` slots
-    * (md5-prefix-60 mod buckets — the exact `gramBucketCol`
-    * expression), and sum the slot weights. The gram MULTISET matches
-    * `uniBigramRows`: ntok unigrams + (ntok−1) bigrams for docs with
-    * ≥ 2 tokens, the single token TWICE for 1-token docs (its
-    * degenerate "partial bigram"), null (no rows) for token-less
-    * docs. Returns struct(n_grams, sum_fp) — exact integers, so the
-    * downstream mean/keep projections are bit-identical to the
-    * aggregated row form.
+  /** The hashed unigram+bigram bucket MULTISET of a document, in gram
+    * order: every token's slot, then the space-joined bigrams' slots
+    * for docs with ≥ 2 tokens or the single token's slot AGAIN for
+    * 1-token docs (its degenerate "partial bigram") — exactly the
+    * `uniBigramRows` + `gramBucketCol` row multiset (md5-prefix-60
+    * mod buckets). Null (no rows) for token-less docs.
     */
-  def hashedScore(t: UTF8String, buckets: Int): Any = {
+  private[functions] def gramBuckets(t: UTF8String, buckets: Int): Array[Int] = {
     val toks = ShingleKernel.shingles(t, 1)
     val ntok = toks.numElements()
     if (ntok == 0) return null
-    val w = weights(buckets)
-    var n = 0L
-    var sum = 0L
+    val out = new Array[Int](if (ntok >= 2) 2 * ntok - 1 else 2)
+    var n = 0
     var i = 0
     while (i < ntok) {
       val b = toks.getUTF8String(i).getBytes
-      sum += w((TextKernels.md5Prefix60(b, 0, b.length) % buckets).toInt)
+      out(n) = (TextKernels.md5Prefix60(b, 0, b.length) % buckets).toInt
       n += 1
       i += 1
     }
@@ -386,17 +380,92 @@ object HashedScoreKernel {
         System.arraycopy(a, 0, big, 0, a.length)
         big(a.length) = ' '
         System.arraycopy(c, 0, big, a.length + 1, c.length)
-        sum += w((TextKernels.md5Prefix60(big, 0, big.length) % buckets).toInt)
+        out(n) = (TextKernels.md5Prefix60(big, 0, big.length) % buckets).toInt
         n += 1
         i += 1
       }
     } else {
-      val b = toks.getUTF8String(0).getBytes
-      sum += w((TextKernels.md5Prefix60(b, 0, b.length) % buckets).toInt)
+      out(n) = out(0)
       n += 1
     }
-    new GenericInternalRow(Array[Any](n, sum))
+    out
   }
+
+  /** Per-document hashed unigram+bigram classifier score in one pass
+    * over [[gramBuckets]]: struct(n_grams, sum of slot weights) —
+    * exact integers, so the downstream mean/keep projections are
+    * bit-identical to the aggregated row form. Null for token-less
+    * docs (the row form emits no rows).
+    */
+  def hashedScore(t: UTF8String, buckets: Int): Any = {
+    val bs = gramBuckets(t, buckets)
+    if (bs == null) return null
+    val w = weights(buckets)
+    var sum = 0L
+    var i = 0
+    while (i < bs.length) { sum += w(bs(i)); i += 1 }
+    new GenericInternalRow(Array[Any](bs.length.toLong, sum))
+  }
+
+  /** Per-document hashed-gram bucket HISTOGRAM: the [[gramBuckets]]
+    * multiset collapsed to (bucket, count) pairs, buckets ascending —
+    * the per-doc sufficient statistic of every hashed-bag model
+    * (DSIR's multinomials fit from the exploded histograms; per-doc
+    * scoring is then an array fold against a broadcast weight table,
+    * no corpus-gram-volume shuffle anywhere). Null for token-less
+    * docs.
+    */
+  def gramHist(t: UTF8String, buckets: Int): ArrayData = {
+    val bs = gramBuckets(t, buckets)
+    if (bs == null) return null
+    java.util.Arrays.sort(bs)
+    var distinct = 1
+    var i = 1
+    while (i < bs.length) { if (bs(i) != bs(i - 1)) distinct += 1; i += 1 }
+    val rows = new Array[Any](distinct)
+    var o = 0
+    i = 0
+    while (i < bs.length) {
+      var j = i
+      while (j < bs.length && bs(j) == bs(i)) j += 1
+      rows(o) = new GenericInternalRow(Array[Any](bs(i), (j - i).toLong))
+      o += 1
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** `hashed_gram_hist(text, buckets)`: a document's hashed
+  * unigram+bigram bucket histogram as one codegen call — see
+  * [[HashedScoreKernel.gramHist]].
+  */
+case class HashedGramHist(child: Expression, buckets: Int)
+    extends UnaryExpression with Serializable {
+  require(buckets > 0, s"hashed_gram_hist: buckets must be positive, got $buckets")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  // token-less docs yield null (mirrors the row form emitting no rows)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    HashedScoreKernel.gramHist(t.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      Object r = graft.functions.HashedScoreKernel.gramHist($t, $buckets);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+
+  override def prettyName: String = "hashed_gram_hist"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `hashed_ngram_score(text, buckets)`: a document's hashed-n-gram

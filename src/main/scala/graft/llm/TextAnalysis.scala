@@ -321,39 +321,6 @@ object TextAnalysis {
     * [-1, 1]), so the per-doc sum is an integer aggregation immune to
     * order, and the reported mean is one final division.
     */
-  /** One-pass unigram+bigram gram rows: `docs` must carry `id` and
-    * `text` columns (extras ride along), output replaces `text` with
-    * gram rows `s`. One tokenization feeds BOTH gram orders (vs a
-    * union of two shingleRows passes = two corpus scans + a window
-    * shuffle+sort for the bigram side). Bigrams pair each token with
-    * its successor; a 1-token doc contributes its bare token as the
-    * partial bigram, matching shingleRows(n=2)'s concat_ws(null)
-    * degenerate row, so the gram MULTISET (consumers here are
-    * count-sensitive) is identical to the two-pass form.
-    */
-  private[llm] def uniBigramRows(docs: DataFrame): DataFrame = {
-    val t = col("_t")
-    val bigrams = when(size(t) >= 2,
-      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-        (a, b) => concat_ws(" ", a, b))).otherwise(t)
-    val carry = docs.columns.toSeq.filterNot(Set("id", "text")).map(col)
-    docs
-      .repartition(col("id")) // spread single-file inputs; pre-aligns the final groupBy
-      .select(col("id") +: tokensCol(col("text")).as("_t") +: carry: _*)
-      .select(col("id") +: explode(concat(t, bigrams)).as("s") +: carry: _*)
-  }
-
-  /** Gram row → hash-bucket key in [0, buckets). The coalesce makes
-    * the key non-nullable so a downstream inner join adds no
-    * IsNotNull filter — without it the md5 chain is evaluated TWICE
-    * per gram row (once in the pushed null-filter, once in the key
-    * projection). conv over md5 hex never actually nulls, so the
-    * value is unchanged and oracles need no mirror.
-    */
-  private def gramBucketCol(s: Column, buckets: Int): Column =
-    coalesce(conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-      % buckets, lit(0L))
-
   def hashedNgramScore(df: DataFrame, idCol: String, textCol: String,
                        buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
@@ -591,27 +558,47 @@ object TextAnalysis {
   def dsirWeight(df: DataFrame, idCol: String, textCol: String,
                  target: Column, buckets: Int = 512): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
-    // materialized: the gram pipeline (tokenize → uni+bigram explode →
-    // md5 bucket) feeds BOTH the model fit and the per-doc scoring
-    // join; as a plain def it replayed the corpus pass per consumer.
-    // Three ints per gram row — far cheaper to pin than to recompute;
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // ONE hashed_gram_hist kernel call per document (round 11): the
+    // per-doc (bucket, count) histogram is the sufficient statistic
+    // for BOTH sides of DSIR — the model fit explodes the (≤buckets)-
+    // entry histograms instead of corpus-gram-volume rows, and the
+    // per-doc score folds each histogram against the model table
+    // broadcast AS AN ARRAY, so scoring is map-side only (the old
+    // form shuffled every gram row into a doc-keyed aggregation).
+    // Histograms are materialized once for the two consumers;
     // blocks are released by the caller's session hygiene
     // (graft.core.Materialize).
-    val grams = uniBigramRows(df.select(col(idCol).as("id"),
-        col(textCol).as("text"), target.cast("int").as("tgt")))
-      .select(col("id"), col("tgt"), gramBucketCol(col("s"), buckets).as("b"))
+    val hist = df
+      .select(col(idCol).as("id"), target.cast("int").as("tgt"),
+        col(textCol).as("text"))
+      .filter(col("text").rlike("\\S")) // the kernel's null (token-less) case
+      .select(col("id"), col("tgt"),
+        call_function("hashed_gram_hist", col("text"), lit(buckets)).as("h"))
       .localCheckpoint()
-    val cnt = grams.groupBy("b").agg(
-      count(lit(1)).as("c_raw"), sum(col("tgt").cast("long")).as("c_tgt"))
+    val cnt = hist.select(col("tgt"), explode(col("h")).as("e"))
+      .groupBy(col("e.b").as("b")).agg(
+        sum(col("e.c")).as("c_raw"),
+        sum(col("e.c") * col("tgt")).as("c_tgt"))
     val tot = cnt.agg(sum("c_raw").as("tot_raw"), sum("c_tgt").as("tot_tgt"))
     val model = cnt.crossJoin(broadcast(tot)).select(col("b"),
       (floor(log((col("c_tgt") + 1.0) / (col("tot_tgt") + lit(buckets)))
           * 1048576.0).cast("long")
         - floor(log((col("c_raw") + 1.0) / (col("tot_raw") + lit(buckets)))
           * 1048576.0).cast("long")).as("w_fp"))
-    grams.join(broadcast(model), "b")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"), sum("w_fp").as("sum_lr_fp"))
+    // dense slot → w_fp array (slots absent from cnt appear in no
+    // histogram, so their filler is never read); ONE row, broadcast
+    val modelArr = df.sparkSession.range(buckets.toLong)
+      .select(col("id").cast("int").as("b"))
+      .join(model, Seq("b"), "left")
+      .agg(transform(array_sort(collect_list(struct(col("b"),
+        coalesce(col("w_fp"), lit(0L)).as("w")))), e => e("w")).as("warr"))
+    hist.crossJoin(broadcast(modelArr))
+      .select(col("id"),
+        aggregate(col("h"), lit(0L), (a, e) => a + e("c")).as("n_grams"),
+        aggregate(col("h"), lit(0L),
+          (a, e) => a + e("c") * element_at(col("warr"), e("b") + 1))
+          .as("sum_lr_fp"))
       .select(col("id"), col("n_grams"), col("sum_lr_fp"),
         (col("sum_lr_fp").cast("double") / 1048576.0 / col("n_grams"))
           .as("mean_lr"),

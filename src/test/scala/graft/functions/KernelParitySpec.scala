@@ -145,6 +145,31 @@ class KernelParitySpec extends SparkSpec {
     assertSameRows(kernel, reference, "hashed_ngram_score")
   }
 
+  test("hashed_gram_hist kernel == md5-bucket row form grouped (buckets = 64)") {
+    val d = docs()
+    graft.functions.GraftFunctions.register(spark)
+    val buckets = 64
+    val kernel = d
+      .filter(col("text").rlike("\\S"))
+      .select(col("doc_id").as("id"),
+        explode(call_function("hashed_gram_hist", col("text"), lit(buckets)))
+          .as("e"))
+      .select(col("id"), col("e.b").cast("long").as("b"), col("e.c").as("c"))
+    val bigrams = when(size(col("_t")) >= 2,
+      zip_with(slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(col("_t"))
+    val reference = d
+      .select(col("doc_id").as("id"),
+        graft.llm.TextAnalysis.tokensCol(col("text")).as("_t"))
+      .select(col("id"), explode(concat(col("_t"), bigrams)).as("s"))
+      .select(col("id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+          % buckets).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+    assertSameRows(kernel, reference, "hashed_gram_hist")
+  }
+
   test("winnow_pos positions select real grams whose hash is the fingerprint") {
     graft.functions.GraftFunctions.register(spark)
     val d = docs().filter(length(col("text")) >= 1)
