@@ -328,7 +328,9 @@ object GraftFunctions {
     fn("hashed_ngram_score", "hashed unigram+bigram classifier gram count and weight sum",
       args => HashedNgramScore(args(0), constInt(args(1), "buckets"))),
     fn("hashed_gram_hist", "hashed unigram+bigram bucket histogram of a document",
-      args => HashedGramHist(args(0), constInt(args(1), "buckets"))))
+      args => HashedGramHist(args(0), constInt(args(1), "buckets"))),
+    fn("gram_counts", "distinct word n-grams of a document with multiplicities",
+      args => GramCounts(args(0), constInt(args(1), "n"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

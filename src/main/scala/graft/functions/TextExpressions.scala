@@ -468,6 +468,76 @@ case class HashedGramHist(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+object GramCountKernel {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Per-document term-frequency table in one pass: the
+    * [[ShingleKernel.shingles]] multiset (full windows, one partial
+    * shingle for short non-empty docs) collapsed to distinct
+    * (gram, count) pairs in first-occurrence order — the per-doc
+    * sufficient statistic of every tf consumer (inverted indexes,
+    * entropy, repetition signals). Exploding the result reproduces
+    * the `shingleRows → groupBy(id, s) count` rows with NO
+    * aggregation exchange: the corpus-gram-volume shuffle becomes a
+    * per-doc hash map. Null for token-less docs (the row form emits
+    * no rows).
+    */
+  def gramCounts(t: UTF8String, n: Int): Any = {
+    val arr = ShingleKernel.shingles(t, n)
+    val m = arr.numElements()
+    if (m == 0) return null
+    val counts = new java.util.LinkedHashMap[UTF8String, Long](m * 2)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      val c = counts.get(s)
+      counts.put(s, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    val rows = new Array[Any](counts.size())
+    var o = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows(o) = new GenericInternalRow(Array[Any](e.getKey, e.getValue))
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** `gram_counts(text, n)`: a document's distinct word n-grams with
+  * their multiplicities as one codegen call — see
+  * [[GramCountKernel.gramCounts]].
+  */
+case class GramCounts(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n > 0, s"gram_counts: n must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  // token-less docs yield null (mirrors the row form emitting no rows)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    GramCountKernel.gramCounts(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      Object r = graft.functions.GramCountKernel.gramCounts($t, $n);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+
+  override def prettyName: String = "gram_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `hashed_ngram_score(text, buckets)`: a document's hashed-n-gram
   * classifier gram count and fixed-point weight sum as one codegen
   * call — see [[HashedScoreKernel.hashedScore]]. Turns the

@@ -32,10 +32,21 @@ object Retrieval {
     */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 1): DataFrame = {
-    val rows = Dedup.shingleRows(docs, idCol, textCol, n)
-    val full = if (n == 1) rows
-      else rows.filter(size(split(col("s"), " ")) === n) // full grams only
-    full.groupBy("id", "s").agg(count(lit(1)).as("tf"))
+    // ONE gram_counts kernel call per document (round 11): the
+    // per-doc tf map is row-local, so the corpus-gram-volume
+    // groupBy(id, s) exchange the shingle-row form paid becomes a
+    // per-doc hash map inside the scan; exploding the map emits the
+    // identical (id, s, tf) rows. The repartition only spreads
+    // single-file local inputs.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val rows = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(call_function("gram_counts", col("text"), lit(n))).as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.tf").as("tf"))
+    if (n == 1) rows
+    else rows.filter(size(split(col("s"), " ")) === n) // full grams only
   }
 
   /** Sparse TF-IDF cosine similarity join — the lexical near-duplicate

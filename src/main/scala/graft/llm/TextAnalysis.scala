@@ -212,22 +212,34 @@ object TextAnalysis {
     */
   def dupGramStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
-    val per = Dedup.shingleRows(df, idCol, textCol, n)
-      .filter(size(split(col("s"), " ")) === n)
-      .groupBy("id", "s").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(
-        sum("c").as("n_grams"),
-        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"),
-        sum(col("c") * length(col("s"))).as("mass"),
-        sum(when(col("c") >= 2, col("c") * length(col("s"))).otherwise(0L))
-          .as("dup_mass"))
-    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+    // map-only (round 11): the per-doc gram frequency vector comes
+    // from one gram_counts kernel call; the four masses are array
+    // folds over its full-gram entries (short docs' partial shingle
+    // filters out, token-less docs fold over null), so both hash
+    // aggregations AND the short-doc-restoring left join of the row
+    // form disappear — every doc keeps a row by construction.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def fold(g: Column, term: (Column, Column) => Column) =
+      coalesce(aggregate(g, lit(0L), (a, e) => a + term(e("tf"), e("s"))),
+        lit(0L))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
       .select(col("id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+        call_function("gram_counts", col("text"), lit(n)).as("h"))
+      .select(col("id"),
+        filter(col("h"), e => size(split(e("s"), " ")) === n).as("g"))
+      .select(col("id"),
+        fold(col("g"), (c, _) => c).as("n_grams"),
+        fold(col("g"), (c, _) => when(c >= 2, c).otherwise(0L)).as("dup_occ"),
+        fold(col("g"), (c, s) => c * length(s)).as("mass"),
+        fold(col("g"), (c, s) => when(c >= 2, c * length(s)).otherwise(0L))
+          .as("dup_mass"))
+      .select(col("id"),
+        col("n_grams"),
+        when(col("n_grams") === 0, lit(0.0))
           .otherwise(col("dup_occ").cast("double") / col("n_grams"))
           .as("dup_gram_frac"),
-        when(coalesce(col("mass"), lit(0L)) === 0, lit(0.0))
+        when(col("mass") === 0, lit(0.0))
           .otherwise(col("dup_mass").cast("double") / col("mass"))
           .as("dup_char_frac"))
   }
@@ -618,14 +630,27 @@ object TextAnalysis {
     * one call; it's the cross-ROW accumulation of doubles that
     * diverges, and there is none here).
     */
-  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    Dedup.shingleRows(df, idCol, textCol, n = 1)
-      .groupBy("id", "s").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(
-        sum("c").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("c") * floor(log(col("c").cast("double")) * 1048576.0)
-          .cast("long")).as("sum_clnc_fp"))
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // map-only (round 11): the token frequency vector is per-doc
+    // state — gram_counts emits it as one kernel call and the three
+    // aggregates become array folds over it; both shuffles of the
+    // (doc, token)-count row form disappear. Fold expressions are the
+    // textually identical per-term terms (Spark evaluates the same
+    // java.lang.Math.log), so every integer matches the row form.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      // the kernel's null (token-less) case, as a scan-pushed
+      // predicate so the kernel itself is never evaluated twice
+      .filter(col("text").rlike("\\S"))
+      .repartition(col("id"))
+      .select(col("id"),
+        call_function("gram_counts", col("text"), lit(1)).as("h"))
+      .select(col("id"),
+        aggregate(col("h"), lit(0L), (a, e) => a + e("tf")).as("n_tokens"),
+        size(col("h")).cast("long").as("n_distinct"),
+        aggregate(col("h"), lit(0L), (a, e) => a + e("tf")
+          * floor(log(e("tf").cast("double")) * 1048576.0).cast("long"))
+          .as("sum_clnc_fp"))
       .select(col("id"), col("n_tokens"), col("n_distinct"),
         // floor-snap to 1e-6: ln(n) is the one transcendental here and
         // JVM vs DuckDB libm disagree in the last ulp (~1e-16) —
@@ -634,21 +659,33 @@ object TextAnalysis {
           - (col("sum_clnc_fp").cast("double") / 1048576.0)
             / col("n_tokens")) * 1000000.0).cast("double") / 1000000.0)
           .as("entropy"))
+  }
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def stats(n: Int, prefix: String): DataFrame =
-      Dedup.shingleRows(df, idCol, textCol, n)
-        .groupBy("id", "s").agg(count(lit(1)).as("c"))
-        .groupBy("id").agg(
-          sum("c").as(s"${prefix}_total"),
-          count(lit(1)).as(s"${prefix}_distinct"),
-          max("c").as(s"${prefix}_top"))
-    stats(1, "uni").join(stats(2, "bi"), "id")
+    // map-only (round 11): both gram orders' frequency vectors come
+    // from one gram_counts kernel call each, and the four Gopher
+    // repetition ratios are array folds over them — the two
+    // (doc, gram)-count shuffles AND the id-keyed join of the
+    // two-pass row form disappear. A doc has a 2-gram table iff it
+    // has a 1-gram table (1-token docs emit their partial shingle),
+    // so the single rlike gate replays the join's membership.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def total(h: Column) = aggregate(h, lit(0L), (a, e) => a + e("tf"))
+    def top(h: Column) = array_max(transform(h, e => e("tf")))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(col("text").rlike("\\S"))
+      .repartition(col("id"))
       .select(col("id"),
-        col("uni_total").as("n_tok"),
-        (col("uni_distinct").cast("double") / col("uni_total")).as("distinct_token_ratio"),
-        (col("uni_top").cast("double") / col("uni_total")).as("top_unigram_frac"),
-        (col("bi_top").cast("double") / col("bi_total")).as("top_bigram_frac"))
+        call_function("gram_counts", col("text"), lit(1)).as("h1"),
+        call_function("gram_counts", col("text"), lit(2)).as("h2"))
+      .select(col("id"),
+        total(col("h1")).as("n_tok"),
+        (size(col("h1")).cast("double") / total(col("h1")))
+          .as("distinct_token_ratio"),
+        (top(col("h1")).cast("double") / total(col("h1")))
+          .as("top_unigram_frac"),
+        (top(col("h2")).cast("double") / total(col("h2")))
+          .as("top_bigram_frac"))
   }
 
   /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007,

@@ -170,6 +170,20 @@ class KernelParitySpec extends SparkSpec {
     assertSameRows(kernel, reference, "hashed_gram_hist")
   }
 
+  test("gram_counts kernel == shingle rows grouped (n = 1, 2, 3)") {
+    val d = docs()
+    graft.functions.GraftFunctions.register(spark)
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = d
+        .select(col("doc_id").as("id"),
+          explode(call_function("gram_counts", col("text"), lit(n))).as("e"))
+        .select(col("id"), col("e.s").as("s"), col("e.tf").as("tf"))
+      val reference = Dedup.shingleRows(d, "doc_id", "text", n)
+        .groupBy("id", "s").agg(count(lit(1)).as("tf"))
+      assertSameRows(kernel, reference, s"gram_counts n=$n")
+    }
+  }
+
   test("winnow_pos positions select real grams whose hash is the fingerprint") {
     graft.functions.GraftFunctions.register(spark)
     val d = docs().filter(length(col("text")) >= 1)
