@@ -189,6 +189,27 @@ object Dedup {
         kept: _*)
   }
 
+  /** [[shingleRows]] with per-document DEDUP done in the kernel:
+    * `(id, s)` rows where each doc lists its DISTINCT shingles
+    * exactly once (`graft.functions.GramCounts` — the tf map's key
+    * set). Consumers that used `shingleRows(...).distinct()` paid a
+    * corpus-gram-volume exchange for a set that is per-doc state;
+    * this emits it exchange-free. NOTE: distinct per DOC — a
+    * cross-doc key (e.g. per-source gram sets) still needs its own
+    * distinct downstream.
+    */
+  def distinctShingleRows(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, carry: Seq[String] = Nil): DataFrame = {
+    val kept = carry.map(col)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id") +: col(textCol).as("text") +: kept: _*)
+      .repartition(col("id"))
+      .select(col("id") +:
+        explode(call_function("gram_counts", col("text"), lit(n))).as("e") +:
+        kept: _*)
+      .select(col("id") +: col("e.s").as("s") +: kept: _*)
+  }
+
   /** One BPE-style merge round at corpus scale: the frequency of every
     * adjacent whitespace-token pair — the statistic a tokenizer
     * trainer's merge step ranks — plus each pair's document frequency.
@@ -289,8 +310,11 @@ object Dedup {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
-    val docGrams = shingleRows(docs, idCol, textCol, n).distinct()
-    val benchGrams = shingleRows(benchmark, idCol, textCol, n)
+    // per-doc distinct comes from the gram_counts kernel — no corpus
+    // (id, s) distinct exchange; the broadcast join then preserves the
+    // doc partitioning, so the per-doc aggregation is exchange-free too
+    val docGrams = distinctShingleRows(docs, idCol, textCol, n)
+    val benchGrams = distinctShingleRows(benchmark, idCol, textCol, n)
       .select("s").distinct().withColumn("hit", lit(1))
     docGrams.join(broadcast(benchGrams), Seq("s"), "left")
       .groupBy("id")
@@ -940,7 +964,8 @@ object Dedup {
     */
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
-    val grams = shingleRows(df, idCol, textCol, n).distinct()
+    // per-doc distinct from the kernel (no corpus (id, s) exchange)
+    val grams = distinctShingleRows(df, idCol, textCol, n)
     val firstDoc = grams.groupBy("s").agg(min("id").as("first_id"))
     grams.join(firstDoc, "s")
       .groupBy("id")
@@ -1333,9 +1358,9 @@ object Dedup {
     *
     * This is the mergeable-sketch idiom at its purest: per-source
     * minima are associative, so 100 TB shards sketch independently
-    * and merge by `min` — the matrix costs one gram distinct + one
-    * source-keyed aggregation regardless of corpus size, while any
-    * exact overlap requires a gram-keyed join. Signatures
+    * and merge by `min` — the matrix costs one kernel corpus scan +
+    * one source-keyed aggregation regardless of corpus size, while
+    * any exact overlap requires a gram-keyed join. Signatures
     * (|sources|·H rows of two longs) localCheckpoint so the corpus
     * aggregation runs once, not once per self-join side.
     *
@@ -1347,19 +1372,29 @@ object Dedup {
                            textCol: String, numHashes: Int = 64,
                            n: Int = 3): DataFrame = {
     require(numHashes > 0, s"need numHashes > 0, got $numHashes")
-    // relational shingles (the array-form explode re-inlines the
-    // token split per element under CollapseProject — the q138
-    // cautionary anchor; measured 9.4 s vs 2.5 s here), source
-    // carried through the gram build so no doc→source join is needed
-    val grams = shingleRows(
-        df.select(col(idCol), col(sourceCol).as("src"), col(textCol)),
-        idCol, textCol, n, carry = Seq("src"))
-      .select("src", "s")
-      .distinct()
-    val sig = grams.select(col("src"), minhashBaseCol(col("s")).as("b"))
+    // union-MinHash identity (round 11): min_k over a UNION of
+    // shingle sets = elementwise min of the per-set signatures, so
+    // each source's sketch is the per-hash minimum over its
+    // documents' minhash_sig kernel signatures — one kernel call per
+    // doc, one |sources|-key aggregation, and the (src, s) gram
+    // distinct exchange disappears entirely (per-doc dedup happens
+    // inside the kernel; cross-doc duplicate grams cannot change a
+    // min). Affine coefficients are the kernel's = minhashAffineCol's,
+    // so signatures are bit-identical to the gram-row form.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sig = df
+      .select(col(idCol).as("id"), col(sourceCol).as("src"),
+        col(textCol).as("text"))
+      // the kernel's null (token-less) case as a scan-pushed cheap
+      // predicate, so the kernel is never re-inlined into a filter
+      .filter(col("text").rlike("\\S"))
+      .repartition(col("id"))
+      .select(col("src"),
+        call_function("minhash_sig", col("text"), lit(n),
+          lit(numHashes))("mh").as("mh"))
       .groupBy("src")
       .agg(array((0 until numHashes).map(k =>
-        min(minhashAffineCol(k, col("b")))): _*).as("sig"))
+        min(element_at(col("mh"), k + 1))): _*).as("sig"))
       .localCheckpoint()
     val kv = sig.select(col("src"), posexplode(col("sig")).as(Seq("k", "mh")))
     kv.alias("a")
