@@ -199,7 +199,19 @@ object Dedup {
     * distinct downstream.
     */
   def distinctShingleRows(df: DataFrame, idCol: String, textCol: String,
-                          n: Int = 3, carry: Seq[String] = Nil): DataFrame = {
+                          n: Int = 3, carry: Seq[String] = Nil): DataFrame =
+    gramCountRows(df, idCol, textCol, n, carry).drop("tf")
+
+  /** `(id, s, tf)` rows off the `gram_counts` kernel: each document's
+    * DISTINCT shingles with their in-doc multiplicities — the
+    * pre-reduced form of [[shingleRows]] (Σ tf replays any
+    * occurrence count, one row per (doc, gram) replays any
+    * count_distinct(id) as a plain count). Corpus-level gram models
+    * aggregate these rows with strictly smaller shuffles and no
+    * distinct-expansion phase.
+    */
+  def gramCountRows(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     val kept = carry.map(col)
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id") +: col(textCol).as("text") +: kept: _*)
@@ -207,7 +219,8 @@ object Dedup {
       .select(col("id") +:
         explode(call_function("gram_counts", col("text"), lit(n))).as("e") +:
         kept: _*)
-      .select(col("id") +: col("e.s").as("s") +: kept: _*)
+      .select(col("id") +: col("e.s").as("s") +: col("e.tf").as("tf") +:
+        kept: _*)
   }
 
   /** One BPE-style merge round at corpus scale: the frequency of every
@@ -221,10 +234,13 @@ object Dedup {
     * row carries no separator and is dropped).
     */
   def adjacentPairCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingleRows(df, idCol, textCol, n = 2)
+    // kernel-counted rows: n_occ = Σ tf, and n_docs needs NO
+    // count_distinct expansion — (id, pair) rows are distinct by
+    // construction, so the doc frequency is a plain count
+    gramCountRows(df, idCol, textCol, n = 2)
       .filter(col("s").contains(" ")) // tokens are \s+-split: no spaces inside
       .groupBy(col("s").as("pair"))
-      .agg(count(lit(1)).as("n_occ"), count_distinct(col("id")).as("n_docs"))
+      .agg(sum("tf").as("n_occ"), count(lit(1)).as("n_docs"))
 
   /** Corpus duplicated-n-gram accounting (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better" — the analysis table
@@ -241,10 +257,12 @@ object Dedup {
     */
   def topDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, k: Int = 20): DataFrame =
-    shingleRows(df, idCol, textCol, n)
+    // kernel-counted rows (see adjacentPairCounts): occurrence mass
+    // by Σ tf, doc frequency as a plain count — no distinct expansion
+    gramCountRows(df, idCol, textCol, n)
       .filter(size(split(col("s"), " ")) === n) // full grams only
       .groupBy(col("s").as("gram"))
-      .agg(count(lit(1)).as("n_occ"), count_distinct(col("id")).as("n_docs"))
+      .agg(sum("tf").as("n_occ"), count(lit(1)).as("n_docs"))
       .filter(col("n_occ") >= 2)
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)

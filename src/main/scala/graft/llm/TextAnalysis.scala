@@ -154,14 +154,16 @@ object TextAnalysis {
     */
   def oovStats(df: DataFrame, idCol: String, textCol: String,
                vocabSize: Int): DataFrame = {
-    val tok = Dedup.shingleRows(df, idCol, textCol, n = 1)
-    val vocab = tok.groupBy("s").agg(count(lit(1)).as("c"))
+    // kernel-counted rows: corpus token mass by Σ tf, per-doc
+    // occurrence counts as tf-weighted sums (see unigramLogProb)
+    val tok = Dedup.gramCountRows(df, idCol, textCol, n = 1)
+    val vocab = tok.groupBy("s").agg(sum("tf").as("c"))
       .orderBy(col("c").desc, col("s")).limit(vocabSize)
       .select(col("s"), lit(1).as("in_v"))
     tok.join(broadcast(vocab), Seq("s"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tok"),
-        sum(coalesce(col("in_v"), lit(0))).as("n_in_vocab"))
+      .agg(sum("tf").as("n_tok"),
+        sum(col("tf") * coalesce(col("in_v"), lit(0))).as("n_in_vocab"))
       .select(col("id"), col("n_tok"), col("n_in_vocab"),
         ((col("n_tok") - col("n_in_vocab")).cast("double") / col("n_tok"))
           .as("oov_rate"))
@@ -273,15 +275,16 @@ object TextAnalysis {
   }
 
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // token rows feed both the model fit (counts → totals → log-probs)
-    // and the per-doc scoring join — the plan re-tokenizes per branch
-    // (3 corpus scans). Deliberately NOT cached: materializing the
-    // exploded token rows measured no better than recomputing them
-    // from the compressed scan (within noise, same host, sf0.1) while
-    // pinning executor memory; tokenize is cheap codegen, token rows
-    // are memory-bandwidth-heavy, so recompute wins the tie.
-    val toks = Dedup.shingleRows(df, idCol, textCol, n = 1)
-    val counts = toks.groupBy("s").agg(count(lit(1)).as("c"))
+    // kernel-counted (id, token, tf) rows feed both the model fit and
+    // the per-doc scoring join — the plan re-runs the kernel per
+    // branch. Deliberately NOT cached: materializing token rows
+    // measured no better than recomputing them from the compressed
+    // scan (within noise, same host, sf0.1) while pinning executor
+    // memory. Per-occurrence sums replay exactly as tf-weighted sums
+    // (integers), and the broadcast model join preserves the doc
+    // partitioning so the scoring aggregation is exchange-free.
+    val toks = Dedup.gramCountRows(df, idCol, textCol, n = 1)
+    val counts = toks.groupBy("s").agg(sum("tf").as("c"))
     val totals = counts.agg(sum("c").as("tot"), count(lit(1)).as("vocab"))
     val model = counts.crossJoin(broadcast(totals))
       .select(col("s"),
@@ -289,7 +292,8 @@ object TextAnalysis {
           * lit(1048576.0)).cast("long").as("lp_fp"))
     toks.join(broadcast(model), "s")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lp_fp").as("sum_fp"))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("lp_fp")).as("sum_fp"))
       .select(col("id"), col("n_tokens"),
         (col("sum_fp").cast("double") / lit(1048576.0) / col("n_tokens"))
           .as("mean_logp"))
@@ -718,32 +722,36 @@ object TextAnalysis {
   def bigramLogProb(train: DataFrame, score: DataFrame,
                     idCol: String, textCol: String): DataFrame = {
     val Fp = 1048576.0 // 2^20, the q98 quantum
-    val uniCnt = Dedup.shingleRows(train, idCol, textCol, n = 1)
-      .groupBy("s").agg(count(lit(1)).as("c"))
+    // kernel-counted rows throughout: corpus counts by Σ tf, scoring
+    // sums tf-weighted (see unigramLogProb) — the model-fit shuffles
+    // and the scoring joins all move one row per (doc, gram)
+    val uniCnt = Dedup.gramCountRows(train, idCol, textCol, n = 1)
+      .groupBy("s").agg(sum("tf").as("c"))
     val totals = uniCnt.agg(sum("c").as("n_tot"), count(lit(1)).as("vocab"))
     def bigrams(df: DataFrame): DataFrame =
-      Dedup.shingleRows(df, idCol, textCol, n = 2)
+      Dedup.gramCountRows(df, idCol, textCol, n = 2)
         .filter(col("s").contains(" ")) // drops single-token docs' degenerate row
     val bigModel = bigrams(train)
-      .groupBy("s").agg(count(lit(1)).as("cb"))
+      .groupBy("s").agg(sum("tf").as("cb"))
       .withColumn("w1", substring_index(col("s"), " ", 1))
       .join(uniCnt.select(col("s").as("w1"), col("c").as("c1")), "w1")
       .select(col("s"),
         floor(log(col("cb") / col("c1")) * Fp).cast("long").as("lp_big_fp"))
     bigrams(score)
-      .select(col("id"), col("s"), substring_index(col("s"), " ", -1).as("w2"))
+      .select(col("id"), col("s"), col("tf"),
+        substring_index(col("s"), " ", -1).as("w2"))
       .join(bigModel, Seq("s"), "left")
       .join(uniCnt.select(col("s").as("w2"), col("c").as("c2")), Seq("w2"), "left")
       .crossJoin(broadcast(totals))
-      .select(col("id"),
+      .select(col("id"), col("tf"),
         coalesce(col("lp_big_fp"),
           floor(log(lit(0.4) * (coalesce(col("c2"), lit(0L)) + lit(1.0))
             / (col("n_tot") + col("vocab"))) * Fp).cast("long")).as("lp_fp"),
         col("lp_big_fp").isNull.cast("long").as("backoff"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum("backoff").as("n_backoff"),
-        sum("lp_fp").as("sum_fp"))
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("backoff")).as("n_backoff"),
+        sum(col("tf") * col("lp_fp")).as("sum_fp"))
       .select(col("id"), col("n_bigrams"), col("n_backoff"),
         (col("sum_fp").cast("double") / Fp / col("n_bigrams")).as("mean_logs"))
   }
