@@ -853,20 +853,16 @@ object Dedup {
         .select(col("id"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
           (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
+      // probe EVERY round: the probe is also the action that
+      // materializes the round's lazy checkpoint. Folding two rounds
+      // into one probe job was tried (round 11) and LOST — an
+      // unmaterialized round is referenced by TWO stages of the next
+      // round's plan (the pointer-edge union and the label join), so
+      // each skipped probe recomputes its round ~twice; the measured
+      // regression (q123 2.7 → 3.1 s) outweighed the halved job count.
+      converged = next.filter(col("chg")).isEmpty
       labels = next.drop("chg")
       it += 1
-      // probe rounds 1-2, then every SECOND round: the probe is the
-      // round's only action (it materializes the lazy checkpoints),
-      // so skipping alternate probes folds two rounds into one job.
-      // Dense LSH graphs converge in 1-2 rounds — probing those
-      // unconditionally avoids ever paying a wasted round there —
-      // while the log-round graphs (q123's kNN chains run 12 rounds)
-      // drop to ~half the probe jobs for at most one idempotent
-      // extra round (the flag still witnesses exactly the LAST
-      // round: chg empty there ⇒ fixpoint, regardless of earlier
-      // rounds)
-      if (it <= 2 || it % 2 == 0 || it == maxIter)
-        converged = next.filter(col("chg")).isEmpty
     }
     if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CC rounds: $it")
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
