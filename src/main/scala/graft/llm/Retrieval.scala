@@ -89,8 +89,14 @@ object Retrieval {
       .select(col("id"), col("s"),
         (col("tf") * floor(log(col("n_docs").cast("double") / col("df"))
           * lit(65536.0)).cast("long")).as("w_fp"))
+      // (a repartition-by-s pin before this checkpoint was tried —
+      // the blocks come back UnknownPartitioning, so the self-join
+      // reshuffles anyway and the pin is pure extra exchange)
       .localCheckpoint()
+    // |docs|-row frame consumed by TWO broadcast branches (id_a and
+    // id_b); materialized so the weight scan + aggregation run once
     val norms = w.groupBy("id").agg(sum(col("w_fp") * col("w_fp")).as("n2"))
+      .localCheckpoint()
     val dots = w.as("a")
       .join(w.as("b").hint("shuffle_hash"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
