@@ -221,21 +221,35 @@ object TextAnalysis {
     // aggregations AND the short-doc-restoring left join of the row
     // form disappear — every doc keeps a row by construction.
     graft.functions.GraftFunctions.register(df.sparkSession)
-    def fold(g: Column, term: (Column, Column) => Column) =
-      coalesce(aggregate(g, lit(0L), (a, e) => a + term(e("tf"), e("s"))),
-        lit(0L))
     df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
       .select(col("id"),
         call_function("gram_counts", col("text"), lit(n)).as("h"))
       .select(col("id"),
-        filter(col("h"), e => size(split(e("s"), " ")) === n).as("g"))
+        // full-gram gate WITHOUT a per-element split: a partial
+        // shingle exists iff the doc has < n tokens, and such docs
+        // emit exactly ONE gram — so only 1-entry tables can be
+        // partial, and one split on that single entry decides it
+        when(size(col("h")) > 1 ||
+            size(split(element_at(col("h"), 1)("s"), " ")) === n, col("h"))
+          .otherwise(slice(col("h"), 1, 0)).as("g"))
       .select(col("id"),
-        fold(col("g"), (c, _) => c).as("n_grams"),
-        fold(col("g"), (c, _) => when(c >= 2, c).otherwise(0L)).as("dup_occ"),
-        fold(col("g"), (c, s) => c * length(s)).as("mass"),
-        fold(col("g"), (c, s) => when(c >= 2, c * length(s)).otherwise(0L))
-          .as("dup_mass"))
+        // ONE traversal accumulating all four masses (token-less
+        // docs fold over null → null struct → coalesce to zeros)
+        aggregate(col("g"),
+          struct(lit(0L).as("n"), lit(0L).as("d"),
+            lit(0L).as("m"), lit(0L).as("dm")),
+          (a, e) => struct(
+            (a("n") + e("tf")).as("n"),
+            (a("d") + when(e("tf") >= 2, e("tf")).otherwise(0L)).as("d"),
+            (a("m") + e("tf") * length(e("s"))).as("m"),
+            (a("dm") + when(e("tf") >= 2, e("tf") * length(e("s")))
+              .otherwise(0L)).as("dm"))).as("acc"))
+      .select(col("id"),
+        coalesce(col("acc")("n"), lit(0L)).as("n_grams"),
+        coalesce(col("acc")("d"), lit(0L)).as("dup_occ"),
+        coalesce(col("acc")("m"), lit(0L)).as("mass"),
+        coalesce(col("acc")("dm"), lit(0L)).as("dup_mass"))
       .select(col("id"),
         col("n_grams"),
         when(col("n_grams") === 0, lit(0.0))
