@@ -1167,6 +1167,14 @@ object Dedup {
     def pfx(c: Column, n: Int) = substring(c, 1, n)
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .withColumn("blk", substring(col("t"), 1, blockLen))
+      // explicit partition count: the window's ENSURE_REQUIREMENTS
+      // exchange gets AQE-coalesced to ~1 partition on KB-scale
+      // input stats, which would serialize the successor scan AND
+      // the Levenshtein verify that editVerifiedPairs evaluates in
+      // this stage (measured: q170 1.42 s → 0.46 s at sf0.1; the
+      // same trap ngramJaccardBlocked documents)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("blk"))
       .withColumn("nid", lead("id", 1).over(w))
       .withColumn("nt", lead("t", 1).over(w))
       .filter(col("nid").isNotNull)
