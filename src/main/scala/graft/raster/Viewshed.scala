@@ -82,13 +82,6 @@ object Viewshed {
     val sector = Window.partitionBy("rid", "band", "bucket")
       .orderBy(col("dist"), col("px"), col("py"))
     geom
-      // explicit partition count: the window's ENSURE_REQUIREMENTS
-      // exchange AQE-coalesces on small byte stats (the geometry
-      // rows are a few ints each), which would funnel the per-sector
-      // sort AND the state pass into one task — the q170 trap, here
-      // on the sweep's hot stage
-      .repartition(geom.sparkSession.sessionState.conf.numShufflePartitions,
-        col("rid"), col("band"), col("bucket"))
       .withColumn("obstruction",
         max(col("ratio")).over(sector.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("state",
