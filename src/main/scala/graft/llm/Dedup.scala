@@ -209,6 +209,12 @@ object Dedup {
     * count_distinct(id) as a plain count). Corpus-level gram models
     * aggregate these rows with strictly smaller shuffles and no
     * distinct-expansion phase.
+    *
+    * CONTRACT: `idCol` is a key — one input row per document (the
+    * standing contract of every corpus table here, and what the
+    * DuckDB oracles' GROUP BY forms assume too). A duplicated id
+    * yields one row set per input row, where a pre-kernel groupBy
+    * would have merged them.
     */
   def gramCountRows(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, carry: Seq[String] = Nil): DataFrame = {

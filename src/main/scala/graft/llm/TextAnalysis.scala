@@ -603,6 +603,7 @@ object TextAnalysis {
       .select(col(idCol).as("id"), target.cast("int").as("tgt"),
         col(textCol).as("text"))
       .filter(col("text").rlike("\\S")) // the kernel's null (token-less) case
+      .repartition(col("id")) // spread single-file local inputs
       .select(col("id"), col("tgt"),
         call_function("hashed_gram_hist", col("text"), lit(buckets)).as("h"))
       .localCheckpoint()
@@ -696,14 +697,17 @@ object TextAnalysis {
       .select(col("id"),
         call_function("gram_counts", col("text"), lit(1)).as("h1"),
         call_function("gram_counts", col("text"), lit(2)).as("h2"))
+      // each fold ONCE per table: repeated total(h1) calls would
+      // build distinct lambda trees that defeat CSE — every doc
+      // would traverse its tf table per reference
+      .select(col("id"), total(col("h1")).as("t1"),
+        size(col("h1")).as("d1"), top(col("h1")).as("m1"),
+        total(col("h2")).as("t2"), top(col("h2")).as("m2"))
       .select(col("id"),
-        total(col("h1")).as("n_tok"),
-        (size(col("h1")).cast("double") / total(col("h1")))
-          .as("distinct_token_ratio"),
-        (top(col("h1")).cast("double") / total(col("h1")))
-          .as("top_unigram_frac"),
-        (top(col("h2")).cast("double") / total(col("h2")))
-          .as("top_bigram_frac"))
+        col("t1").as("n_tok"),
+        (col("d1").cast("double") / col("t1")).as("distinct_token_ratio"),
+        (col("m1").cast("double") / col("t1")).as("top_unigram_frac"),
+        (col("m2").cast("double") / col("t2")).as("top_bigram_frac"))
   }
 
   /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007,
