@@ -84,4 +84,23 @@ class PlanShapeSpec extends SparkSpec {
         s"exchanges must still key on the join key, got $parts")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("edit-verify successor window: pinned partition count, no corpus re-join") {
+    // the sorted-neighborhood window's exchange must stay
+    // REPARTITION_BY_NUM (an ENSURE_REQUIREMENTS exchange here gets
+    // AQE-coalesced to ~1 partition on KB-scale stats, serializing
+    // the Levenshtein verify that runs in the same stage — the q170
+    // 1.42 s -> 0.41 s fix), and the verify stage must read its
+    // capped texts off the window rows, not re-join the corpus
+    val d = (0L until 60L).map(i =>
+      (i, s"prefix${i % 5} shared text body number $i")).toDF("doc_id", "text")
+    val p = graft.llm.Dedup.editVerifiedPairs(d, "doc_id", "text")
+    p.collect()
+    val plan = p.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"successor window must pin its partition count:\n$plan")
+    assert(!plan.contains("Join"),
+      s"edit verify must be join-free (texts ride the window):\n$plan")
+  }
 }
