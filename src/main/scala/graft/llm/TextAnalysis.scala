@@ -603,7 +603,13 @@ object TextAnalysis {
       .select(col(idCol).as("id"), target.cast("int").as("tgt"),
         col(textCol).as("text"))
       .filter(col("text").rlike("\\S")) // the kernel's null (token-less) case
-      .repartition(col("id")) // spread single-file local inputs
+      // deliberately NO pre-kernel repartition here (unlike the
+      // sibling kernel pipelines): the histogram pass runs once into
+      // an eager checkpoint, and re-adding the spread exchange was
+      // MEASURED at +0.4 s on a clean box (q128 0.70 → 1.10 at
+      // sf0.1) — the exchange costs more than the single-file
+      // serialization it would cure, and production parquet scans
+      // split at maxPartitionBytes so scan parallelism is real there
       .select(col("id"), col("tgt"),
         call_function("hashed_gram_hist", col("text"), lit(buckets)).as("h"))
       .localCheckpoint()
