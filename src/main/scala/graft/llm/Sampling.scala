@@ -151,10 +151,22 @@ object Sampling {
     * `budget` — the "take N tokens per source/language" cut every
     * mixture recipe specifies in tokens, not documents.
     *
-    * One window shuffle keyed on the group (the same shape as
-    * [[packBins]]); the hash order makes the kept prefix a uniform
-    * draw that is stable under corpus repartitioning and appends of
-    * NEW groups, and reproducible by any engine from the same md5.
+    * Scale shape (round 12): a single window partitioned by the
+    * group floors parallelism at the DISTINCT-GROUP count — 20
+    * sources in the fixture means 20 tasks on 32 cores, and a
+    * production corpus cut per-language serializes on a handful of
+    * partitions. The md5 sort key is its own range partitioner: the
+    * first hex character splits every group into 16 order-respecting
+    * sub-buckets (each key in bucket '0' sorts before any key in
+    * '1'), so the cumulative sum decomposes into (1) per-(group,
+    * bucket) token totals — a tiny map-reduced frame of ≤16·|groups|
+    * rows whose within-group running sum is each bucket's offset —
+    * and (2) a within-bucket window at 16×|groups| parallelism.
+    * Buckets whose OFFSET already exceeds the budget are pruned
+    * before the window (broadcast inner join): none of their rows
+    * can satisfy `cum ≤ budget`, so the corpus tail never shuffles
+    * at all. Same integer sums, same rows — any single-window engine
+    * (the oracle) reproduces the output bit-for-bit.
     */
   /** Deterministic round-robin source interleave — the data-ORDER
     * companion to the mixing samplers: rank docs within each source
@@ -182,13 +194,29 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, idCol: Column, textCol: Column,
                         groupCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy("grp")
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(groupCol.as("grp"), idCol.cast("long").as("id"),
+    val base = df.select(groupCol.as("grp"), idCol.cast("long").as("id"),
         TextAnalysis.tokenCountCol(textCol).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("__key", md5(col("id").cast("string")))
+      .withColumn("__b", substring(col("__key"), 1, 1))
+    // bucket offsets: per-(grp, md5-prefix-bucket) token totals, then
+    // the running sum of the PRECEDING buckets within the group — a
+    // ≤16·|groups|-row frame (the per-grp window spans ≤16 rows).
+    // Buckets already past the budget are dropped here, which prunes
+    // their rows from the window via the inner join below.
+    val wOff = Window.partitionBy("grp").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("grp", "__b")
+      .agg(sum("n_tokens").as("__btot"))
+      .withColumn("__off", coalesce(sum("__btot").over(wOff), lit(0L)))
+      .filter(col("__off") <= budget)
+      .select("grp", "__b", "__off")
+    val wIn = Window.partitionBy("grp", "__b")
+      .orderBy(col("__key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("grp", "__b"))
+      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wIn))
       .filter(col("cum_tokens") <= budget)
+      .select(col("grp"), col("id"), col("n_tokens"), col("cum_tokens"))
   }
 
   /** Target-mixture domain reweighting — the "data recipe" operator:

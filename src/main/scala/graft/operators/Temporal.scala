@@ -100,13 +100,11 @@ object Temporal {
     val clash = points.columns.filterNot(on.contains)
       .intersect(intervals.columns.filterNot(on.contains))
     require(clash.isEmpty, s"column collision between sides: ${clash.mkString(", ")}")
-    // exact floor division (pmod keeps the numerator an exact multiple
-    // of the width, so the double division is exact): any monotonic
-    // cell function works as long as both sides use the same one
-    def cell(c: Column): Column = {
-      val v = c.cast("long")
-      ((v - pmod(v, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
-    }
+    // exact floor-division cell (integral `div`, no double round-trip
+    // — a double division is only exact below 2^53, and a cell
+    // disagreement between the two sides silently drops matches):
+    // any monotonic cell works as long as both sides use the same one
+    def cell(c: Column): Column = floorDivCell(bucketWidth)(c)
     val iv = intervals.withColumn("__cell",
       explode(sequence(cell(col(startCol)), cell(col(endCol) - 1))))
     val pt = points.withColumn("__cell", cell(col(pointCol)))

@@ -50,6 +50,28 @@ class TemporalSpec extends SparkSpec {
     // p35: e=35 exclusive → no match; q10: key 2 has no intervals
   }
 
+  test("rangeJoin: exact cells beyond 2^53 µs (double division is inexact there)") {
+    // At v ≈ 2^62 with width 1000, float(v - v%w)/w truncates to the
+    // WRONG integer (e.g. v = 8012626005604971747 → exact cell
+    // ...604971, double gives ...604970). The integral-div cell must
+    // keep boundary semantics bit-exact at the full long range, for
+    // positive and pre-1970-style negative timestamps alike.
+    val hi = 8012626005604971747L // exact cell 8012626005604971, double path -1
+    val points = Seq(
+      (1L, hi, "pHi"),             // inside [hi-747, hi+253)
+      (1L, hi + 253L, "pOut"),     // == end → excluded
+      (2L, -hi, "pNeg"),           // negative side, inside its interval
+      (2L, -hi - 1L, "pNegOut"))   // just below start → excluded
+      .toDF("k", "t", "pid")
+    val intervals = Seq(
+      (1L, hi - 747L, hi + 253L, "HI"),
+      (2L, -hi, -hi + 10L, "NEG"))
+      .toDF("k", "s", "e", "iid")
+    val out = Temporal.rangeJoin(points, intervals, Seq("k"), "t", "s", "e", 1000L)
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    assert(out == Set(("pHi", "HI"), ("pNeg", "NEG")))
+  }
+
   test("rangeJoin replicates intervals only to covered cells (no dup matches)") {
     // a point matched by an interval listed in 2 cells must appear once
     val points = Seq((1L, 12L, "p")).toDF("k", "t", "pid")
