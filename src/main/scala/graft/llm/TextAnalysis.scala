@@ -599,17 +599,26 @@ object TextAnalysis {
     // Histograms are materialized once for the two consumers;
     // blocks are released by the caller's session hygiene
     // (graft.core.Materialize).
-    val hist = df
+    val pre = df
       .select(col(idCol).as("id"), target.cast("int").as("tgt"),
         col(textCol).as("text"))
       .filter(col("text").rlike("\\S")) // the kernel's null (token-less) case
-      // deliberately NO pre-kernel repartition here (unlike the
-      // sibling kernel pipelines): the histogram pass runs once into
-      // an eager checkpoint, and re-adding the spread exchange was
-      // MEASURED at +0.4 s on a clean box (q128 0.70 → 1.10 at
-      // sf0.1) — the exchange costs more than the single-file
-      // serialization it would cure, and production parquet scans
-      // split at maxPartitionBytes so scan parallelism is real there
+    // CONDITIONAL pre-kernel spread (round 12). History: round 11
+    // measured an unconditional repartition at +0.4 s on a clean box
+    // (q128 0.70 → 1.10 at sf0.1) and dropped it — and the driver's
+    // same-day bench then recorded 1.87 s (2.68×, gc 0) on a busier
+    // box, consistent with the single-row-group sf0.1 fixture feeding
+    // the kernel+checkpoint pass from ONE scan partition (the fixture
+    // has one parquet row group, so maxPartitionBytes cannot split
+    // it). The spread now fires only when the scan genuinely cannot
+    // feed the machine: plan-time partition count below the session's
+    // parallelism floor. Production parquet splits at
+    // maxPartitionBytes, so the exchange never fires there; the
+    // single-file bench shape gets a hard parallelism floor.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (pre.rdd.getNumPartitions < cores) pre.repartition(cores) else pre
+    val hist = spread
       .select(col("id"), col("tgt"),
         call_function("hashed_gram_hist", col("text"), lit(buckets)).as("h"))
       .localCheckpoint()
@@ -851,32 +860,79 @@ object TextAnalysis {
   }
 
   /** Vocabulary coverage curve — the report every tokenizer design
-    * starts from: tokens ranked by corpus frequency, with cumulative
-    * occurrence share in floor-2²⁰ fixed point, answering "how much
-    * of the corpus do the top-k types cover?" (the OOV-rate/vocab-
-    * size trade). Rank ties break by token text so the curve is
-    * unique; shares ride as exact integer sums until the single
-    * fixed-point division.
+    * starts from: token types ranked by corpus frequency with exact
+    * cumulative occurrence share in floor-2²⁰ fixed point, answering
+    * "how much of the corpus do the top-k types cover?" (the
+    * OOV-rate/vocab-size trade). Cap-or-bucket shape (round 12):
+    * the top `topK` types are individual rows (rank ties break by
+    * token text, so the head is unique); everything below the cap is
+    * aggregated into one row per DISTINCT FREQUENCY, carrying the
+    * rank span `[rank_lo, rank_hi]`, the type count, and the exact
+    * cumulative occurrence total at `rank_hi` — because all types in
+    * a bucket share one frequency, the cumulative at the bucket edge
+    * is independent of their within-bucket (token-text) order, so
+    * the curve loses nothing a reader of a coverage table uses.
     *
-    * Scale shape: one token aggregation (map-side partials), then a
-    * window over the REDUCED vocabulary table — the single partition
-    * holds |vocab| rows, not |corpus| (the q126 histogram-window
-    * idiom); a corpus-scale type inventory would cap or bucket the
-    * tail first.
+    * Scale shape: one token aggregation (map-side partials), a
+    * `TakeOrdered` top-K for the head (no full sort — O(K) heap per
+    * partition), a broadcast anti-join of the K head tokens, and a
+    * map-side-partial groupBy(cnt) for the tail. The only windows
+    * run over (a) ≤ `topK` head rows and (b) one row per distinct
+    * tail frequency — the latter is provably ≤ √(2·total_tokens)
+    * rows for ANY corpus (d distinct frequencies need ≥ d(d+1)/2
+    * occurrences), i.e. ≤ ~14 M rows even at 10¹⁴ tokens, and
+    * Zipfian reality is thousands; coarsen the bucket key to
+    * ⌊log₂ cnt⌋ if an adversarial corpus ever pushes that bound.
+    * Unlike the pre-round-12 form, NO window ever spans the type
+    * inventory itself (billions of rows on a web corpus).
+    *
+    * Head rows have `rank_lo = rank_hi` and `n_types = 1`; tail
+    * bucket rows have `tok = NULL`. `cum_share_fp` =
+    * ⌊cum_cnt·2²⁰ / total⌋, exact in integer arithmetic end-to-end.
     */
-  def vocabCoverage(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def vocabCoverage(df: DataFrame, textCol: String = "text",
+                    topK: Int = 1000): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
     val counts = df
       .select(explode(tokensCol(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val totals = counts.agg(sum("cnt").as("total")) // 1 row, broadcast
+    // head: global top-K by (cnt desc, tok) via TakeOrdered; the
+    // rank/cumsum window then spans ≤ topK rows by construction
+    val head = counts.orderBy(col("cnt").desc, col("tok")).limit(topK)
+    val wHead = Window.orderBy(col("cnt").desc, col("tok"))
+    val headRanked = head
+      .withColumn("rank", row_number().over(wHead).cast("long"))
+      .withColumn("cum_cnt", sum("cnt").over(
+        wHead.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // 1-row head summary: rank offset + occurrence offset for the tail
+    val headStats = headRanked.agg(
+      coalesce(max("rank"), lit(0L)).as("n_head"),
+      coalesce(max("cum_cnt"), lit(0L)).as("head_cum"))
+    // tail: every type below the cap, bucketed by its exact frequency
+    val tailBuckets = counts
+      .join(broadcast(headRanked.select("tok")), Seq("tok"), "left_anti")
+      .groupBy("cnt").agg(count(lit(1)).as("n_types"))
+      .withColumn("occ", col("cnt") * col("n_types"))
+    val wTail = Window.orderBy(col("cnt").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok"))))
-      .withColumn("cum_cnt", sum("cnt").over(w))
-      .withColumn("total", sum("cnt").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("rank"), col("tok"), col("cnt"),
+    val tailRows = tailBuckets
+      .withColumn("cum_types", sum("n_types").over(wTail))
+      .withColumn("cum_occ", sum("occ").over(wTail))
+      .crossJoin(broadcast(headStats))
+      .select(
+        (col("n_head") + col("cum_types") - col("n_types") + 1).as("rank_lo"),
+        (col("n_head") + col("cum_types")).as("rank_hi"),
+        lit(null).cast("string").as("tok"),
+        col("cnt"), col("n_types"),
+        (col("head_cum") + col("cum_occ")).as("cum_cnt"))
+    val headRows = headRanked.select(
+      col("rank").as("rank_lo"), col("rank").as("rank_hi"),
+      col("tok"), col("cnt"), lit(1L).as("n_types"), col("cum_cnt"))
+    headRows.unionAll(tailRows)
+      .crossJoin(broadcast(totals))
+      .select(col("rank_lo"), col("rank_hi"), col("tok"), col("cnt"),
+        col("n_types"), col("cum_cnt"),
         expr("(cum_cnt * 1048576L) div total").as("cum_share_fp"))
   }
 

@@ -1045,14 +1045,15 @@ object LlmQueries {
   }
 
   /** q149 vocabulary coverage curve
-    * ([[graft.llm.TextAnalysis.vocabCoverage]]): frequency-ranked
-    * token types with fixed-point cumulative corpus share — the
-    * vocab-size-vs-OOV trade table. Oracle replays the ranking and
-    * the integer share arithmetic.
+    * ([[graft.llm.TextAnalysis.vocabCoverage]]): cap-or-bucket form —
+    * top-K token types as individual frequency-ranked rows, the tail
+    * as one row per distinct frequency with rank span and exact
+    * cumulative fixed-point corpus share. topK = 10 on the fixture so
+    * the oracle exercises BOTH the head and the bucketed-tail path.
     */
   def q149(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.vocabCoverage(Tables.documents(s, d))
-      .orderBy("rank")
+    TextAnalysis.vocabCoverage(Tables.documents(s, d), topK = 10)
+      .orderBy("rank_lo")
 
   /** q150 embedding dimension audit
     * ([[graft.llm.Similarity.dimensionAudit]]): per-coordinate
@@ -2760,16 +2761,39 @@ object LlmQueries {
     "q149_vocab_coverage" ->
       s"""WITH tok AS (SELECT unnest($toksExpr) AS tok FROM documents),
          |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
          |r AS (
          |  SELECT tok, cnt,
-         |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS rank,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk,
          |         SUM(cnt) OVER (ORDER BY cnt DESC, tok
-         |                        ROWS UNBOUNDED PRECEDING) AS cum_cnt,
-         |         SUM(cnt) OVER () AS total
-         |  FROM c)
-         |SELECT rank, tok, cnt,
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM c),
+         |hs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_head,
+         |              CAST(COALESCE(MAX(cum), 0) AS BIGINT) AS head_cum
+         |       FROM r WHERE rnk <= 10),
+         |tail AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |                CAST(SUM(cnt) AS BIGINT) AS occ
+         |         FROM r WHERE rnk > 10 GROUP BY cnt),
+         |tb AS (SELECT cnt, n_types,
+         |              SUM(n_types) OVER (ORDER BY cnt DESC
+         |                                 ROWS UNBOUNDED PRECEDING) AS cum_types,
+         |              SUM(occ) OVER (ORDER BY cnt DESC
+         |                             ROWS UNBOUNDED PRECEDING) AS cum_occ
+         |       FROM tail),
+         |u AS (
+         |  SELECT rnk AS rank_lo, rnk AS rank_hi, tok,
+         |         CAST(cnt AS BIGINT) AS cnt, CAST(1 AS BIGINT) AS n_types,
+         |         CAST(cum AS BIGINT) AS cum_cnt
+         |  FROM r WHERE rnk <= 10
+         |  UNION ALL
+         |  SELECT CAST(hs.n_head + tb.cum_types - tb.n_types + 1 AS BIGINT),
+         |         CAST(hs.n_head + tb.cum_types AS BIGINT),
+         |         CAST(NULL AS VARCHAR), CAST(tb.cnt AS BIGINT), tb.n_types,
+         |         CAST(hs.head_cum + tb.cum_occ AS BIGINT)
+         |  FROM tb CROSS JOIN hs)
+         |SELECT rank_lo, rank_hi, tok, cnt, n_types, cum_cnt,
          |       CAST((cum_cnt * 1048576) // total AS BIGINT) AS cum_share_fp
-         |FROM r ORDER BY rank""".stripMargin,
+         |FROM u CROSS JOIN t ORDER BY rank_lo""".stripMargin,
 
     "q148_ann_recall" ->
       s"""WITH bucketed AS (

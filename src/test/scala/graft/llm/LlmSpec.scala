@@ -1222,6 +1222,33 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(_._1 == "s1").map(_._2).toSeq == Seq(3L))
   }
 
+  test("tokenBudgetSample: bucketed decomposition ≡ single window, pruning exercised") {
+    // 300 docs / 3 groups, budget tight enough that most md5-prefix
+    // buckets are pruned before the window — the decomposed offsets +
+    // within-bucket cumsum must reproduce the single-window cumsum
+    // bit-for-bit (the md5 hex prefix respects the full-key order).
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 300L).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(9))("w" + rnd.nextInt(50)).mkString(" ")
+      (i, words, "g" + (i % 3))
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = Sampling.tokenBudgetSample(d, col("doc_id"), col("text"),
+        col("source"), budget = 40L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // literal single-window reference (the oracle's shape)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = d.select(col("source").as("grp"), col("doc_id").cast("long").as("id"),
+        graft.llm.TextAnalysis.tokenCountCol(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 40L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("dsirWeight: target-like docs score above raw-like, identical text identical score") {
     // target vocabulary (tgt=true docs) vs disjoint raw vocabulary
     val d = Seq(
@@ -1595,14 +1622,39 @@ class LlmSpec extends SparkSpec {
     assert(got.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 1.0))
   }
 
-  test("vocabCoverage: rank by frequency then token, exact fixed-point cumulative shares") {
+  test("vocabCoverage: head ranks by frequency then token, exact fixed-point shares") {
     val d = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
-    val got = TextAnalysis.vocabCoverage(d)
-      .orderBy("rank").as[(Int, String, Long, Long)].collect().toSeq
+    val got = TextAnalysis.vocabCoverage(d) // vocab 3 < default cap: all head
+      .orderBy("rank_lo")
+      .as[(Long, Long, String, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
-      (1, "a", 3L, 524288L),    // floor(3·2^20/6)
-      (2, "b", 2L, 873813L),    // floor(5·2^20/6)
-      (3, "c", 1L, 1048576L)))
+      (1L, 1L, "a", 3L, 1L, 3L, 524288L),    // floor(3·2^20/6)
+      (2L, 2L, "b", 2L, 1L, 5L, 873813L),    // floor(5·2^20/6)
+      (3L, 3L, "c", 1L, 1L, 6L, 1048576L)))
+  }
+
+  test("vocabCoverage: sub-cap tail buckets by distinct frequency with exact rank spans") {
+    // cap 2 → head {a(4), b(3)}; tail: c,d at cnt 2 (one bucket,
+    // ranks 3-4), e,f,g at cnt 1 (one bucket, ranks 5-7); total 14
+    val d = Seq((0L, "a a a a b b b c c d d e f g")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(d, topK = 2)
+      .orderBy("rank_lo")
+      .as[(Long, Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "a", 4L, 1L, 4L, 299593L),     // floor(4·2^20/14)
+      (2L, 2L, "b", 3L, 1L, 7L, 524288L),     // floor(7·2^20/14)
+      (3L, 4L, null, 2L, 2L, 11L, 823881L),   // floor(11·2^20/14)
+      (5L, 7L, null, 1L, 3L, 14L, 1048576L)))
+    // boundary-straddling frequency: cap 1 splits the cnt=2 pair
+    // {x, y} — x is head by tok tiebreak, y lands in a tail bucket
+    val d2 = Seq((0L, "x x y y z")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.vocabCoverage(d2, topK = 1)
+      .orderBy("rank_lo")
+      .as[(Long, Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq(
+      (1L, 1L, "x", 2L, 1L, 2L, 419430L),     // floor(2·2^20/5)
+      (2L, 2L, null, 2L, 1L, 4L, 838860L),    // y's bucket
+      (3L, 3L, null, 1L, 1L, 5L, 1048576L)))
   }
 
   test("dimensionAudit: dead dims counted, quantized moments exact") {
