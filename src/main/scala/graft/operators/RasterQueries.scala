@@ -223,20 +223,26 @@ object RasterQueries {
   /** q83 I3→E2 observers-GRID viewshed (`viewshed_grid_params.py:37-47`
     * grid fan-out): [[graft.core.Jobs.expand]] cross-products the
     * ox/oy sequences into 9 observer jobs — the reference's
-    * sequence-argument expansion — each an omni sweep branch of ONE
-    * combine plan, reduced with vs_count (seen-by-how-many over the
-    * 3×3 grid).
+    * sequence-argument expansion — routed through the observers-as-
+    * DATA entry point ([[graft.raster.Viewshed.viewshedCombineTable]],
+    * the documented default since round 12): the expanded jobs become
+    * a 9-row observer TABLE, the plan holds ONE sweep subtree
+    * regardless of grid size, and vs_count reduces (seen-by-how-many
+    * over the 3×3 grid). The Seq-driven branch-per-observer form this
+    * query used through round 11 remains available for the reference's
+    * polygonized sector ring (see [[graft.raster.Viewshed.viewshedCombineObs]]).
     */
   def q83(s: SparkSession, d: String): DataFrame = {
     val jobs = graft.core.Jobs.expand(Map(
       "ox" -> Seq(40, 60, 80), "oy" -> Seq(40, 60, 80),
       "oz" -> 12.0, "maxR" -> 150.0))
-    val obs = jobs.map { j =>
-      Viewshed.Observer(j("ox").asInstanceOf[Int], j("oy").asInstanceOf[Int],
-        j("oz").asInstanceOf[Double], j("maxR").asInstanceOf[Double])
-    }
-    Viewshed.viewshedCombineObs(PixelFrame.dem(s, VsW, VsH), obs,
-        op = "count", cellSize = 5.0)
+    import s.implicits._
+    val obsTable = jobs.zipWithIndex.map { case (j, i) =>
+      (i, j("ox").asInstanceOf[Int], j("oy").asInstanceOf[Int],
+        j("oz").asInstanceOf[Double], j("maxR").asInstanceOf[Double], 0.0, 360.0)
+    }.toDF("oid", "ox", "oy", "oz", "maxr", "dirdeg", "aperturedeg")
+    Viewshed.viewshedCombineTable(PixelFrame.dem(s, VsW, VsH), obsTable,
+        op = "count", cellSize = 5.0, tilePx = 32)
       .select(col("px"), col("py"), col("v"))
       .orderBy("py", "px")
   }

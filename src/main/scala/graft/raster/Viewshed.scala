@@ -299,6 +299,15 @@ object Viewshed {
     * kernel → combine → style). `op` ∈ max|min|count|count_z|unique.
     * Each observer's sweep is an independent branch of one job — the
     * union is the reference's per-observer loop made parallel.
+    *
+    * ENTRY-POINT GUIDANCE (round 12): prefer
+    * [[viewshedCombineTable]] — observers as a DataFrame, one sweep
+    * subtree regardless of N. This Seq form compiles one plan branch
+    * PER OBSERVER (plan size and analysis time scale with N; the
+    * reference itself caps combine inputs at 254) and is kept for
+    * small fixed observer sets and for the reference's 50-point
+    * polygonized sector ring, which the table path replaces with the
+    * analytic arc it approximates.
     */
   def viewshedCombine(dem: DataFrame, observers: Seq[(Int, Int, Double)],
                       op: String, cellSize: Double, maxR: Double,
