@@ -866,6 +866,16 @@ object Dedup {
       // round's plan (the pointer-edge union and the label join), so
       // each skipped probe recomputes its round ~twice; the measured
       // regression (q123 2.7 → 3.1 s) outweighed the halved job count.
+      // A metadata probe was also tried (round 12): a changed-row
+      // accumulator under one full-pass toRdd.foreachPartition, on
+      // the theory that isEmpty's take(1) short-circuit leaves most
+      // checkpoint partitions unmaterialized for the next round's two
+      // consumers to recompute. Measured alternating on one box
+      // (sf0.1, local[32], min of 3×3, clean canaries): q123 3.30 vs
+      // 3.20 s, q70 0.86 vs 0.96, q146 1.17 vs 1.26 — a wash inside
+      // the noise band; the partial blocks evidently land during the
+      // next round's first consumer and are cache hits for the
+      // second. Keeping the simpler probe.
       converged = next.filter(col("chg")).isEmpty
       labels = next.drop("chg")
       it += 1

@@ -184,6 +184,59 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("winnow_pos kernel == struct-min argmin row form (ties -> lowest pos)") {
+    graft.functions.GraftFunctions.register(spark)
+    // low-entropy alphabet so identical k-grams recur WITHIN windows:
+    // equal hashes force the tie-break path (argmin -> lowest pos),
+    // which random text never exercises on 60-bit fingerprints
+    val r = new scala.util.Random(7)
+    val lowEntropy = (1 to 60).map { i =>
+      val abc = "ab "
+      (100L + i, (1 to (10 + r.nextInt(30)))
+        .map(_ => abc(r.nextInt(abc.length))).mkString)
+    }
+    val d = (lowEntropy ++ Seq((200L, "aaaaaaaaaaaaaaaa"), (201L, "abababababab")))
+      .toDF("doc_id", "text").filter(length(col("text")) > 0)
+    val (k, w) = (4, 3)
+    val kernel = d
+      .select(col("doc_id").cast("long").as("id"),
+        explode(call_function("winnow_pos", col("text"), lit(k), lit(w))).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    // row form: per window start i (1..selEnd), the frame's min
+    // (h, pos) struct — struct order = h first, then lowest pos,
+    // exactly the kernel's strictly-less scan (and DuckDB's windowed
+    // arg_min in frame order; see oracle notes) — then distinct pairs
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val reference = d
+      .select(col("doc_id").cast("long").as("id"), col("text").as("t"))
+      .select(col("id"), col("t"),
+        posexplode(sequence(lit(1),
+          greatest(length(col("t")) - (k - 1), lit(1)))).as(Seq("i", "pos")))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(substring(col("t"), col("pos"), lit(k))), 1, 15),
+          16, 10).cast("long").as("h"),
+        (length(col("t")) - (k - 1)).as("np"))
+      .withColumn("sel", min(struct(col("h"), col("pos"))).over(win))
+      .filter(col("pos") <= greatest(col("np") - (w - 1), lit(1)))
+      .select(col("id"), col("sel.pos").as("pos"), col("sel.h").as("fp"))
+      .distinct()
+    assertSameRows(kernel, reference, "winnow_pos argmin")
+    // tie coverage is real, not incidental: some window must contain
+    // two positions with the same hash (repeated gram)
+    val tied = d
+      .select(col("doc_id").cast("long").as("id"), col("text").as("t"))
+      .select(col("id"),
+        posexplode(sequence(lit(1),
+          greatest(length(col("t")) - (k - 1), lit(1)))).as(Seq("i", "pos")),
+        col("t"))
+      .select(col("id"), col("pos"),
+        substring(col("t"), col("pos"), lit(k)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(tied > 0, "fixture lost its repeated-gram tie coverage")
+  }
+
   test("winnow_pos positions select real grams whose hash is the fingerprint") {
     graft.functions.GraftFunctions.register(spark)
     val d = docs().filter(length(col("text")) >= 1)
