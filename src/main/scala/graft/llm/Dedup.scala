@@ -214,12 +214,25 @@ object Dedup {
     * standing contract of every corpus table here, and what the
     * DuckDB oracles' GROUP BY forms assume too). A duplicated id
     * yields one row set per input row, where a pre-kernel groupBy
-    * would have merged them.
+    * would have merged them — downstream "doc frequency as plain
+    * count" consumers ([[adjacentPairCounts]], [[topDuplicatedGrams]])
+    * silently inflate on violated contracts. Set `GRAFT_DEBUG_ID_KEYS`
+    * to pay one aggregation that FAILS FAST on a duplicated id
+    * instead (debug-only: it is a full pass over the input); when ids
+    * genuinely cannot be trusted, `df.dropDuplicates(idCol)` at the
+    * call site restores the merged semantics explicitly.
     */
   def gramCountRows(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     val kept = carry.map(col)
     graft.functions.GraftFunctions.register(df.sparkSession)
+    if (sys.env.contains("GRAFT_DEBUG_ID_KEYS")) {
+      val dup = df.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty, s"gramCountRows: duplicated $idCol value " +
+        s"'${dup.head.get(0)}' violates the one-row-per-document contract " +
+        "(doc frequencies would inflate); dropDuplicates upstream or fix the key")
+    }
     df.select(col(idCol).as("id") +: col(textCol).as("text") +: kept: _*)
       .repartition(col("id"))
       .select(col("id") +:

@@ -62,6 +62,34 @@ object LlmQueries {
     ()
   }
 
+  /** Cheap content fingerprint of the ingest INPUTS (file paths,
+    * sizes, mtimes — no data read): folded into the [[ingestOnce]]
+    * key so a fixture regenerated within one JVM triggers a
+    * re-ingest instead of serving stale at-rest data. The overwrite
+    * write mode keeps the re-ingest into the same scratch dir
+    * idempotent.
+    */
+  private def inputFingerprint(paths: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(x: java.io.File): Unit =
+      if (x.isDirectory) x.listFiles().sortBy(_.getName).foreach(walk)
+      else md.update(s"${x.getPath}|${x.length}|${x.lastModified}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    paths.foreach { p => val f = new java.io.File(p); if (f.exists) walk(f) }
+    new java.math.BigInteger(1, md.digest).toString(16).take(12)
+  }
+
+  /** Per-session ingest token: a UUID held in a WeakHashMap rather
+    * than `System.identityHashCode` — identity hashes can be reused
+    * by a NEW session after the old one is collected, which would
+    * skip a re-ingest the new session's catalog actually needs
+    * (bucketed tables register per-session).
+    */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionToken(s: SparkSession): String =
+    sessionTokens.computeIfAbsent(s, _ => java.util.UUID.randomUUID.toString.take(8))
+
   /** q42 text metrics: token counts (whitespace + BPE-ish subword
     * regex) + quality signals per doc.
     */
@@ -474,7 +502,7 @@ object LlmQueries {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val model = Similarity.IvfModel(ivfFixedCentroids)
     val atRest = atRestDir(d)
-    ingestOnce(atRest) {
+    ingestOnce(atRest + "#" + inputFingerprint(d + "/embeddings.parquet")) {
       Similarity.assignIvf(emb, model).write.mode("overwrite")
         .partitionBy("ivf_c").parquet(atRest)
     }
@@ -974,7 +1002,8 @@ object LlmQueries {
     val dir = atRestDir(d, "graft_docs_bucketed")
     // keyed on the session too: the bucketed table registers in the
     // SESSION catalog, so a second session in one JVM must re-ingest
-    ingestOnce(dir + "#" + System.identityHashCode(s)) {
+    ingestOnce(dir + "#" + sessionToken(s) + "#"
+        + inputFingerprint(d + "/documents.parquet")) {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       // corpus ∪ every-3rd-doc copies: the fixture alone has no exact
       // dups, so the histogram would be one row — the constructed copies

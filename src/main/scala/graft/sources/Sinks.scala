@@ -30,9 +30,15 @@ object Sinks {
     * on disk and on every downstream scan, exactly like the
     * reference's GTiff staying Int16 instead of inflating to Float64.
     * `dtypeCode` is the sample bit width (8 Byte, 16 Int16, 32
-    * Float32, 64 Float64 — bit-exact); integer codes truncate like
-    * the GeoTiff writer, so callers pick the code from the raster
-    * kind ([[graft.core.RasterKind]]), defaulting to lossless 64.
+    * Float32, 64 Float64 — bit-exact). LOSSY CONTRACT for the
+    * integer codes (same as the GeoTiff writer's): fractional
+    * samples truncate toward zero — sub-integer precision from
+    * Average/Cubic-resampled warps does NOT survive an Int16
+    * at-rest round trip — and out-of-range values saturate at the
+    * int cast then narrow by two's-complement wrap (semantics
+    * pinned in RasterOpsSpec). Callers pick the code from the
+    * raster kind ([[graft.core.RasterKind]]); anything that needs
+    * lossless `ARRAY<DOUBLE>` fidelity keeps the default 64.
     * The `dtype` column makes files self-describing —
     * [[readCogLayout]] restores the `ARRAY<DOUBLE>` compute form.
     */

@@ -294,7 +294,12 @@ object Trans {
     plan(df, gt, w, h, opt).map { p =>
       val tiles = PixelFrame.pack(p.frame, tileSize, opt.dstNdv)
       // tiles go to rest at the kind's native sample width (Int16 for
-      // DTMs — 4× smaller than ARRAY<DOUBLE>), matching the GTiff path
+      // DTMs — 4× smaller than ARRAY<DOUBLE>), matching the GTiff
+      // path. This is LOSSY for fractional pixels (truncation toward
+      // zero — see writeCogLayout's contract): a DTM warped with
+      // Average/Cubic loses sub-integer precision here exactly as it
+      // would writing GTiff Int16; kinds needing fidelity carry
+      // dtype code 64 via RasterKind.atRestDtypeCode
       val dtypeCode = opt.kind.atRestDtypeCode
       Sinks.writeCogLayout(tiles, outPath, dtypeCode = dtypeCode)
       if (ovrLevels > 0) {

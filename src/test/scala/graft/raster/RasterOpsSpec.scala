@@ -88,6 +88,30 @@ class RasterOpsSpec extends SparkSpec {
     assert(back.except(d).count() == 0 && d.except(back).count() == 0)
   }
 
+  test("integer tile_pack codes: truncation toward zero and wrap semantics pinned") {
+    import spark.implicits._
+    // the lossy at-rest contract (writeCogLayout scaladoc): fractional
+    // samples truncate TOWARD ZERO; values past Int range saturate at
+    // the int cast, then narrow by two's-complement WRAP — identical
+    // to the GTiff Int16 writer's path. Pinned so the convention is
+    // explicit, not incidental.
+    val vals = Seq(1.9, -3.9, 40000.0, -40000.0, 1e10, -1e10, 0.0)
+    val t = Seq((0, 1, 0, 0, vals)).toDF("rid", "band", "tx", "ty", "data")
+    val i16 = PixelFrame.unpackBinary(PixelFrame.packBinary(t, 16))
+      .select($"data").as[Seq[Double]].head()
+    assert(i16 == Seq(1.0, -3.0,
+      -25536.0,            // 40000 wraps mod 2^16
+      25536.0,             // -40000 wraps
+      -1.0,                // 1e10 saturates to Int.MaxValue, narrows to -1
+      0.0,                 // -1e10 -> Int.MinValue -> 0 as short
+      0.0))
+    // Byte code: wrap on pack, unsigned on unpack (TIFF convention)
+    val b = Seq((0, 1, 0, 0, Seq(300.0, -1.0, 7.5))).toDF("rid", "band", "tx", "ty", "data")
+    val u8 = PixelFrame.unpackBinary(PixelFrame.packBinary(b, 8))
+      .select($"data").as[Seq[Double]].head()
+    assert(u8 == Seq(44.0, 255.0, 7.0))
+  }
+
   test("BinaryType tile payloads: pack/unpack bit-equal per dtype; Int16 is 4x smaller") {
     val d = PixelFrame.dem(spark, 32, 16) // integer-valued doubles + ndv
     val packed = PixelFrame.pack(d, ts = 16, ndv = PixelFrame.Dem.Ndv)
