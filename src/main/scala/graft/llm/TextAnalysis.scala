@@ -893,9 +893,14 @@ object TextAnalysis {
   def vocabCoverage(df: DataFrame, textCol: String = "text",
                     topK: Int = 1000): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
+    // the vocab table feeds THREE consumers (head top-K, tail
+    // anti-join, totals) — checkpoint it so the corpus token pass
+    // runs once, not once per branch; blocks released by the
+    // caller's session hygiene (graft.core.Materialize)
     val counts = df
       .select(explode(tokensCol(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val totals = counts.agg(sum("cnt").as("total")) // 1 row, broadcast
     // head: global top-K by (cnt desc, tok) via TakeOrdered; the
     // rank/cumsum window then spans ≤ topK rows by construction
