@@ -39,27 +39,94 @@ object Sampling {
     df.filter(hashUniformCol(keyCol) < rate)
   }
 
+  /** Bucket-decomposed per-group ordered scan — the shared scale
+    * shape of every "rank/accumulate within group in md5(key) order"
+    * operator here ([[stratifiedTake]], [[tokenBudgetSample]],
+    * [[curriculumInterleave]]). A window partitioned by the group
+    * alone floors parallelism at the DISTINCT-GROUP count (a corpus
+    * cut per-language serializes on a handful of partitions); the
+    * md5 sort key is its own range partitioner — the first hex
+    * character splits every group into 16 ORDER-RESPECTING
+    * sub-buckets (every key in bucket '0' sorts before any key in
+    * '1'), so rank and running sum decompose into:
+    *
+    *  1. per-(group, bucket) row/value totals — a map-reduced frame
+    *     of ≤ 16·|groups| rows whose within-group running sum over
+    *     PRECEDING buckets is each bucket's offset;
+    *  2. a within-(group, bucket) window at 16×|groups| parallelism,
+    *     shifted by the broadcast offsets.
+    *
+    * `pruneOffsets` filters the offsets frame BEFORE the join —
+    * buckets every caller-side filter would reject wholesale (offset
+    * already past a take count or token budget) never shuffle their
+    * rows at all, which is what turns a prefix-take over 100 TB into
+    * a scan that moves only the kept head.
+    *
+    * Contract: `_grp` and `_key` columns must exist; adds `_rn`
+    * (1-based per-group rank in (md5(_key), _key) order) and, when
+    * `valueCol` is set, `_cum` (inclusive per-group running sum) —
+    * bit-identical to the single-window forms, which is what the
+    * DuckDB oracles replay. The offsets join is broadcast: group
+    * cardinality is recipe-sized by construction (strata, sources,
+    * languages — budgets are authored per group); drop the hint if a
+    * caller ever groups on an unbounded key.
+    */
+  private def bucketedOrderScan(df: DataFrame, valueCol: Option[Column],
+                                pruneOffsets: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val base = df
+      .withColumn("_mk", md5(col("_key").cast("string")))
+      .withColumn("_b", substring(col("_mk"), 1, 1))
+    val aggs = count(lit(1)).as("_bn") +:
+      valueCol.map(v => sum(v.cast("long")).as("_bv")).toSeq
+    val wOff = Window.partitionBy("_grp").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = base.groupBy(col("_grp"), col("_b"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_off_n", coalesce(sum("_bn").over(wOff), lit(0L)))
+    val offsets = valueCol.fold(offsets0)(_ => offsets0
+      .withColumn("_off_v", coalesce(sum("_bv").over(wOff), lit(0L))))
+    val kept = pruneOffsets(offsets)
+      .select(col("_grp") +: col("_b") +: col("_off_n") +:
+        valueCol.map(_ => col("_off_v")).toSeq: _*)
+    val wIn = Window.partitionBy("_grp", "_b").orderBy(col("_mk"), col("_key"))
+    val ranked = base.join(broadcast(kept), Seq("_grp", "_b"))
+      .withColumn("_rn", col("_off_n") + row_number().over(wIn))
+    valueCol.fold(ranked)(v => ranked.withColumn("_cum",
+        col("_off_v") + sum(v.cast("long")).over(
+          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .drop("_mk", "_b", "_off_n", "_off_v")
+  }
+
   /** Exact-count stratified take — "mix to a target budget": keep
     * deterministically the first `counts(stratum)` rows per stratum in
     * md5-hash order (the rank form of the same uniform draw as
     * [[stratifiedSample]], so the kept set is stable across re-runs
-    * and engines). Unlisted strata keep `defaultCount`. Unlike the
-    * rate form this pays ONE window shuffle keyed on the stratum —
-    * the price of exact counts; rows in the same stratum co-locate,
-    * so parallelism scales with the stratum count (salt the hash
-    * prefix into the partition key if one stratum dominates).
+    * and engines). Unlisted strata keep `defaultCount`.
+    *
+    * Scale shape: [[bucketedOrderScan]] — 16×|strata| window
+    * parallelism instead of one task per stratum, and buckets whose
+    * rank offset is already past the stratum's count are pruned
+    * before their rows shuffle (the untaken tail of a 100 TB corpus
+    * never moves).
     */
   def stratifiedTake(df: DataFrame, stratumCol: Column, keyCol: Column,
                      counts: Seq[(String, Long)],
                      defaultCount: Long = 0L): DataFrame = {
-    val cnt = counts.foldLeft(lit(defaultCount)) { case (acc, (k, n)) =>
-      when(stratumCol === k, lit(n)).otherwise(acc)
+    def cntOf(c: Column) = counts.foldLeft(lit(defaultCount)) {
+      case (acc, (k, n)) => when(c === k, lit(n)).otherwise(acc)
     }
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(md5(keyCol.cast("string")), keyCol)
-    df.withColumn("_take_rn", row_number().over(w))
-      .filter(col("_take_rn") <= cnt)
-      .drop("_take_rn")
+    val reserved = Seq("_grp", "_key", "_rn")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"stratifiedTake reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")}")
+    bucketedOrderScan(
+        df.withColumn("_grp", stratumCol).withColumn("_key", keyCol),
+        valueCol = None,
+        pruneOffsets = _.filter(col("_off_n") < cntOf(col("_grp"))))
+      .filter(col("_rn") <= cntOf(col("_grp")))
+      .drop("_grp", "_key", "_rn")
   }
 
   /** Temperature-scaled source mixing (the multilingual α-sampling of
@@ -151,22 +218,12 @@ object Sampling {
     * `budget` — the "take N tokens per source/language" cut every
     * mixture recipe specifies in tokens, not documents.
     *
-    * Scale shape (round 12): a single window partitioned by the
-    * group floors parallelism at the DISTINCT-GROUP count — 20
-    * sources in the fixture means 20 tasks on 32 cores, and a
-    * production corpus cut per-language serializes on a handful of
-    * partitions. The md5 sort key is its own range partitioner: the
-    * first hex character splits every group into 16 order-respecting
-    * sub-buckets (each key in bucket '0' sorts before any key in
-    * '1'), so the cumulative sum decomposes into (1) per-(group,
-    * bucket) token totals — a tiny map-reduced frame of ≤16·|groups|
-    * rows whose within-group running sum is each bucket's offset —
-    * and (2) a within-bucket window at 16×|groups| parallelism.
-    * Buckets whose OFFSET already exceeds the budget are pruned
-    * before the window (broadcast inner join): none of their rows
-    * can satisfy `cum ≤ budget`, so the corpus tail never shuffles
-    * at all. Same integer sums, same rows — any single-window engine
-    * (the oracle) reproduces the output bit-for-bit.
+    * Scale shape: [[bucketedOrderScan]] with the token running sum as
+    * the value — 16×|groups| window parallelism, and buckets whose
+    * offset already exceeds the budget are pruned before their rows
+    * shuffle (the corpus tail never moves). Same integer sums, same
+    * rows — any single-window engine (the oracle) reproduces the
+    * output bit-for-bit.
     */
   /** Deterministic round-robin source interleave — the data-ORDER
     * companion to the mixing samplers: rank docs within each source
@@ -176,47 +233,35 @@ object Sampling {
     * guarantee pipelines need when shards are written source-major).
     * Sources of unequal size simply drop out of later rounds.
     *
-    * Scale shape: one window shuffle keyed on the source for the
-    * round number, then a range-partitioned sort on (round, source) —
-    * both standard exchanges; no driver-side state. The emitted ORDER
-    * is the operator's contract (the driver's gate checks row order
-    * exactly).
+    * Scale shape: [[bucketedOrderScan]] for the round number (the
+    * per-source rank no longer serializes on |sources| tasks), then a
+    * range-partitioned sort on (round, source) — standard exchanges;
+    * no driver-side state. The emitted ORDER is the operator's
+    * contract (the driver's gate checks row order exactly).
     */
   def curriculumInterleave(df: DataFrame, idCol: Column,
-                           sourceCol: Column): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("id").cast("string")), col("id"))
-    df.select(sourceCol.as("source"), idCol.cast("long").as("id"))
-      .withColumn("round", row_number().over(w))
+                           sourceCol: Column): DataFrame =
+    bucketedOrderScan(
+        df.select(sourceCol.as("_grp"), idCol.cast("long").as("_key")),
+        valueCol = None)
+      .select(col("_grp").as("source"), col("_key").as("id"),
+        col("_rn").as("round"))
       .orderBy("round", "source", "id")
-  }
 
   def tokenBudgetSample(df: DataFrame, idCol: Column, textCol: Column,
                         groupCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val base = df.select(groupCol.as("grp"), idCol.cast("long").as("id"),
-        TextAnalysis.tokenCountCol(textCol).cast("long").as("n_tokens"))
-      .withColumn("__key", md5(col("id").cast("string")))
-      .withColumn("__b", substring(col("__key"), 1, 1))
-    // bucket offsets: per-(grp, md5-prefix-bucket) token totals, then
-    // the running sum of the PRECEDING buckets within the group — a
-    // ≤16·|groups|-row frame (the per-grp window spans ≤16 rows).
-    // Buckets already past the budget are dropped here, which prunes
-    // their rows from the window via the inner join below.
-    val wOff = Window.partitionBy("grp").orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("grp", "__b")
-      .agg(sum("n_tokens").as("__btot"))
-      .withColumn("__off", coalesce(sum("__btot").over(wOff), lit(0L)))
-      .filter(col("__off") <= budget)
-      .select("grp", "__b", "__off")
-    val wIn = Window.partitionBy("grp", "__b")
-      .orderBy(col("__key"), col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offsets), Seq("grp", "__b"))
-      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wIn))
-      .filter(col("cum_tokens") <= budget)
-      .select(col("grp"), col("id"), col("n_tokens"), col("cum_tokens"))
+    // buckets whose token OFFSET already exceeds the budget cannot
+    // contribute a row with cum ≤ budget (values are nonnegative) —
+    // pruned before their rows ever shuffle
+    bucketedOrderScan(
+        df.select(groupCol.as("_grp"), idCol.cast("long").as("_key"),
+          TextAnalysis.tokenCountCol(textCol).cast("long").as("n_tokens")),
+        valueCol = Some(col("n_tokens")),
+        pruneOffsets = _.filter(col("_off_v") <= budget))
+      .filter(col("_cum") <= budget)
+      .select(col("_grp").as("grp"), col("_key").as("id"),
+        col("n_tokens"), col("_cum").as("cum_tokens"))
   }
 
   /** Target-mixture domain reweighting — the "data recipe" operator:

@@ -1280,19 +1280,43 @@ class LlmSpec extends SparkSpec {
       (5L, "s2"))
       .toDF("doc_id", "source")
     val got = Sampling.curriculumInterleave(d, col("doc_id"), col("source"))
-      .as[(String, Long, Int)].collect()
+      .as[(String, Long, Long)].collect()
     assert(got.length == 6)
     // round 1 contains every source exactly once, in source order
     assert(got.take(3).map(_._1).toSeq == Seq("s0", "s1", "s2"))
     // s2 exhausted after round 1, s1 after round 2
     assert(got.slice(3, 5).map(_._1).toSeq == Seq("s0", "s1"))
-    assert(got(5)._1 == "s0" && got(5)._3 == 3)
+    assert(got(5)._1 == "s0" && got(5)._3 == 3L)
     // per-source round numbers are 1..n_source
-    assert(got.filter(_._1 == "s0").map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    assert(got.filter(_._1 == "s0").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
     // deterministic under re-run
     val again = Sampling.curriculumInterleave(d, col("doc_id"), col("source"))
-      .as[(String, Long, Int)].collect()
+      .as[(String, Long, Long)].collect()
     assert(got.toSeq == again.toSeq)
+  }
+
+  test("stratifiedTake/curriculumInterleave: bucketed rank ≡ single-window row_number") {
+    // randomized parity for the bucketed-order-scan RANK path (the
+    // token-budget test covers the running-sum + prune path)
+    val rnd = new scala.util.Random(11)
+    val d = (0L until 400L).map(i => (i, "s" + rnd.nextInt(5)))
+      .toDF("doc_id", "source")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val refRank = d.withColumn("round", row_number().over(w).cast("long"))
+    // curriculum ≡ naive rank, row for row
+    val got = Sampling.curriculumInterleave(d, col("doc_id"), col("source"))
+    val ref = refRank.select(col("source"), col("doc_id").as("id"), col("round"))
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    // stratifiedTake ≡ naive rank filter, original columns preserved
+    val take = Sampling.stratifiedTake(d, col("source"), col("doc_id"),
+      Seq("s0" -> 7L, "s3" -> 1L), defaultCount = 3L)
+    val cnt = when(col("source") === "s0", 7L)
+      .when(col("source") === "s3", 1L).otherwise(3L)
+    val takeRef = refRank.filter(col("round") <= cnt).drop("round")
+    assert(take.columns.toSeq == d.columns.toSeq)
+    assert(take.exceptAll(takeRef).count() == 0 &&
+      takeRef.exceptAll(take).count() == 0)
   }
 
   test("tokenEntropy: uniform maxes at ln n, constant doc is 0, counts exact") {
