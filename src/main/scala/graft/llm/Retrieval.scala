@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical (keyword) retrieval over a document corpus — the BM25-family
@@ -150,5 +151,79 @@ object Retrieval {
       .limit(k)
       .select(col("id"), (col("score_fp").cast("double") / lit(1048576.0)).as("score"),
         col("n_terms_hit"))
+  }
+
+  /** Batched BM25 top-k — queries as DATA (`qid`, `term` rows), the
+    * scale twin of [[bm25TopK]] the way `bruteTopKBatch` twins
+    * `bruteTopK`: a retrieval pipeline issues probes by the thousand,
+    * and the plan must not grow a branch per query. One corpus tf
+    * pass; the query-term table rides a broadcast hash join to it
+    * (only matching term rows survive the probe), document frequency
+    * is computed once per DISTINCT term (query-independent) and
+    * rejoined, and each query's candidates rank inside a window keyed
+    * on the query id — parallelism scales with the batch. Identical
+    * fixed-point score arithmetic to [[bm25TopK]] (floor-2²⁰ per-term
+    * contributions, summed as integers), so any engine replays the
+    * ranking bit-for-bit.
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val g = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+    val qterms = queries.select(col("qid"), col("term").as("s")).distinct()
+    val dft = tf.join(broadcast(qterms.select("s").distinct()), "s")
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val contrib = col("idf") * (col("tf") * (lit(k1) + lit(1.0))) / denom
+    val w = Window.partitionBy("qid").orderBy(col("score_fp").desc, col("id"))
+    tf.join(broadcast(qterms), "s")
+      .join(dl, "id")
+      .join(broadcast(dft), "s")
+      .crossJoin(broadcast(g))
+      .withColumn("avgdl", col("tot_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("fp", floor(contrib * lit(1048576.0)).cast("long"))
+      .groupBy("qid", "id")
+      .agg(sum("fp").as("score_fp"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"),
+        (col("score_fp").cast("double") / lit(1048576.0)).as("score"),
+        col("n_terms_hit"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval merge
+    * (Cormack et al., SIGIR'09): each candidate list contributes
+    * `1 / (k0 + rank)` per (query, doc), summed across lists; k0=60
+    * is the near-universal default. Scores here are the exact
+    * integer `⌊2²⁰ / (k0 + rank)⌋` — ranks are small integers, so
+    * fusion needs no float arithmetic at all and any engine replays
+    * the fused ORDER bit-for-bit (the reason RRF beats score-mixing
+    * operationally: it never has to calibrate a BM25 score against a
+    * cosine).
+    *
+    * Inputs are two ranked lists `(qid, id, rank)` (extra columns
+    * ignored) — e.g. [[bm25TopKBatch]] and `Similarity.bruteTopKBatch`
+    * / `ivfTopKBatch` output. Scale shape: a union of two
+    * already-k-bounded frames (≤ 2k rows per query), one hash
+    * aggregation on (qid, id), one window keyed on the query —
+    * nothing here ever touches the corpus.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    require(k > 0 && k0 >= 0, s"need k > 0, k0 >= 0; got k=$k k0=$k0")
+    val u = a.select(col("qid"), col("id"), col("rank"))
+      .unionByName(b.select(col("qid"), col("id"), col("rank")))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_fp").desc, col("id"))
+    u.withColumn("fp", expr(s"1048576L div (cast(rank as bigint) + ${k0}L)"))
+      .groupBy("qid", "id")
+      .agg(sum("fp").as("rrf_fp"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rrf_fp"), col("n_lists"), col("rank"))
   }
 }

@@ -1180,6 +1180,54 @@ object LlmQueries {
     * the 50-gram seed hashing at selected anchors, the hub cap and
     * the exact-gram verify.
     */
+  /** The shared 3-query probe batch for the retrieval family
+    * (q175/q176): query terms as DATA rows, the request shape a
+    * production retrieval service issues by the thousand.
+    */
+  private def retrievalQueryBatch(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (0L, "spark"), (0L, "merge"), (0L, "vector"),
+      (1L, "data"), (1L, "pipeline"),
+      (2L, "window"), (2L, "shuffle"), (2L, "partition"), (2L, "join"))
+      .toDF("qid", "term")
+  }
+
+  /** q175 batched BM25 ([[graft.llm.Retrieval.bm25TopKBatch]]):
+    * queries-as-data sparse retrieval — one corpus tf pass and one
+    * qid-keyed ranking window regardless of batch size; qid 0 carries
+    * q96's exact term set so the two plans cross-check. Oracle replays
+    * the identical fixed-point BM25 arithmetic per (qid, doc).
+    */
+  def q175(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopKBatch(Tables.documents(s, d), "doc_id", "text",
+        retrievalQueryBatch(s), k = 5)
+      .select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("n_terms_hit"), col("rank"))
+      .orderBy("qid", "rank")
+
+  /** q176 hybrid retrieval fusion ([[graft.llm.Retrieval.rrfFuse]]):
+    * reciprocal-rank fusion of the sparse BM25 batch (q175's lists at
+    * k=10) with dense cosine top-k over the aligned embeddings
+    * (vec_id ≡ doc_id) — the standard two-tower + lexical merge,
+    * integer-exact because RRF consumes only ranks. The fused window
+    * touches ≤ 2k rows per query; the corpus is never re-read.
+    */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    val sparse = Retrieval.bm25TopKBatch(Tables.documents(s, d), "doc_id",
+      "text", retrievalQueryBatch(s), k = 10)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val dense = Similarity.bruteTopKBatch(emb,
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    Retrieval.rrfFuse(sparse, dense, k = 5)
+      .select(col("qid"), col("id").as("doc_id"), col("rrf_fp"),
+        col("n_lists"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1625,6 +1673,8 @@ object LlmQueries {
     "q171_family_matrix" -> q171 _,
     "q172_curation_funnel" -> q172 _,
     "q174_exact_substrings" -> q174 _,
+    "q175_bm25_batch" -> q175 _,
+    "q176_hybrid_rrf" -> q176 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3521,6 +3571,85 @@ object LlmQueries {
         |       CAST(struct_extract(MIN((a.pos, b.pos)), 2) AS INTEGER) AS pos_b
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id AND a.g = b.g
         |GROUP BY a.id, b.id ORDER BY id_a, id_b""".stripMargin,
+
+    "q175_bm25_batch" ->
+      s"""WITH qt(qid, s) AS (VALUES
+         |    (0, 'spark'), (0, 'merge'), (0, 'vector'),
+         |    (1, 'data'), (1, 'pipeline'),
+         |    (2, 'window'), (2, 'shuffle'), (2, 'partition'), (2, 'join')),
+         |tok AS (SELECT doc_id AS id, unnest($toksExpr) AS s FROM documents),
+         |tf AS (SELECT id, s, COUNT(*) AS tf FROM tok GROUP BY id, s),
+         |dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+         |g AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+         |dft AS (SELECT s, COUNT(*) AS df FROM tf
+         |        WHERE s IN (SELECT s FROM qt) GROUP BY s),
+         |sc AS (
+         |  SELECT qt.qid, tf.id,
+         |    CAST(floor(
+         |      ((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * (tf.tf * (1.2 + 1.0))
+         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+         |                        / (CAST(g.tot AS DOUBLE) / g.n_docs)))
+         |      * 1048576.0) AS BIGINT) AS fp
+         |  FROM tf JOIN qt ON tf.s = qt.s JOIN dl USING (id)
+         |  JOIN dft d ON tf.s = d.s CROSS JOIN g),
+         |agg AS (SELECT qid, id, SUM(fp) AS score_fp, COUNT(*) AS n_terms_hit
+         |        FROM sc GROUP BY qid, id),
+         |rk AS (SELECT qid, id, score_fp, n_terms_hit,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |         ORDER BY score_fp DESC, id) AS INTEGER) AS rank FROM agg)
+         |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id,
+         |       CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+         |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit, rank
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q176_hybrid_rrf" ->
+      s"""WITH qt(qid, s) AS (VALUES
+         |    (0, 'spark'), (0, 'merge'), (0, 'vector'),
+         |    (1, 'data'), (1, 'pipeline'),
+         |    (2, 'window'), (2, 'shuffle'), (2, 'partition'), (2, 'join')),
+         |tok AS (SELECT doc_id AS id, unnest($toksExpr) AS s FROM documents),
+         |tf AS (SELECT id, s, COUNT(*) AS tf FROM tok GROUP BY id, s),
+         |dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+         |g AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+         |dft AS (SELECT s, COUNT(*) AS df FROM tf
+         |        WHERE s IN (SELECT s FROM qt) GROUP BY s),
+         |sc AS (
+         |  SELECT qt.qid, tf.id,
+         |    CAST(floor(
+         |      ((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * (tf.tf * (1.2 + 1.0))
+         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+         |                        / (CAST(g.tot AS DOUBLE) / g.n_docs)))
+         |      * 1048576.0) AS BIGINT) AS fp
+         |  FROM tf JOIN qt ON tf.s = qt.s JOIN dl USING (id)
+         |  JOIN dft d ON tf.s = d.s CROSS JOIN g),
+         |agg AS (SELECT qid, id, SUM(fp) AS score_fp, COUNT(*) AS n_terms_hit
+         |        FROM sc GROUP BY qid, id),
+         |sp AS (SELECT qid, id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY score_fp DESC, id) AS rank FROM agg
+         |       QUALIFY rank <= 10),
+         |dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id < 3),
+         |ds AS (SELECT q.qid, e.vec_id AS id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |           ${dotExpr("e.embedding", "q.qv")}
+         |             / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |                * SQRT(${dotExpr("q.qv", "q.qv")})) DESC,
+         |           e.vec_id) AS rank
+         |       FROM embeddings e CROSS JOIN dq q WHERE e.vec_id <> q.qid
+         |       QUALIFY rank <= 10),
+         |u AS (SELECT CAST(qid AS BIGINT) AS qid, id, rank FROM sp
+         |      UNION ALL SELECT qid, id, rank FROM ds),
+         |f AS (SELECT qid, id, SUM(1048576 // (rank + 60)) AS rrf_fp,
+         |             COUNT(*) AS n_lists FROM u GROUP BY qid, id),
+         |fr AS (SELECT qid, id, rrf_fp, n_lists,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |         ORDER BY rrf_fp DESC, id) AS INTEGER) AS rank FROM f)
+         |SELECT qid, id AS doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+         |       CAST(n_lists AS BIGINT) AS n_lists, rank
+         |FROM fr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q172_curation_funnel" -> {
       val em = TextAnalysis.EmailRe

@@ -510,6 +510,46 @@ class LlmSpec extends SparkSpec {
     assert(multi.find(_.getAs[Long]("id") == 1L).get.getAs[Long]("n_terms_hit") == 2)
   }
 
+  test("bm25TopKBatch: per-qid lists ≡ independent bm25TopK runs") {
+    val docs = Seq(
+      (0L, "spark spark spark join"),
+      (1L, "spark join merge filter scan"),
+      (2L, "join merge filter scan batch"),
+      (3L, "spark spark join merge filter scan batch row column value"))
+      .toDF("doc_id", "text")
+    val batch = Seq((0L, "spark"), (1L, "spark"), (1L, "merge"), (2L, "batch"))
+      .toDF("qid", "term")
+    val got = Retrieval.bm25TopKBatch(docs, "doc_id", "text", batch, k = 10)
+    for ((qid, terms) <- Seq((0L, Seq("spark")), (1L, Seq("spark", "merge")),
+        (2L, Seq("batch")))) {
+      val single = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .withColumn("rank", monotonically_increasing_id()) // order check below
+        .select(col("id"), col("score"), col("n_terms_hit"))
+        .collect().toSeq
+      val mine = got.filter(col("qid") === qid).orderBy("rank")
+        .select(col("id"), col("score"), col("n_terms_hit"))
+        .collect().toSeq
+      assert(mine == single, s"qid $qid diverged from the single-query form")
+    }
+    // duplicated (qid, term) rows must not double-count (distinct guard)
+    val dup = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      batch.unionByName(batch), k = 10)
+    assert(dup.exceptAll(got).count() == 0 && got.exceptAll(dup).count() == 0)
+  }
+
+  test("rrfFuse: hand-computed fixed-point fusion, both-list docs outrank singles") {
+    // qid 0: sparse ranks a=1, b=2; dense ranks b=1, c=2
+    val sparse = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "id", "rank")
+    val dense = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long, Int)].collect().toSeq
+    val r = (n: Int) => 1048576L / (60L + n) // floor division on longs
+    assert(got == Seq(
+      (0L, 11L, r(2) + r(1), 2L, 1),  // in both lists -> fused first
+      (0L, 10L, r(1), 1L, 2),         // sparse-only rank 1
+      (0L, 12L, r(2), 1L, 3)))        // dense-only rank 2
+  }
+
   test("substring dup stats: shared windows counted cross-doc, distinct within doc") {
     // k=4, stride=2: windows of "abcdefgh" at 1,3,5 -> abcd, cdef, efgh
     val df = Seq(
