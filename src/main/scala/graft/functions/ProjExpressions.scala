@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, Literal, QuaternaryExpression, TernaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 
 /** H4 as native Catalyst expressions (SURVEY §7.3 preference order:
   * custom `Expression` with `doGenCode` beats a Scala UDF): UTM ⇄
@@ -330,12 +330,20 @@ object GraftFunctions {
     fn("hashed_gram_hist", "hashed unigram+bigram bucket histogram of a document",
       args => HashedGramHist(args(0), constInt(args(1), "buckets"))),
     fn("gram_counts", "distinct word n-grams of a document with multiplicities",
-      args => GramCounts(args(0), constInt(args(1), "n"))))
+      args => GramCounts(args(0), constInt(args(1), "n"))),
+    fn("bpe_merge", "one greedy BPE merge round over a symbol array",
+      args => BpeMerge(args(0), constStr(args(1), "l"), constStr(args(2), "r"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  private def constStr(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
   }
 
   private def fn(name: String, usage: String, b: Builder) =

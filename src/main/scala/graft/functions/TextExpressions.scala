@@ -625,3 +625,62 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object BpeMergeKernel {
+
+  /** One BPE merge round over a document's symbol sequence: greedy
+    * leftmost non-overlapping replacement of adjacent (l, r) pairs by
+    * the merged symbol `l + " " + r`. Raw whitespace-split tokens
+    * never contain spaces, so the space-joined merged symbol is an
+    * unambiguous new alphabet member (and itself mergeable in later
+    * rounds — standard BPE). A symbol merged in THIS round is never
+    * the left side of another merge in the same round (the merged
+    * symbol is strictly longer than `l`), which makes this linear
+    * scan equivalent to the sequential fold an engine without the
+    * kernel replays (`list_reduce` in the oracle): "a a a" under
+    * (a, a) merges the first two and leaves the third.
+    */
+  def bpeMerge(a: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = a.numElements()
+    val merged = UTF8String.concat(l, UTF8String.fromString(" "), r)
+    val out = new Array[AnyRef](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val cur = a.getUTF8String(i)
+      if (i + 1 < n && cur.equals(l) && a.getUTF8String(i + 1).equals(r)) {
+        out(k) = merged; k += 1; i += 2
+      } else { out(k) = cur; k += 1; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, k).asInstanceOf[Array[Any]])
+  }
+}
+
+/** `bpe_merge(symbols, l, r)`: one greedy BPE merge round — see
+  * [[BpeMergeKernel.bpeMerge]]. `l`/`r` are string literals (the
+  * round's chosen pair shapes the kernel, not the data).
+  */
+case class BpeMerge(child: Expression, l: String, r: String)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  private lazy val lU = UTF8String.fromString(l)
+  private lazy val rU = UTF8String.fromString(r)
+
+  override protected def nullSafeEval(a: Any): Any =
+    BpeMergeKernel.bpeMerge(a.asInstanceOf[ArrayData], lU, rU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeL", lU, "org.apache.spark.unsafe.types.UTF8String")
+    val rRef = ctx.addReferenceObj("bpeR", rU, "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BpeMergeKernel.bpeMerge($a, $lRef, $rRef);")
+  }
+
+  override def prettyName: String = "bpe_merge"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

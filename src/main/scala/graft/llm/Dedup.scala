@@ -286,6 +286,71 @@ object Dedup {
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)
 
+  /** BPE merge-table trainer — `rounds` iterations of the byte-pair-
+    * encoding merge step over whitespace symbols ([[adjacentPairCounts]]
+    * is ONE such round's statistic; this runs the loop): each round
+    * counts adjacent symbol pairs across the corpus, adopts the most
+    * frequent (ties by (left, right) — a total order, so the merge
+    * table is deterministic and engine-reproducible), and rewrites
+    * every document with the greedy leftmost non-overlapping merge
+    * (`bpe_merge` codegen kernel — linear per doc). Merged symbols
+    * join the alphabet (internal space — unambiguous, raw tokens
+    * never contain one) and can themselves merge later, exactly the
+    * standard BPE trainer loop. Returns the merge table
+    * `(round, lhs, rhs, pair_count)` — the model artifact a tokenizer
+    * ships.
+    *
+    * Scale shape: per round, one map-only pair extraction + one
+    * pair-keyed aggregation with map-side partials (the pair
+    * DICTIONARY shuffles, never the corpus), a TakeOrdered(1) for the
+    * argmax (the only driver-side state is the chosen pair — model-
+    * sized, like `fitIvf`'s centroids), and a map-only kernel rewrite
+    * into a `localCheckpoint` that truncates the growing lineage.
+    * Rounds are inherently sequential (each alphabet depends on the
+    * last); the corpus passes are what parallelize. Blocks release
+    * via the caller's session hygiene (graft.core.Materialize).
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    var toks = df
+      .select(graft.llm.TextAnalysis.tokensCol(col(textCol)).as("w"))
+      .filter(size(col("w")) > 1)
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // guard: a doc collapsed to ONE symbol has no pairs — and
+      // sequence(1, 0) would count BACKWARDS (Spark's default step
+      // is -1 when start > stop), indexing past the array
+      val top = toks
+        .filter(size(col("w")) > 1)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("l"),
+            element_at(col("w"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((round, l, r, c))
+        toks = toks
+          .select(call_function("bpe_merge", col("w"), lit(l), lit(r)).as("w"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
   /** Deterministic Bloom filter over a key column: `numHashes` bit
     * positions per key, each `md5(key || '#' || j)`'s top 60 bits mod
     * `numBits`. Returns ONE row holding the sorted distinct set
@@ -989,6 +1054,59 @@ object Dedup {
         / (size(col("g_a")) + size(col("g_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Directional containment pairs — the ASYMMETRIC near-dup the
+    * Jaccard family cannot see: an excerpt, a quoted passage, or a
+    * boilerplate-wrapped copy scores low Jaccard against its source
+    * (the union is dominated by the larger doc) but containment
+    * |A∩B| / |A| ≈ 1 for the smaller side. This is the signal for
+    * "doc is essentially a subset of another" curation decisions
+    * (drop the excerpt, keep the source — or the reverse for
+    * boilerplate stripping).
+    *
+    * Pipeline: per-doc distinct word n-grams off the `gram_counts`
+    * kernel; candidate pairs from a self-join restricted to RARE
+    * grams (document frequency ≤ `maxDf` — the hub cap bounds the
+    * per-gram fan-out to maxDf², and a contained pair by definition
+    * shares doc-specific grams, so the cap costs recall only for
+    * docs duplicated more than maxDf times — those are exact-dedup's
+    * job); exact verify joins each candidate's full gram sets and
+    * intersects. Output keeps both directions (`cont_a_in_b` =
+    * |A∩B|/|A|, the degree to which A sits inside B) and survives
+    * when EITHER direction clears `threshold`.
+    *
+    * Scale shape: every exchange is keyed on gram or doc id; the
+    * gram arrays are per-doc-bounded; the candidate `distinct`
+    * collapses the ≤ maxDf² per-gram fan-out before the (heavier)
+    * verify join. Exact division of two exact integers — any engine
+    * replays the verdict bit-for-bit.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDf: Int = 8,
+                       threshold: Double = 0.5): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
+    val rows = distinctShingleRows(df, idCol, textCol, n)
+    val docGrams = rows.groupBy("id")
+      .agg(sort_array(collect_list("s")).as("g"), count(lit(1)).as("sz"))
+    val rare = rows.join(
+      rows.groupBy("s").agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= maxDf).select("s"), "s")
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(docGrams.select(col("id").as("id_a"), col("g").as("g_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docGrams.select(col("id").as("id_b"), col("g").as("g_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("cont_a_in_b", col("inter").cast("double") / col("sz_a"))
+      .withColumn("cont_b_in_a", col("inter").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+        "cont_a_in_b", "cont_b_in_a")
   }
 
   /** First-occurrence n-gram novelty — per-document attribution of

@@ -1228,6 +1228,52 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q177 directional containment pairs
+    * ([[graft.llm.Dedup.containmentPairs]]): excerpt/boilerplate
+    * detection — the asymmetric near-dup Jaccard misses. The fixture
+    * has no natural excerpts, so every 10th doc contributes a
+    * 120-char prefix excerpt under doc_id+200000: the excerpt's gram
+    * set sits (almost) inside its source's, containment ≈ 1 on the
+    * small side while Jaccard stays low. Oracle replays the rare-gram
+    * candidate generation and the exact intersect verify.
+    */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val excerpts = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        substring(col("text"), 1, 120).as("text"))
+    Dedup.containmentPairs(docs.unionByName(excerpts), "doc_id", "text",
+        n = 3, maxDf = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q178 BPE merge-table trainer ([[graft.llm.Dedup.bpeTrain]]):
+    * three full merge rounds — pair statistics, argmax adoption,
+    * greedy corpus rewrite, repeat — returning the merge table a
+    * tokenizer ships. The oracle unrolls the three rounds as
+    * `list_reduce` folds with the identical greedy leftmost
+    * semantics, so the entire iterative training loop is replayed
+    * bit-for-bit by an independent engine.
+    */
+  def q178(s: SparkSession, d: String): DataFrame =
+    Dedup.bpeTrain(Tables.documents(s, d), "doc_id", "text", rounds = 3)
+      .orderBy("round")
+
+  /** q179 language-ID confusion matrix: predicted language
+    * ([[graft.llm.TextAnalysis.langIdCol]]) against the corpus's
+    * DECLARED `lang` column, with document and character mass per
+    * cell — the audit that tells a curation pipeline where its lang-ID
+    * heuristic disagrees with upstream metadata (and which side to
+    * trust by inspecting the heavy cells). Map-only classify, one
+    * grouped aggregation.
+    */
+  def q179(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang").as("lang_decl"),
+        TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang_decl", "lang_pred")
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1675,6 +1721,9 @@ object LlmQueries {
     "q174_exact_substrings" -> q174 _,
     "q175_bm25_batch" -> q175 _,
     "q176_hybrid_rrf" -> q176 _,
+    "q177_containment_pairs" -> q177 _,
+    "q178_bpe_train" -> q178 _,
+    "q179_langid_confusion" -> q179 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3650,6 +3699,96 @@ object LlmQueries {
          |SELECT qid, id AS doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp,
          |       CAST(n_lists AS BIGINT) AS n_lists, rank
          |FROM fr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q177_containment_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, substr(text, 1, 120) FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |sh0 AS (SELECT doc_id, $toksExpr AS w FROM base),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+         |           i -> concat_ws(' ', w[CAST(i AS INTEGER)],
+         |                          w[CAST(i AS INTEGER) + 1],
+         |                          w[CAST(i AS INTEGER) + 2]))) AS sh
+         |  FROM sh0),
+         |r AS (SELECT doc_id AS id, unnest(sh) AS s FROM sh),
+         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM r GROUP BY id),
+         |dfs AS (SELECT s FROM r GROUP BY s HAVING COUNT(*) <= 8),
+         |rare AS (SELECT r.id, r.s FROM r JOIN dfs USING (s)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id),
+         |i AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |      FROM cand c
+         |      JOIN r ra ON ra.id = c.id_a
+         |      JOIN r rb ON rb.id = c.id_b AND rb.s = ra.s
+         |      GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |       CAST(i.inter AS DOUBLE) / sa.sz AS cont_a_in_b,
+         |       CAST(i.inter AS DOUBLE) / sb.sz AS cont_b_in_a
+         |FROM i JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |WHERE greatest(CAST(i.inter AS DOUBLE) / sa.sz,
+         |               CAST(i.inter AS DOUBLE) / sb.sz) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q179_langid_confusion" ->
+      s"""WITH t AS (SELECT lang, n_chars, text, $toksExpr AS toks FROM documents),
+         |cls AS (
+         |  SELECT lang AS lang_decl, n_chars, CASE
+         |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) > 0 THEN 'ru'
+         |    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) > 0 THEN 'ar'
+         |    WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+         |         / len(toks) >= 0.05 THEN 'en'
+         |    ELSE 'other' END AS lang_pred
+         |  FROM t)
+         |SELECT lang_decl, lang_pred, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM cls GROUP BY lang_decl, lang_pred
+         |ORDER BY lang_decl, lang_pred""".stripMargin,
+
+    "q178_bpe_train" -> {
+      // one greedy leftmost merge round as a list_reduce fold: the
+      // accumulator is the rewritten symbol list; a symbol merged this
+      // round (carrying an internal space, strictly longer than l)
+      // never re-matches as the left side within the same round —
+      // identical semantics to the engine's bpe_merge kernel scan
+      def mergeExpr(l: String, r: String): String =
+        s"""list_reduce(
+           |  list_prepend(CAST([] AS VARCHAR[]), list_transform(w, x -> [x])),
+           |  (acc, x) -> CASE
+           |    WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
+           |    THEN list_append(list_slice(acc, 1, len(acc) - 1),
+           |                     concat($l, ' ', $r))
+           |    ELSE list_append(acc, x[1]) END)""".stripMargin
+      def pairsOf(src: String): String =
+        s"""SELECT struct_extract(s, 'l') AS l, struct_extract(s, 'r') AS r
+           |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+           |    i -> {'l': w[CAST(i AS INTEGER)],
+           |          'r': w[CAST(i AS INTEGER) + 1]})) AS s FROM $src)""".stripMargin
+      def argmax(src: String): String =
+        s"""SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM $src
+           |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+      s"""WITH w1 AS (SELECT w FROM (SELECT $toksExpr AS w FROM documents)
+         |            WHERE len(w) > 1),
+         |p1 AS (${pairsOf("w1")}),
+         |m1 AS (${argmax("p1")}),
+         |w2 AS (SELECT ${mergeExpr("m1.l", "m1.r")} AS w
+         |       FROM w1 CROSS JOIN m1),
+         |p2 AS (${pairsOf("w2")}),
+         |m2 AS (${argmax("p2")}),
+         |w3 AS (SELECT ${mergeExpr("m2.l", "m2.r")} AS w
+         |       FROM w2 CROSS JOIN m2),
+         |p3 AS (${pairsOf("w3")}),
+         |m3 AS (${argmax("p3")})
+         |SELECT 1 AS "round", l AS lhs, r AS rhs, cnt AS pair_count FROM m1
+         |UNION ALL SELECT 2, l, r, cnt FROM m2
+         |UNION ALL SELECT 3, l, r, cnt FROM m3
+         |ORDER BY "round"""".stripMargin
+    },
 
     "q172_curation_funnel" -> {
       val em = TextAnalysis.EmailRe

@@ -550,6 +550,65 @@ class LlmSpec extends SparkSpec {
       (0L, 12L, r(2), 1L, 3)))        // dense-only rank 2
   }
 
+  test("bpe_merge kernel: greedy leftmost non-overlap; merged symbols re-merge later") {
+    graft.functions.GraftFunctions.register(spark)
+    def merge(toks: Seq[String], l: String, r: String): Seq[String] =
+      Seq(Tuple1(toks)).toDF("w")
+        .select(call_function("bpe_merge", col("w"), lit(l), lit(r)).as("m"))
+        .as[Seq[String]].head()
+    // overlap: "a a a" merges the FIRST pair only
+    assert(merge(Seq("a", "a", "a"), "a", "a") == Seq("a a", "a"))
+    // four in a row: two non-overlapping merges
+    assert(merge(Seq("a", "a", "a", "a"), "a", "a") == Seq("a a", "a a"))
+    // no match passes through; partial matches don't fire
+    assert(merge(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "a b", "y"))
+    assert(merge(Seq("a", "x", "b"), "a", "b") == Seq("a", "x", "b"))
+    // a symbol merged earlier is a first-class alphabet member
+    assert(merge(Seq("a b", "c"), "a b", "c") == Seq("a b c"))
+  }
+
+  test("bpeTrain: deterministic merge table on a hand corpus, merged pair re-merges") {
+    // corpus: 3× "lo lo w", 2× "lo w er"
+    // round 1 pairs: (lo,lo)=3, (lo,w)=3+2=5, (w,er)=2 → adopt (lo, w)
+    //   rewrite: [lo, "lo w"]×3, ["lo w", er]×2
+    // round 2 pairs: (lo, "lo w")=3, ("lo w", er)=2 → adopt (lo, "lo w")
+    //   rewrite: ["lo lo w"]×3 (pairless), ["lo w", er]×2
+    // round 3 pairs: ("lo w", er)=2 → adopt it — a round-1 MERGED
+    //   symbol participating as a left side, the BPE recursion
+    val d = (Seq.fill(3)("lo lo w") ++ Seq.fill(2)("lo w er"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.bpeTrain(d, "doc_id", "text", rounds = 3)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "lo", "w", 5L),
+      (2, "lo", "lo w", 3L),
+      (3, "lo w", "er", 2L)))
+    // exhaustion: asking for more rounds than the corpus has pairs
+    // stops at the fixpoint instead of failing
+    val tiny = Seq((0L, "a b")).toDF("doc_id", "text")
+    val t = Dedup.bpeTrain(tiny, "doc_id", "text", rounds = 5)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    assert(t == Seq((1, "a", "b", 1L)))
+  }
+
+  test("containmentPairs: excerpt scores ~1 on its side where Jaccard stays low") {
+    val source = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "alpha beta gamma delta epsilon zeta"   // prefix: 4 grams ⊂ 18
+    val other = "one two three four five six seven eight nine ten"
+    val d = Seq((0L, source), (1L, excerpt), (2L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3, maxDf = 8,
+        threshold = 0.5)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // source has 18 distinct 3-grams, excerpt 4, all shared
+    assert(got == Seq((0L, 1L, 4L, 18L, 4L, 4.0 / 18, 1.0)))
+    // the same pair's Jaccard is 4/18 — under every near-dup threshold
+    assert(4.0 / 18 < 0.5)
+    // threshold above the contained side's score drops the pair
+    assert(Dedup.containmentPairs(d, "doc_id", "text", n = 3, maxDf = 8,
+      threshold = 1.5).isEmpty)
+  }
+
   test("substring dup stats: shared windows counted cross-doc, distinct within doc") {
     // k=4, stride=2: windows of "abcdefgh" at 1,3,5 -> abcd, cdef, efgh
     val df = Seq(
