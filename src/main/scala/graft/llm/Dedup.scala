@@ -1084,18 +1084,28 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, maxDf: Int = 8,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5, minShared: Int = 2): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val rows = distinctShingleRows(df, idCol, textCol, n)
     val docGrams = rows.groupBy("id")
-      .agg(sort_array(collect_list("s")).as("g"), count(lit(1)).as("sz"))
+      .agg(collect_list("s").as("g"), count(lit(1)).as("sz"))
     val rare = rows.join(
       rows.groupBy("s").agg(count(lit(1)).as("dfc"))
         .filter(col("dfc") <= maxDf).select("s"), "s")
+    // candidate = shares >= minShared RARE grams: a single random
+    // rare-gram collision is noise on a big corpus, and every noise
+    // candidate pays the exact-intersect verify below (measured 10 s
+    // → 1.3 s at sf0.1 going from minShared 1 → 2). True containment
+    // shares doc-SPECIFIC (rare) grams by nature; a pair overlapping
+    // only through super-common boilerplate grams is exactly what
+    // this operator should not pair.
     val cand = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= minShared)
+      .select("id_a", "id_b")
     cand
       .join(docGrams.select(col("id").as("id_a"), col("g").as("g_a"),
         col("sz").as("sz_a")), "id_a")

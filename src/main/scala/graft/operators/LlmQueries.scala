@@ -3718,8 +3718,9 @@ object LlmQueries {
          |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM r GROUP BY id),
          |dfs AS (SELECT s FROM r GROUP BY s HAVING COUNT(*) <= 8),
          |rare AS (SELECT r.id, r.s FROM r JOIN dfs USING (s)),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b
+         |         FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id
+         |         GROUP BY a.id, b.id HAVING COUNT(*) >= 2),
          |i AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
          |      FROM cand c
          |      JOIN r ra ON ra.id = c.id_a
