@@ -175,6 +175,50 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / col("k_eval"))
   }
 
+  /** Fixed-point 2²⁰ DCG position weights ⌊2²⁰ / log₂(i+1)⌋ for ranks
+    * 1..k — computed once in the JVM so the engine plan and any
+    * JVM-generated oracle embed the IDENTICAL integer literals (no
+    * cross-engine log() in the compare path).
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1048576.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** ANN ranking-quality audit — nDCG@k of the hyperplane-LSH index
+    * against the exact brute-force ordering, per query: the GRADED
+    * complement of [[annRecall]] (recall treats every truth neighbor
+    * equally; nDCG charges the index more for missing the top
+    * neighbor than the k-th). Relevance of a retrieved doc is its
+    * exact shifted cosine in floor-2²⁰ fixed point (⌊(cos+1)·2²⁰⌋ —
+    * computable for ANY retrieved doc directly, no truth join), the
+    * position discounts are [[ndcgWeights]] integer literals, so both
+    * DCG sums are exact integers and nDCG is one IEEE division —
+    * bit-stable across engines and partitionings. A query whose LSH
+    * bucket is empty scores 0 (left join), surfacing dead buckets the
+    * same way annRecall does.
+    *
+    * Scale shape: identical to [[annRecall]] — one broadcast
+    * cross-score for the truth side over a bounded query sample, the
+    * bucketed join for the LSH side, two qid-keyed aggregations.
+    */
+  def annNdcg(emb: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val wArr = array(ndcgWeights(k).map(lit): _*)
+    def relFp: Column =
+      floor((col("cosine") + lit(1.0)) * lit(1048576.0)).cast("long")
+    def dcgOf(df: DataFrame, name: String): DataFrame = df
+      .select(col("qid"), relFp.as("rel_fp"), col("rank"))
+      .withColumn("w", element_at(wArr, col("rank")))
+      .groupBy("qid").agg(sum(col("rel_fp") * col("w")).as(name))
+    dcgOf(bruteTopKBatch(emb, queries, k), "idcg_fp")
+      .join(dcgOf(lshTopKBatch(emb, queries, k, planes), "dcg_fp"),
+        Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"), col("idcg_fp"),
+        (coalesce(col("dcg_fp"), lit(0L)).cast("double") / col("idcg_fp"))
+          .as("ndcg"))
+  }
+
   /** Per-dimension embedding health audit — dead dimensions (all-zero
     * components), range, and moment sums per coordinate: the checks
     * run before building an ANN index or a quantizer, because a dead

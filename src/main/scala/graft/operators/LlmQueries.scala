@@ -1274,6 +1274,21 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("lang_decl", "lang_pred")
 
+  /** q180 ANN nDCG audit ([[graft.llm.Similarity.annNdcg]]): graded
+    * ranking quality of the 4-plane LSH index vs exact brute force —
+    * the position-weighted complement of q148's recall (missing the
+    * top neighbor costs more than missing the k-th). Same 4-plane
+    * setting that q148 shows "biting" (recall 0–0.4 on the near-
+    * uniform fixture), so the nDCG cells are genuinely discriminating.
+    */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.annNdcg(emb, qs, k = 5, planes = 4)
+      .orderBy("qid")
+  }
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1724,6 +1739,7 @@ object LlmQueries {
     "q177_containment_pairs" -> q177 _,
     "q178_bpe_train" -> q178 _,
     "q179_langid_confusion" -> q179 _,
+    "q180_ann_ndcg" -> q180 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3750,6 +3766,48 @@ object LlmQueries {
          |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM cls GROUP BY lang_decl, lang_pred
          |ORDER BY lang_decl, lang_pred""".stripMargin,
+
+    "q180_ann_ndcg" -> {
+      val w = graft.llm.Similarity.ndcgWeights(5)
+      s"""WITH wl AS (SELECT [${w.mkString(", ")}] AS ws),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 8),
+         |ts AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dotExpr("e.embedding", "q.qv")}
+         |           / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |              * SQRT(${dotExpr("q.qv", "q.qv")})) AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |tr AS (SELECT qid, c,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+         |       FROM ts QUALIFY rank <= 5),
+         |idcg AS (SELECT qid,
+         |           SUM(CAST(floor((c + 1.0) * 1048576.0) AS BIGINT)
+         |               * ws[CAST(rank AS INTEGER)]) AS idcg_fp
+         |         FROM tr CROSS JOIN wl GROUP BY qid),
+         |be AS (SELECT vec_id, embedding, ${bucketExpr("embedding", 4)} AS bucket
+         |       FROM embeddings),
+         |bq AS (SELECT q.qid, q.qv, b.bucket AS qbucket
+         |       FROM q JOIN be b ON b.vec_id = q.qid),
+         |ls AS (
+         |  SELECT bq.qid, e.vec_id,
+         |         ${dotExpr("e.embedding", "bq.qv")}
+         |           / (SQRT(${dotExpr("e.embedding", "e.embedding")})
+         |              * SQRT(${dotExpr("bq.qv", "bq.qv")})) AS c
+         |  FROM be e JOIN bq ON e.bucket = bq.qbucket
+         |  WHERE e.vec_id <> bq.qid),
+         |lr AS (SELECT qid, c,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+         |       FROM ls QUALIFY rank <= 5),
+         |dcg AS (SELECT qid,
+         |          SUM(CAST(floor((c + 1.0) * 1048576.0) AS BIGINT)
+         |              * ws[CAST(rank AS INTEGER)]) AS dcg_fp
+         |        FROM lr CROSS JOIN wl GROUP BY qid)
+         |SELECT i.qid, CAST(COALESCE(d.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+         |       CAST(i.idcg_fp AS BIGINT) AS idcg_fp,
+         |       CAST(COALESCE(d.dcg_fp, 0) AS DOUBLE) / i.idcg_fp AS ndcg
+         |FROM idcg i LEFT JOIN dcg d USING (qid) ORDER BY i.qid""".stripMargin
+    },
 
     "q178_bpe_train" -> {
       // one greedy leftmost merge round as a list_reduce fold: the

@@ -1745,6 +1745,33 @@ class LlmSpec extends SparkSpec {
     assert(got.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 1.0))
   }
 
+  test("annNdcg: perfect bucketed ranking scores 1; weights discount by position") {
+    // scaled copies share their source's direction: cosine 1 to the
+    // copy, bucket identical -> LSH ranking == brute ranking -> nDCG 1
+    val mk = (seed: Long) => Array.tabulate(8)(i =>
+      (((seed * 31 + i * 17) % 23) - 11).toFloat)
+    val base = (0L until 10L).map(i => (i, mk(i)))
+    val emb = (base ++ base.map { case (i, v) => (i + 100, v.map(_ * 2f)) })
+      .toDF("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // k = 1: only the top neighbor (the co-bucketed copy) must be
+    // found — beyond that the LSH bucket legitimately misses truth
+    // neighbors and nDCG < 1 is the correct verdict, not a bug
+    val got = Similarity.annNdcg(emb, qs, k = 1, planes = 3)
+      .orderBy("qid").as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 2 && got.forall(r => r._2 == r._3 && r._4 == 1.0))
+    // at k = 3 the same index pays for the truth neighbors outside
+    // the bucket: nDCG must drop strictly below 1 for some query
+    val k3 = Similarity.annNdcg(emb, qs, k = 3, planes = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(k3.exists(_._4 < 1.0) && k3.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    // the discount table is the exact fixed-point form, strictly
+    // decreasing — missing an early neighbor costs more than a late one
+    val w = Similarity.ndcgWeights(5)
+    assert(w == w.sorted.reverse && w.distinct == w && w.head == 1048576L)
+  }
+
   test("vocabCoverage: head ranks by frequency then token, exact fixed-point shares") {
     val d = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
     val got = TextAnalysis.vocabCoverage(d) // vocab 3 < default cap: all head
