@@ -103,4 +103,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"edit verify must be join-free (texts ride the window):\n$plan")
   }
+
+  test("bucketedOrderScan consumers: the row window partitions by (group, bucket)") {
+    // the round-12 decomposition exists to lift the one-task-per-
+    // group floor: the corpus-side window's sort keys must include
+    // the md5-prefix bucket, and the offsets side must reach the
+    // join as a broadcast (never a corpus-sized shuffle)
+    val d = (0L until 200L).map(i => (i, "tok " * (1 + (i % 7).toInt), "s" + (i % 3)))
+      .toDF("doc_id", "text", "source")
+    val q = graft.llm.Sampling.tokenBudgetSample(d, col("doc_id"), col("text"),
+      col("source"), budget = 100L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // window partition spec carries both _grp and _b
+    assert(plan.contains("windowspecdefinition(_grp"),
+      s"window must partition by the group:\n$plan")
+    assert(plan.matches("(?s).*windowspecdefinition\\(_grp[^\\n]*_b.*"),
+      s"window partition keys must include the md5-prefix bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast to the corpus side:\n$plan")
+  }
 }
