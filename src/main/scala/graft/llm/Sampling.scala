@@ -212,6 +212,33 @@ object Sampling {
       .drop("_cum", "_start")
   }
 
+  /** Fixed-length chunk spans with overlap — the RAG/packing ingest
+    * primitive: each document yields token-space spans `[tok_start,
+    * tok_end)` of `seqLen` tokens advancing by `seqLen − overlap`,
+    * with the final span clipped to the document tail (a document
+    * shorter than `seqLen` yields exactly one span). Pure per-row
+    * integer arithmetic + one generator — embarrassingly parallel, no
+    * shuffle, and any engine replays the spans exactly.
+    */
+  def chunkSpans(df: DataFrame, idCol: Column, textCol: Column,
+                 seqLen: Int, overlap: Int): DataFrame = {
+    require(seqLen > 0 && overlap >= 0 && overlap < seqLen,
+      s"need seqLen > 0 and 0 <= overlap < seqLen, got seqLen=$seqLen overlap=$overlap")
+    val stride = seqLen - overlap
+    val n = TextAnalysis.tokenCountCol(textCol).cast("long")
+    // chunks past the first: ceil((n - seqLen) / stride), integer form
+    val extra = greatest(
+      expr(s"(cast(n_tok as long) - ${seqLen}L + ${stride}L - 1L) div ${stride}L"),
+      lit(0L))
+    df.select(idCol.as("id"), n.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), extra)))
+      .select(col("id"), col("n_tok"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + seqLen, col("n_tok")).as("tok_end"))
+      .withColumn("n_chunk_tokens", col("tok_end") - col("tok_start"))
+  }
+
   /** Token-budget subsample: per group, walk documents in
     * deterministic md5(id) order accumulating whitespace-token
     * counts, and keep the prefix whose cumulative total stays within

@@ -1289,6 +1289,16 @@ object LlmQueries {
       .orderBy("qid")
   }
 
+  /** q181 chunk spans ([[graft.llm.Sampling.chunkSpans]]): overlapped
+    * fixed-length token windows per document — the RAG/packing ingest
+    * cut, 64-token chunks with 16-token overlap. Pure integer span
+    * arithmetic, map-only; oracle replays the same ceil-division.
+    */
+  def q181(s: SparkSession, d: String): DataFrame =
+    Sampling.chunkSpans(Tables.documents(s, d), col("doc_id"), col("text"),
+        seqLen = 64, overlap = 16)
+      .orderBy("id", "chunk_idx")
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1740,6 +1750,7 @@ object LlmQueries {
     "q178_bpe_train" -> q178 _,
     "q179_langid_confusion" -> q179 _,
     "q180_ann_ndcg" -> q180 _,
+    "q181_chunk_spans" -> q181 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3808,6 +3819,19 @@ object LlmQueries {
          |       CAST(COALESCE(d.dcg_fp, 0) AS DOUBLE) / i.idcg_fp AS ndcg
          |FROM idcg i LEFT JOIN dcg d USING (qid) ORDER BY i.qid""".stripMargin
     },
+
+    "q181_chunk_spans" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |                 CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |          FROM documents),
+         |c AS (SELECT id, n_tok,
+         |             unnest(range(0, 1 + greatest((n_tok - 64 + 48 - 1) // 48, 0))) AS chunk_idx
+         |      FROM t WHERE n_tok > 0)
+         |SELECT id, n_tok, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+         |       CAST(least(chunk_idx * 48 + 64, n_tok) AS BIGINT) AS tok_end,
+         |       CAST(least(chunk_idx * 48 + 64, n_tok) - chunk_idx * 48 AS BIGINT) AS n_chunk_tokens
+         |FROM c ORDER BY id, chunk_idx""".stripMargin,
 
     "q178_bpe_train" -> {
       // one greedy leftmost merge round as a list_reduce fold: the

@@ -1418,6 +1418,27 @@ class LlmSpec extends SparkSpec {
       takeRef.exceptAll(take).count() == 0)
   }
 
+  test("chunkSpans: overlap stride, clipped tail, short and empty docs") {
+    // seqLen 5, overlap 2 -> stride 3; 9 tokens -> spans [0,5) [3,8) [6,9)
+    val d = Seq(
+      (0L, "a b c d e f g h i"), // 9 tokens, 3 chunks
+      (1L, "a b c"),             // shorter than seqLen: one clipped span
+      (2L, "a b c d e"),         // exactly seqLen: one full span
+      (3L, ""))                  // token-less: no spans
+      .toDF("doc_id", "text")
+    val got = Sampling.chunkSpans(d, col("doc_id"), col("text"), 5, 2)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 9L, 0L, 0L, 5L, 5L),
+      (0L, 9L, 1L, 3L, 8L, 5L),
+      (0L, 9L, 2L, 6L, 9L, 3L),
+      (1L, 3L, 0L, 0L, 3L, 3L),
+      (2L, 5L, 0L, 0L, 5L, 5L)))
+    // every token position is covered by some span
+    assert(got.filter(_._1 == 0L).flatMap(r => r._4 until r._5).toSet == (0 until 9).toSet)
+  }
+
   test("tokenEntropy: uniform maxes at ln n, constant doc is 0, counts exact") {
     val d = Seq(
       (0L, "a b c d"),     // 4 distinct -> H = ln 4
