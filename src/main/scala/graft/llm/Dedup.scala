@@ -1087,7 +1087,12 @@ object Dedup {
                        threshold: Double = 0.5, minShared: Int = 2): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs df 2), got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val rows = distinctShingleRows(df, idCol, textCol, n)
+    // FOUR consumers read the gram rows (doc arrays, df counts, both
+    // self-join sides) — checkpoint so the shingle kernel pass runs
+    // once, not once per subplan (the tfidfCosinePairs lesson: the
+    // norms frame re-derivation cost 24 parquet scans before its
+    // checkpoint). Blocks release via the caller's session hygiene.
+    val rows = distinctShingleRows(df, idCol, textCol, n).localCheckpoint()
     val docGrams = rows.groupBy("id")
       .agg(collect_list("s").as("g"), count(lit(1)).as("sz"))
     val rare = rows.join(

@@ -74,6 +74,14 @@ object Sampling {
   private def bucketedOrderScan(df: DataFrame, valueCol: Option[Column],
                                 pruneOffsets: DataFrame => DataFrame = identity)
       : DataFrame = {
+    val internal = Seq("_mk", "_b", "_og", "_ob", "_off_n", "_off_v", "_rn", "_cum")
+    val clash = df.columns.toSeq.intersect(internal)
+    require(clash.isEmpty, "bucketedOrderScan reserves columns " +
+      s"${internal.mkString(", ")}; input already has ${clash.mkString(", ")}")
+    // a NULL key hashes to a NULL md5 → NULL bucket, and a NULL group
+    // is a legitimate window partition in the single-window forms this
+    // decomposes — so the bucket/group join below must be NULL-SAFE
+    // (an equi-join would silently drop those rows)
     val base = df
       .withColumn("_mk", md5(col("_key").cast("string")))
       .withColumn("_b", substring(col("_mk"), 1, 1))
@@ -87,15 +95,16 @@ object Sampling {
     val offsets = valueCol.fold(offsets0)(_ => offsets0
       .withColumn("_off_v", coalesce(sum("_bv").over(wOff), lit(0L))))
     val kept = pruneOffsets(offsets)
-      .select(col("_grp") +: col("_b") +: col("_off_n") +:
+      .select(col("_grp").as("_og") +: col("_b").as("_ob") +: col("_off_n") +:
         valueCol.map(_ => col("_off_v")).toSeq: _*)
     val wIn = Window.partitionBy("_grp", "_b").orderBy(col("_mk"), col("_key"))
-    val ranked = base.join(broadcast(kept), Seq("_grp", "_b"))
+    val ranked = base.join(broadcast(kept),
+        col("_grp") <=> col("_og") && col("_b") <=> col("_ob"))
       .withColumn("_rn", col("_off_n") + row_number().over(wIn))
     valueCol.fold(ranked)(v => ranked.withColumn("_cum",
         col("_off_v") + sum(v.cast("long")).over(
           wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-      .drop("_mk", "_b", "_off_n", "_off_v")
+      .drop("_mk", "_b", "_og", "_ob", "_off_n", "_off_v")
   }
 
   /** Exact-count stratified take — "mix to a target budget": keep

@@ -936,9 +936,14 @@ object TextAnalysis {
       col("tok"), col("cnt"), lit(1L).as("n_types"), col("cum_cnt"))
     headRows.unionAll(tailRows)
       .crossJoin(broadcast(totals))
+      // widened share arithmetic: cum_cnt·2²⁰ overflows BIGINT past
+      // ~2⁴³ total tokens, inside the documented 10¹⁴-token envelope —
+      // the product rides DECIMAL(38,0) (the oracle mirrors with
+      // HUGEINT), and the quotient ≤ 2²⁰ drops back to BIGINT exactly
       .select(col("rank_lo"), col("rank_hi"), col("tok"), col("cnt"),
         col("n_types"), col("cum_cnt"),
-        expr("(cum_cnt * 1048576L) div total").as("cum_share_fp"))
+        expr("cast((cast(cum_cnt as decimal(38,0)) * 1048576) div total as bigint)")
+          .as("cum_share_fp"))
   }
 
   /** Robust per-group outlier report — median/MAD instead of

@@ -72,7 +72,14 @@ object LlmQueries {
   private def inputFingerprint(paths: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def walk(x: java.io.File): Unit =
-      if (x.isDirectory) x.listFiles().sortBy(_.getName).foreach(walk)
+      if (x.isDirectory)
+        // listFiles() returns NULL (not empty) on an I/O error or an
+        // unreadable dir — degrade to "no entries" (worst case: one
+        // redundant re-ingest) instead of NPE-ing the whole query.
+        // Residual risk: a same-second regeneration with identical
+        // file sizes fingerprints identically (mtime granularity).
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).foreach(walk)
       else md.update(s"${x.getPath}|${x.length}|${x.lastModified}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     paths.foreach { p => val f = new java.io.File(p); if (f.exists) walk(f) }
@@ -1232,15 +1239,19 @@ object LlmQueries {
     * ([[graft.llm.Dedup.containmentPairs]]): excerpt/boilerplate
     * detection — the asymmetric near-dup Jaccard misses. The fixture
     * has no natural excerpts, so every 10th doc contributes a
-    * 120-char prefix excerpt under doc_id+200000: the excerpt's gram
+    * 120-char prefix excerpt under the mirrored id −doc_id−1: the excerpt's gram
     * set sits (almost) inside its source's, containment ≈ 1 on the
     * small side while Jaccard stays low. Oracle replays the rare-gram
     * candidate generation and the exact intersect verify.
     */
   def q177(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
+    // excerpt ids mirror to the NEGATIVE range: collision-proof
+    // against any fixture size (doc_ids are nonnegative), where a
+    // fixed additive offset would collide past that many docs and
+    // silently violate gramCountRows' one-row-per-id contract
     val excerpts = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 200000L).as("doc_id"),
+      .select((-col("doc_id") - 1L).as("doc_id"),
         substring(col("text"), 1, 120).as("text"))
     Dedup.containmentPairs(docs.unionByName(excerpts), "doc_id", "text",
         n = 3, maxDf = 8, threshold = 0.5)
@@ -2947,7 +2958,7 @@ object LlmQueries {
          |         CAST(hs.head_cum + tb.cum_occ AS BIGINT)
          |  FROM tb CROSS JOIN hs)
          |SELECT rank_lo, rank_hi, tok, cnt, n_types, cum_cnt,
-         |       CAST((cum_cnt * 1048576) // total AS BIGINT) AS cum_share_fp
+         |       CAST((CAST(cum_cnt AS HUGEINT) * 1048576) // total AS BIGINT) AS cum_share_fp
          |FROM u CROSS JOIN t ORDER BY rank_lo""".stripMargin,
 
     "q148_ann_recall" ->
@@ -3731,7 +3742,7 @@ object LlmQueries {
       s"""WITH base AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 200000, substr(text, 1, 120) FROM documents
+         |  SELECT -doc_id - 1, substr(text, 1, 120) FROM documents
          |  WHERE doc_id % 10 = 0),
          |sh0 AS (SELECT doc_id, $toksExpr AS w FROM base),
          |sh AS (

@@ -1439,6 +1439,32 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(_._1 == 0L).flatMap(r => r._4 until r._5).toSet == (0 until 9).toSet)
   }
 
+  test("bucketedOrderScan consumers keep NULL groups and NULL keys (single-window parity)") {
+    // a NULL stratum/source is a legitimate window partition in the
+    // single-window forms; the decomposed bucket join must be
+    // null-safe or those rows silently vanish
+    val d = Seq(
+      (java.lang.Long.valueOf(0L), "a b c", "s0"),
+      (java.lang.Long.valueOf(1L), "d e", null),
+      (java.lang.Long.valueOf(2L), "f g h i", null),
+      (null.asInstanceOf[java.lang.Long], "j k", "s0")) // NULL key too
+      .toDF("doc_id", "text", "source")
+    val take = Sampling.stratifiedTake(d, col("source"), col("doc_id"),
+      Seq("s0" -> 10L), defaultCount = 10L)
+    assert(take.count() == 4, "NULL group/key rows must survive the take")
+    val budget = Sampling.tokenBudgetSample(d, col("doc_id"), col("text"),
+      col("source"), budget = 100L)
+    assert(budget.count() == 4)
+    assert(budget.filter(col("grp").isNull).count() == 2)
+    // reserved-column collision fails fast with a clear message
+    // (stratifiedTake passes the WHOLE frame through the scan; the
+    // other consumers project to fixed names first)
+    val e = intercept[IllegalArgumentException](
+      Sampling.stratifiedTake(d.withColumn("_b", lit("x")),
+        col("source"), col("doc_id"), Seq("s0" -> 1L)))
+    assert(e.getMessage.contains("_b"))
+  }
+
   test("tokenEntropy: uniform maxes at ln n, constant doc is 0, counts exact") {
     val d = Seq(
       (0L, "a b c d"),     // 4 distinct -> H = ln 4
