@@ -189,6 +189,58 @@ object Sketches {
     * histogram. 2U = Σ_s p(s)·(2·cumneg(<s) + q(s)) keeps everything
     * integer; auc_fp = floor(2U·2^20 / (2·n_pos·n_neg)).
     */
+  /** Mergeable bottom-k quantile sketch — grouped quantiles WITHOUT
+    * the per-group full sort `TextAnalysis.groupedQuantiles` pays
+    * (whose own scaladoc says a billion-row group should "reach for
+    * the sketch and give up the oracle"; this sketch keeps the
+    * oracle): the sample is the k rows with the SMALLEST md5(id)
+    * draws per group — a deterministic uniform sample any engine
+    * recomputes exactly — and quantiles are nearest-rank selections
+    * on that sample (error O(1/√k) like any uniform subsample).
+    * Bottom-k sets are mergeable by construction: the bottom-k of a
+    * union is the bottom-k of the merged bottom-k's, so shard
+    * sketches compose like every aggregation here.
+    *
+    * Scale shape, two bounded stages: (1) per-(group, md5-hex-prefix
+    * bucket) windows keep k candidates each at 16×|groups|
+    * parallelism — no window ever sorts a full group; (2) a final
+    * per-group window over ≤ 16·k candidate rows (sketch-sized by
+    * construction) selects the true bottom-k and the quantiles.
+    * Exact per-group row counts ride the same pass (map-side
+    * partials), so `n_rows` is exact while the quantile columns are
+    * sampled — the table every dataset card needs, at any group size.
+    */
+  def bottomKQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                       valueCol: String, k: Int,
+                       quantiles: Seq[(String, Int)]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val drawn = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"),
+        md5(col(idCol).cast("string")).as("_d"))
+      .withColumn("_b", substring(col("_d"), 1, 1))
+    val wB = Window.partitionBy("g", "_b").orderBy(col("_d"), col("v"))
+    val candidates = drawn
+      .withColumn("_rb", row_number().over(wB))
+      .filter(col("_rb") <= k)
+    val wG = Window.partitionBy("g").orderBy(col("_d"), col("v"))
+    val sample = candidates
+      .withColumn("_r", row_number().over(wG))
+      .filter(col("_r") <= k)
+    val sizes = drawn.groupBy("g").agg(count(lit(1)).as("n_rows"))
+    // nearest-rank on the VALUE-ordered sample of size k' = min(k, n)
+    val wV = Window.partitionBy("g").orderBy(col("v"), col("_d"))
+    val ranked = sample
+      .withColumn("_vr", row_number().over(wV))
+      .withColumn("_k", count(lit(1)).over(Window.partitionBy("g")))
+    quantiles.foldLeft(sizes) { case (acc, (label, num)) =>
+      val picked = ranked
+        .filter(col("_vr") === expr(s"(_k * $num + 99) div 100"))
+        .select(col("g"), col("v").as(label))
+      acc.join(picked, "g")
+    }.withColumnRenamed("g", groupCol)
+  }
+
   def rankAuc(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
               labelCol: org.apache.spark.sql.Column): DataFrame = {
     val byScore = df

@@ -1310,6 +1310,19 @@ object LlmQueries {
         seqLen = 64, overlap = 16)
       .orderBy("id", "chunk_idx")
 
+  /** q182 bottom-k quantile sketch
+    * ([[graft.llm.Sketches.bottomKQuantiles]]): grouped length
+    * quantiles from a deterministic md5 bottom-k sample — the
+    * mergeable, oracle-replayable alternative to q134's exact
+    * per-group sort (and to percentile_approx's unverifiable GK
+    * internals). Exact n_rows rides the same pass.
+    */
+  def q182(s: SparkSession, d: String): DataFrame =
+    Sketches.bottomKQuantiles(Tables.documents(s, d), "source", "doc_id",
+        "n_chars", k = 40,
+        Seq("p25" -> 25, "p50" -> 50, "p75" -> 75, "p95" -> 95))
+      .orderBy("source")
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1762,6 +1775,7 @@ object LlmQueries {
     "q179_langid_confusion" -> q179 _,
     "q180_ann_ndcg" -> q180 _,
     "q181_chunk_spans" -> q181 _,
+    "q182_bottomk_quantiles" -> q182 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3843,6 +3857,25 @@ object LlmQueries {
          |       CAST(least(chunk_idx * 48 + 64, n_tok) AS BIGINT) AS tok_end,
          |       CAST(least(chunk_idx * 48 + 64, n_tok) - chunk_idx * 48 AS BIGINT) AS n_chunk_tokens
          |FROM c ORDER BY id, chunk_idx""".stripMargin,
+
+    "q182_bottomk_quantiles" ->
+      s"""WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+         |                  md5(CAST(doc_id AS VARCHAR)) AS dr FROM documents),
+         |samp AS (SELECT g, v, dr,
+         |           ROW_NUMBER() OVER (PARTITION BY g ORDER BY dr, v) AS r
+         |         FROM d QUALIFY r <= 40),
+         |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY g),
+         |rk AS (SELECT g, v,
+         |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, dr) AS vr,
+         |         COUNT(*) OVER (PARTITION BY g) AS kk FROM samp),
+         |q25 AS (SELECT g, v AS p25 FROM rk WHERE vr = (kk * 25 + 99) // 100),
+         |q50 AS (SELECT g, v AS p50 FROM rk WHERE vr = (kk * 50 + 99) // 100),
+         |q75 AS (SELECT g, v AS p75 FROM rk WHERE vr = (kk * 75 + 99) // 100),
+         |q95 AS (SELECT g, v AS p95 FROM rk WHERE vr = (kk * 95 + 99) // 100)
+         |SELECT sz.g AS source, sz.n_rows, q25.p25, q50.p50, q75.p75, q95.p95
+         |FROM sz JOIN q25 USING (g) JOIN q50 USING (g)
+         |JOIN q75 USING (g) JOIN q95 USING (g)
+         |ORDER BY source""".stripMargin,
 
     "q178_bpe_train" -> {
       // one greedy leftmost merge round as a list_reduce fold: the

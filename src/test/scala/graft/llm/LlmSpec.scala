@@ -1465,6 +1465,43 @@ class LlmSpec extends SparkSpec {
     assert(e.getMessage.contains("_b"))
   }
 
+  test("bottomKQuantiles: exact when the group fits in k; decomposition ≡ single window") {
+    // groups smaller than k: the sample IS the group -> quantiles
+    // equal the exact nearest-rank form
+    val small = (0L until 30L).map(i => (i, "g" + (i % 2), (i * 7) % 100))
+      .toDF("id", "g", "v")
+    val sk = Sketches.bottomKQuantiles(small, "g", "id", "v", k = 50,
+        Seq("p50" -> 50, "p90" -> 90))
+      .select(col("g"), col("p50"), col("p90"))
+    val exact = graft.llm.TextAnalysis.groupedQuantiles(
+        small.select(col("g"), col("v").cast("long").as("v")), "g", "v",
+        Seq("p50" -> 50, "p90" -> 90))
+      .select(col("g"), col("p50"), col("p90"))
+    assert(sk.exceptAll(exact).count() == 0 && exact.exceptAll(sk).count() == 0)
+    // larger than k: the bucketed two-stage selection must equal the
+    // single-window bottom-k (same md5 draws, same nearest ranks)
+    val big = (0L until 500L).map(i => (i, "h" + (i % 3), (i * 13) % 997))
+      .toDF("id", "g", "v")
+    val got = Sketches.bottomKQuantiles(big, "g", "id", "v", k = 32,
+      Seq("p50" -> 50))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("dr"), col("v"))
+    val refSample = big
+      .select(col("g"), col("v").cast("long").as("v"),
+        md5(col("id").cast("string")).as("dr"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 32)
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("v"), col("dr"))
+    val ref = refSample
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === expr("(32 * 50 + 99) div 100"))
+      .select(col("g"), col("v").as("p50"))
+    assert(got.select("g", "p50").exceptAll(ref).count() == 0 &&
+      ref.exceptAll(got.select("g", "p50")).count() == 0)
+    // n_rows is exact, not sampled
+    assert(got.agg(sum("n_rows")).head().getLong(0) == 500L)
+  }
+
   test("tokenEntropy: uniform maxes at ln n, constant doc is 0, counts exact") {
     val d = Seq(
       (0L, "a b c d"),     // 4 distinct -> H = ln 4
