@@ -62,6 +62,18 @@ object Sampling {
     * rows at all, which is what turns a prefix-take over 100 TB into
     * a scan that moves only the kept head.
     *
+    * Cost shape: the input projection is computed TWICE (the offsets
+    * aggregation and the ranked side are separate subplans), so an
+    * expensive group expression — q88's lang-ID regexes — pays two
+    * map passes where the single window paid one (measured ~2× at
+    * fixture scale: q88 0.31 → 0.62 s, q129 0.16 → 0.35 s). That is
+    * the intended trade: two embarrassingly-parallel pruned passes
+    * instead of one pass serialized at |groups| tasks — at 1000
+    * executors the window floor loses by orders of magnitude, and
+    * materializing a corpus-cardinality projection to save the second
+    * pass would pin corpus-sized blocks (the wrong memory bet at
+    * 100 TB).
+    *
     * Contract: `_grp` and `_key` columns must exist; adds `_rn`
     * (1-based per-group rank in (md5(_key), _key) order) and, when
     * `valueCol` is set, `_cum` (inclusive per-group running sum) —
