@@ -189,58 +189,6 @@ object Sketches {
     * histogram. 2U = Σ_s p(s)·(2·cumneg(<s) + q(s)) keeps everything
     * integer; auc_fp = floor(2U·2^20 / (2·n_pos·n_neg)).
     */
-  /** Mergeable bottom-k quantile sketch — grouped quantiles WITHOUT
-    * the per-group full sort `TextAnalysis.groupedQuantiles` pays
-    * (whose own scaladoc says a billion-row group should "reach for
-    * the sketch and give up the oracle"; this sketch keeps the
-    * oracle): the sample is the k rows with the SMALLEST md5(id)
-    * draws per group — a deterministic uniform sample any engine
-    * recomputes exactly — and quantiles are nearest-rank selections
-    * on that sample (error O(1/√k) like any uniform subsample).
-    * Bottom-k sets are mergeable by construction: the bottom-k of a
-    * union is the bottom-k of the merged bottom-k's, so shard
-    * sketches compose like every aggregation here.
-    *
-    * Scale shape, two bounded stages: (1) per-(group, md5-hex-prefix
-    * bucket) windows keep k candidates each at 16×|groups|
-    * parallelism — no window ever sorts a full group; (2) a final
-    * per-group window over ≤ 16·k candidate rows (sketch-sized by
-    * construction) selects the true bottom-k and the quantiles.
-    * Exact per-group row counts ride the same pass (map-side
-    * partials), so `n_rows` is exact while the quantile columns are
-    * sampled — the table every dataset card needs, at any group size.
-    */
-  def bottomKQuantiles(df: DataFrame, groupCol: String, idCol: String,
-                       valueCol: String, k: Int,
-                       quantiles: Seq[(String, Int)]): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(quantiles.nonEmpty, "need at least one quantile")
-    val drawn = df.select(col(groupCol).as("g"),
-        col(valueCol).cast("long").as("v"),
-        md5(col(idCol).cast("string")).as("_d"))
-      .withColumn("_b", substring(col("_d"), 1, 1))
-    val wB = Window.partitionBy("g", "_b").orderBy(col("_d"), col("v"))
-    val candidates = drawn
-      .withColumn("_rb", row_number().over(wB))
-      .filter(col("_rb") <= k)
-    val wG = Window.partitionBy("g").orderBy(col("_d"), col("v"))
-    val sample = candidates
-      .withColumn("_r", row_number().over(wG))
-      .filter(col("_r") <= k)
-    val sizes = drawn.groupBy("g").agg(count(lit(1)).as("n_rows"))
-    // nearest-rank on the VALUE-ordered sample of size k' = min(k, n)
-    val wV = Window.partitionBy("g").orderBy(col("v"), col("_d"))
-    val ranked = sample
-      .withColumn("_vr", row_number().over(wV))
-      .withColumn("_k", count(lit(1)).over(Window.partitionBy("g")))
-    quantiles.foldLeft(sizes) { case (acc, (label, num)) =>
-      val picked = ranked
-        .filter(col("_vr") === expr(s"(_k * $num + 99) div 100"))
-        .select(col("g"), col("v").as(label))
-      acc.join(picked, "g")
-    }.withColumnRenamed("g", groupCol)
-  }
-
   def rankAuc(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
               labelCol: org.apache.spark.sql.Column): DataFrame = {
     val byScore = df
@@ -257,5 +205,64 @@ object Sketches {
         sum(col("p") * (lit(2L) * col("cq") + col("q"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
         expr("(u2 * 1048576L) div (2L * n_pos * n_neg)").as("auc_fp"))
+  }
+
+  /** Mergeable bottom-k quantile sketch — grouped quantiles WITHOUT
+    * the per-group full sort `TextAnalysis.groupedQuantiles` pays
+    * (whose own scaladoc says a billion-row group should "reach for
+    * the sketch and give up the oracle"; this sketch keeps the
+    * oracle): the sample is the k rows with the SMALLEST md5(id)
+    * draws per group — a deterministic uniform sample any engine
+    * recomputes exactly — and quantiles are nearest-rank selections
+    * on that sample (error O(1/√k) like any uniform subsample).
+    * Bottom-k sets are mergeable by construction: the bottom-k of a
+    * union is the bottom-k of the merged bottom-k's, so shard
+    * sketches compose like every aggregation here.
+    *
+    * Scale shape, two corpus passes and two bounded stages: pass A
+    * is the exact per-group count (map-side partials); pass B samples
+    * via (1) per-(group, md5-hex-prefix bucket) windows keeping k
+    * candidates each at 16×|groups| parallelism — no window ever
+    * sorts a full group — and (2) a final per-group window over
+    * ≤ 16·k candidate rows (sketch-sized by construction). ALL
+    * quantiles come from ONE conditional aggregation over that sample
+    * (`TextAnalysis.nearestRankAgg` — no per-quantile re-execution),
+    * and the count⋈quantile join is null-safe, so a NULL group is a
+    * first-class stratum end to end.
+    *
+    * Preconditions: `idCol` non-null per corpus contract (a NULL id
+    * has a NULL draw); rows with a NULL value are EXCLUDED up front —
+    * they carry no quantile information, and Spark and SQL engines
+    * disagree on NULL placement in ORDER BY, so admitting them would
+    * break the cross-engine sample. `n_rows` therefore counts rows
+    * with a value.
+    */
+  def bottomKQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                       valueCol: String, k: Int,
+                       quantiles: Seq[(String, Int)]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val drawn = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"),
+        md5(col(idCol).cast("string")).as("_d"))
+      .filter(col("v").isNotNull)
+      .withColumn("_b", substring(col("_d"), 1, 1))
+    val wB = Window.partitionBy("g", "_b").orderBy(col("_d"), col("v"))
+    val candidates = drawn
+      .withColumn("_rb", row_number().over(wB))
+      .filter(col("_rb") <= k)
+    val wG = Window.partitionBy("g").orderBy(col("_d"), col("v"))
+    val sample = candidates
+      .withColumn("_r", row_number().over(wG))
+      .filter(col("_r") <= k)
+    val sizes = drawn.groupBy("g").agg(count(lit(1)).as("n_rows"))
+    // nearest-rank on the VALUE-ordered sample of size k' = min(k, n)
+    val wV = Window.partitionBy("g").orderBy(col("v"), col("_d"))
+    val ranked = sample
+      .withColumn("_vr", row_number().over(wV))
+      .withColumn("_k", count(lit(1)).over(Window.partitionBy("g")))
+    val aggs = TextAnalysis.nearestRankAgg("_vr", "_k", "v", quantiles)
+    val qs = ranked.groupBy(col("g").as("_qg")).agg(aggs.head, aggs.tail: _*)
+    sizes.join(qs, col("g") <=> col("_qg")).drop("_qg")
+      .withColumnRenamed("g", groupCol)
   }
 }

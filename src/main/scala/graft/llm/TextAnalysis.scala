@@ -842,20 +842,38 @@ object TextAnalysis {
     *
     * `quantiles` are (label, numerator) with denominator 100, e.g.
     * ("p50", 50). One window pass; one filter per requested quantile
-    * over the same frame; per-group joins on the tiny result. */
+    * over the same frame; one conditional aggregation selects every
+    * quantile (round 12: the earlier per-quantile filter+join fold
+    * re-executed the ranked pipeline once per quantile and its
+    * equi-joins dropped NULL groups — a groupBy keeps them). */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                        quantiles: Seq[(String, Int)]): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
     val ranked = df.select(col(groupCol), col(valueCol))
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
-    val counts = ranked.filter(col("_rn") === 1)
-      .select(col(groupCol), col("_n").as("n_docs"))
-    quantiles.foldLeft(counts) { case (acc, (label, num)) =>
-      val picked = ranked
-        .filter(col("_rn") === expr(s"(_n * $num + 99) div 100"))
-        .select(col(groupCol), col(valueCol).as(label))
-      acc.join(picked, groupCol)
+    val aggs = max(col("_n")).as("n_docs") +:
+      nearestRankAgg("_rn", "_n", valueCol, quantiles)
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Nearest-rank selection as conditional-aggregation columns: for
+    * each (label, num) pick the value whose rank equals
+    * ⌈n·num/100⌉ (integer form `(n·num + 99) div 100` — no float
+    * p·n). Shared by [[groupedQuantiles]] and
+    * `Sketches.bottomKQuantiles`; exactly one row per group matches
+    * each rank when num ∈ [1, 100] (validated — an out-of-range
+    * numerator would otherwise yield a silent NULL column).
+    */
+  private[llm] def nearestRankAgg(rankCol: String, nCol: String,
+                                  valCol: String,
+                                  quantiles: Seq[(String, Int)]): Seq[Column] = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, n) => n >= 1 && n <= 100 },
+      s"quantile numerators must be in [1, 100], got $quantiles")
+    quantiles.map { case (label, num) =>
+      max(when(col(rankCol) === expr(s"($nCol * $num + 99) div 100"),
+        col(valCol))).as(label)
     }
   }
 

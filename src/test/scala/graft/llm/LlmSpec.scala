@@ -1500,6 +1500,22 @@ class LlmSpec extends SparkSpec {
       ref.exceptAll(got.select("g", "p50")).count() == 0)
     // n_rows is exact, not sampled
     assert(got.agg(sum("n_rows")).head().getLong(0) == 500L)
+    // NULL group = first-class stratum; NULL values excluded up front
+    val withNull = Seq(
+      (0L, Option("gx"), Option(10L)), (1L, None, Option(5L)),
+      (2L, None, Option(7L)), (3L, Option("gx"), None))
+      .toDF("id", "g", "v")
+    val gn = Sketches.bottomKQuantiles(withNull, "g", "id", "v", k = 10,
+      Seq("p50" -> 50))
+    assert(gn.count() == 2, "NULL group must survive as its own stratum")
+    assert(gn.filter(col("g").isNull).head().getLong(1) == 2L) // n_rows
+    assert(gn.filter(col("g") === "gx").head().getLong(1) == 1L) // NULL v excluded
+    // out-of-range quantile numerator fails fast, not silently-empty
+    assertThrows[IllegalArgumentException](
+      Sketches.bottomKQuantiles(withNull, "g", "id", "v", 10, Seq("p0" -> 0)))
+    assertThrows[IllegalArgumentException](
+      graft.llm.TextAnalysis.groupedQuantiles(
+        withNull.filter(col("v").isNotNull), "g", "v", Seq("bad" -> 101)))
   }
 
   test("tokenEntropy: uniform maxes at ln n, constant doc is 0, counts exact") {
