@@ -58,7 +58,7 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    classifier calibration buckets q159, chunk-stitch boundary
   *    reconstruction q160, quality-canonical dedup selection q161,
   *    Hamming-banded binary near-dup q162, distribution-drift PSI
-  *    audit q165, encoding-health audit q166, tokenizer fertility q168, sorted-neighborhood pairs q169, edit-distance verified pairs q170, dedup family-overlap matrix q171, curation survival funnel q172, salted skew join/agg q173, exact-substring dup spans q174, batched BM25 q175, hybrid RRF fusion q176, directional containment pairs q177, BPE merge-table trainer q178, lang-ID confusion matrix q179, ANN nDCG audit q180, RAG chunk spans q181, bottom-k quantile sketch q182
+  *    audit q165, encoding-health audit q166, tokenizer fertility q168, sorted-neighborhood pairs q169, edit-distance verified pairs q170, dedup family-overlap matrix q171, curation survival funnel q172, salted skew join/agg q173, exact-substring dup spans q174, batched BM25 q175, hybrid RRF fusion q176, directional containment pairs q177, BPE merge-table trainer q178, lang-ID confusion matrix q179, ANN nDCG audit q180, RAG chunk spans q181, bottom-k quantile sketch q182, boilerplate strip q183
   *    (LlmQueries)
   *  - q53–q55, q71, q72, q74, q92, q163, q164, q167 events: JSON/string
   *    probes, streaming batch-twins, as-of join, range join, session

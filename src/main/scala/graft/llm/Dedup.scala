@@ -667,6 +667,53 @@ object Dedup {
         (col("n_dup_paras").cast("double") / col("n_paras")).as("dup_frac"))
   }
 
+  /** Boilerplate strip — the REWRITE companion of
+    * [[paragraphDupStats]] (which only reports): segments whose
+    * corpus-wide occurrence count exceeds `maxDf` are dropped from
+    * every document and the text is rebuilt from the surviving
+    * segments in original order (the CCNet-style "dedup the
+    * paragraphs, keep the documents" pass that strips navigation
+    * chrome, cookie banners, and signature blocks). Segments shorter
+    * than `minLen` are kept UNCONDITIONALLY and never counted —
+    * punctuation crumbs carry no boilerplate signal and hashing them
+    * would swamp the frequency table.
+    *
+    * Scale shape: one segment split (id-spread for single-file
+    * inputs), one hash-keyed occurrence aggregation (the segment
+    * DICTIONARY shuffles, map-side partials), a hash join back of
+    * only the over-threshold drops, and a per-doc rebuild whose
+    * state is one document's segments (collect_list bounded by doc
+    * length). Rejoin uses the canonical `". "` delimiter — the
+    * original inter-segment whitespace is not preserved (documented
+    * lossy, same as every sentence-level curation rewrite).
+    *
+    * Output: (id, n_kept, n_dropped, clean_text); a document whose
+    * every segment is boilerplate keeps its row with empty text.
+    */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+                       splitPattern: String = "\\. ", maxDf: Int = 3,
+                       minLen: Int = 10): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val segs = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"), posexplode(split(col("text"), splitPattern)).as(Seq("pos", "p")))
+    val counted = segs.filter(length(col("p")) >= minLen)
+      .select(col("id"), col("pos"), md5(col("p")).as("h"))
+    val drops = counted
+      .join(counted.groupBy("h").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > maxDf).select("h"), "h")
+      .select(col("id"), col("pos"), lit(true).as("_drop"))
+    segs.join(drops, Seq("id", "pos"), "left")
+      .groupBy("id").agg(
+        sum(when(col("_drop").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_drop").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_drop").isNull, struct(col("pos"), col("p"))))),
+          x => x.getField("p")), ". ").as("clean_text"))
+  }
+
   /** LSH calibration report — the tuning instrument for every MinHash
     * parameter choice in this file: over the BANDED CANDIDATE pairs
     * (the same generation as [[minhashLsh]], so the report measures

@@ -1323,6 +1323,26 @@ object LlmQueries {
         Seq("p25" -> 25, "p50" -> 50, "p75" -> 75, "p95" -> 95))
       .orderBy("source")
 
+  /** q183 boilerplate strip ([[graft.llm.Dedup.boilerplateStrip]]):
+    * the paragraph-dedup REWRITE — corpus-frequent segments drop from
+    * every document, text rebuilt in order. The fixture has no
+    * natural boilerplate, so every 5th doc gets a shared trailing
+    * sentence (corpus df 100 >> maxDf 3) that must strip, while each
+    * doc's unique body survives. Oracle replays the split, the
+    * frequency cut, and the ordered string_agg rebuild.
+    */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).select("doc_id", "text")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(". subscribe to the newsletter for daily updates"))
+          .otherwise(lit(""))))
+    Dedup.boilerplateStrip(seeded, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_kept"), col("n_dropped"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1776,6 +1796,7 @@ object LlmQueries {
     "q180_ann_ndcg" -> q180 _,
     "q181_chunk_spans" -> q181 _,
     "q182_bottomk_quantiles" -> q182 _,
+    "q183_boilerplate_strip" -> q183 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3876,6 +3897,30 @@ object LlmQueries {
          |FROM sz JOIN q25 USING (g) JOIN q50 USING (g)
          |JOIN q75 USING (g) JOIN q95 USING (g)
          |ORDER BY source""".stripMargin,
+
+    "q183_boilerplate_strip" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+         |    THEN '. subscribe to the newsletter for daily updates'
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |sp AS (SELECT doc_id AS id,
+         |              string_split_regex(text, '\\. ') AS parts FROM seeded),
+         |segs AS (
+         |  SELECT id, CAST(i AS INTEGER) - 1 AS pos, parts[CAST(i AS INTEGER)] AS p
+         |  FROM sp CROSS JOIN unnest(range(1, len(parts) + 1)) t(i)),
+         |counted AS (SELECT id, pos, md5(p) AS h FROM segs WHERE len(p) >= 10),
+         |hot AS (SELECT h FROM counted GROUP BY h HAVING COUNT(*) > 3),
+         |drops AS (SELECT c.id, c.pos FROM counted c JOIN hot USING (h)),
+         |marked AS (
+         |  SELECT s.id, s.pos, s.p, d.pos IS NOT NULL AS dropped
+         |  FROM segs s LEFT JOIN drops d ON s.id = d.id AND s.pos = d.pos)
+         |SELECT id AS doc_id,
+         |       CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       COALESCE(string_agg(CASE WHEN dropped THEN NULL ELSE p END,
+         |                           '. ' ORDER BY pos), '') AS clean_text
+         |FROM marked GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q178_bpe_train" -> {
       // one greedy leftmost merge round as a list_reduce fold: the

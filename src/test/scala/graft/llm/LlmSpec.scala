@@ -591,6 +591,28 @@ class LlmSpec extends SparkSpec {
     assert(t == Seq((1, "a", "b", 1L)))
   }
 
+  test("boilerplateStrip: hot segments drop everywhere, order kept, crumbs immune") {
+    val bp = "subscribe to our newsletter"
+    val d = Seq(
+      (0L, s"unique body zero alpha. $bp. more zero content here"),
+      (1L, s"$bp. unique body one beta"),
+      (2L, s"unique body two gamma. $bp"),
+      (3L, bp),                       // all-boilerplate -> empty rewrite
+      (4L, s"unique body four delta. ok")) // "ok" < minLen: kept, uncounted
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(d, "doc_id", "text", maxDf = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, "unique body zero alpha. more zero content here"),
+      (1L, 1L, 1L, "unique body one beta"),
+      (2L, 1L, 1L, "unique body two gamma"),
+      (3L, 0L, 1L, ""),
+      (4L, 2L, 0L, "unique body four delta. ok")))
+    // at maxDf >= the boilerplate's df, nothing drops
+    val loose = Dedup.boilerplateStrip(d, "doc_id", "text", maxDf = 4)
+    assert(loose.agg(sum("n_dropped")).head().getLong(0) == 0L)
+  }
+
   test("containmentPairs: excerpt scores ~1 on its side where Jaccard stays low") {
     val source = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
