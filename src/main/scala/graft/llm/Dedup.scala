@@ -649,13 +649,23 @@ object Dedup {
     * the paragraph table is corpus-sized), then one doc-keyed
     * aggregation. The same three-stage shape as q94.
     */
+  /** Shared segment table of the paragraph-level operator pair
+    * ([[paragraphDupStats]] reports, [[boilerplateStrip]] rewrites —
+    * ONE definition of the segment unit, so the report's dup mass and
+    * the rewrite's strip set agree): per doc, ordered segments from
+    * one regex split. NULL text reads as empty text (the row
+    * survives; `posexplode` of a null split would silently drop it).
+    */
+  private def segmentRows(df: DataFrame, idCol: String, textCol: String,
+                          splitPattern: String): DataFrame = df
+    .select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text"))
+    .repartition(col("id")) // single-file inputs otherwise serialize the split
+    .select(col("id"), posexplode(split(col("text"), splitPattern)).as(Seq("pos", "p")))
+
   def paragraphDupStats(df: DataFrame, idCol: String, textCol: String,
                         splitPattern: String = "\\. ",
                         minLen: Int = 20): DataFrame = {
-    val paras = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(col("id")) // single-file inputs otherwise serialize the split
-      .select(col("id"), explode(split(col("text"), splitPattern)).as("p"))
+    val paras = segmentRows(df, idCol, textCol, splitPattern)
       .filter(length(col("p")) >= minLen)
       .select(col("id"), md5(col("p")).as("h"))
     val occ = paras.groupBy("h").agg(count(lit(1)).as("n_occ"))
@@ -673,36 +683,42 @@ object Dedup {
     * every document and the text is rebuilt from the surviving
     * segments in original order (the CCNet-style "dedup the
     * paragraphs, keep the documents" pass that strips navigation
-    * chrome, cookie banners, and signature blocks). Segments shorter
-    * than `minLen` are kept UNCONDITIONALLY and never counted —
-    * punctuation crumbs carry no boilerplate signal and hashing them
-    * would swamp the frequency table.
+    * chrome, cookie banners, and signature blocks). `maxDf` is a
+    * DOCUMENT frequency (distinct docs containing the segment) —
+    * a refrain repeated many times inside ONE document is that
+    * document's own content, not corpus boilerplate, and survives.
+    * Segments shorter than `minLen` are kept UNCONDITIONALLY and
+    * never counted — punctuation crumbs carry no boilerplate signal
+    * and hashing them would swamp the frequency table; the default
+    * matches [[paragraphDupStats]] so the report's dup mass and the
+    * rewrite's strip set describe the same segment universe.
     *
-    * Scale shape: one segment split (id-spread for single-file
-    * inputs), one hash-keyed occurrence aggregation (the segment
-    * DICTIONARY shuffles, map-side partials), a hash join back of
-    * only the over-threshold drops, and a per-doc rebuild whose
-    * state is one document's segments (collect_list bounded by doc
-    * length). Rejoin uses the canonical `". "` delimiter — the
-    * original inter-segment whitespace is not preserved (documented
-    * lossy, same as every sentence-level curation rewrite).
+    * Scale shape: ONE segment split (id-spread for single-file
+    * inputs, checkpointed — the table feeds the frequency agg, the
+    * drops probe, and the rebuild), one hash-keyed doc-frequency
+    * aggregation (the segment DICTIONARY shuffles, map-side
+    * partials), a hash join back of only the over-threshold drops,
+    * and a per-doc rebuild whose state is one document's segments
+    * (collect_list bounded by doc length). Rejoin uses the canonical
+    * `". "` delimiter — the original inter-segment whitespace is not
+    * preserved (documented lossy, same as every sentence-level
+    * curation rewrite). Blocks release via the caller's session
+    * hygiene (graft.core.Materialize).
     *
     * Output: (id, n_kept, n_dropped, clean_text); a document whose
-    * every segment is boilerplate keeps its row with empty text.
+    * every segment is boilerplate keeps its row with empty text, and
+    * a NULL-text document reads as empty text (row preserved).
     */
   def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
                        splitPattern: String = "\\. ", maxDf: Int = 3,
-                       minLen: Int = 10): DataFrame = {
+                       minLen: Int = 20): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val segs = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(col("id"))
-      .select(col("id"), posexplode(split(col("text"), splitPattern)).as(Seq("pos", "p")))
+    val segs = segmentRows(df, idCol, textCol, splitPattern).localCheckpoint()
     val counted = segs.filter(length(col("p")) >= minLen)
       .select(col("id"), col("pos"), md5(col("p")).as("h"))
     val drops = counted
-      .join(counted.groupBy("h").agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") > maxDf).select("h"), "h")
+      .join(counted.groupBy("h").agg(countDistinct("id").as("n_docs"))
+        .filter(col("n_docs") > maxDf).select("h"), "h")
       .select(col("id"), col("pos"), lit(true).as("_drop"))
     segs.join(drops, Seq("id", "pos"), "left")
       .groupBy("id").agg(

@@ -3909,8 +3909,8 @@ object LlmQueries {
          |segs AS (
          |  SELECT id, CAST(i AS INTEGER) - 1 AS pos, parts[CAST(i AS INTEGER)] AS p
          |  FROM sp CROSS JOIN unnest(range(1, len(parts) + 1)) t(i)),
-         |counted AS (SELECT id, pos, md5(p) AS h FROM segs WHERE len(p) >= 10),
-         |hot AS (SELECT h FROM counted GROUP BY h HAVING COUNT(*) > 3),
+         |counted AS (SELECT id, pos, md5(p) AS h FROM segs WHERE len(p) >= 20),
+         |hot AS (SELECT h FROM counted GROUP BY h HAVING COUNT(DISTINCT id) > 3),
          |drops AS (SELECT c.id, c.pos FROM counted c JOIN hot USING (h)),
          |marked AS (
          |  SELECT s.id, s.pos, s.p, d.pos IS NOT NULL AS dropped

@@ -593,13 +593,19 @@ class LlmSpec extends SparkSpec {
 
   test("boilerplateStrip: hot segments drop everywhere, order kept, crumbs immune") {
     val bp = "subscribe to our newsletter"
+    val refrain = "the bells toll again and again tonight"
     val d = Seq(
-      (0L, s"unique body zero alpha. $bp. more zero content here"),
-      (1L, s"$bp. unique body one beta"),
-      (2L, s"unique body two gamma. $bp"),
-      (3L, bp),                       // all-boilerplate -> empty rewrite
-      (4L, s"unique body four delta. ok")) // "ok" < minLen: kept, uncounted
+      (0L, Option(s"unique body zero alpha. $bp. more zero content here")),
+      (1L, Option(s"$bp. unique body one beta")),
+      (2L, Option(s"unique body two gamma. $bp")),
+      (3L, Option(bp)),                       // all-boilerplate -> empty rewrite
+      (4L, Option(s"unique body four delta. ok")), // "ok" < minLen: kept, uncounted
+      // a refrain repeated INSIDE one doc: occurrence count 4 but
+      // document frequency 1 — own content, must NOT strip
+      (5L, Option(s"$refrain. $refrain. $refrain. $refrain")),
+      (6L, None))                             // NULL text: row preserved
       .toDF("doc_id", "text")
+    val bpDf = 4L // docs 0-3 carry the shared sentence
     val got = Dedup.boilerplateStrip(d, "doc_id", "text", maxDf = 3)
       .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
     assert(got == Seq(
@@ -607,9 +613,11 @@ class LlmSpec extends SparkSpec {
       (1L, 1L, 1L, "unique body one beta"),
       (2L, 1L, 1L, "unique body two gamma"),
       (3L, 0L, 1L, ""),
-      (4L, 2L, 0L, "unique body four delta. ok")))
-    // at maxDf >= the boilerplate's df, nothing drops
-    val loose = Dedup.boilerplateStrip(d, "doc_id", "text", maxDf = 4)
+      (4L, 2L, 0L, "unique body four delta. ok"),
+      (5L, 4L, 0L, s"$refrain. $refrain. $refrain. $refrain"),
+      (6L, 1L, 0L, ""))) // the empty segment of the empty text
+    // at maxDf >= the boilerplate's document frequency, nothing drops
+    val loose = Dedup.boilerplateStrip(d, "doc_id", "text", maxDf = bpDf.toInt)
     assert(loose.agg(sum("n_dropped")).head().getLong(0) == 0L)
   }
 
