@@ -7,9 +7,16 @@ import org.apache.spark.sql.execution.ExplainMode
 /** Benchmark main: one warmup + `SPARK_GRAFT_BENCH_ITERS` (default 3)
   * timed runs per query (min-of-5 when the query is sub-second —
   * extra runs are cheap there and one-sided outliers dominate the
-  * small denominators), MINIMUM reported. The JSON line is also
-  * written to `bench_last.json` so a truncated log scrape cannot drop
-  * per-query entries. Min (not median) because
+  * small denominators; never fewer than 2 timed runs even under
+  * budget pressure), MINIMUM reported. The JSON line is emitted
+  * twice — once right after measurement (timeout insurance) and once
+  * as the very last stdout line after spark.stop() (tail-scrape
+  * insurance) — and also written to `bench_last.json` so a truncated
+  * log scrape cannot drop per-query entries. `bench_floors.json`
+  * (committed) accumulates the historical per-query minimum across
+  * clean runs and anchors the deferred-outlier retry, so one spiked
+  * round cannot poison the next round's retry threshold.
+  * Min (not median) because
   * the timing noise in a shared environment is strictly one-sided —
   * JIT/code-cache pressure, co-tenant CPU, GC — so the fastest
   * observed run is the best estimate of the plan's intrinsic cost
@@ -53,6 +60,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Releasing a localCheckpoint'd RDD (Materialize.releaseAll, run
+    // after EVERY timed query) logs a WARN per RDD ("was locally
+    // checkpointed, its lineage has been truncated …"). Across 183
+    // queries × up to 6 runs that is thousands of lines flooding the
+    // tail of the process output — the round-1..12 BENCH artifacts all
+    // show `parsed: null` because the harness's log scrape found WARN
+    // spam where the summary line should be. The release is
+    // intentional (the blocks are dead by contract), so the warning
+    // carries no information here: drop that one logger to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // fixture-schema contract check (see Tables.fixtureDrift): surfaces
     // a driver-side fixture regeneration as readable lines up front
     Tables.fixtureDrift(spark, sfDir)
@@ -115,14 +133,31 @@ object Bench {
       System.err.println("WARN: -XX:ReservedCodeCacheSize not set on this JVM; " +
         "late-query timings may be JIT-degraded (see BASELINE.md harness note)")
 
-    // previous run's per-query record (bench_last.json survives in the
-    // workspace between runs): reference floors for the deferred-retry
-    // pass below. Absent/corrupt file → no floors, no retries.
-    val prevTimes: Map[String, Double] = try {
-      val txt = new String(Files.readAllBytes(Paths.get("bench_last.json")))
-      val m = """"(q[0-9]\w+)":([0-9.eE+-]+)""".r
-      m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+    // Reference floors for the deferred-retry pass below: the
+    // HISTORICAL per-query minimum (`bench_floors.json`, committed;
+    // min-merged with this run's results at the end), min-merged with
+    // the previous run's record (`bench_last.json`) so a brand-new
+    // query gets a floor from its first run. Round-12 lesson: using
+    // bench_last ALONE as the floor meant a query that spiked on the
+    // driver host in round N set an inflated floor for round N+1, so
+    // the SAME query spiking again never re-triggered the retry
+    // (q127: 5.4× in r11, then 4.3× in r12 with no retry because
+    // 1.83 s < 3 × the r11-inflated 2.29 s). The historical floor is
+    // immune to that feedback loop. Absent/corrupt files → no floors,
+    // no retries.
+    def readTimes(path: String): Map[String, Double] = try {
+      val txt = new String(Files.readAllBytes(Paths.get(path)))
+      val m = """"(q[0-9]\w+)":\s*([0-9.eE+-]+)""".r
+      m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble)
+        .filter(_._2 > 0).toMap
     } catch { case _: Throwable => Map.empty }
+    val floorFile = readTimes("bench_floors.json")
+    val lastRun = readTimes("bench_last.json")
+    val prevTimes: Map[String, Double] =
+      (floorFile.keySet ++ lastRun.keySet).map { k =>
+        k -> math.min(floorFile.getOrElse(k, Double.MaxValue),
+                      lastRun.getOrElse(k, Double.MaxValue))
+      }.toMap
 
     // Optional comma-separated subset for local iteration on one
     // query's plan (e.g. SPARK_GRAFT_BENCH_ONLY=q116_tfidf_pairs).
@@ -135,29 +170,41 @@ object Bench {
 
     // Per-query run allowance from the remaining budget: seconds left
     // per remaining query decides the tier. >2.5 s/query affords the
-    // full warmup+3+pad-to-5 protocol; the floor is warmup+1.
+    // full warmup+3+pad-to-5 protocol; the floor is warmup+2 —
+    // NEVER warmup+1. Round-12 lesson: the sweep ran the budget to
+    // the wire (wall 358.8 s / 360), late-alphabet queries dropped to
+    // a single timed run, and min-of-1 made one noisy run the
+    // round's recorded number (the q127/q164 >2× "spikes" carried
+    // gc_ms=0 — not memory pressure, just an unabsorbed outlier).
+    // Two timed runs is the cheapest configuration where a one-sided
+    // burst must hit twice in a row to survive into the record.
     def timedRunsAllowed(): Int = {
       val remQ = math.max(names.size - queriesDone, 1)
       val perQ = (budgetSec - elapsed()) / remQ
-      if (perQ > 2.5) iters.max(1)        // full protocol, padding allowed
-      else if (perQ > 1.2) iters.min(2).max(1)
-      else 1
+      if (perQ > 2.5) iters.max(2)        // full protocol, padding allowed
+      else if (perQ > 1.2) iters.min(3).max(2)
+      else 2
     }
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val runsByQuery = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val loadByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     def timeQuery(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val allowed = timedRunsAllowed()
       heapPools.foreach(_.resetPeakUsage())
       val gc0 = gcNowMs()
+      var runs = 0
       try {
-        runOnce(fn) // warmup: JIT + codegen + file-listing caches
-        var times = (1 to allowed).map(_ => runOnce(fn))
+        runOnce(fn); runs += 1 // warmup: JIT + codegen + file-listing caches
+        var times = (1 to allowed).map { _ => runs += 1; runOnce(fn) }
         // sub-second queries get min-of-5: cheap to re-run, and at
         // that scale a single one-sided multi-second outlier (GC,
         // co-tenant) can otherwise double or triple a recorded min —
         // but only while the budget affords the full protocol
         if (allowed >= iters && times.min < 1.0 && times.size < 5)
-          times = times ++ (times.size until 5).map(_ => runOnce(fn))
+          times = times ++ (times.size until 5).map { _ => runs += 1; runOnce(fn) }
         times.min // min — see scaladoc
       } catch {
         case e: Throwable =>
@@ -170,6 +217,13 @@ object Bench {
         gcMsByQuery(name) = gcNowMs() - gc0
         heapMbByQuery(name) =
           heapPools.map(p => math.max(p.getPeakUsage.getUsed, 0L)).sum >> 20
+        // adjudication telemetry: how many total runs produced this
+        // record (a min-of-2 row is more outlier-prone than min-of-5)
+        // and the 1-minute system load when it finished (co-tenant
+        // CPU shows here; this JVM alone at local[32] contributes
+        // up to ~32)
+        runsByQuery(name) = runsByQuery.getOrElse(name, 0) + runs
+        loadByQuery(name) = osBean.getSystemLoadAverage
       }
     }
 
@@ -230,7 +284,7 @@ object Bench {
     // clamp, so a genuine regression survives (its retry confirms the
     // slow time). Bounded to 10 retries per run.
     val suspects = names.filter(n => merged(n) >= 0 &&
-      prevTimes.get(n).exists(p => p > 0 && merged(n) > 3 * p)).take(10)
+      prevTimes.get(n).exists(p => p > 0 && merged(n) > 3 * p)).take(16)
     for (n <- suspects if elapsed() < budgetSec * 1.1) {
       System.err.println(f"NOTE: ${n} at ${merged(n)}%.2fs > 3x previous " +
         f"${prevTimes(n)}%.2fs — deferred re-time")
@@ -252,13 +306,41 @@ object Bench {
       .mkString("{", ",", "}")
     val heapJson = names.flatMap(n => heapMbByQuery.get(n).map(v => s"${jstr(n)}:$v"))
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"canary_probes":$probesJson,"degraded":$degraded,"codecache_ok":$codeCacheOk,"gc_ms":$gcJson,"heap_mb":$heapJson,"wall":${elapsed()}}"""
+    val runsJson = names.flatMap(n => runsByQuery.get(n).map(v => s"${jstr(n)}:$v"))
+      .mkString("{", ",", "}")
+    val loadJson = names.flatMap(n => loadByQuery.get(n).map(v => f"${jstr(n)}:$v%.1f"))
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"canary_probes":$probesJson,"degraded":$degraded,"codecache_ok":$codeCacheOk,"gc_ms":$gcJson,"heap_mb":$heapJson,"runs":$runsJson,"loadavg":$loadJson,"wall":${elapsed()}}"""
     println(json)
     System.out.flush()
     // also persist the full JSON: a scraped log tail can truncate the
     // (long) queries map and silently drop per-query entries
     try Files.writeString(Paths.get("bench_last.json"), json + "\n")
     catch { case _: Throwable => () }
+    // update the committed historical-floor file: per-query minimum
+    // over every clean (non-degraded) run ever recorded — the retry
+    // reference that a one-round driver spike cannot poison. Only
+    // FULL-SUITE runs at the protocol scale factor qualify: an
+    // sf0.01 iteration run or a BENCH_ONLY subset run must not write
+    // sub-protocol minima into the floor file (a too-low floor makes
+    // every subsequent protocol run "suspect" and burns its retry
+    // budget on healthy queries).
+    val protocolRun = sfDir.contains("sf0.1") && only.isEmpty
+    if (!degraded && protocolRun) try {
+      val updated = (floorFile.keySet ++ merged.keySet).toSeq.sorted.flatMap { k =>
+        val cur = merged.get(k).filter(_ > 0)
+        val old = floorFile.get(k)
+        (cur, old) match {
+          case (Some(c), Some(o)) => Some(k -> math.min(c, o))
+          case (Some(c), None)    => Some(k -> c)
+          case (None, Some(o))    => Some(k -> o)
+          case _                  => None
+        }
+      }
+      val floorsJson = updated.map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString("{\n", ",\n", "\n}\n")
+      Files.writeString(Paths.get("bench_floors.json"), floorsJson)
+    } catch { case _: Throwable => () }
 
     // formatted-plan dump for scale audit. NOT free: building a
     // query's DataFrame runs its driver-side prep (q103 writes its
@@ -267,7 +349,10 @@ object Bench {
     // The clock is checked per query, stopping at 1.2× budget.
     try {
       Files.createDirectories(Paths.get("plans"))
-      for (name <- names if elapsed() < budgetSec * 1.2) {
+      // protocol runs only: an sf0.01 / subset iteration run would
+      // overwrite the committed sf0.1 plan dumps with different
+      // scan stats and churn the git diff
+      for (name <- names if protocolRun && elapsed() < budgetSec * 1.2) {
         // scoped: building a DataFrame runs eager localCheckpoints
         // (LSH signature tables, q174 seeds) — release them per dump
         // or 174 builds accumulate blocks nothing will ever read
@@ -279,6 +364,14 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     spark.stop()
+    // Re-emit the summary as the FINAL stdout line: the early emit
+    // above protects against a timeout mid-plan-dump, but twelve
+    // rounds of `parsed: null` BENCH artifacts show the harness
+    // scrapes the TAIL of the log — which until round 13 was flooded
+    // by plan-dump/unpersist logging. With spark stopped, nothing can
+    // log after this line.
+    println(json)
+    System.out.flush()
     // local[n] leaves no work behind; exit promptly rather than wait
     // out lingering non-daemon threads under a ticking harness timeout
     sys.exit(0)
