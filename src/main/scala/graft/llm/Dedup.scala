@@ -608,18 +608,73 @@ object Dedup {
           col(s"mh${b * rowsPerBand + r}").cast("string")): _*))
       }: _*)).as(Seq("band", "bkey")))
 
+  /** MinHash-LSH near-duplicate pairs: banded bucket join for
+    * candidates, exact-Jaccard verify on the shingle sets.
+    *
+    * Hot-bucket guard (round 13): within one (band, bkey) bucket the
+    * candidate join is |bucket|² — a degenerate corpus (one text
+    * repeated m times, or m near-empty docs sharing a tiny shingle
+    * set) collapses all m docs into ONE bucket per band and the
+    * "never all-pairs" promise silently dies (measured on a 128-copy
+    * corpus: 8,128 clique candidates per band). Buckets larger than
+    * `maxBucket` therefore switch from clique pairing to STAR
+    * pairing — every member paired with the bucket's minimum id —
+    * bounding a hot bucket's candidates at |bucket|−1 (128-copy
+    * corpus: 127 per band, deduped to 127 corpus-wide). Star, not
+    * chain: a chain is a diameter-|bucket| path that the min-label
+    * closure ([[connectedComponents]], 50-round cap) cannot close on
+    * a big bucket, while a star has diameter 2 and closes in one
+    * round. The recall trade is precise: cluster-level recall is
+    * UNCHANGED (star links keep every hot bucket's members in one
+    * connected component, so the closure consumers q70/q146/q161 see
+    * identical clusters — asserted in LlmSpec), while the direct
+    * pair LIST inside a hot bucket is the verified star subset
+    * rather than the full clique (a ≥`maxBucket`-member full-band
+    * collision is near-exact duplication, where the clique adds no
+    * information the closure doesn't already imply). Fixture scale
+    * (measured via [[lshCalibration]]'s bucket census at sf0.1):
+    * 37,511 buckets, worst bucket 6 members, 0 over the cap — the
+    * cap is dormant on every oracle fixture and exercised by the
+    * 128-copy degenerate-corpus spec (8,128 clique candidates per
+    * band uncapped → 127 star pairs capped).
+    *
+    * Signature-estimate pre-verify was CONSIDERED and rejected: a
+    * band collision already forces `numHashes/bands` equal signature
+    * components, lower-bounding the estimator at 0.25 (16/4), and
+    * its per-pair std is ~0.125 — any recall-safe margin under the
+    * default threshold 0.5 prunes nothing. Revisit only for ≥128
+    * hashes, where the estimator is tight enough to gate the
+    * shingle-array fetch.
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-                 shingleLen: Int = 3): DataFrame = {
+                 shingleLen: Int = 3, maxBucket: Int = 64): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val rowsPerBand = numHashes / bands
     val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
     val banded = bandedOf(agg, bands, rowsPerBand)
 
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bkey"))
+    // over-cap buckets: tiny on any healthy corpus (usually empty) —
+    // one map-side-partial aggregation over the banded rows. AQE
+    // broadcasts it when small; a pathological corpus where it is
+    // large still joins sort-merge on the same (band, bkey) key.
+    val hot = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select("band", "bkey")
+    val cool = banded.join(hot, Seq("band", "bkey"), "left_anti")
+
+    val a = cool.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = cool.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val clique = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    // star pairing runs ONLY over hot-bucket rows (the aggregation
+    // never touches the healthy corpus)
+    val star = banded.join(hot, Seq("band", "bkey"))
+      .withColumn("hub", min(col("id")).over(Window.partitionBy("band", "bkey")))
+      .filter(col("id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("id").as("id_b"))
+    val pairs = clique.unionByName(star).distinct()
 
     pairs
       .join(agg.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -757,7 +812,7 @@ object Dedup {
     */
   def lshCalibration(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16, bands: Int = 4,
-                     shingleLen: Int = 3): DataFrame = {
+                     shingleLen: Int = 3, maxBucket: Int = 64): DataFrame = {
     val Fp = 1048576.0 // 2^20
     val rowsPerBand = numHashes / bands
     val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
@@ -791,6 +846,18 @@ object Dedup {
         (col("sum_m").cast("double") / numHashes / col("n_pairs")).as("mean_est"),
         (col("sum_exact").cast("double") / Fp / col("n_pairs")).as("mean_exact"),
         (col("sum_err").cast("double") / Fp / col("n_pairs")).as("mean_abs_err"))
+      // bucket-size calibration (round 13, the minhashLsh hot-bucket
+      // guard's tuning row): every report row carries the corpus'
+      // bucket census — total buckets, worst bucket, and how many
+      // exceed the guard cap — so the operator's |bucket|² exposure
+      // is measurable from the same report that tunes its threshold.
+      // One extra aggregation of the banded rows; 1-row broadcast.
+      .crossJoin(broadcast(
+        banded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max("bn").as("max_bucket"),
+            coalesce(sum(when(col("bn") > maxBucket, 1L).otherwise(0L)),
+              lit(0L)).as("n_over_cap"))))
   }
 
   /** FUZZY cross-corpus decontamination: MinHash-banded train ×

@@ -1872,12 +1872,33 @@ object LlmQueries {
   // margin-stripped, and a second stripMargin would eat the first pipe
   // of any continuation line starting with `||` (turning string concat
   // into bitwise-or in the oracle).
+  // Mirrors Dedup.minhashLsh's hot-bucket guard (maxBucket = 64):
+  // buckets over the cap pair every member with the bucket minimum
+  // (star), the rest pair all-vs-all (clique). Dormant on the
+  // fixtures (worst bucket = 2) but kept in the oracle so the cap
+  // semantics stay oracle-gated.
   private val minhashPairsSql: String =
     s"WITH $minhashBandedCte,\n" +
-    """pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-       |  WHERE a.doc_id < b.doc_id)
+    """hot AS (
+       |  SELECT band, bkey FROM banded GROUP BY band, bkey HAVING COUNT(*) > 64),
+       |cool AS (SELECT * FROM banded ANTI JOIN hot USING (band, bkey)),
+       |clique AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM cool a JOIN cool b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id),
+       |star0 AS (
+       |  SELECT MIN(doc_id) OVER (PARTITION BY band, bkey) AS id_a,
+       |         doc_id AS id_b
+       |  FROM banded SEMI JOIN hot USING (band, bkey)),
+       |star AS (
+       |  SELECT s.id_a, s.id_b, sa.sh AS sh_a, sb.sh AS sh_b
+       |  FROM star0 s
+       |  JOIN sig sa ON sa.doc_id = s.id_a
+       |  JOIN sig sb ON sb.doc_id = s.id_b
+       |  WHERE s.id_a <> s.id_b),
+       |pairs AS (
+       |  SELECT DISTINCT id_a, id_b, sh_a, sh_b FROM
+       |    (SELECT * FROM clique UNION ALL SELECT * FROM star))
        |SELECT id_a, id_b,
        |       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
        |         / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
@@ -2553,11 +2574,18 @@ object LlmQueries {
          |         CAST(floor((CAST(i AS DOUBLE) / u) * 1048576.0) AS BIGINT) AS exact_fp,
          |         CAST(floor(abs(m / 16.0 - CAST(i AS DOUBLE) / u) * 1048576.0) AS BIGINT) AS err_fp
          |  FROM j)
+         |,bstats AS (
+         |  SELECT COUNT(*) AS n_buckets, MAX(bn) AS max_bucket,
+         |         CAST(COALESCE(SUM(CASE WHEN bn > 64 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_over_cap
+         |  FROM (SELECT COUNT(*) AS bn FROM banded GROUP BY band, bkey))
          |SELECT decile, COUNT(*) AS n_pairs,
          |       CAST(SUM(m) AS DOUBLE) / 16 / COUNT(*) AS mean_est,
          |       CAST(SUM(exact_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_exact,
-         |       CAST(SUM(err_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_abs_err
-         |FROM r GROUP BY decile ORDER BY decile""".stripMargin),
+         |       CAST(SUM(err_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_abs_err,
+         |       ANY_VALUE(b.n_buckets) AS n_buckets,
+         |       ANY_VALUE(b.max_bucket) AS max_bucket,
+         |       ANY_VALUE(b.n_over_cap) AS n_over_cap
+         |FROM r CROSS JOIN bstats b GROUP BY decile ORDER BY decile""".stripMargin),
 
     "q138_lsh_ingest" ->
       (s"WITH $minhashBandedCte,\n" +

@@ -34,6 +34,41 @@ class LlmSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("minhash LSH hot-bucket cap: star pairing bounds candidates, closure unchanged") {
+    // 128 copies of one text: every copy lands in the SAME bucket in
+    // every band (identical signatures), so the unguarded clique is
+    // |bucket|² — 8128 candidates per band — while the capped form
+    // stars on the bucket minimum: exactly m-1 distinct pairs
+    // corpus-wide (star, not chain: a chain is a diameter-m path the
+    // 50-round min-label closure cannot close).
+    val m = 128
+    val dup = spark.range(m.toLong).select(col("id").as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+    val capped = Dedup.minhashLsh(dup, "doc_id", "text", threshold = 0.5)
+      .cache()
+    assert(capped.count() == (m - 1).toLong,
+      "hot bucket must emit the (m-1)-pair star, not the clique")
+    // every star pair is an exact duplicate — jaccard 1.0 survives verify
+    assert(capped.filter($"jaccard" < 1.0).count() == 0)
+    // cluster-level recall is UNCHANGED: the star closes into the
+    // same single component the clique would
+    val cappedCc = Dedup.connectedComponents(capped.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val clique = Dedup.minhashLsh(dup, "doc_id", "text", threshold = 0.5,
+      maxBucket = 100000)
+    val cliqueCc = Dedup.connectedComponents(clique.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cappedCc == cliqueCc, "closure must be identical with and without the cap")
+    assert(cappedCc.size == m && cappedCc.values.toSet.size == 1)
+    capped.unpersist()
+    // a mixed corpus below the cap is untouched: same pairs either way
+    val mixed = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mixedUncapped = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5,
+      maxBucket = 100000).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mixed == mixedUncapped)
+  }
+
   test("minhash signature is identical for identical texts, differs otherwise") {
     val sig = docs.select($"doc_id",
       Dedup.minhashSigCol(Dedup.shinglesCol($"text"), 16).as("sig"))
@@ -1643,9 +1678,16 @@ class LlmSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy cat again and again"),
       (3L, "completely different words about spark shuffles and joins here"))
       .toDF("doc_id", "text")
-    val got = Dedup.lshCalibration(d, "doc_id", "text")
-      .orderBy("decile")
+    val full = Dedup.lshCalibration(d, "doc_id", "text").orderBy("decile").cache()
+    // bucket census rides on every row: 4 docs × 4 bands, no bucket
+    // bigger than the (0,1) exact-dup pair, none over the cap
+    val census = full.select("n_buckets", "max_bucket", "n_over_cap")
+      .distinct().as[(Long, Long, Long)].collect()
+    assert(census.length == 1 && census.head._2 == 2L && census.head._3 == 0L)
+    val got = full
+      .select("decile", "n_pairs", "mean_est", "mean_exact", "mean_abs_err")
       .as[(Int, Long, Double, Double, Double)].collect()
+    full.unpersist()
     assert(got.nonEmpty)
     assert(got.forall(r => r._1 >= 0 && r._1 <= 9))
     assert(got.forall(r => r._3 >= 0 && r._3 <= 1 && r._4 >= 0 && r._4 <= 1))
