@@ -1135,7 +1135,22 @@ object Dedup {
       val next = ckpt(canon(
         sNbrs.join(ssMin, "c").select(col("n").as("x"), col("m").as("y"))
           .unionByName(ssMin.select(col("c").as("x"), col("m").as("y")))))
-      done = next.exceptAll(edges).unionByName(edges.exceptAll(next)).isEmpty
+      // Convergence in two tiers (round 13 — this check used to be
+      // TWO exceptAll set-differences per round, the per-round cost
+      // that made this algorithm lose every A/B): (1) a cheap
+      // order-free fingerprint of each edge set — count + XOR-fold
+      // of xxhash64 row hashes (XOR: order-free AND overflow-free
+      // under ANSI, and canon()'s distinct guarantees no
+      // self-cancelling duplicate rows) — ONE aggregation per side;
+      // only if the fingerprints MATCH, (2) the exact exceptAll
+      // confirmation runs, i.e. once at the true fixpoint instead of
+      // every round (a 64-bit collision making unequal sets
+      // fingerprint-equal is caught by the exact tier — the probe
+      // can only save work, never change the answer).
+      def fp(df: DataFrame) = df.agg(
+        count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      done = fp(next) == fp(edges) &&
+        next.exceptAll(edges).unionByName(edges.exceptAll(next)).isEmpty
       edges = next
       it += 1
     }

@@ -632,12 +632,19 @@ object Similarity {
       .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
         greatest(col("vec_id"), col("nbr_id")).as("id_b"))
       .distinct()
-    // kNN graphs chain through embedding space (diameter ~14 rounds
-    // of plain min-propagation measured at sf0.1), so turn on path
-    // compression: rounds drop to O(log diameter). (The star-
-    // contraction CC was ALSO tried here and lost 2× — its per-round
-    // exceptAll convergence check outweighs the round savings at
-    // this edge volume.)
+    // kNN graphs chain through embedding space (12 rounds of
+    // compressed min-propagation measured at sf0.1), so turn on path
+    // compression: rounds drop to O(log diameter). Routing through
+    // [[Dedup.connectedComponentsAlternating]] was A/B'd TWICE: with
+    // its original exceptAll-per-round convergence check it lost 2×;
+    // after that check became fingerprint-probe + one final exact
+    // confirm (round 13) it STILL lost — back-to-back same-box
+    // minima at sf0.1, q123 route: min-prop 3.440/3.535 s vs
+    // alternating 3.654/4.451 s (min of 4 and of 2). At this edge
+    // volume (O(n·k) kNN edges) the alternating form's two star
+    // phases per round — four shuffles — outweigh its fewer rounds;
+    // revisit only if tau drops enough to chain components an order
+    // of magnitude deeper.
     val labels = Dedup.connectedComponents(edges, compress = true)
       .withColumnRenamed("doc_id", "vec_id")
     emb.select(col(idCol).cast("long").as("vec_id"))
