@@ -351,7 +351,11 @@ object Bench {
       Files.createDirectories(Paths.get("plans"))
       // protocol runs only: an sf0.01 / subset iteration run would
       // overwrite the committed sf0.1 plan dumps with different
-      // scan stats and churn the git diff
+      // scan stats and churn the git diff. Some dumps are also
+      // host-shape-sensitive by design (dsirWeight's conditional
+      // pre-kernel spread reads core count × scan layout at plan
+      // time — TextAnalysis.dsirWeight), so q128-family dumps only
+      // compare like-for-like across local[32] protocol hosts.
       for (name <- names if protocolRun && elapsed() < budgetSec * 1.2) {
         // scoped: building a DataFrame runs eager localCheckpoints
         // (LSH signature tables, q174 seeds) — release them per dump

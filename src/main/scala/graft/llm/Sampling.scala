@@ -237,7 +237,9 @@ object Sampling {
     * primitive: each document yields token-space spans `[tok_start,
     * tok_end)` of `seqLen` tokens advancing by `seqLen − overlap`,
     * with the final span clipped to the document tail (a document
-    * shorter than `seqLen` yields exactly one span). Pure per-row
+    * shorter than `seqLen` yields exactly one span; a TOKEN-LESS
+    * document yields no spans at all — there is no token space to
+    * span, and the `n_tok > 0` filter drops it). Pure per-row
     * integer arithmetic + one generator — embarrassingly parallel, no
     * shuffle, and any engine replays the spans exactly.
     */

@@ -230,7 +230,12 @@ object Sketches {
     * and the count⋈quantile join is null-safe, so a NULL group is a
     * first-class stratum end to end.
     *
-    * Preconditions: `idCol` non-null per corpus contract (a NULL id
+    * Preconditions: `valueCol` must be an INTEGRAL type — the sketch
+    * ranks long-cast values, so a fractional column would be silently
+    * truncated and disagree with the exact twin
+    * `TextAnalysis.groupedQuantiles` (which ranks the raw type);
+    * rejected eagerly rather than truncated. `idCol` non-null per
+    * corpus contract (a NULL id
     * has a NULL draw); rows with a NULL value are EXCLUDED up front —
     * they carry no quantile information, and Spark and SQL engines
     * disagree on NULL placement in ORDER BY, so admitting them would
@@ -241,6 +246,11 @@ object Sketches {
                        valueCol: String, k: Int,
                        quantiles: Seq[(String, Int)]): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val vType = df.schema(valueCol).dataType
+    require(Set("byte", "short", "integer", "long")(vType.typeName),
+      s"bottomKQuantiles requires an integral valueCol; " +
+        s"'$valueCol' is ${vType.typeName} — truncating it to long would " +
+        s"silently disagree with groupedQuantiles on the raw type")
     val drawn = df.select(col(groupCol).as("g"),
         col(valueCol).cast("long").as("v"),
         md5(col(idCol).cast("string")).as("_d"))

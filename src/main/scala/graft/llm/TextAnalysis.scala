@@ -615,6 +615,11 @@ object TextAnalysis {
     // parallelism floor. Production parquet splits at
     // maxPartitionBytes, so the exchange never fires there; the
     // single-file bench shape gets a hard parallelism floor.
+    // NOTE: this plan-time decision reads the MACHINE (core count ×
+    // scan partition layout), so committed plans/q128*.txt dumps are
+    // host-shape-sensitive by design — regenerate them only from
+    // protocol runs (local[32], sf0.1); see Bench.scala's plan-dump
+    // guard.
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (pre.rdd.getNumPartitions < cores) pre.repartition(cores) else pre

@@ -62,27 +62,49 @@ object LlmQueries {
     ()
   }
 
-  /** Cheap content fingerprint of the ingest INPUTS (file paths,
-    * sizes, mtimes — no data read): folded into the [[ingestOnce]]
-    * key so a fixture regenerated within one JVM triggers a
-    * re-ingest instead of serving stale at-rest data. The overwrite
-    * write mode keeps the re-ingest into the same scratch dir
-    * idempotent.
+  /** Cheap content fingerprint of the ingest INPUTS: per file, path +
+    * size + mtime + file count, PLUS a bounded content probe — the
+    * first 256 and last 4096 bytes (for parquet the tail IS the
+    * footer: row-group offsets, column stats, created-by — it changes
+    * whenever the data changes, even at identical byte size). Folded
+    * into the [[ingestOnce]] key so a fixture regenerated within one
+    * JVM triggers a re-ingest instead of serving stale at-rest data;
+    * the probe closes the former same-second/same-size blind spot
+    * (mtime granularity + deterministic generators can reproduce both
+    * while the CONTENT differs). I/O cost is ≤4.3 KB per input file,
+    * paid once per distinct ingest key, never per query. The
+    * overwrite write mode keeps the re-ingest into the same scratch
+    * dir idempotent.
     */
   private def inputFingerprint(paths: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    var nFiles = 0L
+    def probe(x: java.io.File): Unit = try {
+      val raf = new java.io.RandomAccessFile(x, "r")
+      try {
+        val head = new Array[Byte](math.min(256L, raf.length()).toInt)
+        raf.readFully(head); md.update(head)
+        val tailLen = math.min(4096L, raf.length())
+        raf.seek(raf.length() - tailLen)
+        val tail = new Array[Byte](tailLen.toInt)
+        raf.readFully(tail); md.update(tail)
+      } finally raf.close()
+    } catch { case _: java.io.IOException => () } // metadata still hashed
     def walk(x: java.io.File): Unit =
       if (x.isDirectory)
         // listFiles() returns NULL (not empty) on an I/O error or an
         // unreadable dir — degrade to "no entries" (worst case: one
         // redundant re-ingest) instead of NPE-ing the whole query.
-        // Residual risk: a same-second regeneration with identical
-        // file sizes fingerprints identically (mtime granularity).
         Option(x.listFiles()).getOrElse(Array.empty[java.io.File])
           .sortBy(_.getName).foreach(walk)
-      else md.update(s"${x.getPath}|${x.length}|${x.lastModified}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else {
+        nFiles += 1
+        md.update(s"${x.getPath}|${x.length}|${x.lastModified}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        probe(x)
+      }
     paths.foreach { p => val f = new java.io.File(p); if (f.exists) walk(f) }
+    md.update(s"|n=$nFiles".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     new java.math.BigInteger(1, md.digest).toString(16).take(12)
   }
 
@@ -1329,11 +1351,14 @@ object LlmQueries {
     * natural boilerplate, so every 5th doc gets a shared trailing
     * sentence (corpus df 100 >> maxDf 3) that must strip, while each
     * doc's unique body survives. Oracle replays the split, the
-    * frequency cut, and the ordered string_agg rebuild.
+    * frequency cut, and the ordered string_agg rebuild. NULL text
+    * coalesces to '' on BOTH sides before seeding (Spark `concat` and
+    * SQL `||` both null-out otherwise), so the strip's row-preserving
+    * NULL contract is oracle-gated, not just unit-tested.
     */
   def q183(s: SparkSession, d: String): DataFrame = {
     val seeded = Tables.documents(s, d).select("doc_id", "text")
-      .withColumn("text", concat(col("text"),
+      .withColumn("text", concat(coalesce(col("text"), lit("")),
         when(col("doc_id") % 5 === 0,
           lit(". subscribe to the newsletter for daily updates"))
           .otherwise(lit(""))))
@@ -3928,7 +3953,7 @@ object LlmQueries {
 
     "q183_boilerplate_strip" ->
       s"""WITH seeded AS (
-         |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+         |  SELECT doc_id, COALESCE(text, '') || CASE WHEN doc_id % 5 = 0
          |    THEN '. subscribe to the newsletter for daily updates'
          |    ELSE '' END AS text
          |  FROM documents),

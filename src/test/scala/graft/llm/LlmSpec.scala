@@ -1578,6 +1578,13 @@ class LlmSpec extends SparkSpec {
     // out-of-range quantile numerator fails fast, not silently-empty
     assertThrows[IllegalArgumentException](
       Sketches.bottomKQuantiles(withNull, "g", "id", "v", 10, Seq("p0" -> 0)))
+    // fractional value column rejected, never silently long-truncated
+    // (the exact twin groupedQuantiles ranks the raw type, so a
+    // truncating cast would make the two disagree without any error)
+    assertThrows[IllegalArgumentException](
+      Sketches.bottomKQuantiles(
+        withNull.withColumn("v", col("v").cast("double")),
+        "g", "id", "v", 10, Seq("p50" -> 50)))
     assertThrows[IllegalArgumentException](
       graft.llm.TextAnalysis.groupedQuantiles(
         withNull.filter(col("v").isNotNull), "g", "v", Seq("bad" -> 101)))

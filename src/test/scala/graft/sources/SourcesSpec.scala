@@ -69,6 +69,33 @@ class SourcesSpec extends SparkSpec {
     assert(pb * 4 < ab * 3, s"packed layout $pb B should be under 3/4 of array layout $ab B")
   }
 
+  test("lossy Int16 at-rest contract holds THROUGH writeCogLayout→readCogLayout") {
+    // the writeCogLayout scaladoc's LOSSY CONTRACT, asserted on the
+    // actual at-rest path (RasterOpsSpec pins the same semantics at
+    // the packBinary level; this pins that the write→read round trip
+    // applies them — a dtypeCode plumbing bug here would silently
+    // widen or re-order the cast chain): fractional samples truncate
+    // TOWARD ZERO, out-of-range saturates at the int cast then
+    // narrows by two's-complement wrap.
+    val dir = Files.createTempDirectory("graft_cog_lossy").resolve("tiles")
+    val vals = Seq(1.9, -3.9, 40000.0, -40000.0, 1e10, -1e10, 0.25, -0.75)
+    val tiles = Seq((7L, 1, 2, 3, vals)).toDF("rid", "band", "tx", "ty", "data")
+    Sinks.writeCogLayout(tiles, dir.toString, buckets = 1, dtypeCode = 16)
+    val back = Sinks.readCogLayout(spark, dir.toString)
+      .select($"data").as[Seq[Double]].head()
+    assert(back == Seq(
+      1.0, -3.0,           // truncation toward zero, both signs
+      -25536.0, 25536.0,   // ±40000 wrap mod 2^16
+      -1.0,                // 1e10 -> Int.MaxValue -> -1 as short
+      0.0,                 // -1e10 -> Int.MinValue -> 0 as short
+      0.0, 0.0),           // sub-integer magnitudes vanish entirely
+      s"Int16 at-rest round trip broke the documented lossy contract: $back")
+    // and the spatial key + identity columns survive the packed write
+    val row = Sinks.readCogLayout(spark, dir.toString)
+      .select($"rid", $"band", $"tx", $"ty").head()
+    assert((row.getLong(0), row.getInt(1), row.getInt(2), row.getInt(3)) == ((7L, 1, 2, 3)))
+  }
+
   test("applyWriteBandRule drops alpha only for lossy photo (B5)") {
     val t = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("band", "v")
     assert(Sinks.applyWriteBandRule(t, lossy = true, kindIsPhoto = true).count() == 3)
