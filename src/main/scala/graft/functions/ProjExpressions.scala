@@ -332,7 +332,9 @@ object GraftFunctions {
     fn("gram_counts", "distinct word n-grams of a document with multiplicities",
       args => GramCounts(args(0), constInt(args(1), "n"))),
     fn("bpe_merge", "one greedy BPE merge round over a symbol array",
-      args => BpeMerge(args(0), constStr(args(1), "l"), constStr(args(2), "r"))))
+      args => BpeMerge(args(0), constStr(args(1), "l"), constStr(args(2), "r"))),
+    fn("ac_term_hits", "per-lexicon-term occurrence counts in one Aho-Corasick pass",
+      args => AcTermHits(args(0), constStrSeq(args(1), "terms"))))
 
   private def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -344,6 +346,26 @@ object GraftFunctions {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
     case other => throw new IllegalArgumentException(
       s"$name must be a string literal, got $other")
+  }
+
+  private def constStrSeq(e: Expression, name: String): Seq[String] = e match {
+    // a foldable array literal (array('a','b') folds to this) — the
+    // lexicon shapes the automaton baked into the plan, not the data
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+      v.toObjectArray(StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+    case other if other.foldable =>
+      other.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData
+            if other.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          a.toObjectArray(StringType)
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+        case _ => throw new IllegalArgumentException(
+          s"$name must be a constant array of strings, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$name must be a constant array of strings, got $other")
   }
 
   private def fn(name: String, usage: String, b: Builder) =

@@ -684,3 +684,174 @@ case class BpeMerge(child: Expression, l: String, r: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Aho–Corasick multi-pattern automaton (Aho & Corasick 1975): ONE
+  * left-to-right pass over a document counts every occurrence of
+  * every lexicon term — including overlaps and nested terms
+  * ("scan" inside "scan slow" both count) — where the naive shape is
+  * K separate `instr`/regexp scans of the same text. At 100 TB a
+  * K-term lexicon (bad-words lists run to hundreds of entries) makes
+  * that a K× scan-cost multiplier; the automaton makes lexicon size
+  * free at match time (goto/fail transitions are O(1) amortized per
+  * char). Matching is SUBSTRING semantics on exact chars — callers
+  * wanting word boundaries pad terms with spaces, wanting case
+  * folding lower() both sides (see `TextAnalysis.lexiconTag`).
+  *
+  * Occurrence counts are indexing-unit independent (the automaton
+  * walks UTF-16 units, a SQL oracle walks code points): a match is a
+  * byte-aligned substring occurrence either way — a term cannot
+  * begin mid-surrogate because high/low surrogate ranges are
+  * disjoint — so `substr`-position replays agree exactly.
+  *
+  * Serializable plain-array form (goto maps, fail links, flattened
+  * output lists) so one built automaton ships to executors inside
+  * the codegen references array instead of rebuilding per task.
+  */
+final class AhoCorasick(terms: Array[String]) extends Serializable {
+  require(terms.nonEmpty, "lexicon must be non-empty")
+  require(terms.forall(_.nonEmpty), "lexicon terms must be non-empty strings")
+  require(terms.distinct.length == terms.length,
+    "lexicon terms must be distinct (duplicate entries would double-count)")
+
+  val nTerms: Int = terms.length
+
+  // trie build (growable), then frozen to arrays
+  private val gotoMaps = {
+    val children = new java.util.ArrayList[java.util.HashMap[Character, Integer]]()
+    val ends = new java.util.ArrayList[java.util.ArrayList[Integer]]()
+    children.add(new java.util.HashMap()); ends.add(new java.util.ArrayList())
+    var ti = 0
+    while (ti < terms.length) {
+      var s = 0
+      val t = terms(ti)
+      var i = 0
+      while (i < t.length) {
+        val m = children.get(s)
+        var nx = m.get(t.charAt(i))
+        if (nx == null) {
+          children.add(new java.util.HashMap())
+          ends.add(new java.util.ArrayList())
+          nx = children.size() - 1
+          m.put(t.charAt(i), nx)
+        }
+        s = nx
+        i += 1
+      }
+      ends.get(s).add(ti)
+      ti += 1
+    }
+    (children, ends)
+  }
+  private val children = gotoMaps._1
+  private val nNodes = children.size()
+  // BFS fail links + flattened outputs (out(s) = ends(s) ++ out(fail(s)))
+  private val fail = new Array[Int](nNodes)
+  private val out: Array[Array[Int]] = {
+    val ends = gotoMaps._2
+    val o = new Array[Array[Int]](nNodes)
+    o(0) = ends.get(0).toArray(new Array[Integer](0)).map(_.intValue)
+    val q = new java.util.ArrayDeque[Integer]()
+    children.get(0).forEach { (_, c) =>
+      fail(c) = 0
+      o(c) = (ends.get(c).toArray(new Array[Integer](0)).map(_.intValue)
+        ++ o(0))
+      q.add(c)
+    }
+    while (!q.isEmpty) {
+      val u = q.poll()
+      children.get(u).forEach { (ch, v) =>
+        // walk fail chain for the child's fail state
+        var f = fail(u)
+        var hop = children.get(f).get(ch)
+        while (hop == null && f != 0) { f = fail(f); hop = children.get(f).get(ch) }
+        fail(v) = if (hop == null || hop == v) 0 else hop.intValue
+        o(v) = (ends.get(v).toArray(new Array[Integer](0)).map(_.intValue)
+          ++ o(fail(v)))
+        q.add(v)
+      }
+    }
+    o
+  }
+
+  private def step(state: Int, ch: Char): Int = {
+    var s = state
+    var nx = children.get(s).get(ch)
+    while (nx == null && s != 0) { s = fail(s); nx = children.get(s).get(ch) }
+    if (nx == null) 0 else nx.intValue
+  }
+
+  /** Per-term occurrence counts over one document (counts every match
+    * end position; overlaps and nested terms all count).
+    */
+  def termCounts(text: String): Array[Long] = {
+    val counts = new Array[Long](nTerms)
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      s = step(s, text.charAt(i))
+      val hits = out(s)
+      var j = 0
+      while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+      i += 1
+    }
+    counts
+  }
+
+  /** The codegen entry: (t INT, c BIGINT) rows for terms with c > 0,
+    * ascending term index; empty array (never null) for no-hit docs.
+    */
+  def termHitRows(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val counts = termCounts(text.toString)
+    var nz = 0
+    var i = 0
+    while (i < counts.length) { if (counts(i) > 0) nz += 1; i += 1 }
+    val rows = new Array[Any](nz)
+    var o = 0
+    i = 0
+    while (i < counts.length) {
+      if (counts(i) > 0) {
+        rows(o) = new GenericInternalRow(Array[Any](i, counts(i)))
+        o += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** `ac_term_hits(text, array('t0','t1',…))`: per-term occurrence
+  * counts of a constant lexicon in one Aho–Corasick pass — see
+  * [[AhoCorasick]]. The lexicon is a literal (it shapes the automaton
+  * baked into the plan, not the data); rows are (t, c) with t the
+  * 0-based index into the lexicon array, only hit terms present.
+  */
+case class AcTermHits(child: Expression, terms: Seq[String])
+    extends UnaryExpression with Serializable {
+
+  // plain val: lexicon validation fails at plan time on the driver,
+  // and the one built automaton ships (Serializable) to executors
+  private val ac = new AhoCorasick(terms.toArray)
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    ac.termHitRows(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAuto", ac, "graft.functions.AhoCorasick")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $acRef.termHitRows($t);")
+  }
+
+  override def prettyName: String = "ac_term_hits"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1009,4 +1009,78 @@ object TextAnalysis {
         coalesce(sum(when(col("_out"), col(valueCol).cast("long"))), lit(0L))
           .as("outlier_mass"))
   }
+
+  /** Lexicon tagging — the bad-words / safety-term / watchlist filter
+    * every curation pipeline runs: per document, occurrence counts of
+    * a constant term list in ONE Aho–Corasick pass
+    * ([[graft.functions.AhoCorasick]], the `ac_term_hits` kernel)
+    * where the naive form is K separate `instr`/regexp scans of the
+    * same text — a K× scan-cost multiplier at 100 TB for the
+    * hundreds-of-entries lists these filters actually use.
+    *
+    * Matching contract: SUBSTRING semantics on exact chars, every
+    * occurrence counted (overlaps and nested terms included — "scan"
+    * inside "scan slow" hits both). Callers wanting word boundaries
+    * pad terms with spaces; wanting case folding, lower() the column
+    * and the lexicon. NULL text reads as empty text (row preserved,
+    * zero hits). Terms must be distinct and non-empty (plan-time
+    * failure otherwise).
+    *
+    * Output per doc: `n_hits` (total occurrences), `n_terms`
+    * (distinct lexicon entries hit), `top_term`/`top_count` (the
+    * most frequent term, ties to the smallest lexicon index; NULL
+    * for hit-less docs).
+    *
+    * Scale shape: per-row kernel + array folds — NO shuffle at all;
+    * the plan is scan → project. Everything downstream (filtering on
+    * n_hits, joining tags) composes relationally.
+    */
+  def lexiconTag(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val tl = typedLit(terms)
+    val tagged = df.select(col(idCol).as("id"),
+      call_function("ac_term_hits",
+        coalesce(col(textCol), lit("")), tl).as("h"))
+    // argmax as an array fold: max (c, -t) struct = highest count,
+    // then smallest index — deterministic on any engine
+    tagged.select(col("id"),
+        col("h"),
+        array_max(transform(col("h"),
+          e => struct(e.getField("c").as("c"),
+            (-e.getField("t")).as("nt")))).as("_top"))
+      .select(col("id"),
+        aggregate(col("h"), lit(0L), (a, e) => a + e.getField("c"))
+          .as("n_hits"),
+        size(col("h")).as("n_terms"),
+        element_at(tl, (-col("_top.nt")) + 1).as("top_term"),
+        col("_top.c").as("top_count"))
+  }
+
+  /** Corpus-level lexicon statistics — the companion report of
+    * [[lexiconTag]]: per lexicon term, total occurrences and document
+    * frequency, INCLUDING zero-hit terms (a curation run needs to see
+    * which blocklist entries never fire). One kernel pass per doc,
+    * one explode bounded by hit volume, one |lexicon|-key aggregation
+    * (bounded-width shuffle), and a left join against the |lexicon|-
+    * row inventory — nothing scales with corpus size except the scan.
+    */
+  def lexiconTermStats(df: DataFrame, textCol: String,
+                       terms: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val tl = typedLit(terms)
+    val hits = df
+      .select(call_function("ac_term_hits",
+        coalesce(col(textCol), lit("")), tl).as("h"))
+      .select(explode(col("h")).as("e"))
+      .groupBy(col("e.t").as("t"))
+      .agg(sum(col("e.c")).as("n_occ"), count(lit(1)).as("n_docs"))
+    val lex = df.sparkSession.range(terms.length)
+      .select(col("id").cast("int").as("t"),
+        element_at(tl, col("id").cast("int") + 1).as("term"))
+    lex.join(hits, Seq("t"), "left")
+      .select(col("t"), col("term"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
 }

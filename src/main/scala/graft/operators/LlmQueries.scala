@@ -1368,6 +1368,39 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared lexicon of q184/q185 — chosen to exercise the automaton's
+    * hard cases on the fixture vocabulary: nested terms ("gg" inside
+    * "agg"), shared-prefix phrases ("fast" / "fast scan"), multi-word
+    * phrases spanning token boundaries, and a self-overlapping
+    * pattern ("a a" in "a a a" counts twice).
+    */
+  private val Lexicon = Seq("table", "fast", "fast scan", "scan slow",
+    "value table part", "a a", "agg", "gg", "customer", "slow filter")
+  private def lexiconValues: String = Lexicon.zipWithIndex
+    .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+
+  /** q184 lexicon tagging ([[graft.llm.TextAnalysis.lexiconTag]]):
+    * per-doc occurrence counts of a constant term list in one
+    * Aho–Corasick pass — the bad-words/watchlist filter shape. The
+    * oracle replays every (position, term) substring compare, so the
+    * automaton's goto/fail/output construction is hash-gated against
+    * a brute-force definition of "occurrence" (overlaps included).
+    */
+  def q184(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lexiconTag(Tables.documents(s, d), "doc_id", "text", Lexicon)
+      .select(col("id").as("doc_id"), col("n_hits"), col("n_terms"),
+        col("top_term"), col("top_count"))
+      .orderBy("doc_id")
+
+  /** q185 lexicon term statistics
+    * ([[graft.llm.TextAnalysis.lexiconTermStats]]): corpus totals and
+    * document frequency per lexicon entry, zero-hit terms included —
+    * the "which blocklist entries ever fire" report.
+    */
+  def q185(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lexiconTermStats(Tables.documents(s, d), "text", Lexicon)
+      .orderBy("t")
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1822,6 +1855,8 @@ object LlmQueries {
     "q181_chunk_spans" -> q181 _,
     "q182_bottomk_quantiles" -> q182 _,
     "q183_boilerplate_strip" -> q183 _,
+    "q184_lexicon_tag" -> q184 _,
+    "q185_lexicon_term_stats" -> q185 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3974,6 +4009,31 @@ object LlmQueries {
          |       COALESCE(string_agg(CASE WHEN dropped THEN NULL ELSE p END,
          |                           '. ' ORDER BY pos), '') AS clean_text
          |FROM marked GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q184_lexicon_tag" ->
+      s"""WITH lex(t, term) AS (VALUES $lexiconValues),
+         |d AS (SELECT doc_id, COALESCE(text,'') AS text FROM documents),
+         |occ AS (SELECT d.doc_id, l.t, l.term,
+         |   len(list_filter(range(1, len(d.text) - len(l.term) + 2),
+         |       i -> substr(d.text, CAST(i AS INTEGER), len(l.term)) = l.term)) AS c
+         |   FROM d CROSS JOIN lex l)
+         |SELECT doc_id,
+         |  CAST(SUM(c) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN c>0 THEN 1 ELSE 0 END) AS INTEGER) AS n_terms,
+         |  FIRST(CASE WHEN c>0 THEN term END ORDER BY c DESC, t) AS top_term,
+         |  CASE WHEN MAX(c) > 0 THEN CAST(MAX(c) AS BIGINT) END AS top_count
+         |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q185_lexicon_term_stats" ->
+      s"""WITH lex(t, term) AS (VALUES $lexiconValues),
+         |d AS (SELECT COALESCE(text,'') AS text FROM documents),
+         |occ AS (SELECT l.t, l.term,
+         |   len(list_filter(range(1, len(d.text) - len(l.term) + 2),
+         |       i -> substr(d.text, CAST(i AS INTEGER), len(l.term)) = l.term)) AS c
+         |   FROM d CROSS JOIN lex l)
+         |SELECT t, term, CAST(SUM(c) AS BIGINT) AS n_occ,
+         |       CAST(SUM(CASE WHEN c>0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+         |FROM occ GROUP BY t, term ORDER BY t""".stripMargin,
 
     "q178_bpe_train" -> {
       // one greedy leftmost merge round as a list_reduce fold: the

@@ -253,4 +253,46 @@ class KernelParitySpec extends SparkSpec {
     val viaFps = Dedup.winnowFingerprints(d, "doc_id", "text", 8, 4)
     assertSameRows(viaPos, viaFps, "winnow_pos fp set")
   }
+
+  test("ac_term_hits == brute-force per-position substring counting (overlaps, nesting, unicode)") {
+    // brute force: every (start, term) with text.startsWith(term, i)
+    // counts — the definition of "occurrence" the DuckDB oracle
+    // replays with substr(text, i, len) = term
+    def brute(text: String, terms: Seq[String]): Map[Int, Long] =
+      terms.zipWithIndex.flatMap { case (t, ti) =>
+        val c = (0 to text.length - t.length)
+          .count(i => text.startsWith(t, i)).toLong
+        if (c > 0) Some(ti -> c) else None
+      }.toMap
+    val terms = Seq("ab", "b", "aba", "一二", "😀", "c c", "αβ", "bab")
+    val ac = new AhoCorasick(terms.toArray)
+    val cases = Seq("", "a", "ababab", "bbb", "一二一二", "😀😀", "c c c",
+      "αβαβ", "xbabax") ++ (1 to 80).map(randDoc)
+    for (t <- cases) {
+      val got = ac.termCounts(t).zipWithIndex
+        .collect { case (c, i) if c > 0 => i -> c }.toMap
+      assert(got == brute(t, terms), s"AC diverged on '$t'")
+    }
+    // overlap contract pinned explicitly: "aba" twice in "ababa",
+    // "b" everywhere, "bab" once in "xbabax"
+    assert(ac.termCounts("ababa").toSeq.take(3) == Seq(2L, 2L, 2L))
+    assert(ac.termCounts("xbabax")(7) == 1L)
+    // construction guards: empty lexicon, empty term, duplicate term
+    assertThrows[IllegalArgumentException](new AhoCorasick(Array.empty))
+    assertThrows[IllegalArgumentException](new AhoCorasick(Array("a", "")))
+    assertThrows[IllegalArgumentException](new AhoCorasick(Array("a", "a")))
+    // the registered expression agrees with the raw automaton and
+    // codegen produces identical rows to interpreted eval
+    graft.functions.GraftFunctions.register(spark)
+    val d = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val viaExpr = d.select(col("doc_id"),
+        explode(call_function("ac_term_hits", col("text"),
+          typedLit(terms))).as("e"))
+      .select(col("doc_id"), col("e.t"), col("e.c"))
+    val viaBrute = cases.zipWithIndex.flatMap { case (txt, i) =>
+      brute(txt, terms).toSeq.map { case (ti, c) => (i.toLong, ti, c) }
+    }.toDF("doc_id", "t", "c")
+    assertSameRows(viaExpr, viaBrute, "ac_term_hits rows")
+  }
 }
