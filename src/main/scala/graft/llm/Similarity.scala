@@ -775,6 +775,126 @@ object Similarity {
       .withColumn("inertia", col("inertia_fp").cast("double") / FP)
   }
 
+  /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+    * standard way a billion-vector ANN index fits in memory: split
+    * each vector into `m` subvectors, k-means each subspace
+    * independently ([[lloydRefine]] per subspace, same deterministic
+    * init/update recipe with a per-subspace phase so codebooks
+    * differ), and store each vector as `m` byte-sized codes — 64
+    * float dims become 4 codes, a 64× memory cut with the
+    * reconstruction error this op reports.
+    *
+    * Scale shape, identical per round to [[lloydRefine]] but with
+    * `sub` folded into every key: the corpus explodes into
+    * (vector × m) subvector rows ONCE, assignment is a broadcast of
+    * the (m·k·subdim)-double model — model-sized, never corpus-sized
+    * — and the update is one (sub, c, dim)-keyed aggregation with
+    * map-side partials. Rounds chain through localCheckpoint exactly
+    * like lloydRefine (each round's one-row model materializes; the
+    * previous round's blocks release). NOTHING here collects to the
+    * driver.
+    *
+    * Determinism is the q158 contract: centroid updates snap
+    * component sums to ⌊x·2²⁰⌋ fixed point (aggregation-order-proof
+    * integer sums), distances are the shared zip_with left fold,
+    * argmin ties break to the lowest centroid index via
+    * array_position-of-min, and per-(vector, sub) errors floor to
+    * fixed point before the integer total — any engine replays the
+    * whole train+encode bit-for-bit.
+    *
+    * Returns the assignment frame (id, sub, c, d_fp); see
+    * [[pqEncode]] (per-vector codes + reconstruction error) and
+    * [[pqAudit]] (per-(sub, cluster) census) for the reporting
+    * shapes.
+    */
+  def pqAssign(emb: DataFrame, m: Int = 4, k: Int = 8, rounds: Int = 1,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val dim = 64 // fixture contract, as lloydRefine
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got k=$k rounds=$rounds")
+    val sl = dim / m
+    val FP = 1048576.0 // 2^20
+    val spark = emb.sparkSession
+    // deterministic init with a per-subspace phase (sub*7) so the m
+    // codebooks start distinct; same ±2.0 lattice family as q158
+    val init: Seq[Seq[Seq[Double]]] = (0 until m).map(sub =>
+      (0 until k).map(c =>
+        (0 until sl).map(i => ((c * 37 + i * 13 + sub * 7) % 41 - 20) / 10.0)))
+    val subRows = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * sl + 1, lit(sl)))).as(Seq("sub", "sv")))
+    def sqDist(vec: Column, cv: Column): Column =
+      aggregate(zip_with(vec, cv,
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x)
+    def assign(model: DataFrame): DataFrame =
+      subRows.crossJoin(broadcast(model))
+        .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
+        .withColumn("dists", transform(col("cents"), cv => sqDist(col("sv"), cv)))
+        .select(col("id"), col("sub"), col("sv"),
+          (array_position(col("dists"), array_min(col("dists"))) - 1)
+            .cast("int").as("c"),
+          array_min(col("dists")).as("d"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("sub"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "c", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * FP).cast("long")).as("s"))
+        .withColumn("mn", col("s").cast("double") / FP / col("n"))
+        .groupBy("sub", "c")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("cv"))
+        .groupBy("sub")
+        .agg(transform(array_sort(collect_list(struct(col("c"), col("cv")))),
+          s => s.getField("cv")).as("cents"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+          s => s.getField("cents")).as("centsBySub"))
+    val model0 = spark.range(1).select(typedLit(init).as("centsBySub"))
+    val finalModel = (0 until rounds).foldLeft(model0) { (mod, _) =>
+      val next = update(assign(mod)).localCheckpoint()
+      graft.core.Materialize.release(mod)
+      next
+    }
+    assign(finalModel)
+      .select(col("id"), col("sub"), col("c"),
+        floor(col("d") * FP).cast("long").as("d_fp"))
+  }
+
+  /** PQ encoding report — per vector, the `m` codebook indexes in
+    * subspace order plus the exact-integer reconstruction error
+    * (Σ over subspaces of the assigned centroid's squared distance,
+    * each floored to 2²⁰ fixed point): the compressed form a PQ/IVF
+    * index stores per vector. One (id)-keyed aggregation over the
+    * [[pqAssign]] rows — codes rebuild via an ordered struct
+    * collect bounded by `m`.
+    */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 8, rounds: Int = 1,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    pqAssign(emb, m, k, rounds, idCol, vecCol)
+      .groupBy(col("id").as("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("c")))),
+          s => s.getField("c")).as("codes"),
+        sum(col("d_fp")).as("err_fp"))
+      .withColumn("err", col("err_fp").cast("double") / 1048576.0)
+
+  /** PQ codebook census — per (subspace, cluster): member count and
+    * fixed-point inertia, the balance/collapse audit of each
+    * subspace codebook (a dead code wastes index bytes; a hot code
+    * means the subspace needs more centroids). Bounded output
+    * (m·k rows).
+    */
+  def pqAudit(emb: DataFrame, m: Int = 4, k: Int = 8, rounds: Int = 1,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    pqAssign(emb, m, k, rounds, idCol, vecCol)
+      .groupBy(col("sub"), col("c").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("d_fp")).as("inertia_fp"))
+      .withColumn("inertia", col("inertia_fp").cast("double") / 1048576.0)
+
   /** Contrastive triplet mining — per anchor vector, the HARDEST
     * positive (same label, LOWEST cosine: the far member of its own
     * class) and the HARDEST negative (different label, HIGHEST

@@ -1010,6 +1010,92 @@ object TextAnalysis {
           .as("outlier_mass"))
   }
 
+  /** Zipf power-law fit — the corpus-health audit that catches
+    * template spam and synthetic-data collapse (natural language has
+    * log-log slope ≈ −1 over the frequency head; machine-generated
+    * boilerplate flattens it, token soup steepens it): OLS of
+    * ln(freq) on ln(rank) over the TOP-K vocabulary head. Head-only
+    * by design — Zipf's law is a head phenomenon, the integer-count
+    * tail plateaus into ties that carry no slope information — and
+    * head-only is also what makes the plan scale-safe: the global
+    * top-K lands via `TakeOrdered` (per-partition heaps, no full
+    * vocab sort), so no window ever spans the type inventory (same
+    * discipline as [[vocabCoverage]]).
+    *
+    * Determinism: ln values snap to ⌊ln·2¹⁰⌋ fixed point (ln of
+    * identical integers agrees across engines; the floor removes the
+    * last bit), all OLS moments are then EXACT integer sums — 2¹⁰
+    * keeps n·Σxy inside a long for any topK ≤ 100k — and slope/r²
+    * are single double divisions of exact integers at the end.
+    * Ranking ties break on the token string, so rank assignment is
+    * total and any engine reproduces it.
+    *
+    * Output (one row): `n_terms` (actual head size), `slope`, `r2`,
+    * plus the exact fixed-point moments for downstream auditing.
+    */
+  def zipfFit(df: DataFrame, textCol: String = "text",
+              topK: Int = 1000): DataFrame = {
+    require(topK > 1, s"need topK > 1 for a slope, got $topK")
+    val counts = df
+      .select(explode(tokensCol(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val head = counts.orderBy(col("cnt").desc, col("tok")).limit(topK)
+    val wHead = Window.orderBy(col("cnt").desc, col("tok"))
+    val ranked = head
+      .withColumn("rank", row_number().over(wHead).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * 1024.0).cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * 1024.0).cast("long").as("y"))
+    ranked.agg(
+        count(lit(1)).as("n_terms"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_terms"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n_terms") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("n_terms"),
+        (col("num").cast("double") / col("den").cast("double")).as("slope"),
+        ((col("num").cast("double") * col("num").cast("double"))
+          / (col("den").cast("double") * col("deny").cast("double"))).as("r2"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"))
+  }
+
+  /** Cohen's kappa between two binary labelers — the agreement audit
+    * run before trusting any pair of quality/safety classifiers on
+    * the same corpus (raw percent agreement flatters imbalanced
+    * labels; kappa corrects for chance). One map-side-partial
+    * aggregation over the corpus; every moment is an exact integer
+    * count, kappa is one double division of exact integers:
+    * κ = (n·po_cnt − pe_num) / (n² − pe_num) with
+    * pe_num = n₁ₐ·n₁ᵦ + n₀ₐ·n₀ᵦ. NULL labels are rejected up front
+    * (an unlabeled row belongs in neither the numerator nor the
+    * chance model). κ is NULL when chance agreement is 1 (both
+    * labelers constant — n² = pe_num, the denominator vanishes and
+    * agreement-beyond-chance is undefined).
+    */
+  def classifierAgreement(df: DataFrame, labelA: Column,
+                          labelB: Column): DataFrame = {
+    val base = df.select(labelA.cast("int").as("a"), labelB.cast("int").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00"))).as("pe_num"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(col("n") * col("n") =!= col("pe_num"),
+          (col("n") * (col("n11") + col("n00")) - col("pe_num")).cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double"))
+          .as("kappa"))
+  }
+
   /** Lexicon tagging — the bad-words / safety-term / watchlist filter
     * every curation pipeline runs: per document, occurrence counts of
     * a constant term list in ONE Aho–Corasick pass

@@ -1401,6 +1401,55 @@ object LlmQueries {
     TextAnalysis.lexiconTermStats(Tables.documents(s, d), "text", Lexicon)
       .orderBy("t")
 
+  /** q186 Zipf power-law fit ([[graft.llm.TextAnalysis.zipfFit]]):
+    * log-log OLS slope + r² over the top-500 vocabulary head, every
+    * moment an exact ⌊ln·2¹⁰⌋ fixed-point integer sum the oracle
+    * replays term by term (same ln-parity contract as q98).
+    */
+  def q186(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(s, d), "text", topK = 500)
+
+  /** q187 classifier agreement
+    * ([[graft.llm.TextAnalysis.classifierAgreement]]): Cohen's kappa
+    * between two deterministic quality labelers (length gate vs
+    * lexical-diversity gate) — confusion counts exact, kappa one
+    * double division of exact integers.
+    */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val f = Tables.documents(s, d)
+      .select(size(toks).as("n_tok"), size(array_distinct(toks)).as("n_dis"))
+    TextAnalysis.classifierAgreement(f,
+      (col("n_tok") >= 40).cast("int"),
+      (col("n_dis") * 2 >= col("n_tok")).cast("int"))
+  }
+
+  /** q188 product-quantization encoding
+    * ([[graft.llm.Similarity.pqEncode]]): 64-dim vectors → 4 codebook
+    * bytes + exact fixed-point reconstruction error after one full
+    * distributed train round per subspace. The oracle replays
+    * init → assign → fixed-point update → re-assign → encode for all
+    * subspaces in one generic SQL (the q158 recipe with `sub` folded
+    * into every key).
+    */
+  def q188(s: SparkSession, d: String): DataFrame =
+    Similarity.pqEncode(Tables.embeddings(s, d), m = 4, k = 8, rounds = 1)
+      // codes as a CSV string: the compare layer stringifies cells,
+      // and engine-native array renderings differ
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string")))
+          .as("codes"),
+        col("err_fp"), col("err"))
+      .orderBy("vec_id")
+
+  /** q189 PQ codebook census ([[graft.llm.Similarity.pqAudit]]):
+    * per-(subspace, cluster) member count and inertia — the
+    * dead-code / hot-code balance audit.
+    */
+  def q189(s: SparkSession, d: String): DataFrame =
+    Similarity.pqAudit(Tables.embeddings(s, d), m = 4, k = 8, rounds = 1)
+      .orderBy("sub", "cluster")
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1857,6 +1906,10 @@ object LlmQueries {
     "q183_boilerplate_strip" -> q183 _,
     "q184_lexicon_tag" -> q184 _,
     "q185_lexicon_term_stats" -> q185 _,
+    "q186_zipf_fit" -> q186 _,
+    "q187_classifier_kappa" -> q187 _,
+    "q188_pq_encode" -> q188 _,
+    "q189_pq_audit" -> q189 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1879,6 +1932,47 @@ object LlmQueries {
   /** In-order double fold of a list (matches Spark's aggregate()). */
   private def foldSum(listExpr: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  /** Shared PQ replay of q188/q189 (the q158 Lloyd recipe with `sub`
+    * folded into every key): 4 subspaces × 16 dims, k = 8, one
+    * fixed-point update round, then the final assignment rows
+    * (vec_id, sub, c, d_fp) exposed as `a2c` for the query-specific
+    * SELECT.
+    */
+  private def pqOracle(select: String): String = {
+    // init centroid component for (sub, c, i): matches pqAssign's init
+    val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13 + sub * 7) % 41 - 20) AS DOUBLE) / 10.0)"
+    def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
+    val distInit = foldSum(
+      s"list_transform(range(1, 17), i -> (${vd("i")} - $cv0) * (${vd("i")} - $cv0))")
+    val distUpd = foldSum(
+      s"list_transform(range(1, 17), i -> (${vd("i")} - cv[CAST(i AS INTEGER)]) * (${vd("i")} - cv[CAST(i AS INTEGER)]))")
+    s"""WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
+       |sv AS (SELECT e.vec_id, s.sub,
+       |         e.embedding[s.sub*16+1 : s.sub*16+16] AS v
+       |       FROM embeddings e CROSS JOIN subs s),
+       |a1 AS (SELECT vec_id, sub, v,
+       |         list_transform(range(0, 8), c -> $distInit) AS dists
+       |       FROM sv),
+       |a1c AS (SELECT vec_id, sub, v,
+       |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c
+       |       FROM a1),
+       |mm AS (SELECT sub, c, i AS dim, COUNT(*) AS n,
+       |         SUM(CAST(FLOOR(${vd("i")} * 1048576.0) AS BIGINT)) AS s
+       |       FROM a1c CROSS JOIN (SELECT unnest(range(1, 17)) AS i)
+       |       GROUP BY sub, c, i),
+       |m2 AS (SELECT sub, c, dim, CAST(s AS DOUBLE) / 1048576.0 / n AS mn FROM mm),
+       |cent2 AS (SELECT sub, c, list(mn ORDER BY dim) AS cv FROM m2 GROUP BY sub, c),
+       |cl AS (SELECT sub, list(cv ORDER BY c) AS cents FROM cent2 GROUP BY sub),
+       |a2 AS (SELECT sv.vec_id, sv.sub,
+       |         list_transform(cl.cents, cv -> $distUpd) AS dists
+       |       FROM sv JOIN cl ON sv.sub = cl.sub),
+       |a2c AS (SELECT vec_id, sub,
+       |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c,
+       |         CAST(FLOOR(list_aggregate(dists, 'min') * 1048576.0) AS BIGINT) AS d_fp
+       |       FROM a2)
+       |$select""".stripMargin
+  }
 
   /** Dot product a·b over 64-dim FLOAT[] with per-element double casts. */
   private def dotExpr(a: String, b: String): String =
@@ -4034,6 +4128,57 @@ object LlmQueries {
          |SELECT t, term, CAST(SUM(c) AS BIGINT) AS n_occ,
          |       CAST(SUM(CASE WHEN c>0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
          |FROM occ GROUP BY t, term ORDER BY t""".stripMargin,
+
+    "q188_pq_encode" -> pqOracle(
+      """SELECT vec_id,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY sub) AS codes,
+        |  CAST(SUM(d_fp) AS BIGINT) AS err_fp,
+        |  CAST(SUM(d_fp) AS DOUBLE) / 1048576.0 AS err
+        |FROM a2c GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
+    "q189_pq_audit" -> pqOracle(
+      """SELECT sub, c AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(d_fp) AS BIGINT) AS inertia_fp,
+        |  CAST(SUM(d_fp) AS DOUBLE) / 1048576.0 AS inertia
+        |FROM a2c GROUP BY sub, c ORDER BY sub, cluster""".stripMargin),
+
+    "q186_zipf_fit" ->
+      s"""WITH toks AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         |head AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 500),
+         |ranked AS (SELECT
+         |  CAST(FLOOR(LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) * 1024.0) AS BIGINT) AS x,
+         |  CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1024.0) AS BIGINT) AS y
+         |  FROM head),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |  CAST(SUM(y*y) AS BIGINT) AS syy FROM ranked)
+         |SELECT n_terms,
+         |  CAST(n_terms*sxy - sx*sy AS DOUBLE)
+         |    / CAST(n_terms*sxx - sx*sx AS DOUBLE) AS slope,
+         |  (CAST(n_terms*sxy - sx*sy AS DOUBLE) * CAST(n_terms*sxy - sx*sy AS DOUBLE))
+         |    / (CAST(n_terms*sxx - sx*sx AS DOUBLE) * CAST(n_terms*syy - sy*sy AS DOUBLE)) AS r2,
+         |  sx, sy, sxy, sxx
+         |FROM m""".stripMargin,
+
+    "q187_classifier_kappa" ->
+      s"""WITH f AS (SELECT len($toksExpr) AS n_tok,
+         |                  len(list_distinct($toksExpr)) AS n_dis
+         |           FROM documents WHERE text IS NOT NULL),
+         |l AS (SELECT CASE WHEN n_tok >= 40 THEN 1 ELSE 0 END AS a,
+         |             CASE WHEN 2*n_dis >= n_tok THEN 1 ELSE 0 END AS b FROM f),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(SUM(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(SUM(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |  CAST(SUM(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM l)
+         |SELECT n, n11, n10, n01, n00,
+         |  CASE WHEN n*n <> ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+         |    THEN CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+         |      / CAST(n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+         |  END AS kappa
+         |FROM m""".stripMargin,
 
     "q178_bpe_train" -> {
       // one greedy leftmost merge round as a list_reduce fold: the

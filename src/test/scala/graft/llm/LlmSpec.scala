@@ -2150,4 +2150,76 @@ class LlmSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(3L, 7L))
     assert(got.forall(r => r._2 == 1L && r._3 == 1.0))
   }
+
+  test("pqEncode/pqAudit: codes bounded, census consistent, refinement not worse") {
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(64)(j => (((i * 31 + j * 7) % 23) - 11).toFloat / 4f)))
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(emb, m = 4, k = 8, rounds = 1)
+      .orderBy("vec_id").collect()
+    assert(enc.length == 60)
+    for (r <- enc) {
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
+      assert(r.getAs[Long]("err_fp") >= 0L)
+    }
+    // determinism: a second run reproduces codes and errors exactly
+    val enc2 = Similarity.pqEncode(emb, m = 4, k = 8, rounds = 1)
+      .orderBy("vec_id").collect()
+    assert(enc.map(_.toString).toSeq == enc2.map(_.toString).toSeq)
+    // census: per-subspace member counts cover the corpus, and the
+    // audit's inertia total equals the encode error total (same rows)
+    val audit = Similarity.pqAudit(emb, m = 4, k = 8, rounds = 1).collect()
+    val bySub = audit.groupBy(_.getAs[Int]("sub"))
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    assert(bySub.values.forall(_.map(_.getAs[Long]("n")).sum == 60L))
+    assert(audit.map(_.getAs[Long]("inertia_fp")).sum
+      == enc.map(_.getAs[Long]("err_fp")).sum)
+    // Lloyd property: one update round does not worsen total error
+    // (fixed-point snapping can nudge the last bits — allow epsilon)
+    val err0 = Similarity.pqEncode(emb, m = 4, k = 8, rounds = 0)
+      .agg(sum("err_fp")).head().getLong(0)
+    val err1 = enc.map(_.getAs[Long]("err_fp")).sum
+    assert(err1 <= err0 + (err0 / 1000).max(16L),
+      s"refined error $err1 should not exceed initial $err0")
+    assertThrows[IllegalArgumentException](Similarity.pqAssign(emb, m = 5))
+  }
+
+  test("zipfFit: exact power law fits slope -1 with r2 ~ 1; head cap respected") {
+    // counts 120/r for ranks 1..6: y = ln 120 - ln r, a perfect
+    // log-log line of slope -1 (up to the 2^-10 fixed-point floor)
+    val counts = (1 to 6).map(r => s"t$r" -> 120 / r)
+    val docs = counts.zipWithIndex.map { case ((tok, c), i) =>
+      (i.toLong, Seq.fill(c)(tok).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, "text", topK = 100).head()
+    assert(fit.getAs[Long]("n_terms") == 6L)
+    val slope = fit.getAs[Double]("slope")
+    val r2 = fit.getAs[Double]("r2")
+    assert(math.abs(slope + 1.0) < 0.01, s"slope $slope should be ~ -1")
+    assert(r2 > 0.999, s"r2 $r2 should be ~ 1 on an exact power law")
+    // topK cap: only the head enters the fit
+    val capped = TextAnalysis.zipfFit(docs, "text", topK = 3).head()
+    assert(capped.getAs[Long]("n_terms") == 3L)
+    assertThrows[IllegalArgumentException](TextAnalysis.zipfFit(docs, "text", 1))
+  }
+
+  test("classifierAgreement: kappa exact on a known confusion matrix; NULL labels excluded") {
+    // n11=20 n10=5 n01=10 n00=15: po=0.7, pe=0.5, kappa=0.4 exactly
+    val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(15)((0, 0))
+    val df = rows.toDF("a", "b")
+    val got = TextAnalysis.classifierAgreement(df, col("a"), col("b")).head()
+    assert((got.getAs[Long]("n"), got.getAs[Long]("n11"), got.getAs[Long]("n10"),
+      got.getAs[Long]("n01"), got.getAs[Long]("n00")) == ((50L, 20L, 5L, 10L, 15L)))
+    assert(got.getAs[Double]("kappa") == 0.4)
+    // a NULL label drops the row from both the counts and the chance
+    // model; the surviving single-cell matrix has chance agreement 1,
+    // so kappa is NULL (undefined), not a division error
+    val withNull = Seq((Some(1), Some(1)), (None, Some(1)), (Some(0), None))
+      .toDF("a", "b")
+    val gn = TextAnalysis.classifierAgreement(withNull, col("a"), col("b")).head()
+    assert(gn.getAs[Long]("n") == 1L && gn.getAs[Long]("n11") == 1L)
+    assert(gn.isNullAt(gn.fieldIndex("kappa")))
+  }
 }
