@@ -809,7 +809,33 @@ object Similarity {
     */
   def pqAssign(emb: DataFrame, m: Int = 4, k: Int = 8, rounds: Int = 1,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding"): DataFrame =
+    pqCore(emb, m, k, rounds, idCol, vecCol)._2
+
+  /** Subvector rows (id, sub, sv) of a 64-dim corpus: the shared
+    * explode of [[pqCore]] and the ADC query side.
+    */
+  private def pqSubRows(emb: DataFrame, m: Int, sl: Int,
+                        idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * sl + 1, lit(sl)))).as(Seq("sub", "sv")))
+
+  /** Shared squared-distance fold of the PQ family (the q158
+    * zip_with left fold — bit-identical on any engine).
+    */
+  private def pqSqDist(vec: Column, cv: Column): Column =
+    aggregate(zip_with(vec, cv,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train + assign core: returns (final one-row model with
+    * `centsBySub`, assignment rows (id, sub, sv, c, d)). Private —
+    * the public faces are [[pqAssign]]/[[pqEncode]]/[[pqAudit]] and
+    * the ADC searcher [[pqAdcTopK]].
+    */
+  private def pqCore(emb: DataFrame, m: Int, k: Int, rounds: Int,
+                     idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val dim = 64 // fixture contract, as lloydRefine
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got k=$k rounds=$rounds")
@@ -821,18 +847,11 @@ object Similarity {
     val init: Seq[Seq[Seq[Double]]] = (0 until m).map(sub =>
       (0 until k).map(c =>
         (0 until sl).map(i => ((c * 37 + i * 13 + sub * 7) % 41 - 20) / 10.0)))
-    val subRows = emb.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("v"))
-      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("v"), s * sl + 1, lit(sl)))).as(Seq("sub", "sv")))
-    def sqDist(vec: Column, cv: Column): Column =
-      aggregate(zip_with(vec, cv,
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, x) => acc + x)
+    val subRows = pqSubRows(emb, m, sl, idCol, vecCol)
     def assign(model: DataFrame): DataFrame =
       subRows.crossJoin(broadcast(model))
         .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
-        .withColumn("dists", transform(col("cents"), cv => sqDist(col("sv"), cv)))
+        .withColumn("dists", transform(col("cents"), cv => pqSqDist(col("sv"), cv)))
         .select(col("id"), col("sub"), col("sv"),
           (array_position(col("dists"), array_min(col("dists"))) - 1)
             .cast("int").as("c"),
@@ -857,9 +876,55 @@ object Similarity {
       graft.core.Materialize.release(mod)
       next
     }
-    assign(finalModel)
+    (finalModel, assign(finalModel)
       .select(col("id"), col("sub"), col("c"),
-        floor(col("d") * FP).cast("long").as("d_fp"))
+        floor(col("d") * FP).cast("long").as("d_fp")))
+  }
+
+  /** PQ asymmetric-distance top-k search (the ADC of Jégou et al.) —
+    * how a PQ index is actually QUERIED at scale: per query, a
+    * (m·k)-entry lookup table of exact subvector→centroid distances
+    * is built against the trained codebooks (model-sized work), and
+    * every indexed vector's approximate distance is then just `m`
+    * table lookups summed over its stored codes — the corpus pass
+    * never touches a float vector, only the byte codes.
+    *
+    * Scale shape: codebooks and the query LUT rows (|queries|·m·k)
+    * are broadcast; the corpus side is the [[pqAssign]] code rows
+    * joined map-side to the LUT on (sub, c), then ONE (qid, id)
+    * aggregation (map-side partials, each group exactly `m` rows)
+    * and the per-qid ranking window of the [[bruteTopKBatch]]
+    * baseline idiom. Distances stay in ⌊d·2²⁰⌋ fixed point per
+    * (sub, c) cell, so ADC totals are exact integer sums and ranking
+    * ties break on id — bit-reproducible on any engine.
+    *
+    * `queries` must carry (`qid`, `qvec`); a query vector that also
+    * exists in the corpus never matches itself.
+    */
+  def pqAdcTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+                m: Int = 4, k: Int = 8, rounds: Int = 1,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val FP = 1048576.0
+    val (model, assigned) = pqCore(emb, m, k, rounds, idCol, vecCol)
+    val lut = pqSubRows(queries, m, 64 / m, "qid", "qvec")
+      .withColumnRenamed("id", "qid")
+      .crossJoin(broadcast(model))
+      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
+      .select(col("qid"), col("sub"), posexplode(transform(col("cents"),
+        cv => floor(pqSqDist(col("sv"), cv) * FP).cast("long")))
+        .as(Seq("c", "d_fp")))
+    val w = Window.partitionBy("qid").orderBy(col("adc_fp"), col("id"))
+    assigned.select(col("id"), col("sub"), col("c"))
+      .join(broadcast(lut), Seq("sub", "c"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d_fp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("id").as("vec_id"), col("adc_fp"),
+        (col("adc_fp").cast("double") / FP).as("adc"), col("rank"))
   }
 
   /** PQ encoding report — per vector, the `m` codebook indexes in

@@ -1450,6 +1450,21 @@ object LlmQueries {
     Similarity.pqAudit(Tables.embeddings(s, d), m = 4, k = 8, rounds = 1)
       .orderBy("sub", "cluster")
 
+  /** q190 PQ asymmetric-distance search
+    * ([[graft.llm.Similarity.pqAdcTopK]]): top-5 neighbors of three
+    * query vectors through the trained PQ index — per query a
+    * (m·k)-cell exact-distance lookup table, per corpus vector `m`
+    * integer table lookups summed, ranking on the exact fixed-point
+    * ADC total. The oracle extends the q188 replay with the LUT and
+    * the rank window.
+    */
+  def q190(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.pqAdcTopK(emb, qs, topK = 5).orderBy("qid", "rank")
+  }
+
   def q174(s: SparkSession, d: String): DataFrame = {
     val key = (col("doc_id") - pmod(col("doc_id"), lit(18))).cast("long")
     val injected = Tables.documents(s, d).withColumn("text",
@@ -1910,6 +1925,7 @@ object LlmQueries {
     "q187_classifier_kappa" -> q187 _,
     "q188_pq_encode" -> q188 _,
     "q189_pq_audit" -> q189 _,
+    "q190_pq_adc_topk" -> q190 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1939,7 +1955,7 @@ object LlmQueries {
     * (vec_id, sub, c, d_fp) exposed as `a2c` for the query-specific
     * SELECT.
     */
-  private def pqOracle(select: String): String = {
+  private def pqOracle(select: String, extraCtes: String = ""): String = {
     // init centroid component for (sub, c, i): matches pqAssign's init
     val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13 + sub * 7) % 41 - 20) AS DOUBLE) / 10.0)"
     def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
@@ -1970,7 +1986,7 @@ object LlmQueries {
        |a2c AS (SELECT vec_id, sub,
        |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c,
        |         CAST(FLOOR(list_aggregate(dists, 'min') * 1048576.0) AS BIGINT) AS d_fp
-       |       FROM a2)
+       |       FROM a2)$extraCtes
        |$select""".stripMargin
   }
 
@@ -4141,6 +4157,28 @@ object LlmQueries {
         |  CAST(SUM(d_fp) AS BIGINT) AS inertia_fp,
         |  CAST(SUM(d_fp) AS DOUBLE) / 1048576.0 AS inertia
         |FROM a2c GROUP BY sub, c ORDER BY sub, cluster""".stripMargin),
+
+    "q190_pq_adc_topk" -> pqOracle(
+      extraCtes = """,
+        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |       WHERE vec_id < 3),
+        |qsv AS (SELECT q.qid, s.sub, q.qv[s.sub*16+1 : s.sub*16+16] AS v
+        |        FROM qs q CROSS JOIN subs s),
+        |lut AS (SELECT q2.qid, q2.sub, cc.c,
+        |          CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list_transform(range(1, 17), i ->
+        |              (CAST(q2.v[CAST(i AS INTEGER)] AS DOUBLE) - cl.cents[cc.c + 1][CAST(i AS INTEGER)])
+        |              * (CAST(q2.v[CAST(i AS INTEGER)] AS DOUBLE) - cl.cents[cc.c + 1][CAST(i AS INTEGER)]))),
+        |            (acc, x) -> acc + x) * 1048576.0) AS BIGINT) AS d_fp
+        |        FROM qsv q2 JOIN cl ON q2.sub = cl.sub
+        |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS c) cc),
+        |adc AS (SELECT l.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+        |        FROM a2c a JOIN lut l ON a.sub = l.sub AND a.c = l.c
+        |        WHERE a.vec_id <> l.qid GROUP BY l.qid, a.vec_id)""".stripMargin,
+      select = """SELECT qid, id AS vec_id, adc_fp,
+        |  CAST(adc_fp AS DOUBLE) / 1048576.0 AS adc,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
+        |FROM adc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
 
     "q186_zipf_fit" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS tok FROM documents),

@@ -2185,6 +2185,34 @@ class LlmSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Similarity.pqAssign(emb, m = 5))
   }
 
+  test("pqAdcTopK: an exact duplicate attains the global-minimum ADC = its own quantization error") {
+    // period-101 family: no accidental exact repeats inside 40 ids
+    // (the first fixture tried period 23 and vectors 0/23 collided —
+    // a correct 4-way ADC tie that the test misread as a bug)
+    val mkVec = (i: Long) =>
+      Array.tabulate(64)(j => (((i * 97 + j * 31) % 101) - 50).toFloat / 20f)
+    val base = (0L until 40L).map(i => (i, mkVec(i)))
+    // vector 100 is a byte-exact copy of vector 0
+    val emb = (base :+ (100L, mkVec(0))).toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.pqAdcTopK(emb, qs, topK = 3).orderBy("rank").collect()
+    assert(top.length == 3 && top.forall(_.getAs[Long]("qid") == 0L))
+    // the copy's codes are q's own argmin codes, so its ADC is
+    // sum(min over centroids) — the global minimum any vector can
+    // attain — and equals the copy's own quantization error exactly.
+    // (Vectors sharing all 4 codes tie at that ADC; ranks break by id.)
+    val copyErr = Similarity.pqEncode(emb)
+      .filter(col("vec_id") === 100).head().getAs[Long]("err_fp")
+    val copyRow = top.find(_.getAs[Long]("vec_id") == 100L)
+    assert(copyRow.isDefined, s"copy missing from top-3: ${top.mkString(", ")}")
+    assert(copyRow.get.getAs[Long]("adc_fp") == copyErr)
+    assert(top.head.getAs[Long]("adc_fp") == copyErr,
+      "nothing can rank above the duplicate's global-minimum ADC")
+    // the query never matches itself
+    assert(top.forall(_.getAs[Long]("vec_id") != 0L))
+  }
+
   test("zipfFit: exact power law fits slope -1 with r2 ~ 1; head cap respected") {
     // counts 120/r for ranks 1..6: y = ln 120 - ln r, a perfect
     // log-log line of slope -1 (up to the 2^-10 fixed-point floor)
