@@ -960,6 +960,78 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("d_fp")).as("inertia_fp"))
       .withColumn("inertia", col("inertia_fp").cast("double") / 1048576.0)
 
+  /** IVF-PQ top-k search — the canonical billion-scale ANN shape
+    * (FAISS's IVFx,PQy; Jégou et al. 2011 §V): a COARSE k-means
+    * quantizer partitions the corpus into `coarseK` inverted lists,
+    * a query probes only its `nprobe` nearest lists, and vectors
+    * inside the probed lists are scored by the PQ ADC lookup — so
+    * query cost scales with `nprobe/coarseK` of the corpus, and the
+    * scored fraction never touches a float vector. This variant
+    * quantizes RAW vectors (not per-cell residuals) — one shared PQ
+    * codebook, the standard memory/simplicity trade, documented
+    * rather than hidden.
+    *
+    * Construction reuses the two proven trainers verbatim: the
+    * coarse quantizer is [[pqCore]] with m = 1 (one 64-dim subspace
+    * — with the per-subspace phase sub·7 = 0 this is EXACTLY the
+    * q158 Lloyd recipe), the fine codes are the q188 PQ. Routing
+    * picks the `nprobe` cells with the smallest exact fixed-point
+    * centroid distances (ties to the lower cell id).
+    *
+    * Scale shape: both models are broadcast (model-sized); the cell
+    * table joins the broadcast route list, so the candidate frame IS
+    * the pruned corpus fraction — the ADC join and the (qid, id)
+    * aggregation run over candidates only, never the full corpus.
+    * `n_cand` rides the output so recall/cost trades are auditable
+    * per query.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, topK: Int = 5,
+                nprobe: Int = 2, coarseK: Int = 8,
+                m: Int = 4, k: Int = 8, rounds: Int = 1,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0 && nprobe > 0 && nprobe <= coarseK,
+      s"need 0 < nprobe <= coarseK, got nprobe=$nprobe coarseK=$coarseK")
+    val FP = 1048576.0
+    val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
+    val cells = cAssign.select(col("id"), col("c").as("cell"))
+    val qFull = pqSubRows(queries, 1, 64, "qid", "qvec")
+      .withColumnRenamed("id", "qid")
+    val qCellDist = qFull.crossJoin(broadcast(cModel))
+      .withColumn("cents", element_at(col("centsBySub"), 1))
+      .select(col("qid"), posexplode(transform(col("cents"),
+        cv => floor(pqSqDist(col("sv"), cv) * FP).cast("long")))
+        .as(Seq("cell", "cd_fp")))
+    val wR = Window.partitionBy("qid").orderBy(col("cd_fp"), col("cell"))
+    val routes = qCellDist.withColumn("r", row_number().over(wR))
+      .filter(col("r") <= nprobe).select("qid", "cell")
+    // candidates = the probed fraction of the corpus, self excluded
+    val cand = cells.join(broadcast(routes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "id")
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val (pModel, pAssign) = pqCore(emb, m, k, rounds, idCol, vecCol)
+    val lut = pqSubRows(queries, m, 64 / m, "qid", "qvec")
+      .withColumnRenamed("id", "qid")
+      .crossJoin(broadcast(pModel))
+      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
+      .select(col("qid"), col("sub"), posexplode(transform(col("cents"),
+        cv => floor(pqSqDist(col("sv"), cv) * FP).cast("long")))
+        .as(Seq("c", "d_fp")))
+    val w = Window.partitionBy("qid").orderBy(col("adc_fp"), col("id"))
+    pAssign.select(col("id"), col("sub"), col("c"))
+      .join(cand, Seq("id"))
+      .join(broadcast(lut), Seq("qid", "sub", "c"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d_fp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(broadcast(nCand), Seq("qid"))
+      .select(col("qid"), col("id").as("vec_id"), col("adc_fp"),
+        (col("adc_fp").cast("double") / FP).as("adc"), col("rank"),
+        col("n_cand"))
+  }
+
   /** Contrastive triplet mining — per anchor vector, the HARDEST
     * positive (same label, LOWEST cosine: the far member of its own
     * class) and the HARDEST negative (different label, HIGHEST

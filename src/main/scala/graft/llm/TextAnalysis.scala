@@ -1063,6 +1063,54 @@ object TextAnalysis {
         col("sx"), col("sy"), col("sxy"), col("sxx"))
   }
 
+  /** PMI collocations — the classic phrase/compound extractor
+    * (Church & Hanks 1990; the word2vec-phrases preprocessing step):
+    * adjacent token pairs scored by pointwise mutual information
+    * PMI = ln(c_ab·N²/(B·c_a·c_b)), high when a bigram occurs far
+    * more than its parts' independence predicts ("fast scan" vs
+    * "the the"). `minCount` drops singleton noise (PMI is maximal
+    * for hapax pairs by construction); top-k on (PMI desc, pair asc).
+    *
+    * Determinism: every ln argument is an EXACT integer count, each
+    * term snaps to ⌊ln·2²⁰⌋ fixed point separately, and the score is
+    * their integer sum — no double addition anywhere, so any engine
+    * reproduces the ranking bit-for-bit (the q98 ln-parity contract).
+    *
+    * Scale shape: one gram-keyed pair aggregation
+    * ([[graft.llm.Dedup.adjacentPairCounts]], kernel-counted rows,
+    * map-side partials), one token-keyed unigram aggregation
+    * (checkpointed — it feeds both joins and the total), two hash
+    * joins keyed on the token, two 1-row scalar broadcasts (N, B),
+    * and a TakeOrdered top-k. Nothing collects; nothing is
+    * all-pairs.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Int = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"need minCount/k >= 1, got $minCount/$k")
+    def fl(x: Column): Column =
+      floor(log(x.cast("double")) * 1048576.0).cast("long")
+    val uni = df.select(explode(tokensCol(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint()
+    val nRow = uni.agg(sum("cw").as("n_tokens"))
+    val all = Dedup.adjacentPairCounts(df, idCol, textCol)
+    val bRow = all.agg(sum("n_occ").as("n_bigrams"))
+    all.filter(col("n_occ") >= minCount)
+      .withColumn("w1", split(col("pair"), " ")(0))
+      .withColumn("w2", split(col("pair"), " ")(1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(nRow)).crossJoin(broadcast(bRow))
+      .withColumn("pmi_fp",
+        fl(col("n_occ")) + lit(2L) * fl(col("n_tokens"))
+          - fl(col("n_bigrams")) - fl(col("c1")) - fl(col("c2")))
+      .withColumn("pmi", col("pmi_fp").cast("double") / 1048576.0)
+      .select(col("pair"), col("n_occ"), col("n_docs"), col("c1"),
+        col("c2"), col("pmi_fp"), col("pmi"))
+      .orderBy(col("pmi_fp").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Cohen's kappa between two binary labelers — the agreement audit
     * run before trusting any pair of quality/safety classifiers on
     * the same corpus (raw percent agreement flatters imbalanced

@@ -1450,6 +1450,30 @@ object LlmQueries {
     Similarity.pqAudit(Tables.embeddings(s, d), m = 4, k = 8, rounds = 1)
       .orderBy("sub", "cluster")
 
+  /** q192 IVF-PQ search ([[graft.llm.Similarity.ivfPqTopK]]): the
+    * canonical billion-scale ANN composition — coarse k-means lists
+    * (the q158 recipe), nprobe-2 routing, ADC scoring inside the
+    * probed lists only, candidate counts riding the output. The
+    * oracle composes the coarse replay, the PQ replay, and the LUT
+    * replay into one statement.
+    */
+  def q192(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 2).orderBy("qid", "rank")
+  }
+
+  /** q191 PMI collocations
+    * ([[graft.llm.TextAnalysis.pmiCollocations]]): top-20 adjacent
+    * pairs by fixed-point pointwise mutual information at
+    * minCount 5 — every ln term floored separately on exact integer
+    * counts, so the oracle replays the ranking bit-for-bit.
+    */
+  def q191(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables.documents(s, d), "doc_id", "text",
+      minCount = 5, k = 20)
+
   /** q190 PQ asymmetric-distance search
     * ([[graft.llm.Similarity.pqAdcTopK]]): top-5 neighbors of three
     * query vectors through the trained PQ index — per query a
@@ -1926,6 +1950,8 @@ object LlmQueries {
     "q188_pq_encode" -> q188 _,
     "q189_pq_audit" -> q189 _,
     "q190_pq_adc_topk" -> q190 _,
+    "q191_pmi_collocations" -> q191 _,
+    "q192_ivf_pq_topk" -> q192 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -1955,7 +1981,15 @@ object LlmQueries {
     * (vec_id, sub, c, d_fp) exposed as `a2c` for the query-specific
     * SELECT.
     */
-  private def pqOracle(select: String, extraCtes: String = ""): String = {
+  private def pqOracle(select: String, extraCtes: String = ""): String =
+    s"WITH $pqCtes$extraCtes\n$select"
+
+  /** The q188/q189/q190/q192 PQ replay CTE chain (no WITH prefix):
+    * 4 subspaces × 16 dims, k = 8, one fixed-point update round,
+    * ending in `a2c` (vec_id, sub, c, d_fp) with the trained
+    * codebooks exposed as `cl` (sub, cents).
+    */
+  private lazy val pqCtes: String = {
     // init centroid component for (sub, c, i): matches pqAssign's init
     val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13 + sub * 7) % 41 - 20) AS DOUBLE) / 10.0)"
     def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
@@ -1963,7 +1997,7 @@ object LlmQueries {
       s"list_transform(range(1, 17), i -> (${vd("i")} - $cv0) * (${vd("i")} - $cv0))")
     val distUpd = foldSum(
       s"list_transform(range(1, 17), i -> (${vd("i")} - cv[CAST(i AS INTEGER)]) * (${vd("i")} - cv[CAST(i AS INTEGER)]))")
-    s"""WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
+    s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
        |sv AS (SELECT e.vec_id, s.sub,
        |         e.embedding[s.sub*16+1 : s.sub*16+16] AS v
        |       FROM embeddings e CROSS JOIN subs s),
@@ -1986,8 +2020,62 @@ object LlmQueries {
        |a2c AS (SELECT vec_id, sub,
        |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c,
        |         CAST(FLOOR(list_aggregate(dists, 'min') * 1048576.0) AS BIGINT) AS d_fp
-       |       FROM a2)$extraCtes
-       |$select""".stripMargin
+       |       FROM a2)""".stripMargin
+  }
+
+  /** The q190/q192 query-side PQ lookup-table replay (no WITH
+    * prefix): three query vectors (`qs`), their subvectors (`qsv`),
+    * and the exact fixed-point distance of each to every trained PQ
+    * centroid (`lut` — (qid, sub, c, d_fp)). Requires [[pqCtes]] in
+    * scope for `subs`/`cl`.
+    */
+  private lazy val pqQueryLutCtes: String =
+    """qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |       WHERE vec_id < 3),
+      |qsv AS (SELECT q.qid, s.sub, q.qv[s.sub*16+1 : s.sub*16+16] AS v
+      |        FROM qs q CROSS JOIN subs s),
+      |lut AS (SELECT q2.qid, q2.sub, cc.c,
+      |          CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(range(1, 17), i ->
+      |              (CAST(q2.v[CAST(i AS INTEGER)] AS DOUBLE) - cl.cents[cc.c + 1][CAST(i AS INTEGER)])
+      |              * (CAST(q2.v[CAST(i AS INTEGER)] AS DOUBLE) - cl.cents[cc.c + 1][CAST(i AS INTEGER)]))),
+      |            (acc, x) -> acc + x) * 1048576.0) AS BIGINT) AS d_fp
+      |        FROM qsv q2 JOIN cl ON q2.sub = cl.sub
+      |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS c) cc)""".stripMargin
+
+  /** The q192 coarse-quantizer replay (the q158 Lloyd recipe over
+    * the FULL 64-dim vector — [[graft.llm.Similarity.pqCore]] with
+    * m = 1, whose sub·7 phase is then 0): CTE chain ending in
+    * `kcell` (vec_id, cell) with the trained coarse centroids as
+    * `kcl` (cents). Names are k-prefixed to coexist with [[pqCtes]].
+    */
+  private lazy val coarseCtes: String = {
+    val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13) % 41 - 20) AS DOUBLE) / 10.0)"
+    def ed(i: String) = s"CAST(e.embedding[CAST($i AS INTEGER)] AS DOUBLE)"
+    def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
+    val distInit = foldSum(
+      s"list_transform(range(1, 65), i -> (${ed("i")} - $cv0) * (${ed("i")} - $cv0))")
+    val distUpd = foldSum(
+      s"list_transform(range(1, 65), i -> (${ed("i")} - cv[CAST(i AS INTEGER)]) * (${ed("i")} - cv[CAST(i AS INTEGER)]))")
+    s"""ka1 AS (SELECT e.vec_id, e.embedding AS v,
+       |          list_transform(range(0, 8), c -> $distInit) AS dists
+       |        FROM embeddings e),
+       |ka1c AS (SELECT vec_id, v,
+       |          CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c
+       |        FROM ka1),
+       |kmm AS (SELECT c, i AS dim, COUNT(*) AS n,
+       |          SUM(CAST(FLOOR(${vd("i")} * 1048576.0) AS BIGINT)) AS s
+       |        FROM ka1c CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |        GROUP BY c, i),
+       |km2 AS (SELECT c, dim, CAST(s AS DOUBLE) / 1048576.0 / n AS mn FROM kmm),
+       |kcent2 AS (SELECT c, list(mn ORDER BY dim) AS cv FROM km2 GROUP BY c),
+       |kcl AS (SELECT list(cv ORDER BY c) AS cents FROM kcent2),
+       |ka2 AS (SELECT e.vec_id, e.embedding AS v,
+       |          list_transform(kcl.cents, cv -> $distUpd) AS dists
+       |        FROM embeddings e CROSS JOIN kcl),
+       |kcell AS (SELECT vec_id,
+       |          CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS cell
+       |        FROM ka2)""".stripMargin
   }
 
   /** Dot product a·b over 64-dim FLOAT[] with per-element double casts. */
@@ -4145,6 +4233,35 @@ object LlmQueries {
          |       CAST(SUM(CASE WHEN c>0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
          |FROM occ GROUP BY t, term ORDER BY t""".stripMargin,
 
+    "q191_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+         |        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+         |nt AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tokens FROM uni),
+         |allp AS (
+         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(ts)),
+         |            i -> ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER) + 1])) AS pair
+         |        FROM toks) GROUP BY pair),
+         |bt AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS n_bigrams FROM allp),
+         |sc AS (
+         |  SELECT p.pair, p.n_occ, p.n_docs, u1.cw AS c1, u2.cw AS c2,
+         |    CAST(FLOOR(LN(CAST(p.n_occ AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      + 2 * CAST(FLOOR(LN(CAST(nt.n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      - CAST(FLOOR(LN(CAST(bt.n_bigrams AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      - CAST(FLOOR(LN(CAST(u1.cw AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      - CAST(FLOOR(LN(CAST(u2.cw AS DOUBLE)) * 1048576.0) AS BIGINT) AS pmi_fp
+         |  FROM allp p
+         |  JOIN uni u1 ON u1.w = string_split(p.pair, ' ')[1]
+         |  JOIN uni u2 ON u2.w = string_split(p.pair, ' ')[2]
+         |  CROSS JOIN nt CROSS JOIN bt
+         |  WHERE p.n_occ >= 5)
+         |SELECT pair, n_occ, n_docs, c1, c2, pmi_fp,
+         |       CAST(pmi_fp AS DOUBLE) / 1048576.0 AS pmi
+         |FROM sc ORDER BY pmi_fp DESC, pair LIMIT 20""".stripMargin,
+
     "q188_pq_encode" -> pqOracle(
       """SELECT vec_id,
         |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY sub) AS codes,
@@ -4159,19 +4276,7 @@ object LlmQueries {
         |FROM a2c GROUP BY sub, c ORDER BY sub, cluster""".stripMargin),
 
     "q190_pq_adc_topk" -> pqOracle(
-      extraCtes = """,
-        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        |       WHERE vec_id < 3),
-        |qsv AS (SELECT q.qid, s.sub, q.qv[s.sub*16+1 : s.sub*16+16] AS v
-        |        FROM qs q CROSS JOIN subs s),
-        |lut AS (SELECT q2.qid, q2.sub, cc.c,
-        |          CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |            list_transform(range(1, 17), i ->
-        |              (CAST(q2.v[CAST(i AS INTEGER)] AS DOUBLE) - cl.cents[cc.c + 1][CAST(i AS INTEGER)])
-        |              * (CAST(q2.v[CAST(i AS INTEGER)] AS DOUBLE) - cl.cents[cc.c + 1][CAST(i AS INTEGER)]))),
-        |            (acc, x) -> acc + x) * 1048576.0) AS BIGINT) AS d_fp
-        |        FROM qsv q2 JOIN cl ON q2.sub = cl.sub
-        |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS c) cc),
+      extraCtes = s",\n$pqQueryLutCtes," + """
         |adc AS (SELECT l.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
         |        FROM a2c a JOIN lut l ON a.sub = l.sub AND a.c = l.c
         |        WHERE a.vec_id <> l.qid GROUP BY l.qid, a.vec_id)""".stripMargin,
@@ -4179,6 +4284,40 @@ object LlmQueries {
         |  CAST(adc_fp AS DOUBLE) / 1048576.0 AS adc,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
         |FROM adc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    "q192_ivf_pq_topk" -> {
+      val distQ = foldSum(
+        "list_transform(range(1, 65), i -> " +
+          "(CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)])" +
+          " * (CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)]))")
+      s"""WITH $coarseCtes,
+         |$pqCtes,
+         |$pqQueryLutCtes,
+         |kqd AS (SELECT q.qid, cc.cell,
+         |          CAST(FLOOR($distQ * 1048576.0) AS BIGINT) AS cd_fp
+         |        FROM qs q CROSS JOIN kcl
+         |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS cell) cc),
+         |kroute AS (SELECT qid, cell FROM (
+         |          SELECT qid, cell,
+         |            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cd_fp, cell) AS r
+         |          FROM kqd) WHERE r <= 2),
+         |cand AS (SELECT r.qid, kc.vec_id AS id
+         |         FROM kcell kc JOIN kroute r ON kc.cell = r.cell
+         |         WHERE kc.vec_id <> r.qid),
+         |ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |          FROM cand GROUP BY qid),
+         |adc AS (SELECT cd.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+         |        FROM a2c a
+         |        JOIN cand cd ON a.vec_id = cd.id
+         |        JOIN lut l ON l.qid = cd.qid AND l.sub = a.sub AND l.c = a.c
+         |        GROUP BY cd.qid, a.vec_id)
+         |SELECT f.qid, f.id AS vec_id, f.adc_fp,
+         |  CAST(f.adc_fp AS DOUBLE) / 1048576.0 AS adc, f.rank, n.n_cand
+         |FROM (SELECT qid, id, adc_fp,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
+         |      FROM adc) f JOIN ncand n USING (qid)
+         |WHERE f.rank <= 5 ORDER BY f.qid, f.rank""".stripMargin
+    },
 
     "q186_zipf_fit" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS tok FROM documents),

@@ -2213,6 +2213,59 @@ class LlmSpec extends SparkSpec {
     assert(top.forall(_.getAs[Long]("vec_id") != 0L))
   }
 
+  test("ivfPqTopK: probing every cell reproduces full ADC exactly; pruned probes cut candidates") {
+    val mkVec = (i: Long) =>
+      Array.tabulate(64)(j => (((i * 97 + j * 31) % 101) - 50).toFloat / 20f)
+    val emb = (0L until 60L).map(i => (i, mkVec(i))).toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // nprobe = coarseK: the inverted lists cover the whole corpus, so
+    // IVF-PQ must return EXACTLY the full ADC scan's rows
+    val full = Similarity.pqAdcTopK(emb, qs, topK = 5)
+      .select("qid", "vec_id", "adc_fp", "rank")
+    val ivfAll = Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 8, coarseK = 8)
+      .select("qid", "vec_id", "adc_fp", "rank")
+    assert(ivfAll.exceptAll(full).count() == 0 && full.exceptAll(ivfAll).count() == 0,
+      "nprobe = coarseK must degrade to the exact full ADC scan")
+    // pruned probes: candidate counts drop below the corpus size and
+    // the output stays well-formed (<= topK rows per query, ranked)
+    val pruned = Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 2, coarseK = 8)
+      .collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(_.getAs[Long]("n_cand") < 60L),
+      "nprobe 2/8 must score a strict subset of the corpus")
+    val byQ = pruned.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length)))
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 9, coarseK = 8))
+  }
+
+  test("pmiCollocations: fixed-point PMI matches the hand formula; glued pairs outrank chance pairs") {
+    // doc 0: "x y" glued 5 times (x only ever precedes y);
+    // doc 1: same for "p q"; doc 2: loose filler where "f g" occurs
+    // once among many unrelated tokens (chance-level association)
+    val docs = Seq(
+      (0L, "x y x y x y x y x y"),
+      (1L, "p q p q p q p q p q"),
+      (2L, "f g f h g f h f g h f g h h f h g g h f")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      minCount = 3, k = 10).collect()
+    def fl(x: Long): Long = math.floor(math.log(x.toDouble) * 1048576.0).toLong
+    val nTokens = 10L + 10L + 20L
+    val nBigrams = 9L + 9L + 19L
+    val xy = got.find(_.getAs[String]("pair") == "x y").get
+    assert(xy.getAs[Long]("n_occ") == 5L && xy.getAs[Long]("c1") == 5L)
+    assert(xy.getAs[Long]("pmi_fp")
+      == fl(5) + 2 * fl(nTokens) - fl(nBigrams) - fl(5) - fl(5))
+    // glued pairs outrank the loose filler pair
+    val rankOf = got.map(_.getAs[String]("pair")).zipWithIndex.toMap
+    assert(rankOf("x y") < rankOf.getOrElse("f g", Int.MaxValue))
+    assert(rankOf("p q") < rankOf.getOrElse("f g", Int.MaxValue))
+    // sub-minCount pairs never appear
+    assert(got.forall(_.getAs[Long]("n_occ") >= 3L))
+  }
+
   test("zipfFit: exact power law fits slope -1 with r2 ~ 1; head cap respected") {
     // counts 120/r for ranks 1..6: y = ln 120 - ln r, a perfect
     // log-log line of slope -1 (up to the 2^-10 fixed-point floor)
