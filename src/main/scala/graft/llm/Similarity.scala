@@ -175,6 +175,45 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / col("k_eval"))
   }
 
+  /** PQ recall audit — recall@k of BOTH quantized searchers against
+    * the exact brute-force truth, per query: `recall_pq` isolates
+    * what the CODE COMPRESSION costs ([[pqAdcTopK]] scans every
+    * code), `recall_ivf` adds what the LIST PRUNING costs on top
+    * ([[ivfPqTopK]] scores only nprobe lists) — the two knobs a
+    * production IVF-PQ index trades independently, decomposed in one
+    * frame. Truth is the exact brute-force EUCLIDEAN top-k — the
+    * metric ADC actually approximates ([[bruteTopKBatch]]'s cosine
+    * truth would fold a metric mismatch into the recall number on
+    * unnormalized vectors and misread it as quantization loss).
+    * Left joins, so a dead list scores 0 instead of vanishing.
+    * Trains the codebooks twice by construction (each searcher is
+    * self-contained) — an audit query's cost, not an index-serving
+    * shape.
+    */
+  def pqRecall(emb: DataFrame, queries: DataFrame, k: Int = 5,
+               nprobe: Int = 2, coarseK: Int = 8,
+               m: Int = 4, codeK: Int = 8, rounds: Int = 1): DataFrame = {
+    val wT = Window.partitionBy("qid").orderBy(col("l2"), col("vec_id"))
+    val truth = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("l2", pqSqDist(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id")
+    val pq = pqAdcTopK(emb, queries, k, m, codeK, rounds)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit_pq"))
+    val ivf = ivfPqTopK(emb, queries, k, nprobe, coarseK, m, codeK, rounds)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit_ivf"))
+    truth.join(pq, Seq("qid", "vec_id"), "left")
+      .join(ivf, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k_eval"),
+        coalesce(sum("hit_pq"), lit(0L)).as("n_hit_pq"),
+        coalesce(sum("hit_ivf"), lit(0L)).as("n_hit_ivf"))
+      .withColumn("recall_pq", col("n_hit_pq").cast("double") / col("k_eval"))
+      .withColumn("recall_ivf", col("n_hit_ivf").cast("double") / col("k_eval"))
+  }
+
   /** Fixed-point 2²⁰ DCG position weights ⌊2²⁰ / log₂(i+1)⌋ for ranks
     * 1..k — computed once in the JVM so the engine plan and any
     * JVM-generated oracle embed the IDENTICAL integer literals (no

@@ -1464,6 +1464,26 @@ object LlmQueries {
     Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 2).orderBy("qid", "rank")
   }
 
+  /** q193 PQ recall audit ([[graft.llm.Similarity.pqRecall]]):
+    * recall@5 of the flat-ADC and IVF-PQ searchers against the exact
+    * Euclidean brute force, per query — compression cost and pruning
+    * cost decomposed. The oracle composes the brute ranking with both
+    * quantized replays. Expect LOW absolute recall on this fixture
+    * and don't misread it as a defect: m=4 × k=8 is 12 bits per
+    * 64-dim vector (~85× compression) trained for ONE Lloyd round on
+    * near-uniform synthetic embeddings — the hardest possible data
+    * for PQ. The audit exists precisely to measure that; production
+    * indexes pick m/k from THIS report (the q188 spec separately
+    * proves the ADC arithmetic exact via the duplicate identity, so
+    * a low number here is data/parameters, not math).
+    */
+  def q193(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.pqRecall(emb, qs, k = 5, nprobe = 2).orderBy("qid")
+  }
+
   /** q191 PMI collocations
     * ([[graft.llm.TextAnalysis.pmiCollocations]]): top-20 adjacent
     * pairs by fixed-point pointwise mutual information at
@@ -1952,6 +1972,7 @@ object LlmQueries {
     "q190_pq_adc_topk" -> q190 _,
     "q191_pmi_collocations" -> q191 _,
     "q192_ivf_pq_topk" -> q192 _,
+    "q193_pq_recall" -> q193 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4284,6 +4305,61 @@ object LlmQueries {
         |  CAST(adc_fp AS DOUBLE) / 1048576.0 AS adc,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
         |FROM adc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    "q193_pq_recall" -> {
+      val distQ = foldSum(
+        "list_transform(range(1, 65), i -> " +
+          "(CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)])" +
+          " * (CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)]))")
+      s"""WITH $coarseCtes,
+         |$pqCtes,
+         |$pqQueryLutCtes,
+         |truth AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        ${foldSum("list_transform(range(1, 65), i -> " +
+                   "(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE))" +
+                   " * (CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE)))")},
+         |        e.vec_id) AS r
+         |    FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid)
+         |  WHERE r <= 5),
+         |adcpq AS (SELECT l.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+         |        FROM a2c a JOIN lut l ON a.sub = l.sub AND a.c = l.c
+         |        WHERE a.vec_id <> l.qid GROUP BY l.qid, a.vec_id),
+         |pqk AS (SELECT qid, id FROM (
+         |        SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS r
+         |        FROM adcpq) WHERE r <= 5),
+         |kqd AS (SELECT q.qid, cc.cell,
+         |          CAST(FLOOR($distQ * 1048576.0) AS BIGINT) AS cd_fp
+         |        FROM qs q CROSS JOIN kcl
+         |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS cell) cc),
+         |kroute AS (SELECT qid, cell FROM (
+         |          SELECT qid, cell,
+         |            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cd_fp, cell) AS r
+         |          FROM kqd) WHERE r <= 2),
+         |cand AS (SELECT r.qid, kc.vec_id AS id
+         |         FROM kcell kc JOIN kroute r ON kc.cell = r.cell
+         |         WHERE kc.vec_id <> r.qid),
+         |adcivf AS (SELECT cd.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+         |        FROM a2c a
+         |        JOIN cand cd ON a.vec_id = cd.id
+         |        JOIN lut l ON l.qid = cd.qid AND l.sub = a.sub AND l.c = a.c
+         |        GROUP BY cd.qid, a.vec_id),
+         |ivfk AS (SELECT qid, id FROM (
+         |        SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS r
+         |        FROM adcivf) WHERE r <= 5),
+         |agg AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS k_eval,
+         |        CAST(SUM(CASE WHEN p.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_pq,
+         |        CAST(SUM(CASE WHEN v.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_ivf
+         |        FROM truth t
+         |        LEFT JOIN pqk p ON t.qid = p.qid AND t.vec_id = p.id
+         |        LEFT JOIN ivfk v ON t.qid = v.qid AND t.vec_id = v.id
+         |        GROUP BY t.qid)
+         |SELECT qid, k_eval, n_hit_pq, n_hit_ivf,
+         |  CAST(n_hit_pq AS DOUBLE) / k_eval AS recall_pq,
+         |  CAST(n_hit_ivf AS DOUBLE) / k_eval AS recall_ivf
+         |FROM agg ORDER BY qid""".stripMargin
+    },
 
     "q192_ivf_pq_topk" -> {
       val distQ = foldSum(

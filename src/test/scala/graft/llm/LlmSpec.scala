@@ -2241,6 +2241,30 @@ class LlmSpec extends SparkSpec {
       Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 9, coarseK = 8))
   }
 
+  test("pqRecall: duplicates are always recalled; counts bounded and consistent") {
+    val mkVec = (i: Long) =>
+      Array.tabulate(64)(j => (((i * 97 + j * 31) % 101) - 50).toFloat / 20f)
+    // both query vectors have an exact copy in the corpus: the copy
+    // is L2-truth rank 1 AND global-min ADC, so every searcher must
+    // recall it — recall@5 is bounded below by 1/5 by construction
+    val emb = ((0L until 40L).map(i => (i, mkVec(i)))
+      ++ Seq((100L, mkVec(0)), (101L, mkVec(1)))).toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val rep = Similarity.pqRecall(emb, qs, k = 5, nprobe = 8, coarseK = 8)
+      .orderBy("qid").collect()
+    assert(rep.length == 2)
+    for (r <- rep) {
+      assert(r.getAs[Long]("k_eval") == 5L)
+      assert(r.getAs[Long]("n_hit_pq") >= 1L,
+        "the exact duplicate must be recalled by flat ADC")
+      // nprobe = coarseK: IVF degenerates to flat ADC, recalls agree
+      assert(r.getAs[Long]("n_hit_ivf") == r.getAs[Long]("n_hit_pq"))
+      val rc = r.getAs[Double]("recall_pq")
+      assert(rc >= 0.2 && rc <= 1.0)
+    }
+  }
+
   test("pmiCollocations: fixed-point PMI matches the hand formula; glued pairs outrank chance pairs") {
     // doc 0: "x y" glued 5 times (x only ever precedes y);
     // doc 1: same for "p q"; doc 2: loose filler where "f g" occurs
