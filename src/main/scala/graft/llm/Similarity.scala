@@ -175,6 +175,57 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / col("k_eval"))
   }
 
+  /** PageRank over a directed edge table — authority scoring for
+    * curation (link authority on a web-crawl graph, centrality in
+    * the embedding [[knnGraph]]: high-rank documents are the ones
+    * many near-duplicates/neighbors point at — canonical-selection
+    * and sampling signals). FIXED iteration count and pure integer
+    * arithmetic so the whole computation is oracle-replayable:
+    * ranks live in ⌊r·2²⁰⌋ fixed point, each node's outgoing share
+    * is `r_fp div outdeg` (truncating integer division — identical
+    * in any engine for non-negative operands), and the damped update
+    * is `⌊0.15·2²⁰⌋ + (85·Σshares) div 100` — no float anywhere
+    * until the final report division. The unnormalized "every node
+    * starts at 1" convention; DANGLING mass (nodes with no
+    * out-edges) is dropped, the standard simplification — on a kNN
+    * graph every node has out-degree k, so nothing dangles.
+    *
+    * Scale shape, per round: edges⋈rank shuffles on src (the
+    * edge-with-degree table is built ONCE and checkpointed), one
+    * dst-keyed aggregation with map-side partials, one left join
+    * back to the node table (no-inbound nodes keep the base rank) —
+    * the canonical distributed PR round, chained through
+    * localCheckpoint exactly like the CC rounds. Overflow envelope:
+    * 85·Σshares stays under 2⁶³ for up to ~7·10¹⁰ nodes.
+    */
+  def pageRank(edges: DataFrame, rounds: Int = 5,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val base = 157286L // floor(0.15 * 2^20)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    var rank = nodes.withColumn("r_fp", lit(1048576L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val shares = eDeg
+        .join(rank.select(col("id").as("src"), col("r_fp")), "src")
+        .select(col("dst").as("id"), expr("r_fp div deg").as("share"))
+        .groupBy("id").agg(sum("share").as("in_fp"))
+      val next = nodes.join(shares, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(in_fp, 0L)) div 100")).as("r_fp"))
+        .localCheckpoint()
+      graft.core.Materialize.release(rank)
+      rank = next
+    }
+    rank.select(col("id"), col("r_fp"),
+      (col("r_fp").cast("double") / 1048576.0).as("rank"))
+  }
+
   /** PQ recall audit — recall@k of BOTH quantized searchers against
     * the exact brute-force truth, per query: `recall_pq` isolates
     * what the CODE COMPRESSION costs ([[pqAdcTopK]] scans every

@@ -1464,6 +1464,24 @@ object LlmQueries {
     Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 2).orderBy("qid", "rank")
   }
 
+  /** q194 PageRank centrality over the corpus kNN graph
+    * ([[graft.llm.Similarity.pageRank]] over
+    * [[graft.llm.Similarity.knnGraph]] edges): five integer
+    * fixed-point rounds, unnormalized convention — the
+    * embedding-space authority signal (who do many neighbors point
+    * at). The oracle replays the bucketed kNN construction and all
+    * five rounds as unrolled CTEs.
+    */
+  def q194(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraph(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        k = 3, planes = 4)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    Similarity.pageRank(edges, rounds = 5)
+      .select(col("id").as("vec_id"), col("r_fp"), col("rank"))
+      .orderBy("vec_id")
+  }
+
   /** q193 PQ recall audit ([[graft.llm.Similarity.pqRecall]]):
     * recall@5 of the flat-ADC and IVF-PQ searchers against the exact
     * Euclidean brute force, per query — compression cost and pruning
@@ -1973,6 +1991,7 @@ object LlmQueries {
     "q191_pmi_collocations" -> q191 _,
     "q192_ivf_pq_topk" -> q192 _,
     "q193_pq_recall" -> q193 _,
+    "q194_knn_pagerank" -> q194 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4305,6 +4324,37 @@ object LlmQueries {
         |  CAST(adc_fp AS DOUBLE) / 1048576.0 AS adc,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
         |FROM adc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    "q194_knn_pagerank" -> {
+      val prRounds = (1 to 5).map { r =>
+        s"""pr$r AS (SELECT n.id,
+           |    CAST(157286 + (85 * COALESCE(s.in_fp, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM(p.r // e.deg) AS in_fp
+           |    FROM edeg e JOIN pr${r - 1} p ON p.id = e.src
+           |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bucketed AS (
+         |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
+         |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |kpairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id),
+         |kranked AS (
+         |  SELECT id_a, id_b,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+         |  FROM kpairs),
+         |edges AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM kranked WHERE rn <= 3),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |pr0 AS (SELECT id, CAST(1048576 AS BIGINT) AS r FROM nodes),
+         |$prRounds
+         |SELECT id AS vec_id, r AS r_fp, CAST(r AS DOUBLE) / 1048576.0 AS rank
+         |FROM pr5 ORDER BY vec_id""".stripMargin
+    },
 
     "q193_pq_recall" -> {
       val distQ = foldSum(

@@ -2241,6 +2241,30 @@ class LlmSpec extends SparkSpec {
       Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 9, coarseK = 8))
   }
 
+  test("pageRank: integer recurrence exact on hand graphs; hub dominates a star") {
+    // star: 1..4 all point at 0; 0 points at 1. Replicate the exact
+    // integer recurrence in Scala and compare r_fp bit-for-bit.
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val got = Similarity.pageRank(edges, rounds = 5)
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("r_fp")).toMap
+    val deg = Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    val in = Map(0L -> Seq(1L, 2L, 3L, 4L), 1L -> Seq(0L),
+      2L -> Seq.empty[Long], 3L -> Seq.empty[Long], 4L -> Seq.empty[Long])
+    var r = Seq(0L, 1L, 2L, 3L, 4L).map(_ -> 1048576L).toMap
+    for (_ <- 1 to 5)
+      r = r.keys.map { n =>
+        val inFp = in(n).map(s => r(s) / deg(s)).sum
+        n -> (157286L + (85L * inFp) / 100L)
+      }.toMap
+    assert(got == r, s"engine $got vs recurrence $r")
+    // the hub outranks every spoke
+    assert(got(0L) > got(2L) && got(0L) > got(1L))
+    // spokes with no inbound sit at the damped base
+    assert(got(2L) == 157286L && got(3L) == 157286L)
+  }
+
   test("pqRecall: duplicates are always recalled; counts bounded and consistent") {
     val mkVec = (i: Long) =>
       Array.tabulate(64)(j => (((i * 97 + j * 31) % 101) - 50).toFloat / 20f)
