@@ -237,9 +237,9 @@ object Similarity {
     * truth would fold a metric mismatch into the recall number on
     * unnormalized vectors and misread it as quantization loss).
     * Left joins, so a dead list scores 0 instead of vanishing.
-    * Trains the codebooks twice by construction (each searcher is
-    * self-contained) — an audit query's cost, not an index-serving
-    * shape.
+    * Each codebook trains exactly ONCE and feeds both searchers
+    * (training is deterministic, so results are identical to the
+    * self-contained forms at two fewer Lloyd fits).
     */
   def pqRecall(emb: DataFrame, queries: DataFrame, k: Int = 5,
                nprobe: Int = 2, coarseK: Int = 8,
@@ -251,9 +251,20 @@ object Similarity {
       .withColumn("rank", row_number().over(wT))
       .filter(col("rank") <= k)
       .select("qid", "vec_id")
-    val pq = pqAdcTopK(emb, queries, k, m, codeK, rounds)
-      .select(col("qid"), col("vec_id"), lit(1L).as("hit_pq"))
-    val ivf = ivfPqTopK(emb, queries, k, nprobe, coarseK, m, codeK, rounds)
+    val (pModel, pAssign) = pqCore(emb, m, codeK, rounds, "vec_id", "embedding")
+    val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, "vec_id", "embedding")
+    val lut = pqLut(queries, pModel, m)
+    val wA = Window.partitionBy("qid").orderBy(col("adc_fp"), col("id"))
+    val pq = pAssign.select(col("id"), col("sub"), col("c"))
+      .join(broadcast(lut), Seq("sub", "c"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d_fp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(wA))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("vec_id"), lit(1L).as("hit_pq"))
+    val ivf = ivfAdcFrom(cModel, cAssign, pModel, pAssign, queries,
+        k, nprobe, m)
       .select(col("qid"), col("vec_id"), lit(1L).as("hit_ivf"))
     truth.join(pq, Seq("qid", "vec_id"), "left")
       .join(ivf, Seq("qid", "vec_id"), "left")
@@ -996,15 +1007,8 @@ object Similarity {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val FP = 1048576.0
     val (model, assigned) = pqCore(emb, m, k, rounds, idCol, vecCol)
-    val lut = pqSubRows(queries, m, 64 / m, "qid", "qvec")
-      .withColumnRenamed("id", "qid")
-      .crossJoin(broadcast(model))
-      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
-      .select(col("qid"), col("sub"), posexplode(transform(col("cents"),
-        cv => floor(pqSqDist(col("sv"), cv) * FP).cast("long")))
-        .as(Seq("c", "d_fp")))
+    val lut = pqLut(queries, model, m)
     val w = Window.partitionBy("qid").orderBy(col("adc_fp"), col("id"))
     assigned.select(col("id"), col("sub"), col("c"))
       .join(broadcast(lut), Seq("sub", "c"))
@@ -1014,8 +1018,22 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid"), col("id").as("vec_id"), col("adc_fp"),
-        (col("adc_fp").cast("double") / FP).as("adc"), col("rank"))
+        (col("adc_fp").cast("double") / 1048576.0).as("adc"), col("rank"))
   }
+
+  /** Query-side ADC lookup table against a trained [[pqCore]] model:
+    * (qid, sub, c, d_fp) — the exact fixed-point distance of every
+    * query subvector to every codebook centroid. Model-sized
+    * (|queries|·m·k rows), always broadcast by callers.
+    */
+  private def pqLut(queries: DataFrame, model: DataFrame, m: Int): DataFrame =
+    pqSubRows(queries, m, 64 / m, "qid", "qvec")
+      .withColumnRenamed("id", "qid")
+      .crossJoin(broadcast(model))
+      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
+      .select(col("qid"), col("sub"), posexplode(transform(col("cents"),
+        cv => floor(pqSqDist(col("sv"), cv) * 1048576.0).cast("long")))
+        .as(Seq("c", "d_fp")))
 
   /** PQ encoding report — per vector, the `m` codebook indexes in
     * subspace order plus the exact-integer reconstruction error
@@ -1082,16 +1100,25 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     require(topK > 0 && nprobe > 0 && nprobe <= coarseK,
       s"need 0 < nprobe <= coarseK, got nprobe=$nprobe coarseK=$coarseK")
-    val FP = 1048576.0
     val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
+    val (pModel, pAssign) = pqCore(emb, m, k, rounds, idCol, vecCol)
+    ivfAdcFrom(cModel, cAssign, pModel, pAssign, queries, topK, nprobe, m)
+  }
+
+  /** The IVF-ADC query path over ALREADY-TRAINED coarse and PQ
+    * models: routing, candidate pruning, in-list ADC, ranking.
+    * Factored so [[pqRecall]] can train each model ONCE and feed
+    * both searchers (identical results — training is deterministic —
+    * at two fewer Lloyd fits).
+    */
+  private def ivfAdcFrom(cModel: DataFrame, cAssign: DataFrame,
+                         pModel: DataFrame, pAssign: DataFrame,
+                         queries: DataFrame, topK: Int, nprobe: Int,
+                         m: Int): DataFrame = {
+    val FP = 1048576.0
     val cells = cAssign.select(col("id"), col("c").as("cell"))
-    val qFull = pqSubRows(queries, 1, 64, "qid", "qvec")
-      .withColumnRenamed("id", "qid")
-    val qCellDist = qFull.crossJoin(broadcast(cModel))
-      .withColumn("cents", element_at(col("centsBySub"), 1))
-      .select(col("qid"), posexplode(transform(col("cents"),
-        cv => floor(pqSqDist(col("sv"), cv) * FP).cast("long")))
-        .as(Seq("cell", "cd_fp")))
+    val qCellDist = pqLut(queries, cModel, 1)
+      .select(col("qid"), col("c").as("cell"), col("d_fp").as("cd_fp"))
     val wR = Window.partitionBy("qid").orderBy(col("cd_fp"), col("cell"))
     val routes = qCellDist.withColumn("r", row_number().over(wR))
       .filter(col("r") <= nprobe).select("qid", "cell")
@@ -1100,14 +1127,7 @@ object Similarity {
       .filter(col("id") =!= col("qid"))
       .select("qid", "id")
     val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
-    val (pModel, pAssign) = pqCore(emb, m, k, rounds, idCol, vecCol)
-    val lut = pqSubRows(queries, m, 64 / m, "qid", "qvec")
-      .withColumnRenamed("id", "qid")
-      .crossJoin(broadcast(pModel))
-      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
-      .select(col("qid"), col("sub"), posexplode(transform(col("cents"),
-        cv => floor(pqSqDist(col("sv"), cv) * FP).cast("long")))
-        .as(Seq("c", "d_fp")))
+    val lut = pqLut(queries, pModel, m)
     val w = Window.partitionBy("qid").orderBy(col("adc_fp"), col("id"))
     pAssign.select(col("id"), col("sub"), col("c"))
       .join(cand, Seq("id"))
