@@ -1105,6 +1105,95 @@ object Similarity {
     ivfAdcFrom(cModel, cAssign, pModel, pAssign, queries, topK, nprobe, m)
   }
 
+  /** RESIDUAL IVF-PQ top-k search — the full FAISS `IVFx,PQy`
+    * fidelity variant of [[ivfPqTopK]]: fine codes quantize the
+    * RESIDUAL vector (vec − its coarse centroid) instead of the raw
+    * vector, so the codebook spends its bits on the within-cell
+    * displacement rather than re-describing the cell location — the
+    * standard recall recovery at the same code budget (Jégou et al.
+    * 2011 §V.B). The query side pays the matching price: the ADC
+    * lookup table becomes PER-(query, probed cell) — the query's
+    * residual differs per cell — still model-sized
+    * (|queries|·nprobe·m·k rows) and broadcast.
+    *
+    * Everything else inherits the proven determinism contract: the
+    * coarse quantizer is [[pqCore]] with m = 1, the residual
+    * codebooks train under the same fixed-point Lloyd recipe on the
+    * residual frame, distances floor to ⌊d·2²⁰⌋ per cell, and ties
+    * break on id — the whole train → residual → encode → route →
+    * per-cell ADC chain replays in one oracle statement.
+    *
+    * Scale shape: the residual frame is one broadcast-model
+    * projection over the corpus (no extra shuffle — the coarse
+    * assignment rows are reused), candidates prune exactly as in
+    * [[ivfPqTopK]], and the ADC join keys on (qid, cell, sub, code)
+    * against the broadcast per-cell LUT.
+    */
+  def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame, topK: Int = 5,
+                        nprobe: Int = 2, coarseK: Int = 8,
+                        m: Int = 4, k: Int = 8, rounds: Int = 1,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0 && nprobe > 0 && nprobe <= coarseK,
+      s"need 0 < nprobe <= coarseK, got nprobe=$nprobe coarseK=$coarseK")
+    val FP = 1048576.0
+    val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
+    val cells = cAssign.select(col("id"), col("c").as("cell"))
+    // residuals: vec − coarse centroid of the vector's own cell
+    val resid = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .join(cells, "id")
+      .crossJoin(broadcast(cModel))
+      .select(col("id").as("vec_id"), col("cell"),
+        zip_with(col("v"),
+          element_at(element_at(col("centsBySub"), 1), col("cell") + 1),
+          (x, c) => x.cast("double") - c).as("embedding"))
+    val (pModel, pAssign) = pqCore(
+      resid.select("vec_id", "embedding"), m, k, rounds, "vec_id", "embedding")
+    // routing on raw-vector coarse distances (same as ivfPqTopK)
+    val qCellDist = pqLut(queries, cModel, 1)
+      .select(col("qid"), col("c").as("cell"), col("d_fp").as("cd_fp"))
+    val wR = Window.partitionBy("qid").orderBy(col("cd_fp"), col("cell"))
+    val routes = qCellDist.withColumn("r", row_number().over(wR))
+      .filter(col("r") <= nprobe).select("qid", "cell")
+    // per-(query, probed cell) residual LUT
+    val qResid = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+      .join(broadcast(routes), Seq("qid"))
+      .crossJoin(broadcast(cModel))
+      .select(col("qid"), col("cell"),
+        zip_with(col("qvec"),
+          element_at(element_at(col("centsBySub"), 1), col("cell") + 1),
+          (x, c) => x.cast("double") - c).as("qvec"))
+    // per-cell LUT needs the composite (qid, cell) key, which
+    // pqSubRows' long-id contract can't carry — build it directly
+    val lutKeyed = qResid
+      .select(col("qid"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("qvec"), s * (64 / m) + 1, lit(64 / m))))
+          .as(Seq("sub", "sv")))
+      .crossJoin(broadcast(pModel))
+      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
+      .select(col("qid"), col("cell"), col("sub"),
+        posexplode(transform(col("cents"),
+          cv => floor(pqSqDist(col("sv"), cv) * FP).cast("long")))
+          .as(Seq("c", "d_fp")))
+    val cand = cells.join(broadcast(routes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "id", "cell")
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_fp"), col("id"))
+    pAssign.select(col("id"), col("sub"), col("c"))
+      .join(cand, Seq("id"))
+      .join(broadcast(lutKeyed), Seq("qid", "cell", "sub", "c"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d_fp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(broadcast(nCand), Seq("qid"))
+      .select(col("qid"), col("id").as("vec_id"), col("adc_fp"),
+        (col("adc_fp").cast("double") / FP).as("adc"), col("rank"),
+        col("n_cand"))
+  }
+
   /** The IVF-ADC query path over ALREADY-TRAINED coarse and PQ
     * models: routing, candidate pruning, in-list ADC, ranking.
     * Factored so [[pqRecall]] can train each model ONCE and feed

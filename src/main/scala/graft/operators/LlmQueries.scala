@@ -1464,6 +1464,21 @@ object LlmQueries {
     Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 2).orderBy("qid", "rank")
   }
 
+  /** q195 RESIDUAL IVF-PQ search
+    * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
+    * fidelity variant — fine codes quantize vec − coarse centroid,
+    * the query LUT is per-(query, probed cell). The oracle chains
+    * coarse replay → residual table → residual-PQ replay →
+    * per-cell LUT → in-list ADC in one statement.
+    */
+  def q195(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfPqResidualTopK(emb, qs, topK = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
   /** q194 PageRank centrality over the corpus kNN graph
     * ([[graft.llm.Similarity.pageRank]] over
     * [[graft.llm.Similarity.knnGraph]] edges): five integer
@@ -1992,6 +2007,7 @@ object LlmQueries {
     "q192_ivf_pq_topk" -> q192 _,
     "q193_pq_recall" -> q193 _,
     "q194_knn_pagerank" -> q194 _,
+    "q195_ivf_pq_residual" -> q195 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2029,7 +2045,12 @@ object LlmQueries {
     * ending in `a2c` (vec_id, sub, c, d_fp) with the trained
     * codebooks exposed as `cl` (sub, cents).
     */
-  private lazy val pqCtes: String = {
+  private lazy val pqCtes: String = pqCtesFrom("embeddings")
+
+  /** [[pqCtes]] over an arbitrary (vec_id, embedding) source — q195
+    * trains on the RESIDUAL table instead of the raw corpus.
+    */
+  private def pqCtesFrom(src: String): String = {
     // init centroid component for (sub, c, i): matches pqAssign's init
     val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13 + sub * 7) % 41 - 20) AS DOUBLE) / 10.0)"
     def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
@@ -2040,7 +2061,7 @@ object LlmQueries {
     s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
        |sv AS (SELECT e.vec_id, s.sub,
        |         e.embedding[s.sub*16+1 : s.sub*16+16] AS v
-       |       FROM embeddings e CROSS JOIN subs s),
+       |       FROM $src e CROSS JOIN subs s),
        |a1 AS (SELECT vec_id, sub, v,
        |         list_transform(range(0, 8), c -> $distInit) AS dists
        |       FROM sv),
@@ -4324,6 +4345,64 @@ object LlmQueries {
         |  CAST(adc_fp AS DOUBLE) / 1048576.0 AS adc,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
         |FROM adc QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    "q195_ivf_pq_residual" -> {
+      val distQ = foldSum(
+        "list_transform(range(1, 65), i -> " +
+          "(CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)])" +
+          " * (CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)]))")
+      val distLut = foldSum(
+        "list_transform(range(1, 17), i -> " +
+          "(q2.v[CAST(i AS INTEGER)] - cl.cents[cc.c + 1][CAST(i AS INTEGER)])" +
+          " * (q2.v[CAST(i AS INTEGER)] - cl.cents[cc.c + 1][CAST(i AS INTEGER)]))")
+      s"""WITH $coarseCtes,
+         |resid AS (SELECT e.vec_id,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+         |        - kcl.cents[kc.cell + 1][CAST(i AS INTEGER)]) AS embedding
+         |  FROM embeddings e JOIN kcell kc ON e.vec_id = kc.vec_id
+         |  CROSS JOIN kcl),
+         |${pqCtesFrom("resid")},
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id < 3),
+         |kqd AS (SELECT q.qid, cc.cell,
+         |          CAST(FLOOR($distQ * 1048576.0) AS BIGINT) AS cd_fp
+         |        FROM qs q CROSS JOIN kcl
+         |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS cell) cc),
+         |kroute AS (SELECT qid, cell FROM (
+         |          SELECT qid, cell,
+         |            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cd_fp, cell) AS r
+         |          FROM kqd) WHERE r <= 2),
+         |qres AS (SELECT r.qid, r.cell,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE)
+         |        - kcl.cents[r.cell + 1][CAST(i AS INTEGER)]) AS rqv
+         |  FROM kroute r JOIN qs q ON q.qid = r.qid CROSS JOIN kcl),
+         |qrsv AS (SELECT qid, cell, s.sub,
+         |    qres.rqv[s.sub*16+1 : s.sub*16+16] AS v
+         |  FROM qres CROSS JOIN subs s),
+         |rlut AS (SELECT q2.qid, q2.cell, q2.sub, cc.c,
+         |    CAST(FLOOR($distLut * 1048576.0) AS BIGINT) AS d_fp
+         |  FROM qrsv q2 JOIN cl ON q2.sub = cl.sub
+         |  CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS c) cc),
+         |cand AS (SELECT r.qid, kc.vec_id AS id, kc.cell
+         |  FROM kcell kc JOIN kroute r ON kc.cell = r.cell
+         |  WHERE kc.vec_id <> r.qid),
+         |ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM cand GROUP BY qid),
+         |adc AS (SELECT cd.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+         |  FROM a2c a
+         |  JOIN cand cd ON a.vec_id = cd.id
+         |  JOIN rlut l ON l.qid = cd.qid AND l.cell = cd.cell
+         |    AND l.sub = a.sub AND l.c = a.c
+         |  GROUP BY cd.qid, a.vec_id)
+         |SELECT f.qid, f.id AS vec_id, f.adc_fp,
+         |  CAST(f.adc_fp AS DOUBLE) / 1048576.0 AS adc, f.rank, n.n_cand
+         |FROM (SELECT qid, id, adc_fp,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
+         |      FROM adc) f JOIN ncand n USING (qid)
+         |WHERE f.rank <= 5 ORDER BY f.qid, f.rank""".stripMargin
+    },
 
     "q194_knn_pagerank" -> {
       val prRounds = (1 to 5).map { r =>

@@ -2241,6 +2241,32 @@ class LlmSpec extends SparkSpec {
       Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 9, coarseK = 8))
   }
 
+  test("ivfPqResidualTopK: duplicate found via its own cell; residual ADC exact and well-formed") {
+    val mkVec = (i: Long) =>
+      Array.tabulate(64)(j => (((i * 97 + j * 31) % 101) - 50).toFloat / 20f)
+    val emb = ((0L until 60L).map(i => (i, mkVec(i)))
+      ++ Seq((100L, mkVec(0)))).toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.ivfPqResidualTopK(emb, qs, topK = 5,
+      nprobe = 2, coarseK = 8).orderBy("rank").collect()
+    assert(top.nonEmpty && top.forall(_.getAs[Long]("qid") == 0L))
+    // the copy shares the query's cell (identical vector, identical
+    // coarse argmin), its residual equals the query's residual, and
+    // its codes are that residual's argmin codes — so its ADC is the
+    // minimum attainable within the probed cell and it must be found
+    val copy = top.find(_.getAs[Long]("vec_id") == 100L)
+    assert(copy.isDefined, s"copy missing: ${top.mkString(", ")}")
+    assert(copy.get.getAs[Int]("rank") == 1,
+      s"copy should rank first, got ${copy.get}")
+    assert(top.forall(_.getAs[Long]("vec_id") != 0L), "self excluded")
+    assert(top.forall(_.getAs[Long]("n_cand") < 61L), "candidates pruned")
+    val ranks = top.map(_.getAs[Int]("rank")).toSeq
+    assert(ranks == (1 to ranks.length), "dense ranks")
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfPqResidualTopK(emb, qs, topK = 5, nprobe = 9, coarseK = 8))
+  }
+
   test("pageRank: integer recurrence exact on hand graphs; hub dominates a star") {
     // star: 1..4 all point at 0; 0 points at 1. Replicate the exact
     // integer recurrence in Scala and compare r_fp bit-for-bit.
