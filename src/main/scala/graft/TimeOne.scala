@@ -30,6 +30,20 @@ object TimeOne {
     once() // warmup
     val times = (1 to iters).map(_ => once())
     println(f"$name: min ${times.min}%.3f  all ${times.map(t => f"$t%.3f").mkString(",")}")
+    // opt-in formatted-plan dump (SPARK_GRAFT_DUMP_PLAN=1): backfill
+    // for protocol sweeps whose dump phase hit the wall-budget cutoff
+    // before reaching late-alphabet queries. Only meaningful at the
+    // protocol scale factor — same caveat as Bench's dump guard.
+    if (sys.env.get("SPARK_GRAFT_DUMP_PLAN").contains("1")) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans"))
+      graft.core.Materialize.scoped(spark) {
+        val plan = fn(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"plans/$name.txt"), plan)
+        println(s"plan written: plans/$name.txt")
+      }
+    }
     spark.stop()
     sys.exit(0)
   }
