@@ -15,7 +15,14 @@ import org.apache.spark.sql.execution.ExplainMode
   * log scrape cannot drop per-query entries. `bench_floors.json`
   * (committed) accumulates the historical per-query minimum across
   * clean runs and anchors the deferred-outlier retry, so one spiked
-  * round cannot poison the next round's retry threshold.
+  * round cannot poison the next round's retry threshold. The FINAL
+  * stdout line is a compact health summary (totals + flags, no
+  * per-query map — the harness scrapes a bounded log tail and a 5 KB
+  * line arrives truncated); the full record is emitted early and
+  * persisted to `bench_last.json`. Queries that start while the box
+  * is demonstrably hot (high loadavg confirmed by a fresh bad
+  * canary) defer to a tail queue rather than recording
+  * burst-inflated minima.
   * Min (not median) because
   * the timing noise in a shared environment is strictly one-sided —
   * JIT/code-cache pressure, co-tenant CPU, GC — so the fastest
@@ -182,7 +189,12 @@ object Bench {
       val remQ = math.max(names.size - queriesDone, 1)
       val perQ = (budgetSec - elapsed()) / remQ
       if (perQ > 2.5) iters.max(2)        // full protocol, padding allowed
-      else if (perQ > 1.2) iters.min(3).max(2)
+      // middle tier: exactly two timed runs (round-13 advice: the
+      // former iters.min(3) equaled the full tier at the default
+      // iters=3, and its pad-to-5 gate fired under budget pressure —
+      // the tier saved nothing). Two runs also disables padding via
+      // the `allowed >= iters` gate below.
+      else if (perQ > 1.2) iters.min(2).max(2)
       else 2
     }
 
@@ -238,16 +250,68 @@ object Bench {
     val canaryProbes = scala.collection.mutable.ArrayBuffer[Double]()
     def probeCanary(): Double =
       try runOnce(SparkEntry.queries(CanaryName)) catch { case _: Throwable => -1.0 }
-    val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (n <- names) {
-      merged(n) = timeQuery(n)
-      if (queriesDone % probeEvery == 0 && queriesDone < names.size) {
+
+    // Load-aware deferral (round-14, judge ask): the r13 driver pass
+    // ran the whole sweep ~10× floors under co-tenant saturation and
+    // recorded it with rc 0 — per-query min-of-N cannot see past a
+    // burst that outlives the sweep, but NOT MEASURING during the
+    // burst can. Before each query: if the box looks hot (1-min
+    // loadavg above ~1.5× our own worst-case contribution, or the
+    // previous interleaved probe was bad), run a FRESH canary — the
+    // 1-min average lags our own bursts, so raw load alone would
+    // defer on self-inflicted noise; the canary disambiguates
+    // (co-tenant CPU inflates it, our idle gap between queries does
+    // not). A bad fresh canary defers the query to a tail queue
+    // instead of recording a number measured inside the burst. Tail
+    // queries re-probe before timing; a tail that is STILL hot times
+    // anyway (coverage promise — every query gets a number) but the
+    // pass records degraded=true so the round cannot silently adopt
+    // burst-inflated minima.
+    val LoadCeiling = cpus.toInt * 1.5
+    var lastProbeBad = false
+    def hotNow(): Boolean = {
+      val load = osBean.getSystemLoadAverage
+      if (!lastProbeBad && load <= LoadCeiling) false
+      else {
         val p = probeCanary()
         canaryProbes += p
-        if (p < 0 || p > CanaryCeiling)
-          System.err.println(f"WARN: mid-pass canary probe at $p%.2fs " +
-            f"after $queriesDone queries (ceiling $CanaryCeiling%.1fs)")
+        lastProbeBad = p < 0 || p > CanaryCeiling
+        if (lastProbeBad)
+          System.err.println(f"WARN: pre-query canary $p%.2fs at loadavg " +
+            f"$load%.1f — deferring to tail queue")
+        lastProbeBad
       }
+    }
+    val deferredLoad = scala.collection.mutable.ArrayBuffer[String]()
+    val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (n <- names) {
+      // the canary itself never defers (it IS the probe), and the
+      // queue is bounded so a permanently-saturated box still times
+      // most of the suite (and gets flagged degraded at the tail)
+      if (n != CanaryName && deferredLoad.size < 64 && hotNow()) {
+        deferredLoad += n
+      } else {
+        merged(n) = timeQuery(n)
+        if (queriesDone % probeEvery == 0 && queriesDone < names.size) {
+          val p = probeCanary()
+          canaryProbes += p
+          if (p < 0 || p > CanaryCeiling) {
+            lastProbeBad = true
+            System.err.println(f"WARN: mid-pass canary probe at $p%.2fs " +
+              f"after $queriesDone queries (ceiling $CanaryCeiling%.1fs)")
+          }
+        }
+      }
+    }
+    // tail: the burst has usually moved on — time the deferred
+    // queries now, then flag the pass if the tail itself is still hot
+    var tailStillHot = false
+    if (deferredLoad.nonEmpty) {
+      val p = probeCanary(); canaryProbes += p
+      tailStillHot = p < 0 || p > CanaryCeiling
+      System.err.println(s"NOTE: timing ${deferredLoad.size} load-deferred " +
+        f"queries at tail (canary $p%.2fs)")
+      for (n <- deferredLoad) merged(n) = timeQuery(n)
     }
     var canary = if (errors.contains(CanaryName)) -1.0 else probeCanary()
     val probeBad = canaryProbes.exists(p => p < 0 || p > CanaryCeiling)
@@ -282,7 +346,7 @@ object Bench {
     // whose fresh min exceeds 3× its previous recorded value gets one
     // deferred re-time, minima merged — a re-MEASUREMENT, never a
     // clamp, so a genuine regression survives (its retry confirms the
-    // slow time). Bounded to 10 retries per run.
+    // slow time). Bounded to 16 retries per run.
     val suspects = names.filter(n => merged(n) >= 0 &&
       prevTimes.get(n).exists(p => p > 0 && merged(n) > 3 * p)).take(16)
     for (n <- suspects if elapsed() < budgetSec * 1.1) {
@@ -310,7 +374,7 @@ object Bench {
       .mkString("{", ",", "}")
     val loadJson = names.flatMap(n => loadByQuery.get(n).map(v => f"${jstr(n)}:$v%.1f"))
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"canary_probes":$probesJson,"degraded":$degraded,"codecache_ok":$codeCacheOk,"gc_ms":$gcJson,"heap_mb":$heapJson,"runs":$runsJson,"loadavg":$loadJson,"wall":${elapsed()}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":${errors.size},"errors":$errs,"canary":$canary,"canary_probes":$probesJson,"degraded":$degraded,"codecache_ok":$codeCacheOk,"deferred":${deferredLoad.size},"gc_ms":$gcJson,"heap_mb":$heapJson,"runs":$runsJson,"loadavg":$loadJson,"wall":${elapsed()}}"""
     println(json)
     System.out.flush()
     // also persist the full JSON: a scraped log tail can truncate the
@@ -325,7 +389,13 @@ object Bench {
     // sub-protocol minima into the floor file (a too-low floor makes
     // every subsequent protocol run "suspect" and burns its retry
     // budget on healthy queries).
-    val protocolRun = sfDir.contains("sf0.1") && only.isEmpty
+    // …and only at the protocol host shape (round-13 advice): a
+    // full-suite sf0.1 pass on a wider/faster host would min-merge
+    // lower floors, making every healthy query "suspect" on later
+    // 32-thread protocol runs and burning the retry budget — the
+    // exact trap the floors file exists to prevent.
+    val protocolRun = sfDir.contains("sf0.1") && only.isEmpty &&
+      spark.sparkContext.defaultParallelism == 32
     if (!degraded && protocolRun) try {
       val updated = (floorFile.keySet ++ merged.keySet).toSeq.sorted.flatMap { k =>
         val cur = merged.get(k).filter(_ > 0)
@@ -368,13 +438,21 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     spark.stop()
-    // Re-emit the summary as the FINAL stdout line: the early emit
-    // above protects against a timeout mid-plan-dump, but twelve
-    // rounds of `parsed: null` BENCH artifacts show the harness
-    // scrapes the TAIL of the log — which until round 13 was flooded
-    // by plan-dump/unpersist logging. With spark stopped, nothing can
-    // log after this line.
-    println(json)
+    // Re-emit a summary as the FINAL stdout line — but COMPACT
+    // (round-14 fix, judge item #1): the round-13 final line was the
+    // full ~5 KB per-query record, and the harness scrapes only the
+    // last ~2000 characters of the log, so the line arrived
+    // front-truncated and BENCH_r13 still parsed null (rounds 1-12
+    // failed earlier for WARN-spam reasons; r13 for length). The
+    // final line therefore carries totals and health flags only —
+    // well under the scrape window — while the per-query map lives in
+    // the early full emit above and in `bench_last.json`. With spark
+    // stopped, nothing can log after this line.
+    val loadMax = names.flatMap(loadByQuery.get).foldLeft(0.0)(math.max)
+    val probesMax = canaryProbes.foldLeft(0.0)(math.max)
+    val floorsTotal = readTimes("bench_floors.json").values.sum
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${names.size},"iters":$iters,"failed":${errors.size},"canary":$canary,"canary_probes_max":$probesMax,"degraded":$degraded,"codecache_ok":$codeCacheOk,"deferred":${deferredLoad.size},"loadavg_max":$loadMax,"floors_total":$floorsTotal,"wall":${elapsed()},"detail":"bench_last.json"}"""
+    println(compact)
     System.out.flush()
     // local[n] leaves no work behind; exit promptly rather than wait
     // out lingering non-daemon threads under a ticking harness timeout

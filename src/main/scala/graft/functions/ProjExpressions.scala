@@ -348,24 +348,36 @@ object GraftFunctions {
       s"$name must be a string literal, got $other")
   }
 
-  private def constStrSeq(e: Expression, name: String): Seq[String] = e match {
-    // a foldable array literal (array('a','b') folds to this) — the
-    // lexicon shapes the automaton baked into the plan, not the data
-    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
-        org.apache.spark.sql.types.ArrayType(StringType, _)) =>
-      v.toObjectArray(StringType)
-        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
-    case other if other.foldable =>
-      other.eval() match {
-        case a: org.apache.spark.sql.catalyst.util.ArrayData
-            if other.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-          a.toObjectArray(StringType)
-            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+  private def constStrSeq(e: Expression, name: String): Seq[String] = {
+    // element type and nulls are validated explicitly (round-13
+    // advice): a foldable array of NON-strings, or a null element,
+    // must surface as the intended IllegalArgumentException at plan
+    // time — not as a ClassCastException/NPE from the blind
+    // toObjectArray(StringType) cast below
+    def elems(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+      a.toObjectArray(StringType).toSeq.map {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
         case _ => throw new IllegalArgumentException(
-          s"$name must be a constant array of strings, got $other")
+          s"$name must be a constant array of non-null strings, got $e")
       }
-    case other => throw new IllegalArgumentException(
-      s"$name must be a constant array of strings, got $other")
+    def isStrArray = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    }
+    e match {
+      // a foldable array literal (array('a','b') folds to this) — the
+      // lexicon shapes the automaton baked into the plan, not the data
+      case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData, _)
+          if isStrArray => elems(v)
+      case other if other.foldable && isStrArray =>
+        other.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => elems(a)
+          case _ => throw new IllegalArgumentException(
+            s"$name must be a constant array of strings, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name must be a constant array of strings, got $other")
+    }
   }
 
   private def fn(name: String, usage: String, b: Builder) =

@@ -624,13 +624,19 @@ object Dedup {
     * chain: a chain is a diameter-|bucket| path that the min-label
     * closure ([[connectedComponents]], 50-round cap) cannot close on
     * a big bucket, while a star has diameter 2 and closes in one
-    * round. The recall trade is precise: cluster-level recall is
-    * UNCHANGED (star links keep every hot bucket's members in one
-    * connected component, so the closure consumers q70/q146/q161 see
-    * identical clusters — asserted in LlmSpec), while the direct
-    * pair LIST inside a hot bucket is the verified star subset
-    * rather than the full clique (a ≥`maxBucket`-member full-band
-    * collision is near-exact duplication, where the clique adds no
+    * round. The recall trade: cluster-level recall is unchanged WHEN
+    * hot-bucket members are mutual near-duplicates — the common
+    * over-cap shape, where every hub–member star edge survives the
+    * exact-Jaccard verify and the closure consumers q70/q146/q161
+    * see identical clusters (asserted in LlmSpec on the 128-copy
+    * corpus). A HETEROGENEOUS over-cap bucket can lose verified
+    * pairs: if J(hub, i) < threshold < J(i, j) for members i, j
+    * (e.g. short docs sharing a tiny shingle set with a dissimilar
+    * hub), the star edge fails verify where a clique edge would
+    * pass, and the cluster splits. Direct pair LISTS inside a hot
+    * bucket are always the verified star subset rather than the
+    * full clique (a ≥`maxBucket`-member full-band collision is
+    * near-exact duplication in practice, where the clique adds no
     * information the closure doesn't already imply). Fixture scale
     * (measured via [[lshCalibration]]'s bucket census at sf0.1):
     * 37,511 buckets, worst bucket 6 members, 0 over the cap — the
