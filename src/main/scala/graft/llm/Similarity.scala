@@ -1231,6 +1231,80 @@ object Similarity {
         col("n_cand"))
   }
 
+  /** One-time IVF-PQ INGEST: train the coarse quantizer and the PQ
+    * codebooks (the deterministic [[pqCore]] recipes [[ivfPqTopK]]
+    * uses), then persist the production read-side artifacts —
+    * `dir/coarse_model` and `dir/pq_model` (each one model-sized row)
+    * plus `dir/codes`, the per-(vector, subspace) code rows written
+    * PARTITIONED BY the coarse cell. This is the shape a real 100 TB
+    * vector index has at rest (FAISS trains once and serializes the
+    * index; the reference persists its selector catalog as planner
+    * metadata rather than re-deriving it per query,
+    * `gdalos_selector.py:11-65`): training is paid at ingest, and
+    * every query after reads codes + models only — see
+    * [[ivfPqTopKAtRest]] for the query side.
+    */
+  def ivfPqIngest(emb: DataFrame, dir: String, coarseK: Int = 8,
+                  m: Int = 4, k: Int = 8, rounds: Int = 1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    require(coarseK > 0 && m > 0, s"need coarseK > 0, m > 0; got $coarseK, $m")
+    val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
+    val (pModel, pAssign) = pqCore(emb, m, k, rounds, idCol, vecCol)
+    cModel.write.mode("overwrite").parquet(dir + "/coarse_model")
+    pModel.write.mode("overwrite").parquet(dir + "/pq_model")
+    val cells = cAssign.select(col("id"), col("c").as("cell"))
+    pAssign.select("id", "sub", "c").join(cells, "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+  }
+
+  /** IVF-PQ top-k over an AT-REST index ([[ivfPqIngest]] output) —
+    * the production read side: no Lloyd stage anywhere in the timed
+    * plan. Routing scores the broadcast coarse model against the
+    * queries (model-sized), and the broadcast route list joins the
+    * cell-partitioned codes table on its PARTITION column, so the
+    * scan is dynamically partition-pruned (DPP) to the nprobe probed
+    * cells — a query touches nprobe/coarseK of the index at rest,
+    * never the full corpus. ADC scoring then joins the pruned code
+    * rows map-side to the broadcast query LUT and reduces per
+    * (qid, id), exactly [[ivfPqTopKAtRest]]'s trained-in-memory twin
+    * [[ivfPqTopK]] — results are bit-equal (training is
+    * deterministic; parquet round-trips doubles exactly), so one
+    * oracle gates both.
+    */
+  def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queries: DataFrame, topK: Int = 5, nprobe: Int = 2,
+                      m: Int = 4): DataFrame = {
+    require(topK > 0 && nprobe > 0, s"need topK > 0, nprobe > 0; got $topK, $nprobe")
+    val FP = 1048576.0
+    val cModel = spark.read.parquet(dir + "/coarse_model")
+    val pModel = spark.read.parquet(dir + "/pq_model")
+    val codes = spark.read.parquet(dir + "/codes")
+    val qCellDist = pqLut(queries, cModel, 1)
+      .select(col("qid"), col("c").as("cell"), col("d_fp").as("cd_fp"))
+    val wR = Window.partitionBy("qid").orderBy(col("cd_fp"), col("cell"))
+    val routes = qCellDist.withColumn("r", row_number().over(wR))
+      .filter(col("r") <= nprobe).select("qid", "cell")
+    // route join on the partition column → DPP prunes unprobed cells
+    val candCodes = codes.join(broadcast(routes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+    // each candidate id carries exactly m code rows — count/m is the
+    // candidate census without a second (distinct) aggregation
+    val nCand = candCodes.groupBy("qid")
+      .agg((count(lit(1)) / m).cast("long").as("n_cand"))
+    val lut = pqLut(queries, pModel, m)
+    val w = Window.partitionBy("qid").orderBy(col("adc_fp"), col("id"))
+    candCodes.join(broadcast(lut), Seq("qid", "sub", "c"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d_fp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(broadcast(nCand), Seq("qid"))
+      .select(col("qid"), col("id").as("vec_id"), col("adc_fp"),
+        (col("adc_fp").cast("double") / FP).as("adc"), col("rank"),
+        col("n_cand"))
+  }
+
   /** Contrastive triplet mining — per anchor vector, the HARDEST
     * positive (same label, LOWEST cosine: the far member of its own
     * class) and the HARDEST negative (different label, HIGHEST

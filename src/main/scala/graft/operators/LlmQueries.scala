@@ -1464,6 +1464,28 @@ object LlmQueries {
     Similarity.ivfPqTopK(emb, qs, topK = 5, nprobe = 2).orderBy("qid", "rank")
   }
 
+  /** q196 IVF-PQ at-rest search ([[graft.llm.Similarity.ivfPqTopKAtRest]]
+    * over [[graft.llm.Similarity.ivfPqIngest]] artifacts): q192's
+    * production read-side twin. Training (both Lloyd fits) happens
+    * ONCE per JVM at ingest ([[ingestOnce]], like q103's IVF layout);
+    * the timed plan reads the persisted models + the cell-partitioned
+    * codes table with DPP pruning to the probed cells and contains NO
+    * Lloyd stage. Bit-equal to q192 (deterministic training, exact
+    * double round-trip through parquet) — one shared oracle gates
+    * both.
+    */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val atRest = atRestDir(d, "graft_ivfpq_at_rest")
+    ingestOnce(atRest + "#ivfpq#" + inputFingerprint(d + "/embeddings.parquet")) {
+      Similarity.ivfPqIngest(emb, atRest)
+    }
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfPqTopKAtRest(s, atRest, qs, topK = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2008,6 +2030,7 @@ object LlmQueries {
     "q193_pq_recall" -> q193 _,
     "q194_knn_pagerank" -> q194 _,
     "q195_ivf_pq_residual" -> q195 _,
+    "q196_ivf_pq_at_rest" -> q196 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4681,5 +4704,9 @@ object LlmQueries {
         .replace("%WN%", baseOracles("q154_winnow_matches"))
         .replace("%NG%", baseOracles("q75_dedup_ngram"))
         .replace("%ED%", baseOracles("q170_edit_verified"))
-    })
+    }) +
+    // q196 replays q192's exact search against the SAME deterministic
+    // training — the at-rest layout changes WHERE the codes live, not
+    // their values, so one oracle gates both (the q85/q103 pattern)
+    ("q196_ivf_pq_at_rest" -> baseOracles("q192_ivf_pq_topk"))
 }
