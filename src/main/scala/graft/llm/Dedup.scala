@@ -351,6 +351,39 @@ object Dedup {
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
 
+  /** [[bpeTrain]] over a deterministic md5-top-N corpus SAMPLE — the
+    * 100 TB tokenizer-training contract. The full trainer
+    * localCheckpoints the entire tokenized corpus once per merge
+    * round; at corpus scale that is rounds× full-corpus
+    * materializations for a model whose statistics saturate long
+    * before the full corpus is counted (every production BPE trainer
+    * — GPT-2's, SentencePiece — trains on a sample). The sample is
+    * the first `sampleN` documents in (md5(id), id) order
+    * ([[Sampling.stratifiedTake]] with one stratum): content-stable,
+    * engine-reproducible, and prefix-monotone (growing N only ADDS
+    * documents), so the oracle replays the exact selection and the
+    * merge table is as deterministic as the full path's.
+    *
+    * SAMPLE-VS-FULL CONTRACT: the merge TABLE may differ from the
+    * full corpus' — pair counts are measured on the sample, and a
+    * rank inversion between two near-tied pairs can reorder or
+    * replace merges (that is the accepted trade in every sampled
+    * tokenizer trainer, not an approximation defect of this one).
+    * What is preserved: determinism (same N → same table, any
+    * engine), the trainer loop semantics (identical code path —
+    * [[bpeTrain]] is called on the sampled frame), and the count
+    * semantics (pair_count is the exact count WITHIN the sample).
+    * q178 gates the full path; q197 gates this one.
+    */
+  def bpeTrainSampled(df: DataFrame, idCol: String, textCol: String,
+                      rounds: Int, sampleN: Long): DataFrame = {
+    require(sampleN > 0, s"sampleN must be positive, got $sampleN")
+    val sampled = Sampling.stratifiedTake(
+      df.select(col(idCol), col(textCol)),
+      lit("corpus"), col(idCol), Seq("corpus" -> sampleN))
+    bpeTrain(sampled, idCol, textCol, rounds)
+  }
+
   /** Deterministic Bloom filter over a key column: `numHashes` bit
     * positions per key, each `md5(key || '#' || j)`'s top 60 bits mod
     * `numBits`. Returns ONE row holding the sorted distinct set

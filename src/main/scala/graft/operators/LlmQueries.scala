@@ -1292,6 +1292,20 @@ object LlmQueries {
     Dedup.bpeTrain(Tables.documents(s, d), "doc_id", "text", rounds = 3)
       .orderBy("round")
 
+  /** q197 SAMPLED BPE trainer ([[graft.llm.Dedup.bpeTrainSampled]]):
+    * q178's three merge rounds over the deterministic md5-top-200
+    * document sample — the production tokenizer-training contract
+    * (per-round corpus materializations bounded by the sample, not
+    * the corpus; see the bpeTrainSampled scaladoc for the
+    * sample-vs-full trade). The oracle replays the exact
+    * (md5(doc_id), doc_id) prefix selection, then the same unrolled
+    * merge-round folds as q178's.
+    */
+  def q197(s: SparkSession, d: String): DataFrame =
+    Dedup.bpeTrainSampled(Tables.documents(s, d), "doc_id", "text",
+        rounds = 3, sampleN = 200)
+      .orderBy("round")
+
   /** q179 language-ID confusion matrix: predicted language
     * ([[graft.llm.TextAnalysis.langIdCol]]) against the corpus's
     * DECLARED `lang` column, with document and character mass per
@@ -2031,6 +2045,7 @@ object LlmQueries {
     "q194_knn_pagerank" -> q194 _,
     "q195_ivf_pq_residual" -> q195 _,
     "q196_ivf_pq_at_rest" -> q196 _,
+    "q197_bpe_train_sampled" -> q197 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2247,6 +2262,52 @@ object LlmQueries {
        |FROM pairs
        |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
        |        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5""".stripMargin
+
+  /** The q178/q197 BPE-trainer replay: three unrolled merge rounds —
+    * pair statistics, (cnt DESC, l, r) argmax, greedy leftmost
+    * `list_reduce` rewrite — over `src`, a relation exposing one `w`
+    * (VARCHAR[] symbol list) column per document. `pre` prepends
+    * extra CTEs (q197's deterministic sample). One greedy leftmost
+    * merge round as a list_reduce fold: the accumulator is the
+    * rewritten symbol list; a symbol merged this round (carrying an
+    * internal space, strictly longer than l) never re-matches as the
+    * left side within the same round — identical semantics to the
+    * engine's bpe_merge kernel scan.
+    */
+  private def bpeTrainOracle(pre: String, src: String): String = {
+    def mergeExpr(l: String, r: String): String =
+      s"""list_reduce(
+         |  list_prepend(CAST([] AS VARCHAR[]), list_transform(w, x -> [x])),
+         |  (acc, x) -> CASE
+         |    WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
+         |    THEN list_append(list_slice(acc, 1, len(acc) - 1),
+         |                     concat($l, ' ', $r))
+         |    ELSE list_append(acc, x[1]) END)""".stripMargin
+    def pairsOf(s0: String): String =
+      s"""SELECT struct_extract(s, 'l') AS l, struct_extract(s, 'r') AS r
+         |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> {'l': w[CAST(i AS INTEGER)],
+         |          'r': w[CAST(i AS INTEGER) + 1]})) AS s FROM $s0)""".stripMargin
+    def argmax(s0: String): String =
+      s"""SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM $s0
+         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+    s"""WITH ${pre}w1 AS (SELECT w FROM $src
+       |            WHERE len(w) > 1),
+       |p1 AS (${pairsOf("w1")}),
+       |m1 AS (${argmax("p1")}),
+       |w2 AS (SELECT ${mergeExpr("m1.l", "m1.r")} AS w
+       |       FROM w1 CROSS JOIN m1),
+       |p2 AS (${pairsOf("w2")}),
+       |m2 AS (${argmax("p2")}),
+       |w3 AS (SELECT ${mergeExpr("m2.l", "m2.r")} AS w
+       |       FROM w2 CROSS JOIN m2),
+       |p3 AS (${pairsOf("w3")}),
+       |m3 AS (${argmax("p3")})
+       |SELECT 1 AS "round", l AS lhs, r AS rhs, cnt AS pair_count FROM m1
+       |UNION ALL SELECT 2, l, r, cnt FROM m2
+       |UNION ALL SELECT 3, l, r, cnt FROM m3
+       |ORDER BY "round"""".stripMargin
+  }
 
   private val baseOracles: Map[String, String] = Map(
     "q121_hashed_classifier" ->
@@ -4585,45 +4646,20 @@ object LlmQueries {
          |  END AS kappa
          |FROM m""".stripMargin,
 
-    "q178_bpe_train" -> {
-      // one greedy leftmost merge round as a list_reduce fold: the
-      // accumulator is the rewritten symbol list; a symbol merged this
-      // round (carrying an internal space, strictly longer than l)
-      // never re-matches as the left side within the same round —
-      // identical semantics to the engine's bpe_merge kernel scan
-      def mergeExpr(l: String, r: String): String =
-        s"""list_reduce(
-           |  list_prepend(CAST([] AS VARCHAR[]), list_transform(w, x -> [x])),
-           |  (acc, x) -> CASE
-           |    WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
-           |    THEN list_append(list_slice(acc, 1, len(acc) - 1),
-           |                     concat($l, ' ', $r))
-           |    ELSE list_append(acc, x[1]) END)""".stripMargin
-      def pairsOf(src: String): String =
-        s"""SELECT struct_extract(s, 'l') AS l, struct_extract(s, 'r') AS r
-           |  FROM (SELECT unnest(list_transform(range(1, len(w)),
-           |    i -> {'l': w[CAST(i AS INTEGER)],
-           |          'r': w[CAST(i AS INTEGER) + 1]})) AS s FROM $src)""".stripMargin
-      def argmax(src: String): String =
-        s"""SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM $src
-           |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
-      s"""WITH w1 AS (SELECT w FROM (SELECT $toksExpr AS w FROM documents)
-         |            WHERE len(w) > 1),
-         |p1 AS (${pairsOf("w1")}),
-         |m1 AS (${argmax("p1")}),
-         |w2 AS (SELECT ${mergeExpr("m1.l", "m1.r")} AS w
-         |       FROM w1 CROSS JOIN m1),
-         |p2 AS (${pairsOf("w2")}),
-         |m2 AS (${argmax("p2")}),
-         |w3 AS (SELECT ${mergeExpr("m2.l", "m2.r")} AS w
-         |       FROM w2 CROSS JOIN m2),
-         |p3 AS (${pairsOf("w3")}),
-         |m3 AS (${argmax("p3")})
-         |SELECT 1 AS "round", l AS lhs, r AS rhs, cnt AS pair_count FROM m1
-         |UNION ALL SELECT 2, l, r, cnt FROM m2
-         |UNION ALL SELECT 3, l, r, cnt FROM m3
-         |ORDER BY "round"""".stripMargin
-    },
+    "q178_bpe_train" -> bpeTrainOracle(pre = "",
+      src = s"(SELECT $toksExpr AS w FROM documents)"),
+
+    // q197: identical three-round replay over the md5-top-200 prefix
+    // sample — the samp CTE replays Sampling.stratifiedTake's
+    // (md5(key), key) rank order exactly
+    "q197_bpe_train_sampled" -> bpeTrainOracle(
+      pre = """samp AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM documents) WHERE rn <= 200),
+        |""".stripMargin,
+      src = s"(SELECT $toksExpr AS w FROM samp)"),
 
     "q172_curation_funnel" -> {
       val em = TextAnalysis.EmailRe
