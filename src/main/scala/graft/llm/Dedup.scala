@@ -725,6 +725,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-band bucket census of the [[minhashLsh]] banding — the
+    * hot-bucket guard's audit face as a first-class frame: per band,
+    * how many buckets exist, the worst bucket's membership, and how
+    * many buckets exceed `maxBucket` (i.e. how many will take the
+    * star-pairing path). [[lshCalibration]] rides the same numbers as
+    * report metadata; this exposes them queryably so the guard's
+    * activation is oracle-gatable on a skewed corpus (q198) instead
+    * of only spec-asserted. One banded projection + two map-side
+    * aggregations — no pair join, so the census is safe to run on
+    * exactly the degenerate corpora the guard exists for.
+    */
+  def lshBucketCensus(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val banded = bandedOf(
+      signatureAgg(df, idCol, textCol, numHashes, shingleLen),
+      bands, numHashes / bands)
+    banded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"), max("bn").as("max_bucket"),
+        sum(when(col("bn") > maxBucket, 1L).otherwise(0L)).as("n_hot"))
+  }
+
   /** Paragraph-level duplication stats — the RefinedWeb/Dolma
     * line-dedup signal, structure-aware where [[substring-window
     * q94]] is byte-window-blind: split each document into paragraph

@@ -1306,6 +1306,42 @@ object LlmQueries {
         rounds = 3, sampleN = 200)
       .orderBy("round")
 
+  /** q198 LSH hot-bucket star cap UNDER LOAD: the one code path of
+    * [[graft.llm.Dedup.minhashLsh]] that matters most at 100 TB — a
+    * degenerate boilerplate corpus collapsing into one over-cap
+    * bucket per band — exercised under the oracle instead of only by
+    * spec. 200 documents are rewritten to one shared boilerplate
+    * string (the classic mirrored-page shape), so every band gets a
+    * 200-member bucket (> maxBucket 64) and pairing MUST take the
+    * star path; the untouched rest of the corpus keeps its organic
+    * clique pairs. The report joins the per-band
+    * [[graft.llm.Dedup.lshBucketCensus]] (n_hot > 0 ⇔ the cap is
+    * provably active) with the closure outcome over the verified
+    * pairs ([[graft.llm.Dedup.connectedComponents]]): the
+    * min-labeled cluster must hold all 200 injected docs — star
+    * edges close the hot bucket into ONE component in one round,
+    * the recall contract the star trade promises. The oracle
+    * replays seeding, banding, the hot/cool split, star + clique
+    * pairing, Jaccard verify, and the recursive closure.
+    */
+  def q198(s: SparkSession, d: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates terms of " +
+      "service privacy policy all rights reserved contact our support team today"
+    val docs = Tables.documents(s, d).withColumn("text",
+      when(col("doc_id") < 200, lit(boiler)).otherwise(col("text")))
+    val census = Dedup.lshBucketCensus(docs, "doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val summary = pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(sizes.agg(count(lit(1)).as("n_clusters"),
+        max("sz").as("max_cluster")))
+      .crossJoin(sizes
+        .join(sizes.agg(min("cluster_id").as("cluster_id")), "cluster_id")
+        .select(col("sz").as("min_label_cluster_size")))
+    census.crossJoin(broadcast(summary)).orderBy("band")
+  }
+
   /** q179 language-ID confusion matrix: predicted language
     * ([[graft.llm.TextAnalysis.langIdCol]]) against the corpus's
     * DECLARED `lang` column, with document and character mass per
@@ -2046,6 +2082,7 @@ object LlmQueries {
     "q195_ivf_pq_residual" -> q195 _,
     "q196_ivf_pq_at_rest" -> q196 _,
     "q197_bpe_train_sampled" -> q197 _,
+    "q198_lsh_hot_star" -> q198 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2056,14 +2093,16 @@ object LlmQueries {
   /** Word-3-gram distinct shingles (matches Dedup.shinglesCol; both
     * engines 1-index arrays and skip NULLs in concat_ws).
     */
-  private val shinglesCte =
+  private def shinglesCteFrom(src: String): String =
     s"""sh0 AS (
-       |  SELECT doc_id, $toksExpr AS w FROM documents),
+       |  SELECT doc_id, $toksExpr AS w FROM $src),
        |sh AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
        |           i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1], w[CAST(i AS INTEGER) + 2]))) AS sh
        |  FROM sh0)""".stripMargin
+
+  private val shinglesCte = shinglesCteFrom("documents")
 
   /** In-order double fold of a list (matches Spark's aggregate()). */
   private def foldSum(listExpr: String): String =
@@ -2206,8 +2245,8 @@ object LlmQueries {
     * q47/q70 self-join and the q117 cross-corpus join both start
     * from this `banded` frame.
     */
-  private val minhashBandedCte: String =
-    s"""$shinglesCte,
+  private def minhashBandedCteFrom(src: String): String =
+    s"""${shinglesCteFrom(src)},
        |sig AS (
        |  -- universal hashing: one md5-derived base per shingle, k
        |  -- affine transforms (a_k x + b_k) mod p -- mirrors
@@ -2234,8 +2273,9 @@ object LlmQueries {
   // (star), the rest pair all-vs-all (clique). Dormant on the
   // fixtures (worst bucket = 2) but kept in the oracle so the cap
   // semantics stay oracle-gated.
-  private val minhashPairsSql: String =
-    s"WITH $minhashBandedCte,\n" +
+  private val minhashBandedCte: String = minhashBandedCteFrom("documents")
+
+  private val minhashPairsBody: String =
     """hot AS (
        |  SELECT band, bkey FROM banded GROUP BY band, bkey HAVING COUNT(*) > 64),
        |cool AS (SELECT * FROM banded ANTI JOIN hot USING (band, bkey)),
@@ -2262,6 +2302,11 @@ object LlmQueries {
        |FROM pairs
        |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
        |        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5""".stripMargin
+
+  private def minhashPairsSqlFrom(src: String, pre: String = ""): String =
+    s"WITH $pre${minhashBandedCteFrom(src)},\n" + minhashPairsBody
+
+  private val minhashPairsSql: String = minhashPairsSqlFrom("documents")
 
   /** The q178/q197 BPE-trainer replay: three unrolled merge rounds —
     * pair statistics, (cnt DESC, l, r) argmax, greedy leftmost
@@ -4744,5 +4789,53 @@ object LlmQueries {
     // q196 replays q192's exact search against the SAME deterministic
     // training — the at-rest layout changes WHERE the codes live, not
     // their values, so one oracle gates both (the q85/q103 pattern)
-    ("q196_ivf_pq_at_rest" -> baseOracles("q192_ivf_pq_topk"))
+    ("q196_ivf_pq_at_rest" -> baseOracles("q192_ivf_pq_topk")) +
+    // q198: the hot-bucket star cap ACTIVE — seeded boilerplate corpus,
+    // banding census, star+clique pairing, Jaccard verify, recursive
+    // closure; the min-labeled cluster must hold all 200 injected docs
+    ("q198_lsh_hot_star" -> {
+      val boiler = "subscribe to our newsletter for updates terms of " +
+        "service privacy policy all rights reserved contact our support team today"
+      val seeded =
+        s"""seeded AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id < 200 THEN '$boiler' ELSE text END AS text
+           |  FROM documents),
+           |""".stripMargin
+      val bandedSelect =
+        s"WITH $seeded${minhashBandedCteFrom("seeded")} SELECT band, bkey FROM banded"
+      "WITH RECURSIVE verified AS (\n" +
+        minhashPairsSqlFrom("seeded", seeded) + "\n),\n" +
+      s"""cb AS (
+         |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |         CAST(MAX(bn) AS BIGINT) AS max_bucket,
+         |         CAST(SUM(CASE WHEN bn > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+         |  FROM (SELECT band, bkey, COUNT(*) AS bn
+         |        FROM (%BANDED%) GROUP BY band, bkey)
+         |  GROUP BY band),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM cl GROUP BY cluster_id),
+         |summ AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verified) AS n_pairs,
+         |                CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |                MAX(sz) AS max_cluster FROM sizes),
+         |hub AS (SELECT sz AS min_label_cluster_size FROM sizes
+         |        WHERE cluster_id = (SELECT MIN(cluster_id) FROM sizes))
+         |SELECT cb.band, cb.n_buckets, cb.max_bucket, cb.n_hot,
+         |       s.n_pairs, s.n_clusters, s.max_cluster, h.min_label_cluster_size
+         |FROM cb CROSS JOIN summ s CROSS JOIN hub h
+         |ORDER BY band""".stripMargin
+        // substituted AFTER stripMargin: the banded CTE contains `||`
+        // concat continuation lines a second stripMargin pass would
+        // truncate into bitwise-or (the q171 pattern)
+        .replace("%BANDED%", bandedSelect)
+    })
 }
