@@ -831,6 +831,235 @@ object GeoTiff {
       crs, tileSize, compression, bands, bigTiff, materialize = false,
       maxBytes = Long.MaxValue)
 
+  private final case class IfdTag(id: Int, typ: Int, cnt: Int,
+                                  inline: Option[Long], ext: Option[Array[Byte]])
+
+  private def leBytes(vs: Seq[Long], typ: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val width = typ match { case 3 => 2; case 16 => 8; case _ => 4 }
+    vs.foreach { v =>
+      (0 until width).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    }
+    out.toByteArray
+  }
+
+  private def dblBytes(vs: Seq[Double]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    vs.foreach { v =>
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
+    }
+    out.toByteArray
+  }
+
+  /** One little-endian sample at chunky byte index `i*bps` — the
+    * writer's sample packing, shared by the in-JVM pyramid writer and
+    * the executor-side sharded tile encoder.
+    */
+  private[sources] def writeSampleLE(raw: Array[Byte], i: Int, v: Double,
+                                     dtype: DType): Unit = dtype match {
+    case DtByte => raw(i) = v.toInt.toByte
+    case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
+    case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
+    case DtFloat64 =>
+      // LE word order: low 32 bits first (see decodeSegment)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      writeS32(raw, i * 8, bits.toInt, be = false)
+      writeS32(raw, i * 8 + 4, (bits >>> 32).toInt, be = false)
+  }
+
+  /** The writer's segment codec dispatch (JPEG excluded — it needs
+    * per-segment dimensions and stays inside [[writePyramidImpl]]).
+    */
+  private[sources] def compressSeg(raw: Array[Byte], compression: Int): Array[Byte] =
+    compression match {
+      case 1 => raw
+      case 5 => lzwEncode(raw)
+      case 32773 => packBitsEncode(raw)
+      case 8 => deflate(raw)
+      case other => throw new IllegalArgumentException(
+        s"unsupported segment compression $other (none/LZW/DEFLATE/PackBits)")
+    }
+
+  private def tiffHeader(bigTiff: Boolean): Array[Byte] = {
+    val header = new ByteArrayOutputStream()
+    header.write('I'); header.write('I')
+    if (bigTiff) {
+      header.write(43); header.write(0)
+      header.write(8); header.write(0)  // offset size
+      header.write(0); header.write(0)  // reserved
+      header.write(leBytes(Seq(16L), 16)) // first IFD at 16 (u64)
+    } else {
+      header.write(42); header.write(0)
+      header.write(leBytes(Seq(8L), 4)) // first IFD at 8
+    }
+    header.toByteArray
+  }
+
+  /** IFD + external tag data of one page laid out at `base` with the
+    * given compressed segment byte counts; segment data follows the
+    * block immediately. Returns (block bytes, offset WITHIN the block
+    * of the next-IFD pointer) so the chain patch happens before the
+    * block is streamed. Extracted from [[writePyramidImpl]] so the
+    * sharded export can assemble the identical container around
+    * executor-encoded tile segments.
+    */
+  private def pageBlock(pageIdx: Int, w: Int, h: Int, stripSizes: Seq[Long],
+                        base: Long, dtype: DType, gt: GeoTransform,
+                        nodata: Option[Double], rowsPerStrip: Int,
+                        predictor: Int, crs: CrsTag, tileSize: Int,
+                        compression: Int, bands: Int,
+                        bigTiff: Boolean): (Array[Byte], Int) = {
+    val offTyp = if (bigTiff) 16 else 4
+    val ptrSz = if (bigTiff) 8 else 4
+    val inlineCap = if (bigTiff) 8 else 4
+    val entrySz = if (bigTiff) 20 else 12
+    val cntSz = if (bigTiff) 8 else 2
+    val tiled = tileSize > 0
+    val nStrips = stripSizes.length
+    val segOffTag = if (tiled) TTileOffsets else TStripOffsets
+
+    val ascii = nodata.map(nd =>
+      (if (nd == nd.floor && nd.abs < 1e15) nd.toLong.toString else nd.toString) + " ")
+    val pixelScale = Seq(gt.c1, -gt.c5, 0.0)
+    val tiepoint = Seq(0.0, 0.0, 0.0, gt.c0, gt.c3, 0.0)
+    val geoKeys: Seq[Long] =
+      if (crs.geographic) Seq(1, 1, 0, 2, // version, 2 keys
+        1024, 0, 1, 2, // GTModelType = geographic
+        2048, 0, 1, crs.epsg.toLong) // GeographicTypeGeoKey
+      else Seq(1, 1, 0, 2,
+        1024, 0, 1, 1, // GTModelType = projected
+        3072, 0, 1, crs.epsg.toLong) // ProjectedCSTypeGeoKey
+
+    val segTags =
+      if (tiled) Seq(
+        IfdTag(TTileWidth, 3, 1, Some(tileSize.toLong), None),
+        IfdTag(TTileLength, 3, 1, Some(tileSize.toLong), None),
+        IfdTag(TTileOffsets, offTyp, nStrips, None, Some(new Array[Byte](nStrips * ptrSz))),
+        IfdTag(TTileByteCounts, offTyp, nStrips, None, Some(leBytes(stripSizes, offTyp))))
+      else Seq(
+        IfdTag(TStripOffsets, offTyp, nStrips, None, Some(new Array[Byte](nStrips * ptrSz))),
+        IfdTag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
+        IfdTag(TStripByteCounts, offTyp, nStrips, None, Some(leBytes(stripSizes, offTyp))))
+    // per-band counts for BitsPerSample/SampleFormat (TIFF 6.0);
+    // 1-2 shorts fit the inline value field, 3+ go external
+    def perBand(tag: Int, v: Long): IfdTag =
+      if (bands == 1) IfdTag(tag, 3, 1, Some(v), None)
+      else IfdTag(tag, 3, bands, None, Some(leBytes(Seq.fill(bands)(v), 3)))
+    var tags = Seq(
+      IfdTag(TWidth, 3, 1, Some(w.toLong), None),
+      IfdTag(TLength, 3, 1, Some(h.toLong), None),
+      perBand(TBits, dtype.bits.toLong),
+      IfdTag(TCompression, 3, 1, Some(compression.toLong), None),
+      // RGB(2) vs min-is-black(1); JPEG RGB pages are YCbCr(6) — the
+      // reference's photo-kind JPEG+YCBCR pairing (gdalos_trans.py:426-459)
+      IfdTag(TPhotometric, 3, 1,
+        Some(if (bands >= 3) (if (compression == 7) 6L else 2L) else 1L), None),
+      IfdTag(TSamplesPerPixel, 3, 1, Some(bands.toLong), None),
+      IfdTag(TPlanarConfig, 3, 1, Some(1L), None), // chunky
+      IfdTag(TPredictor, 3, 1, Some(predictor.toLong), None),
+      perBand(TSampleFormat, dtype.fmt.toLong)) ++ segTags
+    if (pageIdx == 0) {
+      tags = tags ++ Seq(
+        IfdTag(TModelPixelScale, 12, 3, None, Some(dblBytes(pixelScale))),
+        IfdTag(TModelTiepoint, 12, 6, None, Some(dblBytes(tiepoint))),
+        IfdTag(TGeoKeyDir, 3, geoKeys.length, None, Some(leBytes(geoKeys, 3))))
+      ascii.foreach { s =>
+        tags = tags :+ IfdTag(TGdalNodata, 2, s.length, None, Some(s.getBytes("ASCII")))
+      }
+    } else {
+      tags = tags :+ IfdTag(254, 4, 1, Some(1L), None) // NewSubfileType = ReducedImage
+    }
+    tags = tags.sortBy(_.id) // TIFF requires ascending tag order
+
+    // layout inside the block: IFD | external tag data | strip data
+    val ifdSize = cntSz + tags.length * entrySz + ptrSz
+    var extOff = base + ifdSize
+    val extOffsets = tags.map { t =>
+      t.ext match {
+        case Some(b) if b.length > inlineCap => val o = extOff; extOff += b.length; Some(o)
+        case _ => None
+      }
+    }
+    var stripOff = extOff
+    val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
+    if (!bigTiff) require(stripOff <= 0xFFFFFFFFL,
+      s"classic TIFF offsets overflow the u32 limit at $stripOff bytes — set bigTiff=true")
+    val soIdx = tags.indexWhere(_.id == segOffTag)
+    val soBytes = leBytes(stripOffsets, offTyp)
+    System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
+
+    val outB = new ByteArrayOutputStream()
+    outB.write(leBytes(Seq(tags.length.toLong), if (bigTiff) 16 else 3),
+      0, cntSz)
+    tags.zip(extOffsets).foreach { case (t, ext) =>
+      outB.write(leBytes(Seq(t.id.toLong), 3))
+      outB.write(leBytes(Seq(t.typ.toLong), 3))
+      outB.write(leBytes(Seq(t.cnt.toLong), if (bigTiff) 16 else 4))
+      val valueField: Array[Byte] = (t.inline, t.ext, ext) match {
+        case (Some(v), _, _) =>
+          leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(inlineCap, 0.toByte)
+        case (_, Some(b), None) => b.padTo(inlineCap, 0.toByte) // short external fits inline
+        case (_, _, Some(o)) => leBytes(Seq(o), offTyp)
+        case _ => Array.fill(inlineCap)(0.toByte)
+      }
+      outB.write(valueField, 0, inlineCap)
+    }
+    outB.write(leBytes(Seq(0L), offTyp)) // next IFD — patched by the chain
+    tags.zip(extOffsets).foreach {
+      case (t, Some(_)) => outB.write(t.ext.get)
+      case _ => ()
+    }
+    (outB.toByteArray, cntSz + tags.length * entrySz)
+  }
+
+  /** Encode ONE tile's compressed TIFF segment from its padded sample
+    * array (`tileSize²` row-major doubles, single band) — the
+    * EXECUTOR-side piece of the sharded export: byte-identical to
+    * what [[writePyramid]]'s tiled path emits for the same samples,
+    * with no driver involvement.
+    */
+  def encodeTileSegment(vals: Array[Double], tileSize: Int, dtype: DType,
+                        predictor: Int = 1, compression: Int = 8): Array[Byte] = {
+    require(vals.length == tileSize * tileSize,
+      s"expected ${tileSize * tileSize} samples, got ${vals.length}")
+    val bps = dtype.bits / 8
+    val raw = new Array[Byte](vals.length * bps)
+    var i = 0
+    while (i < vals.length) { writeSampleLE(raw, i, vals(i), dtype); i += 1 }
+    if (predictor == 2) diffRows(raw, tileSize, tileSize, bps)
+    else if (predictor == 3) fpDiffRows(raw, tileSize, tileSize, 1, bps)
+    compressSeg(raw, compression)
+  }
+
+  /** Header + single-page tiled IFD for a SHARDED export: the
+    * driver-side container assembly, sized from the tile byte counts
+    * alone (IFDs only — never pixel data). Tile segments must follow
+    * the returned block immediately, in (ty, tx) row-major order with
+    * exactly `tileByteCounts` lengths (the executor-written shards).
+    */
+  def shardedTiffHeader(w: Int, h: Int, tileByteCounts: Seq[Long],
+                        dtype: DType, gt: GeoTransform,
+                        nodata: Option[Double], tileSize: Int,
+                        compression: Int = 8, predictor: Int = 1,
+                        crs: CrsTag = CrsTag.Wgs84Geo,
+                        bigTiff: Boolean = false): Array[Byte] = {
+    require(tileSize > 0 && tileSize % 16 == 0,
+      "TIFF tile size must be a positive multiple of 16")
+    require(gt.isNorthUp && gt.c5 < 0,
+      s"GeoTIFF writer needs a north-up geotransform, got $gt")
+    val ta = (w + tileSize - 1) / tileSize
+    val td = (h + tileSize - 1) / tileSize
+    require(tileByteCounts.length == ta * td,
+      s"expected ${ta * td} tile byte counts for ${w}x$h at $tileSize, " +
+        s"got ${tileByteCounts.length}")
+    val headerSz = if (bigTiff) 16 else 8
+    val (block, _) = pageBlock(0, w, h, tileByteCounts, headerSz.toLong,
+      dtype, gt, nodata, rowsPerStrip = 64, predictor, crs, tileSize,
+      compression, bands = 1, bigTiff)
+    tiffHeader(bigTiff) ++ block
+  }
+
   private def writePyramidImpl(out: java.io.OutputStream, pages: Seq[StreamPage],
                                dtype: DType, gt: GeoTransform, nodata: Option[Double],
                                rowsPerStrip: Int, predictor: Int, crs: CrsTag,
@@ -865,40 +1094,11 @@ object GeoTiff {
     // 20-byte IFD entries, LONG8 (type 16) segment offset arrays — the
     // `BIGTIFF` creation option (`gdalos_trans.py:788-801`), REQUIRED
     // for >4 GiB outputs. Classic widths otherwise.
-    val offTyp = if (bigTiff) 16 else 4
     val ptrSz = if (bigTiff) 8 else 4
-    val inlineCap = if (bigTiff) 8 else 4
-    val entrySz = if (bigTiff) 20 else 12
-    val cntSz = if (bigTiff) 8 else 2
     val headerSz = if (bigTiff) 16 else 8
 
-    final case class Tag(id: Int, typ: Int, cnt: Int, inline: Option[Long], ext: Option[Array[Byte]])
-    def leBytes(vs: Seq[Long], typ: Int): Array[Byte] = {
-      val out = new ByteArrayOutputStream()
-      val width = typ match { case 3 => 2; case 16 => 8; case _ => 4 }
-      vs.foreach { v =>
-        (0 until width).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
-      }
-      out.toByteArray
-    }
-    def dblBytes(vs: Seq[Double]): Array[Byte] = {
-      val out = new ByteArrayOutputStream()
-      vs.foreach { v =>
-        val bits = java.lang.Double.doubleToLongBits(v)
-        (0 until 8).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
-      }
-      out.toByteArray
-    }
-    def writeSample(raw: Array[Byte], i: Int, v: Double): Unit = dtype match {
-      case DtByte => raw(i) = v.toInt.toByte
-      case DtInt16 => writeS16(raw, i * 2, v.toInt.toShort, be = false)
-      case DtFloat32 => writeS32(raw, i * 4, java.lang.Float.floatToIntBits(v.toFloat), be = false)
-      case DtFloat64 =>
-        // LE word order: low 32 bits first (see decodeSegment)
-        val bits = java.lang.Double.doubleToLongBits(v)
-        writeS32(raw, i * 8, bits.toInt, be = false)
-        writeS32(raw, i * 8 + 4, (bits >>> 32).toInt, be = false)
-    }
+    def writeSample(raw: Array[Byte], i: Int, v: Double): Unit =
+      writeSampleLE(raw, i, v, dtype)
 
     /** Compressed segments (strips or tiles) of one page, produced
       * lazily — one raw + one compressed segment live at a time.
@@ -946,125 +1146,8 @@ object GeoTiff {
         }
       }
 
-    /** IFD + external tag data of one page laid out at `base` with the
-      * given compressed segment byte counts; segment data follows the
-      * block immediately. Returns (block bytes, offset WITHIN the
-      * block of the next-IFD pointer) so the chain patch happens
-      * before the block is streamed.
-      */
-    def pageBlock(pageIdx: Int, w: Int, h: Int, stripSizes: Seq[Long],
-                  base: Long): (Array[Byte], Int) = {
-      val tiled = tileSize > 0
-      val nStrips = stripSizes.length
-      val segOffTag = if (tiled) TTileOffsets else TStripOffsets
-
-      val ascii = nodata.map(nd =>
-        (if (nd == nd.floor && nd.abs < 1e15) nd.toLong.toString else nd.toString) + " ")
-      val pixelScale = Seq(gt.c1, -gt.c5, 0.0)
-      val tiepoint = Seq(0.0, 0.0, 0.0, gt.c0, gt.c3, 0.0)
-      val geoKeys: Seq[Long] =
-        if (crs.geographic) Seq(1, 1, 0, 2, // version, 2 keys
-          1024, 0, 1, 2, // GTModelType = geographic
-          2048, 0, 1, crs.epsg.toLong) // GeographicTypeGeoKey
-        else Seq(1, 1, 0, 2,
-          1024, 0, 1, 1, // GTModelType = projected
-          3072, 0, 1, crs.epsg.toLong) // ProjectedCSTypeGeoKey
-
-      val segTags =
-        if (tiled) Seq(
-          Tag(TTileWidth, 3, 1, Some(tileSize.toLong), None),
-          Tag(TTileLength, 3, 1, Some(tileSize.toLong), None),
-          Tag(TTileOffsets, offTyp, nStrips, None, Some(new Array[Byte](nStrips * ptrSz))),
-          Tag(TTileByteCounts, offTyp, nStrips, None, Some(leBytes(stripSizes, offTyp))))
-        else Seq(
-          Tag(TStripOffsets, offTyp, nStrips, None, Some(new Array[Byte](nStrips * ptrSz))),
-          Tag(TRowsPerStrip, 3, 1, Some(rowsPerStrip.toLong), None),
-          Tag(TStripByteCounts, offTyp, nStrips, None, Some(leBytes(stripSizes, offTyp))))
-      // per-band counts for BitsPerSample/SampleFormat (TIFF 6.0);
-      // 1-2 shorts fit the inline value field, 3+ go external
-      def perBand(tag: Int, v: Long): Tag =
-        if (bands == 1) Tag(tag, 3, 1, Some(v), None)
-        else Tag(tag, 3, bands, None, Some(leBytes(Seq.fill(bands)(v), 3)))
-      var tags = Seq(
-        Tag(TWidth, 3, 1, Some(w.toLong), None),
-        Tag(TLength, 3, 1, Some(h.toLong), None),
-        perBand(TBits, dtype.bits.toLong),
-        Tag(TCompression, 3, 1, Some(compression.toLong), None),
-        // RGB(2) vs min-is-black(1); JPEG RGB pages are YCbCr(6) — the
-        // reference's photo-kind JPEG+YCBCR pairing (gdalos_trans.py:426-459)
-        Tag(TPhotometric, 3, 1,
-          Some(if (bands >= 3) (if (compression == 7) 6L else 2L) else 1L), None),
-        Tag(TSamplesPerPixel, 3, 1, Some(bands.toLong), None),
-        Tag(TPlanarConfig, 3, 1, Some(1L), None), // chunky
-        Tag(TPredictor, 3, 1, Some(predictor.toLong), None),
-        perBand(TSampleFormat, dtype.fmt.toLong)) ++ segTags
-      if (pageIdx == 0) {
-        tags = tags ++ Seq(
-          Tag(TModelPixelScale, 12, 3, None, Some(dblBytes(pixelScale))),
-          Tag(TModelTiepoint, 12, 6, None, Some(dblBytes(tiepoint))),
-          Tag(TGeoKeyDir, 3, geoKeys.length, None, Some(leBytes(geoKeys, 3))))
-        ascii.foreach { s =>
-          tags = tags :+ Tag(TGdalNodata, 2, s.length, None, Some(s.getBytes("ASCII")))
-        }
-      } else {
-        tags = tags :+ Tag(254, 4, 1, Some(1L), None) // NewSubfileType = ReducedImage
-      }
-      tags = tags.sortBy(_.id) // TIFF requires ascending tag order
-
-      // layout inside the block: IFD | external tag data | strip data
-      val ifdSize = cntSz + tags.length * entrySz + ptrSz
-      var extOff = base + ifdSize
-      val extOffsets = tags.map { t =>
-        t.ext match {
-          case Some(b) if b.length > inlineCap => val o = extOff; extOff += b.length; Some(o)
-          case _ => None
-        }
-      }
-      var stripOff = extOff
-      val stripOffsets = stripSizes.map { sz => val o = stripOff; stripOff += sz; o }
-      if (!bigTiff) require(stripOff <= 0xFFFFFFFFL,
-        s"classic TIFF offsets overflow the u32 limit at $stripOff bytes — set bigTiff=true")
-      val soIdx = tags.indexWhere(_.id == segOffTag)
-      val soBytes = leBytes(stripOffsets, offTyp)
-      System.arraycopy(soBytes, 0, tags(soIdx).ext.get, 0, soBytes.length)
-
-      val outB = new ByteArrayOutputStream()
-      outB.write(leBytes(Seq(tags.length.toLong), if (bigTiff) 16 else 3),
-        0, cntSz)
-      tags.zip(extOffsets).foreach { case (t, ext) =>
-        outB.write(leBytes(Seq(t.id.toLong), 3))
-        outB.write(leBytes(Seq(t.typ.toLong), 3))
-        outB.write(leBytes(Seq(t.cnt.toLong), if (bigTiff) 16 else 4))
-        val valueField: Array[Byte] = (t.inline, t.ext, ext) match {
-          case (Some(v), _, _) =>
-            leBytes(Seq(v), if (t.typ == 3) 3 else 4).padTo(inlineCap, 0.toByte)
-          case (_, Some(b), None) => b.padTo(inlineCap, 0.toByte) // short external fits inline
-          case (_, _, Some(o)) => leBytes(Seq(o), offTyp)
-          case _ => Array.fill(inlineCap)(0.toByte)
-        }
-        outB.write(valueField, 0, inlineCap)
-      }
-      outB.write(leBytes(Seq(0L), offTyp)) // next IFD — patched by the chain
-      tags.zip(extOffsets).foreach {
-        case (t, Some(_)) => outB.write(t.ext.get)
-        case _ => ()
-      }
-      (outB.toByteArray, cntSz + tags.length * entrySz)
-    }
-
     // stream: header | page0 block | page0 segments | page1 block | …
-    val header = new ByteArrayOutputStream()
-    header.write('I'); header.write('I')
-    if (bigTiff) {
-      header.write(43); header.write(0)
-      header.write(8); header.write(0)  // offset size
-      header.write(0); header.write(0)  // reserved
-      header.write(leBytes(Seq(16L), 16)) // first IFD at 16 (u64)
-    } else {
-      header.write(42); header.write(0)
-      header.write(leBytes(Seq(8L), 4)) // first IFD at 8
-    }
-    out.write(header.toByteArray)
+    out.write(tiffHeader(bigTiff))
     var base = headerSz.toLong
     pages.zipWithIndex.foreach { case (pg, i) =>
       // pass 1: segment byte counts (materialized in the in-memory
@@ -1087,7 +1170,9 @@ object GeoTiff {
           }
         }
         else segments(pg.w, pg.h, pg.at).map(_.length.toLong).toVector
-      val (block, ptrRel) = pageBlock(i, pg.w, pg.h, sizes, base)
+      val (block, ptrRel) = pageBlock(i, pg.w, pg.h, sizes, base,
+        dtype, gt, nodata, rowsPerStrip, predictor, crs, tileSize,
+        compression, bands, bigTiff)
       val pageLen = block.length + sizes.sum
       require(base + pageLen <= maxBytes,
         s"encodePyramid assembles in memory; ${base + pageLen} bytes exceeds the 2 GiB " +

@@ -284,6 +284,102 @@ object Trans {
     finally out.close()
   }
 
+  /** DISTRIBUTED GeoTIFF export — the 100×-scale path the collect-based
+    * [[exportGeoTiff]] refuses above `maxPixels`. Tile segments are
+    * encoded EXECUTOR-side (group pixels by tile key, pack + predictor
+    * + compress each tile into its final TIFF segment bytes —
+    * [[graft.sources.GeoTiff.encodeTileSegment]], byte-identical to
+    * the in-JVM writer's tiled path) and staged to a tid-sorted
+    * parquet table (the [[graft.sources.Sinks.writeCogLayout]] sort,
+    * on any DFS). The driver then assembles the container from
+    * METADATA only — header + IFD from the per-tile byte counts
+    * ([[graft.sources.GeoTiff.shardedTiffHeader]]) — and streams the
+    * compressed segments through in tid order
+    * (`toLocalIterator`: one staging partition in memory at a time,
+    * never a page, never the raster). Driver peak heap is
+    * O(nTiles) offsets + one partition of compressed blobs — the
+    * single-output-file floor, same shape as the reference's final
+    * single-process GTiff assembly after its parallel window jobs
+    * (`gdalos_trans.py:773-816`).
+    *
+    * Tiles with no pixels in the frame emit a shared all-nodata
+    * segment. Single-band, DEFLATE by default; `bigTiff` switches the
+    * container widths for >4 GiB outputs exactly as [[exportGeoTiff]].
+    */
+  def exportGeoTiffSharded(p: TransPlan, path: String, tileSize: Int = 256,
+                           dtype: graft.sources.GeoTiff.DType = graft.sources.GeoTiff.DtInt16,
+                           ndv: Double = PixelFrame.Dem.Ndv,
+                           compression: Int = 8,
+                           bigTiff: Option[Boolean] = None,
+                           buckets: Int = 32): Unit = {
+    val ts = tileSize
+    require(ts > 0 && ts % 16 == 0, "TIFF tile size must be a positive multiple of 16")
+    val ta = (p.outW + ts - 1) / ts
+    val td = (p.outH + ts - 1) / ts
+    val nTiles = ta.toLong * td
+    require(nTiles <= Int.MaxValue, s"tile grid too large: $nTiles")
+    val spark = p.frame.sparkSession
+    import spark.implicits._
+    val dt = dtype // stable identifier — the closure must not drag `p` along
+    val ndvL = ndv; val tsL = ts; val taL = ta; val compL = compression
+    val enc = p.frame
+      .select((floor(col("py") / ts) * ta + floor(col("px") / ts)).cast("long").as("tid"),
+        col("px").cast("int").as("px"), col("py").cast("int").as("py"),
+        col("v").cast("double").as("v"))
+      .as[(Long, Int, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (tid, rows) =>
+        val ty = (tid / taL).toInt; val tx = (tid % taL).toInt
+        val buf = Array.fill(tsL * tsL)(ndvL)
+        rows.foreach { case (_, px, py, v) =>
+          buf((py - ty * tsL) * tsL + (px - tx * tsL)) = v
+        }
+        (tid, graft.sources.GeoTiff.encodeTileSegment(buf, tsL, dt,
+          predictor = 1, compression = compL))
+      }
+      .toDF("tid", "seg")
+    val staging = path + ".tiles"
+    enc.repartitionByRange(math.max(1, math.min(buckets, nTiles.toInt)), col("tid"))
+      .sortWithinPartitions("tid")
+      .write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging).orderBy("tid")
+    // metadata pass: per-tile byte counts (nTiles longs — IFD-sized)
+    val lenByTid = staged.select(col("tid"), octet_length(col("seg")).as("len"))
+      .as[(Long, Int)].collect().toMap
+    val emptySeg = graft.sources.GeoTiff.encodeTileSegment(
+      Array.fill(ts * ts)(ndv), ts, dtype, predictor = 1, compression = compression)
+    val tileCounts = (0L until nTiles).map(t =>
+      lenByTid.get(t).map(_.toLong).getOrElse(emptySeg.length.toLong))
+    val rawBytes = p.outW.toLong * p.outH * (dtype.bits / 8)
+    val useBig = bigTiff.getOrElse(rawBytes > (1L << 32) - (1L << 24))
+    val header = graft.sources.GeoTiff.shardedTiffHeader(
+      p.outW, p.outH, tileCounts, dtype, p.outGt, Some(ndv), ts,
+      compression = compression, predictor = 1,
+      crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs)),
+      bigTiff = useBig)
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)), 1 << 20)
+    try {
+      out.write(header)
+      var next = 0L
+      val it = staged.select("tid", "seg").toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val tid = row.getLong(0)
+        while (next < tid) { out.write(emptySeg); next += 1 }
+        out.write(row.getAs[Array[Byte]](1)); next += 1
+      }
+      while (next < nTiles) { out.write(emptySeg); next += 1 }
+    } finally out.close()
+    // staging served its purpose; drop it so exports don't litter
+    try {
+      val root = java.nio.file.Paths.get(staging)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    } catch { case _: Throwable => () }
+  }
+
   /** Plan + execute + write (steps 5–7): COG-layout parquet, optional
     * overview pyramid (R7 strategy: reuse the written base), and the
     * `.info` sidecar.

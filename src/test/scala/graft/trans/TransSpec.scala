@@ -118,6 +118,32 @@ class TransSpec extends SparkSpec {
     assert(ovr1 == expect.toDouble)
   }
 
+  test("exportGeoTiffSharded: distributed export round-trips bit-equal at a collect-refusing size") {
+    import graft.sources.GeoTiff
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val (w, h) = (2400, 2000) // 4.8M px — over exportGeoTiff's 4M collect guard
+    val p = Trans.plan(PixelFrame.dem(spark, w, h), gt, w, h,
+      Trans.TransOptions()).get
+    val f = java.nio.file.Files.createTempFile("graft_shard_export", ".tif")
+    // the collect path REFUSES this size — the sharded path is the only way
+    intercept[IllegalArgumentException] { Trans.exportGeoTiff(p, f.toString) }
+    Trans.exportGeoTiffSharded(p, f.toString)
+    val info = GeoTiff.readInfo(f.toString)
+    assert((info.width, info.height) == (w, h))
+    assert(info.segments.length == ((w + 255) / 256) * ((h + 255) / 256))
+    assert(info.nodata.contains(PixelFrame.Dem.Ndv))
+    // bit-equal pixels through the DSv2 reader (ndv rows included):
+    // integer-valued DEM + Int16 at-rest is lossless
+    val back = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).load()
+    assert(back.count() == w.toLong * h)
+    val diff = back.select(col("px"), col("py"), col("v").as("vb"))
+      .join(p.frame.select(col("px"), col("py"), col("v").as("va")), Seq("px", "py"))
+      .filter(col("va") =!= col("vb"))
+    assert(diff.count() == 0)
+    java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("exportGeoTiff BIGTIFF option: YES forces version 43, default stays classic") {
     import graft.sources.GeoTiff
     val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
