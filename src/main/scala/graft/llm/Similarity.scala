@@ -690,6 +690,59 @@ object Similarity {
           .otherwise(element_at(vd, 1) / sqrt(col("ss_m"))).as("e1_renorm"))
   }
 
+  /** Two-stage MATRYOSHKA retrieval (Kusupati et al. 2022, the
+    * production read side of MRL embeddings — e.g. short-prefix
+    * vectors stored hot, full vectors cold): stage 1 ranks the corpus
+    * by PREFIX-dim cosine (`prefixDim` leading components — the cheap
+    * pass, prefixDim/dim of the full fold's work per row), keeping
+    * `coarseK` candidates per query; stage 2 reranks ONLY those
+    * candidates by exact full-dim cosine. [[matryoshka]] (q108) is
+    * the energy audit that picks `prefixDim`; this is the query path
+    * that cashes it in.
+    *
+    * Scale shape: queries broadcast (the [[bruteTopKBatch]] idiom);
+    * stage 1 is one map pass + per-query rank window; stage 2 touches
+    * coarseK·|queries| rows only — the full-width fold never runs
+    * over the corpus. At index scale the prefix pass composes with
+    * the bucketed searchers ([[ivfTopKBatch]]/[[lshTopKBatch]] over
+    * the prefix column) without changing this operator's contract.
+    *
+    * Determinism: cosines are the shared in-order fold, both ranks
+    * tie-break on candidate id, and the zero-norm guard (0.0, not
+    * NaN) is mirrored by the oracle. `coarse_rank` rides the output
+    * so recall-vs-cost trades are auditable per hit (a hit with a
+    * high coarse_rank is one a smaller coarseK would have missed).
+    */
+  def matryoshkaTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
+                     coarseK: Int = 20, prefixDim: Int = 16,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && coarseK >= k, s"need 0 < k <= coarseK, got k=$k coarseK=$coarseK")
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    def dotN(a: Column, b: Column, n: Int): Column =
+      aggregate(zip_with(slice(a, 1, n), slice(b, 1, n),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def cosN(a: Column, b: Column, n: Int): Column = {
+      val (sa, sb) = (dotN(a, a, n), dotN(b, b, n))
+      when(sa * sb === 0.0, lit(0.0))
+        .otherwise(dotN(a, b, n) / (sqrt(sa) * sqrt(sb)))
+    }
+    val w1 = Window.partitionBy("qid").orderBy(col("c_pre").desc, col("id"))
+    val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col("qid").cast("long").as("qid"), col("qvec"))))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("c_pre", cosN(col("v"), col("qvec"), prefixDim))
+      .withColumn("coarse_rank", row_number().over(w1))
+      .filter(col("coarse_rank") <= coarseK)
+      .withColumn("cosine", cosN(col("v"), col("qvec"), 64))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("vec_id"), col("cosine"),
+        col("coarse_rank"), col("rank"))
+  }
+
   /** Per-group embedding centroids (the SemDeDup/cluster-curation
     * primitive: mean vector per stratum, used to measure domain drift
     * and route semantic dedup). Relational shape: dimensions explode

@@ -1536,6 +1536,23 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q199 two-stage Matryoshka retrieval
+    * ([[graft.llm.Similarity.matryoshkaTopK]]): prefix-16 coarse rank
+    * keeps 20 candidates per query, exact full-dim cosine reranks to
+    * top-5 — the MRL read path whose prefix width q108's energy audit
+    * picks. The oracle replays both stages (prefix fold, rank window,
+    * full fold, rerank window) with the mirrored zero-norm guard.
+    */
+  def q199(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.matryoshkaTopK(emb, qs, k = 5, coarseK = 20, prefixDim = 16)
+      .select(col("qid"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        col("coarse_rank"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2083,6 +2100,7 @@ object LlmQueries {
     "q196_ivf_pq_at_rest" -> q196 _,
     "q197_bpe_train_sampled" -> q197 _,
     "q198_lsh_hot_star" -> q198 _,
+    "q199_matryoshka_topk" -> q199 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4068,6 +4086,37 @@ object LlmQueries {
          |  FROM scored)
          |SELECT qid, vec_id, ROUND(c, 6) AS cosine, rank FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q199_matryoshka_topk" -> {
+      // prefix/full cosine with the engine's exact fold order and the
+      // mirrored zero-norm guard (0.0, never NaN)
+      def dotN(a: String, b: String, n: Int): String = foldSum(
+        s"list_transform(range(1, ${n + 1}), i -> CAST($a[CAST(i AS INTEGER)] AS DOUBLE) * CAST($b[CAST(i AS INTEGER)] AS DOUBLE))")
+      def cosN(a: String, b: String, n: Int): String =
+        s"""CASE WHEN ${dotN(a, a, n)} * ${dotN(b, b, n)} = 0 THEN 0.0
+           |     ELSE ${dotN(a, b, n)}
+           |       / (SQRT(${dotN(a, a, n)}) * SQRT(${dotN(b, b, n)})) END""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 6),
+         |pre AS (
+         |  SELECT q.qid, e.vec_id, e.embedding, q.qv,
+         |         ${cosN("e.embedding", "q.qv", 16)} AS c_pre
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |cand AS (
+         |  SELECT qid, vec_id, embedding, qv, coarse_rank FROM (
+         |    SELECT qid, vec_id, embedding, qv,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c_pre DESC, vec_id) AS INTEGER) AS coarse_rank
+         |    FROM pre) WHERE coarse_rank <= 20),
+         |fc AS (
+         |  SELECT qid, vec_id, coarse_rank,
+         |         ${cosN("embedding", "qv", 64)} AS c
+         |  FROM cand),
+         |rk AS (
+         |  SELECT qid, vec_id, c, coarse_rank,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS INTEGER) AS rank
+         |  FROM fc)
+         |SELECT qid, vec_id, ROUND(c, 6) AS cosine, coarse_rank, rank
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
 
     "q85_ann_batch_ivf" -> ivfBatchOracle,
     "q103_ann_ivf_at_rest" -> ivfBatchOracle,
