@@ -691,8 +691,31 @@ object Dedup {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val rowsPerBand = numHashes / bands
     val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
-    val banded = bandedOf(agg, bands, rowsPerBand)
+    minhashPairsFrom(agg, bandedOf(agg, bands, rowsPerBand),
+      threshold, maxBucket)
+  }
 
+  /** [[minhashLsh]] and the per-band bucket census from ONE shared
+    * signature pass (the checkpointed [[signatureAgg]] is the
+    * operator's dominant map work — q198 consumes both frames, and
+    * paying the signatures twice for them is pure waste). Returns
+    * (verified pairs, census); both are views over the same
+    * checkpointed signature blocks.
+    */
+  def minhashLshWithCensus(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 16, bands: Int = 4,
+                           threshold: Double = 0.5, shingleLen: Int = 3,
+                           maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val rowsPerBand = numHashes / bands
+    val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
+    val banded = bandedOf(agg, bands, rowsPerBand)
+    (minhashPairsFrom(agg, banded, threshold, maxBucket),
+      censusFrom(banded, maxBucket))
+  }
+
+  private def minhashPairsFrom(agg: DataFrame, banded: DataFrame,
+                               threshold: Double, maxBucket: Int): DataFrame = {
     // over-cap buckets: tiny on any healthy corpus (usually empty) —
     // one map-side-partial aggregation over the banded rows. AQE
     // broadcasts it when small; a pathological corpus where it is
@@ -738,15 +761,16 @@ object Dedup {
     */
   def lshBucketCensus(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
-                      shingleLen: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val banded = bandedOf(
+                      shingleLen: Int = 3, maxBucket: Int = 64): DataFrame =
+    censusFrom(bandedOf(
       signatureAgg(df, idCol, textCol, numHashes, shingleLen),
-      bands, numHashes / bands)
+      bands, numHashes / bands), maxBucket)
+
+  private def censusFrom(banded: DataFrame, maxBucket: Int): DataFrame =
     banded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"), max("bn").as("max_bucket"),
         sum(when(col("bn") > maxBucket, 1L).otherwise(0L)).as("n_hot"))
-  }
 
   /** Paragraph-level duplication stats — the RefinedWeb/Dolma
     * line-dedup signal, structure-aware where [[substring-window

@@ -1329,8 +1329,7 @@ object LlmQueries {
       "service privacy policy all rights reserved contact our support team today"
     val docs = Tables.documents(s, d).withColumn("text",
       when(col("doc_id") < 200, lit(boiler)).otherwise(col("text")))
-    val census = Dedup.lshBucketCensus(docs, "doc_id", "text")
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+    val (pairs, census) = Dedup.minhashLshWithCensus(docs, "doc_id", "text")
     val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
     val summary = pairs.agg(count(lit(1)).as("n_pairs"))
