@@ -69,6 +69,24 @@ class LlmSpec extends SparkSpec {
     assert(mixed == mixedUncapped)
   }
 
+  test("minhashLshWithCensus: one signature pass, same frames as the separate calls") {
+    val m = 128
+    val dup = spark.range(m.toLong).select(col("id").as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+    val (pairs, census) = Dedup.minhashLshWithCensus(dup, "doc_id", "text")
+    val sep = Dedup.minhashLsh(dup, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet == sep)
+    // census: 4 bands, one 128-member bucket each — cap (64) active
+    val c = census.orderBy("band")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(c.length == 4)
+    assert(c.forall { case (_, nB, maxB, nHot) => nB == 1 && maxB == m && nHot == 1 })
+    val cSep = Dedup.lshBucketCensus(dup, "doc_id", "text").orderBy("band")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(c.sameElements(cSep))
+  }
+
   test("minhash signature is identical for identical texts, differs otherwise") {
     val sig = docs.select($"doc_id",
       Dedup.minhashSigCol(Dedup.shinglesCol($"text"), 16).as("sig"))
