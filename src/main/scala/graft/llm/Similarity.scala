@@ -663,6 +663,53 @@ object Similarity {
   def dequantizeCol(codes: Column, scale: Column): Column =
     transform(codes, c => (c.cast("double") * scale / lit(127.0)).cast("float"))
 
+  /** SQ8 top-k search — the FLAT scalar-quantized index's query path
+    * (FAISS `SQ8` / IndexScalarQuantizer, the third point on the
+    * compression curve next to flat-float [[bruteTopKBatch]] and the
+    * PQ family): the corpus is scored as its int8 CODES
+    * ([[quantizeInt8]]), never the float vectors — 4× less memory
+    * traffic per scan, the decisive term at index scale.
+    *
+    * Determinism: with symmetric per-vector quantization the scale
+    * CANCELS out of the cosine entirely (cos(code·s/127, q) =
+    * cos(code, q) for s > 0), so the score is the exact cosine of the
+    * integer code vector against the float query — the code² sum is
+    * an exact integer (its sqrt is one correctly-rounded IEEE op),
+    * the numerator is the shared in-order fold, ties break on id.
+    * All-zero vectors (scale 0 → all-zero codes) guard to cosine 0.0,
+    * mirrored by the oracle.
+    *
+    * Scale shape: queries broadcast; one map pass over the code
+    * table + the per-query rank window (WindowGroupLimit prunes
+    * map-side) — the [[bruteTopKBatch]] plan on a 4×-smaller corpus.
+    */
+  def sq8TopK(emb: DataFrame, queries: DataFrame, topK: Int = 5,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val codes = quantizeInt8(
+        emb.select(col(idCol).cast("long").as("id"), col(vecCol)), vecCol)
+      .select(col("id"), col("q_codes"),
+        aggregate(col("q_codes"), lit(0L),
+          (a, c) => a + c.cast("long") * c.cast("long")).as("ss_c"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    codes.crossJoin(broadcast(
+        queries.select(col("qid").cast("long").as("qid"), col("qvec"))))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dot", aggregate(zip_with(col("qvec"), col("q_codes"),
+        (q, c) => q.cast("double") * c.cast("double")),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("ss_q", aggregate(col("qvec"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      .withColumn("cosine",
+        when(col("ss_c") === 0L || col("ss_q") === 0.0, lit(0.0))
+          .otherwise(col("dot")
+            / (sqrt(col("ss_c").cast("double")) * sqrt(col("ss_q")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("id").as("vec_id"), col("cosine"), col("rank"))
+  }
+
   /** Matryoshka truncation diagnostics: per vector, the full L2 norm,
     * the norm of the first `m` dimensions, the energy fraction those
     * dimensions keep (‖v[..m]‖²/‖v‖²), and the first component after

@@ -1552,6 +1552,25 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q200 SQ8 scalar-quantized search
+    * ([[graft.llm.Similarity.sq8TopK]]): the flat int8-code index's
+    * query path — the corpus scored as its q93 codes (scale cancels
+    * out of the cosine), 4× less memory traffic than q84's
+    * flat-float brute scan, completing the compression curve
+    * flat → SQ8 → PQ/IVF-PQ. The oracle replays quantization,
+    * integer code² sums, the in-order numerator fold, and the rank
+    * window.
+    */
+  def q200(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.sq8TopK(emb, qs, topK = 5)
+      .select(col("qid"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2100,6 +2119,7 @@ object LlmQueries {
     "q197_bpe_train_sampled" -> q197 _,
     "q198_lsh_hot_star" -> q198 _,
     "q199_matryoshka_topk" -> q199 _,
+    "q200_sq8_topk" -> q200 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4115,6 +4135,41 @@ object LlmQueries {
          |  FROM fc)
          |SELECT qid, vec_id, ROUND(c, 6) AS cosine, coarse_rank, rank
          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    "q200_sq8_topk" -> {
+      val dotQC = foldSum(
+        "list_transform(range(1, 65), i -> CAST(qd.qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cc.q[CAST(i AS INTEGER)] AS DOUBLE))")
+      val ssQ = foldSum(
+        "list_transform(range(1, 65), i -> CAST(qd.qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qd.qv[CAST(i AS INTEGER)] AS DOUBLE))")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 6),
+         |s AS (
+         |  SELECT vec_id, embedding,
+         |         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS q_scale
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id,
+         |         CASE WHEN q_scale = 0
+         |           THEN list_transform(embedding, x -> 0)
+         |           ELSE list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / q_scale + 0.5) AS INTEGER)) END AS q
+         |  FROM s),
+         |cc0 AS (
+         |  SELECT vec_id, q,
+         |         CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS ss_c
+         |  FROM c),
+         |sc AS (
+         |  SELECT qd.qid, cc.vec_id,
+         |         CASE WHEN cc.ss_c = 0 OR $ssQ = 0 THEN 0.0
+         |              ELSE $dotQC
+         |                / (SQRT(CAST(cc.ss_c AS DOUBLE)) * SQRT($ssQ)) END AS csim
+         |  FROM cc0 cc CROSS JOIN q qd WHERE cc.vec_id <> qd.qid),
+         |rk AS (
+         |  SELECT qid, vec_id, csim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |SELECT qid, vec_id, ROUND(csim, 6) AS cosine, rank FROM rk
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
     "q85_ann_batch_ivf" -> ivfBatchOracle,
