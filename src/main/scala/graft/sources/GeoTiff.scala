@@ -1044,20 +1044,58 @@ object GeoTiff {
                         compression: Int = 8, predictor: Int = 1,
                         crs: CrsTag = CrsTag.Wgs84Geo,
                         bigTiff: Boolean = false): Array[Byte] = {
+    val (header, blocks) = shardedTiffBlocks(Seq((w, h, tileByteCounts)),
+      dtype, gt, nodata, tileSize, compression, predictor, crs, bigTiff)
+    header ++ blocks.head
+  }
+
+  /** Multi-page twin of [[shardedTiffHeader]] — the full sharded COG
+    * container: one (w, h, tileByteCounts) triple per IFD page (page
+    * 0 = base with geo tags, page k = the 2^k overview, marked
+    * ReducedImage exactly as [[writePyramid]] does). Returns (file
+    * header, per-page IFD blocks with the next-IFD chain already
+    * patched); the caller streams `header | blocks(0) | page-0
+    * segments | blocks(1) | page-1 segments | …` — segment byte
+    * counts MUST match what was declared, the chain offsets are
+    * computed from them.
+    */
+  def shardedTiffBlocks(pages: Seq[(Int, Int, Seq[Long])],
+                        dtype: DType, gt: GeoTransform,
+                        nodata: Option[Double], tileSize: Int,
+                        compression: Int = 8, predictor: Int = 1,
+                        crs: CrsTag = CrsTag.Wgs84Geo,
+                        bigTiff: Boolean = false): (Array[Byte], Seq[Array[Byte]]) = {
     require(tileSize > 0 && tileSize % 16 == 0,
       "TIFF tile size must be a positive multiple of 16")
     require(gt.isNorthUp && gt.c5 < 0,
       s"GeoTIFF writer needs a north-up geotransform, got $gt")
-    val ta = (w + tileSize - 1) / tileSize
-    val td = (h + tileSize - 1) / tileSize
-    require(tileByteCounts.length == ta * td,
-      s"expected ${ta * td} tile byte counts for ${w}x$h at $tileSize, " +
-        s"got ${tileByteCounts.length}")
+    require(pages.nonEmpty, "need at least one page")
+    pages.zipWithIndex.foreach { case ((w, h, counts), i) =>
+      val ta = (w + tileSize - 1) / tileSize
+      val td = (h + tileSize - 1) / tileSize
+      require(counts.length == ta * td,
+        s"page $i: expected ${ta * td} tile byte counts for ${w}x$h " +
+          s"at $tileSize, got ${counts.length}")
+    }
     val headerSz = if (bigTiff) 16 else 8
-    val (block, _) = pageBlock(0, w, h, tileByteCounts, headerSz.toLong,
-      dtype, gt, nodata, rowsPerStrip = 64, predictor, crs, tileSize,
-      compression, bands = 1, bigTiff)
-    tiffHeader(bigTiff) ++ block
+    val ptrSz = if (bigTiff) 8 else 4
+    var base = headerSz.toLong
+    val blocks = pages.zipWithIndex.map { case ((w, h, counts), i) =>
+      val (block, ptrRel) = pageBlock(i, w, h, counts, base,
+        dtype, gt, nodata, rowsPerStrip = 64, predictor, crs, tileSize,
+        compression, bands = 1, bigTiff)
+      base += block.length + counts.sum
+      if (i < pages.length - 1) {
+        // chain patch: next page's IFD starts right after this page's
+        // segment data (same layout contract as writePyramidImpl)
+        var j = 0
+        while (j < ptrSz) {
+          block(ptrRel + j) = ((base >> (8 * j)) & 0xff).toByte; j += 1
+        }
+      }
+      block
+    }
+    (tiffHeader(bigTiff), blocks)
   }
 
   private def writePyramidImpl(out: java.io.OutputStream, pages: Seq[StreamPage],

@@ -305,55 +305,91 @@ object Trans {
     * Tiles with no pixels in the frame emit a shared all-nodata
     * segment. Single-band, DEFLATE by default; `bigTiff` switches the
     * container widths for >4 GiB outputs exactly as [[exportGeoTiff]].
+    * `ovrLevels > 0` completes the COG contract at scale: each
+    * overview level is computed DISTRIBUTED ([[Overview.buildLevel]],
+    * GDAL ceil sizing) and staged exactly like the base, and the
+    * multi-IFD chain (page k marked ReducedImage) is assembled from
+    * byte counts — the reference's tiled+overviewed single-file
+    * output with no page ever collected.
     */
   def exportGeoTiffSharded(p: TransPlan, path: String, tileSize: Int = 256,
                            dtype: graft.sources.GeoTiff.DType = graft.sources.GeoTiff.DtInt16,
                            ndv: Double = PixelFrame.Dem.Ndv,
                            compression: Int = 8,
                            bigTiff: Option[Boolean] = None,
-                           buckets: Int = 32): Unit = {
+                           buckets: Int = 32,
+                           ovrLevels: Int = 0,
+                           resampling: ResamplingAlg = ResamplingAlg.Average): Unit = {
     val ts = tileSize
     require(ts > 0 && ts % 16 == 0, "TIFF tile size must be a positive multiple of 16")
-    val ta = (p.outW + ts - 1) / ts
-    val td = (p.outH + ts - 1) / ts
-    val nTiles = ta.toLong * td
-    require(nTiles <= Int.MaxValue, s"tile grid too large: $nTiles")
+    require(ovrLevels >= 0, s"ovrLevels must be non-negative, got $ovrLevels")
     val spark = p.frame.sparkSession
     import spark.implicits._
-    val dt = dtype // stable identifier — the closure must not drag `p` along
-    val ndvL = ndv; val tsL = ts; val taL = ta; val compL = compression
-    val enc = p.frame
-      .select((floor(col("py") / ts) * ta + floor(col("px") / ts)).cast("long").as("tid"),
-        col("px").cast("int").as("px"), col("py").cast("int").as("py"),
-        col("v").cast("double").as("v"))
-      .as[(Long, Int, Int, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (tid, rows) =>
-        val ty = (tid / taL).toInt; val tx = (tid % taL).toInt
-        val buf = Array.fill(tsL * tsL)(ndvL)
-        rows.foreach { case (_, px, py, v) =>
-          buf((py - ty * tsL) * tsL + (px - tx * tsL)) = v
-        }
-        (tid, graft.sources.GeoTiff.encodeTileSegment(buf, tsL, dt,
-          predictor = 1, compression = compL))
-      }
-      .toDF("tid", "seg")
-    val staging = path + ".tiles"
-    enc.repartitionByRange(math.max(1, math.min(buckets, nTiles.toInt)), col("tid"))
-      .sortWithinPartitions("tid")
-      .write.mode("overwrite").parquet(staging)
-    val staged = spark.read.parquet(staging).orderBy("tid")
-    // metadata pass: per-tile byte counts (nTiles longs — IFD-sized)
-    val lenByTid = staged.select(col("tid"), octet_length(col("seg")).as("len"))
-      .as[(Long, Int)].collect().toMap
+    val dt = dtype // stable identifiers — the closure must not drag `p` along
+    val ndvL = ndv; val tsL = ts; val compL = compression
     val emptySeg = graft.sources.GeoTiff.encodeTileSegment(
       Array.fill(ts * ts)(ndv), ts, dtype, predictor = 1, compression = compression)
-    val tileCounts = (0L until nTiles).map(t =>
-      lenByTid.get(t).map(_.toLong).getOrElse(emptySeg.length.toLong))
-    val rawBytes = p.outW.toLong * p.outH * (dtype.bits / 8)
+
+    // executor-side encode + tid-sorted staging of ONE pyramid level;
+    // returns (staging dir, full per-tile byte counts with nodata
+    // fills — the IFD-sized metadata the driver assembles from)
+    def stageLevel(frame: DataFrame, w: Int, h: Int, k: Int): (String, Seq[Long]) = {
+      val ta = (w + ts - 1) / ts
+      val td = (h + ts - 1) / ts
+      val nTiles = ta.toLong * td
+      require(nTiles <= Int.MaxValue, s"tile grid too large: $nTiles")
+      val taL = ta
+      val enc = frame
+        .select((floor(col("py") / ts) * ta + floor(col("px") / ts)).cast("long").as("tid"),
+          col("px").cast("int").as("px"), col("py").cast("int").as("py"),
+          col("v").cast("double").as("v"))
+        .as[(Long, Int, Int, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (tid, rows) =>
+          val ty = (tid / taL).toInt; val tx = (tid % taL).toInt
+          val buf = Array.fill(tsL * tsL)(ndvL)
+          rows.foreach { case (_, px, py, v) =>
+            buf((py - ty * tsL) * tsL + (px - tx * tsL)) = v
+          }
+          (tid, graft.sources.GeoTiff.encodeTileSegment(buf, tsL, dt,
+            predictor = 1, compression = compL))
+        }
+        .toDF("tid", "seg")
+      val staging = path + s".tiles/l$k"
+      enc.repartitionByRange(math.max(1, math.min(buckets, nTiles.toInt)), col("tid"))
+        .sortWithinPartitions("tid")
+        .write.mode("overwrite").parquet(staging)
+      // metadata pass: per-tile byte counts (nTiles longs — IFD-sized)
+      val lenByTid = spark.read.parquet(staging)
+        .select(col("tid"), octet_length(col("seg")).as("len"))
+        .as[(Long, Int)].collect().toMap
+      (staging, (0L until nTiles).map(t =>
+        lenByTid.get(t).map(_.toLong).getOrElse(emptySeg.length.toLong)))
+    }
+
+    // level 0 + distributed overview levels (GDAL ceil sizing, as
+    // exportGeoTiff) — each level staged before the next consumes it
+    val levels = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Seq[Long])]()
+    var cur = p.frame
+    var (cw, ch) = (p.outW, p.outH)
+    val (s0, c0) = stageLevel(cur, cw, ch, 0)
+    levels += ((s0, cw, ch, c0))
+    for (k <- 1 to ovrLevels) {
+      val prev = cur
+      cur = Overview.buildLevel(prev, resampling, ndv).localCheckpoint()
+      if (prev ne p.frame) graft.core.Materialize.release(prev)
+      cw = (cw + 1) / 2; ch = (ch + 1) / 2
+      val (sk, ck) = stageLevel(cur, cw, ch, k)
+      levels += ((sk, cw, ch, ck))
+    }
+    if (cur ne p.frame) graft.core.Materialize.release(cur)
+
+    val rawBytes = levels.map { case (_, w, h, _) =>
+      w.toLong * h * (dtype.bits / 8) }.sum
     val useBig = bigTiff.getOrElse(rawBytes > (1L << 32) - (1L << 24))
-    val header = graft.sources.GeoTiff.shardedTiffHeader(
-      p.outW, p.outH, tileCounts, dtype, p.outGt, Some(ndv), ts,
+    val (header, blocks) = graft.sources.GeoTiff.shardedTiffBlocks(
+      levels.toSeq.map { case (_, w, h, counts) => (w, h, counts) },
+      dtype, p.outGt, Some(ndv), ts,
       compression = compression, predictor = 1,
       crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs)),
       bigTiff = useBig)
@@ -361,19 +397,23 @@ object Trans {
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)), 1 << 20)
     try {
       out.write(header)
-      var next = 0L
-      val it = staged.select("tid", "seg").toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
-        val tid = row.getLong(0)
-        while (next < tid) { out.write(emptySeg); next += 1 }
-        out.write(row.getAs[Array[Byte]](1)); next += 1
+      for (((staging, _, _, counts), block) <- levels.zip(blocks)) {
+        out.write(block)
+        var next = 0L
+        val it = spark.read.parquet(staging).orderBy("tid")
+          .select("tid", "seg").toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          val tid = row.getLong(0)
+          while (next < tid) { out.write(emptySeg); next += 1 }
+          out.write(row.getAs[Array[Byte]](1)); next += 1
+        }
+        while (next < counts.length) { out.write(emptySeg); next += 1 }
       }
-      while (next < nTiles) { out.write(emptySeg); next += 1 }
     } finally out.close()
     // staging served its purpose; drop it so exports don't litter
     try {
-      val root = java.nio.file.Paths.get(staging)
+      val root = java.nio.file.Paths.get(path + ".tiles")
       if (java.nio.file.Files.exists(root))
         java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
           .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })

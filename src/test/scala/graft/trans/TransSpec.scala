@@ -127,8 +127,20 @@ class TransSpec extends SparkSpec {
     val f = java.nio.file.Files.createTempFile("graft_shard_export", ".tif")
     // the collect path REFUSES this size — the sharded path is the only way
     intercept[IllegalArgumentException] { Trans.exportGeoTiff(p, f.toString) }
-    Trans.exportGeoTiffSharded(p, f.toString)
-    val info = GeoTiff.readInfo(f.toString)
+    Trans.exportGeoTiffSharded(p, f.toString, ovrLevels = 2)
+    // multi-IFD COG: base + two distributed overview pages, ceil-sized
+    val infos = GeoTiff.readInfos(f.toString)
+    assert(infos.map(i => (i.width, i.height)) ==
+      Seq((w, h), (w / 2, h / 2), (w / 4, h / 4)))
+    // overview page 1 equals the distributed average level, Int16-truncated
+    val ovr1 = spark.read.format("graft.sources.RasterSource")
+      .option("path", f.toString).option("ovr", 1).load()
+      .agg(sum("v")).head().getDouble(0)
+    val expectOvr = graft.raster.Overview.buildLevel(p.frame,
+        graft.core.ResamplingAlg.Average, PixelFrame.Dem.Ndv)
+      .agg(sum(col("v").cast("int"))).head().getLong(0)
+    assert(ovr1 == expectOvr.toDouble)
+    val info = infos.head
     assert((info.width, info.height) == (w, h))
     assert(info.segments.length == ((w + 255) / 256) * ((h + 255) / 256))
     assert(info.nodata.contains(PixelFrame.Dem.Ndv))
