@@ -1358,6 +1358,46 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
   }
 
+  /** Assignment of a vector frame under an ALREADY-TRAINED (frozen)
+    * codebook model — [[pqCore]]'s final assign step standalone, the
+    * encode half of incremental index maintenance.
+    */
+  private def pqAssignWithModel(emb: DataFrame, model: DataFrame, m: Int,
+                                idCol: String, vecCol: String): DataFrame =
+    pqSubRows(emb, m, 64 / m, idCol, vecCol)
+      .crossJoin(broadcast(model))
+      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
+      .withColumn("dists", transform(col("cents"), cv => pqSqDist(col("sv"), cv)))
+      .select(col("id"), col("sub"),
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int").as("c"))
+
+  /** APPEND vectors to an [[ivfPqIngest]] index under FROZEN
+    * codebooks — incremental maintenance, the operation a production
+    * index runs every ingest cycle (FAISS `add()` on a trained
+    * index): no retrain, no touch of the existing codes — the new
+    * rows are coarse-routed and PQ-encoded with the persisted models
+    * (two broadcast-model map passes) and appended to the
+    * cell-partitioned codes table (dynamic partition append — only
+    * the touched cells gain files). [[ivfPqTopKAtRest]] then serves
+    * base ∪ appended with no code change. Drift contract: codebooks
+    * describe the TRAINING distribution; a drifted append stream
+    * degrades recall (audit with [[pqRecall]]) until the next
+    * re-ingest — exactly the FAISS operational model.
+    */
+  def ivfPqAppend(newEmb: DataFrame, dir: String, m: Int = 4,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    val spark = newEmb.sparkSession
+    val cModel = spark.read.parquet(dir + "/coarse_model")
+    val pModel = spark.read.parquet(dir + "/pq_model")
+    val cells = pqAssignWithModel(newEmb, cModel, 1, idCol, vecCol)
+      .select(col("id"), col("c").as("cell"))
+    pqAssignWithModel(newEmb, pModel, m, idCol, vecCol)
+      .join(cells, "id")
+      .write.mode("append").partitionBy("cell").parquet(dir + "/codes")
+  }
+
   /** IVF-PQ top-k over an AT-REST index ([[ivfPqIngest]] output) —
     * the production read side: no Lloyd stage anywhere in the timed
     * plan. Routing scores the broadcast coarse model against the

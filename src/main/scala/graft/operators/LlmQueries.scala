@@ -1571,6 +1571,30 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q201 IVF-PQ incremental append
+    * ([[graft.llm.Similarity.ivfPqAppend]]): the index-maintenance
+    * cycle a production vector store runs — train + ingest ONCE on
+    * the base corpus (80%: vec_id % 5 ≠ 4), then append the
+    * remaining 20% under the FROZEN codebooks (no retrain, dynamic
+    * partition append into the cell-partitioned codes table), and
+    * serve base ∪ appended through the unchanged at-rest read path.
+    * The oracle trains its replay on the base subset only and
+    * assigns the full corpus under those centroids — exactly the
+    * frozen-codebook contract.
+    */
+  def q201(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val atRest = atRestDir(d, "graft_ivfpq_append")
+    ingestOnce(atRest + "#append#" + inputFingerprint(d + "/embeddings.parquet")) {
+      Similarity.ivfPqIngest(emb.filter(pmod(col("vec_id"), lit(5)) =!= 4), atRest)
+      Similarity.ivfPqAppend(emb.filter(pmod(col("vec_id"), lit(5)) === 4), atRest)
+    }
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfPqTopKAtRest(s, atRest, qs, topK = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2120,6 +2144,7 @@ object LlmQueries {
     "q198_lsh_hot_star" -> q198 _,
     "q199_matryoshka_topk" -> q199 _,
     "q200_sq8_topk" -> q200 _,
+    "q201_ivf_pq_append" -> q201 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2164,7 +2189,14 @@ object LlmQueries {
   /** [[pqCtes]] over an arbitrary (vec_id, embedding) source — q195
     * trains on the RESIDUAL table instead of the raw corpus.
     */
-  private def pqCtesFrom(src: String): String = {
+  private def pqCtesFrom(src: String): String = pqCtesTrainAssign(src, src)
+
+  /** [[pqCtes]] with SEPARATE train and assign sources — q201's
+    * frozen-codebook append: the Lloyd fit sees only `trainSrc`, the
+    * final assignment encodes `assignSrc` (base ∪ appended) under
+    * those frozen centroids.
+    */
+  private def pqCtesTrainAssign(trainSrc: String, assignSrc: String): String = {
     // init centroid component for (sub, c, i): matches pqAssign's init
     val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13 + sub * 7) % 41 - 20) AS DOUBLE) / 10.0)"
     def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
@@ -2175,7 +2207,10 @@ object LlmQueries {
     s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
        |sv AS (SELECT e.vec_id, s.sub,
        |         e.embedding[s.sub*16+1 : s.sub*16+16] AS v
-       |       FROM $src e CROSS JOIN subs s),
+       |       FROM $trainSrc e CROSS JOIN subs s),
+       |sva AS (SELECT e.vec_id, s.sub,
+       |         e.embedding[s.sub*16+1 : s.sub*16+16] AS v
+       |       FROM $assignSrc e CROSS JOIN subs s),
        |a1 AS (SELECT vec_id, sub, v,
        |         list_transform(range(0, 8), c -> $distInit) AS dists
        |       FROM sv),
@@ -2189,9 +2224,9 @@ object LlmQueries {
        |m2 AS (SELECT sub, c, dim, CAST(s AS DOUBLE) / 1048576.0 / n AS mn FROM mm),
        |cent2 AS (SELECT sub, c, list(mn ORDER BY dim) AS cv FROM m2 GROUP BY sub, c),
        |cl AS (SELECT sub, list(cv ORDER BY c) AS cents FROM cent2 GROUP BY sub),
-       |a2 AS (SELECT sv.vec_id, sv.sub,
+       |a2 AS (SELECT sva.vec_id, sva.sub,
        |         list_transform(cl.cents, cv -> $distUpd) AS dists
-       |       FROM sv JOIN cl ON sv.sub = cl.sub),
+       |       FROM sva JOIN cl ON sva.sub = cl.sub),
        |a2c AS (SELECT vec_id, sub,
        |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c,
        |         CAST(FLOOR(list_aggregate(dists, 'min') * 1048576.0) AS BIGINT) AS d_fp
@@ -2224,7 +2259,12 @@ object LlmQueries {
     * `kcell` (vec_id, cell) with the trained coarse centroids as
     * `kcl` (cents). Names are k-prefixed to coexist with [[pqCtes]].
     */
-  private lazy val coarseCtes: String = {
+  private lazy val coarseCtes: String = coarseCtesFrom("embeddings", "embeddings")
+
+  /** [[coarseCtes]] with SEPARATE train and assign sources (q201's
+    * frozen-codebook append — mirrors [[pqCtesTrainAssign]]).
+    */
+  private def coarseCtesFrom(trainSrc: String, assignSrc: String): String = {
     val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13) % 41 - 20) AS DOUBLE) / 10.0)"
     def ed(i: String) = s"CAST(e.embedding[CAST($i AS INTEGER)] AS DOUBLE)"
     def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
@@ -2234,7 +2274,7 @@ object LlmQueries {
       s"list_transform(range(1, 65), i -> (${ed("i")} - cv[CAST(i AS INTEGER)]) * (${ed("i")} - cv[CAST(i AS INTEGER)]))")
     s"""ka1 AS (SELECT e.vec_id, e.embedding AS v,
        |          list_transform(range(0, 8), c -> $distInit) AS dists
-       |        FROM embeddings e),
+       |        FROM $trainSrc e),
        |ka1c AS (SELECT vec_id, v,
        |          CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c
        |        FROM ka1),
@@ -2247,7 +2287,7 @@ object LlmQueries {
        |kcl AS (SELECT list(cv ORDER BY c) AS cents FROM kcent2),
        |ka2 AS (SELECT e.vec_id, e.embedding AS v,
        |          list_transform(kcl.cents, cv -> $distUpd) AS dists
-       |        FROM embeddings e CROSS JOIN kcl),
+       |        FROM $assignSrc e CROSS JOIN kcl),
        |kcell AS (SELECT vec_id,
        |          CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS cell
        |        FROM ka2)""".stripMargin
@@ -4729,6 +4769,44 @@ object LlmQueries {
           " * (CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)]))")
       s"""WITH $coarseCtes,
          |$pqCtes,
+         |$pqQueryLutCtes,
+         |kqd AS (SELECT q.qid, cc.cell,
+         |          CAST(FLOOR($distQ * 1048576.0) AS BIGINT) AS cd_fp
+         |        FROM qs q CROSS JOIN kcl
+         |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS cell) cc),
+         |kroute AS (SELECT qid, cell FROM (
+         |          SELECT qid, cell,
+         |            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cd_fp, cell) AS r
+         |          FROM kqd) WHERE r <= 2),
+         |cand AS (SELECT r.qid, kc.vec_id AS id
+         |         FROM kcell kc JOIN kroute r ON kc.cell = r.cell
+         |         WHERE kc.vec_id <> r.qid),
+         |ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |          FROM cand GROUP BY qid),
+         |adc AS (SELECT cd.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+         |        FROM a2c a
+         |        JOIN cand cd ON a.vec_id = cd.id
+         |        JOIN lut l ON l.qid = cd.qid AND l.sub = a.sub AND l.c = a.c
+         |        GROUP BY cd.qid, a.vec_id)
+         |SELECT f.qid, f.id AS vec_id, f.adc_fp,
+         |  CAST(f.adc_fp AS DOUBLE) / 1048576.0 AS adc, f.rank, n.n_cand
+         |FROM (SELECT qid, id, adc_fp,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
+         |      FROM adc) f JOIN ncand n USING (qid)
+         |WHERE f.rank <= 5 ORDER BY f.qid, f.rank""".stripMargin
+    },
+
+    "q201_ivf_pq_append" -> {
+      // q192's search tail over a replay whose Lloyd fits see ONLY the
+      // base subset while the assignment encodes the full corpus —
+      // the frozen-codebook append contract
+      val distQ = foldSum(
+        "list_transform(range(1, 65), i -> " +
+          "(CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)])" +
+          " * (CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)]))")
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE (vec_id % 5) <> 4),
+         |${coarseCtesFrom("base", "embeddings")},
+         |${pqCtesTrainAssign("base", "embeddings")},
          |$pqQueryLutCtes,
          |kqd AS (SELECT q.qid, cc.cell,
          |          CAST(FLOOR($distQ * 1048576.0) AS BIGINT) AS cd_fp
