@@ -189,12 +189,11 @@ object Bench {
       val remQ = math.max(names.size - queriesDone, 1)
       val perQ = (budgetSec - elapsed()) / remQ
       if (perQ > 2.5) iters.max(2)        // full protocol, padding allowed
-      // middle tier: exactly two timed runs (round-13 advice: the
-      // former iters.min(3) equaled the full tier at the default
-      // iters=3, and its pad-to-5 gate fired under budget pressure —
-      // the tier saved nothing). Two runs also disables padding via
-      // the `allowed >= iters` gate below.
-      else if (perQ > 1.2) iters.min(2).max(2)
+      // under budget pressure: exactly two timed runs regardless of
+      // the requested iters (round-13 advice — the former middle tier
+      // collapsed to the full tier at the default iters=3, and
+      // iters.min(2).max(2) is just the constant 2 anyway). Two runs
+      // also disables padding via the `allowed >= iters` gate below.
       else 2
     }
 
@@ -264,9 +263,10 @@ object Bench {
     // not). A bad fresh canary defers the query to a tail queue
     // instead of recording a number measured inside the burst. Tail
     // queries re-probe before timing; a tail that is STILL hot times
-    // anyway (coverage promise — every query gets a number) but the
-    // pass records degraded=true so the round cannot silently adopt
-    // burst-inflated minima.
+    // anyway (coverage promise — every query gets a number) and then
+    // triggers the full remediation re-run below — or degraded=true
+    // when the budget forbids it — so the round cannot silently
+    // adopt burst-inflated minima.
     val LoadCeiling = cpus.toInt * 1.5
     var lastProbeBad = false
     def hotNow(): Boolean = {
@@ -283,6 +283,7 @@ object Bench {
       }
     }
     val deferredLoad = scala.collection.mutable.ArrayBuffer[String]()
+    var scheduledBad = false
     val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (n <- names) {
       // the canary itself never defers (it IS the probe), and the
@@ -297,6 +298,7 @@ object Bench {
           canaryProbes += p
           if (p < 0 || p > CanaryCeiling) {
             lastProbeBad = true
+            scheduledBad = true
             System.err.println(f"WARN: mid-pass canary probe at $p%.2fs " +
               f"after $queriesDone queries (ceiling $CanaryCeiling%.1fs)")
           }
@@ -314,7 +316,15 @@ object Bench {
       for (n <- deferredLoad) merged(n) = timeQuery(n)
     }
     var canary = if (errors.contains(CanaryName)) -1.0 else probeCanary()
-    val probeBad = canaryProbes.exists(p => p < 0 || p > CanaryCeiling)
+    // Remediation trigger: a burst the deferral machinery HANDLED
+    // (bad hotNow probe → queries deferred to a clean tail) does not
+    // by itself force a full re-run — queries timed during the burst
+    // ONSET are caught by the 3×-floor suspects retry below. What
+    // does force it: the tail itself still hot after deferral
+    // (tailStillHot), a bad SCHEDULED probe with the deferral never
+    // engaging (a canary-visible burst the load gate missed — the
+    // pre-deferral round-13 condition), or the closing canary bad.
+    val probeBad = tailStillHot || (scheduledBad && deferredLoad.isEmpty)
     var degraded = false
     if (canary < 0 || canary > CanaryCeiling || probeBad ||
         merged.get(CanaryName).exists(t => t > CanaryCeiling)) {

@@ -763,9 +763,14 @@ object Similarity {
   def matryoshkaTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
                      coarseK: Int = 20, prefixDim: Int = 16,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     dim: Int = 64): DataFrame = {
     require(k > 0 && coarseK >= k, s"need 0 < k <= coarseK, got k=$k coarseK=$coarseK")
-    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    // `dim` is the FULL vector width the rerank fold runs over —
+    // callers with wider embeddings must pass it (a slice fold never
+    // errors on width mismatch, it silently truncates the score)
+    require(prefixDim > 0 && dim >= prefixDim,
+      s"need 0 < prefixDim <= dim, got prefixDim=$prefixDim dim=$dim")
     def dotN(a: Column, b: Column, n: Int): Column =
       aggregate(zip_with(slice(a, 1, n), slice(b, 1, n),
           (x, y) => x.cast("double") * y.cast("double")),
@@ -783,7 +788,7 @@ object Similarity {
       .withColumn("c_pre", cosN(col("v"), col("qvec"), prefixDim))
       .withColumn("coarse_rank", row_number().over(w1))
       .filter(col("coarse_rank") <= coarseK)
-      .withColumn("cosine", cosN(col("v"), col("qvec"), 64))
+      .withColumn("cosine", cosN(col("v"), col("qvec"), dim))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as("vec_id"), col("cosine"),
@@ -1049,14 +1054,7 @@ object Similarity {
       (0 until k).map(c =>
         (0 until sl).map(i => ((c * 37 + i * 13 + sub * 7) % 41 - 20) / 10.0)))
     val subRows = pqSubRows(emb, m, sl, idCol, vecCol)
-    def assign(model: DataFrame): DataFrame =
-      subRows.crossJoin(broadcast(model))
-        .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
-        .withColumn("dists", transform(col("cents"), cv => pqSqDist(col("sv"), cv)))
-        .select(col("id"), col("sub"), col("sv"),
-          (array_position(col("dists"), array_min(col("dists"))) - 1)
-            .cast("int").as("c"),
-          array_min(col("dists")).as("d"))
+    def assign(model: DataFrame): DataFrame = pqAssignRows(subRows, model)
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("sub"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy("sub", "c", "dim")
@@ -1358,19 +1356,30 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
   }
 
+  /** THE codebook assignment step — argmin over the broadcast
+    * model's per-subspace centroids, ties to the lowest index —
+    * shared by [[pqCore]]'s train loop and the frozen-codebook
+    * append path so base and appended codes can never diverge
+    * bit-wise.
+    */
+  private def pqAssignRows(subRows: DataFrame, model: DataFrame): DataFrame =
+    subRows.crossJoin(broadcast(model))
+      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
+      .withColumn("dists", transform(col("cents"), cv => pqSqDist(col("sv"), cv)))
+      .select(col("id"), col("sub"), col("sv"),
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int").as("c"),
+        array_min(col("dists")).as("d"))
+
   /** Assignment of a vector frame under an ALREADY-TRAINED (frozen)
-    * codebook model — [[pqCore]]'s final assign step standalone, the
-    * encode half of incremental index maintenance.
+    * codebook model — [[pqCore]]'s final assign step standalone
+    * (same [[pqAssignRows]] core), the encode half of incremental
+    * index maintenance.
     */
   private def pqAssignWithModel(emb: DataFrame, model: DataFrame, m: Int,
                                 idCol: String, vecCol: String): DataFrame =
-    pqSubRows(emb, m, 64 / m, idCol, vecCol)
-      .crossJoin(broadcast(model))
-      .withColumn("cents", element_at(col("centsBySub"), col("sub") + 1))
-      .withColumn("dists", transform(col("cents"), cv => pqSqDist(col("sv"), cv)))
-      .select(col("id"), col("sub"),
-        (array_position(col("dists"), array_min(col("dists"))) - 1)
-          .cast("int").as("c"))
+    pqAssignRows(pqSubRows(emb, m, 64 / m, idCol, vecCol), model)
+      .select("id", "sub", "c")
 
   /** APPEND vectors to an [[ivfPqIngest]] index under FROZEN
     * codebooks — incremental maintenance, the operation a production

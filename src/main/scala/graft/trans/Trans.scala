@@ -340,6 +340,12 @@ object Trans {
       require(nTiles <= Int.MaxValue, s"tile grid too large: $nTiles")
       val taL = ta
       val enc = frame
+        // same silent-drop contract as exportGeoTiff's collectPage: a
+        // stray out-of-frame pixel must not alias into another tile's
+        // tid (px/ts >= ta wraps into the NEXT tile row) or index past
+        // the tile buffer
+        .filter(col("px") >= 0 && col("px") < w &&
+          col("py") >= 0 && col("py") < h)
         .select((floor(col("py") / ts) * ta + floor(col("px") / ts)).cast("long").as("tid"),
           col("px").cast("int").as("px"), col("py").cast("int").as("py"),
           col("v").cast("double").as("v"))
@@ -411,12 +417,14 @@ object Trans {
         while (next < counts.length) { out.write(emptySeg); next += 1 }
       }
     } finally out.close()
-    // staging served its purpose; drop it so exports don't litter
+    // staging served its purpose; drop it so exports don't litter —
+    // through the Hadoop FileSystem API, so the delete reaches the
+    // SAME filesystem Spark staged to (HDFS/S3A on a cluster, local
+    // here), not a local-path shadow of it
     try {
-      val root = java.nio.file.Paths.get(path + ".tiles")
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      val hp = new org.apache.hadoop.fs.Path(path + ".tiles")
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
     } catch { case _: Throwable => () }
   }
 
