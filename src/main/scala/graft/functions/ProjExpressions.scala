@@ -311,6 +311,10 @@ object GraftFunctions {
       args => UtmInverseLonIntl(d(args(0)), d(args(1)), d(args(2)))),
     fn("vec_dot", "dot product of two numeric arrays (codegen loop)",
       args => VecDot(args(0), args(1))),
+    fn("vec_sqdist", "squared Euclidean distance of two numeric arrays (codegen loop)",
+      args => VecSqDist(args(0), args(1))),
+    fn("vec_jl_project", "JL ±1-signed projection components of a numeric array",
+      args => VecJlProject(args(0), args(1))),
     fn("vec_lsh_bucket", "hyperplane LSH bucket id of a numeric array",
       args => VecLshBucket(args(0), args(1))),
     fn("tile_pack", "double tile array to LE binary samples of a dtype width",

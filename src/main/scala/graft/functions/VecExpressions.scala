@@ -106,6 +106,52 @@ object VecKernels {
     new GenericArrayData(out)
   }
 
+  /** Squared Euclidean distance Σ (a_i − b_i)², left-to-right — the
+    * SAME order and arithmetic as the `aggregate(zip_with(...))`
+    * fold it replaces (each term is one subtract + one multiply, the
+    * running sum adds in index order), so results are bit-identical
+    * to the fold and to the DuckDB `list_reduce` oracles.
+    */
+  def sqDist(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** All `r` Johnson–Lindenstrauss ±1-signed components in one pass
+    * (the Achlioptas projection of `Similarity.jlProject`): component
+    * j folds x_i · s_{j,i} in ascending index order, with s the sign
+    * of the repo LCG at (j + 101, i) — bit-equal to the higher-order
+    * fold and to the oracle's `list_reduce` replay (multiplying by
+    * ±1.0 is an exact sign flip).
+    */
+  def jlProject(a: ArrayData, r: Int, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](r)
+    var j = 0
+    while (j < r) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val w = if (((j.toLong + 101L) * 2654435761L + i.toLong * 40503L) % 2001L - 1000L >= 0) 1.0 else -1.0
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += x * w
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** All `planes` hyperplane sign bits in one pass. The weight LCG and
     * the ascending-index summation order match the fold-based
     * `Similarity.bucketFoldCol` exactly (bit-equal buckets).
@@ -156,6 +202,64 @@ case class VecDot(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecKernels.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});")
 
   override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+/** `vec_sqdist(a, b)`: squared Euclidean distance of two numeric
+  * arrays as one codegen loop — bit-equal to the
+  * `aggregate(zip_with((x−y)·(x−y)))` fold it replaces (same
+  * left-to-right order; see [[VecKernels.sqDist]]).
+  */
+case class VecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_sqdist expects array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernels.sqDist($a, $b, ${isFloat(left)}, ${isFloat(right)});")
+
+  override def prettyName: String = "vec_sqdist"
+  override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
+    copy(left = a, right = b)
+}
+
+/** `vec_jl_project(vec, r)`: all `r` JL ±1-signed projection
+  * components in one codegen loop (vs `r` separate higher-order
+  * folds); see [[VecKernels.jlProject]].
+  */
+case class VecJlProject(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_jl_project expects array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.jlProject(a.asInstanceOf[ArrayData], b.asInstanceOf[Int], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernels.jlProject($a, $b, $isFloat);")
+
+  override def prettyName: String = "vec_jl_project"
   override protected def withNewChildrenInternal(a: Expression, b: Expression): Expression =
     copy(left = a, right = b)
 }

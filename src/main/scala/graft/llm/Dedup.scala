@@ -384,6 +384,75 @@ object Dedup {
     bpeTrain(sampled, idCol, textCol, rounds)
   }
 
+  /** TOKENIZER APPLICATION — encode a corpus under an
+    * already-trained [[bpeTrain]] merge table: the read-side twin of
+    * the trainer (a pipeline trains the tokenizer once, then encodes
+    * every document it ever ingests). Applies the merges IN TABLE
+    * ORDER with the same greedy-leftmost `bpe_merge` kernel the
+    * trainer used — same kernel, so train-time and encode-time
+    * segmentations can never diverge — and reports per document the
+    * numbers a data pipeline actually budgets with: base token
+    * count, encoded symbol count, content chars (Σ token lengths —
+    * whitespace-invariant), and chars-per-symbol fertility in
+    * ⌊·10⁶⌋ fixed point.
+    *
+    * Scale shape: the merge table is merge-table-sized (a literal
+    * expression chain, like the reference's palette literals), so
+    * encoding is |merges| fused map-only kernel passes over each
+    * document — no shuffle, no join, nothing driver-side. Unlike the
+    * trainer, NO documents are filtered: single-token docs encode to
+    * themselves (the kernel is a no-op below 2 symbols).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = graft.llm.TextAnalysis.tokensCol(col(textCol))
+    val sym = merges.foldLeft(toks)((c, m) =>
+      call_function("bpe_merge", c, lit(m._1), lit(m._2)))
+    df.select(col(idCol).as("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_chars"),
+        size(sym).as("n_syms"))
+      // integer DIV on both engines (DuckDB `//`) — no float rounding
+      // at the quotient boundary; empty docs encode to 0 fertility
+      .withColumn("fertility_fp",
+        expr("CASE WHEN n_syms > 0 THEN (n_chars * 1000000) DIV n_syms " +
+          "ELSE 0 END"))
+  }
+
+  /** Soft deduplication weights (the SoftDeDup / repeat-aware
+    * alternative to dropping duplicates — e.g. He et al. 2024:
+    * down-weight repeated content instead of deleting it): every
+    * exact-content cluster of size n contributes total weight 1
+    * (each copy weighs 1/n, in ⌊10⁶/n⌋ fixed point), and the report
+    * aggregates per source the raw vs effective token mass — the
+    * number a mixture planner feeds into sampling ratios.
+    *
+    * Scale shape: cluster sizes come from ONE window count over the
+    * md5 content key (hash-partition, no sort — count is
+    * frame-free), and the per-source rollup is one aggregation with
+    * map-side partials. All outputs are exact integers (fixed-point
+    * weights, integer token sums), so the report is
+    * aggregation-order-proof.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val sized = df.select(col(idCol), col(sourceCol).as("source"),
+      md5(col(textCol)).as("ck"),
+      graft.llm.TextAnalysis.tokenCountCol(col(textCol)).cast("long")
+        .as("n_toks"))
+    sized
+      .withColumn("c_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ck")))
+      .withColumn("w_fp", expr("1000000 DIV c_n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ck")).as("n_contents"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(col("n_toks") * col("w_fp")).as("eff_tokens_fp"))
+  }
+
   /** Deterministic Bloom filter over a key column: `numHashes` bit
     * positions per key, each `md5(key || '#' || j)`'s top 60 bits mod
     * `numBits`. Returns ONE row holding the sorted distinct set

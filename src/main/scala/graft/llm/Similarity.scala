@@ -244,6 +244,7 @@ object Similarity {
   def pqRecall(emb: DataFrame, queries: DataFrame, k: Int = 5,
                nprobe: Int = 2, coarseK: Int = 8,
                m: Int = 4, codeK: Int = 8, rounds: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val wT = Window.partitionBy("qid").orderBy(col("l2"), col("vec_id"))
     val truth = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
@@ -493,10 +494,12 @@ object Similarity {
     */
   final case class IvfModel(centroids: Seq[Array[Double]])
 
+  // native codegen loop, bit-equal to the former
+  // aggregate(zip_with((x−y)²)) fold (same left-to-right order);
+  // callers run on sessions where GraftFunctions is registered (all
+  // public entries register)
   private def sqDistCol(vec: Column, c: Array[Double]): Column =
-    aggregate(zip_with(vec, typedLit(c.toSeq),
-      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_sqdist", vec, typedLit(c.toSeq))
 
   /** Index of the nearest centroid (0-based; ties → lowest index). */
   def assignCol(vec: Column, model: IvfModel): Column = {
@@ -517,6 +520,7 @@ object Similarity {
     */
   def fitIvf(emb: DataFrame, k: Int, iters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val init = emb
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
@@ -588,8 +592,10 @@ object Similarity {
     */
   def assignIvf(emb: DataFrame, model: IvfModel,
                 outCol: String = "ivf_c",
-                vecCol: String = "embedding"): DataFrame =
+                vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.withColumn(outCol, assignCol(col(vecCol), model))
+  }
 
   /** Batched IVF ANN — the scale path for many-query search: each
     * query expands to its `nprobe` probe clusters (per-row expression,
@@ -942,10 +948,10 @@ object Similarity {
     val init = (0 until k).map(c =>
       (0 until 64).map(i => ((c * 37 + i * 13) % 41 - 20) / 10.0))
     val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // native codegen loop — bit-equal to the aggregate(zip_with) fold
     def sqDist(vec: Column, cv: Column): Column =
-      aggregate(zip_with(vec, cv,
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, x) => acc + x)
+      call_function("vec_sqdist", vec, cv)
     def assign(model: DataFrame): DataFrame =
       emb.crossJoin(broadcast(model))
         .withColumn("dists", transform(col("cents"), cv => sqDist(col(vecCol), cv)))
@@ -1027,13 +1033,13 @@ object Similarity {
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("v"), s * sl + 1, lit(sl)))).as(Seq("sub", "sv")))
 
-  /** Shared squared-distance fold of the PQ family (the q158
-    * zip_with left fold — bit-identical on any engine).
+  /** Shared squared distance of the PQ family — the native
+    * `vec_sqdist` codegen loop, bit-identical to the q158 zip_with
+    * left fold it replaced (same left-to-right order) and to the
+    * oracle's `list_reduce` replay.
     */
   private def pqSqDist(vec: Column, cv: Column): Column =
-    aggregate(zip_with(vec, cv,
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_sqdist", vec, cv)
 
   /** Train + assign core: returns (final one-row model with
     * `centsBySub`, assignment rows (id, sub, sv, c, d)). Private —
@@ -1048,6 +1054,7 @@ object Similarity {
     val sl = dim / m
     val FP = 1048576.0 // 2^20
     val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     // deterministic init with a per-subspace phase (sub*7) so the m
     // codebooks start distinct; same ±2.0 lattice family as q158
     val init: Seq[Seq[Seq[Double]]] = (0 until m).map(sub =>
@@ -1124,7 +1131,8 @@ object Similarity {
     * query subvector to every codebook centroid. Model-sized
     * (|queries|·m·k rows), always broadcast by callers.
     */
-  private def pqLut(queries: DataFrame, model: DataFrame, m: Int): DataFrame =
+  private def pqLut(queries: DataFrame, model: DataFrame, m: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     pqSubRows(queries, m, 64 / m, "qid", "qvec")
       .withColumnRenamed("id", "qid")
       .crossJoin(broadcast(model))
@@ -1132,6 +1140,7 @@ object Similarity {
       .select(col("qid"), col("sub"), posexplode(transform(col("cents"),
         cv => floor(pqSqDist(col("sv"), cv) * 1048576.0).cast("long")))
         .as(Seq("c", "d_fp")))
+  }
 
   /** PQ encoding report — per vector, the `m` codebook indexes in
     * subspace order plus the exact-integer reconstruction error
@@ -1398,6 +1407,7 @@ object Similarity {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): Unit = {
     val spark = newEmb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val cModel = spark.read.parquet(dir + "/coarse_model")
     val pModel = spark.read.parquet(dir + "/pq_model")
     val cells = pqAssignWithModel(newEmb, cModel, 1, idCol, vecCol)
@@ -1505,5 +1515,222 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("p.nid").as("pos_id"), col("p.c").as("pos_cosine"),
         (-col("ng.nid")).as("neg_id"), col("ng.c").as("neg_cosine"))
+  }
+
+  /** Margin-based pair mining (the CCMatrix / LASER bitext-mining
+    * scorer — Artetxe & Schwenk 2019's ratio margin): a candidate
+    * pair's raw cosine is normalized by the mean cosine of each
+    * endpoint's own k-nearest neighborhood,
+    * `margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)`,
+    * so a pair only scores high when the two vectors are closer to
+    * EACH OTHER than to their respective neighborhoods — the fix for
+    * hubness (a vector that is near everything inflates raw-cosine
+    * mining). Returns the global top-`topN` undirected pairs by
+    * margin.
+    *
+    * Scale shape: candidates are the [[knnGraph]] edges (bucketed,
+    * never all-pairs), the per-vector neighborhood mean is one
+    * id-keyed aggregation over those same edges, the two mean
+    * lookups are equi-joins on the pair endpoints, and the global
+    * top-N collapses to a TakeOrderedAndProject (per-partition
+    * heaps, driver merges topN rows — no global sort). The rank
+    * window after the limit orders topN rows, not the corpus.
+    *
+    * Determinism: cosines are the shared left-fold (bit-identical,
+    * and direction-symmetric — products and the final divide
+    * commute bit-exactly, so the undirected DISTINCT dedups
+    * cleanly); the neighborhood mean folds the cosines IN RANK
+    * ORDER (not an unordered SUM — k doubles added in a fixed
+    * order), and ranking orders by (margin DESC, id_a, id_b), a
+    * total order. A non-positive denominator (all-negative
+    * neighborhoods) clamps the margin to 0 rather than emitting a
+    * sign-flipped score.
+    */
+  def marginPairs(emb: DataFrame, k: Int = 3, planes: Int = 4,
+                  topN: Int = 50, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    // the kNN frame feeds three consumers (edges + both mean
+    // lookups); checkpoint so the bucketed self-join runs ONCE, not
+    // 3× (blocks release via the caller's Materialize hygiene)
+    val knn = knnGraph(emb, k, planes, idCol, vecCol).localCheckpoint()
+    val avgNn = knn.groupBy(col("vec_id").as("id"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("rank"), col("cosine")))),
+            s => s.getField("cosine")),
+          lit(0.0), (a, x) => a + x).as("sum_c"),
+        count(lit(1)).as("n_c"))
+      .select(col("id"), (col("sum_c") / col("n_c")).as("avg_c"))
+    val edges = knn.select(
+        least(col("vec_id"), col("nbr_id")).as("id_a"),
+        greatest(col("vec_id"), col("nbr_id")).as("id_b"),
+        col("cosine")).distinct()
+    // both endpoints of every edge appear in avgNn: an edge (a, b)
+    // exists only because a and b share a bucket, so each has ≥ 1
+    // neighbor — the inner joins cannot drop edges
+    val scored = edges
+      .join(avgNn.select(col("id").as("id_a"), col("avg_c").as("avg_a")), Seq("id_a"))
+      .join(avgNn.select(col("id").as("id_b"), col("avg_c").as("avg_b")), Seq("id_b"))
+      .withColumn("den", (col("avg_a") + col("avg_b")) / 2.0)
+      .withColumn("margin",
+        when(col("den") <= 0.0, lit(0.0)).otherwise(col("cosine") / col("den")))
+      .orderBy(col("margin").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("margin").desc, col("id_a"), col("id_b"))))
+      .select(col("rank"), col("id_a"), col("id_b"),
+        round(col("cosine"), 6).as("cosine"),
+        round(col("margin"), 6).as("margin"))
+  }
+
+  /** Deterministic Householder reflection of every vector — the
+    * rotation step of OPQ (Ge, He, Ke & Sun, "Optimized Product
+    * Quantization", CVPR 2013): PQ's reconstruction error depends on
+    * how the coordinate axes slice the data into subspaces, and an
+    * orthonormal transform R applied before encoding redistributes
+    * variance across subspaces without changing any distance. Full
+    * OPQ alternates R against the codebooks; this is the
+    * fixed-rotation variant (OPQ's own non-parametric init): one
+    * Householder reflector `R = I − 2·v·vᵀ/(vᵀv)` with `v` drawn from
+    * the repo's integer LCG — exactly orthonormal by construction,
+    * no RNG state, reproducible on any engine.
+    *
+    * Determinism: `v` is integer-valued (LCG in [−1000, 1000]), so
+    * `vᵀv` is an exact integer sum; `v·x` folds left-to-right in
+    * index order (the shared fold contract); each output component
+    * is one multiply-subtract — every step IEEE-reproducible.
+    * Map-only: no shuffle, the reflector is a 64-entry literal.
+    */
+  def householderRotate(emb: DataFrame, seed: Int = 1,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val v: Seq[Double] = (0 until 64).map(i =>
+      ((seed.toLong * 2654435761L + i.toLong * 40503L) % 2001L - 1000L).toDouble)
+    val vlit = typedLit(v)
+    emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("vx", aggregate(
+        zip_with(col("v"), vlit, (x, w) => x.cast("double") * w),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("vv", aggregate(transform(vlit, w => w * w),
+        lit(0.0), (a, x) => a + x))
+      .select(col("vec_id"),
+        zip_with(col("v"), vlit,
+          (x, w) => x.cast("double") - lit(2.0) * col("vx") / col("vv") * w)
+          .as("embedding"))
+  }
+
+  /** Rotation-vs-plain PQ codebook audit: [[pqAudit]]'s per-(sub,
+    * cluster) census run twice — once on the raw corpus, once after
+    * the [[householderRotate]] reflection — so the OPQ question
+    * ("does rotating before encoding balance the subspace codebooks
+    * and cut inertia?") is answered by a 2·m·k-row report instead of
+    * a guess. Distances are rotation-invariant, so inertia deltas
+    * isolate the subspace-slicing effect alone.
+    */
+  def rotatedPqAudit(emb: DataFrame, m: Int = 4, k: Int = 8,
+                     rounds: Int = 1, seed: Int = 1,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val base = pqAudit(emb, m, k, rounds, idCol, vecCol)
+      .withColumn("variant", lit("plain"))
+    val rot = pqAudit(householderRotate(emb, seed, idCol, vecCol),
+        m, k, rounds, "vec_id", "embedding")
+      .withColumn("variant", lit("rotated"))
+    base.unionByName(rot)
+      .select(col("variant"), col("sub"), col("cluster"), col("n"),
+        col("inertia_fp"))
+  }
+
+  /** ±1 sign for (projection row j, input dim i) — the Achlioptas
+    * (2003) database-friendly Johnson–Lindenstrauss entry, drawn
+    * from the repo's integer LCG (offset +101 keeps the rows
+    * decorrelated from [[bucketCol]]'s hyperplanes, which use the
+    * same family at j = 0..planes−1).
+    */
+  private def jlSign(j: Column, i: Column): Column =
+    when(((j + 101L) * 2654435761L + i * 40503L) % 2001L - 1000L >= 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Johnson–Lindenstrauss random projection to `r` dims: each output
+    * component is a ±1-signed sum over the input dims (Achlioptas
+    * 2003 — no Gaussians needed; E‖y_a − y_b‖² = r·‖x_a − x_b‖²,
+    * so distances survive up to the 1/√r scale this op leaves to the
+    * caller as the exact integer factor `r`). The cheap-and-cheerful
+    * complement to [[matryoshkaTopK]]'s learned prefixes: JL needs no
+    * training and works on any embedding, at the cost of JL-bound
+    * (not learned) distortion — [[jlDistortion]] measures the actual
+    * cost per bucket.
+    *
+    * Map-only (no shuffle); each component folds the input IN INDEX
+    * ORDER — deterministic on any engine.
+    */
+  def jlProject(emb: DataFrame, r: Int = 16,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(r > 0, s"r must be positive, got $r")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .select(col("vec_id"),
+        call_function("vec_jl_project", col("v"), lit(r)).as("proj"))
+  }
+
+  /** Higher-order-fold form of one [[jlProject]] component (kept as
+    * the documented reference semantics the `vec_jl_project` kernel
+    * must match bit-for-bit — asserted in LlmSpec, the
+    * [[dotFoldCol]]/[[dotCol]] pattern).
+    */
+  def jlProjectFoldCol(vec: Column, j: Column): Column =
+    aggregate(
+      transform(sequence(lit(0L), size(vec).cast("long") - 1L),
+        i => element_at(vec, (i + 1L).cast("int")).cast("double")
+          * jlSign(j, i)),
+      lit(0.0), (a, x) => a + x)
+
+  /** JL distortion audit — the measurement that makes [[jlProject]]
+    * usable in production: for every within-bucket pair, the exact
+    * ratio `‖y_a − y_b‖² / (r · ‖x_a − x_b‖²)` (1.0 = distances
+    * perfectly preserved), reduced per bucket to count / min / max /
+    * sum in ⌊ratio·10⁶⌋ fixed point — integer aggregates, so the
+    * report is aggregation-order-proof and engine-reproducible.
+    * Identical-vector pairs (zero original distance) are excluded:
+    * their ratio is undefined and their projected distance is
+    * exactly 0 anyway.
+    *
+    * Scale shape: pairs form ONLY inside hyperplane buckets (the
+    * [[knnGraph]] candidate discipline), both distance folds run in
+    * index order, and the output is |buckets| rows.
+    */
+  def jlDistortion(emb: DataFrame, r: Int = 16, planes: Int = 4,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val FP = 1000000L
+    val p = jlProject(emb, r, idCol, vecCol)
+    val bucketed = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("vec"))
+      .withColumn("bucket", bucketCol(col("vec"), planes))
+      .join(p, "vec_id")
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("vec").as("vec_a"), col("proj").as("proj_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("vec").as("vec_b"), col("proj").as("proj_b"))
+    // native codegen loop — bit-equal to the aggregate(zip_with) fold
+    // (same left-to-right order), ~10× cheaper on the O(pairs) path
+    def sq(x: Column, y: Column): Column = call_function("vec_sqdist", x, y)
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("d2o", sq(col("vec_a"), col("vec_b")))
+      .withColumn("d2p", sq(col("proj_a"), col("proj_b")))
+      .filter(col("d2o") > 0.0)
+      .withColumn("ratio_fp",
+        floor(col("d2p") / (lit(r.toDouble) * col("d2o")) * FP).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("ratio_fp")).as("min_fp"),
+        max(col("ratio_fp")).as("max_fp"),
+        sum(col("ratio_fp")).as("sum_fp"))
+      .withColumn("mean_ratio",
+        round(col("sum_fp").cast("double") / col("n_pairs") / FP, 6))
   }
 }

@@ -1595,6 +1595,82 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q202 margin-based pair mining
+    * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
+    * ratio-margin scorer — each kNN edge's cosine normalized by the
+    * mean cosine of both endpoints' own neighborhoods, global top-50
+    * pairs. The oracle replays the bucketed kNN, the rank-ordered
+    * neighborhood-mean folds, the undirected dedup, and the margin
+    * ranking.
+    */
+  def q202(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    Similarity.marginPairs(emb, k = 3, planes = 4, topN = 50)
+      .orderBy("rank")
+  }
+
+  /** q203 BPE tokenizer application ([[graft.llm.Dedup.bpeEncode]]
+    * under a [[graft.llm.Dedup.bpeTrain]] merge table): train 3
+    * merges on the corpus (the q178 path), then ENCODE every
+    * document under the frozen table — the read-side op a pipeline
+    * runs on all ingested text forever after. Reports per doc the
+    * base token count, encoded symbol count, content chars, and
+    * fixed-point fertility. The oracle replays the 3 training
+    * rounds and then folds the same greedy-leftmost merges over an
+    * id-carrying arm covering ALL documents (the trainer's
+    * len>1 filter applies to the statistics arm only).
+    */
+  def q203(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // model-sized collect: the 3-row merge table (like fitIvf's
+    // centroids — planner metadata, never corpus data)
+    val mt = Dedup.bpeTrain(docs, "doc_id", "text", rounds = 3)
+      .orderBy("round").collect()
+    val merges = mt.map(r => (r.getString(1), r.getString(2))).toSeq
+    Dedup.bpeEncode(docs, "doc_id", "text", merges).orderBy("doc_id")
+  }
+
+  /** q204 OPQ-style rotated-PQ audit
+    * ([[graft.llm.Similarity.rotatedPqAudit]]): the q189 codebook
+    * census run on the raw corpus AND after a deterministic
+    * Householder reflection — the fixed-rotation form of OPQ's
+    * subspace rebalancing, reported as 2·m·k (variant, sub, cluster)
+    * rows. The oracle replays the reflection (integer LCG reflector,
+    * in-order folds) and BOTH full PQ trainings via a prefixed copy
+    * of the shared PQ replay chain.
+    */
+  def q204(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    Similarity.rotatedPqAudit(emb, m = 4, k = 8, rounds = 1, seed = 1)
+      .orderBy("variant", "sub", "cluster")
+  }
+
+  /** q205 Johnson–Lindenstrauss distortion audit
+    * ([[graft.llm.Similarity.jlDistortion]] over
+    * [[graft.llm.Similarity.jlProject]]): ±1-signed 64→16 projection
+    * (Achlioptas), exact per-pair distance-ratio within hyperplane
+    * buckets, per-bucket min/max/mean in fixed point. The oracle
+    * replays the sign LCG, both in-order distance folds, and the
+    * integer reductions.
+    */
+  def q205(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    Similarity.jlDistortion(emb, r = 16, planes = 4).orderBy("bucket")
+  }
+
+  /** q206 soft-dedup repeat weighting
+    * ([[graft.llm.Dedup.softDedupWeights]]): every exact-content
+    * cluster contributes total weight 1 (⌊10⁶/n⌋ fixed point per
+    * copy); per-source raw vs effective token mass — the mixture
+    * planner's dedup-aware input. The oracle reproduces the md5
+    * content clusters, the integer weights, and the rollup.
+    */
+  def q206(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.softDedupWeights(docs, "doc_id", "text", "source")
+      .orderBy("source")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2145,6 +2221,11 @@ object LlmQueries {
     "q199_matryoshka_topk" -> q199 _,
     "q200_sq8_topk" -> q200 _,
     "q201_ivf_pq_append" -> q201 _,
+    "q202_margin_mining" -> q202 _,
+    "q203_bpe_encode" -> q203 _,
+    "q204_rotated_pq" -> q204 _,
+    "q205_jl_distortion" -> q205 _,
+    "q206_softdedup_weights" -> q206 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2194,9 +2275,12 @@ object LlmQueries {
   /** [[pqCtes]] with SEPARATE train and assign sources — q201's
     * frozen-codebook append: the Lloyd fit sees only `trainSrc`, the
     * final assignment encodes `assignSrc` (base ∪ appended) under
-    * those frozen centroids.
+    * those frozen centroids. `p` prefixes every CTE name, so q204
+    * can run TWO independent trainings (plain + rotated) in one
+    * statement without name collisions.
     */
-  private def pqCtesTrainAssign(trainSrc: String, assignSrc: String): String = {
+  private def pqCtesTrainAssign(trainSrc: String, assignSrc: String,
+                                p: String = ""): String = {
     // init centroid component for (sub, c, i): matches pqAssign's init
     val cv0 = "(CAST(((c * 37 + (CAST(i AS INTEGER) - 1) * 13 + sub * 7) % 41 - 20) AS DOUBLE) / 10.0)"
     def vd(i: String) = s"CAST(v[CAST($i AS INTEGER)] AS DOUBLE)"
@@ -2204,33 +2288,33 @@ object LlmQueries {
       s"list_transform(range(1, 17), i -> (${vd("i")} - $cv0) * (${vd("i")} - $cv0))")
     val distUpd = foldSum(
       s"list_transform(range(1, 17), i -> (${vd("i")} - cv[CAST(i AS INTEGER)]) * (${vd("i")} - cv[CAST(i AS INTEGER)]))")
-    s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
-       |sv AS (SELECT e.vec_id, s.sub,
+    s"""${p}subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
+       |${p}sv AS (SELECT e.vec_id, s.sub,
        |         e.embedding[s.sub*16+1 : s.sub*16+16] AS v
-       |       FROM $trainSrc e CROSS JOIN subs s),
-       |sva AS (SELECT e.vec_id, s.sub,
+       |       FROM $trainSrc e CROSS JOIN ${p}subs s),
+       |${p}sva AS (SELECT e.vec_id, s.sub,
        |         e.embedding[s.sub*16+1 : s.sub*16+16] AS v
-       |       FROM $assignSrc e CROSS JOIN subs s),
-       |a1 AS (SELECT vec_id, sub, v,
+       |       FROM $assignSrc e CROSS JOIN ${p}subs s),
+       |${p}a1 AS (SELECT vec_id, sub, v,
        |         list_transform(range(0, 8), c -> $distInit) AS dists
-       |       FROM sv),
-       |a1c AS (SELECT vec_id, sub, v,
+       |       FROM ${p}sv),
+       |${p}a1c AS (SELECT vec_id, sub, v,
        |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c
-       |       FROM a1),
-       |mm AS (SELECT sub, c, i AS dim, COUNT(*) AS n,
+       |       FROM ${p}a1),
+       |${p}mm AS (SELECT sub, c, i AS dim, COUNT(*) AS n,
        |         SUM(CAST(FLOOR(${vd("i")} * 1048576.0) AS BIGINT)) AS s
-       |       FROM a1c CROSS JOIN (SELECT unnest(range(1, 17)) AS i)
+       |       FROM ${p}a1c CROSS JOIN (SELECT unnest(range(1, 17)) AS i)
        |       GROUP BY sub, c, i),
-       |m2 AS (SELECT sub, c, dim, CAST(s AS DOUBLE) / 1048576.0 / n AS mn FROM mm),
-       |cent2 AS (SELECT sub, c, list(mn ORDER BY dim) AS cv FROM m2 GROUP BY sub, c),
-       |cl AS (SELECT sub, list(cv ORDER BY c) AS cents FROM cent2 GROUP BY sub),
-       |a2 AS (SELECT sva.vec_id, sva.sub,
+       |${p}m2 AS (SELECT sub, c, dim, CAST(s AS DOUBLE) / 1048576.0 / n AS mn FROM ${p}mm),
+       |${p}cent2 AS (SELECT sub, c, list(mn ORDER BY dim) AS cv FROM ${p}m2 GROUP BY sub, c),
+       |${p}cl AS (SELECT sub, list(cv ORDER BY c) AS cents FROM ${p}cent2 GROUP BY sub),
+       |${p}a2 AS (SELECT sva.vec_id, sva.sub,
        |         list_transform(cl.cents, cv -> $distUpd) AS dists
-       |       FROM sva JOIN cl ON sva.sub = cl.sub),
-       |a2c AS (SELECT vec_id, sub,
+       |       FROM ${p}sva sva JOIN ${p}cl cl ON sva.sub = cl.sub),
+       |${p}a2c AS (SELECT vec_id, sub,
        |         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS INTEGER) AS c,
        |         CAST(FLOOR(list_aggregate(dists, 'min') * 1048576.0) AS BIGINT) AS d_fp
-       |       FROM a2)""".stripMargin
+       |       FROM ${p}a2)""".stripMargin
   }
 
   /** The q190/q192 query-side PQ lookup-table replay (no WITH
@@ -2396,23 +2480,35 @@ object LlmQueries {
     * left side within the same round — identical semantics to the
     * engine's bpe_merge kernel scan.
     */
+  /** One greedy leftmost BPE merge round as a `list_reduce` fold over
+    * the `w` symbol-list column (shared by the train and encode
+    * oracles — see [[bpeTrainOracle]] for the semantics argument).
+    */
+  private def bpeMergeExpr(l: String, r: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST([] AS VARCHAR[]), list_transform(w, x -> [x])),
+       |  (acc, x) -> CASE
+       |    WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
+       |    THEN list_append(list_slice(acc, 1, len(acc) - 1),
+       |                     concat($l, ' ', $r))
+       |    ELSE list_append(acc, x[1]) END)""".stripMargin
+
+  /** Adjacent symbol pairs of every `w` row in `s0`. */
+  private def bpePairsOf(s0: String): String =
+    s"""SELECT struct_extract(s, 'l') AS l, struct_extract(s, 'r') AS r
+       |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+       |    i -> {'l': w[CAST(i AS INTEGER)],
+       |          'r': w[CAST(i AS INTEGER) + 1]})) AS s FROM $s0)""".stripMargin
+
+  /** The trainer's merge pick: (count DESC, l, r) — a total order. */
+  private def bpeArgmax(s0: String): String =
+    s"""SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM $s0
+       |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+
   private def bpeTrainOracle(pre: String, src: String): String = {
-    def mergeExpr(l: String, r: String): String =
-      s"""list_reduce(
-         |  list_prepend(CAST([] AS VARCHAR[]), list_transform(w, x -> [x])),
-         |  (acc, x) -> CASE
-         |    WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
-         |    THEN list_append(list_slice(acc, 1, len(acc) - 1),
-         |                     concat($l, ' ', $r))
-         |    ELSE list_append(acc, x[1]) END)""".stripMargin
-    def pairsOf(s0: String): String =
-      s"""SELECT struct_extract(s, 'l') AS l, struct_extract(s, 'r') AS r
-         |  FROM (SELECT unnest(list_transform(range(1, len(w)),
-         |    i -> {'l': w[CAST(i AS INTEGER)],
-         |          'r': w[CAST(i AS INTEGER) + 1]})) AS s FROM $s0)""".stripMargin
-    def argmax(s0: String): String =
-      s"""SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM $s0
-         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+    def mergeExpr(l: String, r: String): String = bpeMergeExpr(l, r)
+    def pairsOf(s0: String): String = bpePairsOf(s0)
+    def argmax(s0: String): String = bpeArgmax(s0)
     s"""WITH ${pre}w1 AS (SELECT w FROM $src
        |            WHERE len(w) > 1),
        |p1 AS (${pairsOf("w1")}),
@@ -4211,6 +4307,144 @@ object LlmQueries {
          |SELECT qid, vec_id, ROUND(csim, 6) AS cosine, rank FROM rk
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+
+    "q202_margin_mining" -> {
+      // neighborhood mean: cosines folded IN RANK ORDER (mirrors the
+      // engine's array_sort(struct(rank, cosine)) fold — not an
+      // unordered SUM)
+      val meanFold = foldSum("list(c ORDER BY rn)")
+      s"""WITH bucketed AS (
+         |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
+         |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |kpairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id),
+         |knn AS (SELECT id_a, id_b, c, rn FROM (
+         |    SELECT id_a, id_b, c,
+         |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+         |    FROM kpairs) WHERE rn <= 3),
+         |avgc AS (
+         |  SELECT id_a AS id, $meanFold / COUNT(*) AS avg_c
+         |  FROM knn GROUP BY id_a),
+         |edges AS (
+         |  SELECT DISTINCT LEAST(id_a, id_b) AS id_a,
+         |         GREATEST(id_a, id_b) AS id_b, c FROM knn),
+         |sc AS (
+         |  SELECT e.id_a, e.id_b, e.c, (a1.avg_c + a2.avg_c) / 2.0 AS den
+         |  FROM edges e JOIN avgc a1 ON a1.id = e.id_a
+         |                JOIN avgc a2 ON a2.id = e.id_b),
+         |mg AS (SELECT id_a, id_b, c,
+         |         CASE WHEN den <= 0.0 THEN 0.0 ELSE c / den END AS margin
+         |       FROM sc),
+         |rk AS (SELECT id_a, id_b, c, margin,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, id_a, id_b) AS INTEGER) AS rank
+         |       FROM mg)
+         |SELECT rank, id_a, id_b, ROUND(c, 6) AS cosine, ROUND(margin, 6) AS margin
+         |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin
+    },
+
+    "q203_bpe_encode" ->
+      s"""WITH docs AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |w1 AS (SELECT w FROM docs WHERE len(w) > 1),
+         |p1 AS (${bpePairsOf("w1")}),
+         |m1 AS (${bpeArgmax("p1")}),
+         |w2 AS (SELECT ${bpeMergeExpr("m1.l", "m1.r")} AS w
+         |       FROM w1 CROSS JOIN m1),
+         |p2 AS (${bpePairsOf("w2")}),
+         |m2 AS (${bpeArgmax("p2")}),
+         |w3 AS (SELECT ${bpeMergeExpr("m2.l", "m2.r")} AS w
+         |       FROM w2 CROSS JOIN m2),
+         |p3 AS (${bpePairsOf("w3")}),
+         |m3 AS (${bpeArgmax("p3")}),
+         |d1 AS (SELECT doc_id, ${bpeMergeExpr("m1.l", "m1.r")} AS w
+         |       FROM docs CROSS JOIN m1),
+         |d2 AS (SELECT doc_id, ${bpeMergeExpr("m2.l", "m2.r")} AS w
+         |       FROM d1 CROSS JOIN m2),
+         |d3 AS (SELECT doc_id, ${bpeMergeExpr("m3.l", "m3.r")} AS w
+         |       FROM d2 CROSS JOIN m3),
+         |base AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |         COALESCE(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT),
+         |                  CAST(0 AS BIGINT)) AS n_chars
+         |         FROM docs)
+         |SELECT b.doc_id, b.n_tokens, b.n_chars,
+         |       CAST(len(d.w) AS INTEGER) AS n_syms,
+         |       CASE WHEN len(d.w) > 0 THEN (b.n_chars * 1000000) // len(d.w)
+         |            ELSE CAST(0 AS BIGINT) END AS fertility_fp
+         |FROM base b JOIN d3 d ON b.doc_id = d.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    "q204_rotated_pq" -> {
+      // Householder reflector component for SQL index i ∈ 1..64
+      // (engine index i−1): the repo's integer LCG at seed 1
+      val vI = "CAST(((2654435761 + (CAST(i AS INTEGER) - 1) * 40503) % 2001 - 1000) AS DOUBLE)"
+      def ed(i: String) = s"CAST(embedding[CAST($i AS INTEGER)] AS DOUBLE)"
+      val vx = foldSum(s"list_transform(range(1, 65), i -> ${ed("i")} * $vI)")
+      val vv = foldSum(s"list_transform(range(1, 65), i -> $vI * $vI)")
+      def census(variant: String, from: String) =
+        s"""SELECT '$variant' AS variant, sub, c AS cluster,
+           |         CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(d_fp) AS BIGINT) AS inertia_fp
+           |  FROM $from GROUP BY sub, c""".stripMargin
+      s"""WITH rot0 AS (SELECT vec_id, embedding, $vx AS vx, $vv AS vv
+         |       FROM embeddings),
+         |rot AS (SELECT vec_id,
+         |         list_transform(range(1, 65),
+         |           i -> ${ed("i")} - 2.0 * vx / vv * $vI) AS embedding
+         |       FROM rot0),
+         |${pqCtesTrainAssign("embeddings", "embeddings")},
+         |${pqCtesTrainAssign("rot", "rot", "r")}
+         |SELECT variant, sub, cluster, n, inertia_fp FROM (
+         |  ${census("plain", "a2c")}
+         |  UNION ALL
+         |  ${census("rotated", "ra2c")})
+         |ORDER BY variant, sub, cluster""".stripMargin
+    },
+
+    "q205_jl_distortion" -> {
+      // Achlioptas ±1 sign for (projection row j, engine dim i−1);
+      // +101 offsets the LCG away from the bucket hyperplanes
+      val sJI = "(CASE WHEN ((j + 101) * 2654435761 + (CAST(i AS INTEGER) - 1) * 40503) % 2001 - 1000 >= 0 " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+      val projFold = foldSum(
+        s"list_transform(range(1, 65), i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * $sJI)")
+      val d2o = foldSum(
+        "list_transform(range(1, 65), i -> " +
+          "(CAST(a.vec[CAST(i AS INTEGER)] AS DOUBLE) - CAST(b.vec[CAST(i AS INTEGER)] AS DOUBLE))" +
+          " * (CAST(a.vec[CAST(i AS INTEGER)] AS DOUBLE) - CAST(b.vec[CAST(i AS INTEGER)] AS DOUBLE)))")
+      val d2p = foldSum(
+        "list_transform(range(1, 17), i -> " +
+          "(a.proj[CAST(i AS INTEGER)] - b.proj[CAST(i AS INTEGER)])" +
+          " * (a.proj[CAST(i AS INTEGER)] - b.proj[CAST(i AS INTEGER)]))")
+      s"""WITH pj AS (
+         |  SELECT vec_id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
+         |         list_transform(range(0, 16), j -> $projFold) AS proj
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT a.bucket, $d2o AS d2o, $d2p AS d2p
+         |  FROM pj a JOIN pj b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |r2 AS (SELECT bucket,
+         |         CAST(FLOOR(d2p / (16.0 * d2o) * 1000000) AS BIGINT) AS ratio_fp
+         |       FROM pr WHERE d2o > 0.0)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       MIN(ratio_fp) AS min_fp, MAX(ratio_fp) AS max_fp,
+         |       CAST(SUM(ratio_fp) AS BIGINT) AS sum_fp,
+         |       ROUND(CAST(SUM(ratio_fp) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_ratio
+         |FROM r2 GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "q206_softdedup_weights" ->
+      s"""WITH t AS (SELECT doc_id, source, md5(text) AS ck,
+         |       CAST(len($toksExpr) AS BIGINT) AS n_toks FROM documents),
+         |w AS (SELECT source, ck, n_toks,
+         |       COUNT(*) OVER (PARTITION BY ck) AS c_n FROM t),
+         |w2 AS (SELECT source, ck, n_toks, 1000000 // c_n AS w_fp FROM w)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_contents,
+         |       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+         |       CAST(SUM(n_toks * w_fp) AS BIGINT) AS eff_tokens_fp
+         |FROM w2 GROUP BY source ORDER BY source""".stripMargin,
 
     "q85_ann_batch_ivf" -> ivfBatchOracle,
     "q103_ann_ivf_at_rest" -> ivfBatchOracle,

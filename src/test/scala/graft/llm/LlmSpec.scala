@@ -328,6 +328,23 @@ class LlmSpec extends SparkSpec {
       Similarity.bucketFoldCol($"embedding", 8).as("fold_b"),
       Similarity.bucketCol($"embedding", 8).as("native_b"))
     assert(bk.filter($"fold_b" =!= $"native_b").count() == 0)
+    // vec_sqdist kernel vs the aggregate(zip_with) fold it replaced
+    val self = emb.as("a").crossJoin(emb.limit(3).as("b"))
+    val sd = self.select(
+      aggregate(zip_with($"a.embedding", $"b.embedding",
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, e) => acc + e).as("fold_d"),
+      call_function("vec_sqdist", $"a.embedding", $"b.embedding").as("native_d"))
+    assert(sd.filter($"fold_d" =!= $"native_d").count() == 0)
+    // vec_jl_project kernel vs the per-component fold
+    val jp = emb.select($"embedding",
+      call_function("vec_jl_project", $"embedding", lit(16)).as("native_p"))
+    val jcmp = jp.select(
+      transform(sequence(lit(0L), lit(15L)),
+        j => Similarity.jlProjectFoldCol($"embedding", j)).as("fold_p"),
+      $"native_p")
+    assert(jcmp.filter($"fold_p" =!= $"native_p").count() == 0)
   }
   test("repetition signals: spammy text scores high top-fractions, diverse text low") {
     val docs = Seq(
@@ -2394,5 +2411,137 @@ class LlmSpec extends SparkSpec {
     val gn = TextAnalysis.classifierAgreement(withNull, col("a"), col("b")).head()
     assert(gn.getAs[Long]("n") == 1L && gn.getAs[Long]("n11") == 1L)
     assert(gn.isNullAt(gn.fieldIndex("kappa")))
+  }
+
+  test("marginPairs: mutual near-dups score margin ~1, a weaker attachment scores below") {
+    val dir = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    // 0/1/2 collinear (pairwise cosine ~1); 3 = dir with one
+    // coordinate nudged — same hyperplane bucket (guarded below),
+    // strictly smaller cosine to the others
+    val bent = dir.clone(); bent(0) = dir(0) + 1.5f
+    val emb = Seq((0L, dir), (1L, dir.map(_ * 2)), (2L, dir.map(_ * 3)),
+      (3L, bent)).toDF("vec_id", "embedding")
+    // fixture guard: all four must share a bucket or the scenario
+    // (3 attached to the clique) doesn't exist
+    graft.functions.GraftFunctions.register(spark)
+    val buckets = emb.select(
+      Similarity.bucketCol(col("embedding"), 4)).distinct().count()
+    assert(buckets == 1L, "fixture drifted: vectors no longer co-bucketed")
+    val got = Similarity.marginPairs(emb, k = 2, planes = 4, topN = 10)
+      .orderBy("rank").collect()
+    // undirected, deduped, ranked contiguously
+    assert(got.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == (1 to got.length).toSeq)
+    // the collinear pairs rank on top with margin ~1 (cos ~1 over a
+    // neighborhood mean of ~1); any pair touching 3 scores lower
+    // (margin 2c/(1+c) < 1 for c < 1)
+    val top3 = got.take(3).map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(top3 == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got.take(3).forall(r => math.abs(r.getAs[Double]("margin") - 1.0) < 1e-6))
+    assert(got.drop(3).forall(r => r.getAs[Double]("margin") < 0.9999))
+    val margins = got.map(_.getAs[Double]("margin")).toSeq
+    assert(margins == margins.sortBy(-_), "ranked by margin desc")
+  }
+
+  test("bpeEncode: frozen merge table reproduces the trainer's segmentation; fertility exact") {
+    val docs = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    // round 1: (a,b)x3 wins; round 2: over rewritten corpus the
+    // ("a b","a b") and ("a b","c") pairs tie at 1 — (l, r) order
+    // picks ("a b","a b")
+    val mt = Dedup.bpeTrain(docs, "doc_id", "text", rounds = 2)
+      .orderBy("round").collect()
+    assert(mt.map(r => (r.getString(1), r.getString(2))).toSeq
+      == Seq(("a", "b"), ("a b", "a b")))
+    val merges = mt.map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Dedup.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 5, 5L, 2, 2500000L), // [a b a b][c]
+      (1L, 2, 2L, 1, 2000000L), // [a b]
+      (2L, 1, 1L, 1, 1000000L), // untouched single token
+      (3L, 0, 0L, 0, 0L)))      // empty doc: no division error
+    // an empty merge table is the identity encoding
+    val id0 = Dedup.bpeEncode(docs, "doc_id", "text", Nil)
+      .orderBy("doc_id").as[(Long, Int, Long, Int, Long)].collect()
+    assert(id0.forall(r => r._2 == r._4))
+  }
+
+  test("householderRotate: exact reflector — distances/norms preserved, involutive") {
+    val emb = (0L until 8L).map(i =>
+      (i, Array.tabulate(64)(j => (((i * 31 + j * 7) % 23) - 11).toFloat / 4f)))
+      .toDF("vec_id", "embedding")
+    val rot = Similarity.householderRotate(emb)
+    val orig = emb.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val rotd = rot.orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // pairwise distances preserved (orthonormal transform)
+    for (i <- orig.indices; j <- i + 1 until orig.length) {
+      val before = d2(orig(i), orig(j))
+      val after = d2(rotd(i), rotd(j))
+      assert(math.abs(before - after) <= 1e-9 * before.max(1.0),
+        s"distance ($i,$j) drifted: $before -> $after")
+    }
+    // Householder is an involution: R(Rx) = x
+    val twice = Similarity.householderRotate(
+        rot.select(col("vec_id"), col("embedding")))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    for (i <- orig.indices)
+      assert(d2(orig(i), twice(i)) < 1e-18 * (1.0 + d2(orig(i), orig(i))),
+        s"R(Rx) != x at row $i")
+    // the audit reports both variants with full per-sub coverage
+    val audit = Similarity.rotatedPqAudit(emb).collect()
+    val byVar = audit.groupBy(_.getAs[String]("variant"))
+    assert(byVar.keySet == Set("plain", "rotated"))
+    for ((_, rows) <- byVar; (_, subRows) <- rows.groupBy(_.getAs[Int]("sub")))
+      assert(subRows.map(_.getAs[Long]("n")).sum == 8L)
+  }
+
+  test("jlProject/jlDistortion: linear projection; collinear family has constant ratio") {
+    val dir = Array.tabulate(64)(i => (i % 9 - 4).toFloat)
+    val emb = Seq((0L, dir), (1L, dir.map(_ * 2)), (2L, dir.map(_ * 4)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.jlProject(emb, r = 16).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    assert(p(0).length == 16)
+    // multiplication by 2 is exact in binary floating point, so the
+    // projection of 2x is EXACTLY 2*proj(x)
+    assert(p(1).toSeq == p(0).map(_ * 2).toSeq)
+    assert(p(2).toSeq == p(0).map(_ * 4).toSeq)
+    // collinear pairs: d2p/d2o identical for every pair -> the
+    // per-bucket min/max fixed-point ratios coincide
+    val d = Similarity.jlDistortion(emb, r = 16, planes = 4).collect()
+    assert(d.map(_.getAs[Long]("n_pairs")).sum == 3L)
+    for (row <- d) {
+      assert(row.getAs[Long]("min_fp") == row.getAs[Long]("max_fp"))
+      val mean = row.getAs[Double]("mean_ratio")
+      assert(mean > 0.0, s"ratio must be positive, got $mean")
+    }
+    // an exact duplicate pair (zero distance) is excluded, not a NaN
+    val withDup = Seq((0L, dir), (1L, dir)).toDF("vec_id", "embedding")
+    assert(Similarity.jlDistortion(withDup, r = 16, planes = 4)
+      .agg(sum("n_pairs")).head().isNullAt(0)) // no qualifying pairs at all
+  }
+
+  test("softDedupWeights: cross-source clusters split weight; integer masses exact") {
+    val t1 = "alpha beta gamma"      // 3 tokens, duplicated 3x across sources
+    val t2 = "delta epsilon"         // 2 tokens, unique
+    val t3 = "zeta eta theta iota"   // 4 tokens, unique
+    val docs = Seq(
+      (0L, t1, "srcA"), (1L, t1, "srcA"), (2L, t2, "srcA"),
+      (3L, t1, "srcB"), (4L, t3, "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // t1 cluster size 3 -> each copy weighs 333333 (floor of 1e6/3)
+    assert(got == Seq(
+      ("srcA", 3L, 2L, 8L, 3L * 333333L * 2 + 2L * 1000000L),
+      ("srcB", 2L, 2L, 7L, 3L * 333333L + 4L * 1000000L)))
   }
 }
