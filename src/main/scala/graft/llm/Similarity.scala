@@ -1635,12 +1635,86 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val base = pqAudit(emb, m, k, rounds, idCol, vecCol)
       .withColumn("variant", lit("plain"))
-    val rot = pqAudit(householderRotate(emb, seed, idCol, vecCol),
+    // checkpoint: pqCore's train/assign arms would otherwise re-run
+    // the reflection lambda pass once per corpus traversal (blocks
+    // release via the caller's Materialize hygiene)
+    val rot = pqAudit(householderRotate(emb, seed, idCol, vecCol).localCheckpoint(),
         m, k, rounds, "vec_id", "embedding")
       .withColumn("variant", lit("rotated"))
     base.unionByName(rot)
       .select(col("variant"), col("sub"), col("cluster"), col("n"),
         col("inertia_fp"))
+  }
+
+  /** Farthest-first traversal (Gonzalez 1985's k-center heuristic,
+    * batched like k-means‖'s oversampling rounds — Bahmani et al.
+    * 2012): select `k` maximally-spread vectors — the diversity
+    * CORESET a data-pruning pipeline keeps when it cannot afford the
+    * full corpus, and the principled init for the IVF/Lloyd family
+    * (fitIvf's md5 draw is uniform; this is spread-maximizing).
+    * Seed = the (md5(id), id)-smallest vector (the fitIvf draw at
+    * k = 1); each round scores every remaining vector by its exact
+    * squared distance to the NEAREST already-chosen center and takes
+    * the `batch` largest by (cost DESC, id) — within a round the
+    * batch shares one cost snapshot (the k-means‖ trade: `batch` = 1
+    * is pure greedy farthest-first, larger batches cut rounds
+    * k/batch-fold at slightly less spread).
+    *
+    * Scale shape: chosen centers are driver-side MODEL data (≤ k
+    * rows, like fitIvf's centroids — planner metadata); each round
+    * is one corpus map pass (native `vec_sqdist` against ≤ k literal
+    * centers, min over the array) and a TakeOrdered(batch) —
+    * per-partition heaps, no global sort, nothing corpus-sized ever
+    * collected. Rounds are inherently sequential (each cost depends
+    * on the last round's centers); the corpus passes parallelize.
+    *
+    * Determinism: distances are the shared kernel (bit-identical on
+    * any engine), MIN is order-free, selection orders by
+    * (cost DESC, id) — a total order. Selected costs are
+    * non-increasing in selection order (each round's costs dominate
+    * the next's pointwise — asserted in spec). Returns
+    * (sel_order, vec_id, cost_fp) with the seed at order 0 /
+    * cost_fp 0 by convention.
+    */
+  def farthestFirst(emb: DataFrame, k: Int, batch: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && batch > 0, s"need k > 0, batch > 0; got k=$k batch=$batch")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seedRow = base
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(1)
+      .select(col("id"), col("v")).head()
+    var chosenIds = Vector(seedRow.getLong(0))
+    var centers = Vector(seedRow.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val out = scala.collection.mutable.ListBuffer[(Int, Long, Long)](
+      (0, chosenIds.head, 0L))
+    while (out.size < k) {
+      val costCol = array_min(array(
+        centers.map(c => sqDistCol(col("v"), c)): _*))
+      val take = math.min(batch, k - out.size)
+      val picked = base.filter(!col("id").isin(chosenIds: _*))
+        .select(col("id"), col("v"), costCol.as("cost"))
+        .orderBy(col("cost").desc, col("id")).limit(take)
+        .collect() // ≤ batch rows — model-sized, like fitIvf's means
+        .sortBy(r => (-r.getAs[Double]("cost"), r.getAs[Long]("id")))
+      require(picked.nonEmpty, s"corpus exhausted at ${out.size} < $k centers")
+      picked.foreach { r =>
+        val id = r.getAs[Long]("id")
+        out += ((out.size, id, math.floor(r.getAs[Double]("cost") * 1048576.0).toLong))
+        chosenIds :+= id
+        centers :+= r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+      }
+    }
+    out.toSeq.toDF("sel_order", "vec_id", "cost_fp")
   }
 
   /** ±1 sign for (projection row j, input dim i) — the Achlioptas

@@ -1671,6 +1671,19 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** q207 farthest-first coreset selection
+    * ([[graft.llm.Similarity.farthestFirst]]): Gonzalez k-center
+    * traversal, batched k-means‖-style — the diversity subset a
+    * data-pruning pipeline keeps, and the spread-maximizing init for
+    * the IVF family. The oracle replays the md5 seed draw and both
+    * unrolled selection rounds (min-distance costs, (cost DESC, id)
+    * top-2) with the same fixed-point flooring.
+    */
+  def q207(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    Similarity.farthestFirst(emb, k = 5, batch = 2).orderBy("sel_order")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2226,6 +2239,7 @@ object LlmQueries {
     "q204_rotated_pq" -> q204 _,
     "q205_jl_distortion" -> q205 _,
     "q206_softdedup_weights" -> q206 _,
+    "q207_farthest_first" -> q207 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4445,6 +4459,35 @@ object LlmQueries {
          |       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
          |       CAST(SUM(n_toks * w_fp) AS BIGINT) AS eff_tokens_fp
          |FROM w2 GROUP BY source ORDER BY source""".stripMargin,
+
+    "q207_farthest_first" -> {
+      // exact squared distance, both sides cast (mirrors vec_sqdist
+      // on FLOAT[] corpus vs double-literal centers)
+      def sq(a: String, b: String): String = foldSum(
+        s"list_transform(range(1, 65), i -> (CAST($a[CAST(i AS INTEGER)] AS DOUBLE) - CAST($b[CAST(i AS INTEGER)] AS DOUBLE)) * (CAST($a[CAST(i AS INTEGER)] AS DOUBLE) - CAST($b[CAST(i AS INTEGER)] AS DOUBLE)))")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |seed AS (SELECT id, v FROM e
+         |         ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
+         |k1 AS (SELECT e.id, e.v, ${sq("e.v", "s.v")} AS cost
+         |       FROM e CROSS JOIN seed s WHERE e.id <> s.id),
+         |s1 AS (SELECT id, v, cost, rn FROM (
+         |    SELECT id, v, cost,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY cost DESC, id) AS INTEGER) AS rn
+         |    FROM k1) WHERE rn <= 2),
+         |c1 AS (SELECT id, v FROM seed UNION ALL SELECT id, v FROM s1),
+         |k2 AS (SELECT e.id, MIN(${sq("e.v", "c.v")}) AS cost
+         |       FROM e CROSS JOIN c1 c
+         |       WHERE e.id NOT IN (SELECT id FROM c1)
+         |       GROUP BY e.id),
+         |s2 AS (SELECT id, cost, rn FROM (
+         |    SELECT id, cost,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY cost DESC, id) AS INTEGER) AS rn
+         |    FROM k2) WHERE rn <= 2)
+         |SELECT 0 AS sel_order, id AS vec_id, CAST(0 AS BIGINT) AS cost_fp FROM seed
+         |UNION ALL SELECT rn, id, CAST(FLOOR(cost * 1048576.0) AS BIGINT) FROM s1
+         |UNION ALL SELECT rn + 2, id, CAST(FLOOR(cost * 1048576.0) AS BIGINT) FROM s2
+         |ORDER BY sel_order""".stripMargin
+    },
 
     "q85_ann_batch_ivf" -> ivfBatchOracle,
     "q103_ann_ivf_at_rest" -> ivfBatchOracle,

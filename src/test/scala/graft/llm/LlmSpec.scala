@@ -2528,6 +2528,43 @@ class LlmSpec extends SparkSpec {
       .agg(sum("n_pairs")).head().isNullAt(0)) // no qualifying pairs at all
   }
 
+  test("farthestFirst: greedy picks true extremes; batched costs non-increasing") {
+    // points on one axis at 0, 1, 10, 11, 100: from any seed the
+    // greedy traversal must jump to the far extreme first
+    def mk(x: Float) = Array.tabulate(64)(i => if (i == 0) x else 0f)
+    val pos = Map(0L -> 0f, 1L -> 1f, 2L -> 10f, 3L -> 11f, 4L -> 100f)
+    val emb = pos.toSeq.map { case (i, x) => (i, mk(x)) }
+      .toDF("vec_id", "embedding")
+    val greedy = Similarity.farthestFirst(emb, k = 5, batch = 1)
+      .orderBy("sel_order").as[(Int, Long, Long)].collect().toSeq
+    assert(greedy.map(_._1) == Seq(0, 1, 2, 3, 4))
+    assert(greedy.map(_._2).distinct.length == 5)
+    assert(greedy.head._3 == 0L)
+    // replay the traversal in plain Scala and demand the same order
+    def d2(a: Long, b: Long): Double = {
+      val d = pos(a).toDouble - pos(b).toDouble; d * d
+    }
+    var chosen = Vector(greedy.head._2)
+    for (step <- 1 until 5) {
+      val cand = pos.keys.filterNot(chosen.contains)
+        .map(id => (id, chosen.map(c => d2(id, c)).min))
+      val best = cand.toSeq.sortBy { case (id, c) => (-c, id) }.head
+      assert(greedy(step)._2 == best._1, s"step $step picked ${greedy(step)._2}, expected ${best._1}")
+      assert(greedy(step)._3 == math.floor(best._2 * 1048576.0).toLong)
+      chosen :+= best._1
+    }
+    // batched: selected costs are non-increasing in selection order
+    val batched = Similarity.farthestFirst(emb, k = 5, batch = 2)
+      .orderBy("sel_order").as[(Int, Long, Long)].collect().toSeq
+    val costs = batched.drop(1).map(_._3)
+    assert(costs == costs.sortBy(-_), s"costs not non-increasing: $costs")
+    assert(batched.map(_._2).toSet == greedy.map(_._2).toSet.take(5).toSet
+      || batched.map(_._2).distinct.length == 5) // all distinct either way
+    // k larger than the corpus fails loudly, not silently short
+    assertThrows[IllegalArgumentException](
+      Similarity.farthestFirst(emb, k = 6, batch = 2).collect())
+  }
+
   test("softDedupWeights: cross-source clusters split weight; integer masses exact") {
     val t1 = "alpha beta gamma"      // 3 tokens, duplicated 3x across sources
     val t2 = "delta epsilon"         // 2 tokens, unique
