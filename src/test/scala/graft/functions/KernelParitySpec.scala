@@ -295,4 +295,42 @@ class KernelParitySpec extends SparkSpec {
     }.toDF("doc_id", "t", "c")
     assertSameRows(viaExpr, viaBrute, "ac_term_hits rows")
   }
+
+  test("vec_sqdist / vec_jl_project kernels == higher-order folds on random float and double vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = new scala.util.Random(7)
+    // magnitudes spanning denormal-adjacent to large, plus negatives
+    // and exact zeros — anything the fold and the loop could round
+    // differently if the order ever diverged
+    def rf(): Float = r.nextInt(5) match {
+      case 0 => 0f
+      case 1 => (r.nextFloat() - 0.5f) * 1e-6f
+      case 2 => (r.nextFloat() - 0.5f) * 1e6f
+      case _ => r.nextFloat() * 10f - 5f
+    }
+    val dims = Seq(1, 3, 16, 64, 65)
+    for (n <- dims) {
+      val vecsF = (0L until 40L).map(i => (i, Array.fill(n)(rf())))
+        .toDF("id", "v")
+      val vecsD = (0L until 40L).map(i =>
+        (i, Array.fill(n)(rf().toDouble))).toDF("id", "v")
+      for (vecs <- Seq(vecsF, vecsD)) {
+        val pairs = vecs.as("a").crossJoin(vecs.limit(5).as("b"))
+        val sq = pairs.select(
+          aggregate(zip_with(col("a.v"), col("b.v"),
+              (x, y) => (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, e) => acc + e).as("fold"),
+          call_function("vec_sqdist", col("a.v"), col("b.v")).as("native"))
+        assert(sq.filter(col("fold") =!= col("native")).count() == 0,
+          s"vec_sqdist diverged at n=$n")
+        val jl = vecs.select(
+          transform(sequence(lit(0L), lit(7L)),
+            j => graft.llm.Similarity.jlProjectFoldCol(col("v"), j)).as("fold"),
+          call_function("vec_jl_project", col("v"), lit(8)).as("native"))
+        assert(jl.filter(col("fold") =!= col("native")).count() == 0,
+          s"vec_jl_project diverged at n=$n")
+      }
+    }
+  }
 }
