@@ -841,6 +841,78 @@ object Dedup {
       .agg(count(lit(1)).as("n_buckets"), max("bn").as("max_bucket"),
         sum(when(col("bn") > maxBucket, 1L).otherwise(0L)).as("n_hot"))
 
+  /** AT-REST MinHash-LSH dedup index ingest — the q196/q201 pattern
+    * for the dedup family: signatures are computed ONCE over the
+    * historical corpus and persisted as `dir/buckets` (the
+    * (id, band, bkey) banding, partitioned by band) plus
+    * `dir/shingles` (the per-doc shingle sets — the verify-side
+    * "document store"); every future batch probes the index
+    * ([[lshProbeAtRest]]) without touching the historical text
+    * again. This is how streaming/incremental dedup actually runs at
+    * 100 TB: the index is an artifact, not a per-query recomputation.
+    *
+    * Hot-bucket contract at rest: buckets over `maxBucket` store
+    * ONLY their min-id occupant (the [[minhashLsh]] star hub), so a
+    * degenerate boilerplate bucket cannot explode the probe join —
+    * every future copy still collides with the stored hub and
+    * verifies against it, exactly the star-pairing recall contract
+    * (heterogeneous-bucket caveat documented on [[minhashLsh]]).
+    * At scale, bucket the `buckets` table by `bkey` within each band
+    * partition so probe joins co-locate without a shuffle.
+    */
+  def lshIngestAtRest(df: DataFrame, idCol: String, textCol: String,
+                      dir: String, numHashes: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 3, maxBucket: Int = 64): Unit = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
+    val banded = bandedOf(agg, bands, numHashes / bands)
+    val hot = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select("band", "bkey")
+    val cool = banded.join(hot, Seq("band", "bkey"), "left_anti")
+      .select("id", "band", "bkey")
+    val reps = banded.join(hot, Seq("band", "bkey"))
+      .groupBy("band", "bkey").agg(min(col("id")).as("id"))
+      .select("id", "band", "bkey")
+    cool.unionByName(reps)
+      .write.mode("overwrite").partitionBy("band").parquet(dir + "/buckets")
+    agg.select(col("id"), col("sh"))
+      .write.mode("overwrite").parquet(dir + "/shingles")
+  }
+
+  /** Probe a NEW batch against an [[lshIngestAtRest]] index: one
+    * signature pass over the batch only, an equi-join on
+    * (band, bkey) against the stored buckets, and the exact-Jaccard
+    * verify against the stored shingle sets — the historical corpus
+    * is never re-shingled, and the probe's cost scales with the
+    * BATCH (plus the collided index rows), not the corpus. Returns
+    * verified (new_id, base_id, jaccard) pairs at `threshold` —
+    * dedup-before-ingest, the operation a production pipeline runs
+    * on every incoming shard.
+    */
+  def lshProbeAtRest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newDf: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 16, bands: Int = 4,
+                     threshold: Double = 0.5,
+                     shingleLen: Int = 3): DataFrame = {
+    val agg = signatureAgg(newDf, idCol, textCol, numHashes, shingleLen)
+    val banded = bandedOf(agg, bands, numHashes / bands)
+    val idx = spark.read.parquet(dir + "/buckets")
+    val baseSh = spark.read.parquet(dir + "/shingles")
+    val cand = banded.select(col("band"), col("bkey"), col("id").as("new_id"))
+      .join(idx.select(col("band"), col("bkey"), col("id").as("base_id")),
+        Seq("band", "bkey"))
+      .select("new_id", "base_id").distinct()
+    cand
+      .join(agg.select(col("id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(baseSh.select(col("id").as("base_id"), col("sh").as("sh_b")), "base_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh_n")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "base_id", "jaccard")
+  }
+
   /** Paragraph-level duplication stats — the RefinedWeb/Dolma
     * line-dedup signal, structure-aware where [[substring-window
     * q94]] is byte-window-blind: split each document into paragraph

@@ -1684,6 +1684,29 @@ object LlmQueries {
     Similarity.farthestFirst(emb, k = 5, batch = 2).orderBy("sel_order")
   }
 
+  /** q208 at-rest LSH dedup probe ([[graft.llm.Dedup.lshProbeAtRest]]
+    * over [[graft.llm.Dedup.lshIngestAtRest]] artifacts): the
+    * q196/q201 ingest-once pattern for the DEDUP family — the
+    * historical 80% is signed and persisted once (banding partitioned
+    * by band + the shingle document store, hot buckets reduced to
+    * their star hub), and the timed plan signs only the 20% batch,
+    * equi-joins the stored buckets, and Jaccard-verifies against the
+    * stored shingles. The oracle replays both signature pipelines
+    * (prefixed CTE chains), the hot-bucket hub reduction, the
+    * bucket join, and the verify.
+    */
+  def q208(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_lsh_at_rest")
+    ingestOnce(atRest + "#lsh#" + inputFingerprint(d + "/documents.parquet")) {
+      Dedup.lshIngestAtRest(docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+        "doc_id", "text", atRest)
+    }
+    Dedup.lshProbeAtRest(s, atRest,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4), "doc_id", "text")
+      .orderBy("new_id", "base_id")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2240,6 +2263,7 @@ object LlmQueries {
     "q205_jl_distortion" -> q205 _,
     "q206_softdedup_weights" -> q206 _,
     "q207_farthest_first" -> q207 _,
+    "q208_lsh_at_rest" -> q208 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2250,14 +2274,14 @@ object LlmQueries {
   /** Word-3-gram distinct shingles (matches Dedup.shinglesCol; both
     * engines 1-index arrays and skip NULLs in concat_ws).
     */
-  private def shinglesCteFrom(src: String): String =
-    s"""sh0 AS (
+  private def shinglesCteFrom(src: String, p: String = ""): String =
+    s"""${p}sh0 AS (
        |  SELECT doc_id, $toksExpr AS w FROM $src),
-       |sh AS (
+       |${p}sh AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
        |           i -> concat_ws(' ', w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1], w[CAST(i AS INTEGER) + 2]))) AS sh
-       |  FROM sh0)""".stripMargin
+       |  FROM ${p}sh0)""".stripMargin
 
   private val shinglesCte = shinglesCteFrom("documents")
 
@@ -2420,9 +2444,9 @@ object LlmQueries {
     * q47/q70 self-join and the q117 cross-corpus join both start
     * from this `banded` frame.
     */
-  private def minhashBandedCteFrom(src: String): String =
-    s"""${shinglesCteFrom(src)},
-       |sig AS (
+  private def minhashBandedCteFrom(src: String, p: String = ""): String =
+    s"""${shinglesCteFrom(src, p)},
+       |${p}sig AS (
        |  -- universal hashing: one md5-derived base per shingle, k
        |  -- affine transforms (a_k x + b_k) mod p -- mirrors
        |  -- Dedup.minhashBaseCol/minhashAffineCol exactly (p = 2038074743)
@@ -2432,12 +2456,12 @@ object LlmQueries {
        |             s -> ((1 + ((k * 2654435761) % 2038074742))
        |                     * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2038074743)
        |                   + ((k * 40503 + 17) % 2038074743)) % 2038074743), 'min')) AS sigs
-       |  FROM sh),
-       |banded AS (
+       |  FROM ${p}sh),
+       |${p}banded AS (
        |  SELECT doc_id, sh, CAST(b AS INTEGER) AS band,
        |         md5(CAST(sigs[CAST(b AS INTEGER) * 4 + 1] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 2] AS VARCHAR) || '|'
        |             || CAST(sigs[CAST(b AS INTEGER) * 4 + 3] AS VARCHAR) || '|' || CAST(sigs[CAST(b AS INTEGER) * 4 + 4] AS VARCHAR)) AS bkey
-       |  FROM sig CROSS JOIN range(0, 4) t(b))""".stripMargin
+       |  FROM ${p}sig CROSS JOIN range(0, 4) t(b))""".stripMargin
 
   // NOTE: concatenated, not interpolated — minhashBandedCte is already
   // margin-stripped, and a second stripMargin would eat the first pipe
@@ -4488,6 +4512,28 @@ object LlmQueries {
          |UNION ALL SELECT rn + 2, id, CAST(FLOOR(cost * 1048576.0) AS BIGINT) FROM s2
          |ORDER BY sel_order""".stripMargin
     },
+
+    "q208_lsh_at_rest" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),\n" +
+       "probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),\n" +
+       minhashBandedCteFrom("base", "b") + ",\n" +
+       minhashBandedCteFrom("probe", "p") + ",\n" +
+       """bhot AS (SELECT band, bkey FROM bbanded GROUP BY band, bkey HAVING COUNT(*) > 64),
+         |bcool AS (SELECT doc_id, band, bkey FROM bbanded ANTI JOIN bhot USING (band, bkey)),
+         |breps AS (SELECT MIN(doc_id) AS doc_id, band, bkey
+         |          FROM bbanded SEMI JOIN bhot USING (band, bkey) GROUP BY band, bkey),
+         |bidx AS (SELECT doc_id, band, bkey FROM bcool
+         |         UNION ALL SELECT doc_id, band, bkey FROM breps),
+         |cand AS (SELECT DISTINCT pb.doc_id AS new_id, i.doc_id AS base_id
+         |         FROM pbanded pb JOIN bidx i ON pb.band = i.band AND pb.bkey = i.bkey),
+         |ver AS (SELECT c.new_id, c.base_id,
+         |         CAST(len(list_intersect(pn.sh, bs.sh)) AS DOUBLE)
+         |           / (len(pn.sh) + len(bs.sh) - len(list_intersect(pn.sh, bs.sh))) AS jaccard
+         |        FROM cand c
+         |        JOIN psig pn ON pn.doc_id = c.new_id
+         |        JOIN bsig bs ON bs.doc_id = c.base_id)
+         |SELECT new_id, base_id, jaccard FROM ver WHERE jaccard >= 0.5
+         |ORDER BY new_id, base_id""".stripMargin),
 
     "q85_ann_batch_ivf" -> ivfBatchOracle,
     "q103_ann_ivf_at_rest" -> ivfBatchOracle,

@@ -2528,6 +2528,38 @@ class LlmSpec extends SparkSpec {
       .agg(sum("n_pairs")).head().isNullAt(0)) // no qualifying pairs at all
   }
 
+  test("lshIngestAtRest/lshProbeAtRest: batch probes the stored index; hot buckets reduce to the star hub") {
+    val boiler = "subscribe to our newsletter for updates terms of " +
+      "service privacy policy all rights reserved contact support now"
+    val normal = "the quick brown fox jumps over the lazy dog again and again"
+    // base corpus: 130 boilerplate copies (ids 0-129, over maxBucket
+    // 64 -> stored as hub id 0 only) + one normal doc (id 500)
+    val base = spark.range(130L).select(col("id").as("doc_id"),
+        lit(boiler).as("text"))
+      .unionByName(Seq((500L, normal)).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("lsh_at_rest_spec").toString
+    Dedup.lshIngestAtRest(base, "doc_id", "text", dir)
+    // hot-bucket reduction is visible in the artifact itself: the
+    // boilerplate bucket stores ONE row (the hub) per band
+    val buckets = spark.read.parquet(dir + "/buckets")
+    val boilerRows = buckets.filter(col("id") < 130L)
+    assert(boilerRows.count() == 4L, "one hub row per band expected")
+    assert(boilerRows.select("id").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(buckets.filter(col("id") === 500L).count() == 4L)
+    // probe: a fresh boilerplate copy, an exact copy of the normal
+    // doc, and an unrelated doc
+    val probe = Seq(
+      (1000L, boiler), (1001L, normal),
+      (1002L, "completely unrelated words about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshProbeAtRest(spark, dir, probe, "doc_id", "text")
+      .orderBy("new_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1000L, 0L, 1.0), (1001L, 500L, 1.0)),
+      s"unexpected probe pairs: $got")
+    // the shingle store covers every ingested doc (verify side)
+    assert(spark.read.parquet(dir + "/shingles").count() == 131L)
+  }
+
   test("farthestFirst: greedy picks true extremes; batched costs non-increasing") {
     // points on one axis at 0, 1, 10, 11, 100: from any seed the
     // greedy traversal must jump to the far extreme first
