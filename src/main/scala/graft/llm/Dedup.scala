@@ -880,6 +880,43 @@ object Dedup {
       .write.mode("overwrite").parquet(dir + "/shingles")
   }
 
+  /** APPEND a new batch to an [[lshIngestAtRest]] index — the
+    * maintenance cycle's write face (the dedup analog of the ANN
+    * family's frozen-codebook append): the batch is signed once,
+    * hub-reduced, and appended to the bucket table (dynamic
+    * partition append — only touched bands gain files) and the
+    * shingle store. No retrain exists to freeze — LSH signatures
+    * are per-document — so append∪base serves identically to a
+    * one-shot ingest of the union, with ONE documented exception:
+    * the hot-bucket hub reduction is PER-INGEST-BATCH. A degenerate
+    * bucket that crosses `maxBucket` only across batches (e.g. 40
+    * boilerplate copies per batch) accumulates every copy at rest
+    * where a one-shot ingest would have stored one hub; probes stay
+    * correct (more stored rows = more verified pairs, never fewer)
+    * but the probe-join bound degrades until a re-ingest compacts
+    * the index — the same drift-until-reingest contract as
+    * [[graft.llm.Similarity.ivfPqAppend]].
+    */
+  def lshAppendAtRest(newDf: DataFrame, idCol: String, textCol: String,
+                      dir: String, numHashes: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 3, maxBucket: Int = 64): Unit = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val agg = signatureAgg(newDf, idCol, textCol, numHashes, shingleLen)
+    val banded = bandedOf(agg, bands, numHashes / bands)
+    val hot = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select("band", "bkey")
+    val cool = banded.join(hot, Seq("band", "bkey"), "left_anti")
+      .select("id", "band", "bkey")
+    val reps = banded.join(hot, Seq("band", "bkey"))
+      .groupBy("band", "bkey").agg(min(col("id")).as("id"))
+      .select("id", "band", "bkey")
+    cool.unionByName(reps)
+      .write.mode("append").partitionBy("band").parquet(dir + "/buckets")
+    agg.select(col("id"), col("sh"))
+      .write.mode("append").parquet(dir + "/shingles")
+  }
+
   /** Probe a NEW batch against an [[lshIngestAtRest]] index: one
     * signature pass over the batch only, an equi-join on
     * (band, bkey) against the stored buckets, and the exact-Jaccard

@@ -1707,6 +1707,29 @@ object LlmQueries {
       .orderBy("new_id", "base_id")
   }
 
+  /** q209 incremental LSH index append
+    * ([[graft.llm.Dedup.lshAppendAtRest]] between q208's ingest and
+    * probe): the 60% base is ingested once, the next 20% batch is
+    * APPENDED (signed once, hub-reduced per batch, dynamic partition
+    * append), and the final 20% probes base ∪ appended through the
+    * unchanged read path. The oracle replays BOTH per-batch hub
+    * reductions (the per-ingest-batch cap contract — a one-shot
+    * union replay would store different hubs) plus the probe chain.
+    */
+  def q209(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_lsh_append")
+    ingestOnce(atRest + "#lshapp#" + inputFingerprint(d + "/documents.parquet")) {
+      Dedup.lshIngestAtRest(docs.filter(pmod(col("doc_id"), lit(5)) < 3),
+        "doc_id", "text", atRest)
+      Dedup.lshAppendAtRest(docs.filter(pmod(col("doc_id"), lit(5)) === 3),
+        "doc_id", "text", atRest)
+    }
+    Dedup.lshProbeAtRest(s, atRest,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4), "doc_id", "text")
+      .orderBy("new_id", "base_id")
+  }
+
   /** q195 RESIDUAL IVF-PQ search
     * ([[graft.llm.Similarity.ivfPqResidualTopK]]): the full FAISS
     * fidelity variant — fine codes quantize vec − coarse centroid,
@@ -2264,6 +2287,7 @@ object LlmQueries {
     "q206_softdedup_weights" -> q206 _,
     "q207_farthest_first" -> q207 _,
     "q208_lsh_at_rest" -> q208 _,
+    "q209_lsh_append" -> q209 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4532,6 +4556,37 @@ object LlmQueries {
          |        FROM cand c
          |        JOIN psig pn ON pn.doc_id = c.new_id
          |        JOIN bsig bs ON bs.doc_id = c.base_id)
+         |SELECT new_id, base_id, jaccard FROM ver WHERE jaccard >= 0.5
+         |ORDER BY new_id, base_id""".stripMargin),
+
+    "q209_lsh_append" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 < 3),\n" +
+       "appended AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3),\n" +
+       "probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),\n" +
+       minhashBandedCteFrom("base", "b") + ",\n" +
+       minhashBandedCteFrom("appended", "c") + ",\n" +
+       minhashBandedCteFrom("probe", "p") + ",\n" +
+       """bhot AS (SELECT band, bkey FROM bbanded GROUP BY band, bkey HAVING COUNT(*) > 64),
+         |bcool AS (SELECT doc_id, band, bkey FROM bbanded ANTI JOIN bhot USING (band, bkey)),
+         |breps AS (SELECT MIN(doc_id) AS doc_id, band, bkey
+         |          FROM bbanded SEMI JOIN bhot USING (band, bkey) GROUP BY band, bkey),
+         |chot AS (SELECT band, bkey FROM cbanded GROUP BY band, bkey HAVING COUNT(*) > 64),
+         |ccool AS (SELECT doc_id, band, bkey FROM cbanded ANTI JOIN chot USING (band, bkey)),
+         |creps AS (SELECT MIN(doc_id) AS doc_id, band, bkey
+         |          FROM cbanded SEMI JOIN chot USING (band, bkey) GROUP BY band, bkey),
+         |bidx AS (SELECT doc_id, band, bkey FROM bcool
+         |         UNION ALL SELECT doc_id, band, bkey FROM breps
+         |         UNION ALL SELECT doc_id, band, bkey FROM ccool
+         |         UNION ALL SELECT doc_id, band, bkey FROM creps),
+         |allsh AS (SELECT doc_id, sh FROM bsig UNION ALL SELECT doc_id, sh FROM csig),
+         |cand AS (SELECT DISTINCT pb.doc_id AS new_id, i.doc_id AS base_id
+         |         FROM pbanded pb JOIN bidx i ON pb.band = i.band AND pb.bkey = i.bkey),
+         |ver AS (SELECT c.new_id, c.base_id,
+         |         CAST(len(list_intersect(pn.sh, bs.sh)) AS DOUBLE)
+         |           / (len(pn.sh) + len(bs.sh) - len(list_intersect(pn.sh, bs.sh))) AS jaccard
+         |        FROM cand c
+         |        JOIN psig pn ON pn.doc_id = c.new_id
+         |        JOIN allsh bs ON bs.doc_id = c.base_id)
          |SELECT new_id, base_id, jaccard FROM ver WHERE jaccard >= 0.5
          |ORDER BY new_id, base_id""".stripMargin),
 

@@ -2560,6 +2560,36 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/shingles").count() == 131L)
   }
 
+  test("lshAppendAtRest: appended docs probe-visible; per-batch cap accumulates across batches") {
+    val boiler = "subscribe to our newsletter for updates terms of " +
+      "service privacy policy all rights reserved contact support now"
+    val normalA = "the quick brown fox jumps over the lazy dog again and again"
+    val normalB = "completely different words about raster pyramids and tile overviews"
+    val dir = java.nio.file.Files.createTempDirectory("lsh_append_spec").toString
+    // 40 boilerplate copies per batch: UNDER the 64 cap individually,
+    // over it combined — the documented per-ingest-batch contract
+    val base = spark.range(40L).select(col("id").as("doc_id"),
+        lit(boiler).as("text"))
+      .unionByName(Seq((500L, normalA)).toDF("doc_id", "text"))
+    val appended = spark.range(1000L, 1040L).select(col("id").as("doc_id"),
+        lit(boiler).as("text"))
+      .unionByName(Seq((600L, normalB)).toDF("doc_id", "text"))
+    Dedup.lshIngestAtRest(base, "doc_id", "text", dir)
+    Dedup.lshAppendAtRest(appended, "doc_id", "text", dir)
+    // no cross-batch hub reduction: all 80 copies rest in the index
+    val buckets = spark.read.parquet(dir + "/buckets")
+    assert(buckets.filter(col("id") < 2000L and col("id") =!= 500L
+      and col("id") =!= 600L).count() == 80L * 4L)
+    // a probe sees base AND appended through the unchanged read path
+    val probe = Seq((2000L, normalB), (2001L, normalA))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshProbeAtRest(spark, dir, probe, "doc_id", "text")
+      .orderBy("new_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2000L, 600L, 1.0), (2001L, 500L, 1.0)),
+      s"unexpected probe pairs: $got")
+    assert(spark.read.parquet(dir + "/shingles").count() == 82L)
+  }
+
   test("farthestFirst: greedy picks true extremes; batched costs non-increasing") {
     // points on one axis at 0, 1, 10, 11, 100: from any seed the
     // greedy traversal must jump to the far extreme first
