@@ -113,7 +113,12 @@ object VecKernels {
     * to the fold and to the DuckDB `list_reduce` oracles.
     */
   def sqDist(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // the fold this replaces null-poisons on length mismatch; a
+    // truncated distance would instead FABRICATE a plausible number
+    // (and could win a top-k) — fail loud at the boundary
+    require(a.numElements() == b.numElements(),
+      s"vec_sqdist: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -134,6 +139,7 @@ object VecKernels {
     * ±1.0 is an exact sign flip).
     */
   def jlProject(a: ArrayData, r: Int, aFloat: Boolean): ArrayData = {
+    require(r > 0, s"vec_jl_project: r must be positive, got $r")
     val n = a.numElements()
     val out = new Array[Double](r)
     var j = 0
@@ -244,6 +250,18 @@ case class VecJlProject(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (other, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_jl_project expects array<float|double>, got $other")
+      case (_, badR) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_jl_project r must be int, got $badR")
+    }
 
   private def isFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true

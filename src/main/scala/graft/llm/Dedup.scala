@@ -863,7 +863,28 @@ object Dedup {
   def lshIngestAtRest(df: DataFrame, idCol: String, textCol: String,
                       dir: String, numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3, maxBucket: Int = 64): Unit = {
+    lshWriteAtRest(df, idCol, textCol, dir, numHashes, bands, shingleLen,
+      maxBucket, overwrite = true)
+    // parameters ride the artifact (the ivfPqIngest models pattern):
+    // a probe/append under a different hash family would compute
+    // disjoint bkeys and silently report zero duplicates — fail loud
+    // instead (validated by lshParamsCheck on every read/append)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingleLen, maxBucket))
+      .toDF("num_hashes", "bands", "shingle_len", "max_bucket")
+      .write.mode("overwrite").parquet(dir + "/params")
+  }
+
+  /** Shared ingest/append body — ONE hub-reduction implementation so
+    * the two write faces can never drift apart bit-wise.
+    */
+  private def lshWriteAtRest(df: DataFrame, idCol: String, textCol: String,
+                             dir: String, numHashes: Int, bands: Int,
+                             shingleLen: Int, maxBucket: Int,
+                             overwrite: Boolean): Unit = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val mode = if (overwrite) "overwrite" else "append"
     val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
     val banded = bandedOf(agg, bands, numHashes / bands)
     val hot = banded.groupBy("band", "bkey")
@@ -875,9 +896,23 @@ object Dedup {
       .groupBy("band", "bkey").agg(min(col("id")).as("id"))
       .select("id", "band", "bkey")
     cool.unionByName(reps)
-      .write.mode("overwrite").partitionBy("band").parquet(dir + "/buckets")
+      .write.mode(mode).partitionBy("band").parquet(dir + "/buckets")
     agg.select(col("id"), col("sh"))
-      .write.mode("overwrite").parquet(dir + "/shingles")
+      .write.mode(mode).parquet(dir + "/shingles")
+  }
+
+  /** Loud parameter gate for the at-rest LSH artifacts. */
+  private def lshParamsCheck(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, numHashes: Int, bands: Int,
+                             shingleLen: Int): Unit = {
+    val row = spark.read.parquet(dir + "/params").head()
+    val (h, b, sl) = (row.getAs[Int]("num_hashes"), row.getAs[Int]("bands"),
+      row.getAs[Int]("shingle_len"))
+    require(h == numHashes && b == bands && sl == shingleLen,
+      s"at-rest LSH index $dir was built with (numHashes=$h, bands=$b, " +
+        s"shingleLen=$sl) but the caller passed ($numHashes, $bands, " +
+        s"$shingleLen) — mismatched hash families produce disjoint " +
+        "bucket keys and silent zero-recall probes; re-ingest or fix the call")
   }
 
   /** APPEND a new batch to an [[lshIngestAtRest]] index — the
@@ -900,21 +935,9 @@ object Dedup {
   def lshAppendAtRest(newDf: DataFrame, idCol: String, textCol: String,
                       dir: String, numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3, maxBucket: Int = 64): Unit = {
-    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val agg = signatureAgg(newDf, idCol, textCol, numHashes, shingleLen)
-    val banded = bandedOf(agg, bands, numHashes / bands)
-    val hot = banded.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
-      .select("band", "bkey")
-    val cool = banded.join(hot, Seq("band", "bkey"), "left_anti")
-      .select("id", "band", "bkey")
-    val reps = banded.join(hot, Seq("band", "bkey"))
-      .groupBy("band", "bkey").agg(min(col("id")).as("id"))
-      .select("id", "band", "bkey")
-    cool.unionByName(reps)
-      .write.mode("append").partitionBy("band").parquet(dir + "/buckets")
-    agg.select(col("id"), col("sh"))
-      .write.mode("append").parquet(dir + "/shingles")
+    lshParamsCheck(newDf.sparkSession, dir, numHashes, bands, shingleLen)
+    lshWriteAtRest(newDf, idCol, textCol, dir, numHashes, bands, shingleLen,
+      maxBucket, overwrite = false)
   }
 
   /** Probe a NEW batch against an [[lshIngestAtRest]] index: one
@@ -932,6 +955,7 @@ object Dedup {
                      numHashes: Int = 16, bands: Int = 4,
                      threshold: Double = 0.5,
                      shingleLen: Int = 3): DataFrame = {
+    lshParamsCheck(spark, dir, numHashes, bands, shingleLen)
     val agg = signatureAgg(newDf, idCol, textCol, numHashes, shingleLen)
     val banded = bandedOf(agg, bands, numHashes / bands)
     val idx = spark.read.parquet(dir + "/buckets")

@@ -1613,8 +1613,10 @@ object Similarity {
       .withColumn("vx", aggregate(
         zip_with(col("v"), vlit, (x, w) => x.cast("double") * w),
         lit(0.0), (a, x) => a + x))
-      .withColumn("vv", aggregate(transform(vlit, w => w * w),
-        lit(0.0), (a, x) => a + x))
+      // vᵀv is an exact integer sum (|v_i| ≤ 1000 ⇒ Σv_i² < 2⁵³), so
+      // the driver-side constant is bit-equal to any engine's fold —
+      // no per-row 64-element literal fold
+      .withColumn("vv", lit(v.map(w => w * w).sum))
       .select(col("vec_id"),
         zip_with(col("v"), vlit,
           (x, w) => x.cast("double") - lit(2.0) * col("vx") / col("vv") * w)
@@ -1781,11 +1783,14 @@ object Similarity {
                    vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val FP = 1000000L
-    val p = jlProject(emb, r, idCol, vecCol)
+    // the projection is a pure per-row expression — attach it in the
+    // same select (zero extra exchanges) instead of joining
+    // jlProject's frame back on vec_id (a corpus-sized shuffle of
+    // both sides for a map-side column)
     val bucketed = emb.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("vec"))
       .withColumn("bucket", bucketCol(col("vec"), planes))
-      .join(p, "vec_id")
+      .withColumn("proj", call_function("vec_jl_project", col("vec"), lit(r)))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("vec").as("vec_a"), col("proj").as("proj_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),

@@ -1626,6 +1626,11 @@ object LlmQueries {
     // centroids — planner metadata, never corpus data)
     val mt = Dedup.bpeTrain(docs, "doc_id", "text", rounds = 3)
       .orderBy("round").collect()
+    // the oracle unrolls exactly 3 merge rounds; a corpus that
+    // exhausts earlier would silently diverge (engine N rows vs
+    // oracle 0) — fail loud instead (same contract as q178)
+    require(mt.length == 3,
+      s"q203 expects 3 trainable merges, corpus exhausted at ${mt.length}")
     val merges = mt.map(r => (r.getString(1), r.getString(2))).toSeq
     Dedup.bpeEncode(docs, "doc_id", "text", merges).orderBy("doc_id")
   }

@@ -2615,13 +2615,24 @@ class LlmSpec extends SparkSpec {
       assert(greedy(step)._3 == math.floor(best._2 * 1048576.0).toLong)
       chosen :+= best._1
     }
-    // batched: selected costs are non-increasing in selection order
+    // batched: selected costs are non-increasing in selection order,
+    // and with k=3 (a REAL subset) the spread property must hold —
+    // both extremes of the layout are selected whatever the batching
     val batched = Similarity.farthestFirst(emb, k = 5, batch = 2)
       .orderBy("sel_order").as[(Int, Long, Long)].collect().toSeq
     val costs = batched.drop(1).map(_._3)
     assert(costs == costs.sortBy(-_), s"costs not non-increasing: $costs")
-    assert(batched.map(_._2).toSet == greedy.map(_._2).toSet.take(5).toSet
-      || batched.map(_._2).distinct.length == 5) // all distinct either way
+    assert(batched.map(_._2).distinct.length == 5)
+    val sub = Similarity.farthestFirst(emb, k = 3, batch = 2)
+      .orderBy("sel_order").as[(Int, Long, Long)].collect().toSeq
+    val subIds = sub.map(_._2).toSet
+    assert(subIds.size == 3)
+    // position 100 (id 4) is the far extreme from every possible
+    // seed, and a k=3 spread over {0,1,10,11,100} must keep the two
+    // opposite ends of the axis
+    assert(subIds.contains(4L), s"far extreme missing from $subIds")
+    assert(subIds.contains(0L) || subIds.contains(1L),
+      s"near extreme missing from $subIds")
     // k larger than the corpus fails loudly, not silently short
     assertThrows[IllegalArgumentException](
       Similarity.farthestFirst(emb, k = 6, batch = 2).collect())
