@@ -13,6 +13,14 @@ Test / fork := true
 // suites share one SparkSession — run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// Forked run output goes straight to this process's stdout, WITHOUT
+// sbt's "[info] " logger prefix — the bench driver parses the last
+// stdout line as JSON and the prefix defeated that parse for 14
+// rounds (BENCH_r*.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own trailing "[success] Total time: ..."
+// line so the bench's compact JSON really is the last line emitted.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
