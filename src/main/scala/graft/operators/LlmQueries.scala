@@ -288,9 +288,17 @@ object LlmQueries {
   def q70(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
       numHashes = 16, bands = 4, threshold = 0.5)
+    // cc is a cheap select over connectedComponents' internally
+    // checkpointed label frame — two consumers below re-run only that
+    // select, never the iteration
     val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-    cc.withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+    // sizes via groupBy + join-back, not count().over(partitionBy):
+    // one viral near-dup cluster would otherwise buffer whole in a
+    // single WindowExec task (same de-skew as Similarity.semanticPrune)
+    val sizes = cc.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   }
 
