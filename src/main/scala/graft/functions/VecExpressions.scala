@@ -13,7 +13,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * DuckDB `list_reduce` oracles, so results are bit-identical.
   */
 object VecKernels {
+  /** Null-element gate shared by every kernel: the folds these
+    * kernels replace null-poison on a null element, while raw
+    * `ArrayData` access would FABRICATE a value (UnsafeArrayData
+    * reads 0.0 from a null slot) or NPE — neither is acceptable
+    * under the fail-loud contract, so reject the row explicitly.
+    */
+  private def requireNoNulls(a: ArrayData, name: String): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$name: null element at index $i — vector kernels require " +
+          "dense arrays (the fold this replaces would null-poison; " +
+          "filter or impute nulls upstream)")
+      i += 1
+    }
+  }
+
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    requireNoNulls(a, "vec_dot"); requireNoNulls(b, "vec_dot")
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
@@ -115,9 +134,12 @@ object VecKernels {
   def sqDist(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     // the fold this replaces null-poisons on length mismatch; a
     // truncated distance would instead FABRICATE a plausible number
-    // (and could win a top-k) — fail loud at the boundary
+    // (and could win a top-k) — fail loud at the boundary. Same for
+    // null elements (requireNoNulls): UnsafeArrayData reads 0.0 from
+    // a null slot, which would silently shift the distance.
     require(a.numElements() == b.numElements(),
       s"vec_sqdist: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    requireNoNulls(a, "vec_sqdist"); requireNoNulls(b, "vec_sqdist")
     val n = a.numElements()
     var s = 0.0
     var i = 0
@@ -140,6 +162,7 @@ object VecKernels {
     */
   def jlProject(a: ArrayData, r: Int, aFloat: Boolean): ArrayData = {
     require(r > 0, s"vec_jl_project: r must be positive, got $r")
+    requireNoNulls(a, "vec_jl_project")
     val n = a.numElements()
     val out = new Array[Double](r)
     var j = 0
@@ -163,6 +186,7 @@ object VecKernels {
     * `Similarity.bucketFoldCol` exactly (bit-equal buckets).
     */
   def lshBucket(a: ArrayData, planes: Int, aFloat: Boolean): Long = {
+    requireNoNulls(a, "vec_lsh_bucket")
     val n = a.numElements()
     var bucket = 0L
     var j = 0
@@ -187,8 +211,25 @@ object VecKernels {
   * — stays inside whole-stage codegen, no per-element closure calls.
   * Contract: array elements are non-null (embedding columns).
   */
+/** Shared analysis-time gate for the two-vector kernels: reject
+  * anything but array<float|double> on BOTH sides (e.g. array<int>,
+  * which the old casts-everything folds tolerated) so type errors
+  * surface at analysis, not as a runtime IllegalArgumentException
+  * mid-job (ADVICE r14).
+  */
+private[functions] trait TwoVectorTypeCheck { self: BinaryExpression =>
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<float|double>, array<float|double>), got ($l, $r)")
+    }
+}
+
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with Serializable {
+    extends BinaryExpression with TwoVectorTypeCheck with Serializable {
 
   override def dataType: DataType = DoubleType
 
@@ -218,7 +259,7 @@ case class VecDot(left: Expression, right: Expression)
   * left-to-right order; see [[VecKernels.sqDist]]).
   */
 case class VecSqDist(left: Expression, right: Expression)
-    extends BinaryExpression with Serializable {
+    extends BinaryExpression with TwoVectorTypeCheck with Serializable {
 
   override def dataType: DataType = DoubleType
 
@@ -289,6 +330,15 @@ case class VecLshBucket(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_lsh_bucket expects (array<float|double>, int), got ($l, $r)")
+    }
 
   private def isFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true

@@ -333,4 +333,38 @@ class KernelParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("vec kernels fail loud on null elements and reject bad types at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    // null element: the replaced fold null-poisons; the raw-access
+    // kernel would FABRICATE 0.0 from an UnsafeArrayData null slot —
+    // it must throw instead (ADVICE r14)
+    val withNull = Seq((0L, Array[java.lang.Double](1.0, null, 3.0)),
+      (1L, Array[java.lang.Double](1.0, 2.0, 3.0))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      withNull.as("a").crossJoin(withNull.limit(1).as("b"))
+        .select(call_function("vec_sqdist", col("a.v"), col("b.v")))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && c.getCause != c) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMsg(ex).contains("null element"), s"got: ${rootMsg(ex)}")
+    // analysis-time type gate: array<int> used to pass analysis and
+    // blow up mid-job with IllegalArgumentException from isFloat
+    val ints = Seq((0L, Array(1, 2, 3))).toDF("id", "v")
+    for (fn <- Seq("vec_sqdist", "vec_dot")) {
+      val bad = intercept[org.apache.spark.sql.AnalysisException] {
+        ints.as("a").crossJoin(ints.as("b"))
+          .select(call_function(fn, col("a.v"), col("b.v")))
+      }
+      assert(bad.getMessage.contains("array<float|double>"), s"$fn: ${bad.getMessage}")
+    }
+    val badBucket = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(call_function("vec_lsh_bucket", col("v"), lit(4)))
+    }
+    assert(badBucket.getMessage.contains("array<float|double>"))
+  }
 }

@@ -2590,6 +2590,52 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/shingles").count() == 82L)
   }
 
+  test("lshCompactAtRest: cross-batch hot bucket re-caps to one hub; probe == one-shot ingest; max_bucket gate is loud") {
+    val boiler = "subscribe to our newsletter for updates terms of " +
+      "service privacy policy all rights reserved contact support now"
+    val normalA = "the quick brown fox jumps over the lazy dog again and again"
+    val dirM = java.nio.file.Files.createTempDirectory("lsh_compact_spec_m").toString
+    val dirO = java.nio.file.Files.createTempDirectory("lsh_compact_spec_o").toString
+    // the q209 drift fixture: 40 boiler copies per batch, under the
+    // 64 cap individually, over it combined
+    val base = spark.range(40L).select(col("id").as("doc_id"),
+        lit(boiler).as("text"))
+      .unionByName(Seq((500L, normalA)).toDF("doc_id", "text"))
+    val appended = spark.range(1000L, 1040L).select(col("id").as("doc_id"),
+        lit(boiler).as("text"))
+    Dedup.lshIngestAtRest(base, "doc_id", "text", dirM)
+    Dedup.lshAppendAtRest(appended, "doc_id", "text", dirM)
+    // a WRITE face with a divergent hub cap must fail loud, not
+    // silently apply a different reduction to one batch
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshAppendAtRest(appended, "doc_id", "text", dirM,
+        maxBucket = Some(32))
+    }
+    assert(ex.getMessage.contains("maxBucket=64"))
+    assert(spark.read.parquet(dirM + "/buckets")
+      .filter(col("id") =!= 500L).count() == 80L * 4L) // drift at rest
+    Dedup.lshCompactAtRest(spark, dirM)
+    // post-compaction: the boiler bucket holds exactly the min-id hub
+    // per band, the normal doc is untouched, nothing exceeds the cap
+    val buckets = spark.read.parquet(dirM + "/buckets")
+    val boilerRows = buckets.filter(col("id") =!= 500L)
+    assert(boilerRows.count() == 4L, "one hub row per band expected")
+    assert(boilerRows.select("id").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(buckets.filter(col("id") === 500L).count() == 4L)
+    // shingle store untouched: every ingested doc still verifiable
+    assert(spark.read.parquet(dirM + "/shingles").count() == 81L)
+    // probe equivalence: compacted multi-batch index == one-shot
+    // ingest of the union
+    Dedup.lshIngestAtRest(base.unionByName(appended), "doc_id", "text", dirO)
+    val probe = Seq((2000L, boiler), (2001L, normalA)).toDF("doc_id", "text")
+    val gotM = Dedup.lshProbeAtRest(spark, dirM, probe, "doc_id", "text")
+      .orderBy("new_id", "base_id").as[(Long, Long, Double)].collect().toSeq
+    val gotO = Dedup.lshProbeAtRest(spark, dirO, probe, "doc_id", "text")
+      .orderBy("new_id", "base_id").as[(Long, Long, Double)].collect().toSeq
+    assert(gotM == gotO, s"compacted probe $gotM != one-shot probe $gotO")
+    assert(gotM == Seq((2000L, 0L, 1.0), (2001L, 500L, 1.0)))
+  }
+
   test("farthestFirst: greedy picks true extremes; batched costs non-increasing") {
     // points on one axis at 0, 1, 10, 11, 100: from any seed the
     // greedy traversal must jump to the far extreme first
