@@ -1603,6 +1603,58 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q211 IVF-PQ cell-drift census + rebalance
+    * ([[graft.llm.Similarity.ivfPqCellCensus]] /
+    * [[graft.llm.Similarity.ivfPqRebalance]]) — judge r14 item 5:
+    * the appended 25% of the corpus is REWRITTEN into a drifted
+    * cluster (near-constant vectors, 8 leading dims varying by
+    * vec_id%7) that the frozen coarse codebook piles into one cell;
+    * the census shows the pile, the rebalance splits every over-cap
+    * cell in PQ-decode space (frozen codebooks, only the touched
+    * partitions rewritten), and the query reports the before/after
+    * occupancy audit. Cap = corpus/5: the drifted cell (~31%) is the
+    * only cell over it at both SFs. The oracle replays the coarse
+    * and PQ trainings, the frozen-codebook assignments, both
+    * VP-median split levels (vantage = farthest from the min-id
+    * member, threshold = exact mass-median over the code-word
+    * distance histogram), and both censuses.
+    */
+  def q211(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .withColumn("embedding",
+        when(pmod(col("vec_id"), lit(4)) === 3,
+          transform(col("embedding"), (_, i) =>
+            when(i < 8, lit(2.5) +
+              pmod(col("vec_id"), lit(7)).cast("double") * 0.5)
+              .otherwise(lit(2.5)).cast("float")))
+          .otherwise(col("embedding")))
+    val maxCell = Tables.embeddings(s, d).count() / 5
+    val atRest = atRestDir(d, "graft_ivfpq_rebalance")
+    ingestOnce(atRest + "#rebal#" + inputFingerprint(d + "/embeddings.parquet")) {
+      Similarity.ivfPqIngest(emb.filter(pmod(col("vec_id"), lit(4)) =!= 3), atRest)
+      Similarity.ivfPqAppend(emb.filter(pmod(col("vec_id"), lit(4)) === 3), atRest)
+      Similarity.ivfPqCellCensus(s, atRest)
+        .write.mode("overwrite").parquet(atRest + "/census_pre")
+      // the documented repeated-call contract: one call splits each
+      // over-cap cell once; the drifted pile (~31%) needs two levels
+      // to land every cell under the corpus/5 cap
+      Similarity.ivfPqRebalance(s, atRest, maxCell)
+      Similarity.ivfPqRebalance(s, atRest, maxCell)
+    }
+    val pre = s.read.parquet(atRest + "/census_pre")
+      .agg(count(lit(1)).as("n_cells_pre"),
+        max(col("n_vecs")).as("max_occ_pre"),
+        sum(when(col("n_vecs") > maxCell, 1L).otherwise(0L)).as("n_over_pre"))
+    val post = Similarity.ivfPqCellCensus(s, atRest)
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        count(lit(1)).as("n_cells_post"),
+        max(col("n_vecs")).as("max_occ_post"),
+        sum(when(col("n_vecs") > maxCell, 1L).otherwise(0L)).as("n_over_post"))
+    post.crossJoin(pre) // two 1-row locals — a literal stitch, not a data join
+      .select("n_vecs", "n_cells_pre", "max_occ_pre", "n_over_pre",
+        "n_cells_post", "max_occ_post", "n_over_post")
+  }
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2358,6 +2410,7 @@ object LlmQueries {
     "q208_lsh_at_rest" -> q208 _,
     "q209_lsh_append" -> q209 _,
     "q210_lsh_compact" -> q210 _,
+    "q211_ivf_rebalance" -> q211 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -5340,6 +5393,111 @@ object LlmQueries {
          |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
          |      FROM adc) f JOIN ncand n USING (qid)
          |WHERE f.rank <= 5 ORDER BY f.qid, f.rank""".stripMargin
+    },
+
+    "q211_ivf_rebalance" -> {
+      val cd = "cl.cents[CAST(a.c AS INTEGER) + 1][CAST(i AS INTEGER)] - " +
+        "cl.cents[CAST(b.c AS INTEGER) + 1][CAST(i AS INTEGER)]"
+      // one rebalance level: the (vec_id, cell) frame `src` re-capped
+      // into `post$n` — seed A = min id, seed B = farthest from A via
+      // the code-pair table, nearer-seed assignment, fresh cell ids
+      // from `newBase` (mirrors one ivfPqRebalance call exactly)
+      // MATERIALIZED throughout: each level references its inputs
+      // several times, and inline CTE expansion would re-run the
+      // whole PQ-training replay once per reference (measured: the
+      // two-level inline form never finished at sf0.01)
+      // per-cell member→seed decode distance (one sum of code-pair
+      // table entries per member)
+      def dcte(n: Int, name: String, seedTab: String, seedCol: String,
+               out: String): String =
+        s"""$name AS MATERIALIZED (SELECT m.cell, m.vec_id, SUM(t.pd_fp) AS $out
+           |       FROM mem$n m JOIN $seedTab s ON m.cell = s.cell
+           |       JOIN mem$n ms ON ms.cell = m.cell AND ms.vec_id = s.$seedCol AND ms.sub = m.sub
+           |       JOIN ctab t ON t.sub = m.sub AND t.c1 = m.c AND t.c2 = ms.c
+           |       GROUP BY m.cell, m.vec_id)""".stripMargin
+      // per-cell farthest member from the seed at positive distance
+      // (ties → lowest id) — empty for decode-degenerate cells
+      def farthest(n: Int, name: String, distTab: String, distCol: String,
+                   out: String): String =
+        s"""$name AS MATERIALIZED (SELECT cell, vec_id AS $out FROM (
+           |    SELECT d.cell, d.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY d.cell ORDER BY d.$distCol DESC, d.vec_id) AS rn
+           |    FROM $distTab d WHERE d.$distCol > 0) WHERE rn = 1)""".stripMargin
+      def level(n: Int, src: String, newBase: String): String =
+        s"""cens$n AS MATERIALIZED (SELECT cell, COUNT(*) AS n FROM $src GROUP BY cell),
+           |hot$n AS MATERIALIZED (SELECT cell FROM cens$n, mx WHERE n > cap),
+           |mem$n AS MATERIALIZED (SELECT k.cell, a.vec_id, a.sub, a.c FROM a2cm a
+           |        JOIN $src k ON a.vec_id = k.vec_id
+           |        WHERE k.cell IN (SELECT cell FROM hot$n)),
+           |seed0$n AS MATERIALIZED (SELECT cell, MIN(vec_id) AS s0 FROM mem$n GROUP BY cell),
+           |${dcte(n, s"d0$n", s"seed0$n", "s0", "d_0")},
+           |${farthest(n, s"seedf$n", s"d0$n", "d_0", "sf")},
+           |vant$n AS MATERIALIZED (SELECT s.cell, COALESCE(f.sf, s.s0) AS sv
+           |  FROM seed0$n s LEFT JOIN seedf$n f ON s.cell = f.cell),
+           |${dcte(n, s"dv$n", s"vant$n", "sv", "d_v")},
+           |hist$n AS MATERIALIZED (SELECT cell, d_v, COUNT(*) AS cnt
+           |  FROM dv$n GROUP BY cell, d_v),
+           |tstat$n AS MATERIALIZED (SELECT cell, SUM(cnt) AS n, MAX(d_v) AS dmax
+           |  FROM hist$n GROUP BY cell),
+           |cum$n AS MATERIALIZED (SELECT cell, d_v,
+           |    SUM(cnt) OVER (PARTITION BY cell ORDER BY d_v) AS cum
+           |  FROM hist$n),
+           |med0$n AS MATERIALIZED (SELECT c.cell, MIN(c.d_v) AS d0
+           |  FROM cum$n c JOIN tstat$n t ON c.cell = t.cell
+           |  WHERE c.cum >= (t.n + 1) // 2 GROUP BY c.cell),
+           |pmax$n AS MATERIALIZED (SELECT h.cell, MAX(h.d_v) AS pm
+           |  FROM hist$n h JOIN tstat$n t ON h.cell = t.cell
+           |  WHERE h.d_v < t.dmax GROUP BY h.cell),
+           |dmed$n AS MATERIALIZED (SELECT m0.cell,
+           |    CASE WHEN h.cnt > (SELECT cap FROM mx) THEN NULL
+           |         WHEN m0.d0 = t.dmax THEN p.pm
+           |         ELSE m0.d0 END AS dmed
+           |  FROM med0$n m0 JOIN tstat$n t ON m0.cell = t.cell
+           |  JOIN hist$n h ON h.cell = m0.cell AND h.d_v = m0.d0
+           |  LEFT JOIN pmax$n p ON m0.cell = p.cell),
+           |imid$n AS MATERIALIZED (SELECT cell,
+           |    (MIN(vec_id) + MAX(vec_id)) // 2 AS imid FROM mem$n GROUP BY cell),
+           |splitc$n AS MATERIALIZED (SELECT cell,
+           |    $newBase + ROW_NUMBER() OVER (ORDER BY cell) - 1 AS new_cell
+           |  FROM hot$n),
+           |post$n AS MATERIALIZED (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM $src
+           |         WHERE cell NOT IN (SELECT cell FROM splitc$n)
+           |         UNION ALL
+           |         SELECT v.vec_id,
+           |           CASE WHEN dm.dmed IS NOT NULL
+           |             THEN (CASE WHEN v.d_v <= dm.dmed THEN sc.new_cell ELSE CAST(v.cell AS BIGINT) END)
+           |             ELSE (CASE WHEN v.vec_id <= im.imid THEN sc.new_cell ELSE CAST(v.cell AS BIGINT) END)
+           |           END
+           |         FROM dv$n v JOIN dmed$n dm ON v.cell = dm.cell
+           |         JOIN imid$n im ON v.cell = im.cell
+           |         JOIN splitc$n sc ON sc.cell = v.cell)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id,
+         |  CASE WHEN vec_id % 4 = 3
+         |    THEN list_transform(range(1, 65), i ->
+         |      CAST(CASE WHEN i <= 8
+         |             THEN 2.5 + CAST(vec_id % 7 AS DOUBLE) * 0.5
+         |             ELSE 2.5 END AS FLOAT))
+         |    ELSE embedding END AS embedding
+         |  FROM embeddings),
+         |base AS (SELECT vec_id, embedding FROM emb WHERE vec_id % 4 <> 3),
+         |${coarseCtesFrom("base", "emb")},
+         |${pqCtesTrainAssign("base", "emb")},
+         |mx AS MATERIALIZED (SELECT COUNT(*) // 5 AS cap FROM embeddings),
+         |kcellm AS MATERIALIZED (SELECT vec_id, cell FROM kcell),
+         |a2cm AS MATERIALIZED (SELECT vec_id, sub, c FROM a2c),
+         |ctab AS MATERIALIZED (SELECT cl.sub, CAST(a.c AS INTEGER) AS c1, CAST(b.c AS INTEGER) AS c2,
+         |  CAST(FLOOR(${foldSum(s"list_transform(range(1, 17), i -> ($cd) * ($cd))")} * 1048576.0) AS BIGINT) AS pd_fp
+         |  FROM cl CROSS JOIN range(8) a(c) CROSS JOIN range(8) b(c)),
+         |${level(1, "kcellm", "8")},
+         |${level(2, "post1", "(SELECT 8 + COUNT(*) FROM splitc1)")},
+         |censpost AS (SELECT cell, COUNT(*) AS n FROM post2 GROUP BY cell)
+         |SELECT (SELECT COUNT(*) FROM post2) AS n_vecs,
+         |  (SELECT COUNT(*) FROM cens1) AS n_cells_pre,
+         |  (SELECT MAX(n) FROM cens1) AS max_occ_pre,
+         |  (SELECT CAST(SUM(CASE WHEN n > (SELECT cap FROM mx) THEN 1 ELSE 0 END) AS BIGINT) FROM cens1) AS n_over_pre,
+         |  (SELECT COUNT(*) FROM censpost) AS n_cells_post,
+         |  (SELECT MAX(n) FROM censpost) AS max_occ_post,
+         |  (SELECT CAST(SUM(CASE WHEN n > (SELECT cap FROM mx) THEN 1 ELSE 0 END) AS BIGINT) FROM censpost) AS n_over_post""".stripMargin
     },
 
     "q186_zipf_fit" ->

@@ -2636,6 +2636,46 @@ class LlmSpec extends SparkSpec {
     assert(gotM == Seq((2000L, 0L, 1.0), (2001L, 500L, 1.0)))
   }
 
+  test("ivfPqRebalance: drifted pile splits under the cap; codes conserved; probe serves the finer cells; m gate is loud") {
+    // 40 base vectors spread by id + 60 appended drifted copies far
+    // outside the base range -> one coarse cell piles to 60+
+    def mk(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 31 + i * 7) % 41).toFloat - 20f) / 10f)
+    val base = (0L until 40L).map(i => (i, mk(i)))
+      .toDF("vec_id", "embedding")
+    val drifted = (100L until 160L)
+      .map(i => (i, Array.tabulate(64)(d => if (d < 8) 2.5f + (i % 7) * 0.5f else 2.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebal_spec").toString
+    Similarity.ivfPqIngest(base, dir)
+    Similarity.ivfPqAppend(drifted, dir)
+    // loud structural gate: wrong m must fail before writing codes
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppend(drifted, dir, m = 2)
+    }
+    assert(ex.getMessage.contains("m=4"))
+    val pre = Similarity.ivfPqCellCensus(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(pre.values.sum == 100L)
+    assert(pre.values.max >= 60L, s"drift pile expected, got $pre")
+    val cap = 30L
+    Similarity.ivfPqRebalance(spark, dir, cap)
+    Similarity.ivfPqRebalance(spark, dir, cap)
+    val post = Similarity.ivfPqCellCensus(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(post.values.sum == 100L, "codes must be conserved")
+    assert(post.values.max <= cap, s"post census over cap: $post")
+    assert(post.size > pre.size)
+    // the unchanged read path serves the finer cell list: a drifted
+    // query must find drifted neighbors through the rebalanced index
+    val qs = Seq((100L, Array.tabulate(64)(d => if (d < 8) 2.5f + 0.5f else 2.5f)))
+      .toDF("qid", "qvec")
+    val got = Similarity.ivfPqTopKAtRest(spark, dir, qs, topK = 5, nprobe = 4)
+    assert(got.count() == 5)
+    val ids = got.select("vec_id").as[Long].collect().toSet
+    assert(ids.forall(_ >= 100L), s"drifted query should retrieve drifted ids, got $ids")
+  }
+
   test("farthestFirst: greedy picks true extremes; batched costs non-increasing") {
     // points on one axis at 0, 1, 10, 11, 100: from any seed the
     // greedy traversal must jump to the far extreme first
