@@ -1655,6 +1655,76 @@ object LlmQueries {
         "n_cells_post", "max_occ_post", "n_over_post")
   }
 
+  /** q212 dedup-before-ingest flags
+    * ([[graft.streaming.EventStream.dedupBeforeIngestBatch]], the
+    * batch twin of the streaming
+    * [[graft.streaming.EventStream.dedupBeforeIngestStream]] sink —
+    * judge r14 item 6): the corpus is replayed as five sequential
+    * ingest batches (doc_id % 5) and every document is flagged iff a
+    * verified near-dup partner was ingested in a strictly earlier
+    * batch — the exact flag the streaming probe-then-append cycle
+    * emits per micro-batch (stream ≡ batch asserted in
+    * EventStreamSpec). The oracle replays the q47 pair pipeline and
+    * the batch-order reduction.
+    */
+  def q212(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.dedupBeforeIngestBatch(
+        Tables.documents(s, d)
+          .withColumn("batch", pmod(col("doc_id"), lit(5))),
+        "doc_id", "text", "batch")
+      .orderBy("doc_id")
+
+  /** q213/q214/q215: the ADVERSARIAL SKEW BENCH TIER (judge r14 item
+    * 7) — the sf0.1 fixtures are benign, so the r14 de-skew rewrites
+    * (groupBy + join-back replacing partition-only windows) never
+    * face their hazard in BENCH. These three seed one degenerate
+    * fixture per de-skewed family, anchored like every other query:
+    *
+    *  - q213: a corpus-wide 180-char license header on 300 docs —
+    *    every one of its 32-char windows lands in ~300 docs
+    *    (substringDupStats' viral-hash case);
+    *  - q214: a third of the embedding corpus rewritten to constant
+    *    vectors (pairwise cosine exactly 1) — one giant semantic
+    *    cluster (semanticPrune's cluster-size case);
+    *  - q215: half the corpus rewritten to one exact text — a viral
+    *    content key (softDedupWeights' c_n case).
+    *
+    * Oracles are the unseeded queries' replays over the seeded CTEs.
+    */
+  def q213(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupStats(
+        Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") < 300,
+            concat(lit(ViralHeader), lit(" "), col("text")))
+            .otherwise(col("text"))),
+        "doc_id", "text", k = 32, stride = 8)
+      .select(col("id").as("doc_id"), col("n_windows"), col("n_shared"),
+        col("shared_frac"))
+      .orderBy("doc_id")
+
+  def q214(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticPrune(
+        Tables.embeddings(s, d).select("vec_id", "embedding")
+          .withColumn("embedding",
+            when(pmod(col("vec_id"), lit(3)) === 0,
+              transform(col("embedding"), _ =>
+                (lit(0.5) + pmod(col("vec_id"), lit(5)).cast("double") * 0.01)
+                  .cast("float")))
+              .otherwise(col("embedding"))),
+        k = 3, planes = 4, tau = 0.3)
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("keep").cast("int").as("keep"))
+      .orderBy("vec_id")
+
+  def q215(s: SparkSession, d: String): DataFrame =
+    Dedup.softDedupWeights(
+        Tables.documents(s, d).withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("this exact banner text repeats across half of the corpus verbatim"))
+            .otherwise(col("text"))),
+        "doc_id", "text", "source")
+      .orderBy("source")
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2411,6 +2481,10 @@ object LlmQueries {
     "q209_lsh_append" -> q209 _,
     "q210_lsh_compact" -> q210 _,
     "q211_ivf_rebalance" -> q211 _,
+    "q212_stream_dedup" -> q212 _,
+    "q213_viral_substring" -> q213 _,
+    "q214_giant_cluster" -> q214 _,
+    "q215_viral_exact" -> q215 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2652,6 +2726,84 @@ object LlmQueries {
   private def minhashPairsSqlFrom(src: String, pre: String = ""): String =
     s"WITH $pre${minhashBandedCteFrom(src)},\n" + minhashPairsBody
 
+  /** The 300-doc corpus-wide license-header fixture of q213 — long
+    * enough (> k=32 chars) that every seeded doc shares a run of
+    * 32-char windows with 299 others.
+    */
+  private val ViralHeader: String =
+    "licensed under the apache license version two point zero you may " +
+    "not use this file except in compliance with the license obtain a " +
+    "copy at the usual location unless required by applicable law"
+
+  /** q123's kNN-graph + recursive-CC replay, parametrized by source
+    * relation (q214 runs it over the giant-cluster seeded corpus).
+    */
+  private def semanticPruneOracle(src: String, pre: String = ""): String =
+    s"""WITH RECURSIVE ${pre}bucketed AS (
+       |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
+       |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
+       |  FROM $src),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id),
+       |ranked AS (
+       |  SELECT id_a, id_b, c,
+       |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+       |  FROM pairs),
+       |und AS (
+       |  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |  FROM ranked WHERE rn <= 3 AND c >= 0.3),
+       |edges AS (SELECT u AS src, v AS dst FROM und
+       |          UNION ALL SELECT v, u FROM und),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT a.vec_id, COALESCE(c.cluster_id, a.vec_id) AS cluster_id
+       |  FROM $src a LEFT JOIN cl c ON c.id = a.vec_id)
+       |SELECT vec_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS keep
+       |FROM lab ORDER BY vec_id""".stripMargin
+
+  /** q206's soft-dedup replay, parametrized by source relation (q215
+    * runs it over the viral-exact-dup seeded corpus).
+    */
+  private def softDedupOracle(src: String, pre: String = ""): String =
+    s"""WITH ${pre}t AS (SELECT doc_id, source, md5(text) AS ck,
+       |       CAST(len($toksExpr) AS BIGINT) AS n_toks FROM $src),
+       |w AS (SELECT source, ck, n_toks,
+       |       COUNT(*) OVER (PARTITION BY ck) AS c_n FROM t),
+       |w2 AS (SELECT source, ck, n_toks, 1000000 // c_n AS w_fp FROM w)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_contents,
+       |       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       |       CAST(SUM(n_toks * w_fp) AS BIGINT) AS eff_tokens_fp
+       |FROM w2 GROUP BY source ORDER BY source""".stripMargin
+
+  /** q94's substring-window replay, parametrized by source relation
+    * (q213 runs it over the viral-header seeded corpus).
+    */
+  private def substringDupOracle(src: String, pre: String = ""): String =
+    s"""WITH ${pre}w0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(length(text) - 31, 1) + 1, 8),
+       |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 32)), 1, 15) AS BIGINT))) AS ws
+       |  FROM $src),
+       |w AS (SELECT doc_id, unnest(ws) AS h FROM w0),
+       |c AS (SELECT h, COUNT(*) AS n_docs_with FROM w GROUP BY h),
+       |agg AS (
+       |  SELECT w.doc_id, COUNT(*) AS n_windows,
+       |         SUM(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) AS n_shared
+       |  FROM w JOIN c USING (h) GROUP BY w.doc_id)
+       |SELECT doc_id, n_windows, CAST(n_shared AS BIGINT) AS n_shared,
+       |       CAST(n_shared AS DOUBLE) / n_windows AS shared_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   private val minhashPairsSql: String = minhashPairsSqlFrom("documents")
 
   /** The q178/q197 BPE-trainer replay: three unrolled merge rounds —
@@ -2737,37 +2889,20 @@ object LlmQueries {
          |       CASE WHEN sum_fp >= 0 THEN 1 ELSE 0 END AS keep
          |FROM agg ORDER BY doc_id""".stripMargin,
 
-    "q123_semantic_prune" ->
-      s"""WITH RECURSIVE bucketed AS (
-         |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
-         |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |pairs AS (
-         |  SELECT a.id AS id_a, b.id AS id_b,
-         |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
-         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id),
-         |ranked AS (
-         |  SELECT id_a, id_b, c,
-         |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
-         |  FROM pairs),
-         |und AS (
-         |  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
-         |  FROM ranked WHERE rn <= 3 AND c >= 0.3),
-         |edges AS (SELECT u AS src, v AS dst FROM und
-         |          UNION ALL SELECT v, u FROM und),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, lab) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
-         |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
-         |lab AS (
-         |  SELECT a.vec_id, COALESCE(c.cluster_id, a.vec_id) AS cluster_id
-         |  FROM embeddings a LEFT JOIN cl c ON c.id = a.vec_id)
-         |SELECT vec_id, cluster_id,
-         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-         |       CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS keep
-         |FROM lab ORDER BY vec_id""".stripMargin,
+    "q123_semantic_prune" -> semanticPruneOracle("embeddings"),
+
+    // q214: q123's exact replay over the GIANT-CLUSTER corpus (every
+    // vec_id % 3 == 0 rewritten to a constant vector — pairwise
+    // cosine exactly 1, one cluster holding a third of the corpus) —
+    // the adversarial bench fixture for the de-skewed cluster sizing
+    "q214_giant_cluster" -> semanticPruneOracle("semb",
+      """semb AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 3 = 0
+        |    THEN list_transform(range(1, 65), i ->
+        |      CAST(0.5 + CAST(vec_id % 5 AS DOUBLE) * 0.01 AS FLOAT))
+        |    ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |""".stripMargin),
 
     "q124_cms_audit" ->
       s"""WITH tok AS (SELECT unnest($toksExpr) AS tok FROM documents),
@@ -4260,21 +4395,15 @@ object LlmQueries {
          |       CAST(sum_fp AS DOUBLE) / 1048576.0 / n_tokens AS mean_logp
          |FROM agg ORDER BY doc_id""".stripMargin,
 
-    "q94_substring_dup" ->
-      """WITH w0 AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(length(text) - 31, 1) + 1, 8),
-        |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 32)), 1, 15) AS BIGINT))) AS ws
-        |  FROM documents),
-        |w AS (SELECT doc_id, unnest(ws) AS h FROM w0),
-        |c AS (SELECT h, COUNT(*) AS n_docs_with FROM w GROUP BY h),
-        |agg AS (
-        |  SELECT w.doc_id, COUNT(*) AS n_windows,
-        |         SUM(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) AS n_shared
-        |  FROM w JOIN c USING (h) GROUP BY w.doc_id)
-        |SELECT doc_id, n_windows, CAST(n_shared AS BIGINT) AS n_shared,
-        |       CAST(n_shared AS DOUBLE) / n_windows AS shared_frac
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q94_substring_dup" -> substringDupOracle("documents"),
+
+    // q213: q94's exact replay over the VIRAL-HEADER corpus — the
+    // adversarial bench fixture for the de-skewed window counting
+    "q213_viral_substring" -> substringDupOracle("seeded",
+      s"""seeded AS (SELECT doc_id,
+         |  CASE WHEN doc_id < 300 THEN '$ViralHeader ' || text ELSE text END AS text
+         |  FROM documents),
+         |""".stripMargin),
 
     "q93_quantize_int8" ->
       """WITH s AS (
@@ -4619,17 +4748,18 @@ object LlmQueries {
          |FROM r2 GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
-    "q206_softdedup_weights" ->
-      s"""WITH t AS (SELECT doc_id, source, md5(text) AS ck,
-         |       CAST(len($toksExpr) AS BIGINT) AS n_toks FROM documents),
-         |w AS (SELECT source, ck, n_toks,
-         |       COUNT(*) OVER (PARTITION BY ck) AS c_n FROM t),
-         |w2 AS (SELECT source, ck, n_toks, 1000000 // c_n AS w_fp FROM w)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |       CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_contents,
-         |       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
-         |       CAST(SUM(n_toks * w_fp) AS BIGINT) AS eff_tokens_fp
-         |FROM w2 GROUP BY source ORDER BY source""".stripMargin,
+    "q206_softdedup_weights" -> softDedupOracle("documents"),
+
+    // q215: q206's exact replay with HALF the corpus rewritten to one
+    // viral text (c_n ≈ corpus/2) — the adversarial bench fixture for
+    // the de-skewed content-key counting
+    "q215_viral_exact" -> softDedupOracle("seeded",
+      """seeded AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'this exact banner text repeats across half of the corpus verbatim'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |""".stripMargin),
 
     "q207_farthest_first" -> {
       // exact squared distance, both sides cast (mirrors vec_sqdist
@@ -5499,6 +5629,21 @@ object LlmQueries {
          |  (SELECT MAX(n) FROM censpost) AS max_occ_post,
          |  (SELECT CAST(SUM(CASE WHEN n > (SELECT cap FROM mx) THEN 1 ELSE 0 END) AS BIGINT) FROM censpost) AS n_over_post""".stripMargin
     },
+
+    "q212_stream_dedup" ->
+      ("WITH verified AS (\n" + minhashPairsSql + "\n),\n" +
+       """sym AS (SELECT id_a AS d, id_b AS p FROM verified
+         |        UNION ALL SELECT id_b AS d, id_a AS p FROM verified),
+         |f AS (SELECT doc_id, doc_id % 5 AS batch FROM documents),
+         |flagged AS (SELECT s.d AS doc_id FROM sym s
+         |  JOIN f pf ON s.p = pf.doc_id
+         |  JOIN f df ON s.d = df.doc_id
+         |  WHERE pf.batch < df.batch
+         |  GROUP BY s.d)
+         |SELECT f.doc_id, f.batch,
+         |  CAST(CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS dup_earlier
+         |FROM f LEFT JOIN flagged fl ON f.doc_id = fl.doc_id
+         |ORDER BY f.doc_id""".stripMargin),
 
     "q186_zipf_fit" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS tok FROM documents),

@@ -211,6 +211,50 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupBeforeIngest: streaming sink flags match the batch twin; quarantine appends everything") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val boiler = "subscribe to our newsletter for updates terms of " +
+      "service privacy policy all rights reserved contact support now"
+    val normalA = "the quick brown fox jumps over the lazy dog again and again"
+    val normalB = "completely different words about raster pyramids and tile overviews"
+    val normalC = "unrelated musing on catalyst plans and broadcast joins at scale"
+    // batch 0 seeds the index; batches 1-3 stream in order. Doc 11
+    // dups the seed, 21 dups a streamed-and-quarantined doc (12), 22
+    // and 23 dup INSIDE one batch (same-batch blindness: unflagged),
+    // 31 dups the quarantined 11's content chain via the seed.
+    val seed = Seq((1L, normalA), (2L, normalB)).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((11L, normalA), (12L, normalC)),
+      Seq((21L, normalC), (22L, boiler), (23L, boiler)),
+      Seq((31L, normalA)))
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("stream_dedup_out").toString + "/flags"
+    graft.llm.Dedup.lshIngestAtRest(seed, "doc_id", "text", dir)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.dedupBeforeIngestStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, out)
+    try {
+      for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "dup_earlier")
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    // batch twin over the SAME corpus with batch ids (seed = batch 0)
+    val all = (seed.collect().map(r => (r.getLong(0), r.getString(1), 0L)) ++
+      batches.zipWithIndex.flatMap { case (b, i) =>
+        b.map { case (id, tx) => (id, tx, i + 1L) } })
+      .toSeq.toDF("doc_id", "text", "batch")
+    val twin = EventStream.dedupBeforeIngestBatch(all, "doc_id", "text", "batch")
+      .filter(col("batch") >= 1) // the seed never flows through the sink
+      .select("doc_id", "dup_earlier")
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(streamed == twin, s"stream $streamed != twin $twin")
+    assert(streamed == Seq((11L, 1), (12L, 0), (21L, 1), (22L, 0), (23L, 0), (31L, 1)),
+      s"unexpected flags: $streamed")
+    // quarantine: every streamed doc rests in the index (6 + 2 seed)
+    assert(spark.read.parquet(dir + "/shingles").count() == 8L)
+  }
+
   test("stream-stream attribution join equals the batch twin; bounds inclusive") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val clicks = MemoryStream[Event]
