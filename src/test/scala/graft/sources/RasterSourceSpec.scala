@@ -43,6 +43,29 @@ class RasterSourceSpec extends SparkSpec {
     assert(df.agg(max("px")).head().getInt(0) == 63)
   }
 
+  test("tiles mode: BINARY payloads byte-equal to tile_pack; tx/ty filters prune partitions") {
+    graft.functions.GraftFunctions.register(spark)
+    val tiles = spark.read.format("graft.sources.RasterSource")
+      .option("w", 80).option("h", 60).option("ts", 16)
+      .option("tiles", "true").load()
+    assert(tiles.count() == 5L * 4) // 80/16 x ceil(60/16)
+    // payload parity: the scan's BINARY bytes must equal tile_pack of
+    // the pixel-form packed tile (same row-major layout, ndv padding)
+    val viaPixels = PixelFrame.packBinary(
+      PixelFrame.pack(PixelFrame.dem(spark, 80, 60), ts = 16,
+        ndv = PixelFrame.Dem.Ndv), dtypeCode = 16)
+      .select("tx", "ty", "dtype", "data")
+    val viaScan = tiles.select("tx", "ty", "dtype", "data")
+    assert(viaScan.except(viaPixels).count() == 0
+      && viaPixels.except(viaScan).count() == 0)
+    // tile-range pushdown prunes whole partitions at planning time
+    val window = tiles.filter($"tx" >= 1 && $"tx" < 3 && $"ty" === 2)
+    assert(window.rdd.getNumPartitions == 2)
+    assert(window.count() == 2)
+    // empty window plans zero partitions
+    assert(tiles.filter($"tx" > 100).rdd.getNumPartitions == 0)
+  }
+
   test("codec reads through a Hadoop FileSystem path (file:// — the cluster seam)") {
     import java.nio.file.Files
     import graft.core.GeoTransform
