@@ -465,4 +465,52 @@ object Sampling {
       .select("shard", "n_docs", "total_tokens", "n_seqs", "n_straddle",
         "tail_pad")
   }
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (IPL 2006, "Weighted random sampling with a reservoir"): each row
+    * draws u ∈ (0,1) and ranks by u^(1/w); the top-k of that key are
+    * exactly a weight-proportional sample without replacement. The
+    * deterministic twin of the one-pass reservoir: u comes from the
+    * content-stable md5 draw ([[hashUniformCol]]), so a re-run, a
+    * different cluster, or an oracle selects the SAME rows — and the
+    * selection is equivalently computed as ln(u)/w descending (ln is
+    * monotone; u < 1 makes both sides negative), floored to 2²⁰ fixed
+    * point so the compare column is one transcendental + one IEEE
+    * division away from exact integers (the q98 fixed-point-ln
+    * precedent).
+    *
+    * This is the "keep the best k by importance" primitive between
+    * [[stratifiedSample]] (keep-rate thinning, no exact count) and
+    * [[stratifiedTake]] (exact count, uniform within stratum):
+    * exact k AND weight-proportional inclusion — e.g. sample 100k
+    * docs favoring high quality scores without letting any score
+    * band be certain to win.
+    *
+    * Scale shape: one codegen'd map pass for the key, then a global
+    * top-k — Spark plans orderBy+limit as TakeOrderedAndProject
+    * (per-partition heap of k, driver merge of k·P rows), so no full
+    * sort and no shuffle of the corpus. Keep k driver-sized (it's a
+    * sample, not a partition of the data).
+    */
+  def weightedTake(df: DataFrame, keyCol: Column, weightCol: Column,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // E-S keys are scale-free in w (multiplying every weight by c
+    // rescales ln(u)/w by 1/c, preserving order), so no normalization
+    // pass; w must be strictly positive — fail loud per row via the
+    // key turning NULL (filtered) would SILENTLY drop rows, so gate
+    // with a predicate instead.
+    val w = weightCol.cast("double")
+    // clamp the draw away from 0 (p = 2⁻⁶⁰ per row, but ln(0) = -Inf
+    // would overflow the fixed-point cast); the oracle replays the
+    // same greatest()
+    val u = greatest(hashUniformCol(keyCol), lit(8.673617379884035e-19))
+    df.withColumn("es_fp",
+        when(w > 0.0,
+          floor(log(u) / w * lit(1048576.0)).cast("long"))
+          .otherwise(raise_error(concat(lit("weightedTake: non-positive weight for key "),
+            keyCol.cast("string")))))
+      .orderBy(col("es_fp").desc, keyCol)
+      .limit(k)
+  }
 }

@@ -119,6 +119,30 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"))
 
+  /** k-anonymity census over quasi-identifier columns — the
+    * re-identification audit a training-data governance pass runs
+    * next to the [[withPii]] scrub: rows sharing every quasi value
+    * form an equivalence class; classes smaller than `k` are
+    * re-identifiable (Sweeney, IJUFKS 2002). Returns one row per
+    * class — the quasi values, the class size, and an at_risk flag —
+    * the table a suppression/generalization step consumes (suppress
+    * at-risk rows, or coarsen a quasi column and re-census).
+    *
+    * Scale shape: ONE hash aggregation on the quasi tuple (map-side
+    * partials — the census never shuffles rows, only per-class
+    * partial counts); output cardinality is the class count, which
+    * the caller controls by generalizing the quasi columns (bucket
+    * continuous values BEFORE the census, never pass raw ones).
+    */
+  def kAnonymityCensus(df: DataFrame, quasiCols: Seq[(String, Column)],
+                       k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=1 flags nothing), got $k")
+    df.groupBy(quasiCols.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < k).cast("int"))
+  }
+
   /** Unigram language-model quality score (the CCNet/KenLM-style
     * perplexity filter, reduced to its relational core): fit a
     * unigram model on the corpus itself (add-one-smoothed token

@@ -1725,6 +1725,32 @@ object LlmQueries {
         "doc_id", "text", "source")
       .orderBy("source")
 
+  /** q219 weighted sampling without replacement
+    * ([[graft.llm.Sampling.weightedTake]]): Efraimidis–Spirakis over
+    * the documents table — top-50 by floor-2²⁰ ln(u)/w with w =
+    * n_chars, u the content-stable md5 draw — longer docs more likely
+    * but never certain. The oracle replays draw, key, and take
+    * bit-for-bit.
+    */
+  def q219(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedTake(Tables.documents(s, d),
+        col("doc_id"), col("n_chars"), k = 50)
+      .select("doc_id", "n_chars", "es_fp")
+
+  /** q220 k-anonymity census
+    * ([[graft.llm.TextAnalysis.kAnonymityCensus]]): equivalence
+    * classes over (lang, source, length band) with k = 10 — the
+    * re-identification audit over the corpus's quasi-identifiers,
+    * continuous length generalized to 500-char bands before the
+    * census (the operator contract).
+    */
+  def q220(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.kAnonymityCensus(Tables.documents(s, d),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "band" -> expr("n_chars div 500L")),
+        k = 10)
+      .orderBy("lang", "source", "band")
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -1919,6 +1945,86 @@ object LlmQueries {
       .agg(max(col("bn")).as("max_occ"),
         sum(when(col("bn") > 64, 1L).otherwise(0L)).as("n_over"))
     diff.crossJoin(census) // two 1-row locals — a literal stitch, not a data join
+  }
+
+  /** q217 at-rest BM25 postings index
+    * ([[graft.llm.Retrieval.bm25IngestAtRest]] /
+    * [[graft.llm.Retrieval.bm25AppendAtRest]] /
+    * [[graft.llm.Retrieval.bm25ProbeAtRest]]) — the lexical third of
+    * the at-rest index triangle (LSH near-dup q208, IVF-PQ ANN q196):
+    * 60% of the corpus is ingested into the term-bucketed inverted
+    * index, the next 20% batch is APPENDED (new postings + one stats
+    * delta row, nothing rewritten), and a 3-query batch probes
+    * base ∪ appended top-10 through the pruned postings read. Lexical
+    * stats are additive, so unlike the frozen-codebook families the
+    * append is DRIFT-FREE — the oracle replays a from-scratch BM25
+    * over the 80% union and must match bit-for-bit.
+    */
+  def q217(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_bm25_at_rest")
+    ingestOnce(atRest + "#bm25#" + inputFingerprint(d + "/documents.parquet")) {
+      Retrieval.bm25IngestAtRest(docs.filter(pmod(col("doc_id"), lit(5)) < 3),
+        "doc_id", "text", atRest)
+      Retrieval.bm25AppendAtRest(docs.filter(pmod(col("doc_id"), lit(5)) === 3),
+        "doc_id", "text", atRest)
+    }
+    val queries = Seq((1L, "spark"), (1L, "merge"), (2L, "vector"),
+      (2L, "index"), (3L, "data")).toDF("qid", "term")
+    Retrieval.bm25ProbeAtRest(s, atRest, queries, k = 10)
+      .select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("n_terms_hit"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** q218 BM25 tombstone delete + physical compaction
+    * ([[graft.llm.Retrieval.bm25DeleteAtRest]] /
+    * [[graft.llm.Retrieval.bm25CompactAtRest]]) — the takedown cycle:
+    * the full corpus is ingested, every doc_id ≡ 3 (mod 7) is
+    * tombstoned (logical delete — probes mask the rows and subtract
+    * the (docs, tokens) deltas, so idf and avgdl reflect the
+    * post-delete corpus exactly), then compaction physically purges
+    * the postings and folds the stats. The result is the post-compact
+    * probe with an equivalence audit column: n_diff counts
+    * (qid, doc_id, rank) rows where the tombstone-masked and
+    * compacted probes disagree — 0 = compaction is purely physical.
+    * The oracle replays BM25 over the corpus minus the deleted ids
+    * with a literal 0.
+    */
+  def q218(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_bm25_delete")
+    val queries = Seq((1L, "spark"), (1L, "merge"), (2L, "vector"),
+      (3L, "data")).toDF("qid", "term")
+    val fp = inputFingerprint(d + "/documents.parquet")
+    // pre-compact (tombstone-masked) probe runs INSIDE the ingest
+    // block: after compaction the tombstone set is empty, so the
+    // masked read is only observable before — its rows are captured
+    // once and replayed via the same at-rest scratch dir
+    ingestOnce(atRest + "#bm25del#" + fp) {
+      Retrieval.bm25IngestAtRest(docs, "doc_id", "text", atRest)
+      Retrieval.bm25DeleteAtRest(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        "doc_id", atRest)
+      Retrieval.bm25ProbeAtRest(s, atRest, queries, k = 10)
+        .write.mode("overwrite").parquet(atRest + "/probe_masked")
+      Retrieval.bm25CompactAtRest(s, atRest)
+    }
+    val masked = s.read.parquet(atRest + "/probe_masked")
+      .select(col("qid").as("m_qid"), col("id").as("m_id"),
+        col("rank").as("m_rank"))
+    val post = Retrieval.bm25ProbeAtRest(s, atRest, queries, k = 10)
+    val diff = post.join(masked,
+        post("qid") === masked("m_qid") && post("id") === masked("m_id") &&
+          post("rank") === masked("m_rank"), "full_outer")
+      .agg(sum(when(col("qid").isNull || col("m_qid").isNull, 1L)
+        .otherwise(0L)).as("n_diff"))
+    post.crossJoin(broadcast(diff)) // 1-row audit stitch
+      .select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("n_terms_hit"), col("rank"), col("n_diff"))
+      .orderBy("qid", "rank")
   }
 
   /** q195 RESIDUAL IVF-PQ search
@@ -2485,12 +2591,57 @@ object LlmQueries {
     "q213_viral_substring" -> q213 _,
     "q214_giant_cluster" -> q214 _,
     "q215_viral_exact" -> q215 _,
+    "q217_bm25_at_rest" -> q217 _,
+    "q218_bm25_delete" -> q218 _,
+    "q219_weighted_take" -> q219 _,
+    "q220_k_anonymity" -> q220 _,
   )
 
   // ---------------- DuckDB oracles ----------------
 
   /** Non-empty whitespace tokens (matches TextAnalysis.tokensCol). */
   private val toksExpr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** Batched-BM25 replay over a corpus subset — the shared oracle body
+    * for the at-rest postings-index queries (q217 append, q218
+    * tombstone-delete + compact): tokenization, rational idf, and
+    * floor-2²⁰ fixed-point contribution sums exactly as in
+    * [[graft.llm.Retrieval.bm25ProbeAtRest]]; ranks window per qid.
+    * The at-rest layout (bucketed postings, stats delta rows,
+    * tombstones) is oracle-invisible by design — any maintenance
+    * history must serve the same answer as this from-scratch replay.
+    */
+  private def bm25BatchOracle(corpusWhere: String, queryRows: String,
+                              extraExpr: String = ""): String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE $corpusWhere),
+       |qt(qid, s) AS (VALUES $queryRows),
+       |tok AS (SELECT doc_id AS id, unnest($toksExpr) AS s FROM corpus),
+       |tf AS (SELECT id, s, COUNT(*) AS tf FROM tok GROUP BY id, s),
+       |dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+       |g AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+       |qs AS (SELECT DISTINCT s FROM qt),
+       |dft AS (SELECT s, COUNT(*) AS df FROM tf SEMI JOIN qs USING (s) GROUP BY s),
+       |sc AS (
+       |  SELECT q.qid, tf.id,
+       |    CAST(floor(
+       |      ((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |      * (tf.tf * (1.2 + 1.0))
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+       |                        / (CAST(g.tot AS DOUBLE) / g.n_docs)))
+       |      * 1048576.0) AS BIGINT) AS fp
+       |  FROM tf JOIN dl USING (id) JOIN dft d USING (s)
+       |       JOIN qt q USING (s) CROSS JOIN g),
+       |agg AS (SELECT qid, id, SUM(fp) AS score_fp, COUNT(*) AS n_terms_hit
+       |        FROM sc GROUP BY qid, id),
+       |rk AS (SELECT qid, id, score_fp, n_terms_hit,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY score_fp DESC, id) AS rank
+       |       FROM agg)
+       |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id,
+       |       CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+       |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       |       CAST(rank AS INTEGER) AS rank$extraExpr
+       |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   /** Word-3-gram distinct shingles (matches Dedup.shinglesCol; both
     * engines 1-index arrays and skip NULLs in concat_ws).
@@ -4902,6 +5053,33 @@ object LlmQueries {
          |          UNION ALL (SELECT * FROM vero EXCEPT SELECT * FROM verc)) t) AS n_diff,
          |       (SELECT MAX(bn) FROM occ) AS max_occ,
          |       (SELECT CAST(SUM(CASE WHEN bn > 64 THEN 1 ELSE 0 END) AS BIGINT) FROM occ) AS n_over""".stripMargin),
+
+    "q217_bm25_at_rest" -> bm25BatchOracle(
+      corpusWhere = "doc_id % 5 <> 4",
+      queryRows = "(1, 'spark'), (1, 'merge'), (2, 'vector'), (2, 'index'), (3, 'data')"),
+
+    "q218_bm25_delete" -> bm25BatchOracle(
+      corpusWhere = "doc_id % 7 <> 3",
+      queryRows = "(1, 'spark'), (1, 'merge'), (2, 'vector'), (3, 'data')",
+      extraExpr = ", CAST(0 AS BIGINT) AS n_diff"),
+
+    "q219_weighted_take" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    GREATEST(
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        / 1152921504606846976.0,
+        |      8.673617379884035e-19) AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       CAST(floor(ln(u) / CAST(n_chars AS DOUBLE) * 1048576.0) AS BIGINT) AS es_fp
+        |FROM u ORDER BY es_fp DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q220_k_anonymity" ->
+      """SELECT lang, source, (n_chars - ((n_chars % 500) + 500) % 500) // 500 AS band,
+        |       COUNT(*) AS n,
+        |       CAST(CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY lang, source, band""".stripMargin,
 
     "q85_ann_batch_ivf" -> ivfBatchOracle,
     "q103_ann_ivf_at_rest" -> ivfBatchOracle,

@@ -607,6 +607,102 @@ class LlmSpec extends SparkSpec {
     assert(dup.exceptAll(got).count() == 0 && got.exceptAll(dup).count() == 0)
   }
 
+  test("weightedTake: exact k, deterministic, weight-monotone inclusion, loud on bad weights") {
+    val rows = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 50.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedTake(df, $"id", $"w", k = 40)
+    assert(got.count() == 40)
+    // re-run selects the identical set (content-stable draw, no RNG)
+    val again = Sampling.weightedTake(df, $"id", $"w", k = 40)
+    assert(got.select("id").collect().toSeq == again.select("id").collect().toSeq)
+    // heavy rows (50× weight) dominate the sample but light rows CAN appear
+    val ids = got.select("id").as[Long].collect()
+    assert(ids.count(_ >= 100) > 25,
+      s"50x-weighted half should dominate, got ${ids.count(_ >= 100)}/40")
+    // same-weight rows rank purely by their hash draw: setting every
+    // weight equal reduces E-S to a uniform k-take
+    val uni = Sampling.weightedTake(df.withColumn("w", lit(1.0)), $"id", $"w", 40)
+    assert(uni.count() == 40)
+    // zero/negative weights fail loudly, never silently drop
+    val bad = intercept[Exception](
+      Sampling.weightedTake(df.withColumn("w", lit(0.0)), $"id", $"w", 5)
+        .collect())
+    assert(bad.getMessage.contains("non-positive weight"))
+  }
+
+  test("kAnonymityCensus: class sizes and at-risk flags; k gate enforced") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("en", "book"),
+      ("fr", "web"), ("fr", "web"))
+      .toDF("lang", "source")
+    val got = TextAnalysis.kAnonymityCensus(df,
+        Seq("lang" -> $"lang", "source" -> $"source"), k = 3)
+      .orderBy("lang", "source")
+      .as[(String, String, Long, Int)].collect().toSeq
+    assert(got == Seq(("en", "book", 1L, 1), ("en", "web", 3L, 0),
+      ("fr", "web", 2L, 1)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.kAnonymityCensus(df, Seq("lang" -> $"lang"), k = 1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.kAnonymityCensus(df, Seq.empty, k = 3))
+  }
+
+  test("bm25 at-rest index: probe ≡ from-scratch batch; append, delete, and compact preserve it") {
+    val docs = Seq(
+      (0L, "spark spark spark join"),
+      (1L, "spark join merge filter scan"),
+      (2L, "join merge filter scan batch"),
+      (3L, "spark spark join merge filter scan batch row column value"),
+      (4L, "merge merge batch"),
+      (5L, "spark merge batch scan"))
+      .toDF("doc_id", "text")
+    val batch = Seq((0L, "spark"), (1L, "spark"), (1L, "merge"), (2L, "batch"))
+      .toDF("qid", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().toSeq
+
+    // ingest + probe ≡ the corpus-tokenizing batch form, bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("bm25_at_rest_spec").toString
+    Retrieval.bm25IngestAtRest(docs, "doc_id", "text", dir, nBuckets = 4)
+    val atRest = rows(Retrieval.bm25ProbeAtRest(spark, dir, batch, k = 10))
+    val scratch = rows(Retrieval.bm25TopKBatch(docs, "doc_id", "text", batch, k = 10))
+    assert(atRest == scratch, "at-rest probe diverged from the from-scratch form")
+
+    // append is drift-free: base+append probe ≡ one-shot ingest of the union
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25_append_spec").toString
+    Retrieval.bm25IngestAtRest(docs.filter($"doc_id" < 4), "doc_id", "text",
+      dir2, nBuckets = 4)
+    Retrieval.bm25AppendAtRest(docs.filter($"doc_id" >= 4), "doc_id", "text", dir2)
+    assert(rows(Retrieval.bm25ProbeAtRest(spark, dir2, batch, k = 10)) == atRest,
+      "appended index diverged from the one-shot union ingest")
+
+    // tombstone delete: probe ≡ from-scratch over the surviving corpus;
+    // re-deleting the same id is a no-op (stats not double-subtracted)
+    Retrieval.bm25DeleteAtRest(Seq(0L, 4L).toDF("doc_id"), "doc_id", dir2)
+    Retrieval.bm25DeleteAtRest(Seq(0L).toDF("doc_id"), "doc_id", dir2)
+    val afterDel = rows(Retrieval.bm25ProbeAtRest(spark, dir2, batch, k = 10))
+    val survivors = docs.filter(!$"doc_id".isin(0L, 4L))
+    assert(afterDel == rows(Retrieval.bm25TopKBatch(
+        survivors, "doc_id", "text", batch, k = 10)),
+      "tombstone-masked probe diverged from the surviving-corpus replay")
+    assert(!afterDel.exists(_.getAs[Long]("id") == 0L))
+
+    // compaction is purely physical: identical probe, empty tombstones,
+    // no tombstoned id left in the postings
+    Retrieval.bm25CompactAtRest(spark, dir2)
+    assert(rows(Retrieval.bm25ProbeAtRest(spark, dir2, batch, k = 10)) == afterDel,
+      "compaction changed the probe result")
+    assert(spark.read.parquet(dir2 + "/tombstones").count() == 0)
+    assert(spark.read.parquet(dir2 + "/postings")
+      .filter($"id".isin(0L, 4L)).count() == 0)
+
+    // the bucket-count gate is adopted, not trusted: append reuses the
+    // stored nBuckets so probes keep finding the appended postings
+    val params = spark.read.parquet(dir2 + "/params").collect()
+    assert(params.map(_.getAs[Int]("n_buckets")).toSeq == Seq(4))
+  }
+
   test("rrfFuse: hand-computed fixed-point fusion, both-list docs outrank singles") {
     // qid 0: sparse ranks a=1, b=2; dense ranks b=1, c=2
     val sparse = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "id", "rank")
