@@ -327,6 +327,8 @@ object GraftFunctions {
       args => Shingles(args(0), constInt(args(1), "n"))),
     fn("winnow_pos", "winnowing-selected (pos, fp) pairs of a document",
       args => WinnowPos(args(0), constInt(args(1), "k"), constInt(args(2), "w"))),
+    fn("cdc_chunks", "content-defined chunk (start, len, h) structs of a document",
+      args => CdcChunks(args(0), constInt(args(1), "k"), constInt(args(2), "d"))),
     fn("minhash_sig", "distinct shingle set + MinHash signature of a document",
       args => MinhashSig(args(0), constInt(args(1), "n"), constInt(args(2), "numHashes"))),
     fn("hashed_ngram_score", "hashed unigram+bigram classifier gram count and weight sum",

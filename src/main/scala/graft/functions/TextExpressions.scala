@@ -100,6 +100,54 @@ object TextKernels {
     hs
   }
 
+  /** Content-defined chunk rows of `t` — LBFS-style CDC
+    * (Muthitacharoen, Chen & Mazières, SOSP 2001): a k-char window
+    * slides over every position; wherever its hash ≡ 0 (mod d) the
+    * text is cut after that window, so chunk boundaries anchor to
+    * CONTENT (an insertion early in a document shifts bytes but the
+    * downstream boundaries re-synchronize — the property fixed-size
+    * blocks lack). Expected chunk length ≈ d chars. The window hash
+    * and the emitted per-chunk fingerprint are both the 60-bit md5
+    * prefix ([[md5Prefix60]]), so a SQL oracle replays boundaries
+    * and chunk identities exactly. Windows slide CONTINUOUSLY
+    * (straddling cuts), matching LBFS; production min/max chunk
+    * clamps are deliberately omitted — they are tuning knobs that
+    * would complicate the cross-engine replay without changing the
+    * algorithmic shape.
+    *
+    * Returns (start 1-based char, len chars, h chunk fingerprint)
+    * structs; a document shorter than k (no full window) is one
+    * whole-text chunk; empty text → no chunks.
+    */
+  def cdcChunks(t: UTF8String, k: Int, d: Int): ArrayData = {
+    val nChars = t.numChars()
+    val bytes = t.getBytes
+    if (nChars == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val offs = if (bytes.length == nChars) null else charOffsets(bytes, nChars)
+    def bOff(c: Int): Int = if (offs == null) c else offs(c)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(startC: Int, endC: Int): Unit = {
+      val sb = bOff(startC)
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](startC + 1, endC - startC,
+          md5Prefix60(bytes, sb, bOff(endC) - sb)))
+    }
+    var chunkStart = 0
+    var p = 0
+    val lastGram = nChars - k // negative when the doc is shorter than k
+    while (p <= lastGram) {
+      if (md5Prefix60(bytes, bOff(p), bOff(p + k) - bOff(p)) % d == 0) {
+        emit(chunkStart, p + k)
+        chunkStart = p + k
+      }
+      p += 1
+    }
+    if (chunkStart < nChars) emit(chunkStart, nChars)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   def winnowFps(t: UTF8String, k: Int, w: Int): ArrayData = {
     val nChars = t.numChars()
     val bytes = t.getBytes
@@ -182,6 +230,34 @@ case class WinnowPos(child: Expression, k: Int, w: Int)
       s"${ev.value} = graft.functions.WinnowPosKernel.winnowPos($t, $k, $w);")
 
   override def prettyName: String = "winnow_pos"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `cdc_chunks(text, k, d)`: content-defined chunk (start, len, h)
+  * structs — see [[TextKernels.cdcChunks]].
+  */
+case class CdcChunks(child: Expression, k: Int, d: Int)
+    extends UnaryExpression with Serializable {
+  require(k > 0 && d > 0, s"cdc_chunks: k and d must be positive, got k=$k d=$d")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("len",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.cdcChunks(t.asInstanceOf[UTF8String], k, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.cdcChunks($t, $k, $d);")
+
+  override def prettyName: String = "cdc_chunks"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -1729,6 +1729,55 @@ object Dedup {
         explode(call_function("winnow_fps", col("t"), lit(k), lit(w))).as("fp"))
   }
 
+  /** Content-defined-chunking dedup census — the storage-dedup
+    * measurement (LBFS, Muthitacharoen et al. SOSP'01; the chunking
+    * granularity between [[exactDups]]' whole-document hash and
+    * [[substringDupStats]]' fixed-stride windows): every document is
+    * cut at content-anchored boundaries
+    * ([[graft.functions.TextKernels.cdcChunks]] — k-char window hash
+    * ≡ 0 mod d, expected chunk ≈ d chars), chunks are identified by
+    * their 60-bit content hash, and each occurrence after the
+    * corpus-wide FIRST (order: (doc id, start)) is a duplicate whose
+    * bytes a chunk store would not store twice. Returns per document:
+    * chunk count, duplicate-chunk count, duplicate chars, total
+    * chars — Σ dup_chars / Σ total_chars is the corpus dedup ratio,
+    * and a per-doc dup_chars spike marks stitched/boilerplate
+    * documents that whole-doc hashing misses.
+    *
+    * Scale shape: the chunker is one codegen kernel pass (no
+    * per-position row explosion — chunk rows are ~1/d of corpus
+    * chars); first-occurrence election is ONE min-struct aggregation
+    * on the chunk hash (map-side partials; no window over the hash
+    * key, so a corpus-wide boilerplate chunk — millions of
+    * occurrences of one h — never serializes into a single task),
+    * joined back along the same key.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, d: Int = 64): DataFrame = {
+    require(k > 0 && d > 0, s"k and d must be positive, got k=$k d=$d")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rows = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(call_function("cdc_chunks", col("t"), lit(k), lit(d))).as("c"))
+      .select(col("id"), col("c.start").as("start"), col("c.len").as("len"),
+        col("c.h").as("h"))
+    val firsts = rows.groupBy("h")
+      .agg(min(struct(col("id"), col("start"))).as("f"))
+      .select(col("h"), col("f.id").as("f_id"), col("f.start").as("f_start"))
+    rows.join(firsts, "h")
+      .withColumn("dup",
+        (col("id") =!= col("f_id") || col("start") =!= col("f_start"))
+          .cast("int"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("dup").cast("long")).as("n_dup_chunks"),
+        sum(when(col("dup") === 1, col("len").cast("long")).otherwise(0L))
+          .as("dup_chars"),
+        sum(col("len").cast("long")).as("total_chars"))
+  }
+
   /** Shared-winnowed-fingerprint doc pairs — the MOSS match report:
     * docs ranked by how many selected fingerprints they share.
     * Fingerprints appearing in more than `maxDf` docs are dropped

@@ -429,9 +429,20 @@ object Retrieval {
         coalesce(sum("dl"), lit(0L)).as("t_tok"))))
       .select((col("b_docs") - col("t_docs")).as("n_docs"),
         (col("b_tok") - col("t_tok")).as("tot_tokens"))
+    // STATIC partition pruning: the probe batch's distinct terms are
+    // model-sized by contract (a retrieval batch, not a corpus), so
+    // their bucket set is collected and pushed as a LITERAL partition
+    // filter — planning-time pruning, visible as `pbucket IN (…)` in
+    // PartitionFilters. (A join-only formulation was tried first: the
+    // broadcast side is a local relation with no selective predicate,
+    // so Catalyst's dynamic-partition-pruning heuristic declines it
+    // and the scan read every bucket.)
+    val buckets = qterms.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted
     // one postings row per matched (term, doc) — distinct terms only,
     // so df below is a plain count; the qid fan-out joins afterwards
     val post = spark.read.parquet(dir + "/postings")
+      .filter(col("pbucket").isin(buckets.map(Int.box): _*))
       .join(broadcast(qterms), Seq("pbucket", "s"))
       .join(broadcast(tomb.select("id")), Seq("id"), "left_anti")
     val dft = post.groupBy("s").agg(count(lit(1)).as("df"))

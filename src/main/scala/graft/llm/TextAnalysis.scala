@@ -818,6 +818,84 @@ object TextAnalysis {
         (col("sum_fp").cast("double") / Fp / col("n_bigrams")).as("mean_logs"))
   }
 
+  /** Stupid Backoff trigram scoring — the web-scale n-gram LM of
+    * Brants et al. (EMNLP 2007, "Large Language Models in Machine
+    * Translation"): no discounting, no normalization — score
+    * S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂) when the trigram was seen, else
+    * α·c(w₂w₃)/c(w₂), else α²·(c(w₃)+1)/(N+V) (the [[bigramLogProb]]
+    * (q132) add-one floor at the unigram level so unseen words score finitely)
+    * with the published α = 0.4. Brants' point was exactly the 100 TB
+    * posture: Stupid Backoff needs only COUNTS — map-side-partial
+    * groupBys and gram-keyed equi-joins — where Kneser–Ney needs
+    * context-type statistics that don't distribute as cheaply, and at
+    * web scale the quality gap closes.
+    *
+    * Completes the LM-quality ladder (q98 unigram → q132 bigram →
+    * this): per doc, the mean token log-score plus how often each
+    * backoff level fired — the n_uni_backoff share is itself a
+    * quality/OOD signal (garbage text never hits the trigram model).
+    *
+    * Determinism: each level's score collapses to fixed point in ONE
+    * ln — the α / α² multipliers ride INSIDE the ln argument — so
+    * per-doc sums add exact integers (the q98/q142 contract).
+    *
+    * Scale shape: three count tables (tri/bi/uni) shuffle once each on
+    * the gram key with map-side partials; scoring is three gram-keyed
+    * left joins + one broadcast of the two global totals; everything
+    * moves one row per (doc, gram-type).
+    */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val Fp = 1048576.0 // 2^20, the q98 quantum
+    def grams(df: DataFrame, n: Int): DataFrame =
+      Dedup.gramCountRows(df, idCol, textCol, n)
+        .filter(size(split(col("s"), " ")) === n) // full grams only
+    val uniCnt = Dedup.gramCountRows(train, idCol, textCol, n = 1)
+      .groupBy("s").agg(sum("tf").as("c"))
+    val totals = uniCnt.agg(sum("c").as("n_tot"), count(lit(1)).as("vocab"))
+    val bigCnt = grams(train, 2).groupBy("s").agg(sum("tf").as("cb"))
+    val triModel = grams(train, 3).groupBy("s").agg(sum("tf").as("ct"))
+      .withColumn("w12", substring_index(col("s"), " ", 2))
+      .join(bigCnt.select(col("s").as("w12"), col("cb").as("c12")), "w12")
+      .select(col("s"),
+        floor(log(col("ct") / col("c12")) * Fp).cast("long").as("lp_tri_fp"))
+    grams(score, 3)
+      .select(col("id"), col("s"), col("tf"),
+        substring_index(col("s"), " ", -2).as("w23"),
+        element_at(split(col("s"), " "), 2).as("w2"),
+        substring_index(col("s"), " ", -1).as("w3"))
+      .join(triModel, Seq("s"), "left")
+      .join(bigCnt.select(col("s").as("w23"), col("cb").as("c23")),
+        Seq("w23"), "left")
+      .join(uniCnt.select(col("s").as("w2"), col("c").as("c2")),
+        Seq("w2"), "left")
+      .join(uniCnt.select(col("s").as("w3"), col("c").as("c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("tf"),
+        coalesce(
+          col("lp_tri_fp"),
+          // seen-bigram backoff needs BOTH counts; c2 can only be null
+          // when c23 is (a bigram's words are each in the vocab), so
+          // gating on c23 alone suffices
+          when(col("c23").isNotNull,
+            floor(log(lit(alpha) * col("c23") / col("c2")) * Fp).cast("long")),
+          floor(log(lit(alpha * alpha) * (coalesce(col("c3"), lit(0L)) + lit(1.0))
+            / (col("n_tot") + col("vocab"))) * Fp).cast("long")).as("lp_fp"),
+        when(col("lp_tri_fp").isNotNull, lit(0))
+          .when(col("c23").isNotNull, lit(1)).otherwise(lit(2)).as("lvl"))
+      .groupBy("id")
+      .agg(sum("tf").as("n_trigrams"),
+        sum(when(col("lvl") === 1, col("tf")).otherwise(0L)).as("n_big_backoff"),
+        sum(when(col("lvl") === 2, col("tf")).otherwise(0L)).as("n_uni_backoff"),
+        sum(col("tf") * col("lp_fp")).as("sum_fp"))
+      .select(col("id"), col("n_trigrams"), col("n_big_backoff"),
+        col("n_uni_backoff"),
+        (col("sum_fp").cast("double") / Fp / col("n_trigrams")).as("mean_logs"))
+  }
+
   /** HTML extraction — the ingest-side boilerplate strip every
     * crawl-derived corpus passes through before any quality/dedup
     * stage: drop `<script>`/`<style>` blocks WHOLESALE (their text is

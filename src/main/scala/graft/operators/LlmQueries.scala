@@ -1751,6 +1751,40 @@ object LlmQueries {
         k = 10)
       .orderBy("lang", "source", "band")
 
+  /** q221 Stupid Backoff trigram LM
+    * ([[graft.llm.TextAnalysis.stupidBackoffScore]]): Brants et al.'s
+    * web-scale count-only LM, one rung up from q132's bigram — model
+    * fit on the even-id half, odd-id half scored, α = 0.4, both
+    * backoff levels live by construction of the held-out split. The
+    * oracle refits all three count tables and replays the level
+    * cascade and fixed-point arithmetic.
+    */
+  def q221(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    TextAnalysis.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_trigrams"),
+        col("n_big_backoff"), col("n_uni_backoff"), col("mean_logs"))
+      .orderBy("doc_id")
+  }
+
+  /** q222 content-defined chunking dedup census
+    * ([[graft.llm.Dedup.cdcChunkStats]]): LBFS-style CDC over the
+    * corpus — k=16-char window hash ≡ 0 (mod 64) cuts, ~64-char
+    * expected chunks, 60-bit md5 chunk identities, first-occurrence
+    * election by (doc, start). The oracle replays boundary positions,
+    * chunk spans (LEAD over the cut rows), chunk hashes, and the
+    * election.
+    */
+  def q222(s: SparkSession, d: String): DataFrame =
+    Dedup.cdcChunkStats(Tables.documents(s, d), "doc_id", "text",
+        k = 16, d = 64)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_chars"), col("total_chars"))
+      .orderBy("doc_id")
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2595,6 +2629,8 @@ object LlmQueries {
     "q218_bm25_delete" -> q218 _,
     "q219_weighted_take" -> q219 _,
     "q220_k_anonymity" -> q220 _,
+    "q221_trigram_backoff" -> q221 _,
+    "q222_cdc_chunks" -> q222 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3228,6 +3264,86 @@ object LlmQueries {
          |       CROSS JOIN tot)
          |SELECT id AS doc_id, COUNT(*) AS n_bigrams,
          |       CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+         |       CAST(SUM(lp_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_logs
+         |FROM sr GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q222_cdc_chunks" ->
+      """WITH docs AS (SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |pos AS (SELECT id, text, unnest(range(1, greatest(n - 14, 1))) AS i FROM docs),
+        |cuts AS (
+        |  SELECT id, i + 15 AS cutend FROM pos
+        |  WHERE CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 15) AS BIGINT) % 64 = 0),
+        |b AS (SELECT id, cutend FROM cuts UNION ALL SELECT id, 0 AS cutend FROM docs WHERE n > 0),
+        |ch AS (
+        |  SELECT b.id, b.cutend + 1 AS start,
+        |         COALESCE(LEAD(b.cutend) OVER (PARTITION BY b.id ORDER BY b.cutend), d.n) AS chend
+        |  FROM b JOIN docs d ON b.id = d.id),
+        |chunks AS (
+        |  SELECT ch.id, ch.start, ch.chend - ch.start + 1 AS len,
+        |         CAST('0x' || substr(md5(substr(d.text, CAST(ch.start AS INTEGER),
+        |           CAST(ch.chend - ch.start + 1 AS INTEGER))), 1, 15) AS BIGINT) AS h
+        |  FROM ch JOIN docs d ON ch.id = d.id WHERE ch.chend >= ch.start),
+        |m1 AS (SELECT h, MIN(id) AS f_id FROM chunks GROUP BY h),
+        |m2 AS (SELECT c.h, m1.f_id, MIN(c.start) AS f_start
+        |       FROM chunks c JOIN m1 ON c.h = m1.h AND c.id = m1.f_id
+        |       GROUP BY c.h, m1.f_id),
+        |occ AS (
+        |  SELECT c.id, c.len,
+        |         CASE WHEN c.id <> m2.f_id OR c.start <> m2.f_start THEN 1 ELSE 0 END AS dup
+        |  FROM chunks c JOIN m2 ON c.h = m2.h)
+        |SELECT id AS doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+        |       CAST(SUM(CASE WHEN dup = 1 THEN len ELSE 0 END) AS BIGINT) AS dup_chars,
+        |       CAST(SUM(len) AS BIGINT) AS total_chars
+        |FROM occ GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q221_trigram_backoff" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id AS id, $toksExpr AS w FROM documents WHERE doc_id % 2 = 0),
+         |ttok AS (SELECT id, unnest(w) AS s FROM tr),
+         |cnt AS (SELECT s, COUNT(*) AS c FROM ttok GROUP BY s),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot, COUNT(*) AS vocab FROM cnt),
+         |tb AS (
+         |  SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS s
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+         |bc AS (SELECT s, COUNT(*) AS cb FROM tb GROUP BY s),
+         |tt AS (
+         |  SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+         |           || ' ' || w[CAST(i AS INTEGER) + 2] AS s,
+         |         w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS w12
+         |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM tr)),
+         |tc AS (SELECT s, w12, COUNT(*) AS ct FROM tt GROUP BY s, w12),
+         |tm AS (
+         |  SELECT tc.s,
+         |         CAST(floor(ln(CAST(ct AS DOUBLE) / b12.cb) * 1048576.0) AS BIGINT) AS lp_tri_fp
+         |  FROM tc JOIN bc b12 ON tc.w12 = b12.s),
+         |sc AS (
+         |  SELECT doc_id AS id, $toksExpr AS w FROM documents WHERE doc_id % 2 = 1),
+         |st AS (
+         |  SELECT id,
+         |         w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+         |           || ' ' || w[CAST(i AS INTEGER) + 2] AS s,
+         |         w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS w23,
+         |         w[CAST(i AS INTEGER) + 1] AS w2,
+         |         w[CAST(i AS INTEGER) + 2] AS w3
+         |  FROM (SELECT id, w, unnest(range(1, len(w) - 1)) AS i FROM sc)),
+         |sr AS (
+         |  SELECT st.id,
+         |         COALESCE(tm.lp_tri_fp,
+         |           CASE WHEN b23.cb IS NOT NULL THEN
+         |             CAST(floor(ln(0.4 * b23.cb / c2.c) * 1048576.0) AS BIGINT) END,
+         |           CAST(floor(ln(0.4 * 0.4 * (COALESCE(c3.c, 0) + 1.0)
+         |             / (tot.n_tot + tot.vocab)) * 1048576.0) AS BIGINT)) AS lp_fp,
+         |         CASE WHEN tm.lp_tri_fp IS NOT NULL THEN 0
+         |              WHEN b23.cb IS NOT NULL THEN 1 ELSE 2 END AS lvl
+         |  FROM st LEFT JOIN tm ON st.s = tm.s
+         |       LEFT JOIN bc b23 ON st.w23 = b23.s
+         |       LEFT JOIN cnt c2 ON st.w2 = c2.s
+         |       LEFT JOIN cnt c3 ON st.w3 = c3.s
+         |       CROSS JOIN tot)
+         |SELECT id AS doc_id, COUNT(*) AS n_trigrams,
+         |       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_backoff,
+         |       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoff,
          |       CAST(SUM(lp_fp) AS DOUBLE) / 1048576.0 / COUNT(*) AS mean_logs
          |FROM sr GROUP BY id ORDER BY doc_id""".stripMargin,
 

@@ -607,6 +607,67 @@ class LlmSpec extends SparkSpec {
     assert(dup.exceptAll(got).count() == 0 && got.exceptAll(dup).count() == 0)
   }
 
+  test("cdcChunkStats: chunks tile the text, copies are full dups, boundaries resync after insertion") {
+    val base = (1 to 40).map(i => s"sentence number $i with some filler words").mkString(" ")
+    val docs = Seq(
+      (1L, base),            // first occurrence wins
+      (2L, base),            // exact copy — every chunk a dup
+      (3L, "tiny"),          // shorter than k=16: one whole-text chunk
+      (4L, "PREFIX INSERTED " + base)) // boundaries resync downstream
+      .toDF("doc_id", "text")
+    // kernel invariant: chunks tile the text exactly (contiguous, full cover)
+    graft.functions.GraftFunctions.register(spark)
+    val tiles = docs.select($"doc_id", length($"text").as("n"),
+        explode(call_function("cdc_chunks", $"text", lit(16), lit(64))).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(sum($"c.len").as("covered"), min($"c.start").as("first"),
+        count(lit(1)).as("nc"))
+      .collect()
+    tiles.foreach { r =>
+      assert(r.getAs[Long]("covered") == r.getAs[Int]("n").toLong &&
+        r.getAs[Int]("first") == 1,
+        s"doc ${r.getAs[Long]("doc_id")} chunks do not tile its text")
+    }
+    val got = Dedup.cdcChunkStats(docs, "doc_id", "text", k = 16, d = 64)
+      .orderBy("id").collect()
+    val byId = got.map(r => r.getAs[Long]("id") -> r).toMap
+    // doc 1 chunks all elected first (within-doc repeats aside, none here)
+    assert(byId(1L).getAs[Long]("n_dup_chunks") == 0)
+    // the exact copy loses every election: all chunks dup, all chars dup
+    assert(byId(2L).getAs[Long]("n_dup_chunks") == byId(2L).getAs[Long]("n_chunks"))
+    assert(byId(2L).getAs[Long]("dup_chars") == byId(2L).getAs[Long]("total_chars"))
+    // short doc: one chunk, whole text
+    assert(byId(3L).getAs[Long]("n_chunks") == 1 &&
+      byId(3L).getAs[Long]("total_chars") == 4)
+    // content-defined resync: the shifted copy still shares most chunks
+    val d4 = byId(4L)
+    assert(d4.getAs[Long]("dup_chars") > d4.getAs[Long]("total_chars") / 2,
+      s"insertion should leave most chunk content shared, got " +
+        s"${d4.getAs[Long]("dup_chars")}/${d4.getAs[Long]("total_chars")}")
+    // empty text emits no chunks at all
+    assert(Dedup.cdcChunkStats(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
+  test("stupidBackoffScore: hand-computed level cascade (tri hit, bigram backoff, unigram floor)") {
+    val Fp = 1048576.0
+    // train: unigrams a:2 b:2 c:2 (N=6, V=3); bigrams "a b":2 "b c":2
+    // "c a":1; trigrams "a b c":2 "b c a":1 "c a b":1
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c d"), // "a b c" tri hit ln(2/2)=0; "b c d" → unigram floor
+      (3L, "b a b"))   // "b a b" unseen tri, "a b" seen bigram → ln(0.4·2/2)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val uniFloor = math.floor(math.log(0.4 * 0.4 * 1.0 / 9.0) * Fp)
+    val bigLp = math.floor(math.log(0.4) * Fp)
+    assert(got == Seq(
+      (1L, 2L, 0L, 1L, (0.0 + uniFloor) / Fp / 2.0),
+      (3L, 1L, 1L, 0L, bigLp / Fp)))
+  }
+
   test("weightedTake: exact k, deterministic, weight-monotone inclusion, loud on bad weights") {
     val rows = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 50.0))
     val df = rows.toDF("id", "w")
