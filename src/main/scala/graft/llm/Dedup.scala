@@ -384,6 +384,41 @@ object Dedup {
     bpeTrain(sampled, idCol, textCol, rounds)
   }
 
+  /** AT-REST TOKENIZER — persist a trained merge table
+    * ([[bpeTrain]] / [[bpeTrainSampled]] output) as parquet: the
+    * model-maintenance face of the tokenizer, completing the at-rest
+    * quartet (LSH near-dup, IVF-PQ ANN, BM25 lexical, BPE tokenizer).
+    * A production pipeline trains the tokenizer ONCE, freezes it for
+    * the life of the model (retokenizing is retraining), and encodes
+    * every shard it ever ingests from the stored table —
+    * [[bpeEncodeAtRest]] is that read face. Merge ORDER is the model
+    * (BPE applies merges in training order), so the `round` column is
+    * the contract: encode reads sort on it.
+    */
+  def bpeSaveAtRest(merges: DataFrame, dir: String): Unit = {
+    val n = merges.count()
+    require(n > 0, "bpeSaveAtRest: empty merge table — train first")
+    merges.select("round", "lhs", "rhs", "pair_count")
+      .write.mode("overwrite").parquet(dir + "/merges")
+  }
+
+  /** Encode a corpus under a STORED merge table — [[bpeEncode]]
+    * reading its model from [[bpeSaveAtRest]]'s artifact instead of a
+    * driver-side Seq. The merge table is model-sized by construction
+    * (one row per trained merge — the vocabulary budget, thousands at
+    * production scale), so the collect is planner metadata, not data
+    * movement (the fitIvf-centroids contract); encoding itself stays
+    * |merges| fused map-only kernel passes, shuffle-free.
+    */
+  def bpeEncodeAtRest(df: DataFrame, idCol: String, textCol: String,
+                      dir: String): DataFrame = {
+    val mt = df.sparkSession.read.parquet(dir + "/merges")
+      .orderBy("round").select("lhs", "rhs").collect()
+    require(mt.nonEmpty, s"at-rest BPE model $dir has no merges")
+    bpeEncode(df, idCol, textCol,
+      mt.map(r => (r.getString(0), r.getString(1))).toSeq)
+  }
+
   /** TOKENIZER APPLICATION — encode a corpus under an
     * already-trained [[bpeTrain]] merge table: the read-side twin of
     * the trainer (a pipeline trains the tokenizer once, then encodes
@@ -837,6 +872,53 @@ object Dedup {
         / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Empirical banding S-curve — the dedup analog of the ANN
+    * family's recall audit ([[graft.llm.Similarity.pqRecall]]): the
+    * production banding's candidate recall measured against a LOOSER
+    * banding of the SAME signatures (more bands × fewer rows ⇒
+    * strictly more candidates: any r-row band match implies its
+    * sub-bands match, so strict candidates ⊆ loose candidates and
+    * the reported fraction is a true recall against the wider
+    * reference). Pairs are exact-Jaccard verified and bucketed by
+    * decile; the per-decile found-fraction is the EMPIRICAL
+    * 1−(1−s^r)^b S-curve — the table an operator reads to pick
+    * (bands, rows) for a target similarity threshold, measured on
+    * their own corpus instead of the iid-hash idealization.
+    *
+    * Scale shape: ONE signature pass serves both bandings
+    * ([[signatureAgg]] is materialized); each side is the standard
+    * hub-capped band equi-join ([[minhashPairsFrom]]); the audit
+    * join moves only verified pairs.
+    */
+  def minhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 16, strictBands: Int = 4,
+                         looseBands: Int = 8, shingleLen: Int = 3,
+                         minJaccard: Double = 0.1,
+                         maxBucket: Int = 64): DataFrame = {
+    require(numHashes % strictBands == 0 && numHashes % looseBands == 0,
+      s"bands must divide numHashes: $numHashes vs $strictBands/$looseBands")
+    require(looseBands > strictBands &&
+      (numHashes / strictBands) % (numHashes / looseBands) == 0,
+      "the loose banding must refine the strict one (strict rows a " +
+        "multiple of loose rows) or containment — and the recall " +
+        "interpretation — breaks")
+    val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
+    val loose = minhashPairsFrom(agg,
+      bandedOf(agg, looseBands, numHashes / looseBands), minJaccard, maxBucket)
+    val strict = minhashPairsFrom(agg,
+      bandedOf(agg, strictBands, numHashes / strictBands), minJaccard, maxBucket)
+      .select(col("id_a").as("s_a"), col("id_b").as("s_b"), lit(1).as("hit"))
+    loose
+      .join(strict, col("id_a") === col("s_a") && col("id_b") === col("s_b"),
+        "left")
+      .withColumn("decile", floor(col("jaccard") * 10).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_loose_pairs"),
+        sum(coalesce(col("hit"), lit(0)).cast("long")).as("n_strict_found"))
+      .withColumn("found_fp",
+        expr("(n_strict_found * 1048576L) div n_loose_pairs"))
   }
 
   /** Per-band bucket census of the [[minhashLsh]] banding — the

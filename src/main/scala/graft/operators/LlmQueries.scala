@@ -1785,6 +1785,62 @@ object LlmQueries {
         col("dup_chars"), col("total_chars"))
       .orderBy("doc_id")
 
+  /** q223 at-rest BPE tokenizer
+    * ([[graft.llm.Dedup.bpeSaveAtRest]] /
+    * [[graft.llm.Dedup.bpeEncodeAtRest]]): the tokenizer's
+    * model-maintenance face, completing the at-rest quartet (LSH
+    * q208, IVF-PQ q196, BM25 q217) — a 3-merge model is trained on
+    * the even-id half, persisted as parquet, and the FULL corpus
+    * encodes through the stored table (train once, freeze, encode
+    * every shard forever — retokenizing is retraining). The oracle
+    * refits the same 3 rounds on the even half and unrolls the
+    * encode chain over the full corpus.
+    */
+  def q223(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val atRest = atRestDir(d, "graft_bpe_at_rest")
+    ingestOnce(atRest + "#bpe#" + inputFingerprint(d + "/documents.parquet")) {
+      val mt = Dedup.bpeTrain(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", rounds = 3)
+      // the oracle unrolls exactly 3 rounds — fail loud on early
+      // exhaustion (the q203 contract)
+      require(mt.count() == 3,
+        "q223 expects 3 trainable merges on the even-id half")
+      Dedup.bpeSaveAtRest(mt, atRest)
+    }
+    Dedup.bpeEncodeAtRest(docs, "doc_id", "text", atRest).orderBy("doc_id")
+  }
+
+  /** The 30-word base of q224's graded near-dup seeding. */
+  private val ScurveBase: String =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+    "kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu zero one two three"
+
+  /** q224 empirical banding S-curve
+    * ([[graft.llm.Dedup.minhashRecallAudit]]): the production 4×4
+    * banding's candidate recall per jaccard decile against an 8×2
+    * loose reference over the SAME signatures (strict ⊆ loose by
+    * sub-band containment) — the dedup analog of q193's PQ recall
+    * audit. The natural corpus has near-dup pairs only at jaccard 1
+    * (exact copies), which exercises one decile — so the first 120
+    * docs are SEEDED with graded prefixes of a 30-word base (length
+    * 10 + id mod 20): same-length docs are identical, cross-length
+    * pairs share a prefix shingle run, spreading verified pairs
+    * across the decile range where the S-curve actually bends. The
+    * oracle replays the seeding, one signature pass, both hub-capped
+    * pair chains, the verify, and the decile fold.
+    */
+  def q224(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).withColumn("text",
+      when(col("doc_id") < 120,
+        array_join(slice(split(lit(ScurveBase), " "), lit(1),
+          (lit(10) + pmod(col("doc_id"), lit(20))).cast("int")), " "))
+        .otherwise(col("text")))
+    Dedup.minhashRecallAudit(seeded, "doc_id", "text")
+      .orderBy("decile")
+  }
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2631,6 +2687,8 @@ object LlmQueries {
     "q220_k_anonymity" -> q220 _,
     "q221_trigram_backoff" -> q221 _,
     "q222_cdc_chunks" -> q222 _,
+    "q223_bpe_at_rest" -> q223 _,
+    "q224_banding_scurve" -> q224 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4929,6 +4987,82 @@ object LlmQueries {
     "q203_bpe_encode" ->
       s"""WITH docs AS (SELECT doc_id, $toksExpr AS w FROM documents),
          |w1 AS (SELECT w FROM docs WHERE len(w) > 1),
+         |p1 AS (${bpePairsOf("w1")}),
+         |m1 AS (${bpeArgmax("p1")}),
+         |w2 AS (SELECT ${bpeMergeExpr("m1.l", "m1.r")} AS w
+         |       FROM w1 CROSS JOIN m1),
+         |p2 AS (${bpePairsOf("w2")}),
+         |m2 AS (${bpeArgmax("p2")}),
+         |w3 AS (SELECT ${bpeMergeExpr("m2.l", "m2.r")} AS w
+         |       FROM w2 CROSS JOIN m2),
+         |p3 AS (${bpePairsOf("w3")}),
+         |m3 AS (${bpeArgmax("p3")}),
+         |d1 AS (SELECT doc_id, ${bpeMergeExpr("m1.l", "m1.r")} AS w
+         |       FROM docs CROSS JOIN m1),
+         |d2 AS (SELECT doc_id, ${bpeMergeExpr("m2.l", "m2.r")} AS w
+         |       FROM d1 CROSS JOIN m2),
+         |d3 AS (SELECT doc_id, ${bpeMergeExpr("m3.l", "m3.r")} AS w
+         |       FROM d2 CROSS JOIN m3),
+         |base AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |         COALESCE(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT),
+         |                  CAST(0 AS BIGINT)) AS n_chars
+         |         FROM docs)
+         |SELECT b.doc_id, b.n_tokens, b.n_chars,
+         |       CAST(len(d.w) AS INTEGER) AS n_syms,
+         |       CASE WHEN len(d.w) > 0 THEN (b.n_chars * 1000000) // len(d.w)
+         |            ELSE CAST(0 AS BIGINT) END AS fertility_fp
+         |FROM base b JOIN d3 d ON b.doc_id = d.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    "q224_banding_scurve" -> {
+      // one hub-capped pair chain (the minhashPairsFrom replay) over a
+      // named banded relation; jaccard kept for the decile fold
+      def chain(p: String, banded: String) =
+        s"""${p}hot AS (SELECT band, bkey, MIN(doc_id) AS hub
+           |  FROM $banded GROUP BY band, bkey HAVING COUNT(*) > 64),
+           |${p}cool AS (SELECT doc_id, band, bkey FROM $banded
+           |  ANTI JOIN ${p}hot USING (band, bkey)),
+           |${p}pairs AS (SELECT DISTINCT id_a, id_b FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ${p}cool a JOIN ${p}cool b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |  UNION ALL
+           |  SELECT h.hub AS id_a, r.doc_id AS id_b
+           |  FROM $banded r JOIN ${p}hot h ON r.band = h.band AND r.bkey = h.bkey
+           |  WHERE r.doc_id <> h.hub)),
+           |${p}ver AS (
+           |  SELECT p.id_a, p.id_b,
+           |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+           |  FROM ${p}pairs p
+           |  JOIN xsig sa ON sa.doc_id = p.id_a
+           |  JOIN xsig sb ON sb.doc_id = p.id_b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.1)""".stripMargin
+      s"WITH seeded AS (SELECT doc_id, CASE WHEN doc_id < 120 THEN " +
+      s"array_to_string(list_slice(string_split('$ScurveBase', ' '), 1, " +
+      "10 + CAST(doc_id % 20 AS INTEGER)), ' ') ELSE text END AS text " +
+      "FROM documents),\n" +
+      s"${minhashBandedCteFrom("seeded", "x")},\n" +
+      """lbanded AS (
+        |  SELECT doc_id, CAST(b AS INTEGER) AS band,
+        |         md5(CAST(sigs[CAST(b AS INTEGER) * 2 + 1] AS VARCHAR) || '|'
+        |             || CAST(sigs[CAST(b AS INTEGER) * 2 + 2] AS VARCHAR)) AS bkey
+        |  FROM xsig CROSS JOIN range(0, 8) t(b)),
+        |""".stripMargin +
+      chain("l", "lbanded") + ",\n" + chain("s", "xbanded") + "\n" +
+      """SELECT CAST(floor(l.jaccard * 10) AS INTEGER) AS decile,
+        |       COUNT(*) AS n_loose_pairs,
+        |       CAST(SUM(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_strict_found,
+        |       CAST((SUM(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1048576)
+        |         // COUNT(*) AS BIGINT) AS found_fp
+        |FROM lver l LEFT JOIN sver s ON l.id_a = s.id_a AND l.id_b = s.id_b
+        |GROUP BY 1 ORDER BY decile""".stripMargin
+    },
+
+    "q223_bpe_at_rest" ->
+      s"""WITH docs AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |w1 AS (SELECT w FROM docs WHERE doc_id % 2 = 0 AND len(w) > 1),
          |p1 AS (${bpePairsOf("w1")}),
          |m1 AS (${bpeArgmax("p1")}),
          |w2 AS (SELECT ${bpeMergeExpr("m1.l", "m1.r")} AS w

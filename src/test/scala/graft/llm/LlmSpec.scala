@@ -607,6 +607,58 @@ class LlmSpec extends SparkSpec {
     assert(dup.exceptAll(got).count() == 0 && got.exceptAll(dup).count() == 0)
   }
 
+  test("minhashRecallAudit: strict ⊆ loose per decile, exact copies fully recalled, refinement gate") {
+    // graded prefixes of one base: same-length docs identical (j=1),
+    // cross-length pairs share a prefix shingle run (graded jaccard)
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu").split(" ")
+    val docs = (0L until 60L)
+      .map(i => (i, base.take(10 + (i % 12).toInt).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashRecallAudit(docs, "doc_id", "text")
+      .orderBy("decile").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_strict_found") <= r.getAs[Long]("n_loose_pairs"),
+        s"decile ${r.getAs[Int]("decile")}: strict pairs exceed the loose reference")
+    }
+    // exact copies (decile 10) collide on EVERY band in both bandings
+    val d10 = got.find(_.getAs[Int]("decile") == 10).get
+    assert(d10.getAs[Long]("n_strict_found") == d10.getAs[Long]("n_loose_pairs"))
+    assert(d10.getAs[Long]("found_fp") == 1048576L)
+    // a loose banding that does not refine the strict one is refused:
+    // non-dividing band count, and a "loose" side no wider than strict
+    intercept[IllegalArgumentException](
+      Dedup.minhashRecallAudit(docs, "doc_id", "text",
+        numHashes = 16, strictBands = 4, looseBands = 5))
+    intercept[IllegalArgumentException](
+      Dedup.minhashRecallAudit(docs, "doc_id", "text",
+        numHashes = 16, strictBands = 4, looseBands = 2))
+  }
+
+  test("bpe at-rest model: stored-table encode ≡ in-memory encode; empty model refused") {
+    val docs = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "new newer newest low"),
+      (3L, "one"))
+      .toDF("doc_id", "text")
+    val mt = Dedup.bpeTrain(docs, "doc_id", "text", rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_at_rest_spec").toString
+    Dedup.bpeSaveAtRest(mt, dir)
+    val merges = mt.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val direct = Dedup.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    val stored = Dedup.bpeEncodeAtRest(docs, "doc_id", "text", dir)
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct, "stored-model encode diverged from in-memory encode")
+    // an empty merge table must be refused at save, not surface as a
+    // silently-identity tokenizer at encode
+    intercept[IllegalArgumentException](
+      Dedup.bpeSaveAtRest(mt.filter(lit(false)), dir))
+  }
+
   test("cdcChunkStats: chunks tile the text, copies are full dups, boundaries resync after insertion") {
     val base = (1 to 40).map(i => s"sentence number $i with some filler words").mkString(" ")
     val docs = Seq(
