@@ -874,6 +874,102 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Build [[cdcChunkStats]]'s chunk rows (id, start, len, h) — the
+    * shared chunker pass of the census and the at-rest store faces.
+    */
+  private def cdcChunkRows(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, d: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(call_function("cdc_chunks", col("t"), lit(k), lit(d))).as("c"))
+      .select(col("id"), col("c.start").as("start"), col("c.len").as("len"),
+        col("c.h").as("h"))
+  }
+
+  /** AT-REST CDC CHUNK STORE — the LBFS storage model as index
+    * maintenance: a chunk store keeps each distinct chunk ONCE; every
+    * ingest batch is chunked, its chunks deduped within the batch,
+    * anti-joined against the store, and only the NEW chunks are
+    * appended — the bytes a dedup filesystem / backup system actually
+    * writes. One stats row per batch records the ledger (raw chars
+    * in, new chunks/chars stored), so the cumulative dedup ratio is a
+    * tiny aggregate, never a corpus scan.
+    *
+    * Layout under `dir`: `chunks/` (h, len — the store; identity is
+    * the 60-bit content hash, len rides along and distinct (h, len)
+    * keys tolerate the negligible-collision case honestly) and
+    * `stats/` (batch, raw_chars, n_new_chunks, new_chars).
+    *
+    * Scale shape: the anti-join is keyed on the chunk hash — the
+    * batch side is batch-sized, the store side prunes to matching
+    * hash partitions under AQE; nothing re-chunks history (the
+    * lshProbeAtRest contract).
+    */
+  def cdcIngestAtRest(docs: DataFrame, idCol: String, textCol: String,
+                      dir: String, k: Int = 16, d: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // establish empty store + params, then run batch 0 through the
+    // SAME append body so ingest and append semantics cannot drift
+    Seq.empty[(Long, Int)].toDF("h", "len")
+      .write.mode("overwrite").parquet(dir + "/chunks")
+    Seq((k, d)).toDF("k", "d")
+      .write.mode("overwrite").parquet(dir + "/params")
+    Seq.empty[(Int, Long, Long, Long)]
+      .toDF("batch", "raw_chars", "n_new_chunks", "new_chars")
+      .write.mode("overwrite").parquet(dir + "/stats")
+    cdcAppendAtRest(docs, idCol, textCol, dir, batchId = 0)
+  }
+
+  /** Append one ingest batch to a [[cdcIngestAtRest]] store: chunk,
+    * dedup within the batch (distinct (h, len)), anti-join the store,
+    * append only the new chunks plus the batch's ledger row.
+    * `batchId` is the caller's monotone ingest sequence (it is the
+    * ledger key, not an election order — chunk identity is content,
+    * so WHICH batch first stored a hash never changes any answer).
+    */
+  def cdcAppendAtRest(newDocs: DataFrame, idCol: String, textCol: String,
+                      dir: String, batchId: Int): Unit = {
+    val spark = newDocs.sparkSession
+    val row = spark.read.parquet(dir + "/params").head()
+    val (k, d) = (row.getAs[Int]("k"), row.getAs[Int]("d"))
+    // one chunker pass feeds the raw-chars ledger AND the store delta
+    val rows = cdcChunkRows(newDocs, idCol, textCol, k, d).localCheckpoint()
+    val fresh = rows.select("h", "len").distinct()
+      .join(spark.read.parquet(dir + "/chunks"), Seq("h", "len"), "left_anti")
+      .localCheckpoint() // materialize BEFORE writing into the read path
+    fresh.write.mode("append").parquet(dir + "/chunks")
+    rows.agg(
+        coalesce(sum(col("len").cast("long")), lit(0L)).as("raw_chars"))
+      .crossJoin(fresh.agg(
+        count(lit(1)).as("n_new_chunks"),
+        coalesce(sum(col("len").cast("long")), lit(0L)).as("new_chars")))
+      .select(lit(batchId).as("batch"), col("raw_chars"),
+        col("n_new_chunks"), col("new_chars"))
+      .write.mode("append").parquet(dir + "/stats")
+  }
+
+  /** The store's ledger: per ingest batch, raw chars in vs new chunks
+    * stored, with running totals and the cumulative stored fraction
+    * in ⌊·2²⁰⌋ fixed point (1 − dedup ratio). Reads only the stats
+    * table — batch-count-sized, the window is over the ledger, never
+    * data.
+    */
+  def cdcStoreCensus(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val w = Window.orderBy("batch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(dir + "/stats")
+      .withColumn("cum_raw", sum("raw_chars").over(w))
+      .withColumn("cum_stored", sum("new_chars").over(w))
+      .withColumn("stored_fp",
+        when(col("cum_raw") > 0,
+          expr("(cum_stored * 1048576L) div cum_raw")).otherwise(0L))
+      .orderBy("batch")
+  }
+
   /** Empirical banding S-curve — the dedup analog of the ANN
     * family's recall audit ([[graft.llm.Similarity.pqRecall]]): the
     * production banding's candidate recall measured against a LOOSER

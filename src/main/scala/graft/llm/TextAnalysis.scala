@@ -964,6 +964,51 @@ object TextAnalysis {
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-group statistics — the dataset-card mean that a few
+    * pathological rows cannot move: quantile-fenced TRIMMED mean
+    * (rows outside the [p, 100−p] nearest-rank fences dropped) and
+    * WINSORIZED mean (rows clamped to the fences — Tukey/Winsor, the
+    * standard robust pair). Fences come from [[groupedQuantiles]]'s
+    * integer nearest-rank selection, so both engines pick the
+    * identical corpus values and every sum is exact integer
+    * arithmetic; the means are one division at the end.
+    *
+    * Fence-based (not count-based) trimming on purpose: dropping
+    * exactly k rows per side needs a global tie-break ordering per
+    * group, where the fence form needs only the two quantile values —
+    * one broadcast join, one aggregation, and identical semantics in
+    * any engine.
+    *
+    * Scale shape: one window per group for the fences (bounded by the
+    * group count — generalize continuous group keys first, the
+    * [[kAnonymityCensus]] contract), then a broadcast fence join and
+    * ONE map-side-partial aggregation over the corpus.
+    */
+  def robustGroupStats(df: DataFrame, groupCol: String, valueCol: String,
+                       trimPct: Int = 10): DataFrame = {
+    require(trimPct > 0 && trimPct < 50,
+      s"trimPct must be in (0, 50), got $trimPct")
+    val fences = groupedQuantiles(df.select(col(groupCol), col(valueCol)),
+        groupCol, valueCol,
+        Seq(("lo", trimPct), ("hi", 100 - trimPct)))
+      .select(col(groupCol), col("lo"), col("hi"))
+    df.select(col(groupCol), col(valueCol))
+      .join(broadcast(fences), groupCol)
+      .withColumn("_w",
+        greatest(least(col(valueCol), col("hi")), col("lo")).cast("long"))
+      .withColumn("_in", col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        first("lo").as("lo"), first("hi").as("hi"),
+        sum(when(col("_in"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_in"), col(valueCol).cast("long")).otherwise(0L))
+          .as("trim_sum"),
+        sum(col("_w")).as("wins_sum"))
+      .withColumn("trim_mean",
+        col("trim_sum").cast("double") / col("n_kept"))
+      .withColumn("wins_mean", col("wins_sum").cast("double") / col("n"))
+  }
+
   /** Nearest-rank selection as conditional-aggregation columns: for
     * each (label, num) pick the value whose rank equals
     * ⌈n·num/100⌉ (integer form `(n·num + 99) div 100` — no float

@@ -1841,6 +1841,47 @@ object LlmQueries {
       .orderBy("decile")
   }
 
+  /** q225 robust group statistics
+    * ([[graft.llm.TextAnalysis.robustGroupStats]]): 10%-fenced
+    * trimmed and winsorized mean of `n_chars` per source — the
+    * dataset-card mean a few pathological rows cannot move, on
+    * exact nearest-rank fences. The oracle replays fences, clamp,
+    * and the integer sums.
+    */
+  def q225(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.robustGroupStats(
+        Tables.documents(s, d).select("source", "n_chars"),
+        "source", "n_chars", trimPct = 10)
+      .orderBy("source")
+
+  /** q226 at-rest CDC chunk store
+    * ([[graft.llm.Dedup.cdcIngestAtRest]] /
+    * [[graft.llm.Dedup.cdcAppendAtRest]] /
+    * [[graft.llm.Dedup.cdcStoreCensus]]): the LBFS storage model as
+    * incremental index maintenance — three ingest batches (60/20/20,
+    * the first 150 docs seeded with one boilerplate text so
+    * cross-batch dedup is live), each chunked once, batch-deduped,
+    * anti-joined against the store, only NEW chunks appended; the
+    * result is the ledger with cumulative stored fraction. The
+    * oracle replays all three chunk chains and the store-growth
+    * algebra.
+    */
+  def q226(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") < 150, lit(ViralHeader)).otherwise(col("text")))
+    val atRest = atRestDir(d, "graft_cdc_store")
+    ingestOnce(atRest + "#cdc#" + inputFingerprint(d + "/documents.parquet")) {
+      Dedup.cdcIngestAtRest(docs.filter(pmod(col("doc_id"), lit(5)) < 3),
+        "doc_id", "text", atRest)
+      Dedup.cdcAppendAtRest(docs.filter(pmod(col("doc_id"), lit(5)) === 3),
+        "doc_id", "text", atRest, batchId = 1)
+      Dedup.cdcAppendAtRest(docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+        "doc_id", "text", atRest, batchId = 2)
+    }
+    Dedup.cdcStoreCensus(s, atRest)
+  }
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2689,12 +2730,37 @@ object LlmQueries {
     "q222_cdc_chunks" -> q222 _,
     "q223_bpe_at_rest" -> q223 _,
     "q224_banding_scurve" -> q224 _,
+    "q225_robust_stats" -> q225 _,
+    "q226_cdc_store" -> q226 _,
   )
 
   // ---------------- DuckDB oracles ----------------
 
   /** Non-empty whitespace tokens (matches TextAnalysis.tokensCol). */
   private val toksExpr = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** The q222/q226 CDC chunk chain over a docs relation (`doc_id`,
+    * `text`): boundary positions (16-char window md5 ≡ 0 mod 64),
+    * chunk spans via LEAD over the cut rows, 60-bit chunk hashes —
+    * produces `${pre}chunks (id, start, len, h)`. Mirrors
+    * [[graft.functions.TextKernels.cdcChunks]] exactly.
+    */
+  private def cdcChunksCte(srcRel: String, pre: String): String =
+    s"""${pre}docs AS (SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n FROM $srcRel),
+       |${pre}pos AS (SELECT id, text, unnest(range(1, greatest(n - 14, 1))) AS i FROM ${pre}docs),
+       |${pre}cuts AS (
+       |  SELECT id, i + 15 AS cutend FROM ${pre}pos
+       |  WHERE CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 15) AS BIGINT) % 64 = 0),
+       |${pre}b AS (SELECT id, cutend FROM ${pre}cuts UNION ALL SELECT id, 0 AS cutend FROM ${pre}docs WHERE n > 0),
+       |${pre}ch AS (
+       |  SELECT b.id, b.cutend + 1 AS start,
+       |         COALESCE(LEAD(b.cutend) OVER (PARTITION BY b.id ORDER BY b.cutend), d.n) AS chend
+       |  FROM ${pre}b b JOIN ${pre}docs d ON b.id = d.id),
+       |${pre}chunks AS (
+       |  SELECT ch.id, ch.start, ch.chend - ch.start + 1 AS len,
+       |         CAST('0x' || substr(md5(substr(d.text, CAST(ch.start AS INTEGER),
+       |           CAST(ch.chend - ch.start + 1 AS INTEGER))), 1, 15) AS BIGINT) AS h
+       |  FROM ${pre}ch ch JOIN ${pre}docs d ON ch.id = d.id WHERE ch.chend >= ch.start)""".stripMargin
 
   /** Batched-BM25 replay over a corpus subset — the shared oracle body
     * for the at-rest postings-index queries (q217 append, q218
@@ -3326,21 +3392,7 @@ object LlmQueries {
          |FROM sr GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q222_cdc_chunks" ->
-      """WITH docs AS (SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
-        |pos AS (SELECT id, text, unnest(range(1, greatest(n - 14, 1))) AS i FROM docs),
-        |cuts AS (
-        |  SELECT id, i + 15 AS cutend FROM pos
-        |  WHERE CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 15) AS BIGINT) % 64 = 0),
-        |b AS (SELECT id, cutend FROM cuts UNION ALL SELECT id, 0 AS cutend FROM docs WHERE n > 0),
-        |ch AS (
-        |  SELECT b.id, b.cutend + 1 AS start,
-        |         COALESCE(LEAD(b.cutend) OVER (PARTITION BY b.id ORDER BY b.cutend), d.n) AS chend
-        |  FROM b JOIN docs d ON b.id = d.id),
-        |chunks AS (
-        |  SELECT ch.id, ch.start, ch.chend - ch.start + 1 AS len,
-        |         CAST('0x' || substr(md5(substr(d.text, CAST(ch.start AS INTEGER),
-        |           CAST(ch.chend - ch.start + 1 AS INTEGER))), 1, 15) AS BIGINT) AS h
-        |  FROM ch JOIN docs d ON ch.id = d.id WHERE ch.chend >= ch.start),
+      s"""WITH ${cdcChunksCte("documents", "")},
         |m1 AS (SELECT h, MIN(id) AS f_id FROM chunks GROUP BY h),
         |m2 AS (SELECT c.h, m1.f_id, MIN(c.start) AS f_start
         |       FROM chunks c JOIN m1 ON c.h = m1.h AND c.id = m1.f_id
@@ -4525,6 +4577,68 @@ object LlmQueries {
         |SELECT c.source, c.n_docs, q50.p50, q90.p90, q99.p99
         |FROM c JOIN q50 USING (source) JOIN q90 USING (source) JOIN q99 USING (source)
         |ORDER BY source""".stripMargin,
+
+    "q226_cdc_store" ->
+      s"""WITH seeded AS (SELECT doc_id, CASE WHEN doc_id < 150 THEN '$ViralHeader' ELSE text END AS text FROM documents),
+         |b0 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 < 3),
+         |b1 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 = 3),
+         |b2 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 = 4),
+         |${cdcChunksCte("b0", "x")},
+         |${cdcChunksCte("b1", "y")},
+         |${cdcChunksCte("b2", "z")},
+         |d0 AS (SELECT DISTINCT h, len FROM xchunks),
+         |d1 AS (SELECT DISTINCT h, len FROM ychunks),
+         |d2 AS (SELECT DISTINCT h, len FROM zchunks),
+         |n1 AS (SELECT h, len FROM d1 ANTI JOIN d0 USING (h, len)),
+         |s1 AS (SELECT h, len FROM d0 UNION ALL SELECT h, len FROM n1),
+         |n2 AS (SELECT h, len FROM d2 ANTI JOIN s1 USING (h, len)),
+         |led AS (
+         |  SELECT 0 AS batch,
+         |         (SELECT COALESCE(SUM(len), 0) FROM xchunks) AS raw_chars,
+         |         (SELECT COUNT(*) FROM d0) AS n_new_chunks,
+         |         (SELECT COALESCE(SUM(len), 0) FROM d0) AS new_chars
+         |  UNION ALL
+         |  SELECT 1, (SELECT COALESCE(SUM(len), 0) FROM ychunks),
+         |         (SELECT COUNT(*) FROM n1), (SELECT COALESCE(SUM(len), 0) FROM n1)
+         |  UNION ALL
+         |  SELECT 2, (SELECT COALESCE(SUM(len), 0) FROM zchunks),
+         |         (SELECT COUNT(*) FROM n2), (SELECT COALESCE(SUM(len), 0) FROM n2)),
+         |c AS (SELECT batch, raw_chars, n_new_chunks, new_chars,
+         |        SUM(raw_chars) OVER (ORDER BY batch) AS cum_raw,
+         |        SUM(new_chars) OVER (ORDER BY batch) AS cum_stored
+         |      FROM led)
+         |SELECT CAST(batch AS INTEGER) AS batch,
+         |       CAST(raw_chars AS BIGINT) AS raw_chars,
+         |       CAST(n_new_chunks AS BIGINT) AS n_new_chunks,
+         |       CAST(new_chars AS BIGINT) AS new_chars,
+         |       CAST(cum_raw AS BIGINT) AS cum_raw,
+         |       CAST(cum_stored AS BIGINT) AS cum_stored,
+         |       CAST(CASE WHEN cum_raw > 0 THEN (cum_stored * 1048576) // cum_raw
+         |            ELSE 0 END AS BIGINT) AS stored_fp
+         |FROM c ORDER BY batch""".stripMargin,
+
+    "q225_robust_stats" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |flo AS (SELECT source, n_chars AS lo FROM r WHERE rn = (n * 10 + 99) // 100),
+        |fhi AS (SELECT source, n_chars AS hi FROM r WHERE rn = (n * 90 + 99) // 100),
+        |j AS (
+        |  SELECT d.source, d.n_chars, flo.lo, fhi.hi,
+        |         GREATEST(LEAST(d.n_chars, fhi.hi), flo.lo) AS w,
+        |         CASE WHEN d.n_chars >= flo.lo AND d.n_chars <= fhi.hi
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM documents d JOIN flo USING (source) JOIN fhi USING (source))
+        |SELECT source, COUNT(*) AS n, MIN(lo) AS lo, MIN(hi) AS hi,
+        |       CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS trim_sum,
+        |       CAST(SUM(w) AS BIGINT) AS wins_sum,
+        |       CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS DOUBLE)
+        |         / SUM(keep) AS trim_mean,
+        |       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS wins_mean
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "q135_hash_split" ->
       """WITH a AS (

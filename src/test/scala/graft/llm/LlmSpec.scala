@@ -607,6 +607,54 @@ class LlmSpec extends SparkSpec {
     assert(dup.exceptAll(got).count() == 0 && got.exceptAll(dup).count() == 0)
   }
 
+  test("cdc at-rest store: only new chunks stored, duplicate batch stores nothing, ledger adds up") {
+    val base = (1 to 40).map(i => s"sentence number $i with some filler words").mkString(" ")
+    val b0 = Seq((1L, base), (2L, "tiny")).toDF("doc_id", "text")
+    val b1 = Seq((3L, base)).toDF("doc_id", "text") // exact re-ingest of known content
+    val b2 = Seq((4L, base + " plus a brand new unique tail here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cdc_store_spec").toString
+    Dedup.cdcIngestAtRest(b0, "doc_id", "text", dir)
+    Dedup.cdcAppendAtRest(b1, "doc_id", "text", dir, batchId = 1)
+    Dedup.cdcAppendAtRest(b2, "doc_id", "text", dir, batchId = 2)
+    val led = Dedup.cdcStoreCensus(spark, dir).orderBy("batch").collect()
+    assert(led.length == 3)
+    // batch 0 fills an empty store: every distinct chunk is new
+    assert(led(0).getAs[Long]("n_new_chunks") > 0)
+    // batch 1 is content the store already holds: nothing stored
+    assert(led(1).getAs[Long]("n_new_chunks") == 0 &&
+      led(1).getAs[Long]("new_chars") == 0)
+    // batch 2 shares a long prefix: strictly less than its raw size stored
+    assert(led(2).getAs[Long]("new_chars") > 0 &&
+      led(2).getAs[Long]("new_chars") < led(2).getAs[Long]("raw_chars"))
+    // ledger algebra: cumulative columns are the running sums
+    assert(led(2).getAs[Long]("cum_raw") ==
+      led.map(_.getAs[Long]("raw_chars")).sum)
+    assert(led(2).getAs[Long]("cum_stored") ==
+      led.map(_.getAs[Long]("new_chars")).sum)
+    // the store holds exactly the union of new chunks
+    assert(spark.read.parquet(dir + "/chunks").count() ==
+      led.map(_.getAs[Long]("n_new_chunks")).sum)
+  }
+
+  test("robustGroupStats: hand-computed fences, trim drops the spike, winsor clamps it") {
+    // group g: 1..9 plus a 1000 spike; 10%-fences at nearest rank
+    // ⌈10·10/100⌉=1 → lo=1, ⌈90·10/100⌉=9 → hi=9
+    val df = ((1L to 9L).map(v => ("g", v)) :+ ("g", 1000L))
+      .toDF("grp", "v")
+    val r = TextAnalysis.robustGroupStats(df, "grp", "v", trimPct = 10)
+      .collect().head
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("lo") == 1L &&
+      r.getAs[Long]("hi") == 9L)
+    // trimmed: the 1000 spike is outside [1,9] → dropped
+    assert(r.getAs[Long]("n_kept") == 9 && r.getAs[Long]("trim_sum") == 45L)
+    assert(r.getAs[Double]("trim_mean") == 5.0)
+    // winsorized: the spike clamps to 9
+    assert(r.getAs[Long]("wins_sum") == 45L + 9L)
+    assert(r.getAs[Double]("wins_mean") == 5.4)
+    intercept[IllegalArgumentException](
+      TextAnalysis.robustGroupStats(df, "grp", "v", trimPct = 50))
+  }
+
   test("minhashRecallAudit: strict ⊆ loose per decile, exact copies fully recalled, refinement gate") {
     // graded prefixes of one base: same-length docs identical (j=1),
     // cross-length pairs share a prefix shingle run (graded jaccard)
