@@ -833,8 +833,13 @@ object Dedup {
       censusFrom(banded, maxBucket))
   }
 
-  private def minhashPairsFrom(agg: DataFrame, banded: DataFrame,
-                               threshold: Double, maxBucket: Int): DataFrame = {
+  /** Hub-capped candidate pairs of a banded frame — the pre-verify
+    * half of [[minhashPairsFrom]], standalone for consumers that need
+    * candidate MEMBERSHIP without the exact-Jaccard verify (the
+    * [[minhashRecallAudit]] strict side).
+    */
+  private def candidatePairsFrom(banded: DataFrame,
+                                 maxBucket: Int): DataFrame = {
     // over-cap buckets: tiny on any healthy corpus (usually empty) —
     // one map-side-partial aggregation over the banded rows that
     // carries the hub (min id) alongside the count, so the star
@@ -862,9 +867,12 @@ object Dedup {
     val star = banded.join(hot, Seq("band", "bkey"))
       .filter(col("id") =!= col("hub"))
       .select(col("hub").as("id_a"), col("id").as("id_b"))
-    val pairs = clique.unionByName(star).distinct()
+    clique.unionByName(star).distinct()
+  }
 
-    pairs
+  private def minhashPairsFrom(agg: DataFrame, banded: DataFrame,
+                               threshold: Double, maxBucket: Int): DataFrame = {
+    candidatePairsFrom(banded, maxBucket)
       .join(agg.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(agg.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -1003,8 +1011,12 @@ object Dedup {
     val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
     val loose = minhashPairsFrom(agg,
       bandedOf(agg, looseBands, numHashes / looseBands), minJaccard, maxBucket)
-    val strict = minhashPairsFrom(agg,
-      bandedOf(agg, strictBands, numHashes / strictBands), minJaccard, maxBucket)
+    // strict side: candidate MEMBERSHIP only — a strict candidate
+    // below the loose verify threshold has no loose row to match, so
+    // a second exact-Jaccard verify (two more shingle-set joins)
+    // would change nothing
+    val strict = candidatePairsFrom(
+      bandedOf(agg, strictBands, numHashes / strictBands), maxBucket)
       .select(col("id_a").as("s_a"), col("id_b").as("s_b"), lit(1).as("hit"))
     loose
       .join(strict, col("id_a") === col("s_a") && col("id_b") === col("s_b"),

@@ -5129,8 +5129,11 @@ object LlmQueries {
          |ORDER BY b.doc_id""".stripMargin,
 
     "q224_banding_scurve" -> {
-      // one hub-capped pair chain (the minhashPairsFrom replay) over a
-      // named banded relation; jaccard kept for the decile fold
+      // one hub-capped candidate chain (the candidatePairsFrom replay)
+      // over a named banded relation; the loose side adds the verify
+      // (jaccard kept for the decile fold), the strict side is
+      // membership-only — a strict candidate below the loose threshold
+      // has no loose row to match
       def chain(p: String, banded: String) =
         s"""${p}hot AS (SELECT band, bkey, MIN(doc_id) AS hub
            |  FROM $banded GROUP BY band, bkey HAVING COUNT(*) > 64),
@@ -5143,8 +5146,9 @@ object LlmQueries {
            |  UNION ALL
            |  SELECT h.hub AS id_a, r.doc_id AS id_b
            |  FROM $banded r JOIN ${p}hot h ON r.band = h.band AND r.bkey = h.bkey
-           |  WHERE r.doc_id <> h.hub)),
-           |${p}ver AS (
+           |  WHERE r.doc_id <> h.hub))""".stripMargin
+      def verify(p: String) =
+        s"""${p}ver AS (
            |  SELECT p.id_a, p.id_b,
            |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
            |           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
@@ -5164,13 +5168,14 @@ object LlmQueries {
         |             || CAST(sigs[CAST(b AS INTEGER) * 2 + 2] AS VARCHAR)) AS bkey
         |  FROM xsig CROSS JOIN range(0, 8) t(b)),
         |""".stripMargin +
-      chain("l", "lbanded") + ",\n" + chain("s", "xbanded") + "\n" +
+      chain("l", "lbanded") + ",\n" + verify("l") + ",\n" +
+      chain("s", "xbanded") + "\n" +
       """SELECT CAST(floor(l.jaccard * 10) AS INTEGER) AS decile,
         |       COUNT(*) AS n_loose_pairs,
         |       CAST(SUM(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_strict_found,
         |       CAST((SUM(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1048576)
         |         // COUNT(*) AS BIGINT) AS found_fp
-        |FROM lver l LEFT JOIN sver s ON l.id_a = s.id_a AND l.id_b = s.id_b
+        |FROM lver l LEFT JOIN spairs s ON l.id_a = s.id_a AND l.id_b = s.id_b
         |GROUP BY 1 ORDER BY decile""".stripMargin
     },
 
