@@ -917,10 +917,22 @@ object Dedup {
     */
   def cdcIngestAtRest(docs: DataFrame, idCol: String, textCol: String,
                       dir: String, k: Int = 16, d: Int = 64): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // establish empty store + params, then run batch 0 through the
     // SAME append body so ingest and append semantics cannot drift
+    cdcInitAtRest(docs.sparkSession, dir, k, d)
+    cdcAppendAtRest(docs, idCol, textCol, dir, batchId = 0)
+  }
+
+  /** Establish an EMPTY chunk store (params + zero-row tables) —
+    * standalone for stream-fed stores
+    * ([[graft.streaming.EventStream.cdcIngestStream]]) where every
+    * batch arrives through the append face and there is no "first"
+    * batch to fold into the init.
+    */
+  def cdcInitAtRest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    k: Int = 16, d: Int = 64): Unit = {
+    require(k > 0 && d > 0, s"k and d must be positive, got k=$k d=$d")
+    import spark.implicits._
     Seq.empty[(Long, Int)].toDF("h", "len")
       .write.mode("overwrite").parquet(dir + "/chunks")
     Seq((k, d)).toDF("k", "d")
@@ -928,7 +940,6 @@ object Dedup {
     Seq.empty[(Int, Long, Long, Long)]
       .toDF("batch", "raw_chars", "n_new_chunks", "new_chars")
       .write.mode("overwrite").parquet(dir + "/stats")
-    cdcAppendAtRest(docs, idCol, textCol, dir, batchId = 0)
   }
 
   /** Append one ingest batch to a [[cdcIngestAtRest]] store: chunk,

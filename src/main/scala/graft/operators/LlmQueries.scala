@@ -1882,6 +1882,43 @@ object LlmQueries {
     Dedup.cdcStoreCensus(s, atRest)
   }
 
+  /** q227 stream-fed CDC chunk store
+    * ([[graft.streaming.EventStream.cdcIngestStream]]): q226's three
+    * ingest batches delivered as structured-streaming MICRO-BATCHES
+    * through the foreachBatch append face into a fresh store — the
+    * census must match the SAME DuckDB replay as the batch-built
+    * store, bit for bit (chunk identity is content, so the streaming
+    * path has no per-batch blindness to excuse). The MemoryStream
+    * feed is the test harness (a production stream is Kafka/files);
+    * the timed read is the census, the stream runs once at ingest.
+    */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") < 150, lit(ViralHeader)).otherwise(col("text")))
+    val atRest = atRestDir(d, "graft_cdc_stream")
+    ingestOnce(atRest + "#cdcs#" + inputFingerprint(d + "/documents.parquet")) {
+      import s.implicits._
+      Dedup.cdcInitAtRest(s, atRest)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.EventStream.cdcIngestStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", atRest)
+      val batchConds = Seq(
+        pmod(col("doc_id"), lit(5)) < 3,   // micro-batch 0 = q226 batch 0
+        pmod(col("doc_id"), lit(5)) === 3, // micro-batch 1
+        pmod(col("doc_id"), lit(5)) === 4) // micro-batch 2
+      try {
+        for (cond <- batchConds) {
+          stream.addData(docs.filter(cond).as[(Long, String)].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    Dedup.cdcStoreCensus(s, atRest)
+  }
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2732,6 +2769,7 @@ object LlmQueries {
     "q224_banding_scurve" -> q224 _,
     "q225_robust_stats" -> q225 _,
     "q226_cdc_store" -> q226 _,
+    "q227_stream_cdc" -> q227 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -2761,6 +2799,51 @@ object LlmQueries {
        |         CAST('0x' || substr(md5(substr(d.text, CAST(ch.start AS INTEGER),
        |           CAST(ch.chend - ch.start + 1 AS INTEGER))), 1, 15) AS BIGINT) AS h
        |  FROM ${pre}ch ch JOIN ${pre}docs d ON ch.id = d.id WHERE ch.chend >= ch.start)""".stripMargin
+
+  /** The q226/q227 chunk-store ledger replay: the seeded three-batch
+    * split, all three chunk chains, the store-growth algebra (new =
+    * distinct chunks anti prior store), and the cumulative fixed-point
+    * ledger. Shared verbatim by the batch-built (q226) and stream-built
+    * (q227) stores - the streaming face must serve the identical census.
+    */
+  private lazy val cdcStoreOracle: String =
+    s"""WITH seeded AS (SELECT doc_id, CASE WHEN doc_id < 150 THEN '$ViralHeader' ELSE text END AS text FROM documents),
+         |b0 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 < 3),
+         |b1 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 = 3),
+         |b2 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 = 4),
+         |${cdcChunksCte("b0", "x")},
+         |${cdcChunksCte("b1", "y")},
+         |${cdcChunksCte("b2", "z")},
+         |d0 AS (SELECT DISTINCT h, len FROM xchunks),
+         |d1 AS (SELECT DISTINCT h, len FROM ychunks),
+         |d2 AS (SELECT DISTINCT h, len FROM zchunks),
+         |n1 AS (SELECT h, len FROM d1 ANTI JOIN d0 USING (h, len)),
+         |s1 AS (SELECT h, len FROM d0 UNION ALL SELECT h, len FROM n1),
+         |n2 AS (SELECT h, len FROM d2 ANTI JOIN s1 USING (h, len)),
+         |led AS (
+         |  SELECT 0 AS batch,
+         |         (SELECT COALESCE(SUM(len), 0) FROM xchunks) AS raw_chars,
+         |         (SELECT COUNT(*) FROM d0) AS n_new_chunks,
+         |         (SELECT COALESCE(SUM(len), 0) FROM d0) AS new_chars
+         |  UNION ALL
+         |  SELECT 1, (SELECT COALESCE(SUM(len), 0) FROM ychunks),
+         |         (SELECT COUNT(*) FROM n1), (SELECT COALESCE(SUM(len), 0) FROM n1)
+         |  UNION ALL
+         |  SELECT 2, (SELECT COALESCE(SUM(len), 0) FROM zchunks),
+         |         (SELECT COUNT(*) FROM n2), (SELECT COALESCE(SUM(len), 0) FROM n2)),
+         |c AS (SELECT batch, raw_chars, n_new_chunks, new_chars,
+         |        SUM(raw_chars) OVER (ORDER BY batch) AS cum_raw,
+         |        SUM(new_chars) OVER (ORDER BY batch) AS cum_stored
+         |      FROM led)
+         |SELECT CAST(batch AS INTEGER) AS batch,
+         |       CAST(raw_chars AS BIGINT) AS raw_chars,
+         |       CAST(n_new_chunks AS BIGINT) AS n_new_chunks,
+         |       CAST(new_chars AS BIGINT) AS new_chars,
+         |       CAST(cum_raw AS BIGINT) AS cum_raw,
+         |       CAST(cum_stored AS BIGINT) AS cum_stored,
+         |       CAST(CASE WHEN cum_raw > 0 THEN (cum_stored * 1048576) // cum_raw
+         |            ELSE 0 END AS BIGINT) AS stored_fp
+         |FROM c ORDER BY batch""".stripMargin
 
   /** Batched-BM25 replay over a corpus subset — the shared oracle body
     * for the at-rest postings-index queries (q217 append, q218
@@ -4578,44 +4661,10 @@ object LlmQueries {
         |FROM c JOIN q50 USING (source) JOIN q90 USING (source) JOIN q99 USING (source)
         |ORDER BY source""".stripMargin,
 
-    "q226_cdc_store" ->
-      s"""WITH seeded AS (SELECT doc_id, CASE WHEN doc_id < 150 THEN '$ViralHeader' ELSE text END AS text FROM documents),
-         |b0 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 < 3),
-         |b1 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 = 3),
-         |b2 AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 = 4),
-         |${cdcChunksCte("b0", "x")},
-         |${cdcChunksCte("b1", "y")},
-         |${cdcChunksCte("b2", "z")},
-         |d0 AS (SELECT DISTINCT h, len FROM xchunks),
-         |d1 AS (SELECT DISTINCT h, len FROM ychunks),
-         |d2 AS (SELECT DISTINCT h, len FROM zchunks),
-         |n1 AS (SELECT h, len FROM d1 ANTI JOIN d0 USING (h, len)),
-         |s1 AS (SELECT h, len FROM d0 UNION ALL SELECT h, len FROM n1),
-         |n2 AS (SELECT h, len FROM d2 ANTI JOIN s1 USING (h, len)),
-         |led AS (
-         |  SELECT 0 AS batch,
-         |         (SELECT COALESCE(SUM(len), 0) FROM xchunks) AS raw_chars,
-         |         (SELECT COUNT(*) FROM d0) AS n_new_chunks,
-         |         (SELECT COALESCE(SUM(len), 0) FROM d0) AS new_chars
-         |  UNION ALL
-         |  SELECT 1, (SELECT COALESCE(SUM(len), 0) FROM ychunks),
-         |         (SELECT COUNT(*) FROM n1), (SELECT COALESCE(SUM(len), 0) FROM n1)
-         |  UNION ALL
-         |  SELECT 2, (SELECT COALESCE(SUM(len), 0) FROM zchunks),
-         |         (SELECT COUNT(*) FROM n2), (SELECT COALESCE(SUM(len), 0) FROM n2)),
-         |c AS (SELECT batch, raw_chars, n_new_chunks, new_chars,
-         |        SUM(raw_chars) OVER (ORDER BY batch) AS cum_raw,
-         |        SUM(new_chars) OVER (ORDER BY batch) AS cum_stored
-         |      FROM led)
-         |SELECT CAST(batch AS INTEGER) AS batch,
-         |       CAST(raw_chars AS BIGINT) AS raw_chars,
-         |       CAST(n_new_chunks AS BIGINT) AS n_new_chunks,
-         |       CAST(new_chars AS BIGINT) AS new_chars,
-         |       CAST(cum_raw AS BIGINT) AS cum_raw,
-         |       CAST(cum_stored AS BIGINT) AS cum_stored,
-         |       CAST(CASE WHEN cum_raw > 0 THEN (cum_stored * 1048576) // cum_raw
-         |            ELSE 0 END AS BIGINT) AS stored_fp
-         |FROM c ORDER BY batch""".stripMargin,
+    "q226_cdc_store" -> cdcStoreOracle,
+    "q227_stream_cdc" -> cdcStoreOracle,
+
+
 
     "q225_robust_stats" ->
       """WITH r AS (

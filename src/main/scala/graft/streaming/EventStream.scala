@@ -372,6 +372,27 @@ object EventStream {
         coalesce(col("dup_earlier"), lit(0)).cast("int").as("dup_earlier"))
   }
 
+  /** Streaming face of the at-rest CDC chunk store — dedup-at-the-
+    * storage-layer as ingestion runs: each micro-batch flows through
+    * [[graft.llm.Dedup.cdcAppendAtRest]] (chunk once, batch-dedup,
+    * anti-join the store on the chunk hash, append only NEW chunks +
+    * one ledger row), so the store and its ledger are always current
+    * and history is never re-chunked. The caller establishes the
+    * store first ([[graft.llm.Dedup.cdcInitAtRest]]); micro-batch ids
+    * key the ledger. Unlike [[dedupBeforeIngestStream]] there is no
+    * per-batch blindness caveat — chunk identity is content, so
+    * within-batch and cross-batch duplicates dedupe identically to a
+    * one-shot ingest (q227 gates stream-built ≡ batch-replayed).
+    */
+  def cdcIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                      dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.llm.Dedup.cdcAppendAtRest(batch, idCol, textCol, dir,
+        batchId.toInt)
+      ()
+    }.start()
+
   /** File-source streaming reader with an explicit schema (streaming
     * requires one) — `readStream` over a parquet directory.
     */

@@ -283,4 +283,37 @@ class EventStreamSpec extends SparkSpec {
         (101L, 3L, 300000000L)))
     } finally q.stop()
   }
+
+  test("cdcIngestStream: stream-built chunk store ≡ batch-built (ledger and store bit-equal)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"sentence number $i with some filler words").mkString(" ")
+    val batches = Seq(
+      Seq((1L, base), (2L, "tiny")),
+      Seq((3L, base)), // content the store already holds
+      Seq((4L, base + " plus a brand new unique tail here")))
+    // stream-built store
+    val sDir = java.nio.file.Files.createTempDirectory("cdc_stream_store").toString
+    graft.llm.Dedup.cdcInitAtRest(spark, sDir)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.cdcIngestStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", sDir)
+    try {
+      for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch-built twin through the same append face
+    val bDir = java.nio.file.Files.createTempDirectory("cdc_batch_store").toString
+    graft.llm.Dedup.cdcInitAtRest(spark, bDir)
+    for ((b, i) <- batches.zipWithIndex)
+      graft.llm.Dedup.cdcAppendAtRest(b.toDF("doc_id", "text"),
+        "doc_id", "text", bDir, batchId = i)
+    def census(dir: String) =
+      graft.llm.Dedup.cdcStoreCensus(spark, dir).orderBy("batch")
+        .collect().map(_.toSeq).toSeq
+    assert(census(sDir) == census(bDir), "stream ledger diverged from batch ledger")
+    def store(dir: String) =
+      spark.read.parquet(dir + "/chunks").orderBy("h", "len")
+        .as[(Long, Int)].collect().toSeq
+    assert(store(sDir) == store(bDir), "stream store contents diverged")
+  }
 }
