@@ -19,24 +19,23 @@ object VecKernels {
     * reads 0.0 from a null slot) or NPE — neither is acceptable
     * under the fail-loud contract, so reject the row explicitly.
     */
-  private def requireNoNulls(a: ArrayData, name: String): Unit = {
-    var i = 0
-    val n = a.numElements()
-    while (i < n) {
-      if (a.isNullAt(i)) throw new IllegalArgumentException(
-        s"$name: null element at index $i — vector kernels require " +
-          "dense arrays (the fold this replaces would null-poison; " +
-          "filter or impute nulls upstream)")
-      i += 1
-    }
-  }
+  // checked IN the main loop of every kernel (one bit-test branch per
+  // element) rather than as a separate pre-scan — a full extra pass
+  // over both arrays would roughly double the memory traffic of the
+  // hottest kernels (Lloyd / PQ assignment / ADC call these once per
+  // (vector, centroid) pair)
+  private def nullElem(name: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: null element at index $i — vector kernels require " +
+        "dense arrays (the fold this replaces would null-poison; " +
+        "filter or impute nulls upstream)")
 
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    requireNoNulls(a, "vec_dot"); requireNoNulls(b, "vec_dot")
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("vec_dot", i)
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -139,11 +138,11 @@ object VecKernels {
     // a null slot, which would silently shift the distance.
     require(a.numElements() == b.numElements(),
       s"vec_sqdist: length mismatch ${a.numElements()} vs ${b.numElements()}")
-    requireNoNulls(a, "vec_sqdist"); requireNoNulls(b, "vec_sqdist")
     val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("vec_sqdist", i)
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       val d = x - y
@@ -162,8 +161,9 @@ object VecKernels {
     */
   def jlProject(a: ArrayData, r: Int, aFloat: Boolean): ArrayData = {
     require(r > 0, s"vec_jl_project: r must be positive, got $r")
-    requireNoNulls(a, "vec_jl_project")
     val n = a.numElements()
+    var c = 0
+    while (c < n) { if (a.isNullAt(c)) nullElem("vec_jl_project", c); c += 1 }
     val out = new Array[Double](r)
     var j = 0
     while (j < r) {
@@ -186,8 +186,9 @@ object VecKernels {
     * `Similarity.bucketFoldCol` exactly (bit-equal buckets).
     */
   def lshBucket(a: ArrayData, planes: Int, aFloat: Boolean): Long = {
-    requireNoNulls(a, "vec_lsh_bucket")
     val n = a.numElements()
+    var c = 0
+    while (c < n) { if (a.isNullAt(c)) nullElem("vec_lsh_bucket", c); c += 1 }
     var bucket = 0L
     var j = 0
     while (j < planes) {

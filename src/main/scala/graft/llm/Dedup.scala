@@ -933,13 +933,26 @@ object Dedup {
                     k: Int = 16, d: Int = 64): Unit = {
     require(k > 0 && d > 0, s"k and d must be positive, got k=$k d=$d")
     import spark.implicits._
-    Seq.empty[(Long, Int)].toDF("h", "len")
-      .write.mode("overwrite").parquet(dir + "/chunks")
+    // chunks/stats are batch-partitioned and materialize on first
+    // append (an EMPTY partitioned write leaves no data file to infer
+    // a schema from, so "empty" here means "absent" — the readers
+    // below existence-check); init just clears any prior store
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (t <- Seq("/chunks", "/stats")) {
+      val pth = new org.apache.hadoop.fs.Path(dir + t)
+      val fs = pth.getFileSystem(conf)
+      if (fs.exists(pth))
+        require(fs.delete(pth, true), s"cdcInitAtRest: could not clear $pth")
+    }
     Seq((k, d)).toDF("k", "d")
       .write.mode("overwrite").parquet(dir + "/params")
-    Seq.empty[(Int, Long, Long, Long)]
-      .toDF("batch", "raw_chars", "n_new_chunks", "new_chars")
-      .write.mode("overwrite").parquet(dir + "/stats")
+  }
+
+  private def cdcTableIfExists(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Option[DataFrame] = {
+    val pth = new org.apache.hadoop.fs.Path(path)
+    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pth)) Some(spark.read.parquet(path)) else None
   }
 
   /** Append one ingest batch to a [[cdcIngestAtRest]] store: chunk,
@@ -956,18 +969,33 @@ object Dedup {
     val (k, d) = (row.getAs[Int]("k"), row.getAs[Int]("d"))
     // one chunker pass feeds the raw-chars ledger AND the store delta
     val rows = cdcChunkRows(newDocs, idCol, textCol, k, d).localCheckpoint()
-    val fresh = rows.select("h", "len").distinct()
-      .join(spark.read.parquet(dir + "/chunks"), Seq("h", "len"), "left_anti")
+    // REPLAY-SAFE under foreachBatch's at-least-once contract: both
+    // tables are partitioned by batch and written with dynamic
+    // partition overwrite, and the freshness anti-join excludes the
+    // CURRENT batch's own partition — so a re-run of the same
+    // (batch, data) recomputes the identical delta from the identical
+    // store view and overwrites exactly its own partitions. A crash
+    // mid-write leaves at worst a partial partition that the re-run
+    // replaces wholesale; the ledger can never double-count a batch.
+    val batchChunks = rows.select("h", "len").distinct()
+    val fresh = cdcTableIfExists(spark, dir + "/chunks")
+      .map(store => batchChunks.join(
+        store.filter(col("batch") =!= batchId).select("h", "len"),
+        Seq("h", "len"), "left_anti"))
+      .getOrElse(batchChunks)
       .localCheckpoint() // materialize BEFORE writing into the read path
-    fresh.write.mode("append").parquet(dir + "/chunks")
+    fresh.withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(dir + "/chunks")
     rows.agg(
         coalesce(sum(col("len").cast("long")), lit(0L)).as("raw_chars"))
       .crossJoin(fresh.agg(
         count(lit(1)).as("n_new_chunks"),
         coalesce(sum(col("len").cast("long")), lit(0L)).as("new_chars")))
-      .select(lit(batchId).as("batch"), col("raw_chars"),
-        col("n_new_chunks"), col("new_chars"))
-      .write.mode("append").parquet(dir + "/stats")
+      .select(col("raw_chars"), col("n_new_chunks"), col("new_chars"),
+        lit(batchId).as("batch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(dir + "/stats")
   }
 
   /** The store's ledger: per ingest batch, raw chars in vs new chunks
@@ -980,7 +1008,10 @@ object Dedup {
                      dir: String): DataFrame = {
     val w = Window.orderBy("batch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spark.read.parquet(dir + "/stats")
+    cdcTableIfExists(spark, dir + "/stats").getOrElse(
+      throw new IllegalArgumentException(
+        s"cdcStoreCensus: $dir has no ledger — the store is empty " +
+          "(no batch has been appended since init)"))
       .withColumn("cum_raw", sum("raw_chars").over(w))
       .withColumn("cum_stored", sum("new_chars").over(w))
       .withColumn("stored_fp",
@@ -1956,14 +1987,7 @@ object Dedup {
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 16, d: Int = 64): DataFrame = {
     require(k > 0 && d > 0, s"k and d must be positive, got k=$k d=$d")
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val rows = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .repartition(col("id"))
-      .select(col("id"),
-        explode(call_function("cdc_chunks", col("t"), lit(k), lit(d))).as("c"))
-      .select(col("id"), col("c.start").as("start"), col("c.len").as("len"),
-        col("c.h").as("h"))
+    val rows = cdcChunkRows(df, idCol, textCol, k, d)
     val firsts = rows.groupBy("h")
       .agg(min(struct(col("id"), col("start"))).as("f"))
       .select(col("h"), col("f.id").as("f_id"), col("f.start").as("f_start"))

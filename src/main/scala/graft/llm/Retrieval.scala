@@ -358,8 +358,14 @@ object Retrieval {
     * fold the stats deltas into a single row net of tombstones, and
     * truncate the tombstone set. Pure layout maintenance: a probe
     * before and after compaction is bit-identical (q218 gates this).
-    * Staged through `<table>_new` dirs so a crash mid-compact leaves
-    * the live tables readable.
+    * Staged through `<table>_new` dirs with a two-rename swap
+    * (live → `_old`, new → live, delete `_old`): no step destroys
+    * data before its replacement is in place, so a crash at any
+    * point leaves a complete copy of the table on disk (worst case
+    * the live path is momentarily absent with both `_old` and `_new`
+    * present — recover by renaming either back). Every FS call is
+    * checked; Hadoop-FS rename has no atomic-swap primitive to do
+    * better with.
     */
   def bm25CompactAtRest(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
@@ -370,10 +376,14 @@ object Retrieval {
     def swap(table: String)(write: String => Unit): Unit = {
       val live = new org.apache.hadoop.fs.Path(dir + "/" + table)
       val next = new org.apache.hadoop.fs.Path(dir + "/" + table + "_new")
+      val old = new org.apache.hadoop.fs.Path(dir + "/" + table + "_old")
       val fs = live.getFileSystem(conf)
+      if (fs.exists(old)) // debris from a crashed compact — clear it
+        require(fs.delete(old, true), s"compact: could not clear stale $old")
       write(next.toString)
-      fs.delete(live, true)
-      require(fs.rename(next, live), s"compact rename failed for $table")
+      require(fs.rename(live, old), s"compact: could not retire $live")
+      require(fs.rename(next, live), s"compact: could not promote $next")
+      require(fs.delete(old, true), s"compact: could not drop $old")
     }
     swap("postings") { out =>
       spark.read.parquet(dir + "/postings")

@@ -1444,11 +1444,17 @@ object Similarity {
     * table; each vector carries exactly `m` code rows, so count/m is
     * the vector census with no distinct.
     */
-  def ivfPqCellCensus(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      m: Int = 4): DataFrame =
+  def ivfPqCellCensus(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    // m comes from the stored model, never the caller (ADVICE-style
+    // gate: a mismatched m would silently SCALE every count — the
+    // sibling append/rebalance faces validate theirs the same way)
+    val m = spark.read.parquet(dir + "/pq_model")
+      .select(size(col("centsBySub"))).head().getInt(0)
     spark.read.parquet(dir + "/codes")
       .groupBy("cell")
       .agg((count(lit(1)) / m).cast("long").as("n_vecs"))
+  }
 
   /** REBALANCE an at-rest IVF-PQ index whose appended cells drifted
     * over `maxCell` vectors — the ANN twin of
@@ -1477,9 +1483,9 @@ object Similarity {
     * class is the last one, the threshold steps down one class so
     * the old cell keeps the tail. Distance classes move ATOMICALLY
     * through any threshold, so when the median class alone exceeds
-    * the cap — drift far outside the training range quantizes to a
-    * single code word — no geometric threshold can bound the cell;
-    * it takes the deterministic id-midpoint split instead
+    * the cap, no geometric threshold can bound the cell; a
+    * MULTI-class cell in that state takes the deterministic
+    * id-midpoint split instead
     * ((min+max)/2, both halves provably non-empty): near
     * routing-neutral (the halves' decoded means stay close or
     * identical) but it bounds partition size — the
@@ -1491,11 +1497,13 @@ object Similarity {
     * aggregate, never a per-member rank window over the hot cell.
     * New routing centroids are the groups' decoded means, exact in
     * ⌊x·2²⁰⌋ fixed point over the code histogram (aggregation-order
-    * proof). A cell whose members all share one code word is
-    * DEGENERATE in decode space (every pairwise distance 0): it
-    * cannot be split under frozen codebooks and is left intact —
-    * the census reports it honestly; only a re-ingest (retrain)
-    * separates such a pile.
+    * proof). A cell whose members ALL decode to one point (single
+    * d_v class — e.g. drift so far outside the training range that
+    * everything quantizes to one code word) is DEGENERATE: any split
+    * would mint twin cells with bit-identical routing centroids,
+    * which a small-nprobe read can tie-break apart (silent recall
+    * loss), so it is left INTACT — the census keeps reporting it
+    * over-cap; only a re-ingest (retrain) separates such a pile.
     *
     * Scale shape: the census aggregation is map-side partial; per
     * hot cell, the driver work is one code HISTOGRAM (≤ m·k rows)
@@ -1600,6 +1608,19 @@ object Similarity {
       // old cell keeps a non-empty tail (a below-class exists there:
       // medCnt ≤ cap < nMem forces ≥ 2 classes).
       val medCnt = hist.find(_._1 == dmed.get).get._2
+      // A single-class histogram means every member decodes to one
+      // point (all pairwise decode distances 0): the scaladoc's
+      // DEGENERATE case. An id-midpoint split here would mint two
+      // cells with BIT-IDENTICAL routing centroids, and a read with
+      // nprobe below the twin count can tie-break one twin out —
+      // silently losing its members. Leave the cell intact (the
+      // census keeps reporting it over-cap); only a retraining
+      // re-ingest separates such a pile. The id-midpoint branch
+      // below remains for MULTI-class cells whose fat median class
+      // alone exceeds the cap — there the halves' code mixes differ,
+      // so their centroids do too.
+      if (hist.length <= 1) ()
+      else {
       val threshold =
         if (medCnt > maxCell) None
         else if (dmed.contains(hist.last._1)) prev
@@ -1637,6 +1658,7 @@ object Similarity {
         coarse = coarse.updated(hc, meanOf(hc)) :+ meanOf(nextCell)
         rewritten = rewritten :+ grouped
         nextCell += 1
+      }
       }
     }
     if (rewritten.nonEmpty) {

@@ -988,6 +988,19 @@ object TextAnalysis {
                        trimPct: Int = 10): DataFrame = {
     require(trimPct > 0 && trimPct < 50,
       s"trimPct must be in (0, 50), got $trimPct")
+    // integral values only: the exact-integer-sum contract is the
+    // whole point, and silently flooring a DoubleType column into the
+    // long sums (while fencing on the exact values) would bias both
+    // means with no error — fail loud at the API boundary instead;
+    // fixed-point-scale fractional columns upstream (the q98 pattern)
+    val vt = df.schema(valueCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vt),
+      s"robustGroupStats: $valueCol is $vt — integral columns only " +
+        "(scale fractional values to fixed point first)")
     val fences = groupedQuantiles(df.select(col(groupCol), col(valueCol)),
         groupCol, valueCol,
         Seq(("lo", trimPct), ("hi", 100 - trimPct)))

@@ -6183,9 +6183,11 @@ object LlmQueries {
            |  LEFT JOIN pmax$n p ON m0.cell = p.cell),
            |imid$n AS MATERIALIZED (SELECT cell,
            |    (MIN(vec_id) + MAX(vec_id)) // 2 AS imid FROM mem$n GROUP BY cell),
+           |deg$n AS MATERIALIZED (SELECT cell FROM hist$n
+           |  GROUP BY cell HAVING COUNT(*) <= 1),
            |splitc$n AS MATERIALIZED (SELECT cell,
            |    $newBase + ROW_NUMBER() OVER (ORDER BY cell) - 1 AS new_cell
-           |  FROM hot$n),
+           |  FROM hot$n WHERE cell NOT IN (SELECT cell FROM deg$n)),
            |post$n AS MATERIALIZED (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM $src
            |         WHERE cell NOT IN (SELECT cell FROM splitc$n)
            |         UNION ALL

@@ -292,12 +292,18 @@ class RasterTileReaderFactory(w: Int, h: Int, ts: Int, ndv: Double,
       private var done = false
       override def next(): Boolean = { val r = !done; done = true; r }
       override def get(): InternalRow = {
-        val vals = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-          Array.tabulate(ts * ts) { off =>
-            val (px, py) = (t.tx * ts + off % ts, t.ty * ts + off / ts)
-            if (px < w && py < h) RasterSource.value(px, py, ndv) else ndv
-          })
-        val bytes = graft.functions.VecKernels.tilePack(vals, dtype)
+        // payload construction only when the pruned schema asks for
+        // it: a tx/ty-only projection or a count() must not pay the
+        // ts×ts synthesis + pack per tile (column pruning otherwise
+        // saves row width but none of the compute)
+        lazy val bytes = {
+          val vals = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            Array.tabulate(ts * ts) { off =>
+              val (px, py) = (t.tx * ts + off % ts, t.ty * ts + off / ts)
+              if (px < w && py < h) RasterSource.value(px, py, ndv) else ndv
+            })
+          graft.functions.VecKernels.tilePack(vals, dtype)
+        }
         InternalRow.fromSeq(cols.toSeq.map {
           case "rid" => 0
           case "band" => 1

@@ -305,10 +305,26 @@ object EventStream {
     * are NOT flagged, the exact per-ingest-batch blindness the
     * at-rest family documents on [[graft.llm.Dedup.lshAppendAtRest]].
     *
-    * Returns the started query; flagged rows (id, batch id,
-    * dup_earlier) append to `outPath` as parquet. The caller seeds
-    * the index (lshIngestAtRest) before starting the stream — batch
-    * ids from the stream begin after that seed.
+    * Returns the started query; flagged rows (id, dup_earlier)
+    * land in `outPath` as parquet PARTITIONED BY the micro-batch id.
+    * The caller seeds the index (lshIngestAtRest) before starting
+    * the stream — batch ids from the stream begin after that seed.
+    *
+    * REPLAY SAFETY (foreachBatch is at-least-once): a re-run of a
+    * micro-batch after a crash/restart must not self-flag or
+    * double-ingest. Three guards make the sink idempotent:
+    *  1. the probe anti-joins the batch's OWN ids out of the base
+    *     side, so a replay whose rows already rest in the index
+    *     cannot verify a row against itself or a same-batch partner
+    *     (preserving the documented same-batch blindness);
+    *  2. the append ingests only ids NOT already in the shingle
+    *     store (written LAST by the append face, so it is the
+    *     completion marker — a crash mid-append can leave duplicate
+    *     BUCKET rows for the batch, which probes tolerate by
+    *     candidate-distinct, but never double-counted shingles);
+    *  3. flags overwrite their own batch partition (dynamic
+    *     partition overwrite), so replayed output replaces any
+    *     partial first attempt instead of appending next to it.
     */
   def dedupBeforeIngestStream(stream: DataFrame, idCol: String,
                               textCol: String, dir: String, outPath: String,
@@ -316,21 +332,47 @@ object EventStream {
                               threshold: Double = 0.5, shingleLen: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val b = batch.localCheckpoint() // probe + append + emit: one evaluation
-      val dups = graft.llm.Dedup.lshProbeAtRest(spark, dir, b, idCol, textCol,
-          numHashes, bands, threshold, shingleLen)
-        .select(col("new_id").as(idCol)).distinct()
-        .withColumn("dup_earlier", lit(1))
-      val flagged = b.select(col(idCol).cast("long").as(idCol))
-        .join(dups, Seq(idCol), "left")
-        .select(col(idCol), lit(batchId).as("batch"),
-          coalesce(col("dup_earlier"), lit(0)).cast("int").as("dup_earlier"))
-      graft.llm.Dedup.lshAppendAtRest(b, idCol, textCol, dir,
-        numHashes, bands, shingleLen)
-      flagged.write.mode("append").parquet(outPath)
-      ()
+      dedupIngestStep(batch, batchId, idCol, textCol, dir, outPath,
+        numHashes, bands, threshold, shingleLen)
     }.start()
+
+  /** One probe→flag→append→emit cycle of [[dedupBeforeIngestStream]],
+    * package-visible so the replay guards are directly testable
+    * (EventStreamSpec re-runs a committed batch and asserts nothing
+    * changes — foreachBatch gives at-least-once, not exactly-once).
+    */
+  private[graft] def dedupIngestStep(batch: DataFrame, batchId: Long,
+                                     idCol: String, textCol: String,
+                                     dir: String, outPath: String,
+                                     numHashes: Int = 16, bands: Int = 4,
+                                     threshold: Double = 0.5,
+                                     shingleLen: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint() // probe + append + emit: one evaluation
+    val ownIds = b.select(col(idCol).cast("long").as("base_id"))
+    val dups = graft.llm.Dedup.lshProbeAtRest(spark, dir, b, idCol, textCol,
+        numHashes, bands, threshold, shingleLen)
+      .join(ownIds, Seq("base_id"), "left_anti") // replay guard 1
+      .select(col("new_id").as(idCol)).distinct()
+      .withColumn("dup_earlier", lit(1))
+    val flagged = b.select(col(idCol).cast("long").as(idCol))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dup_earlier"), lit(0)).cast("int").as("dup_earlier"),
+        lit(batchId).as("batch"))
+      .localCheckpoint() // fix the flags BEFORE the index mutates
+    val freshRows = b.join( // replay guard 2
+        spark.read.parquet(dir + "/shingles")
+          .select(col("id").cast("long").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    graft.llm.Dedup.lshAppendAtRest(freshRows, idCol, textCol, dir,
+      numHashes, bands, shingleLen)
+    flagged.write.mode("overwrite") // replay guard 3
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(outPath)
+    ()
+  }
 
   /** BATCH twin of [[dedupBeforeIngestStream]] — one relational
     * definition of the same flags, gated by the q212 oracle: given

@@ -312,8 +312,40 @@ class EventStreamSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     assert(census(sDir) == census(bDir), "stream ledger diverged from batch ledger")
     def store(dir: String) =
-      spark.read.parquet(dir + "/chunks").orderBy("h", "len")
-        .as[(Long, Int)].collect().toSeq
+      spark.read.parquet(dir + "/chunks").select("h", "len")
+        .orderBy("h", "len").as[(Long, Int)].collect().toSeq
     assert(store(sDir) == store(bDir), "stream store contents diverged")
+    // at-least-once replay: re-running a committed batch overwrites
+    // its own partitions and changes NOTHING (ledger cannot
+    // double-count, the store gains no rows)
+    graft.llm.Dedup.cdcAppendAtRest(batches(1).toDF("doc_id", "text"),
+      "doc_id", "text", bDir, batchId = 1)
+    assert(census(bDir) == census(sDir), "replayed batch changed the ledger")
+    assert(store(bDir) == store(sDir), "replayed batch changed the store")
+  }
+
+  test("dedupBeforeIngest replay: re-running a committed micro-batch changes nothing") {
+    import spark.implicits._
+    val normalA = "the quick brown fox jumps over the lazy dog again and again"
+    val normalC = "unrelated musing on catalyst plans and broadcast joins at scale"
+    val seed = Seq((1L, normalA), (2L, normalC)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("replay_dedup_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("replay_dedup_out").toString + "/flags"
+    graft.llm.Dedup.lshIngestAtRest(seed, "doc_id", "text", dir)
+    val batch = Seq((11L, normalA), (12L, normalA), (13L, "something else entirely new"))
+      .toDF("doc_id", "text")
+    def state() = (
+      spark.read.parquet(out).select("doc_id", "dup_earlier")
+        .orderBy("doc_id").as[(Long, Int)].collect().toSeq,
+      spark.read.parquet(dir + "/shingles").count(),
+      spark.read.parquet(dir + "/buckets").count())
+    EventStream.dedupIngestStep(batch, 0L, "doc_id", "text", dir, out)
+    val first = state()
+    // 11 and 12 dup the seed; their same-batch pairing stays unflagged
+    assert(first._1 == Seq((11L, 1), (12L, 1), (13L, 0)), s"got ${first._1}")
+    // the replay: rows already rest in the index — guards must hold
+    // flags (no self-verify), shingles (no re-ingest), and output
+    EventStream.dedupIngestStep(batch, 0L, "doc_id", "text", dir, out)
+    assert(state() == first, s"replay drifted: ${state()} vs $first")
   }
 }
