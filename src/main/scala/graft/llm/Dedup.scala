@@ -948,8 +948,8 @@ object Dedup {
       .write.mode("overwrite").parquet(dir + "/params")
   }
 
-  private def cdcTableIfExists(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Option[DataFrame] = {
+  private[llm] def tableIfExists(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Option[DataFrame] = {
     val pth = new org.apache.hadoop.fs.Path(path)
     val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(pth)) Some(spark.read.parquet(path)) else None
@@ -978,7 +978,7 @@ object Dedup {
     // mid-write leaves at worst a partial partition that the re-run
     // replaces wholesale; the ledger can never double-count a batch.
     val batchChunks = rows.select("h", "len").distinct()
-    val fresh = cdcTableIfExists(spark, dir + "/chunks")
+    val fresh = tableIfExists(spark, dir + "/chunks")
       .map(store => batchChunks.join(
         store.filter(col("batch") =!= batchId).select("h", "len"),
         Seq("h", "len"), "left_anti"))
@@ -1008,7 +1008,7 @@ object Dedup {
                      dir: String): DataFrame = {
     val w = Window.orderBy("batch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cdcTableIfExists(spark, dir + "/stats").getOrElse(
+    tableIfExists(spark, dir + "/stats").getOrElse(
       throw new IllegalArgumentException(
         s"cdcStoreCensus: $dir has no ledger — the store is empty " +
           "(no batch has been appended since init)"))
@@ -1238,8 +1238,15 @@ object Dedup {
     lshParamsCheck(spark, dir, numHashes, bands, shingleLen)
     val agg = signatureAgg(newDf, idCol, textCol, numHashes, shingleLen)
     val banded = bandedOf(agg, bands, numHashes / bands)
-    val idx = spark.read.parquet(dir + "/buckets")
-    val baseSh = spark.read.parquet(dir + "/shingles")
+    // takedown mask ([[lshDeleteAtRest]]): tombstoned base ids are
+    // invisible to probes — both the bucket rows and the shingle
+    // store anti-join the (small, broadcastable) tombstone set
+    val tombIds = tableIfExists(spark, dir + "/tombstones")
+      .map(t => broadcast(t.select("id")))
+    def mask(df: DataFrame): DataFrame =
+      tombIds.map(t => df.join(t, Seq("id"), "left_anti")).getOrElse(df)
+    val idx = mask(spark.read.parquet(dir + "/buckets"))
+    val baseSh = mask(spark.read.parquet(dir + "/shingles"))
     val cand = banded.select(col("band"), col("bkey"), col("id").as("new_id"))
       .join(idx.select(col("band"), col("bkey"), col("id").as("base_id")),
         Seq("band", "bkey"))
@@ -1290,11 +1297,53 @@ object Dedup {
     * hub cap is read from the stored params (the ingest-time
     * contract), validated like every other read of the artifact.
     */
+  /** Logical DELETE from the at-rest LSH index — the takedown path
+    * (the [[graft.llm.Retrieval.bm25DeleteAtRest]] contract for the
+    * near-dup family): ids land in a tombstone set that
+    * [[lshProbeAtRest]] masks out of both the bucket and shingle
+    * reads; [[lshCompactAtRest]] physically purges them. Honest
+    * recall caveat, mirrored by the oracle: a tombstoned doc that
+    * was serving as a hot bucket's HUB leaves that bucket without
+    * its stored representative, so probes lose the hub-capped
+    * candidates it carried until the next compact-after-append or
+    * re-ingest — deletion under hub reduction trades a sliver of
+    * recall, exactly like every LSH face here. Re-deleting an id is
+    * a no-op (anti-join guard, the bm25 pattern).
+    */
+  def lshDeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val existing = tableIfExists(spark, dir + "/tombstones")
+    val base = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val fresh = existing.map(t => base.join(t, Seq("id"), "left_anti"))
+      .getOrElse(base)
+      .localCheckpoint() // materialize before appending into the read path
+    fresh.write.mode("append").parquet(dir + "/tombstones")
+  }
+
   def lshCompactAtRest(spark: org.apache.spark.sql.SparkSession, dir: String,
                        numHashes: Int = 16, bands: Int = 4,
                        shingleLen: Int = 3): Unit = {
     val mb = lshParamsCheck(spark, dir, numHashes, bands, shingleLen)
-    val buckets = spark.read.parquet(dir + "/buckets")
+    // physical takedown purge: compaction drops tombstoned rows from
+    // BOTH tables (the only face that rewrites them), then clears
+    // the tombstone set
+    val tomb = tableIfExists(spark, dir + "/tombstones")
+      .map(_.select("id").localCheckpoint())
+    def purged(df: DataFrame): DataFrame =
+      tomb.map(t => df.join(broadcast(t), Seq("id"), "left_anti")).getOrElse(df)
+    tomb.filter(_.head(1).nonEmpty).foreach { _ =>
+      val sh = purged(spark.read.parquet(dir + "/shingles")).localCheckpoint()
+      sh.write.mode("overwrite").parquet(dir + "/shingles_compacting")
+      val conf0 = spark.sparkContext.hadoopConfiguration
+      val shTmp = new org.apache.hadoop.fs.Path(dir + "/shingles_compacting")
+      val shDst = new org.apache.hadoop.fs.Path(dir + "/shingles")
+      val shFs = shTmp.getFileSystem(conf0)
+      require(shFs.delete(shDst, true),
+        s"lshCompactAtRest: could not remove $shDst")
+      require(shFs.rename(shTmp, shDst),
+        s"lshCompactAtRest: could not swap $shTmp into place")
+    }
+    val buckets = purged(spark.read.parquet(dir + "/buckets"))
     val hot = buckets.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bn"), min(col("id")).as("hub"))
       .filter(col("bn") > mb)
@@ -1312,6 +1361,11 @@ object Dedup {
     require(fs.delete(dst, true), s"lshCompactAtRest: could not remove $dst")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
       s"lshCompactAtRest: could not swap $tmp into place")
+    tomb.foreach { _ =>
+      val tPath = new org.apache.hadoop.fs.Path(dir + "/tombstones")
+      fs.delete(tPath, true) // purged physically — the mask set is spent
+      ()
+    }
   }
 
   /** Paragraph-level duplication stats — the RefinedWeb/Dolma

@@ -1695,7 +1695,13 @@ object Similarity {
     val FP = 1048576.0
     val cModel = spark.read.parquet(dir + "/coarse_model")
     val pModel = spark.read.parquet(dir + "/pq_model")
-    val codes = spark.read.parquet(dir + "/codes")
+    // takedown mask ([[ivfPqDeleteAtRest]]): tombstoned vector ids
+    // are invisible to searches until [[ivfPqPurgeAtRest]] rewrites
+    // their partitions
+    val codes0 = spark.read.parquet(dir + "/codes")
+    val codes = graft.llm.Dedup.tableIfExists(spark, dir + "/tombstones")
+      .map(t => codes0.join(broadcast(t.select("id")), Seq("id"), "left_anti"))
+      .getOrElse(codes0)
     val qCellDist = pqLut(queries, cModel, 1)
       .select(col("qid"), col("c").as("cell"), col("d_fp").as("cd_fp"))
     val wR = Window.partitionBy("qid").orderBy(col("cd_fp"), col("cell"))
@@ -1719,6 +1725,72 @@ object Similarity {
       .select(col("qid"), col("id").as("vec_id"), col("adc_fp"),
         (col("adc_fp").cast("double") / FP).as("adc"), col("rank"),
         col("n_cand"))
+  }
+
+  /** Logical DELETE from the at-rest IVF-PQ index — the vector
+    * takedown path, completing right-to-be-forgotten across the
+    * at-rest family (BM25 [[graft.llm.Retrieval.bm25DeleteAtRest]],
+    * LSH [[graft.llm.Dedup.lshDeleteAtRest]]): ids land in a
+    * tombstone set that [[ivfPqTopKAtRest]] masks out of the code
+    * scan (one broadcast anti-join — n_cand and every ranking see
+    * only survivors); [[ivfPqPurgeAtRest]] physically rewrites the
+    * affected cell partitions. Coarse centroids are NOT recomputed —
+    * routing is an approximation trained on history, exactly the
+    * frozen-codebook drift contract of [[ivfPqAppend]]. Re-deleting
+    * an id is a no-op.
+    */
+  def ivfPqDeleteAtRest(ids: DataFrame, dir: String,
+                        idCol: String = "vec_id"): Unit = {
+    val spark = ids.sparkSession
+    val existing = graft.llm.Dedup.tableIfExists(spark, dir + "/tombstones")
+    val base = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val fresh = existing.map(t => base.join(t, Seq("id"), "left_anti"))
+      .getOrElse(base)
+      .localCheckpoint() // materialize before appending into the read path
+    fresh.write.mode("append").parquet(dir + "/tombstones")
+  }
+
+  /** Physical PURGE of tombstoned vectors: only the cell partitions
+    * that actually hold tombstoned ids are rewritten (dynamic
+    * partition overwrite — untouched cells keep their files), then
+    * the tombstone set is cleared. Search results are identical
+    * before and after (the mask already hid the rows); this is
+    * storage reclamation and scan-cost repair, not semantics.
+    */
+  def ivfPqPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    graft.llm.Dedup.tableIfExists(spark, dir + "/tombstones").foreach { t =>
+      val tomb = t.select("id").localCheckpoint()
+      if (tomb.head(1).nonEmpty) {
+        val codes = spark.read.parquet(dir + "/codes")
+        val touched = codes.join(broadcast(tomb), Seq("id"))
+          .select("cell").distinct().localCheckpoint()
+        val survivors = codes.join(touched, Seq("cell")) // affected partitions only
+          .join(broadcast(tomb), Seq("id"), "left_anti")
+          .select("id", "sub", "c", "cell")
+          .localCheckpoint() // materialize BEFORE overwriting the source
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(dir + "/codes")
+        // a cell whose EVERY member was tombstoned contributes no
+        // surviving rows, so dynamic overwrite never touches its
+        // partition — drop those directories explicitly
+        val emptied = touched.join(survivors.select("cell").distinct(),
+            Seq("cell"), "left_anti")
+          .collect().map(_.getInt(0)) // ≤ #cells — model-sized
+        if (emptied.nonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(dir + "/codes")
+          val cfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          emptied.foreach { c =>
+            cfs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true)
+          }
+        }
+      }
+      val pth = new org.apache.hadoop.fs.Path(dir + "/tombstones")
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pth, true)
+      ()
+    }
   }
 
   /** Contrastive triplet mining — per anchor vector, the HARDEST

@@ -1919,6 +1919,84 @@ object LlmQueries {
     Dedup.cdcStoreCensus(s, atRest)
   }
 
+  /** q228 LSH index takedown
+    * ([[graft.llm.Dedup.lshDeleteAtRest]] + the purge inside
+    * [[graft.llm.Dedup.lshCompactAtRest]]): right-to-be-forgotten
+    * for the near-dup index — 80% of the corpus is ingested, every
+    * indexed doc_id ≡ 3 (mod 7) is tombstoned (probes mask both the
+    * bucket rows and the shingle store), then compaction physically
+    * purges them. Result: the post-compact probe with an n_diff
+    * audit column vs the pre-compact (masked) probe — 0 means the
+    * mask and the purge agree row-for-row. The oracle replays the
+    * full-base hub reduction THEN the mask (deletion never re-bands
+    * history — a deleted hub's bucket loses its stored
+    * representative, the documented recall trade).
+    */
+  def q228(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_lsh_delete")
+    val probeBatch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val fp = inputFingerprint(d + "/documents.parquet")
+    ingestOnce(atRest + "#lshdel#" + fp) {
+      Dedup.lshIngestAtRest(docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+        "doc_id", "text", atRest)
+      Dedup.lshDeleteAtRest(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4 &&
+          pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        "doc_id", atRest)
+      Dedup.lshProbeAtRest(s, atRest, probeBatch, "doc_id", "text")
+        .write.mode("overwrite").parquet(atRest + "/probe_masked")
+      Dedup.lshCompactAtRest(s, atRest)
+    }
+    val masked = s.read.parquet(atRest + "/probe_masked")
+      .select(col("new_id").as("m_n"), col("base_id").as("m_b"))
+    val post = Dedup.lshProbeAtRest(s, atRest, probeBatch, "doc_id", "text")
+    val diff = post.join(masked,
+        post("new_id") === masked("m_n") && post("base_id") === masked("m_b"),
+        "full_outer")
+      .agg(sum(when(col("new_id").isNull || col("m_n").isNull, 1L)
+        .otherwise(0L)).as("n_diff"))
+    post.crossJoin(broadcast(diff)) // 1-row audit stitch
+      .orderBy("new_id", "base_id")
+  }
+
+  /** q229 IVF-PQ index takedown
+    * ([[graft.llm.Similarity.ivfPqDeleteAtRest]] /
+    * [[graft.llm.Similarity.ivfPqPurgeAtRest]]): the vector half of
+    * right-to-be-forgotten — the full corpus is ingested, every
+    * vec_id ≡ 4 (mod 9) is tombstoned (searches mask the code scan;
+    * n_cand counts survivors only), then the purge rewrites exactly
+    * the affected cell partitions. Result: the post-purge search
+    * with an n_diff audit vs the masked search — 0 means mask ≡
+    * purge. The oracle trains on the FULL ingest set (frozen
+    * codebooks — deletion never retrains) and ranks survivors.
+    */
+  def q229(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val atRest = atRestDir(d, "graft_ivfpq_delete")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ingestOnce(atRest + "#ivfdel#" + inputFingerprint(d + "/embeddings.parquet")) {
+      Similarity.ivfPqIngest(emb, atRest)
+      Similarity.ivfPqDeleteAtRest(
+        emb.filter(pmod(col("vec_id"), lit(9)) === 4).select("vec_id"), atRest)
+      Similarity.ivfPqTopKAtRest(s, atRest, qs, topK = 5, nprobe = 2)
+        .write.mode("overwrite").parquet(atRest + "/search_masked")
+      Similarity.ivfPqPurgeAtRest(s, atRest)
+    }
+    val masked = s.read.parquet(atRest + "/search_masked")
+      .select(col("qid").as("m_q"), col("vec_id").as("m_v"),
+        col("rank").as("m_r"))
+    val post = Similarity.ivfPqTopKAtRest(s, atRest, qs, topK = 5, nprobe = 2)
+    val diff = post.join(masked,
+        post("qid") === masked("m_q") && post("vec_id") === masked("m_v") &&
+          post("rank") === masked("m_r"), "full_outer")
+      .agg(sum(when(col("qid").isNull || col("m_q").isNull, 1L)
+        .otherwise(0L)).as("n_diff"))
+    post.crossJoin(broadcast(diff)) // 1-row audit stitch
+      .orderBy("qid", "rank")
+  }
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2770,6 +2848,8 @@ object LlmQueries {
     "q225_robust_stats" -> q225 _,
     "q226_cdc_store" -> q226 _,
     "q227_stream_cdc" -> q227 _,
+    "q228_lsh_takedown" -> q228 _,
+    "q229_ivfpq_takedown" -> q229 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -5381,6 +5461,30 @@ object LlmQueries {
          |SELECT new_id, base_id, jaccard FROM ver WHERE jaccard >= 0.5
          |ORDER BY new_id, base_id""".stripMargin),
 
+    "q228_lsh_takedown" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),\n" +
+       "probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),\n" +
+       minhashBandedCteFrom("base", "b") + ",\n" +
+       minhashBandedCteFrom("probe", "p") + ",\n" +
+       """bhot AS (SELECT band, bkey FROM bbanded GROUP BY band, bkey HAVING COUNT(*) > 64),
+         |bcool AS (SELECT doc_id, band, bkey FROM bbanded ANTI JOIN bhot USING (band, bkey)),
+         |breps AS (SELECT MIN(doc_id) AS doc_id, band, bkey
+         |          FROM bbanded SEMI JOIN bhot USING (band, bkey) GROUP BY band, bkey),
+         |bidx0 AS (SELECT doc_id, band, bkey FROM bcool
+         |          UNION ALL SELECT doc_id, band, bkey FROM breps),
+         |bidx AS (SELECT * FROM bidx0 WHERE doc_id % 7 <> 3),
+         |cand AS (SELECT DISTINCT pb.doc_id AS new_id, i.doc_id AS base_id
+         |         FROM pbanded pb JOIN bidx i ON pb.band = i.band AND pb.bkey = i.bkey),
+         |ver AS (SELECT c.new_id, c.base_id,
+         |         CAST(len(list_intersect(pn.sh, bs.sh)) AS DOUBLE)
+         |           / (len(pn.sh) + len(bs.sh) - len(list_intersect(pn.sh, bs.sh))) AS jaccard
+         |        FROM cand c
+         |        JOIN psig pn ON pn.doc_id = c.new_id
+         |        JOIN bsig bs ON bs.doc_id = c.base_id AND bs.doc_id % 7 <> 3)
+         |SELECT new_id, base_id, jaccard, CAST(0 AS BIGINT) AS n_diff
+         |FROM ver WHERE jaccard >= 0.5
+         |ORDER BY new_id, base_id""".stripMargin),
+
     "q209_lsh_append" ->
       ("WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 < 3),\n" +
        "appended AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3),\n" +
@@ -6077,6 +6181,44 @@ object LlmQueries {
          |        GROUP BY cd.qid, a.vec_id)
          |SELECT f.qid, f.id AS vec_id, f.adc_fp,
          |  CAST(f.adc_fp AS DOUBLE) / 1048576.0 AS adc, f.rank, n.n_cand
+         |FROM (SELECT qid, id, adc_fp,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
+         |      FROM adc) f JOIN ncand n USING (qid)
+         |WHERE f.rank <= 5 ORDER BY f.qid, f.rank""".stripMargin
+    },
+
+    "q229_ivfpq_takedown" -> {
+      // q192's replay with the takedown mask: training sees the FULL
+      // ingest set (frozen codebooks — deletion never retrains), the
+      // candidate scan and n_cand see only survivors
+      val distQ = foldSum(
+        "list_transform(range(1, 65), i -> " +
+          "(CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)])" +
+          " * (CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) - kcl.cents[cc.cell + 1][CAST(i AS INTEGER)]))")
+      s"""WITH $coarseCtes,
+         |$pqCtes,
+         |$pqQueryLutCtes,
+         |kqd AS (SELECT q.qid, cc.cell,
+         |          CAST(FLOOR($distQ * 1048576.0) AS BIGINT) AS cd_fp
+         |        FROM qs q CROSS JOIN kcl
+         |        CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS cell) cc),
+         |kroute AS (SELECT qid, cell FROM (
+         |          SELECT qid, cell,
+         |            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cd_fp, cell) AS r
+         |          FROM kqd) WHERE r <= 2),
+         |cand AS (SELECT r.qid, kc.vec_id AS id
+         |         FROM kcell kc JOIN kroute r ON kc.cell = r.cell
+         |         WHERE kc.vec_id <> r.qid AND kc.vec_id % 9 <> 4),
+         |ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |          FROM cand GROUP BY qid),
+         |adc AS (SELECT cd.qid, a.vec_id AS id, CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+         |        FROM a2c a
+         |        JOIN cand cd ON a.vec_id = cd.id
+         |        JOIN lut l ON l.qid = cd.qid AND l.sub = a.sub AND l.c = a.c
+         |        GROUP BY cd.qid, a.vec_id)
+         |SELECT f.qid, f.id AS vec_id, f.adc_fp,
+         |  CAST(f.adc_fp AS DOUBLE) / 1048576.0 AS adc, f.rank, n.n_cand,
+         |  CAST(0 AS BIGINT) AS n_diff
          |FROM (SELECT qid, id, adc_fp,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, id) AS INTEGER) AS rank
          |      FROM adc) f JOIN ncand n USING (qid)

@@ -685,6 +685,54 @@ class LlmSpec extends SparkSpec {
         numHashes = 16, strictBands = 4, looseBands = 2))
   }
 
+  test("lsh takedown: tombstones mask probes, compact purges, re-delete is a no-op") {
+    val normalA = "the quick brown fox jumps over the lazy dog again and again"
+    val normalB = "completely different words about raster pyramids and tile overviews"
+    val base = Seq((1L, normalA), (2L, normalB), (3L, normalA)).toDF("doc_id", "text")
+    val probe = Seq((10L, normalA)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_takedown_spec").toString
+    Dedup.lshIngestAtRest(base, "doc_id", "text", dir)
+    def hits() = Dedup.lshProbeAtRest(spark, dir, probe, "doc_id", "text")
+      .select("base_id").as[Long].collect().toSet
+    assert(hits() == Set(1L, 3L))
+    Dedup.lshDeleteAtRest(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    Dedup.lshDeleteAtRest(Seq(1L).toDF("doc_id"), "doc_id", dir) // no-op
+    assert(spark.read.parquet(dir + "/tombstones").count() == 1)
+    val masked = hits()
+    assert(masked == Set(3L), s"tombstoned base still probed: $masked")
+    Dedup.lshCompactAtRest(spark, dir)
+    // purge is physical and semantics-preserving
+    assert(hits() == masked)
+    assert(spark.read.parquet(dir + "/shingles").filter($"id" === 1L).count() == 0)
+    assert(spark.read.parquet(dir + "/buckets").filter($"id" === 1L).count() == 0)
+    assert(!new java.io.File(dir + "/tombstones").exists())
+  }
+
+  test("ivf-pq takedown: mask shrinks n_cand, purge preserves results and drops emptied cells") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_takedown_spec").toString
+    Similarity.ivfPqIngest(emb, dir)
+    def search() = Similarity.ivfPqTopKAtRest(spark, dir, qs, topK = 5, nprobe = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    val before = search()
+    val del = emb.filter(pmod($"vec_id", lit(3)) === 1).select("vec_id")
+    Similarity.ivfPqDeleteAtRest(del, dir)
+    val maskedRows = search()
+    val delSet = del.as[Long].collect().toSet
+    assert(maskedRows.forall(r => !delSet.contains(r.getAs[Long]("vec_id"))),
+      "tombstoned vector surfaced in a masked search")
+    assert(maskedRows.head.getAs[Long]("n_cand") <
+      before.head.getAs[Long]("n_cand"), "n_cand must count survivors only")
+    Similarity.ivfPqPurgeAtRest(spark, dir)
+    assert(search() == maskedRows, "purge changed search results")
+    assert(spark.read.parquet(dir + "/codes")
+      .join(del.withColumnRenamed("vec_id", "id"), Seq("id")).count() == 0)
+    assert(!new java.io.File(dir + "/tombstones").exists())
+  }
+
   test("bpe at-rest model: stored-table encode ≡ in-memory encode; empty model refused") {
     val docs = Seq(
       (1L, "low low low lower lowest"),
