@@ -464,16 +464,38 @@ object Similarity {
     */
   def knnGraph(emb: DataFrame, k: Int, planes: Int = 4,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", bucketCol(col("vec"), planes))
       .withColumn("nrm", normCol(col("vec")))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+    val b0 = bucketed.select(col("bucket"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    // Hub cap for DEGENERATE buckets (the dedup family's maxBucket
+    // contract, ANN side): `planes` splits a healthy corpus into
+    // ~n/2^planes buckets, but a pile of (near-)identical vectors
+    // collides into ONE bucket at any plane count and the self-join
+    // goes quadratic in the pile. Over-cap buckets keep EVERY vector
+    // on the query (id_a) side but pair it only against a
+    // deterministic ~maxBucket-member sample of the bucket — cost
+    // |bucket|·maxBucket, and for the near-identical piles that
+    // trigger it, any sample's members are interchangeable
+    // neighbors. Hash-threshold sampling (md5 draw · n < cap), not a
+    // rank window: an in-bucket row_number would buffer exactly the
+    // hot bucket this guard exists for. Default Int.MaxValue = off
+    // (exact within-bucket semantics, every existing oracle).
+    val b = if (maxBucket == Int.MaxValue) b0 else {
+      val sizes = b0.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      b0.join(sizes, "bucket")
+        .filter(col("bn") <= maxBucket ||
+          graft.llm.Sampling.hashUniformCol(col("id_b")) * col("bn") < maxBucket)
+        .drop("bn")
+    }
     a.join(b, "bucket").filter(col("id_a") =!= col("id_b"))
       .withColumn("cosine",
         dotCol(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
@@ -838,8 +860,9 @@ object Similarity {
     */
   def semanticPrune(emb: DataFrame, k: Int, planes: Int, tau: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val edges = knnGraph(emb, k, planes, idCol, vecCol)
+                    vecCol: String = "embedding",
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val edges = knnGraph(emb, k, planes, idCol, vecCol, maxBucket)
       .filter(col("cosine") >= tau)
       .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
         greatest(col("vec_id"), col("nbr_id")).as("id_b"))

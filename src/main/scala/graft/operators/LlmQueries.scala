@@ -1711,7 +1711,10 @@ object LlmQueries {
                 (lit(0.5) + pmod(col("vec_id"), lit(5)).cast("double") * 0.01)
                   .cast("float")))
               .otherwise(col("embedding"))),
-        k = 3, planes = 4, tau = 0.3)
+        // the knnGraph hub cap: this fixture's whole point is the
+        // degenerate pile no plane count can split — capped, the
+        // candidate join is |pile|·64 instead of |pile|²
+        k = 3, planes = 4, tau = 0.3, maxBucket = 64)
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         col("keep").cast("int").as("keep"))
       .orderBy("vec_id")
@@ -3212,15 +3215,27 @@ object LlmQueries {
   /** q123's kNN-graph + recursive-CC replay, parametrized by source
     * relation (q214 runs it over the giant-cluster seeded corpus).
     */
-  private def semanticPruneOracle(src: String, pre: String = ""): String =
+  private def semanticPruneOracle(src: String, pre: String = "",
+                                  maxBucket: Option[Int] = None): String = {
+    // the knnGraph hub cap replay: over-cap buckets keep every id_a
+    // but sample the id_b side by the md5 hash threshold
+    val capFilter = maxBucket.map(c =>
+      s"""
+         |  JOIN bsz z ON b.bucket = z.bucket
+         |  WHERE z.bn <= $c OR CAST('0x' || substr(md5(CAST(b.id AS VARCHAR)), 1, 15) AS BIGINT)
+         |          / 1152921504606846976.0 * z.bn < $c""".stripMargin)
+      .getOrElse("")
+    val bszCte = if (maxBucket.isDefined)
+      "bsz AS (SELECT bucket, COUNT(*) AS bn FROM bucketed GROUP BY bucket),\n"
+    else ""
     s"""WITH RECURSIVE ${pre}bucketed AS (
        |  SELECT vec_id AS id, embedding AS vec, ${bucketExpr("embedding", 4)} AS bucket,
        |         SQRT(${dotExpr("embedding", "embedding")}) AS nrm
        |  FROM $src),
-       |pairs AS (
+       |${bszCte}pairs AS (
        |  SELECT a.id AS id_a, b.id AS id_b,
        |         ${dotExpr("a.vec", "b.vec")} / (a.nrm * b.nrm) AS c
-       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id),
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id$capFilter),
        |ranked AS (
        |  SELECT id_a, id_b, c,
        |         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
@@ -3243,6 +3258,7 @@ object LlmQueries {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |       CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS keep
        |FROM lab ORDER BY vec_id""".stripMargin
+  }
 
   /** q206's soft-dedup replay, parametrized by source relation (q215
     * runs it over the viral-exact-dup seeded corpus).
@@ -3376,7 +3392,8 @@ object LlmQueries {
         |      CAST(0.5 + CAST(vec_id % 5 AS DOUBLE) * 0.01 AS FLOAT))
         |    ELSE embedding END AS embedding
         |  FROM embeddings),
-        |""".stripMargin),
+        |""".stripMargin,
+      maxBucket = Some(64)),
 
     "q124_cms_audit" ->
       s"""WITH tok AS (SELECT unnest($toksExpr) AS tok FROM documents),
