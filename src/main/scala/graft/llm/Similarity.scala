@@ -1389,6 +1389,9 @@ object Similarity {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): Unit = {
     require(coarseK > 0 && m > 0, s"need coarseK > 0, m > 0; got $coarseK, $m")
+    // a re-ingest voids old takedowns — stale tombstones would
+    // silently mask freshly ingested vectors forever
+    graft.llm.Dedup.tombstoneClear(emb.sparkSession, dir)
     val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
     val (pModel, pAssign) = pqCore(emb, m, k, rounds, idCol, vecCol)
     cModel.write.mode("overwrite").parquet(dir + "/coarse_model")
@@ -1763,15 +1766,8 @@ object Similarity {
     * an id is a no-op.
     */
   def ivfPqDeleteAtRest(ids: DataFrame, dir: String,
-                        idCol: String = "vec_id"): Unit = {
-    val spark = ids.sparkSession
-    val existing = graft.llm.Dedup.tableIfExists(spark, dir + "/tombstones")
-    val base = ids.select(col(idCol).cast("long").as("id")).distinct()
-    val fresh = existing.map(t => base.join(t, Seq("id"), "left_anti"))
-      .getOrElse(base)
-      .localCheckpoint() // materialize before appending into the read path
-    fresh.write.mode("append").parquet(dir + "/tombstones")
-  }
+                        idCol: String = "vec_id"): Unit =
+    graft.llm.Dedup.tombstoneAppend(ids, idCol, dir, gatePath = "pq_model")
 
   /** Physical PURGE of tombstoned vectors: only the cell partitions
     * that actually hold tombstoned ids are rewritten (dynamic
@@ -1797,15 +1793,29 @@ object Similarity {
           .partitionBy("cell").parquet(dir + "/codes")
         // a cell whose EVERY member was tombstoned contributes no
         // surviving rows, so dynamic overwrite never touches its
-        // partition — drop those directories explicitly
+        // partition — drop those directories explicitly. A failed
+        // delete would RESURRECT the tombstoned vectors after the
+        // tombstone set is cleared below, so every delete is checked.
         val emptied = touched.join(survivors.select("cell").distinct(),
             Seq("cell"), "left_anti")
           .collect().map(_.getInt(0)) // ≤ #cells — model-sized
         if (emptied.nonEmpty) {
+          // refuse to purge the index down to ZERO partitions: an
+          // empty codes dir has no schema to read and every later
+          // search would crash obscurely — forgetting the last
+          // vector means dropping or re-ingesting the index, say so
+          val nLive = spark.read.parquet(dir + "/codes")
+            .select("cell").distinct().count()
+          require(emptied.length < nLive || survivors.head(1).nonEmpty,
+            s"ivfPqPurgeAtRest: purging $dir would empty the entire " +
+              "codes table — drop the index directory or re-ingest " +
+              "instead of serving an unreadable empty store")
           val root = new org.apache.hadoop.fs.Path(dir + "/codes")
           val cfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           emptied.foreach { c =>
-            cfs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true)
+            require(cfs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true),
+              s"ivfPqPurgeAtRest: could not drop emptied partition cell=$c " +
+                "— aborting before the tombstone set is cleared")
           }
         }
       }

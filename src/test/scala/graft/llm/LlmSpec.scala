@@ -706,6 +706,16 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/shingles").filter($"id" === 1L).count() == 0)
     assert(spark.read.parquet(dir + "/buckets").filter($"id" === 1L).count() == 0)
     assert(!new java.io.File(dir + "/tombstones").exists())
+    // a RE-INGEST voids outstanding takedowns: stale tombstones must
+    // not silently mask freshly ingested docs
+    Dedup.lshDeleteAtRest(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    Dedup.lshIngestAtRest(base, "doc_id", "text", dir)
+    assert(hits() == Set(1L, 3L), "stale tombstone survived a re-ingest")
+    // takedown against a dir that is not an ingested index fails loud
+    val bogus = java.nio.file.Files.createTempDirectory("lsh_bogus").toString
+    val e = intercept[IllegalArgumentException](
+      Dedup.lshDeleteAtRest(Seq(1L).toDF("doc_id"), "doc_id", bogus))
+    assert(e.getMessage.contains("not an ingested index"))
   }
 
   test("ivf-pq takedown: mask shrinks n_cand, purge preserves results and drops emptied cells") {
