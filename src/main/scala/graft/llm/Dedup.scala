@@ -2090,6 +2090,127 @@ object Dedup {
         sum(col("len").cast("long")).as("total_chars"))
   }
 
+  // ================ at-rest winnowing (MOSS) index ================
+
+  /** Build the at-rest WINNOWING index — the local-overlap /
+    * provenance face of the at-rest family (LSH = whole-document
+    * near-dup, CDC = storage chunks; winnowing = SHARED PASSAGES,
+    * the MOSS signal): the corpus's selected fingerprints persist as
+    * `dir/fps (id, fp)` plus `dir/params (k, w, max_df)`, and every
+    * future batch probes for passage overlap against history without
+    * re-fingerprinting it ([[winnowProbeAtRest]]). Ingest clears any
+    * stale tombstones (the re-ingest-voids-takedowns contract).
+    */
+  def winnowIngestAtRest(df: DataFrame, idCol: String, textCol: String,
+                         dir: String, k: Int = 8, w: Int = 4,
+                         maxDf: Int = 8): Unit = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val spark = df.sparkSession
+    import spark.implicits._
+    tombstoneClear(spark, dir)
+    winnowFingerprints(df, idCol, textCol, k, w)
+      .write.mode("overwrite").parquet(dir + "/fps")
+    Seq((k, w, maxDf)).toDF("k", "w", "max_df")
+      .write.mode("overwrite").parquet(dir + "/params")
+  }
+
+  /** Loud parameter gate + stored-value adoption (the lshParamsCheck
+    * pattern): fingerprints under a different (k, w) select
+    * different grams and silently share nothing.
+    */
+  private def winnowParamsCheck(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(dir + "/params").head()
+    (r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("max_df"))
+  }
+
+  /** APPEND a batch's fingerprints — fingerprinted once under the
+    * STORED (k, w), appended to the fp table; caller contract:
+    * appended ids must be fresh (the lshAppendAtRest contract).
+    */
+  def winnowAppendAtRest(newDf: DataFrame, idCol: String, textCol: String,
+                         dir: String): Unit = {
+    val (k, w, _) = winnowParamsCheck(newDf.sparkSession, dir)
+    winnowFingerprints(newDf, idCol, textCol, k, w)
+      .write.mode("append").parquet(dir + "/fps")
+  }
+
+  /** Logical DELETE — the takedown face (shared
+    * [[tombstoneAppend]] contract): tombstoned ids are masked out of
+    * every probe; [[winnowPurgeAtRest]] physically removes them.
+    */
+  def winnowDeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit =
+    tombstoneAppend(ids, idCol, dir, gatePath = "fps")
+
+  /** Physical purge of tombstoned fingerprints (one columnar
+    * anti-join pass, sibling-dir swap), then the tombstone set is
+    * cleared. Probe results identical before and after.
+    */
+  def winnowPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    winnowParamsCheck(spark, dir) // loud missing-index failure
+    tableIfExists(spark, dir + "/tombstones").foreach { t =>
+      val tomb = t.select("id").localCheckpoint()
+      if (tomb.head(1).nonEmpty) {
+        spark.read.parquet(dir + "/fps")
+          .join(broadcast(tomb), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(dir + "/fps_compacting")
+        val tmp = new org.apache.hadoop.fs.Path(dir + "/fps_compacting")
+        val dst = new org.apache.hadoop.fs.Path(dir + "/fps")
+        val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.delete(dst, true),
+          s"winnowPurgeAtRest: could not remove $dst")
+        require(fs.rename(tmp, dst),
+          s"winnowPurgeAtRest: could not swap $tmp into place")
+      }
+      tombstoneClear(spark, dir)
+    }
+  }
+
+  /** Probe a NEW batch for shared passages against the stored index:
+    * one fingerprint pass over the batch, an equi-join on the fp key
+    * against the store, and the per-pair shared count at
+    * `minShared` — the MOSS report (new_id, base_id, n_shared),
+    * provenance-at-ingest. Store-side document frequency is counted
+    * from EXACTLY the rows the probe matches (the bm25ProbeAtRest
+    * df contract), and fps over the stored `max_df` are dropped
+    * BEFORE pairing — corpus-wide boilerplate fingerprints cap the
+    * per-fp fan-out at max_df (the q154 hub guard, at rest).
+    * Tombstoned base ids are invisible.
+    */
+  def winnowProbeAtRest(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, newDf: DataFrame, idCol: String,
+                        textCol: String, minShared: Int = 5): DataFrame = {
+    val (k, w, maxDf) = winnowParamsCheck(spark, dir)
+    val tombIds = tableIfExists(spark, dir + "/tombstones")
+      .map(t => broadcast(t.select("id")))
+    val store0 = spark.read.parquet(dir + "/fps")
+    val store = tombIds.map(t => store0.join(t, Seq("id"), "left_anti"))
+      .getOrElse(store0)
+    val batch = winnowFingerprints(newDf, idCol, textCol, k, w)
+      .select(col("fp"), col("id").as("new_id"))
+      .localCheckpoint() // feeds the semi-join AND the pair join
+    // ORDER MATTERS at scale: restrict the store to the batch's fps
+    // first (equi-join — rows linear in matching store entries), THEN
+    // apply the max_df hub guard, THEN pair. Pairing before the guard
+    // was measured catastrophic on a templated corpus: a boilerplate
+    // fp fans out |batch rows| × |store rows| before the guard can
+    // drop it (5.7 s → 0.9 s at sf0.1 for the q230 probe). cand feeds
+    // two consumers (guard + pair join), so it is materialized —
+    // matching store rows only, far smaller than the store.
+    val cand = store.select(col("fp"), col("id").as("base_id"))
+      .join(batch.select("fp").distinct(), "fp")
+      .localCheckpoint()
+    val rare = cand.groupBy("fp")
+      .agg(count_distinct(col("base_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    batch.join(cand.join(rare, "fp"), "fp")
+      .groupBy("new_id", "base_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Shared-winnowed-fingerprint doc pairs — the MOSS match report:
     * docs ranked by how many selected fingerprints they share.
     * Fingerprints appearing in more than `maxDf` docs are dropped

@@ -2000,6 +2000,43 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q230 at-rest winnowing (MOSS) index
+    * ([[graft.llm.Dedup.winnowIngestAtRest]] /
+    * [[graft.llm.Dedup.winnowAppendAtRest]] /
+    * [[graft.llm.Dedup.winnowProbeAtRest]]): the local-overlap /
+    * provenance face of the at-rest family — fingerprints persist
+    * once, every new batch probes for SHARED PASSAGES against
+    * history without re-fingerprinting it. Docs with id ≡ 0..3
+    * (mod 100) are seeded with a per-group passage marker so
+    * overlap groups span the ingest/append/probe split (group size
+    * 4 stays under the max_df hub guard — a corpus-wide passage
+    * would be dropped as boilerplate, which is the guard's point).
+    * The oracle replays base fingerprints (full-base selection),
+    * probe fingerprints, the store-side df guard, and the shared
+    * count.
+    */
+  def q230(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(100)) < 4,
+          concat(lit("shared passage marker number "),
+            expr("doc_id div 100L").cast("string"),
+            lit(" with enough identical characters to produce winnowed " +
+              "fingerprints across this whole run of text "),
+            col("text")))
+          .otherwise(col("text")))
+    val atRest = atRestDir(d, "graft_winnow_at_rest")
+    ingestOnce(atRest + "#win#" + inputFingerprint(d + "/documents.parquet")) {
+      Dedup.winnowIngestAtRest(docs.filter(pmod(col("doc_id"), lit(5)) < 3),
+        "doc_id", "text", atRest)
+      Dedup.winnowAppendAtRest(docs.filter(pmod(col("doc_id"), lit(5)) === 3),
+        "doc_id", "text", atRest)
+    }
+    Dedup.winnowProbeAtRest(s, atRest,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4), "doc_id", "text")
+      .orderBy("new_id", "base_id")
+  }
+
   /** q202 margin-based pair mining
     * ([[graft.llm.Similarity.marginPairs]]): the CCMatrix/LASER
     * ratio-margin scorer — each kNN edge's cosine normalized by the
@@ -2853,6 +2890,7 @@ object LlmQueries {
     "q227_stream_cdc" -> q227 _,
     "q228_lsh_takedown" -> q228 _,
     "q229_ivfpq_takedown" -> q229 _,
+    "q230_winnow_at_rest" -> q230 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -4101,6 +4139,49 @@ object LlmQueries {
         |SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared_groups
         |FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
         |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin,
+
+    "q230_winnow_at_rest" -> {
+      def fpCte(src: String, pre: String) =
+        s"""${pre}p AS (
+           |  SELECT doc_id AS id, text,
+           |         unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS pos
+           |  FROM $src),
+           |${pre}h AS (
+           |  SELECT id, pos,
+           |         CAST('0x' || substr(md5(substr(text, CAST(pos AS INTEGER), 8)), 1, 15) AS BIGINT) AS h,
+           |         length(text) - 7 AS np
+           |  FROM ${pre}p),
+           |${pre}wmin AS (
+           |  SELECT id, pos, np,
+           |         MIN(h) OVER (PARTITION BY id ORDER BY pos
+           |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+           |  FROM ${pre}h),
+           |${pre}fp AS (
+           |  SELECT DISTINCT id, minh AS fp FROM ${pre}wmin
+           |  WHERE pos <= greatest(np - 3, 1))""".stripMargin
+      s"""WITH seeded AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 100 < 4
+         |    THEN 'shared passage marker number ' || CAST(doc_id // 100 AS VARCHAR)
+         |         || ' with enough identical characters to produce winnowed fingerprints across this whole run of text '
+         |         || text
+         |    ELSE text END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 <> 4),
+         |probe AS (SELECT doc_id, text FROM seeded WHERE doc_id % 5 = 4),
+         |${fpCte("base", "b")},
+         |${fpCte("probe", "p2")},
+         |matched AS (
+         |  SELECT p.fp, p.id AS new_id, b.id AS base_id
+         |  FROM p2fp p JOIN bfp b USING (fp)),
+         |rare AS (
+         |  SELECT fp FROM (SELECT fp, COUNT(DISTINCT base_id) AS df
+         |                  FROM matched GROUP BY fp)
+         |  WHERE df <= 8)
+         |SELECT new_id, base_id, COUNT(*) AS n_shared
+         |FROM matched SEMI JOIN rare USING (fp)
+         |GROUP BY new_id, base_id HAVING COUNT(*) >= 5
+         |ORDER BY new_id, base_id""".stripMargin
+    },
 
     "q154_winnow_matches" ->
       """WITH p AS (

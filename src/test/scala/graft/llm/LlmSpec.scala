@@ -685,6 +685,44 @@ class LlmSpec extends SparkSpec {
         numHashes = 16, strictBands = 4, looseBands = 2))
   }
 
+  test("winnow at-rest index: append ≡ one-shot, shared-passage counts, takedown mask + purge") {
+    val passage = "a very distinctive shared passage that will winnow into many fingerprints"
+    val docs = Seq(
+      (1L, passage + " plus tail one about spark plans"),
+      (2L, passage + " plus a different tail about tile kernels"),
+      (3L, "entirely unrelated text with no overlap whatsoever to the others at all"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, passage + " arriving later in a new shard")).toDF("doc_id", "text")
+    def pairs(dir: String) =
+      Dedup.winnowProbeAtRest(spark, dir, probe, "doc_id", "text")
+        .orderBy("base_id").as[(Long, Long, Long)].collect().toSeq
+
+    val one = java.nio.file.Files.createTempDirectory("win_one").toString
+    Dedup.winnowIngestAtRest(docs, "doc_id", "text", one)
+    val got = pairs(one)
+    // the probe shares the passage with docs 1 and 2, never 3
+    assert(got.map(_._2) == Seq(1L, 2L), s"got $got")
+    assert(got.forall(_._3 >= 5))
+
+    // append is equivalent to a one-shot ingest of the union
+    val two = java.nio.file.Files.createTempDirectory("win_two").toString
+    Dedup.winnowIngestAtRest(docs.filter($"doc_id" < 3), "doc_id", "text", two)
+    Dedup.winnowAppendAtRest(docs.filter($"doc_id" === 3), "doc_id", "text", two)
+    assert(pairs(two) == got)
+
+    // takedown: mask hides doc 1, purge makes it physical, results stable
+    Dedup.winnowDeleteAtRest(Seq(1L).toDF("doc_id"), "doc_id", two)
+    val masked = pairs(two)
+    assert(masked.map(_._2) == Seq(2L))
+    Dedup.winnowPurgeAtRest(spark, two)
+    assert(pairs(two) == masked)
+    assert(spark.read.parquet(two + "/fps").filter($"id" === 1L).count() == 0)
+    assert(!new java.io.File(two + "/tombstones").exists())
+    // re-ingest voids the takedown
+    Dedup.winnowIngestAtRest(docs, "doc_id", "text", two)
+    assert(pairs(two) == got)
+  }
+
   test("lsh takedown: tombstones mask probes, compact purges, re-delete is a no-op") {
     val normalA = "the quick brown fox jumps over the lazy dog again and again"
     val normalB = "completely different words about raster pyramids and tile overviews"
