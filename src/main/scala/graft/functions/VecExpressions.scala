@@ -31,7 +31,15 @@ object VecKernels {
         "filter or impute nulls upstream)")
 
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // same boundary contract as [[sqDist]]: the zip_with fold this
+    // replaces null-pads the shorter array and null-poisons, so a
+    // truncated prefix-dot would FABRICATE a plausible similarity —
+    // and the in-loop null gate only covers the overlapped prefix, so
+    // without this require a null in the longer tail would be
+    // silently accepted (ADVICE r15). Fail loud on mismatch.
+    require(a.numElements() == b.numElements(),
+      s"vec_dot: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {

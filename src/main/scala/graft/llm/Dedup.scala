@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.llm.AtRestStore.{tableIfExists, tombstoneAppend, tombstoneClear}
+
 /** Deduplication operators for training-data pipelines: exact
   * (hash-groupBy), MinHash+LSH banding, SimHash bucketing, n-gram
   * Jaccard verification.
@@ -948,22 +950,21 @@ object Dedup {
       .write.mode("overwrite").parquet(dir + "/params")
   }
 
-  private[llm] def tableIfExists(spark: org.apache.spark.sql.SparkSession,
-                                 path: String): Option[DataFrame] = {
-    val pth = new org.apache.hadoop.fs.Path(path)
-    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(pth)) Some(spark.read.parquet(path)) else None
-  }
-
   /** Append one ingest batch to a [[cdcIngestAtRest]] store: chunk,
     * dedup within the batch (distinct (h, len)), anti-join the store,
     * append only the new chunks plus the batch's ledger row.
     * `batchId` is the caller's monotone ingest sequence (it is the
     * ledger key, not an election order — chunk identity is content,
     * so WHICH batch first stored a hash never changes any answer).
+    * Long because the streaming face ([[graft.streaming.EventStream
+    * .cdcIngestStream]]) forwards Spark's micro-batch id verbatim —
+    * an Int narrowing there would wrap past Int.MaxValue and corrupt
+    * both the ledger key and the replay-exclusion filter (ADVICE
+    * r15). The partition VALUE in the directory name is unaffected,
+    * and small ids still infer back as int on read.
     */
   def cdcAppendAtRest(newDocs: DataFrame, idCol: String, textCol: String,
-                      dir: String, batchId: Int): Unit = {
+                      dir: String, batchId: Long): Unit = {
     val spark = newDocs.sparkSession
     val row = spark.read.parquet(dir + "/params").head()
     val (k, d) = (row.getAs[Int]("k"), row.getAs[Int]("d"))
@@ -1269,40 +1270,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Shared tombstone APPEND for the at-rest takedown faces (LSH
-    * here, IVF-PQ in [[graft.llm.Similarity]]): dedupe against the
-    * existing set (re-delete is a no-op, never a double-mask),
-    * materialize before appending into the read path. `gatePath`
-    * must exist — a takedown against a mistyped or un-ingested dir
-    * must fail LOUD, not write tombstones nowhere useful.
-    */
-  private[llm] def tombstoneAppend(ids: DataFrame, idCol: String,
-                                   dir: String, gatePath: String): Unit = {
-    val spark = ids.sparkSession
-    require(tableIfExists(spark, dir + "/" + gatePath).isDefined,
-      s"takedown against $dir: no $gatePath found — not an ingested " +
-        "index (mistyped dir, or delete called before ingest)")
-    val existing = tableIfExists(spark, dir + "/tombstones")
-    val base = ids.select(col(idCol).cast("long").as("id")).distinct()
-    val fresh = existing.map(t => base.join(t, Seq("id"), "left_anti"))
-      .getOrElse(base)
-      .localCheckpoint() // materialize before appending into the read path
-    fresh.write.mode("append").parquet(dir + "/tombstones")
-  }
-
-  /** Clear a stale tombstone set at (re-)ingest — without this, a
-    * re-ingest after a takedown (the recovery path every delete face
-    * documents) would leave old tombstones silently masking freshly
-    * ingested rows forever.
-    */
-  private[llm] def tombstoneClear(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): Unit = {
-    val pth = new org.apache.hadoop.fs.Path(dir + "/tombstones")
-    pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(pth, true)
-    ()
-  }
-
   /** Logical DELETE from the at-rest LSH index — the takedown path
     * (the [[graft.llm.Retrieval.bm25DeleteAtRest]] contract for the
     * near-dup family): ids land in a tombstone set that
@@ -1362,19 +1329,13 @@ object Dedup {
     def purged(df: DataFrame): DataFrame =
       tomb.map(t => df.join(broadcast(t), Seq("id"), "left_anti")).getOrElse(df)
     tomb.filter(_.head(1).nonEmpty).foreach { _ =>
-      // no checkpoint: the write targets a SIBLING dir, the source is
-      // only removed after the rewrite lands (corpus-sized frame —
+      // no checkpoint: the write targets a STAGING dir, the live table
+      // is only retired after the rewrite lands (corpus-sized frame —
       // materializing it in block storage would double the I/O)
-      purged(spark.read.parquet(dir + "/shingles"))
-        .write.mode("overwrite").parquet(dir + "/shingles_compacting")
-      val conf0 = spark.sparkContext.hadoopConfiguration
-      val shTmp = new org.apache.hadoop.fs.Path(dir + "/shingles_compacting")
-      val shDst = new org.apache.hadoop.fs.Path(dir + "/shingles")
-      val shFs = shTmp.getFileSystem(conf0)
-      require(shFs.delete(shDst, true),
-        s"lshCompactAtRest: could not remove $shDst")
-      require(shFs.rename(shTmp, shDst),
-        s"lshCompactAtRest: could not swap $shTmp into place")
+      AtRestStore.swap(spark, dir, "shingles") { out =>
+        purged(spark.read.parquet(dir + "/shingles"))
+          .write.mode("overwrite").parquet(out)
+      }
     }
     val buckets = purged(spark.read.parquet(dir + "/buckets"))
     val hot = buckets.groupBy("band", "bkey")
@@ -1385,20 +1346,12 @@ object Dedup {
       Seq("band", "bkey"), "left_anti")
       .select("id", "band", "bkey")
     val reps = hot.select(col("hub").as("id"), col("band"), col("bkey"))
-    val tmp = dir + "/buckets_compacting"
-    cool.unionByName(reps)
-      .write.mode("overwrite").partitionBy("band").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-    val dst = new org.apache.hadoop.fs.Path(dir + "/buckets")
-    require(fs.delete(dst, true), s"lshCompactAtRest: could not remove $dst")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"lshCompactAtRest: could not swap $tmp into place")
-    tomb.foreach { _ =>
-      val tPath = new org.apache.hadoop.fs.Path(dir + "/tombstones")
-      fs.delete(tPath, true) // purged physically — the mask set is spent
-      ()
+    AtRestStore.swap(spark, dir, "buckets") { out =>
+      cool.unionByName(reps)
+        .write.mode("overwrite").partitionBy("band").parquet(out)
     }
+    // purged physically — the mask set is spent
+    tomb.foreach(_ => tombstoneClear(spark, dir))
   }
 
   /** Paragraph-level duplication stats — the RefinedWeb/Dolma
@@ -2152,16 +2105,11 @@ object Dedup {
     tableIfExists(spark, dir + "/tombstones").foreach { t =>
       val tomb = t.select("id").localCheckpoint()
       if (tomb.head(1).nonEmpty) {
-        spark.read.parquet(dir + "/fps")
-          .join(broadcast(tomb), Seq("id"), "left_anti")
-          .write.mode("overwrite").parquet(dir + "/fps_compacting")
-        val tmp = new org.apache.hadoop.fs.Path(dir + "/fps_compacting")
-        val dst = new org.apache.hadoop.fs.Path(dir + "/fps")
-        val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        require(fs.delete(dst, true),
-          s"winnowPurgeAtRest: could not remove $dst")
-        require(fs.rename(tmp, dst),
-          s"winnowPurgeAtRest: could not swap $tmp into place")
+        AtRestStore.swap(spark, dir, "fps") { out =>
+          spark.read.parquet(dir + "/fps")
+            .join(broadcast(tomb), Seq("id"), "left_anti")
+            .write.mode("overwrite").parquet(out)
+        }
       }
       tombstoneClear(spark, dir)
     }

@@ -242,13 +242,23 @@ object Retrieval {
   // fold stats/doclens), never semantic.
   //
   // Layout under `dir`:
-  //   postings/pbucket=N/  (s, id, tf, dl)  — dl denormalized onto the
-  //     posting row (impact-style) so scoring never joins the
-  //     corpus-sized doc-length table
-  //   doclens/             (id, dl)         — delete-time dl lookup
-  //   stats/               (n_docs, tot_tokens) — one delta row per batch
+  //   postings/pbucket=N/batch=B/  (s, id, tf, dl) — dl denormalized
+  //     onto the posting row (impact-style) so scoring never joins
+  //     the corpus-sized doc-length table
+  //   doclens/batch=B/     (id, dl)         — delete-time dl lookup
+  //   stats/batch=B/       (n_docs, tot_tokens) — one delta row per batch
   //   tombstones/          (id, dl)         — logical deletes
   //   params/              (n_buckets)
+  //
+  // The `batch` partition dimension is physical provenance, never
+  // semantics: no probe reads it (scores aggregate across batches),
+  // but it is what makes the STREAMING ingest face replay-safe —
+  // foreachBatch is at-least-once, and a re-run of micro-batch B
+  // dynamic-partition-overwrites exactly its own batch=B partitions
+  // in all three tables instead of double-appending postings and
+  // double-counting the stats denominators (the CDC chunk-store
+  // contract, [[graft.llm.Dedup.cdcAppendAtRest]]). Compaction folds
+  // history to batch=0.
   //
   // Reference analogue: the reference persists its selector catalog as
   // planner metadata instead of re-deriving it per query
@@ -272,20 +282,31 @@ object Retrieval {
     */
   private def bm25WriteAtRest(docs: DataFrame, idCol: String,
                               textCol: String, dir: String, nBuckets: Int,
-                              overwrite: Boolean): Unit = {
+                              overwrite: Boolean, batchId: Long,
+                              replaySafe: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val mode = if (overwrite) "overwrite" else "append"
+    // replaySafe (the streaming face): overwrite ONLY the partitions
+    // this batch's data lands in — a foreachBatch re-run converges to
+    // the same bytes instead of double-appending
+    val mode = if (overwrite || replaySafe) "overwrite" else "append"
+    def out(df: DataFrame, parts: Seq[String], path: String): Unit = {
+      val w0 = df.write.mode(mode).partitionBy(parts: _*)
+      val w = if (replaySafe && !overwrite)
+        w0.option("partitionOverwriteMode", "dynamic") else w0
+      w.parquet(path)
+    }
     // tf feeds two consumers (dl, postings) — materialize once; the
     // frame is ingest-batch-sized and released with the job
     val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
-    tf.join(dl, "id")
+    out(tf.join(dl, "id")
       .withColumn("pbucket", pbucketCol(col("s"), nBuckets))
       .select("pbucket", "s", "id", "tf", "dl")
-      .write.mode(mode).partitionBy("pbucket").parquet(dir + "/postings")
-    dl.write.mode(mode).parquet(dir + "/doclens")
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
-      .write.mode(mode).parquet(dir + "/stats")
+      .withColumn("batch", lit(batchId)),
+      Seq("pbucket", "batch"), dir + "/postings")
+    out(dl.withColumn("batch", lit(batchId)), Seq("batch"), dir + "/doclens")
+    out(dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+      .withColumn("batch", lit(batchId)), Seq("batch"), dir + "/stats")
   }
 
   /** Build the at-rest index from scratch (overwrite). `nBuckets`
@@ -297,11 +318,37 @@ object Retrieval {
     */
   def bm25IngestAtRest(docs: DataFrame, idCol: String, textCol: String,
                        dir: String, nBuckets: Int = 16): Unit = {
-    import docs.sparkSession.implicits._
-    bm25WriteAtRest(docs, idCol, textCol, dir, nBuckets, overwrite = true)
+    bm25WriteAtRest(docs, idCol, textCol, dir, nBuckets,
+      overwrite = true, batchId = 0L)
+    bm25WriteParams(docs.sparkSession, dir, nBuckets)
+  }
+
+  /** Initialize an EMPTY store — params + tombstone schema only, no
+    * corpus pass. The seed face for [[graft.streaming.EventStream
+    * .bm25IngestStream]] (the [[graft.llm.Dedup.cdcInitAtRest]]
+    * pattern): documents then arrive exclusively as micro-batches,
+    * whose Spark-assigned ids (0, 1, …) become the store's batch
+    * partitions with nothing to collide with. Probing before the
+    * first batch commits fails loud on the missing postings table —
+    * an init'd store is a contract to ingest, not an empty corpus.
+    */
+  def bm25InitAtRest(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, nBuckets: Int = 16): Unit = {
+    for (t <- Seq("postings", "doclens", "stats")) {
+      val pth = new org.apache.hadoop.fs.Path(dir + "/" + t)
+      val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(pth))
+        require(fs.delete(pth, true), s"bm25InitAtRest: could not clear $pth")
+    }
+    bm25WriteParams(spark, dir, nBuckets)
+  }
+
+  private def bm25WriteParams(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, nBuckets: Int): Unit = {
+    import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .write.mode("overwrite").parquet(dir + "/params")
-    // empty tombstone set — schema established at ingest so probes
+    // empty tombstone set — schema established up front so probes
     // read unconditionally
     Seq.empty[(Long, Long)].toDF("id", "dl")
       .write.mode("overwrite").parquet(dir + "/tombstones")
@@ -325,8 +372,30 @@ object Retrieval {
     */
   def bm25AppendAtRest(newDocs: DataFrame, idCol: String, textCol: String,
                        dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val nB = bm25ParamsCheck(spark, dir)
+    // next ledger slot: one read of the batch-count-sized stats table
+    val nextBatch = spark.read.parquet(dir + "/stats")
+      .agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
+      .head().getLong(0) + 1L
+    bm25WriteAtRest(newDocs, idCol, textCol, dir, nB,
+      overwrite = false, batchId = nextBatch)
+  }
+
+  /** Replay-safe APPEND of one STREAMING micro-batch: same encoder as
+    * [[bm25AppendAtRest]], but the batch id is the caller's (Spark's
+    * micro-batch sequence) and all three tables are written with
+    * dynamic partition overwrite — re-running a committed (batchId,
+    * data) pair replaces exactly its own partitions with identical
+    * bytes, so foreachBatch's at-least-once becomes exactly-once at
+    * rest. Package-visible so the replay guard is directly testable.
+    */
+  private[graft] def bm25AppendBatch(newDocs: DataFrame, idCol: String,
+                                     textCol: String, dir: String,
+                                     batchId: Long): Unit = {
     val nB = bm25ParamsCheck(newDocs.sparkSession, dir)
-    bm25WriteAtRest(newDocs, idCol, textCol, dir, nB, overwrite = false)
+    bm25WriteAtRest(newDocs, idCol, textCol, dir, nB,
+      overwrite = false, batchId = batchId, replaySafe = true)
   }
 
   /** Logical DELETE — the takedown path (copyright removal,
@@ -372,29 +441,23 @@ object Retrieval {
     bm25ParamsCheck(spark, dir) // loud missing-index failure
     val tomb = spark.read.parquet(dir + "/tombstones").localCheckpoint()
     val tombIds = broadcast(tomb.select("id"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swap(table: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(dir + "/" + table)
-      val next = new org.apache.hadoop.fs.Path(dir + "/" + table + "_new")
-      val old = new org.apache.hadoop.fs.Path(dir + "/" + table + "_old")
-      val fs = live.getFileSystem(conf)
-      if (fs.exists(old)) // debris from a crashed compact — clear it
-        require(fs.delete(old, true), s"compact: could not clear stale $old")
-      write(next.toString)
-      require(fs.rename(live, old), s"compact: could not retire $live")
-      require(fs.rename(next, live), s"compact: could not promote $next")
-      require(fs.delete(old, true), s"compact: could not drop $old")
-    }
+    def swap(table: String)(write: String => Unit): Unit =
+      AtRestStore.swap(spark, dir, table)(write)
+    // history folds to batch=0 — the batch dimension is ingest
+    // provenance, and compaction is the provenance horizon
     swap("postings") { out =>
       spark.read.parquet(dir + "/postings")
         .join(tombIds, Seq("id"), "left_anti")
         .select("pbucket", "s", "id", "tf", "dl")
-        .write.mode("overwrite").partitionBy("pbucket").parquet(out)
+        .withColumn("batch", lit(0L))
+        .write.mode("overwrite").partitionBy("pbucket", "batch").parquet(out)
     }
     swap("doclens") { out =>
       spark.read.parquet(dir + "/doclens")
         .join(tombIds, Seq("id"), "left_anti")
-        .write.mode("overwrite").parquet(out)
+        .select("id", "dl")
+        .withColumn("batch", lit(0L))
+        .write.mode("overwrite").partitionBy("batch").parquet(out)
     }
     swap("stats") { out =>
       val t = tomb.agg(
@@ -405,7 +468,8 @@ object Retrieval {
         .crossJoin(broadcast(t))
         .select((col("n_docs") - col("t_docs")).as("n_docs"),
           (col("tot_tokens") - col("t_tok")).as("tot_tokens"))
-        .write.mode("overwrite").parquet(out)
+        .withColumn("batch", lit(0L))
+        .write.mode("overwrite").partitionBy("batch").parquet(out)
     }
     swap("tombstones") { out =>
       tomb.limit(0).write.mode("overwrite").parquet(out)

@@ -1391,7 +1391,7 @@ object Similarity {
     require(coarseK > 0 && m > 0, s"need coarseK > 0, m > 0; got $coarseK, $m")
     // a re-ingest voids old takedowns — stale tombstones would
     // silently mask freshly ingested vectors forever
-    graft.llm.Dedup.tombstoneClear(emb.sparkSession, dir)
+    graft.llm.AtRestStore.tombstoneClear(emb.sparkSession, dir)
     val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
     val (pModel, pAssign) = pqCore(emb, m, k, rounds, idCol, vecCol)
     cModel.write.mode("overwrite").parquet(dir + "/coarse_model")
@@ -1725,7 +1725,7 @@ object Similarity {
     // are invisible to searches until [[ivfPqPurgeAtRest]] rewrites
     // their partitions
     val codes0 = spark.read.parquet(dir + "/codes")
-    val codes = graft.llm.Dedup.tableIfExists(spark, dir + "/tombstones")
+    val codes = graft.llm.AtRestStore.tableIfExists(spark, dir + "/tombstones")
       .map(t => codes0.join(broadcast(t.select("id")), Seq("id"), "left_anti"))
       .getOrElse(codes0)
     val qCellDist = pqLut(queries, cModel, 1)
@@ -1767,7 +1767,7 @@ object Similarity {
     */
   def ivfPqDeleteAtRest(ids: DataFrame, dir: String,
                         idCol: String = "vec_id"): Unit =
-    graft.llm.Dedup.tombstoneAppend(ids, idCol, dir, gatePath = "pq_model")
+    graft.llm.AtRestStore.tombstoneAppend(ids, idCol, dir, gatePath = "pq_model")
 
   /** Physical PURGE of tombstoned vectors: only the cell partitions
     * that actually hold tombstoned ids are rewritten (dynamic
@@ -1778,7 +1778,7 @@ object Similarity {
     */
   def ivfPqPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
-    graft.llm.Dedup.tableIfExists(spark, dir + "/tombstones").foreach { t =>
+    graft.llm.AtRestStore.tableIfExists(spark, dir + "/tombstones").foreach { t =>
       val tomb = t.select("id").localCheckpoint()
       if (tomb.head(1).nonEmpty) {
         val codes = spark.read.parquet(dir + "/codes")
@@ -1819,10 +1819,7 @@ object Similarity {
           }
         }
       }
-      val pth = new org.apache.hadoop.fs.Path(dir + "/tombstones")
-      pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(pth, true)
-      ()
+      graft.llm.AtRestStore.tombstoneClear(spark, dir)
     }
   }
 

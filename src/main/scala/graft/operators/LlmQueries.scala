@@ -1922,6 +1922,48 @@ object LlmQueries {
     Dedup.cdcStoreCensus(s, atRest)
   }
 
+  /** q231 stream-fed BM25 index
+    * ([[graft.streaming.EventStream.bm25IngestStream]]): q217's 80%
+    * corpus delivered as two structured-streaming MICRO-BATCHES
+    * through the foreachBatch append face into a store seeded with
+    * [[graft.llm.Retrieval.bm25InitAtRest]] (params only — Spark's
+    * batch ids have nothing to collide with), then the SAME 3-query
+    * probe as q217. BM25's stats deltas are additive and drift-free,
+    * so the stream-built index must rank bit-identically to q217's
+    * batch-built one — the oracle is literally q217's from-scratch
+    * replay. The MemoryStream feed is the test harness (a production
+    * stream is Kafka/files); the timed read is the probe, the stream
+    * runs once at ingest.
+    */
+  def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_bm25_stream")
+    ingestOnce(atRest + "#bm25s#" + inputFingerprint(d + "/documents.parquet")) {
+      Retrieval.bm25InitAtRest(s, atRest)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.EventStream.bm25IngestStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", atRest)
+      val batchConds = Seq(
+        pmod(col("doc_id"), lit(5)) < 3,   // micro-batch 0 = q217's ingest
+        pmod(col("doc_id"), lit(5)) === 3) // micro-batch 1 = q217's append
+      try {
+        for (cond <- batchConds) {
+          stream.addData(docs.filter(cond).as[(Long, String)].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val queries = Seq((1L, "spark"), (1L, "merge"), (2L, "vector"),
+      (2L, "index"), (3L, "data")).toDF("qid", "term")
+    Retrieval.bm25ProbeAtRest(s, atRest, queries, k = 10)
+      .select(col("qid"), col("id").as("doc_id"), col("score"),
+        col("n_terms_hit"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** q228 LSH index takedown
     * ([[graft.llm.Dedup.lshDeleteAtRest]] + the purge inside
     * [[graft.llm.Dedup.lshCompactAtRest]]): right-to-be-forgotten
@@ -2891,6 +2933,7 @@ object LlmQueries {
     "q228_lsh_takedown" -> q228 _,
     "q229_ivfpq_takedown" -> q229 _,
     "q230_winnow_at_rest" -> q230 _,
+    "q231_stream_bm25" -> q231 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -5675,6 +5718,12 @@ object LlmQueries {
          |       (SELECT CAST(SUM(CASE WHEN bn > 64 THEN 1 ELSE 0 END) AS BIGINT) FROM occ) AS n_over""".stripMargin),
 
     "q217_bm25_at_rest" -> bm25BatchOracle(
+      corpusWhere = "doc_id % 5 <> 4",
+      queryRows = "(1, 'spark'), (1, 'merge'), (2, 'vector'), (2, 'index'), (3, 'data')"),
+
+    // stream-built store, identical corpus and probe — drift-free
+    // additive deltas mean the SAME from-scratch replay gates it
+    "q231_stream_bm25" -> bm25BatchOracle(
       corpusWhere = "doc_id % 5 <> 4",
       queryRows = "(1, 'spark'), (1, 'merge'), (2, 'vector'), (2, 'index'), (3, 'data')"),
 

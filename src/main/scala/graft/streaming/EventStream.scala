@@ -430,8 +430,35 @@ object EventStream {
                       dir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.llm.Dedup.cdcAppendAtRest(batch, idCol, textCol, dir,
-        batchId.toInt)
+      graft.llm.Dedup.cdcAppendAtRest(batch, idCol, textCol, dir, batchId)
+      ()
+    }.start()
+
+  /** Streaming face of the at-rest BM25 index — the crawl-shard
+    * pattern (index documents on arrival) that already exists for
+    * LSH ([[dedupBeforeIngestStream]]) and CDC ([[cdcIngestStream]]):
+    * each micro-batch flows through
+    * [[graft.llm.Retrieval.bm25AppendBatch]], which signs and buckets
+    * the shard under the stored params and lands postings + doclens +
+    * one stats delta row in the micro-batch's own `batch=` partitions
+    * via dynamic partition overwrite. BM25's additive drift-free
+    * deltas make this the easiest of the three: no probe, no
+    * anti-join — a probe through any prefix of the stream is
+    * bit-equal to a one-shot ingest of the same documents (q231
+    * gates stream-built ≡ batch-built).
+    *
+    * REPLAY SAFETY (foreachBatch is at-least-once): a re-run of a
+    * committed micro-batch recomputes the identical postings/stats
+    * delta and overwrites exactly its own partitions — the ledger
+    * can never double-count a shard. Caller seeds with
+    * [[graft.llm.Retrieval.bm25InitAtRest]] (params only, no corpus)
+    * so Spark's batch ids have nothing to collide with.
+    */
+  def bm25IngestStream(stream: DataFrame, idCol: String, textCol: String,
+                       dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.llm.Retrieval.bm25AppendBatch(batch, idCol, textCol, dir, batchId)
       ()
     }.start()
 

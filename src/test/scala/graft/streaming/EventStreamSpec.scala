@@ -348,4 +348,44 @@ class EventStreamSpec extends SparkSpec {
     EventStream.dedupIngestStep(batch, 0L, "doc_id", "text", dir, out)
     assert(state() == first, s"replay drifted: ${state()} vs $first")
   }
+
+  test("bm25IngestStream: stream-built index probes ≡ batch-built; replay changes nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = Seq(
+      Seq((1L, "spark merge engine with spark joins"),
+          (2L, "vector index layouts for retrieval")),
+      Seq((3L, "merge rules and data movement"),
+          (4L, "spark data pipelines index data")))
+    val queries = Seq((1L, "spark"), (1L, "merge"), (2L, "data"))
+      .toDF("qid", "term")
+    def probe(dir: String) =
+      graft.llm.Retrieval.bm25ProbeAtRest(spark, dir, queries, k = 5)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    // stream-built store
+    val sDir = java.nio.file.Files.createTempDirectory("bm25_stream_store").toString
+    graft.llm.Retrieval.bm25InitAtRest(spark, sDir)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.bm25IngestStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", sDir)
+    try {
+      for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch-built twin: one-shot ingest of the union — additive
+    // drift-free stats mean the ranking must be bit-equal
+    val bDir = java.nio.file.Files.createTempDirectory("bm25_batch_store").toString
+    graft.llm.Retrieval.bm25IngestAtRest(batches.flatten.toDF("doc_id", "text"),
+      "doc_id", "text", bDir)
+    val fromStream = probe(sDir)
+    assert(fromStream == probe(bDir), "stream-built ranking diverged from one-shot ingest")
+    // at-least-once replay: re-running a committed micro-batch
+    // overwrites exactly its own batch partitions — postings cannot
+    // double-append, stats cannot double-count
+    graft.llm.Retrieval.bm25AppendBatch(batches(1).toDF("doc_id", "text"),
+      "doc_id", "text", sDir, batchId = 1L)
+    assert(probe(sDir) == fromStream, "replayed micro-batch changed the ranking")
+    val stats = spark.read.parquet(sDir + "/stats")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(stats == 4L, s"stats double-counted after replay: $stats docs")
+  }
 }
