@@ -104,6 +104,48 @@ class PlanShapeSpec extends SparkSpec {
       s"edit verify must be join-free (texts ride the window):\n$plan")
   }
 
+  test("top-floor queries: pinned shuffle/sort/window counts (regression trip-wire)") {
+    // The ten heaviest queries by committed floor (bench_floors.json).
+    // The committed plans/*.txt dumps are refreshed manually, so a
+    // refactor that quietly adds an Exchange/Sort/Window to one of
+    // these shows up only as bench noise (judge r15 item 7) — this
+    // pins the OPTIMIZED plan's op counts at sf0.001 instead. Counts
+    // are (shuffle exchanges, sorts, windows) from the formatted
+    // explain; BroadcastExchange is excluded (broadcast growth is a
+    // different, cheaper failure). Counts are sf0.001/local[4]-
+    // specific (size-estimate-driven join picks differ by SF): if a
+    // DELIBERATE plan change moves one, re-measure and update here
+    // AND re-dump the sf0.1 plan for the judge's audit.
+    val sfDir = "/root/testdata/sf0.001"
+    val expected = Map(
+      "q214_giant_cluster"   -> (3, 3, 0),
+      "q123_semantic_prune"  -> (3, 3, 0),
+      "q213_viral_substring" -> (5, 1, 0),
+      "q174_exact_substrings"-> (7, 4, 0),
+      "q171_family_matrix"   -> (13, 2, 1),
+      "q198_lsh_hot_star"    -> (12, 1, 0),
+      "q116_tfidf_pairs"     -> (4, 1, 0),
+      "q195_ivf_pq_residual" -> (8, 11, 4),
+      "q105_geo_lifecycle"   -> (16, 7, 2),
+      "q193_pq_recall"       -> (13, 14, 5))
+    val actual = expected.keys.toSeq.sorted.map { name =>
+      val plan = graft.core.Materialize.scoped(spark) {
+        graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+      }
+      def n(op: String) = s"""\\(\\d+\\) $op\\b""".r.findAllIn(plan).size
+      assert(n("CartesianProduct") == 0, s"$name grew a CartesianProduct")
+      name -> (n("Exchange"), n("Sort"), n("Window"))
+    }.toMap
+    val diffs = actual.collect {
+      case (k, a) if expected(k) != a => s"$k: expected ${expected(k)}, got $a"
+    }
+    assert(diffs.isEmpty,
+      "plan shapes moved (shuffles, sorts, windows):\n" + diffs.mkString("\n") +
+        "\nall actuals: " + actual.toSeq.sorted.mkString(", "))
+  }
+
   test("bucketedOrderScan consumers: the row window partitions by (group, bucket)") {
     // the round-12 decomposition exists to lift the one-task-per-
     // group floor: the corpus-side window's sort keys must include
