@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
+import graft.operators.{EventQueries, LlmQueries, PlannerQueries, Relational, RasterQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,13 @@ import graft.operators.{EventQueries, LlmQueries, Relational, RasterQueries}
   *    Hamming-banded binary near-dup q162, distribution-drift PSI
   *    audit q165, encoding-health audit q166, tokenizer fertility q168, sorted-neighborhood pairs q169, edit-distance verified pairs q170, dedup family-overlap matrix q171, curation survival funnel q172, salted skew join/agg q173, exact-substring dup spans q174, batched BM25 q175, hybrid RRF fusion q176, directional containment pairs q177, BPE merge-table trainer q178, lang-ID confusion matrix q179, ANN nDCG audit q180, RAG chunk spans q181, bottom-k quantile sketch q182, boilerplate strip q183
   *    (LlmQueries)
+  *  - q233–q237 driver-side planning + sidecar sinks (PlannerQueries):
+  *    file-list expansion q233, job fan-out/ordering/slice/cap q234,
+  *    .ovr de-dup + write-band rule + info sidecar q235, JSON/CZML
+  *    sink round-trip q236, sampled extent transform q237
+  *  - q238/q239 stream-fed IVF-PQ and winnowing at-rest indexes
+  *    (LlmQueries + EventStream) — every at-rest index kind now has
+  *    a streaming ingest face gated against its batch-built twin
   *  - q53–q55, q71, q72, q74, q92, q163, q164, q167 events: JSON/string
   *    probes, streaming batch-twins, as-of join, range join, session
   *    windows, stream-stream attribution join q92, ordered
@@ -77,11 +84,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RasterQueries.queries ++
-      LlmQueries.queries ++ EventQueries.queries
+      LlmQueries.queries ++ EventQueries.queries ++ PlannerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RasterQueries.oracles ++
-      LlmQueries.oracles ++ EventQueries.oracles
+      LlmQueries.oracles ++ EventQueries.oracles ++ PlannerQueries.oracles
 }

@@ -1964,6 +1964,88 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q238 stream-fed IVF-PQ index
+    * ([[graft.streaming.EventStream.ivfPqIngestStream]]): q201's
+    * corpus delivered as two structured-streaming MICRO-BATCHES —
+    * batch 0 (80%) TRAINS the index through the foreachBatch face
+    * (the FAISS train()+add() cycle), batch 1 (20%) is encoded and
+    * appended under the FROZEN codebooks — then the SAME 3-query
+    * probe as q201. Training is deterministic (fixed-point Lloyd),
+    * so the stream-built index must answer bit-identically to
+    * q201's batch-built one — the oracle is literally q201's
+    * from-scratch replay. The MemoryStream feed is the test harness
+    * (a production stream is Kafka/files); the timed read is the
+    * probe, the stream runs once at ingest.
+    */
+  def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val atRest = atRestDir(d, "graft_ivfpq_stream")
+    ingestOnce(atRest + "#ivfs#" + inputFingerprint(d + "/embeddings.parquet")) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.EventStream.ivfPqIngestStream(
+        stream.toDF().toDF("vec_id", "embedding"), atRest)
+      val batchConds = Seq(
+        pmod(col("vec_id"), lit(5)) =!= 4, // micro-batch 0 = q201's train set
+        pmod(col("vec_id"), lit(5)) === 4) // micro-batch 1 = q201's append
+      try {
+        for (cond <- batchConds) {
+          stream.addData(emb.filter(cond).as[(Long, Seq[Float])].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfPqTopKAtRest(s, atRest, qs, topK = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  /** q239 stream-fed winnowing (MOSS) index
+    * ([[graft.streaming.EventStream.winnowIngestStream]]): q230's
+    * marker-seeded corpus delivered as two MICRO-BATCHES through the
+    * foreachBatch face (batch 0 establishes the store, batch 1 is
+    * fingerprinted under the stored (k, w) and appended), then the
+    * SAME held-out probe as q230. Fingerprint selection is
+    * content-deterministic, so the stream-built store must answer
+    * bit-identically to q230's batch-built one — the oracle is
+    * q230's from-scratch replay.
+    */
+  def q239(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(100)) < 4,
+          concat(lit("shared passage marker number "),
+            expr("doc_id div 100L").cast("string"),
+            lit(" with enough identical characters to produce winnowed " +
+              "fingerprints across this whole run of text "),
+            col("text")))
+          .otherwise(col("text")))
+    val atRest = atRestDir(d, "graft_winnow_stream")
+    ingestOnce(atRest + "#wins#" + inputFingerprint(d + "/documents.parquet")) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.EventStream.winnowIngestStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", atRest)
+      val batchConds = Seq(
+        pmod(col("doc_id"), lit(5)) < 3,   // micro-batch 0 = q230's ingest
+        pmod(col("doc_id"), lit(5)) === 3) // micro-batch 1 = q230's append
+      try {
+        for (cond <- batchConds) {
+          stream.addData(docs.filter(cond).as[(Long, String)].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    Dedup.winnowProbeAtRest(s, atRest,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4), "doc_id", "text")
+      .orderBy("new_id", "base_id")
+  }
+
   /** q228 LSH index takedown
     * ([[graft.llm.Dedup.lshDeleteAtRest]] + the purge inside
     * [[graft.llm.Dedup.lshCompactAtRest]]): right-to-be-forgotten
@@ -2934,6 +3016,8 @@ object LlmQueries {
     "q229_ivfpq_takedown" -> q229 _,
     "q230_winnow_at_rest" -> q230 _,
     "q231_stream_bm25" -> q231 _,
+    "q238_stream_ivfpq" -> q238 _,
+    "q239_stream_winnow" -> q239 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -6669,6 +6753,11 @@ object LlmQueries {
     // training — the at-rest layout changes WHERE the codes live, not
     // their values, so one oracle gates both (the q85/q103 pattern)
     ("q196_ivf_pq_at_rest" -> baseOracles("q192_ivf_pq_topk")) +
+    // the stream-built indexes must answer bit-identically to their
+    // batch-built twins (same split, same probe), so the batch
+    // oracles gate them from scratch (the q231/q217 pattern)
+    ("q238_stream_ivfpq" -> baseOracles("q201_ivf_pq_append")) +
+    ("q239_stream_winnow" -> baseOracles("q230_winnow_at_rest")) +
     // q198: the hot-bucket star cap ACTIVE — seeded boilerplate corpus,
     // banding census, star+clique pairing, Jaccard verify, recursive
     // closure; the min-labeled cluster must hold all 200 injected docs

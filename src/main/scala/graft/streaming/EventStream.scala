@@ -462,6 +462,99 @@ object EventStream {
       ()
     }.start()
 
+  /** Streaming face of the at-rest IVF-PQ vector index — the
+    * crawl-shard pattern for EMBEDDINGS (index vectors on arrival),
+    * completing the matrix: every at-rest index kind (LSH, CDC,
+    * BM25, winnowing, IVF-PQ) has batch ingest + append + a
+    * streaming ingest face. The FIRST micro-batch trains the index
+    * ([[graft.llm.Similarity.ivfPqIngest]] — FAISS `train()+add()`);
+    * every later batch is coarse-routed and PQ-encoded under the
+    * FROZEN codebooks ([[graft.llm.Similarity.ivfPqAppend]] — FAISS
+    * `add()`), exactly the batch lifecycle q201 gates.
+    *
+    * REPLAY SAFETY (foreachBatch is at-least-once): the codes table
+    * is written LAST by the train face, so its existence is the
+    * training completion marker — a replay that finds no codes
+    * retrains (the models it overwrites were half of a crashed
+    * first attempt); a replay that finds codes anti-joins away ids
+    * already encoded (Spark's file committer lands the append
+    * atomically at job granularity, so a committed batch's ids are
+    * all present and the replay dissolves to an empty append).
+    * Drift contract unchanged from [[graft.llm.Similarity.ivfPqAppend]]:
+    * codebooks describe micro-batch 0's distribution; audit a
+    * drifting stream with pqRecall and re-ingest (the q211
+    * census/rebalance face) when it degrades.
+    */
+  def ivfPqIngestStream(stream: DataFrame, dir: String, coarseK: Int = 8,
+                        m: Int = 4, k: Int = 8,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      ivfPqIngestStep(batch, dir, coarseK, m, k, idCol, vecCol)
+    }.start()
+
+  /** One train-or-append cycle of [[ivfPqIngestStream]],
+    * package-visible so the replay guard is directly testable.
+    */
+  private[graft] def ivfPqIngestStep(batch: DataFrame, dir: String,
+                                     coarseK: Int, m: Int, k: Int,
+                                     idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    graft.llm.AtRestStore.tableIfExists(spark, dir + "/codes") match {
+      case None =>
+        graft.llm.Similarity.ivfPqIngest(batch, dir, coarseK, m, k,
+          idCol = idCol, vecCol = vecCol)
+      case Some(codes) =>
+        val fresh = batch.join(
+          codes.select(col("id").cast("long").as(idCol)).distinct(),
+          Seq(idCol), "left_anti").localCheckpoint()
+        if (fresh.head(1).nonEmpty)
+          graft.llm.Similarity.ivfPqAppend(fresh, dir, m, idCol, vecCol)
+    }
+  }
+
+  /** Streaming face of the at-rest winnowing (MOSS) index — shared-
+    * passage provenance kept current as shards arrive: each
+    * micro-batch is fingerprinted ONCE under the STORED (k, w)
+    * ([[graft.llm.Dedup.winnowAppendAtRest]]) and appended to the fp
+    * store; history is never re-fingerprinted. The first micro-batch
+    * establishes the store ([[graft.llm.Dedup.winnowIngestAtRest]],
+    * default params).
+    *
+    * REPLAY SAFETY: winnowAppendAtRest's contract requires fresh
+    * ids, so the step anti-joins the fp store's id set — a replayed
+    * committed batch dissolves to an empty append (the fp rows land
+    * in one job commit, so a committed batch's ids are all present
+    * or all absent). A doc too short to yield any fingerprint
+    * (len < k) re-fingerprints on replay and yields nothing again —
+    * harmless by construction.
+    */
+  def winnowIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                         dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      winnowIngestStep(batch, idCol, textCol, dir)
+    }.start()
+
+  /** One establish-or-append cycle of [[winnowIngestStream]],
+    * package-visible so the replay guard is directly testable.
+    */
+  private[graft] def winnowIngestStep(batch: DataFrame, idCol: String,
+                                      textCol: String, dir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.llm.AtRestStore.tableIfExists(spark, dir + "/fps") match {
+      case None =>
+        graft.llm.Dedup.winnowIngestAtRest(batch, idCol, textCol, dir)
+      case Some(fps) =>
+        val fresh = batch.join(
+          fps.select(col("id").cast("long").as(idCol)).distinct(),
+          Seq(idCol), "left_anti").localCheckpoint()
+        if (fresh.head(1).nonEmpty)
+          graft.llm.Dedup.winnowAppendAtRest(fresh, idCol, textCol, dir)
+    }
+  }
+
   /** File-source streaming reader with an explicit schema (streaming
     * requires one) — `readStream` over a parquet directory.
     */

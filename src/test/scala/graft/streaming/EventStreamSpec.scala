@@ -388,4 +388,86 @@ class EventStreamSpec extends SparkSpec {
       .agg(sum("n_docs")).head().getLong(0)
     assert(stats == 4L, s"stats double-counted after replay: $stats docs")
   }
+
+  test("ivfPqIngestStream: stream-built index answers ≡ batch-built; replay changes nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def vec(id: Long): Seq[Float] =
+      (0 until 64).map(j => ((id * 31 + j * 7) % 17).toFloat / 17f)
+    val batches = Seq(
+      (0L to 19L).map(i => (i, vec(i))),  // micro-batch 0: trains
+      (20L to 27L).map(i => (i, vec(i)))) // micro-batch 1: frozen append
+    val sDir = java.nio.file.Files.createTempDirectory("ivfpq_stream_store").toString
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.ivfPqIngestStream(
+      stream.toDF().toDF("vec_id", "embedding"), sDir, coarseK = 4, m = 4, k = 4)
+    try {
+      for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch-built twin: same split through the batch lifecycle
+    val bDir = java.nio.file.Files.createTempDirectory("ivfpq_batch_store").toString
+    graft.llm.Similarity.ivfPqIngest(batches(0).toDF("vec_id", "embedding"),
+      bDir, coarseK = 4, m = 4, k = 4)
+    graft.llm.Similarity.ivfPqAppend(batches(1).toDF("vec_id", "embedding"), bDir)
+    val qs = Seq((0L, vec(0)), (25L, vec(25))).toDF("qid", "qvec")
+    def probe(dir: String) =
+      graft.llm.Similarity.ivfPqTopKAtRest(spark, dir, qs, topK = 3, nprobe = 2)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val fromStream = probe(sDir)
+    assert(fromStream == probe(bDir),
+      "stream-built IVF-PQ answers diverged from batch-built")
+    // at-least-once replay: every id already rests in codes — the
+    // anti-join dissolves the batch, nothing is double-encoded
+    EventStream.ivfPqIngestStep(batches(1).toDF("vec_id", "embedding"),
+      sDir, 4, 4, 4, "vec_id", "embedding")
+    assert(probe(sDir) == fromStream, "replayed micro-batch changed the answers")
+    val nCodes = spark.read.parquet(sDir + "/codes").count()
+    assert(nCodes == 28L * 4, s"codes table gained rows on replay: $nCodes")
+  }
+
+  test("winnowIngestStream: stream-built store probes ≡ batch-built; replay changes nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val passage = "shared passage marker with plenty of identical characters " +
+      "to produce winnowed fingerprints across this run of text"
+    val batches = Seq(
+      Seq((1L, passage + " first carrier document body"),
+          (2L, "completely unrelated prose about catalyst plans and shuffles")),
+      Seq((11L, passage + " second carrier with a different tail"),
+          (12L, "another unrelated piece on parquet footers and page indexes")))
+    val probeDocs = Seq(
+      (21L, passage + " held out probe carrier"),
+      (22L, "noise that shares no passage with anything above"))
+    // stream-built store
+    val sDir = java.nio.file.Files.createTempDirectory("winnow_stream_store").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.winnowIngestStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", sDir)
+    try {
+      for (b <- batches) { stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch-built twin
+    val bDir = java.nio.file.Files.createTempDirectory("winnow_batch_store").toString
+    graft.llm.Dedup.winnowIngestAtRest(batches(0).toDF("doc_id", "text"),
+      "doc_id", "text", bDir)
+    graft.llm.Dedup.winnowAppendAtRest(batches(1).toDF("doc_id", "text"),
+      "doc_id", "text", bDir)
+    def probe(dir: String) =
+      graft.llm.Dedup.winnowProbeAtRest(spark, dir,
+          probeDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("new_id", "base_id").collect().map(_.toSeq).toSeq
+    val fromStream = probe(sDir)
+    assert(fromStream == probe(bDir),
+      "stream-built winnow matches diverged from batch-built")
+    assert(fromStream.map(r => (r(0), r(1))).toSet == Set((21L, 1L), (21L, 11L)),
+      s"probe should hit both carriers and nothing else: $fromStream")
+    // at-least-once replay: ids already rest in fps — the anti-join
+    // dissolves the batch, fingerprints are never duplicated
+    val nFps = spark.read.parquet(sDir + "/fps").count()
+    EventStream.winnowIngestStep(batches(1).toDF("doc_id", "text"),
+      "doc_id", "text", sDir)
+    assert(probe(sDir) == fromStream, "replayed micro-batch changed the matches")
+    assert(spark.read.parquet(sDir + "/fps").count() == nFps,
+      "fps table gained rows on replay")
+  }
 }
