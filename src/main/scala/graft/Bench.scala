@@ -538,7 +538,14 @@ object Bench {
       // pre-kernel spread reads core count × scan layout at plan
       // time — TextAnalysis.dsirWeight), so q128-family dumps only
       // compare like-for-like across local[32] protocol hosts.
-      for (name <- names if protocolRun && elapsed() < budgetSec * 1.2) {
+      // Dedicated slice, like the retry phase (round-16): the old
+      // `elapsed() < budgetSec * 1.2` gate starved the dump loop on
+      // every pass whose main sweep ran long — which at 239 queries
+      // is all of them — so new queries never got a first dump and
+      // refreshes silently stopped. The JSON record is already out;
+      // this phase is bounded-risk.
+      val dumpDeadline = elapsed() + 150.0
+      for (name <- names if protocolRun && elapsed() < dumpDeadline) {
         // scoped: building a DataFrame runs eager localCheckpoints
         // (LSH signature tables, q174 seeds) — release them per dump
         // or 174 builds accumulate blocks nothing will ever read
