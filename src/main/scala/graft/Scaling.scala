@@ -41,7 +41,22 @@ object Scaling {
     "q174_exact_substrings", "q171_family_matrix", "q198_lsh_hot_star",
     "q116_tfidf_pairs", "q195_ivf_pq_residual", "q193_pq_recall",
     "q203_bpe_encode", "q204_rotated_pq", "q194_knn_pagerank",
-    "q177_containment_pairs", "q146_cluster_split")
+    "q177_containment_pairs", "q146_cluster_split",
+    // round-16 additions: q94's floor re-seed (the de-skewed
+    // substring-window plan) moved it to #3 by floor — the slope is
+    // the direct evidence the groupBy rewrite bought linearity; q239
+    // probes the stream-built winnowing store (store grows with the
+    // tier, so the slope covers ingest-proportional probe cost too)
+    "q94_substring_dup", "q239_stream_winnow")
+
+  /** Optional subset: SPARK_GRAFT_SCALING_ONLY=q94_substring_dup,…
+    * re-times just those targets (scaling_last.txt then holds the
+    * subset only — merge into SCALING.md by row).
+    */
+  def activeTargets: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(s => Targets.filter(s.split(',').map(_.trim).toSet))
+      .getOrElse(Targets)
 
   def ensureScaledTier(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = Paths.get(dst, "_GRAFT_TIER_OK")
@@ -109,7 +124,7 @@ object Scaling {
       math.min(once(), once())
     }
 
-    val rows = Targets.map { q =>
+    val rows = activeTargets.map { q =>
       val ts = tiers.map { case (tn, d) => tn -> timeQ(q, d) }.toMap
       // input-rows ratio per step: use whichever table family the
       // query reads; both documents and embeddings triple together,
