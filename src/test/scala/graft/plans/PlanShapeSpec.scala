@@ -127,7 +127,12 @@ class PlanShapeSpec extends SparkSpec {
       "q116_tfidf_pairs"     -> (4, 1, 0),
       "q195_ivf_pq_residual" -> (8, 11, 4),
       "q105_geo_lifecycle"   -> (16, 7, 2),
-      "q193_pq_recall"       -> (13, 14, 5))
+      "q193_pq_recall"       -> (13, 14, 5),
+      // round-16: q94's de-skewed plan (floor re-seeded to its real
+      // cost) and q232, the suite's heaviest anchor — note q232's
+      // explain also pays its eager sharded export once here
+      "q94_substring_dup"    -> (5, 1, 0),
+      "q232_sharded_cog"     -> (5, 2, 0))
     val actual = expected.keys.toSeq.sorted.map { name =>
       val plan = graft.core.Materialize.scoped(spark) {
         graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
