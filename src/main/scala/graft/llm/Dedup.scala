@@ -892,10 +892,10 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .repartition(col("id"))
-      .select(col("id"),
+      .select(col("id"), col("t"),
         explode(call_function("cdc_chunks", col("t"), lit(k), lit(d))).as("c"))
-      .select(col("id"), col("c.start").as("start"), col("c.len").as("len"),
-        col("c.h").as("h"))
+      .select(col("id"), col("t"), col("c.start").as("start"),
+        col("c.len").as("len"), col("c.h").as("h"))
   }
 
   /** AT-REST CDC CHUNK STORE — the LBFS storage model as index
@@ -968,8 +968,14 @@ object Dedup {
     val spark = newDocs.sparkSession
     val row = spark.read.parquet(dir + "/params").head()
     val (k, d) = (row.getAs[Int]("k"), row.getAs[Int]("d"))
-    // one chunker pass feeds the raw-chars ledger AND the store delta
-    val rows = cdcChunkRows(newDocs, idCol, textCol, k, d).localCheckpoint()
+    // one chunker pass feeds the raw-chars ledger AND the store delta;
+    // payload rides along (round 16: the store holds CONTENT, not just
+    // accounting — reconstruction and takedown need the bytes)
+    val rows = cdcChunkRows(newDocs, idCol, textCol, k, d)
+      .withColumn("bytes", col("t").substr(col("start").cast("int"),
+        col("len").cast("int")))
+      .drop("t")
+      .localCheckpoint()
     // REPLAY-SAFE under foreachBatch's at-least-once contract: both
     // tables are partitioned by batch and written with dynamic
     // partition overwrite, and the freshness anti-join excludes the
@@ -978,7 +984,10 @@ object Dedup {
     // store view and overwrites exactly its own partitions. A crash
     // mid-write leaves at worst a partial partition that the re-run
     // replaces wholesale; the ledger can never double-count a batch.
-    val batchChunks = rows.select("h", "len").distinct()
+    // one payload per distinct (h, len): min is deterministic, and for
+    // the negligible-collision case it picks ONE representative
+    // honestly (the same distinct-(h, len) caveat the store documents)
+    val batchChunks = rows.groupBy("h", "len").agg(min("bytes").as("bytes"))
     val fresh = tableIfExists(spark, dir + "/chunks")
       .map(store => batchChunks.join(
         store.filter(col("batch") =!= batchId).select("h", "len"),
@@ -988,6 +997,13 @@ object Dedup {
     fresh.withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(dir + "/chunks")
+    // the manifest is the doc → ordered-chunk-list mapping (LBFS file
+    // map): ALL of the batch's chunk references land here, including
+    // ones whose content already rested — reconstruction and takedown
+    // refcounts key off it. Same dynamic-partition replay contract.
+    rows.select("id", "start", "len", "h").withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(dir + "/manifests")
     rows.agg(
         coalesce(sum(col("len").cast("long")), lit(0L)).as("raw_chars"))
       .crossJoin(fresh.agg(
@@ -1019,6 +1035,82 @@ object Dedup {
         when(col("cum_raw") > 0,
           expr("(cum_stored * 1048576L) div cum_raw")).otherwise(0L))
       .orderBy("batch")
+  }
+
+  /** RECONSTRUCT documents from the content store — the read face
+    * that makes the CDC family a real storage system, not an
+    * accounting sketch (LBFS reads a file by walking its chunk map;
+    * a backup system restores the same way): the requested ids'
+    * manifest rows join the payload table on the content key and
+    * reassemble in offset order. One manifest-sized join; the
+    * payload side prunes to matching hash buckets under AQE —
+    * history is never re-chunked, reconstruction never scans the
+    * corpus.
+    *
+    * The (id, start) distinct tolerates a doc whose manifest rows
+    * were re-sent across batches (the streaming face's at-least-once
+    * worst case): offsets are unique within a doc, so duplicates
+    * collapse instead of double-concatenating.
+    */
+  def cdcReconstruct(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, ids: DataFrame,
+                     idCol: String = "id"): DataFrame = {
+    val m = spark.read.parquet(dir + "/manifests")
+      .join(broadcast(ids.select(col(idCol).cast("long").as("id")).distinct()),
+        Seq("id"))
+      .select("id", "start", "len", "h").distinct()
+    val payload = spark.read.parquet(dir + "/chunks")
+      .groupBy("h", "len").agg(min("bytes").as("bytes"))
+    m.join(payload, Seq("h", "len"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("start").as("s"),
+            col("bytes").as("b")))),
+          x => x.getField("b")), "").as("text"))
+  }
+
+  /** TAKEDOWN for the content store — right-to-be-forgotten in a
+    * content-addressed world is manifest removal + reference-counted
+    * garbage collection (the `rm` + GC cycle of every dedup
+    * filesystem): the ids' manifest rows are dropped, then any chunk
+    * no longer referenced by a surviving manifest is physically
+    * purged. A chunk SHARED with a surviving document survives — its
+    * bytes were never exclusively the deleted document's. Unlike the
+    * probe-serving indexes there is no tombstone-mask phase: the CDC
+    * store has no probe face to mask, so delete goes straight to the
+    * physical cycle (both rewrites ride [[AtRestStore.swap]]'s
+    * crash-safe two-rename). The ledger is history and stays —
+    * census totals record what was ingested, not what remains.
+    *
+    * Scale shape: the manifest rewrite is one broadcast anti-join;
+    * the GC is one (h, len)-keyed semi-join of the payload table
+    * against the surviving manifests — never all-pairs, never a
+    * re-chunk.
+    */
+  def cdcDeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = ids.sparkSession
+    require(tableIfExists(spark, dir + "/manifests").isDefined,
+      s"cdc takedown against $dir: no manifests found — not an ingested " +
+        "content store (mistyped dir, or delete called before ingest)")
+    val del = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    // materialize the survivor set BEFORE the swap: the GC keys off it,
+    // and reading the rewritten table back would fail on the
+    // degenerate delete-everything case (an empty partitioned write
+    // has no data file to infer a schema from)
+    val surviving = spark.read.parquet(dir + "/manifests")
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .localCheckpoint()
+    AtRestStore.swap(spark, dir, "manifests") { out =>
+      surviving.write.partitionBy("batch").parquet(out)
+    }
+    val live = surviving.select("h", "len").distinct()
+    AtRestStore.swap(spark, dir, "chunks") { out =>
+      spark.read.parquet(dir + "/chunks")
+        .join(live, Seq("h", "len"), "left_semi")
+        .write.partitionBy("batch").parquet(out)
+    }
   }
 
   /** Empirical banding S-curve — the dedup analog of the ANN

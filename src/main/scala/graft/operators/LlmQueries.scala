@@ -2046,6 +2046,76 @@ object LlmQueries {
       .orderBy("new_id", "base_id")
   }
 
+  /** q240 CDC content-store reconstruction
+    * ([[graft.llm.Dedup.cdcReconstruct]]): the read face that makes
+    * the chunk store a real storage system — the whole corpus is
+    * ingested in two batches (payloads + per-doc manifests land with
+    * the same replay-safe append), then every doc_id ≡ 0 (mod 11) is
+    * reassembled FROM THE STORE (manifest walk + content-keyed
+    * payload join, never a corpus re-chunk) and the oracle compares
+    * md5/length of the reconstruction against the source text
+    * directly — a wrong chunk boundary, offset order, payload byte,
+    * or manifest row anywhere breaks the digest. n_chunks gates the
+    * manifest row count against the SQL chunker replay.
+    */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_cdc_content")
+    ingestOnce(atRest + "#cdcc#" + inputFingerprint(d + "/documents.parquet")) {
+      Dedup.cdcInitAtRest(s, atRest)
+      Dedup.cdcAppendAtRest(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", atRest, batchId = 0)
+      Dedup.cdcAppendAtRest(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", atRest, batchId = 1)
+    }
+    Dedup.cdcReconstruct(s, atRest,
+        docs.filter(pmod(col("doc_id"), lit(11)) === 0).select("doc_id"),
+        "doc_id")
+      .select(col("id").as("doc_id"), col("n_chunks"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** q241 CDC content-store takedown
+    * ([[graft.llm.Dedup.cdcDeleteAtRest]]): right-to-be-forgotten in
+    * a content-addressed store — every doc_id ≡ 3 (mod 7) is deleted
+    * (manifest removal + reference-counted chunk GC through the
+    * crash-safe two-rename swap). The result is the reconstruction
+    * of a SURVIVING subset (bit-exact digests — shared chunks whose
+    * other referents were deleted must still be there) stitched with
+    * a one-row post-GC census; the oracle replays the chunker over
+    * the survivors and computes the surviving distinct-chunk set
+    * from scratch (a chunk survives iff SOME survivor references it,
+    * however many deleted docs also did).
+    */
+  def q241(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_cdc_takedown")
+    ingestOnce(atRest + "#cdcd#" + inputFingerprint(d + "/documents.parquet")) {
+      Dedup.cdcInitAtRest(s, atRest)
+      Dedup.cdcAppendAtRest(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", atRest, batchId = 0)
+      Dedup.cdcAppendAtRest(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", atRest, batchId = 1)
+      Dedup.cdcDeleteAtRest(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        "doc_id", atRest)
+    }
+    val census = s.read.parquet(atRest + "/chunks")
+      .agg(count(lit(1)).as("n_chunks_live"),
+        sum(col("len").cast("long")).as("live_chars"))
+      .crossJoin(s.read.parquet(atRest + "/manifests")
+        .agg(count_distinct(col("id")).as("n_docs_live")))
+    Dedup.cdcReconstruct(s, atRest,
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 3 &&
+          pmod(col("doc_id"), lit(13)) === 0).select("doc_id"), "doc_id")
+      .select(col("id").as("doc_id"), col("n_chunks"),
+        md5(col("text").cast("binary")).as("digest"))
+      .crossJoin(broadcast(census)) // 1-row audit stitch
+      .orderBy("doc_id")
+  }
+
   /** q228 LSH index takedown
     * ([[graft.llm.Dedup.lshDeleteAtRest]] + the purge inside
     * [[graft.llm.Dedup.lshCompactAtRest]]): right-to-be-forgotten
@@ -3018,6 +3088,8 @@ object LlmQueries {
     "q231_stream_bm25" -> q231 _,
     "q238_stream_ivfpq" -> q238 _,
     "q239_stream_winnow" -> q239 _,
+    "q240_cdc_reconstruct" -> q240 _,
+    "q241_cdc_takedown" -> q241 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3751,6 +3823,37 @@ object LlmQueries {
         |       CAST(SUM(CASE WHEN dup = 1 THEN len ELSE 0 END) AS BIGINT) AS dup_chars,
         |       CAST(SUM(len) AS BIGINT) AS total_chars
         |FROM occ GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q240/q241: the reconstruction digest is compared against the
+    // SOURCE text directly — the store round-trip is the thing under
+    // test, so the oracle needs no chunk algebra for it; n_chunks and
+    // the q241 census replay the chunker CTE (same collision-honest
+    // distinct-(h, len) store model as the q226 ledger)
+    "q240_cdc_reconstruct" ->
+      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         |${cdcChunksCte("sub", "")},
+         |n AS (SELECT id, COUNT(*) AS n_chunks FROM chunks GROUP BY id)
+         |SELECT d.doc_id, CAST(n.n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(length(d.text) AS BIGINT) AS n_chars,
+         |       md5(d.text) AS digest
+         |FROM sub d JOIN n ON d.doc_id = n.id ORDER BY d.doc_id""".stripMargin,
+
+    "q241_cdc_takedown" ->
+      s"""WITH ${cdcChunksCte("documents", "")},
+         |surv AS (SELECT * FROM chunks WHERE id % 7 <> 3),
+         |livec AS (SELECT DISTINCT h, len FROM surv),
+         |cen AS (
+         |  SELECT (SELECT COUNT(*) FROM livec) AS n_chunks_live,
+         |         (SELECT CAST(SUM(len) AS BIGINT) FROM livec) AS live_chars,
+         |         (SELECT COUNT(DISTINCT id) FROM surv) AS n_docs_live),
+         |n AS (SELECT id, COUNT(*) AS n_chunks FROM surv GROUP BY id)
+         |SELECT d.doc_id, CAST(n.n_chunks AS BIGINT) AS n_chunks,
+         |       md5(d.text) AS digest,
+         |       CAST(cen.n_chunks_live AS BIGINT) AS n_chunks_live,
+         |       cen.live_chars, CAST(cen.n_docs_live AS BIGINT) AS n_docs_live
+         |FROM documents d JOIN n ON d.doc_id = n.id CROSS JOIN cen
+         |WHERE d.doc_id % 7 <> 3 AND d.doc_id % 13 = 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q221_trigram_backoff" ->
       s"""WITH tr AS (

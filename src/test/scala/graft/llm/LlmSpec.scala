@@ -636,6 +636,49 @@ class LlmSpec extends SparkSpec {
       led.map(_.getAs[Long]("n_new_chunks")).sum)
   }
 
+  test("cdc content store: bit-exact reconstruction; takedown GC keeps shared chunks, drops exclusive ones") {
+    val tShared = (1 to 30).map(i => s"common clause $i shared verbatim across twins").mkString(" ")
+    val tUnique = (1 to 30).map(i => s"solitary line $i that nothing else repeats anywhere").mkString(" ")
+    // docs 1 and 2 are identical (every chunk shared); 3 is disjoint
+    val dir = java.nio.file.Files.createTempDirectory("cdc_content_spec").toString
+    Dedup.cdcInitAtRest(spark, dir)
+    Dedup.cdcAppendAtRest(Seq((1L, tShared), (3L, tUnique)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 0)
+    // batch 1 stores ZERO new chunks (content already rests) but its
+    // manifest must still land — reconstruction reads across batches
+    Dedup.cdcAppendAtRest(Seq((2L, tShared)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 1)
+    def recon(ids: Seq[Long]): Map[Long, String] =
+      Dedup.cdcReconstruct(spark, dir, ids.toDF("id"), "id")
+        .select("id", "text").as[(Long, String)].collect().toMap
+    val r = recon(Seq(1L, 2L, 3L))
+    assert(r == Map(1L -> tShared, 2L -> tShared, 3L -> tUnique),
+      "store round-trip must be bit-exact for every doc, cross-batch included")
+    def chunkSet() = spark.read.parquet(dir + "/chunks")
+      .select("h", "len").as[(Long, Int)].collect().toSet
+    def manifestSet(keep: Long => Boolean) = spark.read.parquet(dir + "/manifests")
+      .filter(col("id").isin(Seq(1L, 2L, 3L).filter(keep): _*))
+      .select("h", "len").as[(Long, Int)].collect().toSet
+    val before = chunkSet()
+    // delete doc 1: every chunk is shared with doc 2 — GC removes NOTHING
+    Dedup.cdcDeleteAtRest(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    assert(chunkSet() == before, "shared chunks must survive their co-referent's deletion")
+    val r2 = recon(Seq(1L, 2L, 3L))
+    assert(!r2.contains(1L) && r2(2L) == tShared && r2(3L) == tUnique)
+    // delete doc 3: its chunks are exclusive — GC must drop exactly them,
+    // leaving precisely the surviving manifests' reference set
+    val expectLive = manifestSet(_ == 2L)
+    Dedup.cdcDeleteAtRest(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    assert(chunkSet() == expectLive,
+      "post-GC store must equal the surviving manifests' chunk set")
+    assert(recon(Seq(2L))(2L) == tShared)
+    // re-delete is a no-op
+    Dedup.cdcDeleteAtRest(Seq(1L, 3L).toDF("doc_id"), "doc_id", dir)
+    assert(chunkSet() == expectLive && recon(Seq(2L))(2L) == tShared)
+    // ledger is history: census totals unchanged by takedown
+    assert(Dedup.cdcStoreCensus(spark, dir).count() == 2)
+  }
+
   test("robustGroupStats: hand-computed fences, trim drops the spike, winsor clamps it") {
     // group g: 1..9 plus a 1000 spike; 10%-fences at nearest rank
     // ⌈10·10/100⌉=1 → lo=1, ⌈90·10/100⌉=9 → hi=9
