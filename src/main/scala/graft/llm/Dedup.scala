@@ -1113,6 +1113,45 @@ object Dedup {
     }
   }
 
+  /** COMPACTION for the content store — fold the batch-partition
+    * history a long-lived (streamed) store accumulates into one
+    * `batch=0` partition per table, the same history-fold the BM25
+    * index runs ([[Retrieval.bm25CompactAtRest]]): a store fed one
+    * micro-batch at a time carries one tiny partition per batch in
+    * chunks/manifests/stats, and the per-batch file count (not data
+    * size) comes to dominate open/list cost. Payloads, manifests,
+    * and the ledger's CUMULATIVE totals are preserved exactly — the
+    * post-compact census is ONE row whose cum_raw/cum_stored equal
+    * the pre-compact running totals (per-batch provenance is the
+    * price of compaction, as documented for BM25). All three
+    * rewrites ride the crash-safe two-rename swap.
+    *
+    * Replay caveat: compaction must not run concurrently with a live
+    * ingest stream — a foreachBatch replay AFTER the fold would see
+    * its own batch id absent and re-append (the BM25 face documents
+    * the same quiesce-first contract).
+    */
+  def cdcCompactAtRest(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    require(tableIfExists(spark, dir + "/stats").isDefined,
+      s"cdc compaction against $dir: no ledger found — not an ingested store")
+    for (t <- Seq("chunks", "manifests")) {
+      val cols = spark.read.parquet(dir + "/" + t).drop("batch")
+      val folded = cols.withColumn("batch", lit(0L)).localCheckpoint()
+      AtRestStore.swap(spark, dir, t) { out =>
+        folded.write.partitionBy("batch").parquet(out)
+      }
+    }
+    val ledger = spark.read.parquet(dir + "/stats")
+      .agg(sum(col("raw_chars")).as("raw_chars"),
+        sum(col("n_new_chunks")).as("n_new_chunks"),
+        sum(col("new_chars")).as("new_chars"))
+      .withColumn("batch", lit(0L)).localCheckpoint()
+    AtRestStore.swap(spark, dir, "stats") { out =>
+      ledger.write.partitionBy("batch").parquet(out)
+    }
+  }
+
   /** Empirical banding S-curve — the dedup analog of the ANN
     * family's recall audit ([[graft.llm.Similarity.pqRecall]]): the
     * production banding's candidate recall measured against a LOOSER

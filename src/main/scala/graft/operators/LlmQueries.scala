@@ -2116,6 +2116,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q242 CDC store compaction
+    * ([[graft.llm.Dedup.cdcCompactAtRest]]): a three-batch store is
+    * folded to one `batch=0` partition per table — the history-fold
+    * a streamed store needs once per-batch FILE COUNT dominates
+    * open/list cost. The gate is that compaction changes NOTHING
+    * observable except the fold itself: a reconstruction subset
+    * stays bit-exact (md5 vs source) and the post-compact census is
+    * ONE row whose cumulative totals equal the from-scratch replay
+    * of the three-batch ledger algebra.
+    */
+  def q242(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val atRest = atRestDir(d, "graft_cdc_compact")
+    ingestOnce(atRest + "#cdcf#" + inputFingerprint(d + "/documents.parquet")) {
+      Dedup.cdcInitAtRest(s, atRest)
+      for (b <- 0 to 2)
+        Dedup.cdcAppendAtRest(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          "doc_id", "text", atRest, batchId = b.toLong)
+      Dedup.cdcCompactAtRest(s, atRest)
+    }
+    val census = Dedup.cdcStoreCensus(s, atRest)
+      .agg(count(lit(1)).as("n_ledger_rows"),
+        max(col("cum_raw")).as("cum_raw"),
+        max(col("cum_stored")).as("cum_stored"),
+        max(col("stored_fp")).as("stored_fp"))
+    Dedup.cdcReconstruct(s, atRest,
+        docs.filter(pmod(col("doc_id"), lit(17)) === 0).select("doc_id"),
+        "doc_id")
+      .select(col("id").as("doc_id"), col("n_chunks"),
+        md5(col("text").cast("binary")).as("digest"))
+      .crossJoin(broadcast(census)) // 1-row audit stitch
+      .orderBy("doc_id")
+  }
+
   /** q228 LSH index takedown
     * ([[graft.llm.Dedup.lshDeleteAtRest]] + the purge inside
     * [[graft.llm.Dedup.lshCompactAtRest]]): right-to-be-forgotten
@@ -3090,6 +3124,7 @@ object LlmQueries {
     "q239_stream_winnow" -> q239 _,
     "q240_cdc_reconstruct" -> q240 _,
     "q241_cdc_takedown" -> q241 _,
+    "q242_cdc_compact" -> q242 _,
   )
 
   // ---------------- DuckDB oracles ----------------
@@ -3854,6 +3889,21 @@ object LlmQueries {
          |FROM documents d JOIN n ON d.doc_id = n.id CROSS JOIN cen
          |WHERE d.doc_id % 7 <> 3 AND d.doc_id % 13 = 0
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q242_cdc_compact" ->
+      s"""WITH ${cdcChunksCte("documents", "")},
+         |dist AS (SELECT DISTINCT h, len FROM chunks),
+         |cen AS (
+         |  SELECT (SELECT CAST(SUM(len) AS BIGINT) FROM chunks) AS cum_raw,
+         |         (SELECT CAST(SUM(len) AS BIGINT) FROM dist) AS cum_stored),
+         |n AS (SELECT id, COUNT(*) AS n_chunks FROM chunks GROUP BY id)
+         |SELECT d.doc_id, CAST(n.n_chunks AS BIGINT) AS n_chunks,
+         |       md5(d.text) AS digest,
+         |       CAST(1 AS BIGINT) AS n_ledger_rows,
+         |       cen.cum_raw, cen.cum_stored,
+         |       (cen.cum_stored * 1048576) // cen.cum_raw AS stored_fp
+         |FROM documents d JOIN n ON d.doc_id = n.id CROSS JOIN cen
+         |WHERE d.doc_id % 17 = 0 ORDER BY d.doc_id""".stripMargin,
 
     "q221_trigram_backoff" ->
       s"""WITH tr AS (

@@ -679,6 +679,41 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.cdcStoreCensus(spark, dir).count() == 2)
   }
 
+  test("cdc compaction: folds to one partition per table, preserves store, manifests, and cumulative ledger") {
+    val t1 = (1 to 25).map(i => s"alpha paragraph $i for the compaction fixture").mkString(" ")
+    val t2 = (1 to 25).map(i => s"beta paragraph $i with different words throughout").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("cdc_compact_spec").toString
+    Dedup.cdcInitAtRest(spark, dir)
+    Dedup.cdcAppendAtRest(Seq((1L, t1)).toDF("doc_id", "text"), "doc_id", "text", dir, 0)
+    Dedup.cdcAppendAtRest(Seq((2L, t2)).toDF("doc_id", "text"), "doc_id", "text", dir, 1)
+    Dedup.cdcAppendAtRest(Seq((3L, t1)).toDF("doc_id", "text"), "doc_id", "text", dir, 2)
+    val preChunks = spark.read.parquet(dir + "/chunks")
+      .select("h", "len").as[(Long, Int)].collect().toSet
+    val preCensus = Dedup.cdcStoreCensus(spark, dir).orderBy("batch").collect()
+    val preCums = (preCensus.last.getAs[Long]("cum_raw"),
+      preCensus.last.getAs[Long]("cum_stored"),
+      preCensus.last.getAs[Long]("stored_fp"))
+    Dedup.cdcCompactAtRest(spark, dir)
+    // one batch=0 partition per table; store contents identical
+    assert(spark.read.parquet(dir + "/chunks")
+      .select("batch").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(spark.read.parquet(dir + "/chunks")
+      .select("h", "len").as[(Long, Int)].collect().toSet == preChunks)
+    // census folds to ONE row carrying the same cumulative totals
+    val post = Dedup.cdcStoreCensus(spark, dir).collect()
+    assert(post.length == 1)
+    assert((post(0).getAs[Long]("cum_raw"), post(0).getAs[Long]("cum_stored"),
+      post(0).getAs[Long]("stored_fp")) == preCums)
+    // reconstruction unaffected by the fold; re-compaction idempotent
+    def recon() = Dedup.cdcReconstruct(spark, dir,
+        Seq(1L, 2L, 3L).toDF("id"), "id")
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(recon() == Map(1L -> t1, 2L -> t2, 3L -> t1))
+    Dedup.cdcCompactAtRest(spark, dir)
+    assert(recon() == Map(1L -> t1, 2L -> t2, 3L -> t1) &&
+      Dedup.cdcStoreCensus(spark, dir).count() == 1)
+  }
+
   test("robustGroupStats: hand-computed fences, trim drops the spike, winsor clamps it") {
     // group g: 1..9 plus a 1000 spike; 10%-fences at nearest rank
     // ⌈10·10/100⌉=1 → lo=1, ⌈90·10/100⌉=9 → hi=9
