@@ -524,6 +524,25 @@ object Bench {
       Files.writeString(Paths.get("bench_medians.json"), medsJson)
     } catch { case _: Throwable => () }
 
+    // The compact one-line summary the harness parses (see the final
+    // emit below for why it must be the LAST line). Emitted ONCE HERE,
+    // BEFORE the dump phase, as kill insurance: the dump loop logs
+    // ~4 KB of WARNs on a full suite, so a harness timeout landing
+    // inside it would leave a 2000-char scrape tail of pure log spam
+    // and the round would parse null (the r13 failure mode
+    // re-introduced by the dedicated dump slice). Logging drops to
+    // ERROR for the dump phase so, on a kill, this line is still the
+    // tail's last parseable line.
+    def compactLine(): String = {
+      val loadMax = names.flatMap(loadByQuery.get).foldLeft(0.0)(math.max)
+      val probesMax = canaryProbes.foldLeft(0.0)(math.max)
+      val floorsTotal = readTimes("bench_floors.json").values.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${names.size},"iters":$iters,"failed":${errors.size},"canary":$canary,"canary_probes_max":$probesMax,"degraded":$degraded,"codecache_ok":$codeCacheOk,"deferred":${deferredLoad.size},"loadavg_max":$loadMax,"floors_total":$floorsTotal,"over2x":${over2x.size},"wall":${elapsed()},"detail":"bench_last.json"}"""
+    }
+    println(compactLine())
+    System.out.flush()
+    spark.sparkContext.setLogLevel("ERROR")
+
     // formatted-plan dump for scale audit. NOT free: building a
     // query's DataFrame runs its driver-side prep (q103 writes its
     // at-rest corpus, q106 walks the GPKG b-tree, …), so the round-8
@@ -543,9 +562,20 @@ object Bench {
       // every pass whose main sweep ran long — which at 239 queries
       // is all of them — so new queries never got a first dump and
       // refreshes silently stopped. The JSON record is already out;
-      // this phase is bounded-risk.
+      // this phase is bounded-risk. BUT the harness's outer kill
+      // threshold is unknown (bounded below by r14's 603 s survival),
+      // so under an unknown-budget run the slice only OPENS if the
+      // sweep finished with headroom (elapsed < 1.35× budget) —
+      // committed dumps come from local passes, which force the phase
+      // with SPARK_GRAFT_DUMP_PLANS=1; =0 disables it outright.
+      val dumpMode = sys.env.getOrElse("SPARK_GRAFT_DUMP_PLANS", "")
+      val dumpOpen = dumpMode match {
+        case "1" => true
+        case "0" => false
+        case _   => elapsed() < budgetSec * 1.35
+      }
       val dumpDeadline = elapsed() + 150.0
-      for (name <- names if protocolRun && elapsed() < dumpDeadline) {
+      for (name <- names if protocolRun && dumpOpen && elapsed() < dumpDeadline) {
         // scoped: building a DataFrame runs eager localCheckpoints
         // (LSH signature tables, q174 seeds) — release them per dump
         // or 174 builds accumulate blocks nothing will ever read
@@ -567,11 +597,7 @@ object Bench {
     // well under the scrape window — while the per-query map lives in
     // the early full emit above and in `bench_last.json`. With spark
     // stopped, nothing can log after this line.
-    val loadMax = names.flatMap(loadByQuery.get).foldLeft(0.0)(math.max)
-    val probesMax = canaryProbes.foldLeft(0.0)(math.max)
-    val floorsTotal = readTimes("bench_floors.json").values.sum
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${names.size},"iters":$iters,"failed":${errors.size},"canary":$canary,"canary_probes_max":$probesMax,"degraded":$degraded,"codecache_ok":$codeCacheOk,"deferred":${deferredLoad.size},"loadavg_max":$loadMax,"floors_total":$floorsTotal,"over2x":${over2x.size},"wall":${elapsed()},"detail":"bench_last.json"}"""
-    println(compact)
+    println(compactLine())
     System.out.flush()
     // local[n] leaves no work behind; exit promptly rather than wait
     // out lingering non-daemon threads under a ticking harness timeout
