@@ -67,9 +67,9 @@ import graft.operators.{EventQueries, LlmQueries, PlannerQueries, Relational, Ra
   *  - q238/q239 stream-fed IVF-PQ and winnowing at-rest indexes
   *    (LlmQueries + EventStream) — every at-rest index kind now has
   *    a streaming ingest face gated against its batch-built twin
-  *  - q240/q241 CDC content store: bit-exact document reconstruction
-  *    from payloads+manifests, and takedown as manifest removal +
-  *    refcounted chunk GC
+  *  - q240–q242 CDC content store: bit-exact document reconstruction
+  *    from payloads+manifests, takedown as manifest removal +
+  *    refcounted chunk GC, and batch-partition history compaction
   *  - q53–q55, q71, q72, q74, q92, q163, q164, q167 events: JSON/string
   *    probes, streaming batch-twins, as-of join, range join, session
   *    windows, stream-stream attribution join q92, ordered
