@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.AtRestStore.{tableIfExists, tombstoneAppend, tombstoneClear}
+import graft.llm.AtRestStore.{tableIfExists, tablePath, tombstoneAppend, tombstoneClear}
 
 /** Deduplication operators for training-data pipelines: exact
   * (hash-groupBy), MinHash+LSH banding, SimHash bucketing, n-gram
@@ -401,7 +401,8 @@ object Dedup {
     val n = merges.count()
     require(n > 0, "bpeSaveAtRest: empty merge table — train first")
     merges.select("round", "lhs", "rhs", "pair_count")
-      .write.mode("overwrite").parquet(dir + "/merges")
+      .write.mode("overwrite")
+      .parquet(tablePath(merges.sparkSession, dir, "merges"))
   }
 
   /** Encode a corpus under a STORED merge table — [[bpeEncode]]
@@ -414,7 +415,8 @@ object Dedup {
     */
   def bpeEncodeAtRest(df: DataFrame, idCol: String, textCol: String,
                       dir: String): DataFrame = {
-    val mt = df.sparkSession.read.parquet(dir + "/merges")
+    val mt = df.sparkSession.read
+      .parquet(tablePath(df.sparkSession, dir, "merges"))
       .orderBy("round").select("lhs", "rhs").collect()
     require(mt.nonEmpty, s"at-rest BPE model $dir has no merges")
     bpeEncode(df, idCol, textCol,
@@ -935,19 +937,44 @@ object Dedup {
                     k: Int = 16, d: Int = 64): Unit = {
     require(k > 0 && d > 0, s"k and d must be positive, got k=$k d=$d")
     import spark.implicits._
-    // chunks/stats are batch-partitioned and materialize on first
-    // append (an EMPTY partitioned write leaves no data file to infer
-    // a schema from, so "empty" here means "absent" — the readers
-    // below existence-check); init just clears any prior store
-    val conf = spark.sparkContext.hadoopConfiguration
-    for (t <- Seq("/chunks", "/stats")) {
-      val pth = new org.apache.hadoop.fs.Path(dir + t)
-      val fs = pth.getFileSystem(conf)
-      if (fs.exists(pth))
-        require(fs.delete(pth, true), s"cdcInitAtRest: could not clear $pth")
-    }
-    Seq((k, d)).toDF("k", "d")
-      .write.mode("overwrite").parquet(dir + "/params")
+    // chunks/manifests/stats are batch-partitioned and materialize on
+    // first append (an EMPTY partitioned write leaves no data file to
+    // infer a schema from, so "empty" here means "absent" — the
+    // readers below existence-check); init just clears any prior
+    // store, versioned dirs and pointers included
+    for (t <- Seq("chunks", "manifests", "stats"))
+      AtRestStore.dropTable(spark, dir, t)
+    // fmt stamps the store layout (ADVICE r16: round 16 turned the
+    // accounting store into a CONTENT store — chunks carry payload
+    // bytes and manifests exist; appending the new shape into an old
+    // store would mix schemas and read nulls nondeterministically).
+    // Every read/write face requires the stamp via cdcFmtCheck.
+    Seq((k, d, CdcFmt)).toDF("k", "d", "fmt")
+      .write.mode("overwrite").parquet(tablePath(spark, dir, "params"))
+  }
+
+  /** The CDC store layout version this build reads and writes: v2 =
+    * content store (payload bytes in `chunks`, per-doc `manifests`),
+    * the round-16 shape. v1 (unstamped) was accounting-only.
+    */
+  private val CdcFmt = 2
+
+  /** Loud format + parameter gate for every CDC store face (the
+    * lshParamsCheck pattern, extended with the layout stamp): returns
+    * the stored (k, d).
+    */
+  private def cdcFmtCheck(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (Int, Int) = {
+    val row = spark.read.parquet(tablePath(spark, dir, "params")).head()
+    val fmt = if (row.schema.fieldNames.contains("fmt")) row.getAs[Int]("fmt")
+      else 1
+    require(fmt == CdcFmt,
+      s"CDC store $dir is layout v$fmt but this build requires v$CdcFmt " +
+        "(content store: payload bytes + manifests). Re-ingest the store " +
+        "(cdcInitAtRest + replay history) instead of mixing layouts — an " +
+        "append would leave chunks partitions with divergent schemas and " +
+        "reads would return nulls nondeterministically")
+    (row.getAs[Int]("k"), row.getAs[Int]("d"))
   }
 
   /** Append one ingest batch to a [[cdcIngestAtRest]] store: chunk,
@@ -966,8 +993,7 @@ object Dedup {
   def cdcAppendAtRest(newDocs: DataFrame, idCol: String, textCol: String,
                       dir: String, batchId: Long): Unit = {
     val spark = newDocs.sparkSession
-    val row = spark.read.parquet(dir + "/params").head()
-    val (k, d) = (row.getAs[Int]("k"), row.getAs[Int]("d"))
+    val (k, d) = cdcFmtCheck(spark, dir)
     // one chunker pass feeds the raw-chars ledger AND the store delta;
     // payload rides along (round 16: the store holds CONTENT, not just
     // accounting — reconstruction and takedown need the bytes)
@@ -988,7 +1014,7 @@ object Dedup {
     // the negligible-collision case it picks ONE representative
     // honestly (the same distinct-(h, len) caveat the store documents)
     val batchChunks = rows.groupBy("h", "len").agg(min("bytes").as("bytes"))
-    val fresh = tableIfExists(spark, dir + "/chunks")
+    val fresh = tableIfExists(spark, dir, "chunks")
       .map(store => batchChunks.join(
         store.filter(col("batch") =!= batchId).select("h", "len"),
         Seq("h", "len"), "left_anti"))
@@ -996,14 +1022,14 @@ object Dedup {
       .localCheckpoint() // materialize BEFORE writing into the read path
     fresh.withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(dir + "/chunks")
+      .partitionBy("batch").parquet(tablePath(spark, dir, "chunks"))
     // the manifest is the doc → ordered-chunk-list mapping (LBFS file
     // map): ALL of the batch's chunk references land here, including
     // ones whose content already rested — reconstruction and takedown
     // refcounts key off it. Same dynamic-partition replay contract.
     rows.select("id", "start", "len", "h").withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(dir + "/manifests")
+      .partitionBy("batch").parquet(tablePath(spark, dir, "manifests"))
     rows.agg(
         coalesce(sum(col("len").cast("long")), lit(0L)).as("raw_chars"))
       .crossJoin(fresh.agg(
@@ -1012,7 +1038,7 @@ object Dedup {
       .select(col("raw_chars"), col("n_new_chunks"), col("new_chars"),
         lit(batchId).as("batch"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(dir + "/stats")
+      .partitionBy("batch").parquet(tablePath(spark, dir, "stats"))
   }
 
   /** The store's ledger: per ingest batch, raw chars in vs new chunks
@@ -1025,7 +1051,7 @@ object Dedup {
                      dir: String): DataFrame = {
     val w = Window.orderBy("batch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tableIfExists(spark, dir + "/stats").getOrElse(
+    tableIfExists(spark, dir, "stats").getOrElse(
       throw new IllegalArgumentException(
         s"cdcStoreCensus: $dir has no ledger — the store is empty " +
           "(no batch has been appended since init)"))
@@ -1051,23 +1077,63 @@ object Dedup {
     * were re-sent across batches (the streaming face's at-least-once
     * worst case): offsets are unique within a doc, so duplicates
     * collapse instead of double-concatenating.
+    *
+    * Integrity gate (ADVICE r16): the payload join is a LEFT join
+    * counted against the manifest — a manifest row with no surviving
+    * (h, len) payload (GC bug, partially-deleted store) RAISES rather
+    * than silently concatenating a truncated text; on a healthy store
+    * the plan and output are bit-identical to the plain inner join.
+    * A store with NO manifests at rest (freshly init'd, or after a
+    * delete-everything takedown) reconstructs every id to nothing —
+    * an empty frame, not an error.
     */
   def cdcReconstruct(spark: org.apache.spark.sql.SparkSession,
                      dir: String, ids: DataFrame,
                      idCol: String = "id"): DataFrame = {
-    val m = spark.read.parquet(dir + "/manifests")
-      .join(broadcast(ids.select(col(idCol).cast("long").as("id")).distinct()),
-        Seq("id"))
+    cdcFmtCheck(spark, dir)
+    val want = ids.select(col(idCol).cast("long").as("id")).distinct()
+    // ONE snapshot: manifests and chunks must belong to the same
+    // store generation or a concurrent takedown flip could pair a
+    // doc's manifest with a purged payload set
+    val snap = AtRestStore.snapshot(spark, dir)
+    snap.ifExists("manifests") match {
+      case None =>
+        want.limit(0)
+          .withColumn("n_chunks", lit(0L)).withColumn("text", lit(""))
+      case Some(manifests) => cdcReconstructFrom(snap, dir, manifests, want)
+    }
+  }
+
+  private def cdcReconstructFrom(snap: AtRestStore.Snapshot,
+                                 dir: String, manifests: DataFrame,
+                                 want: DataFrame): DataFrame = {
+    val m = manifests
+      .join(broadcast(want), Seq("id"))
       .select("id", "start", "len", "h").distinct()
-    val payload = spark.read.parquet(dir + "/chunks")
+    // a manifests-without-chunks store is a crashed delete-everything
+    // (chunks drop first for right-to-be-forgotten; re-run the delete
+    // to recover) — the zero-payload frame below routes every doc to
+    // the loud missing-payload gate instead of returning empty texts
+    val payload = snap.ifExists("chunks")
+      .getOrElse(m.select(col("h"), col("len")).limit(0)
+        .withColumn("bytes", lit(null).cast("string")))
       .groupBy("h", "len").agg(min("bytes").as("bytes"))
-    m.join(payload, Seq("h", "len"))
+    m.join(payload, Seq("h", "len"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_chunks"),
+      .agg(count(lit(1)).as("n_manifest"),
+        sum(when(col("bytes").isNull, 1L).otherwise(0L)).as("n_missing"),
         array_join(transform(
           array_sort(collect_list(struct(col("start").as("s"),
-            col("bytes").as("b")))),
+            coalesce(col("bytes"), lit("")).as("b")))),
           x => x.getField("b")), "").as("text"))
+      .select(col("id"),
+        when(col("n_missing") > 0, raise_error(concat(
+          lit(s"cdcReconstruct: store $dir is missing "), col("n_missing"),
+          lit(" payload chunk(s) for doc "), col("id"),
+          lit(" — the store is partial (GC bug or crashed takedown); " +
+            "refusing to return truncated text"))))
+          .otherwise(col("n_manifest")).as("n_chunks"),
+        col("text"))
   }
 
   /** TAKEDOWN for the content store — right-to-be-forgotten in a
@@ -1080,7 +1146,7 @@ object Dedup {
     * probe-serving indexes there is no tombstone-mask phase: the CDC
     * store has no probe face to mask, so delete goes straight to the
     * physical cycle (both rewrites ride [[AtRestStore.swap]]'s
-    * crash-safe two-rename). The ledger is history and stays —
+    * crash-safe versioned flip). The ledger is history and stays —
     * census totals record what was ingested, not what remains.
     *
     * Scale shape: the manifest rewrite is one broadcast anti-join;
@@ -1090,27 +1156,53 @@ object Dedup {
     */
   def cdcDeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit = {
     val spark = ids.sparkSession
-    require(tableIfExists(spark, dir + "/manifests").isDefined,
-      s"cdc takedown against $dir: no manifests found — not an ingested " +
-        "content store (mistyped dir, or delete called before ingest)")
+    cdcFmtCheck(spark, dir) // loud not-a-store / wrong-layout failure
+    val snap = AtRestStore.snapshot(spark, dir)
+    val manifests = snap.ifExists("manifests")
+    if (manifests.isEmpty) {
+      // an init'd-but-empty store (fresh, or a completed
+      // delete-everything): nothing rests, so the takedown is a no-op
+      // — but clear any chunk debris a crashed previous
+      // delete-everything left behind (chunks drop FIRST below, so
+      // the crash window is manifests-present/chunks-absent, never
+      // orphaned payload bytes)
+      AtRestStore.dropTable(spark, dir, "chunks")
+      return
+    }
     val del = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
     // materialize the survivor set BEFORE the swap: the GC keys off it,
     // and reading the rewritten table back would fail on the
     // degenerate delete-everything case (an empty partitioned write
     // has no data file to infer a schema from)
-    val surviving = spark.read.parquet(dir + "/manifests")
+    val surviving = manifests.get
       .join(broadcast(del), Seq("id"), "left_anti")
       .localCheckpoint()
-    AtRestStore.swap(spark, dir, "manifests") { out =>
-      surviving.write.partitionBy("batch").parquet(out)
+    if (surviving.head(1).isEmpty) {
+      // delete-EVERYTHING (ADVICE r16: an empty partitioned write has
+      // no footer, so swapping one in bricks every later face): the
+      // store returns to its init'd-empty state — both tables DROPPED
+      // (absence is the documented empty encoding, see cdcInitAtRest),
+      // params + ledger history stay. Chunks drop first:
+      // right-to-be-forgotten must never leave payload bytes behind,
+      // and the manifests-present/chunks-absent crash state recovers
+      // by re-running the delete (reconstruct of such a store raises
+      // its missing-payload gate rather than serving empty texts).
+      AtRestStore.dropTable(spark, dir, "chunks")
+      AtRestStore.dropTable(spark, dir, "manifests")
+      return
     }
     val live = surviving.select("h", "len").distinct()
-    AtRestStore.swap(spark, dir, "chunks") { out =>
-      spark.read.parquet(dir + "/chunks")
-        .join(live, Seq("h", "len"), "left_semi")
-        .write.partitionBy("batch").parquet(out)
-    }
+    // one atomic flip for both tables: a concurrent reconstruct can
+    // never pair surviving manifests with an already-purged payload
+    // set (or vice versa)
+    AtRestStore.swapMany(spark, dir, Seq(
+      "manifests" -> ((out: String) =>
+        surviving.write.partitionBy("batch").parquet(out)),
+      "chunks" -> ((out: String) =>
+        spark.read.parquet(snap.path("chunks"))
+          .join(live, Seq("h", "len"), "left_semi")
+          .write.partitionBy("batch").parquet(out))))
   }
 
   /** COMPACTION for the content store — fold the batch-partition
@@ -1124,7 +1216,7 @@ object Dedup {
     * post-compact census is ONE row whose cum_raw/cum_stored equal
     * the pre-compact running totals (per-batch provenance is the
     * price of compaction, as documented for BM25). All three
-    * rewrites ride the crash-safe two-rename swap.
+    * rewrites ride ONE crash-safe atomic manifest flip.
     *
     * Replay caveat: compaction must not run concurrently with a live
     * ingest stream — a foreachBatch replay AFTER the fold would see
@@ -1133,23 +1225,29 @@ object Dedup {
     */
   def cdcCompactAtRest(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
-    require(tableIfExists(spark, dir + "/stats").isDefined,
+    cdcFmtCheck(spark, dir)
+    val snap = AtRestStore.snapshot(spark, dir)
+    require(snap.ifExists("stats").isDefined,
       s"cdc compaction against $dir: no ledger found — not an ingested store")
-    for (t <- Seq("chunks", "manifests")) {
-      val cols = spark.read.parquet(dir + "/" + t).drop("batch")
-      val folded = cols.withColumn("batch", lit(0L)).localCheckpoint()
-      AtRestStore.swap(spark, dir, t) { out =>
-        folded.write.partitionBy("batch").parquet(out)
+    // an empty store (init'd, or post delete-everything) encodes its
+    // data tables as ABSENT — nothing to fold, skip (ADVICE r16: the
+    // old unconditional read crashed here forever after a
+    // delete-everything). All present tables fold in ONE atomic flip.
+    val folds = Seq("chunks", "manifests").flatMap { t =>
+      snap.ifExists(t).map { tbl =>
+        val folded = tbl.drop("batch")
+          .withColumn("batch", lit(0L)).localCheckpoint()
+        t -> ((out: String) => folded.write.partitionBy("batch").parquet(out))
       }
     }
-    val ledger = spark.read.parquet(dir + "/stats")
+    val ledger = spark.read.parquet(snap.path("stats"))
       .agg(sum(col("raw_chars")).as("raw_chars"),
         sum(col("n_new_chunks")).as("n_new_chunks"),
         sum(col("new_chars")).as("new_chars"))
       .withColumn("batch", lit(0L)).localCheckpoint()
-    AtRestStore.swap(spark, dir, "stats") { out =>
-      ledger.write.partitionBy("batch").parquet(out)
-    }
+    AtRestStore.swapMany(spark, dir, folds :+
+      ("stats" -> ((out: String) =>
+        ledger.write.partitionBy("batch").parquet(out))))
   }
 
   /** Empirical banding S-curve — the dedup analog of the ANN
@@ -1260,7 +1358,7 @@ object Dedup {
     import spark.implicits._
     Seq((numHashes, bands, shingleLen, maxBucket))
       .toDF("num_hashes", "bands", "shingle_len", "max_bucket")
-      .write.mode("overwrite").parquet(dir + "/params")
+      .write.mode("overwrite").parquet(tablePath(spark, dir, "params"))
   }
 
   /** Shared ingest/append body — ONE hub-reduction implementation so
@@ -1271,6 +1369,7 @@ object Dedup {
                              shingleLen: Int, maxBucket: Int,
                              overwrite: Boolean): Unit = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val spark = df.sparkSession
     val mode = if (overwrite) "overwrite" else "append"
     val agg = signatureAgg(df, idCol, textCol, numHashes, shingleLen)
     val banded = bandedOf(agg, bands, numHashes / bands)
@@ -1283,9 +1382,10 @@ object Dedup {
       .groupBy("band", "bkey").agg(min(col("id")).as("id"))
       .select("id", "band", "bkey")
     cool.unionByName(reps)
-      .write.mode(mode).partitionBy("band").parquet(dir + "/buckets")
+      .write.mode(mode).partitionBy("band")
+      .parquet(tablePath(spark, dir, "buckets"))
     agg.select(col("id"), col("sh"))
-      .write.mode(mode).parquet(dir + "/shingles")
+      .write.mode(mode).parquet(tablePath(spark, dir, "shingles"))
   }
 
   /** Loud parameter gate for the at-rest LSH artifacts. Hash-family
@@ -1300,7 +1400,7 @@ object Dedup {
                              dir: String, numHashes: Int, bands: Int,
                              shingleLen: Int,
                              maxBucket: Option[Int] = None): Int = {
-    val row = spark.read.parquet(dir + "/params").head()
+    val row = spark.read.parquet(tablePath(spark, dir, "params")).head()
     val (h, b, sl, mb) = (row.getAs[Int]("num_hashes"), row.getAs[Int]("bands"),
       row.getAs[Int]("shingle_len"), row.getAs[Int]("max_bucket"))
     require(h == numHashes && b == bands && sl == shingleLen,
@@ -1374,12 +1474,17 @@ object Dedup {
     // takedown mask ([[lshDeleteAtRest]]): tombstoned base ids are
     // invisible to probes — both the bucket rows and the shingle
     // store anti-join the (small, broadcastable) tombstone set
-    val tombIds = tableIfExists(spark, dir + "/tombstones")
+    // ONE snapshot: mask set, buckets, and shingles must belong to
+    // the same store generation (a compaction flip between reads
+    // would otherwise resurface purged docs or verify against a
+    // mixed-generation shingle store)
+    val snap = AtRestStore.snapshot(spark, dir)
+    val tombIds = snap.ifExists("tombstones")
       .map(t => broadcast(t.select("id")))
     def mask(df: DataFrame): DataFrame =
       tombIds.map(t => df.join(t, Seq("id"), "left_anti")).getOrElse(df)
-    val idx = mask(spark.read.parquet(dir + "/buckets"))
-    val baseSh = mask(spark.read.parquet(dir + "/shingles"))
+    val idx = mask(spark.read.parquet(snap.path("buckets")))
+    val baseSh = mask(spark.read.parquet(snap.path("shingles")))
     val cand = banded.select(col("band"), col("bkey"), col("id").as("new_id"))
       .join(idx.select(col("band"), col("bkey"), col("id").as("base_id")),
         Seq("band", "bkey"))
@@ -1453,22 +1558,18 @@ object Dedup {
                        shingleLen: Int = 3): Unit = {
     val mb = lshParamsCheck(spark, dir, numHashes, bands, shingleLen)
     // physical takedown purge: compaction drops tombstoned rows from
-    // BOTH tables (the only face that rewrites them), then clears
-    // the tombstone set
-    val tomb = tableIfExists(spark, dir + "/tombstones")
+    // BOTH tables (the only face that rewrites them) and truncates
+    // the tombstone set — all in ONE atomic manifest flip
+    // ([[AtRestStore.swapMany]]), so a concurrent probe can never
+    // see purged buckets with live tombstones (harmless) or — the
+    // dangerous mix — unpurged tables with a truncated mask
+    val snap = AtRestStore.snapshot(spark, dir)
+    val tomb = snap.ifExists("tombstones")
       .map(_.select("id").localCheckpoint())
+    val hasTomb = tomb.exists(_.head(1).nonEmpty)
     def purged(df: DataFrame): DataFrame =
       tomb.map(t => df.join(broadcast(t), Seq("id"), "left_anti")).getOrElse(df)
-    tomb.filter(_.head(1).nonEmpty).foreach { _ =>
-      // no checkpoint: the write targets a STAGING dir, the live table
-      // is only retired after the rewrite lands (corpus-sized frame —
-      // materializing it in block storage would double the I/O)
-      AtRestStore.swap(spark, dir, "shingles") { out =>
-        purged(spark.read.parquet(dir + "/shingles"))
-          .write.mode("overwrite").parquet(out)
-      }
-    }
-    val buckets = purged(spark.read.parquet(dir + "/buckets"))
+    val buckets = purged(spark.read.parquet(snap.path("buckets")))
     val hot = buckets.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bn"), min(col("id")).as("hub"))
       .filter(col("bn") > mb)
@@ -1477,12 +1578,27 @@ object Dedup {
       Seq("band", "bkey"), "left_anti")
       .select("id", "band", "bkey")
     val reps = hot.select(col("hub").as("id"), col("band"), col("bkey"))
-    AtRestStore.swap(spark, dir, "buckets") { out =>
+    // no checkpoint on the shingle rewrite: it targets a STAGING dir,
+    // the live table is only retired after the flip (corpus-sized
+    // frame — materializing it in block storage would double the I/O)
+    val bucketsWrite = "buckets" -> ((out: String) =>
       cool.unionByName(reps)
-        .write.mode("overwrite").partitionBy("band").parquet(out)
+        .write.mode("overwrite").partitionBy("band").parquet(out))
+    if (hasTomb) {
+      AtRestStore.swapMany(spark, dir, Seq(
+        "shingles" -> ((out: String) =>
+          purged(spark.read.parquet(snap.path("shingles")))
+            .write.mode("overwrite").parquet(out)),
+        bucketsWrite,
+        // the mask set is spent — an EMPTY tombstone version rides
+        // the same flip (empty ≡ absent for every probe)
+        "tombstones" -> ((out: String) =>
+          tomb.get.limit(0).write.mode("overwrite").parquet(out))))
+    } else {
+      AtRestStore.swapMany(spark, dir, Seq(bucketsWrite))
+      // a zero-row tombstone table carries no mask — drop it outright
+      tomb.foreach(_ => tombstoneClear(spark, dir))
     }
-    // purged physically — the mask set is spent
-    tomb.foreach(_ => tombstoneClear(spark, dir))
   }
 
   /** Paragraph-level duplication stats — the RefinedWeb/Dolma
@@ -2193,9 +2309,9 @@ object Dedup {
     import spark.implicits._
     tombstoneClear(spark, dir)
     winnowFingerprints(df, idCol, textCol, k, w)
-      .write.mode("overwrite").parquet(dir + "/fps")
+      .write.mode("overwrite").parquet(tablePath(spark, dir, "fps"))
     Seq((k, w, maxDf)).toDF("k", "w", "max_df")
-      .write.mode("overwrite").parquet(dir + "/params")
+      .write.mode("overwrite").parquet(tablePath(spark, dir, "params"))
   }
 
   /** Loud parameter gate + stored-value adoption (the lshParamsCheck
@@ -2204,7 +2320,7 @@ object Dedup {
     */
   private def winnowParamsCheck(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(dir + "/params").head()
+    val r = spark.read.parquet(tablePath(spark, dir, "params")).head()
     (r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("max_df"))
   }
 
@@ -2216,7 +2332,7 @@ object Dedup {
                          dir: String): Unit = {
     val (k, w, _) = winnowParamsCheck(newDf.sparkSession, dir)
     winnowFingerprints(newDf, idCol, textCol, k, w)
-      .write.mode("append").parquet(dir + "/fps")
+      .write.mode("append").parquet(tablePath(newDf.sparkSession, dir, "fps"))
   }
 
   /** Logical DELETE — the takedown face (shared
@@ -2233,16 +2349,21 @@ object Dedup {
   def winnowPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
     winnowParamsCheck(spark, dir) // loud missing-index failure
-    tableIfExists(spark, dir + "/tombstones").foreach { t =>
+    val snap = AtRestStore.snapshot(spark, dir)
+    snap.ifExists("tombstones").foreach { t =>
       val tomb = t.select("id").localCheckpoint()
       if (tomb.head(1).nonEmpty) {
-        AtRestStore.swap(spark, dir, "fps") { out =>
-          spark.read.parquet(dir + "/fps")
-            .join(broadcast(tomb), Seq("id"), "left_anti")
-            .write.mode("overwrite").parquet(out)
-        }
-      }
-      tombstoneClear(spark, dir)
+        // purge + mask truncation in ONE atomic flip (the
+        // lshCompactAtRest contract): a probe never sees the
+        // unpurged store with an emptied mask
+        AtRestStore.swapMany(spark, dir, Seq(
+          "fps" -> ((out: String) =>
+            spark.read.parquet(snap.path("fps"))
+              .join(broadcast(tomb), Seq("id"), "left_anti")
+              .write.mode("overwrite").parquet(out)),
+          "tombstones" -> ((out: String) =>
+            tomb.limit(0).write.mode("overwrite").parquet(out))))
+      } else tombstoneClear(spark, dir)
     }
   }
 
@@ -2261,9 +2382,10 @@ object Dedup {
                         dir: String, newDf: DataFrame, idCol: String,
                         textCol: String, minShared: Int = 5): DataFrame = {
     val (k, w, maxDf) = winnowParamsCheck(spark, dir)
-    val tombIds = tableIfExists(spark, dir + "/tombstones")
+    val snap = AtRestStore.snapshot(spark, dir)
+    val tombIds = snap.ifExists("tombstones")
       .map(t => broadcast(t.select("id")))
-    val store0 = spark.read.parquet(dir + "/fps")
+    val store0 = spark.read.parquet(snap.path("fps"))
     val store = tombIds.map(t => store0.join(t, Seq("id"), "left_anti"))
       .getOrElse(store0)
     val batch = winnowFingerprints(newDf, idCol, textCol, k, w)

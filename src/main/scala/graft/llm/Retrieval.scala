@@ -289,6 +289,8 @@ object Retrieval {
     // this batch's data lands in — a foreachBatch re-run converges to
     // the same bytes instead of double-appending
     val mode = if (overwrite || replaySafe) "overwrite" else "append"
+    def tp(t: String): String =
+      AtRestStore.tablePath(docs.sparkSession, dir, t)
     def out(df: DataFrame, parts: Seq[String], path: String): Unit = {
       val w0 = df.write.mode(mode).partitionBy(parts: _*)
       val w = if (replaySafe && !overwrite)
@@ -303,10 +305,10 @@ object Retrieval {
       .withColumn("pbucket", pbucketCol(col("s"), nBuckets))
       .select("pbucket", "s", "id", "tf", "dl")
       .withColumn("batch", lit(batchId)),
-      Seq("pbucket", "batch"), dir + "/postings")
-    out(dl.withColumn("batch", lit(batchId)), Seq("batch"), dir + "/doclens")
+      Seq("pbucket", "batch"), tp("postings"))
+    out(dl.withColumn("batch", lit(batchId)), Seq("batch"), tp("doclens"))
     out(dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
-      .withColumn("batch", lit(batchId)), Seq("batch"), dir + "/stats")
+      .withColumn("batch", lit(batchId)), Seq("batch"), tp("stats"))
   }
 
   /** Build the at-rest index from scratch (overwrite). `nBuckets`
@@ -334,12 +336,8 @@ object Retrieval {
     */
   def bm25InitAtRest(spark: org.apache.spark.sql.SparkSession,
                      dir: String, nBuckets: Int = 16): Unit = {
-    for (t <- Seq("postings", "doclens", "stats")) {
-      val pth = new org.apache.hadoop.fs.Path(dir + "/" + t)
-      val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(pth))
-        require(fs.delete(pth, true), s"bm25InitAtRest: could not clear $pth")
-    }
+    for (t <- Seq("postings", "doclens", "stats"))
+      AtRestStore.dropTable(spark, dir, t)
     bm25WriteParams(spark, dir, nBuckets)
   }
 
@@ -347,11 +345,13 @@ object Retrieval {
                               dir: String, nBuckets: Int): Unit = {
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
-      .write.mode("overwrite").parquet(dir + "/params")
+      .write.mode("overwrite")
+      .parquet(AtRestStore.tablePath(spark, dir, "params"))
     // empty tombstone set — schema established up front so probes
     // read unconditionally
     Seq.empty[(Long, Long)].toDF("id", "dl")
-      .write.mode("overwrite").parquet(dir + "/tombstones")
+      .write.mode("overwrite")
+      .parquet(AtRestStore.tablePath(spark, dir, "tombstones"))
   }
 
   /** Loud parameter gate (the lshParamsCheck pattern): a write or
@@ -362,7 +362,8 @@ object Retrieval {
     */
   private def bm25ParamsCheck(spark: org.apache.spark.sql.SparkSession,
                               dir: String): Int =
-    spark.read.parquet(dir + "/params").head().getAs[Int]("n_buckets")
+    spark.read.parquet(AtRestStore.tablePath(spark, dir, "params"))
+      .head().getAs[Int]("n_buckets")
 
   /** APPEND a document batch — signed once, bucketed under the STORED
     * bucket count, dynamic-partition-appended (only touched buckets
@@ -375,7 +376,8 @@ object Retrieval {
     val spark = newDocs.sparkSession
     val nB = bm25ParamsCheck(spark, dir)
     // next ledger slot: one read of the batch-count-sized stats table
-    val nextBatch = spark.read.parquet(dir + "/stats")
+    val nextBatch = spark.read
+      .parquet(AtRestStore.tablePath(spark, dir, "stats"))
       .agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
       .head().getLong(0) + 1L
     bm25WriteAtRest(newDocs, idCol, textCol, dir, nB,
@@ -413,13 +415,14 @@ object Retrieval {
     // twice and double-subtract from the stats denominators; the
     // checkpoint materializes the result BEFORE the append touches the
     // same path (a plan may not write into its own input)
-    val fresh = spark.read.parquet(dir + "/doclens")
+    val snap = AtRestStore.snapshot(spark, dir)
+    val fresh = spark.read.parquet(snap.path("doclens"))
       .join(ids.select(col(idCol).as("id")).distinct(), "id")
-      .join(spark.read.parquet(dir + "/tombstones").select("id"),
+      .join(spark.read.parquet(snap.path("tombstones")).select("id"),
         Seq("id"), "left_anti")
       .select("id", "dl")
       .localCheckpoint()
-    fresh.write.mode("append").parquet(dir + "/tombstones")
+    fresh.write.mode("append").parquet(snap.path("tombstones"))
   }
 
   /** Physical COMPACTION — purge tombstoned rows from postings and
@@ -427,53 +430,54 @@ object Retrieval {
     * fold the stats deltas into a single row net of tombstones, and
     * truncate the tombstone set. Pure layout maintenance: a probe
     * before and after compaction is bit-identical (q218 gates this).
-    * Staged through `<table>_new` dirs with a two-rename swap
-    * (live → `_old`, new → live, delete `_old`): no step destroys
-    * data before its replacement is in place, so a crash at any
-    * point leaves a complete copy of the table on disk (worst case
-    * the live path is momentarily absent with both `_old` and `_new`
-    * present — recover by renaming either back). Every FS call is
-    * checked; Hadoop-FS rename has no atomic-swap primitive to do
-    * better with.
+    * Staged through versioned sibling dirs and published by ONE
+    * atomic manifest flip ([[AtRestStore.swapMany]]): no step
+    * destroys data before its replacement is in place, a crash at
+    * any point leaves a complete coherent copy of the store
+    * resolvable, and — the part four sequential per-table swaps
+    * could not give — a CONCURRENT probe sees all four tables
+    * pre-flip or all four post-flip, never a mix (a probe straddling
+    * a stats-only flip would subtract the tombstones from the
+    * already-net stats twice; the round-17 concurrency spec pins
+    * this).
     */
   def bm25CompactAtRest(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
     bm25ParamsCheck(spark, dir) // loud missing-index failure
-    val tomb = spark.read.parquet(dir + "/tombstones").localCheckpoint()
+    val snap = AtRestStore.snapshot(spark, dir)
+    val tomb = spark.read.parquet(snap.path("tombstones")).localCheckpoint()
     val tombIds = broadcast(tomb.select("id"))
-    def swap(table: String)(write: String => Unit): Unit =
-      AtRestStore.swap(spark, dir, table)(write)
     // history folds to batch=0 — the batch dimension is ingest
-    // provenance, and compaction is the provenance horizon
-    swap("postings") { out =>
-      spark.read.parquet(dir + "/postings")
-        .join(tombIds, Seq("id"), "left_anti")
-        .select("pbucket", "s", "id", "tf", "dl")
-        .withColumn("batch", lit(0L))
-        .write.mode("overwrite").partitionBy("pbucket", "batch").parquet(out)
-    }
-    swap("doclens") { out =>
-      spark.read.parquet(dir + "/doclens")
-        .join(tombIds, Seq("id"), "left_anti")
-        .select("id", "dl")
-        .withColumn("batch", lit(0L))
-        .write.mode("overwrite").partitionBy("batch").parquet(out)
-    }
-    swap("stats") { out =>
-      val t = tomb.agg(
-        coalesce(count(lit(1)), lit(0L)).as("t_docs"),
-        coalesce(sum("dl"), lit(0L)).as("t_tok"))
-      spark.read.parquet(dir + "/stats")
-        .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens"))
-        .crossJoin(broadcast(t))
-        .select((col("n_docs") - col("t_docs")).as("n_docs"),
-          (col("tot_tokens") - col("t_tok")).as("tot_tokens"))
-        .withColumn("batch", lit(0L))
-        .write.mode("overwrite").partitionBy("batch").parquet(out)
-    }
-    swap("tombstones") { out =>
-      tomb.limit(0).write.mode("overwrite").parquet(out)
-    }
+    // provenance, and compaction is the provenance horizon. The
+    // tombstone truncation rides the SAME flip as the net stats fold
+    // (they are two views of one fact and must change together).
+    AtRestStore.swapMany(spark, dir, Seq(
+      "postings" -> ((out: String) =>
+        spark.read.parquet(snap.path("postings"))
+          .join(tombIds, Seq("id"), "left_anti")
+          .select("pbucket", "s", "id", "tf", "dl")
+          .withColumn("batch", lit(0L))
+          .write.mode("overwrite").partitionBy("pbucket", "batch").parquet(out)),
+      "doclens" -> ((out: String) =>
+        spark.read.parquet(snap.path("doclens"))
+          .join(tombIds, Seq("id"), "left_anti")
+          .select("id", "dl")
+          .withColumn("batch", lit(0L))
+          .write.mode("overwrite").partitionBy("batch").parquet(out)),
+      "stats" -> ((out: String) => {
+        val t = tomb.agg(
+          coalesce(count(lit(1)), lit(0L)).as("t_docs"),
+          coalesce(sum("dl"), lit(0L)).as("t_tok"))
+        spark.read.parquet(snap.path("stats"))
+          .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens"))
+          .crossJoin(broadcast(t))
+          .select((col("n_docs") - col("t_docs")).as("n_docs"),
+            (col("tot_tokens") - col("t_tok")).as("tot_tokens"))
+          .withColumn("batch", lit(0L))
+          .write.mode("overwrite").partitionBy("batch").parquet(out)
+      }),
+      "tombstones" -> ((out: String) =>
+        tomb.limit(0).write.mode("overwrite").parquet(out))))
   }
 
   /** Probe the at-rest index with a query BATCH (`qid`, `term` rows) —
@@ -495,8 +499,13 @@ object Retrieval {
     val qt = queries.select(col("qid"), col("term").as("s")).distinct()
     val qterms = qt.select("s").distinct()
       .withColumn("pbucket", pbucketCol(col("s"), nB))
-    val tomb = spark.read.parquet(dir + "/tombstones").localCheckpoint()
-    val g = spark.read.parquet(dir + "/stats")
+    // ONE snapshot for all four tables: the mask set, the stats
+    // deltas, and the postings must belong to the same store
+    // generation or a concurrent compaction flip could be
+    // double-counted (see bm25CompactAtRest)
+    val snap = AtRestStore.snapshot(spark, dir)
+    val tomb = spark.read.parquet(snap.path("tombstones")).localCheckpoint()
+    val g = spark.read.parquet(snap.path("stats"))
       .agg(sum("n_docs").as("b_docs"), sum("tot_tokens").as("b_tok"))
       .crossJoin(broadcast(tomb.agg(
         coalesce(count(lit(1)), lit(0L)).as("t_docs"),
@@ -515,7 +524,7 @@ object Retrieval {
       .collect().map(_.getInt(0)).sorted
     // one postings row per matched (term, doc) — distinct terms only,
     // so df below is a plain count; the qid fan-out joins afterwards
-    val post = spark.read.parquet(dir + "/postings")
+    val post = spark.read.parquet(snap.path("postings"))
       .filter(col("pbucket").isin(buckets.map(Int.box): _*))
       .join(broadcast(qterms), Seq("pbucket", "s"))
       .join(broadcast(tomb.select("id")), Seq("id"), "left_anti")

@@ -1394,11 +1394,13 @@ object Similarity {
     graft.llm.AtRestStore.tombstoneClear(emb.sparkSession, dir)
     val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
     val (pModel, pAssign) = pqCore(emb, m, k, rounds, idCol, vecCol)
-    cModel.write.mode("overwrite").parquet(dir + "/coarse_model")
-    pModel.write.mode("overwrite").parquet(dir + "/pq_model")
+    def tp(t: String): String =
+      graft.llm.AtRestStore.tablePath(emb.sparkSession, dir, t)
+    cModel.write.mode("overwrite").parquet(tp("coarse_model"))
+    pModel.write.mode("overwrite").parquet(tp("pq_model"))
     val cells = cAssign.select(col("id"), col("c").as("cell"))
     pAssign.select("id", "sub", "c").join(cells, "id")
-      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(tp("codes"))
   }
 
   /** THE codebook assignment step — argmin over the broadcast
@@ -1444,8 +1446,9 @@ object Similarity {
                   vecCol: String = "embedding"): Unit = {
     val spark = newEmb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val cModel = spark.read.parquet(dir + "/coarse_model")
-    val pModel = spark.read.parquet(dir + "/pq_model")
+    def tp(t: String): String = graft.llm.AtRestStore.tablePath(spark, dir, t)
+    val cModel = spark.read.parquet(tp("coarse_model"))
+    val pModel = spark.read.parquet(tp("pq_model"))
     // loud structural gate (the lshParamsCheck pattern): encoding
     // with an m that disagrees with the stored codebooks would either
     // crash mid-job (m too large) or silently write PARTIAL code rows
@@ -1458,7 +1461,7 @@ object Similarity {
       .select(col("id"), col("c").as("cell"))
     pqAssignWithModel(newEmb, pModel, m, idCol, vecCol)
       .join(cells, "id")
-      .write.mode("append").partitionBy("cell").parquet(dir + "/codes")
+      .write.mode("append").partitionBy("cell").parquet(tp("codes"))
   }
 
   /** Cell-occupancy census of an at-rest IVF-PQ index — the DRIFT
@@ -1475,9 +1478,10 @@ object Similarity {
     // m comes from the stored model, never the caller (ADVICE-style
     // gate: a mismatched m would silently SCALE every count — the
     // sibling append/rebalance faces validate theirs the same way)
-    val m = spark.read.parquet(dir + "/pq_model")
+    def tp(t: String): String = graft.llm.AtRestStore.tablePath(spark, dir, t)
+    val m = spark.read.parquet(tp("pq_model"))
       .select(size(col("centsBySub"))).head().getInt(0)
-    spark.read.parquet(dir + "/codes")
+    spark.read.parquet(tp("codes"))
       .groupBy("cell")
       .agg((count(lit(1)) / m).cast("long").as("n_vecs"))
   }
@@ -1551,7 +1555,8 @@ object Similarity {
     def centsOf(row: org.apache.spark.sql.Row): Seq[Seq[Seq[Double]]] =
       row.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
         .map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
-    val pCents = centsOf(spark.read.parquet(dir + "/pq_model").head())
+    def tp(t: String): String = graft.llm.AtRestStore.tablePath(spark, dir, t)
+    val pCents = centsOf(spark.read.parquet(tp("pq_model")).head())
     require(m == pCents.size,
       s"at-rest IVF-PQ index $dir was built with m=${pCents.size} but the " +
         s"caller passed m=$m")
@@ -1573,14 +1578,14 @@ object Similarity {
     }
     import spark.implicits._
     val ctabDf = broadcast(ctab.toDF("sub", "c1", "c2", "pd_fp"))
-    val codes = spark.read.parquet(dir + "/codes")
+    val codes = spark.read.parquet(tp("codes"))
     val hot = codes.groupBy("cell")
       .agg((count(lit(1)) / m).cast("long").as("n"))
       .filter(col("n") > maxCell)
       .select("cell").orderBy("cell")
       .collect().map(_.getInt(0)).toSeq // model-sized: ≤ #cells rows
     if (hot.isEmpty) return
-    val coarseRow = spark.read.parquet(dir + "/coarse_model").head()
+    val coarseRow = spark.read.parquet(tp("coarse_model")).head()
     var coarse = centsOf(coarseRow).head // m=1: one list of k_c full-dim centroids
     val sl = 64 / m
     var rewritten: Seq[DataFrame] = Nil
@@ -1693,10 +1698,10 @@ object Similarity {
       rewritten.reduce(_ unionByName _)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(dir + "/codes")
+        .partitionBy("cell").parquet(tp("codes"))
       spark.range(1)
         .select(typedLit(Seq(coarse)).as("centsBySub"))
-        .write.mode("overwrite").parquet(dir + "/coarse_model")
+        .write.mode("overwrite").parquet(tp("coarse_model"))
     }
   }
 
@@ -1719,13 +1724,14 @@ object Similarity {
                       m: Int = 4): DataFrame = {
     require(topK > 0 && nprobe > 0, s"need topK > 0, nprobe > 0; got $topK, $nprobe")
     val FP = 1048576.0
-    val cModel = spark.read.parquet(dir + "/coarse_model")
-    val pModel = spark.read.parquet(dir + "/pq_model")
+    def tp(t: String): String = graft.llm.AtRestStore.tablePath(spark, dir, t)
+    val cModel = spark.read.parquet(tp("coarse_model"))
+    val pModel = spark.read.parquet(tp("pq_model"))
     // takedown mask ([[ivfPqDeleteAtRest]]): tombstoned vector ids
     // are invisible to searches until [[ivfPqPurgeAtRest]] rewrites
     // their partitions
-    val codes0 = spark.read.parquet(dir + "/codes")
-    val codes = graft.llm.AtRestStore.tableIfExists(spark, dir + "/tombstones")
+    val codes0 = spark.read.parquet(tp("codes"))
+    val codes = graft.llm.AtRestStore.tableIfExists(spark, dir, "tombstones")
       .map(t => codes0.join(broadcast(t.select("id")), Seq("id"), "left_anti"))
       .getOrElse(codes0)
     val qCellDist = pqLut(queries, cModel, 1)
@@ -1778,10 +1784,11 @@ object Similarity {
     */
   def ivfPqPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
-    graft.llm.AtRestStore.tableIfExists(spark, dir + "/tombstones").foreach { t =>
+    def tp(t: String): String = graft.llm.AtRestStore.tablePath(spark, dir, t)
+    graft.llm.AtRestStore.tableIfExists(spark, dir, "tombstones").foreach { t =>
       val tomb = t.select("id").localCheckpoint()
       if (tomb.head(1).nonEmpty) {
-        val codes = spark.read.parquet(dir + "/codes")
+        val codes = spark.read.parquet(tp("codes"))
         val touched = codes.join(broadcast(tomb), Seq("id"))
           .select("cell").distinct().localCheckpoint()
         val survivors = codes.join(touched, Seq("cell")) // affected partitions only
@@ -1790,7 +1797,7 @@ object Similarity {
           .localCheckpoint() // materialize BEFORE overwriting the source
         survivors.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(dir + "/codes")
+          .partitionBy("cell").parquet(tp("codes"))
         // a cell whose EVERY member was tombstoned contributes no
         // surviving rows, so dynamic overwrite never touches its
         // partition — drop those directories explicitly. A failed
@@ -1804,13 +1811,13 @@ object Similarity {
           // empty codes dir has no schema to read and every later
           // search would crash obscurely — forgetting the last
           // vector means dropping or re-ingesting the index, say so
-          val nLive = spark.read.parquet(dir + "/codes")
+          val nLive = spark.read.parquet(tp("codes"))
             .select("cell").distinct().count()
           require(emptied.length < nLive || survivors.head(1).nonEmpty,
             s"ivfPqPurgeAtRest: purging $dir would empty the entire " +
               "codes table — drop the index directory or re-ingest " +
               "instead of serving an unreadable empty store")
-          val root = new org.apache.hadoop.fs.Path(dir + "/codes")
+          val root = new org.apache.hadoop.fs.Path(tp("codes"))
           val cfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           emptied.foreach { c =>
             require(cfs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true),

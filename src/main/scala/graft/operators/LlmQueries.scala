@@ -1973,28 +1973,33 @@ object LlmQueries {
     * probe as q201. Training is deterministic (fixed-point Lloyd),
     * so the stream-built index must answer bit-identically to
     * q201's batch-built one — the oracle is literally q201's
-    * from-scratch replay. The MemoryStream feed is the test harness
-    * (a production stream is Kafka/files); the timed read is the
-    * probe, the stream runs once at ingest.
+    * from-scratch replay. The feed rides the FILE stream source
+    * (ADVICE r16: the former MemoryStream feed collect()ed the
+    * corpus to the driver — a memory hazard at scaling tiers):
+    * micro-batches land as parquet and stream back, the production
+    * crawl-shard shape. Batch 0's files are written BEFORE the
+    * stream starts so the train set arrives as ONE micro-batch (a
+    * partial first batch would train the codebooks on the wrong
+    * distribution); the timed read is the probe, the stream runs
+    * once at ingest.
     */
   def q238(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val atRest = atRestDir(d, "graft_ivfpq_stream")
     ingestOnce(atRest + "#ivfs#" + inputFingerprint(d + "/embeddings.parquet")) {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Seq[Float])]
-      val q = graft.streaming.EventStream.ivfPqIngestStream(
-        stream.toDF().toDF("vec_id", "embedding"), atRest)
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_q238_feed").toString
       val batchConds = Seq(
         pmod(col("vec_id"), lit(5)) =!= 4, // micro-batch 0 = q201's train set
         pmod(col("vec_id"), lit(5)) === 4) // micro-batch 1 = q201's append
+      emb.filter(batchConds.head).write.mode("append").parquet(feed)
+      val q = graft.streaming.EventStream.ivfPqIngestStream(
+        s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(feed), atRest)
       try {
-        for (cond <- batchConds) {
-          stream.addData(emb.filter(cond).as[(Long, Seq[Float])].collect().toSeq)
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        emb.filter(batchConds(1)).write.mode("append").parquet(feed)
+        q.processAllAvailable()
       } finally q.stop()
     }
     val qs = emb.filter(col("vec_id") < 3)
@@ -2026,19 +2031,23 @@ object LlmQueries {
           .otherwise(col("text")))
     val atRest = atRestDir(d, "graft_winnow_stream")
     ingestOnce(atRest + "#wins#" + inputFingerprint(d + "/documents.parquet")) {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val q = graft.streaming.EventStream.winnowIngestStream(
-        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", atRest)
+      // file-source feed, not a driver-side collect (ADVICE r16 —
+      // q239 is a scaling target whose tiers triple the corpus);
+      // fingerprinting is content-deterministic per doc, so any
+      // micro-batch slicing of the same rows builds the same store
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_q239_feed").toString
       val batchConds = Seq(
         pmod(col("doc_id"), lit(5)) < 3,   // micro-batch 0 = q230's ingest
         pmod(col("doc_id"), lit(5)) === 3) // micro-batch 1 = q230's append
+      docs.filter(batchConds.head).write.mode("append").parquet(feed)
+      val q = graft.streaming.EventStream.winnowIngestStream(
+        s.readStream.schema("doc_id LONG, text STRING").parquet(feed),
+        "doc_id", "text", atRest)
       try {
-        for (cond <- batchConds) {
-          stream.addData(docs.filter(cond).as[(Long, String)].collect().toSeq)
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        docs.filter(batchConds(1)).write.mode("append").parquet(feed)
+        q.processAllAvailable()
       } finally q.stop()
     }
     Dedup.winnowProbeAtRest(s, atRest,
@@ -2102,10 +2111,13 @@ object LlmQueries {
         docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
         "doc_id", atRest)
     }
-    val census = s.read.parquet(atRest + "/chunks")
+    // resolve through ONE store snapshot — post-takedown the tables
+    // live in versioned dirs named by the store manifest (round 17)
+    val snap = graft.llm.AtRestStore.snapshot(s, atRest)
+    val census = s.read.parquet(snap.path("chunks"))
       .agg(count(lit(1)).as("n_chunks_live"),
         sum(col("len").cast("long")).as("live_chars"))
-      .crossJoin(s.read.parquet(atRest + "/manifests")
+      .crossJoin(s.read.parquet(snap.path("manifests"))
         .agg(count_distinct(col("id")).as("n_docs_live")))
     Dedup.cdcReconstruct(s, atRest,
         docs.filter(pmod(col("doc_id"), lit(7)) =!= 3 &&
@@ -2454,7 +2466,8 @@ object LlmQueries {
         count(col("o_new")).as("n_pairs_once"),
         sum(when(col("new_id").isNull || col("o_new").isNull, 1L)
           .otherwise(0L)).as("n_diff"))
-    val census = s.read.parquet(multi + "/buckets")
+    val census = s.read.parquet(
+        graft.llm.AtRestStore.tablePath(s, multi, "buckets"))
       .groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
       .agg(max(col("bn")).as("max_occ"),
         sum(when(col("bn") > 64, 1L).otherwise(0L)).as("n_over"))

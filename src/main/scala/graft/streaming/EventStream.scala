@@ -362,7 +362,8 @@ object EventStream {
         lit(batchId).as("batch"))
       .localCheckpoint() // fix the flags BEFORE the index mutates
     val freshRows = b.join( // replay guard 2
-        spark.read.parquet(dir + "/shingles")
+        spark.read
+          .parquet(graft.llm.AtRestStore.tablePath(spark, dir, "shingles"))
           .select(col("id").cast("long").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
       .localCheckpoint()
@@ -499,20 +500,11 @@ object EventStream {
     */
   private[graft] def ivfPqIngestStep(batch: DataFrame, dir: String,
                                      coarseK: Int, m: Int, k: Int,
-                                     idCol: String, vecCol: String): Unit = {
-    val spark = batch.sparkSession
-    graft.llm.AtRestStore.tableIfExists(spark, dir + "/codes") match {
-      case None =>
-        graft.llm.Similarity.ivfPqIngest(batch, dir, coarseK, m, k,
-          idCol = idCol, vecCol = vecCol)
-      case Some(codes) =>
-        val fresh = batch.join(
-          codes.select(col("id").cast("long").as(idCol)).distinct(),
-          Seq(idCol), "left_anti").localCheckpoint()
-        if (fresh.head(1).nonEmpty)
-          graft.llm.Similarity.ivfPqAppend(fresh, dir, m, idCol, vecCol)
-    }
-  }
+                                     idCol: String, vecCol: String): Unit =
+    graft.llm.AtRestStore.establishOrAppend(batch, dir, "codes", "id", idCol)(
+      b => graft.llm.Similarity.ivfPqIngest(b, dir, coarseK, m, k,
+        idCol = idCol, vecCol = vecCol))(
+      fresh => graft.llm.Similarity.ivfPqAppend(fresh, dir, m, idCol, vecCol))
 
   /** Streaming face of the at-rest winnowing (MOSS) index — shared-
     * passage provenance kept current as shards arrive: each
@@ -541,19 +533,10 @@ object EventStream {
     * package-visible so the replay guard is directly testable.
     */
   private[graft] def winnowIngestStep(batch: DataFrame, idCol: String,
-                                      textCol: String, dir: String): Unit = {
-    val spark = batch.sparkSession
-    graft.llm.AtRestStore.tableIfExists(spark, dir + "/fps") match {
-      case None =>
-        graft.llm.Dedup.winnowIngestAtRest(batch, idCol, textCol, dir)
-      case Some(fps) =>
-        val fresh = batch.join(
-          fps.select(col("id").cast("long").as(idCol)).distinct(),
-          Seq(idCol), "left_anti").localCheckpoint()
-        if (fresh.head(1).nonEmpty)
-          graft.llm.Dedup.winnowAppendAtRest(fresh, idCol, textCol, dir)
-    }
-  }
+                                      textCol: String, dir: String): Unit =
+    graft.llm.AtRestStore.establishOrAppend(batch, dir, "fps", "id", idCol)(
+      b => graft.llm.Dedup.winnowIngestAtRest(b, idCol, textCol, dir))(
+      fresh => graft.llm.Dedup.winnowAppendAtRest(fresh, idCol, textCol, dir))
 
   /** File-source streaming reader with an explicit schema (streaming
     * requires one) — `readStream` over a parquet directory.

@@ -632,7 +632,7 @@ class LlmSpec extends SparkSpec {
     assert(led(2).getAs[Long]("cum_stored") ==
       led.map(_.getAs[Long]("new_chars")).sum)
     // the store holds exactly the union of new chunks
-    assert(spark.read.parquet(dir + "/chunks").count() ==
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "chunks")).count() ==
       led.map(_.getAs[Long]("n_new_chunks")).sum)
   }
 
@@ -654,9 +654,9 @@ class LlmSpec extends SparkSpec {
     val r = recon(Seq(1L, 2L, 3L))
     assert(r == Map(1L -> tShared, 2L -> tShared, 3L -> tUnique),
       "store round-trip must be bit-exact for every doc, cross-batch included")
-    def chunkSet() = spark.read.parquet(dir + "/chunks")
+    def chunkSet() = spark.read.parquet(AtRestStore.tablePath(spark, dir, "chunks"))
       .select("h", "len").as[(Long, Int)].collect().toSet
-    def manifestSet(keep: Long => Boolean) = spark.read.parquet(dir + "/manifests")
+    def manifestSet(keep: Long => Boolean) = spark.read.parquet(AtRestStore.tablePath(spark, dir, "manifests"))
       .filter(col("id").isin(Seq(1L, 2L, 3L).filter(keep): _*))
       .select("h", "len").as[(Long, Int)].collect().toSet
     val before = chunkSet()
@@ -687,7 +687,7 @@ class LlmSpec extends SparkSpec {
     Dedup.cdcAppendAtRest(Seq((1L, t1)).toDF("doc_id", "text"), "doc_id", "text", dir, 0)
     Dedup.cdcAppendAtRest(Seq((2L, t2)).toDF("doc_id", "text"), "doc_id", "text", dir, 1)
     Dedup.cdcAppendAtRest(Seq((3L, t1)).toDF("doc_id", "text"), "doc_id", "text", dir, 2)
-    val preChunks = spark.read.parquet(dir + "/chunks")
+    val preChunks = spark.read.parquet(AtRestStore.tablePath(spark, dir, "chunks"))
       .select("h", "len").as[(Long, Int)].collect().toSet
     val preCensus = Dedup.cdcStoreCensus(spark, dir).orderBy("batch").collect()
     val preCums = (preCensus.last.getAs[Long]("cum_raw"),
@@ -695,9 +695,9 @@ class LlmSpec extends SparkSpec {
       preCensus.last.getAs[Long]("stored_fp"))
     Dedup.cdcCompactAtRest(spark, dir)
     // one batch=0 partition per table; store contents identical
-    assert(spark.read.parquet(dir + "/chunks")
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "chunks"))
       .select("batch").distinct().as[Long].collect().toSeq == Seq(0L))
-    assert(spark.read.parquet(dir + "/chunks")
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "chunks"))
       .select("h", "len").as[(Long, Int)].collect().toSet == preChunks)
     // census folds to ONE row carrying the same cumulative totals
     val post = Dedup.cdcStoreCensus(spark, dir).collect()
@@ -794,8 +794,8 @@ class LlmSpec extends SparkSpec {
     assert(masked.map(_._2) == Seq(2L))
     Dedup.winnowPurgeAtRest(spark, two)
     assert(pairs(two) == masked)
-    assert(spark.read.parquet(two + "/fps").filter($"id" === 1L).count() == 0)
-    assert(!new java.io.File(two + "/tombstones").exists())
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, two, "fps")).filter($"id" === 1L).count() == 0)
+    assert(AtRestStore.tableIfExists(spark, two, "tombstones").forall(_.isEmpty))
     // re-ingest voids the takedown
     Dedup.winnowIngestAtRest(docs, "doc_id", "text", two)
     assert(pairs(two) == got)
@@ -813,15 +813,15 @@ class LlmSpec extends SparkSpec {
     assert(hits() == Set(1L, 3L))
     Dedup.lshDeleteAtRest(Seq(1L).toDF("doc_id"), "doc_id", dir)
     Dedup.lshDeleteAtRest(Seq(1L).toDF("doc_id"), "doc_id", dir) // no-op
-    assert(spark.read.parquet(dir + "/tombstones").count() == 1)
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "tombstones")).count() == 1)
     val masked = hits()
     assert(masked == Set(3L), s"tombstoned base still probed: $masked")
     Dedup.lshCompactAtRest(spark, dir)
     // purge is physical and semantics-preserving
     assert(hits() == masked)
-    assert(spark.read.parquet(dir + "/shingles").filter($"id" === 1L).count() == 0)
-    assert(spark.read.parquet(dir + "/buckets").filter($"id" === 1L).count() == 0)
-    assert(!new java.io.File(dir + "/tombstones").exists())
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "shingles")).filter($"id" === 1L).count() == 0)
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "buckets")).filter($"id" === 1L).count() == 0)
+    assert(AtRestStore.tableIfExists(spark, dir, "tombstones").forall(_.isEmpty))
     // a RE-INGEST voids outstanding takedowns: stale tombstones must
     // not silently mask freshly ingested docs
     Dedup.lshDeleteAtRest(Seq(3L).toDF("doc_id"), "doc_id", dir)
@@ -854,9 +854,9 @@ class LlmSpec extends SparkSpec {
       before.head.getAs[Long]("n_cand"), "n_cand must count survivors only")
     Similarity.ivfPqPurgeAtRest(spark, dir)
     assert(search() == maskedRows, "purge changed search results")
-    assert(spark.read.parquet(dir + "/codes")
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "codes"))
       .join(del.withColumnRenamed("vec_id", "id"), Seq("id")).count() == 0)
-    assert(!new java.io.File(dir + "/tombstones").exists())
+    assert(AtRestStore.tableIfExists(spark, dir, "tombstones").forall(_.isEmpty))
   }
 
   test("bpe at-rest model: stored-table encode ≡ in-memory encode; empty model refused") {
@@ -1028,13 +1028,13 @@ class LlmSpec extends SparkSpec {
     Retrieval.bm25CompactAtRest(spark, dir2)
     assert(rows(Retrieval.bm25ProbeAtRest(spark, dir2, batch, k = 10)) == afterDel,
       "compaction changed the probe result")
-    assert(spark.read.parquet(dir2 + "/tombstones").count() == 0)
-    assert(spark.read.parquet(dir2 + "/postings")
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir2, "tombstones")).count() == 0)
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir2, "postings"))
       .filter($"id".isin(0L, 4L)).count() == 0)
 
     // the bucket-count gate is adopted, not trusted: append reuses the
     // stored nBuckets so probes keep finding the appended postings
-    val params = spark.read.parquet(dir2 + "/params").collect()
+    val params = spark.read.parquet(AtRestStore.tablePath(spark, dir2, "params")).collect()
     assert(params.map(_.getAs[Int]("n_buckets")).toSeq == Seq(4))
   }
 
@@ -2972,7 +2972,7 @@ class LlmSpec extends SparkSpec {
     Dedup.lshIngestAtRest(base, "doc_id", "text", dir)
     // hot-bucket reduction is visible in the artifact itself: the
     // boilerplate bucket stores ONE row (the hub) per band
-    val buckets = spark.read.parquet(dir + "/buckets")
+    val buckets = spark.read.parquet(AtRestStore.tablePath(spark, dir, "buckets"))
     val boilerRows = buckets.filter(col("id") < 130L)
     assert(boilerRows.count() == 4L, "one hub row per band expected")
     assert(boilerRows.select("id").distinct().as[Long].collect().toSeq == Seq(0L))
@@ -2988,7 +2988,7 @@ class LlmSpec extends SparkSpec {
     assert(got == Seq((1000L, 0L, 1.0), (1001L, 500L, 1.0)),
       s"unexpected probe pairs: $got")
     // the shingle store covers every ingested doc (verify side)
-    assert(spark.read.parquet(dir + "/shingles").count() == 131L)
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "shingles")).count() == 131L)
   }
 
   test("lshAppendAtRest: appended docs probe-visible; per-batch cap accumulates across batches") {
@@ -3008,7 +3008,7 @@ class LlmSpec extends SparkSpec {
     Dedup.lshIngestAtRest(base, "doc_id", "text", dir)
     Dedup.lshAppendAtRest(appended, "doc_id", "text", dir)
     // no cross-batch hub reduction: all 80 copies rest in the index
-    val buckets = spark.read.parquet(dir + "/buckets")
+    val buckets = spark.read.parquet(AtRestStore.tablePath(spark, dir, "buckets"))
     assert(buckets.filter(col("id") < 2000L and col("id") =!= 500L
       and col("id") =!= 600L).count() == 80L * 4L)
     // a probe sees base AND appended through the unchanged read path
@@ -3018,7 +3018,7 @@ class LlmSpec extends SparkSpec {
       .orderBy("new_id").as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((2000L, 600L, 1.0), (2001L, 500L, 1.0)),
       s"unexpected probe pairs: $got")
-    assert(spark.read.parquet(dir + "/shingles").count() == 82L)
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "shingles")).count() == 82L)
   }
 
   test("lshCompactAtRest: cross-batch hot bucket re-caps to one hub; probe == one-shot ingest; max_bucket gate is loud") {
@@ -3043,18 +3043,18 @@ class LlmSpec extends SparkSpec {
         maxBucket = Some(32))
     }
     assert(ex.getMessage.contains("maxBucket=64"))
-    assert(spark.read.parquet(dirM + "/buckets")
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dirM, "buckets"))
       .filter(col("id") =!= 500L).count() == 80L * 4L) // drift at rest
     Dedup.lshCompactAtRest(spark, dirM)
     // post-compaction: the boiler bucket holds exactly the min-id hub
     // per band, the normal doc is untouched, nothing exceeds the cap
-    val buckets = spark.read.parquet(dirM + "/buckets")
+    val buckets = spark.read.parquet(AtRestStore.tablePath(spark, dirM, "buckets"))
     val boilerRows = buckets.filter(col("id") =!= 500L)
     assert(boilerRows.count() == 4L, "one hub row per band expected")
     assert(boilerRows.select("id").distinct().as[Long].collect().toSeq == Seq(0L))
     assert(buckets.filter(col("id") === 500L).count() == 4L)
     // shingle store untouched: every ingested doc still verifiable
-    assert(spark.read.parquet(dirM + "/shingles").count() == 81L)
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dirM, "shingles")).count() == 81L)
     // probe equivalence: compacted multi-batch index == one-shot
     // ingest of the union
     Dedup.lshIngestAtRest(base.unionByName(appended), "doc_id", "text", dirO)

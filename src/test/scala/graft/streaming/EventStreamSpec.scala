@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.llm.AtRestStore
 
 class EventStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -252,7 +253,7 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == Seq((11L, 1), (12L, 0), (21L, 1), (22L, 0), (23L, 0), (31L, 1)),
       s"unexpected flags: $streamed")
     // quarantine: every streamed doc rests in the index (6 + 2 seed)
-    assert(spark.read.parquet(dir + "/shingles").count() == 8L)
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, dir, "shingles")).count() == 8L)
   }
 
   test("stream-stream attribution join equals the batch twin; bounds inclusive") {
@@ -312,7 +313,7 @@ class EventStreamSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     assert(census(sDir) == census(bDir), "stream ledger diverged from batch ledger")
     def store(dir: String) =
-      spark.read.parquet(dir + "/chunks").select("h", "len")
+      spark.read.parquet(AtRestStore.tablePath(spark, dir, "chunks")).select("h", "len")
         .orderBy("h", "len").as[(Long, Int)].collect().toSeq
     assert(store(sDir) == store(bDir), "stream store contents diverged")
     // at-least-once replay: re-running a committed batch overwrites
@@ -337,8 +338,8 @@ class EventStreamSpec extends SparkSpec {
     def state() = (
       spark.read.parquet(out).select("doc_id", "dup_earlier")
         .orderBy("doc_id").as[(Long, Int)].collect().toSeq,
-      spark.read.parquet(dir + "/shingles").count(),
-      spark.read.parquet(dir + "/buckets").count())
+      spark.read.parquet(AtRestStore.tablePath(spark, dir, "shingles")).count(),
+      spark.read.parquet(AtRestStore.tablePath(spark, dir, "buckets")).count())
     EventStream.dedupIngestStep(batch, 0L, "doc_id", "text", dir, out)
     val first = state()
     // 11 and 12 dup the seed; their same-batch pairing stays unflagged
@@ -384,7 +385,7 @@ class EventStreamSpec extends SparkSpec {
     graft.llm.Retrieval.bm25AppendBatch(batches(1).toDF("doc_id", "text"),
       "doc_id", "text", sDir, batchId = 1L)
     assert(probe(sDir) == fromStream, "replayed micro-batch changed the ranking")
-    val stats = spark.read.parquet(sDir + "/stats")
+    val stats = spark.read.parquet(AtRestStore.tablePath(spark, sDir, "stats"))
       .agg(sum("n_docs")).head().getLong(0)
     assert(stats == 4L, s"stats double-counted after replay: $stats docs")
   }
@@ -421,7 +422,7 @@ class EventStreamSpec extends SparkSpec {
     EventStream.ivfPqIngestStep(batches(1).toDF("vec_id", "embedding"),
       sDir, 4, 4, 4, "vec_id", "embedding")
     assert(probe(sDir) == fromStream, "replayed micro-batch changed the answers")
-    val nCodes = spark.read.parquet(sDir + "/codes").count()
+    val nCodes = spark.read.parquet(AtRestStore.tablePath(spark, sDir, "codes")).count()
     assert(nCodes == 28L * 4, s"codes table gained rows on replay: $nCodes")
   }
 
@@ -463,11 +464,11 @@ class EventStreamSpec extends SparkSpec {
       s"probe should hit both carriers and nothing else: $fromStream")
     // at-least-once replay: ids already rest in fps — the anti-join
     // dissolves the batch, fingerprints are never duplicated
-    val nFps = spark.read.parquet(sDir + "/fps").count()
+    val nFps = spark.read.parquet(AtRestStore.tablePath(spark, sDir, "fps")).count()
     EventStream.winnowIngestStep(batches(1).toDF("doc_id", "text"),
       "doc_id", "text", sDir)
     assert(probe(sDir) == fromStream, "replayed micro-batch changed the matches")
-    assert(spark.read.parquet(sDir + "/fps").count() == nFps,
+    assert(spark.read.parquet(AtRestStore.tablePath(spark, sDir, "fps")).count() == nFps,
       "fps table gained rows on replay")
   }
 }
