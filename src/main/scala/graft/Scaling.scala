@@ -117,12 +117,18 @@ object Scaling {
     * (pixel count n²). Each mirrors its bench query's construction
     * (q73 / q83+q102 / q66 / q33 / q232) with the footprint freed.
     */
-  def rasterRunners(spark: SparkSession, n: Int): Seq[(String, () => DataFrame)] = {
+  def rasterRunners(spark: SparkSession, side: Int): Seq[(String, () => DataFrame)] = {
     import spark.implicits._
     import graft.raster.{Overview, PixelFrame, Viewshed, Warp}
     import graft.core.{GeoTransform, ResamplingAlg}
     val ndv = PixelFrame.Dem.Ndv
+    // the two sweeps carry a × radius term ON TOP of the pixel count
+    // (exact: by design; grid: 9 observers × in-radius pixels), so
+    // their tier sides are a quarter of the map-shaped operators' —
+    // the SLOPE is the object of measurement, not the absolute size
+    val n = side / 4
     def dem = PixelFrame.dem(spark, n, n)
+    def demBig = PixelFrame.dem(spark, side, side)
     Seq(
       // q73 shape: exact per-ray sweep, radius covering the half-grid
       // (O(pixels × radius) by design → expected pixel-slope 1.5)
@@ -153,22 +159,23 @@ object Scaling {
         val inv = (gx: org.apache.spark.sql.Column, gy: org.apache.spark.sql.Column) =>
           (call_function("utm_forward_e", gy, gx, lit(36.0)),
             call_function("utm_forward_n", gy, gx, lit(36.0)))
-        Warp.warp(dem, srcGt, dstGt, (n * 0.9).toInt, (n * 0.8).toInt, inv, ndv)
+        Warp.warp(demBig, srcGt, dstGt,
+            (side * 0.9).toInt, (side * 0.8).toInt, inv, ndv)
           .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
       }),
       // q33 shape: one distributed average-overview level
       "overview_build" -> (() =>
-        Overview.buildLevel(dem, ResamplingAlg.Average, ndv)
+        Overview.buildLevel(demBig, ResamplingAlg.Average, ndv)
           .agg(sum("v").as("s"), count(lit(1)).as("cnt"))),
       // q232/q243 shape: the sharded COG export — executor-side
       // encode + the driver's single-writer assembly stage (IFD from
       // byte counts + serial toLocalIterator segment streaming)
       "cog_export_sharded" -> (() => {
-        val p = graft.trans.Trans.plan(dem,
-          GeoTransform(0, 5, 0, 5.0 * n, 0, -5), n, n,
+        val p = graft.trans.Trans.plan(demBig,
+          GeoTransform(0, 5, 0, 5.0 * side, 0, -5), side, side,
           graft.trans.Trans.TransOptions()).get
         val f = Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_scaling_cog_${n}_${ProcessHandle.current().pid()}.tif")
+          s"graft_scaling_cog_${side}_${ProcessHandle.current().pid()}.tif")
         graft.trans.Trans.exportGeoTiffSharded(p, f.toString, ovrLevels = 2)
         val sz = Files.size(f)
         Files.deleteIfExists(f)
@@ -253,14 +260,23 @@ object Scaling {
     }
 
     if (doRaster) {
-      val sides = Seq(512, 1024, 2048)
+      // override for targeted deep-dives, e.g. the export single-writer
+      // stage at 4096²: SPARK_GRAFT_SCALING_RASTER_SIDES=1024,2048,4096
+      // SPARK_GRAFT_SCALING_RASTER_ONLY=cog_export_sharded
+      val sides = sys.env.get("SPARK_GRAFT_SCALING_RASTER_SIDES")
+        .map(_.split(',').map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(512, 1024, 2048))
+      val opOnly = sys.env.get("SPARK_GRAFT_SCALING_RASTER_ONLY")
+        .map(_.split(',').map(_.trim).toSet)
       out += ""
-      out += "raster tier (operator-parameterized; slope vs PIXELS = n², " +
-        "sweep expected 1.5 by design — O(pixels × radius)):"
-      out += s"| operator | ${sides.map(n => s"t($n²) s").mkString(" | ")} | " +
+      out += "raster tier (operator-parameterized; slope vs PIXELS = side², " +
+        "sweeps run at side/4 — see rasterRunners — and the exact sweep " +
+        "expects 1.5 by design, O(pixels × radius)):"
+      out += s"| operator | ${sides.map(n => s"t($n) s").mkString(" | ")} | " +
         s"slope ${sides(0)}→${sides(1)} | slope ${sides(1)}→${sides(2)} |"
       out += "|---|---|---|---|---|"
       val names = rasterRunners(spark, sides.head).map(_._1)
+        .filter(n => opOnly.forall(_.contains(n)))
       for (op <- names) {
         val ts = sides.map { n =>
           val run = rasterRunners(spark, n).toMap.apply(op)

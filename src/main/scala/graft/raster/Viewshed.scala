@@ -199,8 +199,15 @@ object Viewshed {
           .otherwise((col("v") + col("hc") - (col("h0") + oz)) / col("dist")))
 
     // crossings, positioned by exact integer floor division:
-    // k·dx = qx·n + rx with 0 ≤ rx < n  ⇒  x = ox + qx + rx/n
-    val steps = targets.filter(col("n") >= 2)
+    // k·dx = qx·n + rx with 0 ≤ rx < n  ⇒  x = ox + qx + rx/n.
+    // RADIUS PREFILTER (round 17): pixels beyond maxR are marked
+    // StNodata unconditionally below, so their rays must not be
+    // walked — without this the step explode is O(footprint × ray)
+    // over the WHOLE grid regardless of radius, which at a 2048²
+    // footprint is billions of tap rows for pixels whose state the
+    // radius already decided. Bit-identical output (the final state
+    // tests dist > maxR before ever consulting the obstruction).
+    val steps = targets.filter(col("n") >= 2 && col("dist") <= maxR)
       .select(col("px"), col("py"), col("n"), col("dist"), col("h0"),
         explode(sequence(lit(1), col("n") - 1)).as("k"))
       .withColumn("kdx", col("k") * (col("px") - ox))
