@@ -1781,6 +1781,19 @@ object Similarity {
     * the tombstone set is cleared. Search results are identical
     * before and after (the mask already hid the rows); this is
     * storage reclamation and scan-cost repair, not semantics.
+    *
+    * Concurrency contract (deliberately weaker than the swap-based
+    * faces): the in-place partition overwrite is what keeps purge
+    * cost proportional to the AFFECTED cells — an atomic
+    * [[graft.llm.AtRestStore.swapMany]] flip would require rewriting
+    * the whole codes table every purge. The price is that a search
+    * running WHILE purge rewrites its probed cell can fail on a
+    * vanished file (never return wrong rows — the mask already hides
+    * tombstoned ids in every interleaving); quiesce searches around
+    * purge/rebalance, the same quiesce-first contract the streaming
+    * ingest faces document. The swap-based stores (BM25/LSH/winnow/
+    * CDC) rewrite corpus-proportional tables anyway, so THEY get the
+    * atomic flip for free.
     */
   def ivfPqPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
