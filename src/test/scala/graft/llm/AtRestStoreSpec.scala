@@ -100,6 +100,33 @@ class AtRestStoreSpec extends SparkSpec {
     }
   }
 
+  test("establishOrAppend: an empty micro-batch neither establishes " +
+    "nor appends (idle file-source trigger must not train on nothing)") {
+    val dir = tmpDir("eoa")
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    var established = 0
+    AtRestStore.establishOrAppend(empty, dir, "gate", "id", "id")(
+      _ => established += 1)(_ => established += 1)
+    assert(established == 0)
+    assert(AtRestStore.tableIfExists(spark, dir, "gate").isEmpty)
+    // a real batch establishes; a replayed (already-ingested) one
+    // dissolves to an empty append
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    AtRestStore.establishOrAppend(batch, dir, "gate", "id", "id")(
+      b => b.select(col("id")).write.parquet(
+        AtRestStore.tablePath(spark, dir, "gate")))(_ => fail("appended"))
+    var appended = Seq.empty[Long]
+    AtRestStore.establishOrAppend(batch, dir, "gate", "id", "id")(
+      _ => fail("re-established"))(
+      f => appended = f.select("id").collect().map(_.getLong(0)).toSeq)
+    assert(appended.isEmpty) // full replay: nothing fresh
+    val grown = Seq((2L, "b"), (3L, "c")).toDF("id", "text")
+    AtRestStore.establishOrAppend(grown, dir, "gate", "id", "id")(
+      _ => fail("re-established"))(
+      f => appended = f.select("id").collect().map(_.getLong(0)).toSeq)
+    assert(appended == Seq(3L)) // only the fresh id reaches the append face
+  }
+
   test("dropTable removes plain, versions, and the manifest entry") {
     val dir = tmpDir("drop")
     writeVals(dir + "/t", Seq(1))
