@@ -357,17 +357,24 @@ object Trans {
           rows.foreach { case (_, px, py, v) =>
             buf((py - ty * tsL) * tsL + (px - tx * tsL)) = v
           }
-          (tid, graft.sources.GeoTiff.encodeTileSegment(buf, tsL, dt,
-            predictor = 1, compression = compL))
+          val seg = graft.sources.GeoTiff.encodeTileSegment(buf, tsL, dt,
+            predictor = 1, compression = compL)
+          // len rides as its own column so the IFD metadata pass below
+          // reads (tid, len) with the SEGMENT BYTES pruned away — an
+          // octet_length(seg) formulation was measured to re-read every
+          // compressed segment (parquet cannot answer byte lengths from
+          // footers), doubling segment I/O at any scale
+          (tid, seg.length, seg)
         }
-        .toDF("tid", "seg")
+        .toDF("tid", "len", "seg")
       val staging = path + s".tiles/l$k"
       enc.repartitionByRange(math.max(1, math.min(buckets, nTiles.toInt)), col("tid"))
         .sortWithinPartitions("tid")
         .write.mode("overwrite").parquet(staging)
-      // metadata pass: per-tile byte counts (nTiles longs — IFD-sized)
+      // metadata pass: per-tile byte counts (nTiles longs — IFD-sized);
+      // column pruning keeps this to the two tiny columns
       val lenByTid = spark.read.parquet(staging)
-        .select(col("tid"), octet_length(col("seg")).as("len"))
+        .select(col("tid"), col("len"))
         .as[(Long, Int)].collect().toMap
       (staging, (0L until nTiles).map(t =>
         lenByTid.get(t).map(_.toLong).getOrElse(emptySeg.length.toLong)))
