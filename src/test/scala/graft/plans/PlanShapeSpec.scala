@@ -132,7 +132,13 @@ class PlanShapeSpec extends SparkSpec {
       // cost) and q232, the suite's heaviest anchor — note q232's
       // explain also pays its eager sharded export once here
       "q94_substring_dup"    -> (5, 1, 0),
-      "q232_sharded_cog"     -> (5, 2, 0))
+      "q232_sharded_cog"     -> (5, 2, 0),
+      // round-17: the q232 split anchors joined the top floors —
+      // q243's returned frame is the VALUES receipt (its export cost
+      // is eager in the builder, like q232's), q244 is q232's verify
+      // half (read-back diff + overview aggregates)
+      "q243_cog_export"      -> (1, 1, 0),
+      "q244_cog_verify"      -> (5, 2, 0))
     val actual = expected.keys.toSeq.sorted.map { name =>
       val plan = graft.core.Materialize.scoped(spark) {
         graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
