@@ -627,7 +627,12 @@ object Bench {
     // bounded idle wait supplies the spacing (the provisional record
     // is already out, so the wait risks only refinement).
     locally {
-      val spaced = over2xNow().map(_._1)
+      // protocol runs only (code-review r17): off-protocol runs
+      // (subset, other thread counts, sf0.01) sit above the 32-thread
+      // sf0.1 floors by host shape alone — re-timing them against
+      // those floors would burn minutes of dead wall per debug cycle
+      // and min-merge nothing (updateFloors is off-protocol-gated too)
+      val spaced = if (protocolRun) over2xNow().map(_._1) else Seq.empty
       if (spaced.nonEmpty) {
         val sinceSweep = elapsed() - tDumpStart
         val waitLeft = 60.0 - sinceSweep

@@ -201,21 +201,24 @@ object Scaling {
     val doRaster = sys.env.getOrElse("SPARK_GRAFT_SCALING_RASTER", "1") != "0"
     val out = scala.collection.mutable.ArrayBuffer[String]()
 
-    def timed(once: () => Double): Double = {
-      once() // warmup: JIT + at-rest ingest (excluded from the min)
-      math.min(once(), once())
-    }
-    def timeQ(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
-      timed { () =>
+    // ONE measurement body for every tier (LLM and raster — two
+    // copies would let a future measurement-discipline change skew
+    // one family's slopes against the other's): warmup + min-of-2,
+    // noop write action, checkpoint release outside the timed window
+    def timeRun(build: () => DataFrame): Double = {
+      def once(): Double = {
         val keep = graft.core.Materialize.liveIds(spark)
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         graft.core.Materialize.releaseAll(spark, keep)
         dt
       }
+      once() // warmup: JIT + at-rest ingest (excluded from the min)
+      math.min(once(), once())
     }
+    def timeQ(name: String, dir: String): Double =
+      timeRun(() => SparkEntry.queries(name)(spark, dir))
 
     if (doLlm) {
       val t3 = sys.props("java.io.tmpdir") + "/graft_sf03_tier"
@@ -272,29 +275,25 @@ object Scaling {
       out += "raster tier (operator-parameterized; slope vs PIXELS = side², " +
         "sweeps run at side/4 — see rasterRunners — and the exact sweep " +
         "expects 1.5 by design, O(pixels × radius)):"
+      // N-sides-safe report (code-review r17: the former 3-column
+      // format crashed or silently dropped measurements when the
+      // SIDES override passed ≠3 entries)
+      val steps = sides.zip(sides.tail)
       out += s"| operator | ${sides.map(n => s"t($n) s").mkString(" | ")} | " +
-        s"slope ${sides(0)}→${sides(1)} | slope ${sides(1)}→${sides(2)} |"
-      out += "|---|---|---|---|---|"
+        steps.map { case (a, b) => s"slope $a→$b" }.mkString(" | ") + " |"
+      out += "|" + Seq.fill(sides.size + steps.size + 1)("---").mkString("|") + "|"
       val names = rasterRunners(spark, sides.head).map(_._1)
         .filter(n => opOnly.forall(_.contains(n)))
       for (op <- names) {
         val ts = sides.map { n =>
-          val run = rasterRunners(spark, n).toMap.apply(op)
-          n -> timed { () =>
-            val keep = graft.core.Materialize.liveIds(spark)
-            val t0 = System.nanoTime()
-            run().write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            graft.core.Materialize.releaseAll(spark, keep)
-            dt
-          }
+          n -> timeRun(rasterRunners(spark, n).toMap.apply(op))
         }.toMap
         def slope(a: Int, b: Int): Double =
           math.log(ts(b) / ts(a)) /
             math.log((b.toDouble * b) / (a.toDouble * a))
-        val line = f"| $op | ${ts(sides(0))}%.2f | ${ts(sides(1))}%.2f | " +
-          f"${ts(sides(2))}%.2f | ${slope(sides(0), sides(1))}%.2f | " +
-          f"${slope(sides(1), sides(2))}%.2f |"
+        val line = s"| $op | " +
+          sides.map(n => f"${ts(n)}%.2f").mkString(" | ") + " | " +
+          steps.map { case (a, b) => f"${slope(a, b)}%.2f" }.mkString(" | ") + " |"
         println(line); out += line
       }
     }

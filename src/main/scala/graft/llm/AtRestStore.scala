@@ -179,12 +179,35 @@ private[graft] object AtRestStore {
   def snapshot(spark: SparkSession, dir: String): Snapshot = {
     val fs = fsFor(spark, dir)
     val mp = manifestPath(dir)
-    if (fs.exists(mp))
-      new Snapshot(spark, dir, parseManifest(readSmall(fs, mp)), Map.empty)
-    else if (fs.exists(manifestTmp(dir)))
-      new Snapshot(spark, dir, Map.empty, versionDirs(fs, dir))
-    else
-      new Snapshot(spark, dir, Map.empty, Map.empty)
+    // the existence probes RACE a concurrent flip's delete→rename
+    // (code-review r17): a reader landing in the gap can see
+    // mp=false, lose the race to the rename, then see tmp=false and
+    // wrongly resolve everything to stale plain dirs — or see
+    // mp=true and have readSmall throw when the delete lands first.
+    // Bounded retry: re-probe after either race signature; both
+    // windows are two FS calls wide, so one retry practically always
+    // lands on a stable state (the loop is belt-and-braces).
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (fs.exists(mp)) {
+        try return new Snapshot(spark, dir, parseManifest(readSmall(fs, mp)),
+          Map.empty)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            if (attempt >= 8) throw e // not a flip race — surface it
+        }
+      } else if (fs.exists(manifestTmp(dir))) {
+        return new Snapshot(spark, dir, Map.empty, versionDirs(fs, dir))
+      } else if (attempt >= 2) {
+        // (mp absent, tmp absent) observed on TWO successive sweeps:
+        // genuine plain state (fresh store, or post-dropTable) — a
+        // flip completing between the probes would leave mp present
+        // for the re-probe above
+        return new Snapshot(spark, dir, Map.empty, Map.empty)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Resolve the physical directory of `table` under `dir` — a
@@ -244,6 +267,34 @@ private[graft] object AtRestStore {
       write: String => Unit): Unit =
     swapMany(spark, dir, Seq(table -> write))
 
+  /** Delete every RETIRED generation of the store's tables — the
+    * retired versions and plain gen-0 dirs the one-flip read grace
+    * keeps around. Takedown operators call this once readers have
+    * quiesced to make "forgotten" bytes leave the DISK immediately
+    * instead of at the next maintenance flip (the flip itself must
+    * not delete them — a reader that resolved just before the flip
+    * may still be streaming the retired generation). Mutator-class
+    * call: one maintainer at a time, like the flips.
+    */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    completeCrashedFlip(fs, dir)
+    val snap = snapshot(spark, dir)
+    val knownTables = versionDirs(fs, dir).keySet ++ snap.entryMap.keySet
+    val current = knownTables.map(t => new Path(snap.path(t)).getName) ++
+      snap.entryMap.values.toSet
+    val stale =
+      (versionDirs(fs, dir).toSeq.flatMap { case (t, vs) =>
+        vs.map(v => new Path(dir + "/" + t + "__v" + v))
+      } ++ knownTables.toSeq.map(t => new Path(dir + "/" + t)) ++
+        knownTables.toSeq.map(t => new Path(dir + "/" + t + "__stage")))
+        .filter(p => !current.contains(p.getName))
+    stale.foreach { p =>
+      if (fs.exists(p))
+        require(fs.delete(p, true), s"vacuum: could not delete retired $p")
+    }
+  }
+
   /** Crash-safe ATOMIC replacement of several tables of one store:
     * each `write` receives its staging path and must fully
     * materialize that table's successor there; all successors are
@@ -273,16 +324,21 @@ private[graft] object AtRestStore {
     val snap = snapshot(spark, dir)
     def kill(step: Int): Unit =
       if (step >= killAfter) throw new SwapKilled(step)
-    // step 1: debris-clear — every versioned dir the current
-    // resolution does not name (the previous flip's retired
-    // generation and any crashed staging), plus stages and tmp
-    val current = versionDirs(fs, dir).keySet
-      .map(t => new Path(snap.path(t)).getName) ++
+    // step 1: debris-clear — every dir the current resolution does
+    // not name: retired versions AND retired PLAIN dirs (a table's
+    // generation-0 home once its first flip moved it to a versioned
+    // dir — code-review r17: without this the plain copy, including
+    // any takedown-purged bytes, outlived every later flip), plus
+    // crashed stages and a stray manifest tmp
+    val knownTables = versionDirs(fs, dir).keySet ++ snap.entryMap.keySet ++
+      writes.map(_._1)
+    val current = knownTables.map(t => new Path(snap.path(t)).getName) ++
       snap.entryMap.values.toSet
     val stale: Seq[Path] =
       (versionDirs(fs, dir).toSeq.flatMap { case (t, vs) =>
         vs.map(v => new Path(dir + "/" + t + "__v" + v))
-      } ++ writes.map { case (t, _) => new Path(dir + "/" + t + "__stage") } :+
+      } ++ knownTables.toSeq.map(t => new Path(dir + "/" + t)) ++
+        writes.map { case (t, _) => new Path(dir + "/" + t + "__stage") } :+
         manifestTmp(dir))
         .filter(p => !current.contains(p.getName))
     stale.foreach { p =>

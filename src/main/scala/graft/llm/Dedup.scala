@@ -1169,6 +1169,16 @@ object Dedup {
       AtRestStore.dropTable(spark, dir, "chunks")
       return
     }
+    if (snap.ifExists("chunks").isEmpty) {
+      // manifests-present/chunks-absent is EXACTLY the crashed
+      // delete-everything state (chunks drop first; appends write
+      // chunks before manifests, so no other path produces it) —
+      // complete the crashed takedown instead of failing on a
+      // misleading missing-live-table require inside the swap
+      // (code-review r17)
+      AtRestStore.dropTable(spark, dir, "manifests")
+      return
+    }
     val del = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
     // materialize the survivor set BEFORE the swap: the GC keys off it,
@@ -1195,7 +1205,10 @@ object Dedup {
     val live = surviving.select("h", "len").distinct()
     // one atomic flip for both tables: a concurrent reconstruct can
     // never pair surviving manifests with an already-purged payload
-    // set (or vice versa)
+    // set (or vice versa). The RETIRED generation (which still holds
+    // the deleted payloads) lives until the next maintenance flip or
+    // an explicit AtRestStore.vacuum — call vacuum once readers have
+    // quiesced to make right-to-be-forgotten leave the disk NOW.
     AtRestStore.swapMany(spark, dir, Seq(
       "manifests" -> ((out: String) =>
         surviving.write.partitionBy("batch").parquet(out)),
@@ -2308,10 +2321,18 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     tombstoneClear(spark, dir)
-    winnowFingerprints(df, idCol, textCol, k, w)
-      .write.mode("overwrite").parquet(tablePath(spark, dir, "fps"))
+    // params FIRST, fps LAST (code-review r17): fps is the
+    // establish-completion gate for the streaming face
+    // ([[graft.streaming.EventStream.winnowIngestStream]] routes on
+    // its existence) — written in the old order, a crash between the
+    // two left the gate present with no params, so every foreachBatch
+    // replay routed to the append face and died on the params read
+    // forever. Gate-last means a replay of a crashed establish simply
+    // re-establishes.
     Seq((k, w, maxDf)).toDF("k", "w", "max_df")
       .write.mode("overwrite").parquet(tablePath(spark, dir, "params"))
+    winnowFingerprints(df, idCol, textCol, k, w)
+      .write.mode("overwrite").parquet(tablePath(spark, dir, "fps"))
   }
 
   /** Loud parameter gate + stored-value adoption (the lshParamsCheck

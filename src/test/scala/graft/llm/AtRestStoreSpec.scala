@@ -100,6 +100,66 @@ class AtRestStoreSpec extends SparkSpec {
     }
   }
 
+  test("retired generations: the plain gen-0 dir is collected by the " +
+    "NEXT flip (read grace), and vacuum collects it immediately") {
+    val dir = tmpDir("retire")
+    writeVals(dir + "/t", Seq(1, 2))
+    swapTo(dir, "t", Seq(3, 4))
+    // one-flip grace: the plain gen-0 dir must still exist (a reader
+    // that resolved pre-flip may be streaming it)...
+    assert(new java.io.File(dir + "/t").exists())
+    assert(readVals(dir, "t").contains(Set(3, 4)))
+    // ...and the NEXT flip collects it (code-review r17: it used to
+    // survive every flip — purged bytes never left the disk)
+    swapTo(dir, "t", Seq(5))
+    assert(!new java.io.File(dir + "/t").exists(),
+      "retired plain gen-0 dir survived a second flip")
+    assert(readVals(dir, "t").contains(Set(5)))
+    // vacuum: immediate collection of the retired generation
+    swapTo(dir, "t", Seq(6))
+    val gens = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("t__v")).toSet
+    assert(gens.size == 2) // current + retired grace
+    AtRestStore.vacuum(spark, dir)
+    val after = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("t__v")).toSet
+    assert(after.size == 1, s"vacuum left $after")
+    assert(readVals(dir, "t").contains(Set(6)))
+  }
+
+  test("winnow establish crash (params written, fps not): the " +
+    "streaming replay self-heals by re-establishing") {
+    val dir = tmpDir("wincrash")
+    import spark.implicits._
+    // simulate the crash window: params landed, the fps gate did not
+    Seq((8, 4, 8)).toDF("k", "w", "max_df")
+      .write.mode("overwrite").parquet(dir + "/params")
+    val batch = (1L to 5L).map(i =>
+      (i, s"winnow establish crash corpus shared passage text $i " * 4))
+      .toDF("doc_id", "text")
+    // the replay routes to ESTABLISH (gate absent) and must succeed
+    graft.streaming.EventStream.winnowIngestStep(batch, "doc_id", "text", dir)
+    assert(AtRestStore.tableIfExists(spark, dir, "fps").exists(_.count() > 0))
+    // and a second replay of the same batch dissolves (all ids rest)
+    val n0 = AtRestStore.tableIfExists(spark, dir, "fps").get.count()
+    graft.streaming.EventStream.winnowIngestStep(batch, "doc_id", "text", dir)
+    assert(AtRestStore.tableIfExists(spark, dir, "fps").get.count() == n0)
+  }
+
+  test("cdc subset delete against a crashed delete-everything " +
+    "(manifests present, chunks gone) completes the takedown") {
+    val dir = tmpDir("cdccrash")
+    Dedup.cdcInitAtRest(spark, dir, k = 8, d = 16)
+    Dedup.cdcAppendAtRest(cdcDocs(1L to 4L), "id", "text", dir, batchId = 0)
+    AtRestStore.dropTable(spark, dir, "chunks") // the documented crash state
+    Dedup.cdcDeleteAtRest(Seq(2L).toDF("id"), "id", dir) // subset delete
+    // the crashed delete-everything is completed: store reads empty
+    assert(Dedup.cdcReconstruct(spark, dir, Seq(1L).toDF("id")).count() == 0)
+    // and the store accepts new life
+    Dedup.cdcAppendAtRest(cdcDocs(Seq(9L)), "id", "text", dir, batchId = 1)
+    assert(reconTexts(dir, Seq(9L)).nonEmpty)
+  }
+
   test("establishOrAppend: an empty micro-batch neither establishes " +
     "nor appends (idle file-source trigger must not train on nothing)") {
     val dir = tmpDir("eoa")
