@@ -341,6 +341,28 @@ class AtRestStoreSpec extends SparkSpec {
     }
   }
 
+  test("concurrent reconstruct during cdc takedown sees pre- or " +
+    "post-state, never a manifests/chunks mix") {
+    val dir = tmpDir("cdcrace")
+    Dedup.cdcInitAtRest(spark, dir, k = 8, d = 16)
+    Dedup.cdcAppendAtRest(cdcDocs(1L to 40L), "id", "text", dir, batchId = 0)
+    val keepIds = Seq(2L, 4L, 6L)
+    val delIds = (1L to 40L).filter(_ % 2 == 1)
+    val pre = reconTexts(dir, keepIds ++ Seq(1L, 3L)) // 5 docs pre-delete
+    def probe(): Map[Long, String] = reconTexts(dir, keepIds ++ Seq(1L, 3L))
+    val results = raceProbes(
+      Dedup.cdcDeleteAtRest(delIds.toDF("id"), "id", dir))(probe())
+    val post = probe()
+    assert(post.keySet == keepIds.toSet) // odd ids reconstruct to nothing
+    results.zipWithIndex.foreach { case (r, i) =>
+      // pre (all 5) or post (3 survivors) — and NEVER a mix where a
+      // surviving manifest pairs with a purged payload set (that
+      // state raises the missing-payload gate, failing this test)
+      assert(r == pre || r == post,
+        s"probe $i saw a torn manifests/chunks state: keys=${r.keySet}")
+    }
+  }
+
   test("concurrent probe during lsh append sees a state between pre " +
     "and post (each table append is job-atomic), never corrupt rows") {
     val dir = tmpDir("lshapp")
