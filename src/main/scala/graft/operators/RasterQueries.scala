@@ -668,10 +668,13 @@ object RasterQueries {
     * times encode + verify in one number, so an encode-path and a
     * verify-path regression were indistinguishable): the same
     * 1024×768 two-overview export as q232, re-run EVERY invocation,
-    * with NO read-back — the returned frame is the written file's
-    * grid receipt (GDAL ceil ladder dims + a nonzero-length gate),
-    * VALUES-oracled. Encode throughput regressions move THIS anchor;
-    * q244 isolates the verify path; q232 stays the correctness gate.
+    * with NO pixel read-back — the returned frame is the written
+    * file's IFD receipt, PARSED FROM THE FILE (header-only,
+    * metadata-sized: page dims + per-page tile counts through
+    * [[graft.sources.GeoTiff.readInfos]]), so the anchor cannot pass
+    * without a structurally complete container yet never pays the
+    * pixel decode q244 isolates. Encode throughput regressions move
+    * THIS anchor; q232 stays the bit-level correctness gate.
     */
   def q243(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -681,10 +684,10 @@ object RasterQueries {
     val f = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_q243_cog_${ProcessHandle.current().pid()}.tif")
     graft.trans.Trans.exportGeoTiffSharded(p, f.toString, ovrLevels = 2)
-    val written = java.nio.file.Files.size(f) > 0
-    Seq((0, 1024, 768, 12L), (1, 512, 384, 4L), (2, 256, 192, 1L))
+    graft.sources.GeoTiff.readInfos(f.toString).zipWithIndex
+      .map { case (info, k) =>
+        (k, info.width, info.height, info.segments.size.toLong) }
       .toDF("level", "w", "h", "n_tiles")
-      .withColumn("file_written", lit(written))
       .orderBy("level")
   }
 
@@ -1173,15 +1176,16 @@ object RasterQueries {
     "q232_sharded_cog" -> cogRoundTripOracle,
     "q244_cog_verify" -> cogRoundTripOracle,
 
-    // export-only anchor: the output is the written file's grid
-    // receipt (ceil tile ladder of 1024×768 at tile 256 over three
-    // pages) — the export itself is gated bit-for-bit by q232/q244
+    // export-only anchor: the output is the written file's IFD
+    // receipt parsed back from the container header (ceil tile
+    // ladder of 1024×768 at tile 256 over three pages) — pixel-level
+    // bytes are gated bit-for-bit by q232/q244
     "q243_cog_export" ->
       """SELECT * FROM (VALUES
-        |  (0, 1024, 768, CAST(12 AS BIGINT), TRUE),
-        |  (1, 512, 384, CAST(4 AS BIGINT), TRUE),
-        |  (2, 256, 192, CAST(1 AS BIGINT), TRUE))
-        |  t(level, w, h, n_tiles, file_written) ORDER BY level""".stripMargin,
+        |  (0, 1024, 768, CAST(12 AS BIGINT)),
+        |  (1, 512, 384, CAST(4 AS BIGINT)),
+        |  (2, 256, 192, CAST(1 AS BIGINT)))
+        |  t(level, w, h, n_tiles) ORDER BY level""".stripMargin,
   )
 
   private lazy val cogRoundTripOracle: String =
