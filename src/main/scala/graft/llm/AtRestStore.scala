@@ -70,6 +70,14 @@ private[graft] object AtRestStore {
   private[graft] final class SwapKilled(val step: Int)
     extends RuntimeException(s"swap killed after step $step (test injection)")
 
+  /** Test-only interleave hook for [[snapshot]]'s probe races: called
+    * with phase 1 after an mp-present probe (before the manifest
+    * read) and phase 2 after an mp-absent probe (before the tmp
+    * probe), so the race spec can land a concurrent flip's
+    * delete/rename EXACTLY between two probes. No-op in production.
+    */
+  @volatile private[graft] var snapshotRaceHook: Int => Unit = _ => ()
+
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -102,6 +110,21 @@ private[graft] object AtRestStore {
     val tmp = manifestTmp(dir)
     if (!fs.exists(mp) && fs.exists(tmp))
       require(fs.rename(tmp, mp), s"could not complete crashed flip of $mp")
+  }
+
+  /** With `_manifest` PRESENT, any `_manifest.tmp` is a crashed
+    * swap's debris by definition (a live flip deletes mp before its
+    * rename; [[completeCrashedFlip]] only acts when mp is absent) —
+    * clear it so a later mutator's [[completeCrashedFlip]] cannot
+    * rename stale content into place after e.g. a [[dropTable]]
+    * deletes the manifest, resurrecting an entry that points at a
+    * deleted dir (ADVICE r17). swapMany's step-1 debris-clear already
+    * does this; dropTable and vacuum call it explicitly.
+    */
+  private def clearStaleTmp(fs: FileSystem, dir: String): Unit = {
+    val tmp = manifestTmp(dir)
+    if (fs.exists(manifestPath(dir)) && fs.exists(tmp))
+      require(fs.delete(tmp, false), s"could not clear stale $tmp")
   }
 
   private val VersionRe = "^(.*)__v([0-9]+)$".r
@@ -187,24 +210,42 @@ private[graft] object AtRestStore {
     // Bounded retry: re-probe after either race signature; both
     // windows are two FS calls wide, so one retry practically always
     // lands on a stable state (the loop is belt-and-braces).
+    //
+    // Plain state needs TWO CONSECUTIVE both-absent sweeps (ADVICE
+    // r17): a single (mp absent, tmp absent) observation can be a
+    // flip's tmp->mp rename landing between the two probes — counting
+    // ANY prior attempt (e.g. an mp-present sweep whose read lost the
+    // race to a delete) toward the exit would return a stale plain
+    // resolution on a live versioned store. The counter resets on
+    // every sweep that sees mp or tmp present.
     var attempt = 0
+    var absentSweeps = 0
     while (true) {
       attempt += 1
       if (fs.exists(mp)) {
+        absentSweeps = 0
+        snapshotRaceHook(1)
         try return new Snapshot(spark, dir, parseManifest(readSmall(fs, mp)),
           Map.empty)
         catch {
           case e: java.io.FileNotFoundException =>
             if (attempt >= 8) throw e // not a flip race — surface it
         }
-      } else if (fs.exists(manifestTmp(dir))) {
-        return new Snapshot(spark, dir, Map.empty, versionDirs(fs, dir))
-      } else if (attempt >= 2) {
-        // (mp absent, tmp absent) observed on TWO successive sweeps:
-        // genuine plain state (fresh store, or post-dropTable) — a
-        // flip completing between the probes would leave mp present
-        // for the re-probe above
-        return new Snapshot(spark, dir, Map.empty, Map.empty)
+      } else {
+        snapshotRaceHook(2)
+        if (fs.exists(manifestTmp(dir))) {
+          return new Snapshot(spark, dir, Map.empty, versionDirs(fs, dir))
+        } else {
+          absentSweeps += 1
+          if (absentSweeps >= 2) {
+            // (mp absent, tmp absent) on two CONSECUTIVE sweeps:
+            // genuine plain state (fresh store, or post-dropTable) —
+            // a flip completing between sweep k's probes leaves mp
+            // present for sweep k+1's first probe, which resets the
+            // counter
+            return new Snapshot(spark, dir, Map.empty, Map.empty)
+          }
+        }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -233,6 +274,7 @@ private[graft] object AtRestStore {
   def dropTable(spark: SparkSession, dir: String, table: String): Unit = {
     val fs = fsFor(spark, dir)
     completeCrashedFlip(fs, dir)
+    clearStaleTmp(fs, dir)
     // drop the manifest entry FIRST: readers must stop resolving to a
     // dir that is about to disappear (they fall back to plain, which
     // the caller is about to re-establish or leave absent — the
@@ -279,6 +321,7 @@ private[graft] object AtRestStore {
   def vacuum(spark: SparkSession, dir: String): Unit = {
     val fs = fsFor(spark, dir)
     completeCrashedFlip(fs, dir)
+    clearStaleTmp(fs, dir)
     val snap = snapshot(spark, dir)
     val knownTables = versionDirs(fs, dir).keySet ++ snap.entryMap.keySet
     val current = knownTables.map(t => new Path(snap.path(t)).getName) ++

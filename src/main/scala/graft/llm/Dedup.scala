@@ -1153,6 +1153,14 @@ object Dedup {
     * the GC is one (h, len)-keyed semi-join of the payload table
     * against the surviving manifests — never all-pairs, never a
     * re-chunk.
+    *
+    * Quiesce contract (ADVICE r17): a takedown must not run between
+    * a crashed append and its replay — the half-ingested batch has
+    * chunks but no manifests yet, so the takedown cannot see (or
+    * forget) its docs. The empty-manifests branch below keeps such
+    * unledgered payload for the replay instead of discarding it; if
+    * the forgotten ids might be in that in-flight batch, re-run the
+    * takedown once the replay lands.
     */
   def cdcDeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit = {
     val spark = ids.sparkSession
@@ -1162,11 +1170,38 @@ object Dedup {
     if (manifests.isEmpty) {
       // an init'd-but-empty store (fresh, or a completed
       // delete-everything): nothing rests, so the takedown is a no-op
-      // — but clear any chunk debris a crashed previous
-      // delete-everything left behind (chunks drop FIRST below, so
-      // the crash window is manifests-present/chunks-absent, never
-      // orphaned payload bytes)
-      AtRestStore.dropTable(spark, dir, "chunks")
+      // — but a chunks table present WITHOUT manifests needs care
+      // (ADVICE r17): it is EITHER takedown debris (a completed
+      // ingest whose manifests a crashed cleanup already dropped) OR
+      // a HALF-INGESTED append (chunks land before manifests and
+      // before the ledger row, see cdcAppendAtRest's write order).
+      // The ledger — written LAST by every append — distinguishes
+      // them: a chunks batch with NO ledger row is an append awaiting
+      // its at-least-once replay, and dropping it would silently lose
+      // a one-shot caller's batch. Purge only LEDGERED batches;
+      // unledgered ones are kept for the replay. (Quiesce contract:
+      // if the forgotten ids might be IN that in-flight batch, re-run
+      // the takedown after the replay lands — the takedown cannot
+      // name docs without manifests.)
+      snap.ifExists("chunks").foreach { chunks =>
+        // batch-count-sized collects (ledger keys, not data)
+        val ledgered = snap.ifExists("stats").map(
+          _.select(col("batch").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
+        val present = chunks.select(col("batch").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val halfIngested = present -- ledgered
+        if (halfIngested.isEmpty) {
+          AtRestStore.dropTable(spark, dir, "chunks")
+        } else if (present.exists(ledgered.contains)) {
+          // mixed: purge the ledgered debris, keep the in-flight batch
+          AtRestStore.swap(spark, dir, "chunks")(out =>
+            spark.read.parquet(snap.path("chunks"))
+              .filter(col("batch").cast("long")
+                .isin(halfIngested.toSeq: _*))
+              .write.partitionBy("batch").parquet(out))
+        } // all batches unledgered: keep everything for the replay
+      }
       return
     }
     if (snap.ifExists("chunks").isEmpty) {

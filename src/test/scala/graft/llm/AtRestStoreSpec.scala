@@ -187,6 +187,100 @@ class AtRestStoreSpec extends SparkSpec {
     assert(appended == Seq(3L)) // only the fresh id reaches the append face
   }
 
+  test("snapshot does not conclude plain state from probe races " +
+    "(ADVICE r17): a flip completing between probes must re-sweep") {
+    val dir = tmpDir("snaprace")
+    writeVals(dir + "/t", Seq(1))
+    swapTo(dir, "t", Seq(2)) // versioned: manifest present, t at __v1
+    // Drive the exact ADVICE interleaving with the race hook:
+    //  sweep 1: mp present -> hook(1) simulates a concurrent flip's
+    //           delete landing (mp deleted, its tmp pending) so the
+    //           manifest read throws FileNotFoundException;
+    //  sweep 2: mp absent -> hook(2) simulates the flip's tmp->mp
+    //           rename landing between the two probes (tmp absent).
+    // The OLD attempt>=2 exit returned a stale PLAIN resolution here;
+    // the consecutive-absent-sweeps rule must loop once more and
+    // resolve the (now present) manifest.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(dir + "/_manifest")
+    val tmp = new org.apache.hadoop.fs.Path(dir + "/_manifest.tmp")
+    var phase1Done = false
+    var phase2Done = false
+    AtRestStore.snapshotRaceHook = {
+      case 1 if !phase1Done =>
+        phase1Done = true
+        assert(fs.rename(mp, tmp)) // delete landed, rename pending
+      case 2 if phase1Done && !phase2Done =>
+        phase2Done = true
+        assert(fs.rename(tmp, mp)) // rename lands between the probes
+      case _ => ()
+    }
+    try {
+      val snap = AtRestStore.snapshot(spark, dir)
+      assert(phase1Done && phase2Done, "hook never drove the race")
+      assert(snap.path("t").endsWith("__v1"),
+        s"snapshot resolved stale plain state: ${snap.path("t")}")
+    } finally AtRestStore.snapshotRaceHook = _ => ()
+  }
+
+  test("dropTable clears a crashed swap's stale _manifest.tmp so the " +
+    "next mutator cannot resurrect the dropped table (ADVICE r17)") {
+    val dir = tmpDir("droptmp")
+    writeVals(dir + "/t", Seq(1))
+    swapTo(dir, "t", Seq(2)) // manifest established: t=t__v1
+    // crash a swap right after its tmp write (kill point 1000): mp
+    // present AND tmp present — the tmp is debris by definition
+    intercept[AtRestStore.SwapKilled] { swapTo(dir, "t", Seq(3), 1000) }
+    assert(new java.io.File(dir + "/_manifest.tmp").exists())
+    AtRestStore.dropTable(spark, dir, "t")
+    // the stale tmp must be gone — otherwise the next mutator's
+    // crashed-flip completion renames it into place and resurrects a
+    // manifest entry pointing at the deleted table
+    assert(!new java.io.File(dir + "/_manifest.tmp").exists(),
+      "dropTable left the stale _manifest.tmp behind")
+    assert(readVals(dir, "t").isEmpty)
+    // a subsequent mutation on a sibling must not bring t back
+    writeVals(dir + "/u", Seq(9))
+    swapTo(dir, "u", Seq(10))
+    assert(readVals(dir, "t").isEmpty,
+      "dropped table resurrected by the next mutator")
+    assert(readVals(dir, "u").contains(Set(10)))
+  }
+
+  test("vacuum clears a crashed swap's stale _manifest.tmp") {
+    val dir = tmpDir("vactmp")
+    writeVals(dir + "/t", Seq(1))
+    swapTo(dir, "t", Seq(2))
+    intercept[AtRestStore.SwapKilled] { swapTo(dir, "t", Seq(3), 1000) }
+    assert(new java.io.File(dir + "/_manifest.tmp").exists())
+    AtRestStore.vacuum(spark, dir)
+    assert(!new java.io.File(dir + "/_manifest.tmp").exists())
+    assert(readVals(dir, "t").contains(Set(2)))
+  }
+
+  test("cdc takedown keeps a half-ingested (unledgered) batch's " +
+    "payload for its replay instead of discarding it (ADVICE r17)") {
+    val dir = tmpDir("cdchalf")
+    Dedup.cdcInitAtRest(spark, dir, k = 8, d = 16)
+    // simulate an append crashed between its chunks write and its
+    // manifests write: chunks present, manifests absent, NO ledger row
+    Seq(("h1", 8L, "abcdefgh", 0L)).toDF("h", "len", "bytes", "batch")
+      .write.partitionBy("batch")
+      .parquet(AtRestStore.tablePath(spark, dir, "chunks"))
+    Dedup.cdcDeleteAtRest(Seq(1L).toDF("id"), "id", dir)
+    // the in-flight payload survived the takedown
+    assert(AtRestStore.tableIfExists(spark, dir, "chunks")
+      .exists(_.count() == 1),
+      "takedown discarded a half-ingested batch's payload")
+    // the replay completes the batch and the store serves it
+    Dedup.cdcAppendAtRest(cdcDocs(Seq(1L)), "id", "text", dir, batchId = 0)
+    assert(reconTexts(dir, Seq(1L)).nonEmpty)
+    // and a post-replay takedown forgets it for real
+    Dedup.cdcDeleteAtRest(Seq(1L).toDF("id"), "id", dir)
+    assert(Dedup.cdcReconstruct(spark, dir, Seq(1L).toDF("id")).count() == 0)
+  }
+
   test("dropTable removes plain, versions, and the manifest entry") {
     val dir = tmpDir("drop")
     writeVals(dir + "/t", Seq(1))
