@@ -1891,8 +1891,11 @@ object LlmQueries {
     * through the foreachBatch append face into a fresh store — the
     * census must match the SAME DuckDB replay as the batch-built
     * store, bit for bit (chunk identity is content, so the streaming
-    * path has no per-batch blindness to excuse). The MemoryStream
-    * feed is the test harness (a production stream is Kafka/files);
+    * path has no per-batch blindness to excuse). The feed rides the
+    * FILE stream source (judge r17: the former MemoryStream feed
+    * collect()ed the corpus slice to the driver — the same hazard
+    * class ADVICE r16 flagged for q238/q239): each micro-batch lands
+    * as parquet and streams back, the production crawl-shard shape;
     * the timed read is the census, the stream runs once at ingest.
     */
   def q227(s: SparkSession, d: String): DataFrame = {
@@ -1901,20 +1904,24 @@ object LlmQueries {
         when(col("doc_id") < 150, lit(ViralHeader)).otherwise(col("text")))
     val atRest = atRestDir(d, "graft_cdc_stream")
     ingestOnce(atRest + "#cdcs#" + inputFingerprint(d + "/documents.parquet")) {
-      import s.implicits._
       Dedup.cdcInitAtRest(s, atRest)
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val q = graft.streaming.EventStream.cdcIngestStream(
-        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", atRest)
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_q227_feed").toString
       val batchConds = Seq(
         pmod(col("doc_id"), lit(5)) < 3,   // micro-batch 0 = q226 batch 0
         pmod(col("doc_id"), lit(5)) === 3, // micro-batch 1
         pmod(col("doc_id"), lit(5)) === 4) // micro-batch 2
+      // batch 0's files land BEFORE the stream starts so it arrives
+      // as ONE micro-batch — the ledger keys off batch ids, so the
+      // micro-batch boundaries must be exactly q226's three
+      docs.filter(batchConds.head).write.mode("append").parquet(feed)
+      val q = graft.streaming.EventStream.cdcIngestStream(
+        s.readStream.schema("doc_id LONG, text STRING").parquet(feed),
+        "doc_id", "text", atRest)
       try {
-        for (cond <- batchConds) {
-          stream.addData(docs.filter(cond).as[(Long, String)].collect().toSeq)
+        q.processAllAvailable()
+        for (cond <- batchConds.tail) {
+          docs.filter(cond).write.mode("append").parquet(feed)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1931,9 +1938,11 @@ object LlmQueries {
     * probe as q217. BM25's stats deltas are additive and drift-free,
     * so the stream-built index must rank bit-identically to q217's
     * batch-built one — the oracle is literally q217's from-scratch
-    * replay. The MemoryStream feed is the test harness (a production
-    * stream is Kafka/files); the timed read is the probe, the stream
-    * runs once at ingest.
+    * replay. The feed rides the FILE stream source (judge r17: the
+    * former MemoryStream feed collect()ed the corpus slice to the
+    * driver): micro-batches land as parquet and stream back, the
+    * production crawl-shard shape; the timed read is the probe, the
+    * stream runs once at ingest.
     */
   def q231(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1941,19 +1950,19 @@ object LlmQueries {
     val atRest = atRestDir(d, "graft_bm25_stream")
     ingestOnce(atRest + "#bm25s#" + inputFingerprint(d + "/documents.parquet")) {
       Retrieval.bm25InitAtRest(s, atRest)
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val q = graft.streaming.EventStream.bm25IngestStream(
-        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", atRest)
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_q231_feed").toString
       val batchConds = Seq(
         pmod(col("doc_id"), lit(5)) < 3,   // micro-batch 0 = q217's ingest
         pmod(col("doc_id"), lit(5)) === 3) // micro-batch 1 = q217's append
+      docs.filter(batchConds.head).write.mode("append").parquet(feed)
+      val q = graft.streaming.EventStream.bm25IngestStream(
+        s.readStream.schema("doc_id LONG, text STRING").parquet(feed),
+        "doc_id", "text", atRest)
       try {
-        for (cond <- batchConds) {
-          stream.addData(docs.filter(cond).as[(Long, String)].collect().toSeq)
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        docs.filter(batchConds(1)).write.mode("append").parquet(feed)
+        q.processAllAvailable()
       } finally q.stop()
     }
     val queries = Seq((1L, "spark"), (1L, "merge"), (2L, "vector"),
