@@ -397,7 +397,8 @@ object Dedup {
     * (BPE applies merges in training order), so the `round` column is
     * the contract: encode reads sort on it.
     */
-  def bpeSaveAtRest(merges: DataFrame, dir: String): Unit = {
+  def bpeSaveAtRest(merges: DataFrame, dir: String): Unit =
+    AtRestStore.withLease(merges.sparkSession, dir, "bpeSave") {
     val n = merges.count()
     require(n > 0, "bpeSaveAtRest: empty merge table — train first")
     merges.select("round", "lhs", "rhs", "pair_count")
@@ -920,7 +921,8 @@ object Dedup {
     * lshProbeAtRest contract).
     */
   def cdcIngestAtRest(docs: DataFrame, idCol: String, textCol: String,
-                      dir: String, k: Int = 16, d: Int = 64): Unit = {
+                      dir: String, k: Int = 16, d: Int = 64): Unit =
+    AtRestStore.withLease(docs.sparkSession, dir, "cdcIngest") {
     // establish empty store + params, then run batch 0 through the
     // SAME append body so ingest and append semantics cannot drift
     cdcInitAtRest(docs.sparkSession, dir, k, d)
@@ -934,7 +936,8 @@ object Dedup {
     * batch to fold into the init.
     */
   def cdcInitAtRest(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    k: Int = 16, d: Int = 64): Unit = {
+                    k: Int = 16, d: Int = 64): Unit =
+    AtRestStore.withLease(spark, dir, "cdcInit") {
     require(k > 0 && d > 0, s"k and d must be positive, got k=$k d=$d")
     import spark.implicits._
     // chunks/manifests/stats are batch-partitioned and materialize on
@@ -991,7 +994,8 @@ object Dedup {
     * and small ids still infer back as int on read.
     */
   def cdcAppendAtRest(newDocs: DataFrame, idCol: String, textCol: String,
-                      dir: String, batchId: Long): Unit = {
+                      dir: String, batchId: Long): Unit =
+    AtRestStore.withLease(newDocs.sparkSession, dir, "cdcAppend") {
     val spark = newDocs.sparkSession
     val (k, d) = cdcFmtCheck(spark, dir)
     // one chunker pass feeds the raw-chars ledger AND the store delta;
@@ -1162,7 +1166,8 @@ object Dedup {
     * the forgotten ids might be in that in-flight batch, re-run the
     * takedown once the replay lands.
     */
-  def cdcDeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit = {
+  def cdcDeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit =
+    AtRestStore.withLease(ids.sparkSession, dir, "cdcDelete") {
     val spark = ids.sparkSession
     cdcFmtCheck(spark, dir) // loud not-a-store / wrong-layout failure
     val snap = AtRestStore.snapshot(spark, dir)
@@ -1272,7 +1277,8 @@ object Dedup {
     * the same quiesce-first contract).
     */
   def cdcCompactAtRest(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): Unit = {
+                       dir: String): Unit =
+    AtRestStore.withLease(spark, dir, "cdcCompact") {
     cdcFmtCheck(spark, dir)
     val snap = AtRestStore.snapshot(spark, dir)
     require(snap.ifExists("stats").isDefined,
@@ -1394,7 +1400,8 @@ object Dedup {
     */
   def lshIngestAtRest(df: DataFrame, idCol: String, textCol: String,
                       dir: String, numHashes: Int = 16, bands: Int = 4,
-                      shingleLen: Int = 3, maxBucket: Int = 64): Unit = {
+                      shingleLen: Int = 3, maxBucket: Int = 64): Unit =
+    AtRestStore.withLease(df.sparkSession, dir, "lshIngest") {
     tombstoneClear(df.sparkSession, dir) // a re-ingest voids old takedowns
     lshWriteAtRest(df, idCol, textCol, dir, numHashes, bands, shingleLen,
       maxBucket, overwrite = true)
@@ -1494,7 +1501,8 @@ object Dedup {
   def lshAppendAtRest(newDf: DataFrame, idCol: String, textCol: String,
                       dir: String, numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3,
-                      maxBucket: Option[Int] = None): Unit = {
+                      maxBucket: Option[Int] = None): Unit =
+    AtRestStore.withLease(newDf.sparkSession, dir, "lshAppend") {
     val mb = lshParamsCheck(newDf.sparkSession, dir, numHashes, bands,
       shingleLen, maxBucket)
     lshWriteAtRest(newDf, idCol, textCol, dir, numHashes, bands, shingleLen,
@@ -1603,7 +1611,8 @@ object Dedup {
     */
   def lshCompactAtRest(spark: org.apache.spark.sql.SparkSession, dir: String,
                        numHashes: Int = 16, bands: Int = 4,
-                       shingleLen: Int = 3): Unit = {
+                       shingleLen: Int = 3): Unit =
+    AtRestStore.withLease(spark, dir, "lshCompact") {
     val mb = lshParamsCheck(spark, dir, numHashes, bands, shingleLen)
     // physical takedown purge: compaction drops tombstoned rows from
     // BOTH tables (the only face that rewrites them) and truncates
@@ -2351,7 +2360,8 @@ object Dedup {
     */
   def winnowIngestAtRest(df: DataFrame, idCol: String, textCol: String,
                          dir: String, k: Int = 8, w: Int = 4,
-                         maxDf: Int = 8): Unit = {
+                         maxDf: Int = 8): Unit =
+    AtRestStore.withLease(df.sparkSession, dir, "winnowIngest") {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val spark = df.sparkSession
     import spark.implicits._
@@ -2385,7 +2395,8 @@ object Dedup {
     * appended ids must be fresh (the lshAppendAtRest contract).
     */
   def winnowAppendAtRest(newDf: DataFrame, idCol: String, textCol: String,
-                         dir: String): Unit = {
+                         dir: String): Unit =
+    AtRestStore.withLease(newDf.sparkSession, dir, "winnowAppend") {
     val (k, w, _) = winnowParamsCheck(newDf.sparkSession, dir)
     winnowFingerprints(newDf, idCol, textCol, k, w)
       .write.mode("append").parquet(tablePath(newDf.sparkSession, dir, "fps"))
@@ -2403,7 +2414,8 @@ object Dedup {
     * cleared. Probe results identical before and after.
     */
   def winnowPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Unit = {
+                        dir: String): Unit =
+    AtRestStore.withLease(spark, dir, "winnowPurge") {
     winnowParamsCheck(spark, dir) // loud missing-index failure
     val snap = AtRestStore.snapshot(spark, dir)
     snap.ifExists("tombstones").foreach { t =>

@@ -319,7 +319,8 @@ object Retrieval {
     * corpus wants thousands).
     */
   def bm25IngestAtRest(docs: DataFrame, idCol: String, textCol: String,
-                       dir: String, nBuckets: Int = 16): Unit = {
+                       dir: String, nBuckets: Int = 16): Unit =
+    AtRestStore.withLease(docs.sparkSession, dir, "bm25Ingest") {
     bm25WriteAtRest(docs, idCol, textCol, dir, nBuckets,
       overwrite = true, batchId = 0L)
     bm25WriteParams(docs.sparkSession, dir, nBuckets)
@@ -335,7 +336,8 @@ object Retrieval {
     * an init'd store is a contract to ingest, not an empty corpus.
     */
   def bm25InitAtRest(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, nBuckets: Int = 16): Unit = {
+                     dir: String, nBuckets: Int = 16): Unit =
+    AtRestStore.withLease(spark, dir, "bm25Init") {
     for (t <- Seq("postings", "doclens", "stats"))
       AtRestStore.dropTable(spark, dir, t)
     bm25WriteParams(spark, dir, nBuckets)
@@ -372,7 +374,8 @@ object Retrieval {
     * fresh — a re-appended id double-counts its tf rows in every score.
     */
   def bm25AppendAtRest(newDocs: DataFrame, idCol: String, textCol: String,
-                       dir: String): Unit = {
+                       dir: String): Unit =
+    AtRestStore.withLease(newDocs.sparkSession, dir, "bm25Append") {
     val spark = newDocs.sparkSession
     val nB = bm25ParamsCheck(spark, dir)
     // next ledger slot: one read of the batch-count-sized stats table
@@ -409,7 +412,8 @@ object Retrieval {
     * Tombstones ride broadcast anti-joins at probe time — compact
     * once they grow past broadcast size.
     */
-  def bm25DeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit = {
+  def bm25DeleteAtRest(ids: DataFrame, idCol: String, dir: String): Unit =
+    AtRestStore.withLease(ids.sparkSession, dir, "bm25Delete") {
     val spark = ids.sparkSession
     // anti-join the EXISTING tombstones so a re-deleted id can't land
     // twice and double-subtract from the stats denominators; the
@@ -442,7 +446,8 @@ object Retrieval {
     * this).
     */
   def bm25CompactAtRest(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Unit = {
+                        dir: String): Unit =
+    AtRestStore.withLease(spark, dir, "bm25Compact") {
     bm25ParamsCheck(spark, dir) // loud missing-index failure
     val snap = AtRestStore.snapshot(spark, dir)
     val tomb = spark.read.parquet(snap.path("tombstones")).localCheckpoint()

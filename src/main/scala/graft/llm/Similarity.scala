@@ -1387,7 +1387,8 @@ object Similarity {
   def ivfPqIngest(emb: DataFrame, dir: String, coarseK: Int = 8,
                   m: Int = 4, k: Int = 8, rounds: Int = 1,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Unit = {
+                  vecCol: String = "embedding"): Unit =
+    graft.llm.AtRestStore.withLease(emb.sparkSession, dir, "ivfPqIngest") {
     require(coarseK > 0 && m > 0, s"need coarseK > 0, m > 0; got $coarseK, $m")
     // a re-ingest voids old takedowns — stale tombstones would
     // silently mask freshly ingested vectors forever
@@ -1443,7 +1444,8 @@ object Similarity {
     */
   def ivfPqAppend(newEmb: DataFrame, dir: String, m: Int = 4,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Unit = {
+                  vecCol: String = "embedding"): Unit =
+    graft.llm.AtRestStore.withLease(newEmb.sparkSession, dir, "ivfPqAppend") {
     val spark = newEmb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     def tp(t: String): String = graft.llm.AtRestStore.tablePath(spark, dir, t)
@@ -1547,7 +1549,8 @@ object Similarity {
     * contract, not a hidden loop.
     */
   def ivfPqRebalance(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     maxCell: Long, m: Int = 4): Unit = {
+                     maxCell: Long, m: Int = 4): Unit =
+    graft.llm.AtRestStore.withLease(spark, dir, "ivfPqRebalance") {
     require(maxCell > 0, s"maxCell must be positive, got $maxCell")
     val FP = 1048576.0
     // getSeq returns mutable.ArraySeq at every nesting level — type
@@ -1796,7 +1799,8 @@ object Similarity {
     * atomic flip for free.
     */
   def ivfPqPurgeAtRest(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): Unit = {
+                       dir: String): Unit =
+    graft.llm.AtRestStore.withLease(spark, dir, "ivfPqPurge") {
     def tp(t: String): String = graft.llm.AtRestStore.tablePath(spark, dir, t)
     graft.llm.AtRestStore.tableIfExists(spark, dir, "tombstones").foreach { t =>
       val tomb = t.select("id").localCheckpoint()
