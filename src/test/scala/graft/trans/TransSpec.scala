@@ -156,6 +156,65 @@ class TransSpec extends SparkSpec {
     java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("exportGeoTiffGrid: per-part COGs reassemble bit-equal to the " +
+    "sharded single file; ragged edges sized right; empty parts skipped") {
+    import graft.sources.GeoTiff
+    val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
+    val (w, h) = (130, 90) // NOT divisible by the grid: ragged last parts
+    val p = Trans.plan(PixelFrame.dem(spark, w, h), gt, w, h,
+      Trans.TransOptions()).get
+    val dir = Files.createTempDirectory("graft_grid_export").toString
+    val receipts = Trans.exportGeoTiffGrid(p, dir, xParts = 3, yParts = 2,
+      tileSize = 16).collect().sortBy(_.getAs[Int]("part"))
+    // ceil split: partW=44, partH=45 — last column is 130-88=42 wide
+    assert(receipts.length == 6)
+    assert(receipts.map(r => (r.getAs[Int]("part"), r.getAs[Int]("px0"),
+      r.getAs[Int]("py0"), r.getAs[Int]("w"), r.getAs[Int]("h"))).toSeq ==
+      Seq((0, 0, 0, 44, 45), (1, 44, 0, 44, 45), (2, 88, 0, 42, 45),
+        (3, 0, 45, 44, 45), (4, 44, 45, 44, 45), (5, 88, 45, 42, 45)))
+    // every part is a real, self-georeferenced COG
+    for (r <- receipts) {
+      val info = GeoTiff.readInfos(r.getAs[String]("path")).head
+      assert((info.width, info.height) ==
+        (r.getAs[Int]("w"), r.getAs[Int]("h")))
+      assert(r.getAs[Long]("n_tiles") == info.segments.length.toLong)
+    }
+    // part 0's geotransform is shifted to its global corner
+    val i0 = GeoTiff.readInfos(receipts(4).getAs[String]("path")).head
+    assert(i0.tiepoint.exists { tp => // [i,j,k,x,y,z]
+      math.abs(tp(3) - (100 + 44 * 0.25)) < 1e-9 &&
+        math.abs(tp(4) - (50 - 45 * 0.25)) < 1e-9
+    })
+    // mosaic read-back ≡ the single-file sharded export, bit for bit
+    val single = Files.createTempFile("graft_grid_single", ".tif")
+    Trans.exportGeoTiffSharded(p, single.toString, tileSize = 16)
+    val mosaic = receipts.map { r =>
+      spark.read.format("graft.sources.RasterSource")
+        .option("path", r.getAs[String]("path")).load()
+        .select((col("px") + lit(r.getAs[Int]("px0"))).as("px"),
+          (col("py") + lit(r.getAs[Int]("py0"))).as("py"), col("v"))
+    }.reduce(_.unionAll(_))
+    val back = spark.read.format("graft.sources.RasterSource")
+      .option("path", single.toString).load()
+    val joined = mosaic.withColumnRenamed("v", "vg")
+      .join(back.withColumnRenamed("v", "vs"), Seq("px", "py"), "full_outer")
+    assert(joined.count() == w.toLong * h)
+    assert(joined.filter(col("vg").isNull || col("vs").isNull ||
+      col("vg") =!= col("vs")).count() == 0)
+    // a frame confined to one part writes ONLY that part (the
+    // reference skips empty partitions too)
+    val dir2 = Files.createTempDirectory("graft_grid_sparse").toString
+    val sparse = p.frame.filter(col("px") < 40 && col("py") < 40)
+    val p2 = p.copy(frame = sparse)
+    val r2 = Trans.exportGeoTiffGrid(p2, dir2, xParts = 3, yParts = 2,
+      tileSize = 16).collect()
+    assert(r2.map(_.getAs[Int]("part")).toSeq == Seq(0))
+    assert(new java.io.File(dir2).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet == // Hadoop .crc sidecars
+      Set("part_0_0.tif"))
+    java.nio.file.Files.deleteIfExists(single)
+  }
+
   test("exportGeoTiff BIGTIFF option: YES forces version 43, default stays classic") {
     import graft.sources.GeoTiff
     val gt = GeoTransform(100, 0.25, 0, 50, 0, -0.25)
