@@ -61,7 +61,11 @@ object Scaling {
     // the direct evidence the groupBy rewrite bought linearity; q239
     // probes the stream-built winnowing store (store grows with the
     // tier, so the slope covers ingest-proportional probe cost too)
-    "q94_substring_dup", "q239_stream_winnow")
+    "q94_substring_dup", "q239_stream_winnow",
+    // round-18: the CDC ingest stream moved off its driver-collect
+    // feed (judge r17 item 3) — the slope covers the file-source
+    // micro-batch path plus the store-proportional census read
+    "q227_stream_cdc")
 
   /** The steepest round-16 slopes (0.84, 0.73, 0.68, 0.57) get the
     * extra ~10× tier — at sub-second absolutes a quadratic term can
@@ -134,6 +138,14 @@ object Scaling {
       // (O(pixels × radius) by design → expected pixel-slope 1.5)
       "viewshed_exact" -> (() =>
         Viewshed.viewshedExact(dem, ox = n / 2, oy = n / 2, oz = 15.0,
+          cellSize = 5.0, maxR = 5.0 * n / 2.0)
+          .groupBy("state").agg(count(lit(1)).as("n"))),
+      // q246 shape (round 18, judge r17 item 6): the R2 perimeter
+      // sweep on the EXACT sweep's fixture — same side/4, same
+      // radius-covers-half-grid — whose total work is O(pixels), so
+      // its expected pixel-slope is ≤ 1.0 where exact's is 1.5
+      "viewshed_r2" -> (() =>
+        Viewshed.viewshedR2(dem, ox = n / 2, oy = n / 2, oz = 15.0,
           cellSize = 5.0, maxR = 5.0 * n / 2.0)
           .groupBy("state").agg(count(lit(1)).as("n"))),
       // q83/q102 shape: 3×3 observer grid as a TABLE, count-combine;
@@ -295,6 +307,45 @@ object Scaling {
           sides.map(n => f"${ts(n)}%.2f").mkString(" | ") + " | " +
           steps.map { case (a, b) => f"${slope(a, b)}%.2f" }.mkString(" | ") + " |"
         println(line); out += line
+      }
+    }
+
+    if (doRaster) {
+      // grid-export part sweep (round 18, judge r17 item 2): FIXED
+      // pixels, growing part count — wall must be flat-to-sublinear
+      // in parts (the per-part single-writer stage shrinks as parts
+      // multiply; total bytes constant). Runs at the raster tier's
+      // largest side unless overridden.
+      val side = sys.env.get("SPARK_GRAFT_SCALING_GRID_SIDE").map(_.toInt)
+        .getOrElse(2048)
+      val partGrids = Seq((2, 2), (4, 4), (8, 8))
+      val gt = graft.core.GeoTransform(0, 5, 0, 5.0 * side, 0, -5)
+      val p = graft.trans.Trans.plan(
+        graft.raster.PixelFrame.dem(spark, side, side), gt, side, side,
+        graft.trans.Trans.TransOptions()).get
+      out += ""
+      out += s"grid export tier (${side}² px FIXED, part count grows — " +
+        "flat-to-sublinear wall expected; bytes constant):"
+      out += "| parts | t s | total MB |"
+      out += "|---|---|---|"
+      for ((px, py) <- partGrids) {
+        val dir = Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_scaling_grid_${side}_${px}x${py}_" +
+            ProcessHandle.current().pid()).toString
+        var mb = 0.0
+        val t = timeRun { () =>
+          val r = graft.trans.Trans.exportGeoTiffGrid(p, dir, px, py)
+            .agg(sum("bytes").as("b"))
+          mb = r.head().getLong(0) / 1e6
+          r
+        }
+        val line = f"| ${px * py} | $t%.2f | $mb%.1f |"
+        println(line); out += line
+        try { // clear the parts between grids
+          val hp = new org.apache.hadoop.fs.Path(dir)
+          val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(hp)) { fs.delete(hp, true); () }
+        } catch { case _: Throwable => () }
       }
     }
 
