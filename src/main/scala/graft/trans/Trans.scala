@@ -486,6 +486,11 @@ object Trans {
     val (gt, dirL, tsL, dtL, ndvL, compL, xPartsL) =
       (p.outGt, dir, tileSize, dtype, ndv, compression, xParts)
     val crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs))
+    // the SESSION's Hadoop conf rides to the executors (a bare
+    // executor-side `new Configuration()` would drop filesystem
+    // config the session carries — s3a credentials, custom FS impls)
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val receipts = p.frame
       .filter(col("px") >= 0 && col("px") < w &&
         col("py") >= 0 && col("py") < h)
@@ -509,7 +514,7 @@ object Trans {
         val (gx, gy) = gt.pixelToGeo(px0, py0)
         val pgt = GeoTransform(gx, gt.c1, gt.c2, gy, gt.c4, gt.c5)
         val path = new org.apache.hadoop.fs.Path(dirL, s"part_${i}_$j.tif")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(hadoopConf.value)
         val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 20)
         val bytes =
           try graft.sources.GeoTiff.writePyramid(out,
