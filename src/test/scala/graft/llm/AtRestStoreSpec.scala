@@ -574,6 +574,93 @@ class AtRestStoreSpec extends SparkSpec {
       "fenced writer still published")
   }
 
+  /** Fork a second JVM running [[CrossJvmWriter]] with this JVM's
+    * classpath and module flags; returns (process, log path).
+    */
+  private def forkWriter(args: String*): (Process, java.nio.file.Path) = {
+    val out = java.nio.file.Files.createTempFile("graft_xjvm_w", ".log")
+    val addOpens = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    // CrossJvmWriter's arg order is: mode dir OUT [extra...]
+    val full = Seq(System.getProperty("java.home") + "/bin/java") ++
+      addOpens ++ Seq("-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.llm.CrossJvmWriter", args(0), args(1), out.toString) ++ args.drop(2)
+    val proc = new ProcessBuilder(full: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(java.io.File.createTempFile("graft_xjvm_w_stdout", ".log"))
+      .start()
+    (proc, out)
+  }
+
+  private def logLines(p: java.nio.file.Path): Seq[String] =
+    java.nio.file.Files.readAllLines(p).asScala.toSeq
+
+  test("cross-PROCESS lease mutual exclusion: a second JVM's held " +
+    "lease blocks this one loudly through the _lease FILE") {
+    val dir = tmpDir("xlease")
+    writeVals(dir + "/t", Seq(1))
+    val (proc, out) = forkWriter("hold", dir, "8000")
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!logLines(out).contains("HELD")) {
+        assert(System.currentTimeMillis() < deadline, "holder never started")
+        assert(proc.isAlive || logLines(out).contains("HELD"),
+          "holder JVM died before acquiring")
+        Thread.sleep(200)
+      }
+      // the other PROCESS holds the lease — the in-JVM lock is not in
+      // play here, so this exercises the FS lease file itself
+      spark.conf.set("spark.graft.atrest.leaseWaitMs", "500")
+      try {
+        intercept[AtRestStore.LeaseHeldException] {
+          AtRestStore.withLease(spark, dir, "parent") {
+            fail("acquired a lease another process holds")
+          }
+        }
+      } finally spark.conf.unset("spark.graft.atrest.leaseWaitMs")
+      assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(logLines(out).contains("RELEASED"))
+      // released: acquisition now succeeds
+      AtRestStore.withLease(spark, dir, "parent-after") { () }
+    } finally { if (proc.isAlive) proc.destroyForcibly(); () }
+  }
+
+  test("cross-PROCESS append race: two JVMs appending to one store " +
+    "serialize through the lease — both land or one fails loudly") {
+    val dir = tmpDir("xappend")
+    val mkDoc = (i: Long, g: Long) =>
+      (i, s"append race corpus sentence group $g repeated words " +
+        s"making shingles overlap $g")
+    Dedup.lshIngestAtRest(
+      (1L to 40L).map(i => mkDoc(i, i % 4)).toDF("id", "text"),
+      "id", "text", dir)
+    val (proc, out) = forkWriter("append", dir, "100", "140")
+    val mine = (200L to 240L).map(i => mkDoc(i, i % 4)).toDF("id", "text")
+    try {
+      // race our own append against the forked JVM's
+      Dedup.lshAppendAtRest(mine, "id", "text", dir)
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "writer JVM did not exit")
+      val lines = logLines(out)
+      val theirsLanded = lines.contains("DONE")
+      assert(theirsLanded || lines.exists(_.startsWith("FAILED:")),
+        s"writer JVM reported nothing: $lines")
+      if (!theirsLanded)
+        assert(lines.exists(_.contains("LeaseHeldException")),
+          s"writer failed for a non-lease reason: $lines")
+      val q = Seq(mkDoc(1000L, 2L)).toDF("id", "text")
+      val partners = Dedup.lshProbeAtRest(spark, dir, q, "id", "text")
+        .collect().map(_.getLong(1)).toSet
+      // base + OUR append always land; THEIR append landed iff DONE
+      assert(partners.exists(_ <= 40L), "base rows lost")
+      assert(partners.exists(_ >= 200L), "parent append lost")
+      if (theirsLanded)
+        assert(partners.exists(i => i >= 100L && i <= 140L),
+          s"forked append reported DONE but its rows are gone: $partners")
+    } finally { if (proc.isAlive) proc.destroyForcibly(); () }
+  }
+
   test("a SECOND JVM probing during maintenance flips sees only " +
     "published generations — cross-process rename visibility " +
     "(judge r17 item 7)") {
