@@ -231,12 +231,24 @@ private[graft] object AtRestStore {
           val holder = try parseLease(readSmall(fs, lp)) catch {
             case _: java.io.IOException => None // vanished or partial
           }
+          // an UNPARSABLE lease (a writer crashed between creating the
+          // file and writing its content) must still go stale or no
+          // later writer could ever take the store over — age it by
+          // file mtime since it carries no ts of its own
+          val unparsableStale = holder.isEmpty && {
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lp).getModificationTime > staleMs
+            catch { case _: java.io.IOException => false } // vanished: retry
+          }
           holder match {
             case Some(h)
               if System.currentTimeMillis() - h.ts > staleMs =>
               // presumed-crashed holder: fence it out with epoch+1
               // (delete may lose to a racing takeover — loop retries)
               epoch = h.epoch + 1
+              fs.delete(lp, false)
+            case None if unparsableStale =>
+              epoch += 1 // no readable epoch to bump from
               fs.delete(lp, false)
             case _ =>
               if (System.currentTimeMillis() > deadline) {

@@ -473,7 +473,8 @@ object Trans {
                         xParts: Int, yParts: Int, tileSize: Int = 256,
                         dtype: graft.sources.GeoTiff.DType = graft.sources.GeoTiff.DtInt16,
                         ndv: Double = PixelFrame.Dem.Ndv,
-                        compression: Int = 8): DataFrame = {
+                        compression: Int = 8,
+                        maxPartPixels: Long = 64L * 1024 * 1024): DataFrame = {
     require(xParts > 0 && yParts > 0, s"bad part grid ${xParts}x$yParts")
     require(tileSize > 0 && tileSize % 16 == 0,
       "TIFF tile size must be a positive multiple of 16")
@@ -482,6 +483,15 @@ object Trans {
     val (w, h) = (p.outW, p.outH)
     val partW = (w + xParts - 1) / xParts
     val partH = (h + yParts - 1) / yParts
+    // one task buffers one whole part (partW × partH doubles) — the
+    // part grid is the operator's memory knob, so an undersized grid
+    // must fail LOUD at plan time, not OOM an executor mid-job
+    // (default 64M px ≈ 512 MB of double buffer per task)
+    require(partW.toLong * partH <= maxPartPixels,
+      s"part size ${partW}x$partH = ${partW.toLong * partH} px exceeds " +
+        s"maxPartPixels=$maxPartPixels — raise xParts/yParts (each task " +
+        "buffers one full part) or maxPartPixels if your executors are " +
+        "sized for it")
     // stable locals: the mapGroups closure must not capture `p`
     val (gt, dirL, tsL, dtL, ndvL, compL, xPartsL) =
       (p.outGt, dir, tileSize, dtype, ndv, compression, xParts)

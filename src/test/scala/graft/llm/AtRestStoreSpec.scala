@@ -596,6 +596,33 @@ class AtRestStoreSpec extends SparkSpec {
   private def logLines(p: java.nio.file.Path): Seq[String] =
     java.nio.file.Files.readAllLines(p).asScala.toSeq
 
+  test("an UNPARSABLE lease file (writer crashed between create and " +
+    "write) still goes stale by mtime — takeover stays live") {
+    val dir = tmpDir("leaseempty")
+    writeVals(dir + "/t", Seq(1))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the crash artifact: a lease file with no readable content
+    fs.create(new org.apache.hadoop.fs.Path(dir + "/_lease"), true).close()
+    // young + unparsable: the latecomer must NOT take over — wait
+    // then fail loudly (safe side: the holder may still be writing)
+    spark.conf.set("spark.graft.atrest.leaseWaitMs", "300")
+    try {
+      intercept[AtRestStore.LeaseHeldException] {
+        AtRestStore.withLease(spark, dir, "early") { () }
+      }
+      // aged past staleMs: takeover must succeed despite no ts field
+      spark.conf.set("spark.graft.atrest.leaseStaleMs", "100")
+      Thread.sleep(200)
+      var ran = false
+      AtRestStore.withLease(spark, dir, "late") { ran = true }
+      assert(ran, "takeover of an aged unparsable lease failed")
+    } finally {
+      spark.conf.unset("spark.graft.atrest.leaseWaitMs")
+      spark.conf.unset("spark.graft.atrest.leaseStaleMs")
+    }
+  }
+
   test("cross-PROCESS lease mutual exclusion: a second JVM's held " +
     "lease blocks this one loudly through the _lease FILE") {
     val dir = tmpDir("xlease")

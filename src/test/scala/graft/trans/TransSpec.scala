@@ -201,6 +201,13 @@ class TransSpec extends SparkSpec {
     assert(joined.count() == w.toLong * h)
     assert(joined.filter(col("vg").isNull || col("vs").isNull ||
       col("vg") =!= col("vs")).count() == 0)
+    // an undersized part grid fails LOUD at plan time, not OOM
+    // mid-job: each task buffers one whole part
+    val tooBig = intercept[IllegalArgumentException] {
+      Trans.exportGeoTiffGrid(p, dir, xParts = 1, yParts = 1,
+        tileSize = 16, maxPartPixels = 1000)
+    }
+    assert(tooBig.getMessage.contains("maxPartPixels"))
     // a frame confined to one part writes ONLY that part (the
     // reference skips empty partitions too)
     val dir2 = Files.createTempDirectory("graft_grid_sparse").toString
