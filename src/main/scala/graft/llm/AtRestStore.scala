@@ -152,6 +152,37 @@ private[graft] object AtRestStore {
   private def leaseKey(fs: FileSystem, dir: String): String =
     fs.makeQualified(new Path(dir)).toString
 
+  /** Atomically CLAIM the lease file (rename to a unique sibling — at
+    * most one contender's rename succeeds), re-verify the claimed
+    * CONTENT with `shouldRemove`, and either delete it (claim upheld)
+    * or try to put it back. A blind parse-then-delete would race a
+    * concurrent takeover and delete the WINNER's fresh lease (review
+    * r18), letting two writers hold the store at once; the
+    * rename-claim makes removal single-winner. If the restore loses
+    * (a new lease landed in the gap) the displaced content is
+    * dropped — its holder fails loudly at its next fence instead of
+    * silently sharing the store. Returns true iff the lease file was
+    * removed by this call.
+    */
+  private def claimAndRemove(fs: FileSystem, dir: String, tag: String)(
+      shouldRemove: (Option[LeaseInfo], Long) => Boolean): Boolean = {
+    val lp = leasePath(dir)
+    val claimed = new Path(dir + "/_lease.claim." + tag)
+    val won = try fs.rename(lp, claimed)
+    catch { case _: java.io.IOException => false }
+    if (!won) return false
+    val mtime = try fs.getFileStatus(claimed).getModificationTime
+    catch { case _: java.io.IOException => Long.MaxValue }
+    val info = try parseLease(readSmall(fs, claimed))
+    catch { case _: java.io.IOException => None }
+    if (shouldRemove(info, mtime)) {
+      fs.delete(claimed, false); true
+    } else {
+      if (!fs.rename(claimed, lp)) fs.delete(claimed, false)
+      false
+    }
+  }
+
   private case class LeaseInfo(token: String, epoch: Long, owner: String,
                                ts: Long)
 
@@ -240,16 +271,24 @@ private[graft] object AtRestStore {
               fs.getFileStatus(lp).getModificationTime > staleMs
             catch { case _: java.io.IOException => false } // vanished: retry
           }
+          def staleNow(i: Option[LeaseInfo], mtime: Long): Boolean =
+            i match {
+              case Some(h) => System.currentTimeMillis() - h.ts > staleMs
+              case None => System.currentTimeMillis() - mtime > staleMs
+            }
           holder match {
             case Some(h)
               if System.currentTimeMillis() - h.ts > staleMs =>
-              // presumed-crashed holder: fence it out with epoch+1
-              // (delete may lose to a racing takeover — loop retries)
+              // presumed-crashed holder: fence it out with epoch+1.
+              // Removal goes through the single-winner claim-rename
+              // (re-verifying staleness on the CLAIMED content) so a
+              // racing takeover's fresh lease can never be deleted
+              // by a contender acting on a stale read (review r18)
               epoch = h.epoch + 1
-              fs.delete(lp, false)
+              claimAndRemove(fs, dir, token)(staleNow)
             case None if unparsableStale =>
               epoch += 1 // no readable epoch to bump from
-              fs.delete(lp, false)
+              claimAndRemove(fs, dir, token)(staleNow)
             case _ =>
               if (System.currentTimeMillis() > deadline) {
                 val who = holder.map(h => s"${h.owner} (epoch ${h.epoch})")
@@ -269,15 +308,29 @@ private[graft] object AtRestStore {
       try body
       finally {
         heldLeases.get.remove(key)
-        // release only OUR lease — a takeover's lease stays
-        try {
-          if (fs.exists(lp) &&
-            parseLease(readSmall(fs, lp)).exists(_.token == token))
-            fs.delete(lp, false)
-        } catch { case _: java.io.IOException => () }
+        // release only OUR lease — a takeover's lease stays. Same
+        // single-winner claim-rename as the takeover path: a blind
+        // read-then-delete could race a takeover's swap and delete
+        // the new owner's lease
+        try claimAndRemove(fs, dir, token + ".rel")(
+          (i, _) => i.exists(_.token == token))
+        catch { case _: java.io.IOException => () }
       }
     } finally lock.unlock()
   }
+
+  /** APPEND-face fence (review r18): the flip faces fence inside
+    * [[swapKillable]]/[[dropTable]], but plain-path appends publish
+    * via parquet writes with no flip — a writer dispossessed by a
+    * stale-lease takeover mid-compute would land rows into a store
+    * that now belongs to someone else. Append faces call this BETWEEN
+    * their expensive compute and their first table write, shrinking
+    * the silent window to the write jobs themselves (the residual is
+    * the documented staleMs-must-exceed-longest-append contract).
+    * No-op outside a lease.
+    */
+  private[graft] def fence(spark: SparkSession, dir: String): Unit =
+    verifyHeldLease(fsFor(spark, dir), dir)
 
   /** Publish-point fence: if the current thread entered through
     * [[withLease]], verify the `_lease` file still carries its token
@@ -689,6 +742,7 @@ private[graft] object AtRestStore {
     val fresh = existing.map(t => base.join(t, Seq("id"), "left_anti"))
       .getOrElse(base)
       .localCheckpoint() // materialize before appending into the read path
+    fence(spark, dir) // die loudly if the lease was taken over mid-compute
     fresh.write.mode("append").parquet(snap.path("tombstones"))
     }
   }

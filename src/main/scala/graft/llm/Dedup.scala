@@ -401,6 +401,7 @@ object Dedup {
     AtRestStore.withLease(merges.sparkSession, dir, "bpeSave") {
     val n = merges.count()
     require(n > 0, "bpeSaveAtRest: empty merge table — train first")
+    AtRestStore.fence(merges.sparkSession, dir)
     merges.select("round", "lhs", "rhs", "pair_count")
       .write.mode("overwrite")
       .parquet(tablePath(merges.sparkSession, dir, "merges"))
@@ -1024,6 +1025,7 @@ object Dedup {
         Seq("h", "len"), "left_anti"))
       .getOrElse(batchChunks)
       .localCheckpoint() // materialize BEFORE writing into the read path
+    AtRestStore.fence(spark, dir) // review r18: pre-write append fence
     fresh.withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(tablePath(spark, dir, "chunks"))
@@ -1436,6 +1438,7 @@ object Dedup {
     val reps = banded.join(hot, Seq("band", "bkey"))
       .groupBy("band", "bkey").agg(min(col("id")).as("id"))
       .select("id", "band", "bkey")
+    AtRestStore.fence(spark, dir) // review r18: pre-write append fence
     cool.unionByName(reps)
       .write.mode(mode).partitionBy("band")
       .parquet(tablePath(spark, dir, "buckets"))
@@ -2398,8 +2401,9 @@ object Dedup {
                          dir: String): Unit =
     AtRestStore.withLease(newDf.sparkSession, dir, "winnowAppend") {
     val (k, w, _) = winnowParamsCheck(newDf.sparkSession, dir)
-    winnowFingerprints(newDf, idCol, textCol, k, w)
-      .write.mode("append").parquet(tablePath(newDf.sparkSession, dir, "fps"))
+    val fps = winnowFingerprints(newDf, idCol, textCol, k, w)
+    AtRestStore.fence(newDf.sparkSession, dir)
+    fps.write.mode("append").parquet(tablePath(newDf.sparkSession, dir, "fps"))
   }
 
   /** Logical DELETE — the takedown face (shared

@@ -300,6 +300,7 @@ object Retrieval {
     // tf feeds two consumers (dl, postings) — materialize once; the
     // frame is ingest-batch-sized and released with the job
     val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
+    AtRestStore.fence(docs.sparkSession, dir) // review r18 pre-write fence
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     out(tf.join(dl, "id")
       .withColumn("pbucket", pbucketCol(col("s"), nBuckets))
@@ -397,7 +398,8 @@ object Retrieval {
     */
   private[graft] def bm25AppendBatch(newDocs: DataFrame, idCol: String,
                                      textCol: String, dir: String,
-                                     batchId: Long): Unit = {
+                                     batchId: Long): Unit =
+    AtRestStore.withLease(newDocs.sparkSession, dir, "bm25AppendBatch") {
     val nB = bm25ParamsCheck(newDocs.sparkSession, dir)
     bm25WriteAtRest(newDocs, idCol, textCol, dir, nB,
       overwrite = false, batchId = batchId, replaySafe = true)

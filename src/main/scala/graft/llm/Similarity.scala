@@ -1461,9 +1461,10 @@ object Similarity {
         s"the caller passed m=$m — re-ingest or fix the call")
     val cells = pqAssignWithModel(newEmb, cModel, 1, idCol, vecCol)
       .select(col("id"), col("c").as("cell"))
-    pqAssignWithModel(newEmb, pModel, m, idCol, vecCol)
+    val coded = pqAssignWithModel(newEmb, pModel, m, idCol, vecCol)
       .join(cells, "id")
-      .write.mode("append").partitionBy("cell").parquet(tp("codes"))
+    graft.llm.AtRestStore.fence(spark, dir) // review r18 pre-write fence
+    coded.write.mode("append").partitionBy("cell").parquet(tp("codes"))
   }
 
   /** Cell-occupancy census of an at-rest IVF-PQ index — the DRIFT

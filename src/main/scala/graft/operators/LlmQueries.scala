@@ -1921,7 +1921,12 @@ object LlmQueries {
       try {
         q.processAllAvailable()
         for (cond <- batchConds.tail) {
-          docs.filter(cond).write.mode("append").parquet(feed)
+          // ONE file per micro-batch (review r18): the live source
+          // polls continuously, and a multi-file commit can be
+          // half-listed — splitting the batch and shifting every
+          // later ledger batch id. A single part file appears
+          // atomically (one committer rename).
+          docs.filter(cond).coalesce(1).write.mode("append").parquet(feed)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1961,7 +1966,8 @@ object LlmQueries {
         "doc_id", "text", atRest)
       try {
         q.processAllAvailable()
-        docs.filter(batchConds(1)).write.mode("append").parquet(feed)
+        // one file: atomic visibility to the live source (review r18)
+        docs.filter(batchConds(1)).coalesce(1).write.mode("append").parquet(feed)
         q.processAllAvailable()
       } finally q.stop()
     }
@@ -2007,7 +2013,8 @@ object LlmQueries {
           .parquet(feed), atRest)
       try {
         q.processAllAvailable()
-        emb.filter(batchConds(1)).write.mode("append").parquet(feed)
+        // one file: atomic visibility to the live source (review r18)
+        emb.filter(batchConds(1)).coalesce(1).write.mode("append").parquet(feed)
         q.processAllAvailable()
       } finally q.stop()
     }
@@ -2055,7 +2062,8 @@ object LlmQueries {
         "doc_id", "text", atRest)
       try {
         q.processAllAvailable()
-        docs.filter(batchConds(1)).write.mode("append").parquet(feed)
+        // one file: atomic visibility to the live source (review r18)
+        docs.filter(batchConds(1)).coalesce(1).write.mode("append").parquet(feed)
         q.processAllAvailable()
       } finally q.stop()
     }

@@ -463,11 +463,12 @@ object Trans {
     * Scale shape: parallelism = part count; per-task memory = one
     * part's dense buffer (partW × partH doubles) — the part grid is
     * the operator's memory knob exactly as the reference's `p = a×b`
-    * partition count is. The export is lazy: forcing the returned
-    * catalog runs it (receipts are localCheckpointed so one
-    * materialization writes once). Task retries overwrite their part
-    * file wholesale (idempotent); run this sink with speculative
-    * execution off, as any non-committer sink.
+    * partition count is. The export runs AT CALL TIME (the receipts
+    * are eagerly localCheckpointed, so exactly one materialization
+    * writes the files — by return, every part is on disk and the
+    * returned catalog is a stable small table). Task retries
+    * overwrite their part file wholesale (idempotent); run this sink
+    * with speculative execution off, as any non-committer sink.
     */
   def exportGeoTiffGrid(p: TransPlan, dir: String,
                         xParts: Int, yParts: Int, tileSize: Int = 256,
