@@ -323,6 +323,8 @@ object GraftFunctions {
       args => TileUnpack(args(0), args(1))),
     fn("winnow_fps", "distinct winnowing fingerprints of a document (char k-grams, window w)",
       args => WinnowFps(args(0), constInt(args(1), "k"), constInt(args(2), "w"))),
+    fn("substr_window_hashes", "distinct k-char-window hashes of a document at a stride",
+      args => SubstrWindowHashes(args(0), constInt(args(1), "k"), constInt(args(2), "stride"))),
     fn("shingles", "per-position word n-grams of a document",
       args => Shingles(args(0), constInt(args(1), "n"))),
     fn("winnow_pos", "winnowing-selected (pos, fp) pairs of a document",

@@ -168,6 +168,42 @@ object TextKernels {
     }
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, n))
   }
+
+  /** Per-document DISTINCT window hashes for the substring-duplication
+    * family (q94/q213 shape): k-char windows at char positions
+    * 1, 1+stride, 1+2·stride, … ≤ max(nChars−k+1, 1), each hashed to
+    * its 60-bit md5 prefix ([[md5Prefix60]]) and deduplicated
+    * in first-occurrence order. Value-identical to the expression
+    * pipeline it replaces —
+    * `distinct(conv(substring(md5(substr(text, i, k)), 1, 15), 16, 10))`
+    * over `sequence(1, greatest(length−k+1, 1), stride)` — including
+    * the short-document clamp (a doc shorter than k hashes its whole
+    * text once) and the empty-text edge (one hash of the empty
+    * string), so the DuckDB oracle replay and any collision behavior
+    * are unchanged. One codegen call per document replaces per-window
+    * substr/md5-hex/conv string churn AND the corpus-window DISTINCT
+    * exchange (the per-doc set is row-local).
+    */
+  def substrWindowHashes(t: UTF8String, k: Int, stride: Int): ArrayData = {
+    val nChars = t.numChars()
+    val bytes = t.getBytes
+    val offs = if (bytes.length == nChars) null else charOffsets(bytes, nChars)
+    val lastPos = math.max(nChars - (k - 1), 1) // count of 0-based starts
+    val nW = (lastPos - 1) / stride + 1
+    val seen = new java.util.HashSet[java.lang.Long](nW * 2)
+    val out = new Array[Long](nW)
+    var n = 0
+    var p = 0
+    while (p < lastPos) {
+      val endChar = math.min(p + k, nChars)
+      val startB = if (offs == null) math.min(p, bytes.length) else offs(p)
+      val endB = if (offs == null) endChar else offs(endChar)
+      val h = md5Prefix60(bytes, startB, endB - startB)
+      if (seen.add(h)) { out(n) = h; n += 1 }
+      p += stride
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, n))
+  }
 }
 
 object WinnowPosKernel {
@@ -698,6 +734,31 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
       s"${ev.value} = graft.functions.TextKernels.winnowFps($t, $k, $w);")
 
   override def prettyName: String = "winnow_fps"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `substr_window_hashes(text, k, stride)`: a document's distinct
+  * k-char-window hash set at the given stride — see
+  * [[TextKernels.substrWindowHashes]]. Turns the substring-dup
+  * window build (sequence + substr + md5-hex + conv + corpus-wide
+  * DISTINCT) into one map-only codegen call per document.
+  */
+case class SubstrWindowHashes(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression with Serializable {
+  require(k > 0 && stride > 0,
+    s"substr_window_hashes: k and stride must be positive, got k=$k stride=$stride")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.substrWindowHashes(t.asInstanceOf[UTF8String], k, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.substrWindowHashes($t, $k, $stride);")
+
+  override def prettyName: String = "substr_window_hashes"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -600,17 +600,26 @@ object Dedup {
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, stride: Int = 8): DataFrame = {
     require(k > 0 && stride > 0, s"k and stride must be positive, got k=$k stride=$stride")
-    val windows = df
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // round-18 (guide §2.3/§4): the window build is ONE codegen kernel
+    // call per document (`substr_window_hashes` — bit-identical 60-bit
+    // md5-prefix hashes and per-doc DISTINCT in one row-local pass),
+    // replacing the explode → per-window md5-hex/conv → corpus-window
+    // DISTINCT exchange. n_windows is then just the array size
+    // (map-side, no aggregation), so of the former four shuffles
+    // (input spread, distinct, per-doc totals, hot-hash credit) only
+    // the input spread and the two credit aggregations remain —
+    // and the totals side of the final join is doc-count-sized with
+    // no exchange under it.
+    val perDoc = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
-      .select(col("id"), explode(transform(
-        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)), lit(stride)),
-        i => col("text").substr(i, lit(k)))).as("w"))
       .select(col("id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
-    val totals = windows.groupBy("id").agg(count(lit(1)).as("n_windows"))
-    val uniq = windows.groupBy("h")
+        call_function("substr_window_hashes", col("text"), lit(k), lit(stride)).as("hs"))
+      .filter(col("hs").isNotNull) // null text emitted no window rows before
+    val totals = perDoc.select(col("id"), size(col("hs")).cast("long").as("n_windows"))
+    val uniq = perDoc.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("h")
       .agg(count(lit(1)).as("n_docs_with"), first(col("id")).as("sole_id"))
       .filter(col("n_docs_with") === 1)
       .groupBy(col("sole_id").as("id"))

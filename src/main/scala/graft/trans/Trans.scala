@@ -330,16 +330,30 @@ object Trans {
     val emptySeg = graft.sources.GeoTiff.encodeTileSegment(
       Array.fill(ts * ts)(ndv), ts, dtype, predictor = 1, compression = compression)
 
-    // executor-side encode + tid-sorted staging of ONE pyramid level;
-    // returns (staging dir, full per-tile byte counts with nodata
-    // fills — the IFD-sized metadata the driver assembles from)
-    def stageLevel(frame: DataFrame, w: Int, h: Int, k: Int): (String, Seq[Long]) = {
+    // Round-18 restructure (guide §2.4, §1.2 "fewer passes"): the
+    // former per-level shape paid TWO exchanges per level (a
+    // groupByKey(tid) hash shuffle of pixel rows into mapGroups, then
+    // a repartitionByRange re-shuffle of the ENCODED SEGMENTS) plus a
+    // parquet staging write, a metadata collect, and an assembly
+    // orderBy job PER LEVEL. Tile encode needs only "all rows of a
+    // tid contiguous in one task", which ONE hash repartition +
+    // sortWithinPartitions gives — the segments are born in final
+    // (lvl, tid)-sorted partition order, every level lands in ONE
+    // staging write, and the metadata collect + driver assembly each
+    // run once over the union instead of once per level. File bytes
+    // are identical (same encodeTileSegment per tile, same header
+    // assembly from the same byte counts, same segment order).
+
+    // executor-side encode of ONE pyramid level: pixel rows → one
+    // hash exchange on tid → contiguous-run tile build + DEFLATE in
+    // a streaming mapPartitions (one tile buffer live per task)
+    def encodeLevel(frame: DataFrame, w: Int, h: Int, k: Int): DataFrame = {
       val ta = (w + ts - 1) / ts
       val td = (h + ts - 1) / ts
       val nTiles = ta.toLong * td
       require(nTiles <= Int.MaxValue, s"tile grid too large: $nTiles")
-      val taL = ta
-      val enc = frame
+      val taL = ta; val kL = k
+      frame
         // same silent-drop contract as exportGeoTiff's collectPage: a
         // stray out-of-frame pixel must not alias into another tile's
         // tid (px/ts >= ta wraps into the NEXT tile row) or index past
@@ -349,59 +363,77 @@ object Trans {
         .select((floor(col("py") / ts) * ta + floor(col("px") / ts)).cast("long").as("tid"),
           col("px").cast("int").as("px"), col("py").cast("int").as("py"),
           col("v").cast("double").as("v"))
-        .as[(Long, Int, Int, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (tid, rows) =>
-          val ty = (tid / taL).toInt; val tx = (tid % taL).toInt
-          val buf = Array.fill(tsL * tsL)(ndvL)
-          rows.foreach { case (_, px, py, v) =>
-            buf((py - ty * tsL) * tsL + (px - tx * tsL)) = v
-          }
-          val seg = graft.sources.GeoTiff.encodeTileSegment(buf, tsL, dt,
-            predictor = 1, compression = compL)
-          // len rides as its own column so the IFD metadata pass below
-          // reads (tid, len) with the SEGMENT BYTES pruned away — an
-          // octet_length(seg) formulation was measured to re-read every
-          // compressed segment (parquet cannot answer byte lengths from
-          // footers), doubling segment I/O at any scale
-          (tid, seg.length, seg)
-        }
-        .toDF("tid", "len", "seg")
-      val staging = path + s".tiles/l$k"
-      enc.repartitionByRange(math.max(1, math.min(buckets, nTiles.toInt)), col("tid"))
+        .repartition(math.max(1, math.min(buckets, nTiles.toInt)), col("tid"))
         .sortWithinPartitions("tid")
-        .write.mode("overwrite").parquet(staging)
-      // metadata pass: per-tile byte counts (nTiles longs — IFD-sized);
-      // column pruning keeps this to the two tiny columns
-      val lenByTid = spark.read.parquet(staging)
-        .select(col("tid"), col("len"))
-        .as[(Long, Int)].collect().toMap
-      (staging, (0L until nTiles).map(t =>
-        lenByTid.get(t).map(_.toLong).getOrElse(emptySeg.length.toLong)))
+        .as[(Long, Int, Int, Double)]
+        .mapPartitions { rows =>
+          new Iterator[(Int, Long, Int, Array[Byte])] {
+            private var cur: (Long, Int, Int, Double) =
+              if (rows.hasNext) rows.next() else null
+            def hasNext: Boolean = cur != null
+            def next(): (Int, Long, Int, Array[Byte]) = {
+              val tid = cur._1
+              val ty = (tid / taL).toInt; val tx = (tid % taL).toInt
+              val buf = Array.fill(tsL * tsL)(ndvL)
+              while (cur != null && cur._1 == tid) {
+                buf((cur._3 - ty * tsL) * tsL + (cur._2 - tx * tsL)) = cur._4
+                cur = if (rows.hasNext) rows.next() else null
+              }
+              val seg = graft.sources.GeoTiff.encodeTileSegment(buf, tsL, dt,
+                predictor = 1, compression = compL)
+              // len rides as its own column so the IFD metadata pass
+              // below reads (lvl, tid, len) with the SEGMENT BYTES
+              // pruned away — an octet_length(seg) formulation was
+              // measured to re-read every compressed segment (parquet
+              // cannot answer byte lengths from footers), doubling
+              // segment I/O at any scale
+              (kL, tid, seg.length, seg)
+            }
+          }
+        }
+        .toDF("lvl", "tid", "len", "seg")
     }
 
     // level 0 + distributed overview levels (GDAL ceil sizing, as
-    // exportGeoTiff) — each level staged before the next consumes it
-    val levels = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Seq[Long])]()
+    // exportGeoTiff) — overview FRAMES build eagerly (localCheckpoint,
+    // so the union write below never recomputes a level's lineage
+    // twice), but every level's encode lands in ONE staging write
+    val levelDims = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val levelEnc = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val ovrFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var cur = p.frame
     var (cw, ch) = (p.outW, p.outH)
-    val (s0, c0) = stageLevel(cur, cw, ch, 0)
-    levels += ((s0, cw, ch, c0))
+    levelDims += ((cw, ch))
+    levelEnc += encodeLevel(cur, cw, ch, 0)
     for (k <- 1 to ovrLevels) {
-      val prev = cur
-      cur = Overview.buildLevel(prev, resampling, ndv).localCheckpoint()
-      if (prev ne p.frame) graft.core.Materialize.release(prev)
+      cur = Overview.buildLevel(cur, resampling, ndv).localCheckpoint()
+      ovrFrames += cur // alive until the union write below has run
       cw = (cw + 1) / 2; ch = (ch + 1) / 2
-      val (sk, ck) = stageLevel(cur, cw, ch, k)
-      levels += ((sk, cw, ch, ck))
+      levelDims += ((cw, ch))
+      levelEnc += encodeLevel(cur, cw, ch, k)
     }
-    if (cur ne p.frame) graft.core.Materialize.release(cur)
+    val staging = path + ".tiles"
+    levelEnc.reduceLeft(_ unionByName _)
+      .write.mode("overwrite").parquet(staging)
+    ovrFrames.foreach(graft.core.Materialize.release)
+    // metadata pass, ONCE for all levels: per-tile byte counts
+    // (Σ nTiles longs — IFD-sized); column pruning keeps this to the
+    // three tiny columns
+    val lenByTile = spark.read.parquet(staging)
+      .select(col("lvl"), col("tid"), col("len"))
+      .as[(Int, Long, Int)].collect()
+      .map { case (l, t, n) => (l, t) -> n }.toMap
+    val levels = levelDims.toSeq.zipWithIndex.map { case ((w, h), k) =>
+      val nTiles = ((w + ts - 1) / ts).toLong * ((h + ts - 1) / ts)
+      (w, h, (0L until nTiles).map(t =>
+        lenByTile.get((k, t)).map(_.toLong).getOrElse(emptySeg.length.toLong)))
+    }
 
-    val rawBytes = levels.map { case (_, w, h, _) =>
+    val rawBytes = levels.map { case (w, h, _) =>
       w.toLong * h * (dtype.bits / 8) }.sum
     val useBig = bigTiff.getOrElse(rawBytes > (1L << 32) - (1L << 24))
     val (header, blocks) = graft.sources.GeoTiff.shardedTiffBlocks(
-      levels.toSeq.map { case (_, w, h, counts) => (w, h, counts) },
+      levels.map { case (w, h, counts) => (w, h, counts) },
       dtype, p.outGt, Some(ndv), ts,
       compression = compression, predictor = 1,
       crs = graft.sources.GeoTiff.CrsTag.fromEpsg(Proj.epsgFromName(p.outSrs)),
@@ -410,16 +442,25 @@ object Trans {
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)), 1 << 20)
     try {
       out.write(header)
-      for (((staging, _, _, counts), block) <- levels.zip(blocks)) {
+      // ONE ordered read over all levels' segments; partition count
+      // sized from the REAL staged bytes (scale-adaptive, guide §6 —
+      // one toLocalIterator job per ~128 MB of segments, one
+      // partition in driver memory at a time)
+      val segBytes = lenByTile.valuesIterator.map(_.toLong).sum
+      val assemblyParts = math.max(1, (segBytes >> 27).toInt + 1)
+      val it = spark.read.parquet(staging)
+        .repartitionByRange(assemblyParts, col("lvl"), col("tid"))
+        .sortWithinPartitions("lvl", "tid")
+        .select("lvl", "tid", "seg").toLocalIterator()
+      var row = if (it.hasNext) it.next() else null
+      for ((((_, _, counts), block), k) <- levels.zip(blocks).zipWithIndex) {
         out.write(block)
         var next = 0L
-        val it = spark.read.parquet(staging).orderBy("tid")
-          .select("tid", "seg").toLocalIterator()
-        while (it.hasNext) {
-          val row = it.next()
-          val tid = row.getLong(0)
+        while (row != null && row.getInt(0) == k) {
+          val tid = row.getLong(1)
           while (next < tid) { out.write(emptySeg); next += 1 }
-          out.write(row.getAs[Array[Byte]](1)); next += 1
+          out.write(row.getAs[Array[Byte]](2)); next += 1
+          row = if (it.hasNext) it.next() else null
         }
         while (next < counts.length) { out.write(emptySeg); next += 1 }
       }
