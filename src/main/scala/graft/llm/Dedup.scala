@@ -2007,74 +2007,142 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           checkpointDir: Option[String] = None,
                           compress: Boolean = false): DataFrame = {
-    val ckpt = checkpointed(pairs, checkpointDir)
-    // both edge orientations from ONE pass over `pairs`: a union of
-    // two selects would execute the (potentially expensive, uncached)
-    // upstream pipeline — e.g. the full MinHash-LSH — once per branch
-    val edges = ckpt(pairs
+    def dbg[T](tag: String)(body: => T): T =
+      if (!sys.env.contains("GRAFT_CC_DEBUG")) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"CC $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+    // Round-18 rewrite (guide §2.4 "remove shuffles outright" + §1.2):
+    // the former DataFrame loop re-shuffled the EDGE table and the
+    // label table on every round (a lazy localCheckpoint leaves
+    // UnknownPartitioning, so Catalyst re-exchanged both join inputs
+    // each time) and paid ~0.2–0.35 s of per-round planning/stage
+    // latency at local[32] — measured this round: the convergence
+    // probes were ~0.05 s, the rest was plan construction + the
+    // re-exchanges. This loop instead runs on pair RDDs with ONE
+    // HashPartitioner established up front: the edge table is
+    // partitioned by src ONCE and never moves again; each round
+    // shuffles only the propagated (dst, minLab) updates into a
+    // map-side-combining reduceByKey (+ the pointer rows under
+    // `compress`), and the label join/leftOuterJoin are narrow
+    // (partitioner-aligned). Per round: one plan-free job, one shuffle
+    // of O(nodes) longs — at 100 TB that is also strictly fewer bytes
+    // moved per round than re-exchanging the O(edges) table. The
+    // fixpoint (component minima) is identical; the convergence flag
+    // is an accumulator folded into the materializing count (task
+    // retries can only over-count "changed", never fake convergence).
+    val spark = pairs.sparkSession
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val reliableDir = checkpointDir.map { d =>
+      val sc = spark.sparkContext
+      val want = new org.apache.hadoop.fs.Path(d).toUri.getPath
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(d)
+        case Some(cur) =>
+          val curPath = new org.apache.hadoop.fs.Path(cur).toUri.getPath
+          require(curPath.startsWith(want),
+            s"SparkContext checkpoint dir already set to $cur; refusing to " +
+              s"rebind it to $d mid-flight (global setting — set it once per " +
+              "application, or pass checkpointDir=None for localCheckpoint)")
+      }
+      d
+    }
+    // truncate lineage + pin blocks, reliable when a dir was given
+    // (survives executor loss — the dynamic-allocation posture); the
+    // reliable rdd.checkpoint() requires a persist first or it would
+    // recompute the plan once more for the checkpoint write
+    def pin[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      if (reliableDir.isDefined) rdd.checkpoint() else rdd.localCheckpoint()
+      rdd
+    }
+    // both edge orientations from ONE pass over `pairs` (the possibly
+    // expensive upstream — e.g. the full MinHash-LSH — runs once),
+    // partitioned by src and deduped WITHIN partitions (a global
+    // distinct would add a second shuffle; duplicates only matter for
+    // fold volume and cannot cross partitions once src-partitioned)
+    import spark.implicits._
+    val prs = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-      .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct())
+      .as[(Long, Long)].rdd
+    val part = new HashPartitioner(math.max(1, prs.getNumPartitions))
+    val edges = dbg("edges")(pin(prs
+      .flatMap { case (a, b) =>
+        if (a == b) Iterator.single((a, b)) else Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .mapPartitions({ it =>
+        val seen = new java.util.HashSet[(Long, Long)]()
+        it.filter(seen.add)
+      }, preservesPartitioning = true)))
     // seed with the neighborhood min — a free first propagation round
-    // (min over labels ≡ min over ids when labels are the identity)
-    var labels = ckpt(edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("mn"), col("id")).as("lab")))
+    // (min over labels ≡ min over ids when labels are the identity);
+    // reduceByKey on the already-src-partitioned edges is shuffle-free
+    var labels = dbg("seed")(pin(edges
+      .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
+        preservesPartitioning = true)))
     var it = 0
-    var converged = edges.isEmpty
+    // FULL materialization on purpose (count, not isEmpty): a partial
+    // action (take/isEmpty) computes only some partitions before the
+    // localCheckpoint truncates lineage, and the uncached partitions
+    // then throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next full
+    // consumer. Every pin() below is likewise first touched by a
+    // full-scan action (the round count / the final toDF consumer).
+    var converged = dbg("empty-probe")(edges.count() == 0L)
     while (!converged && it < maxIter) {
-      // path compression (hash-min with shortcutting): also propagate
-      // along the POINTER edges lab(x)→x, so x picks up lab(lab(x))
-      // in the same join — rounds drop from O(diameter) to
-      // O(log diameter). Every label IS a node id of the same
-      // component (min-prop invariant), so pointer edges never leak
-      // labels across components. Expressed as extra rows into the
-      // one propagation join (labels is checkpointed — reading it
-      // twice is block-cache cheap) rather than a second self-join,
-      // which would recompute the round's agg twice. Worth the larger
-      // join input only on chainy graphs (kNN); dense LSH clusters
-      // converge in 2-3 rounds without it.
-      val propIn =
-        if (!compress) edges
-        else edges.unionByName(
-          labels.select(col("lab").as("src"), col("id").as("dst")))
-      val prop = propIn.join(labels.select(col("id").as("src"), col("lab")), "src")
-        .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
-      // carry the change flag INSIDE the checkpointed frame: the
-      // convergence probe then reads checkpoint blocks instead of
-      // paying an extra join+shuffle per round (min-prop labels only
-      // ever decrease, so "changed" ≡ nlab < lab)
-      val next = ckpt(labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
-      // probe EVERY round: the probe is also the action that
-      // materializes the round's lazy checkpoint. Folding two rounds
-      // into one probe job was tried (round 11) and LOST — an
-      // unmaterialized round is referenced by TWO stages of the next
-      // round's plan (the pointer-edge union and the label join), so
-      // each skipped probe recomputes its round ~twice; the measured
-      // regression (q123 2.7 → 3.1 s) outweighed the halved job count.
-      // A metadata probe was also tried (round 12): a changed-row
-      // accumulator under one full-pass toRdd.foreachPartition, on
-      // the theory that isEmpty's take(1) short-circuit leaves most
-      // checkpoint partitions unmaterialized for the next round's two
-      // consumers to recompute. Measured alternating on one box
-      // (sf0.1, local[32], min of 3×3, clean canaries): q123 3.30 vs
-      // 3.20 s, q70 0.86 vs 0.96, q146 1.17 vs 1.26 — a wash inside
-      // the noise band; the partial blocks evidently land during the
-      // next round's first consumer and are cache hits for the
-      // second. Keeping the simpler probe.
-      converged = next.filter(col("chg")).isEmpty
-      labels = next.drop("chg")
+      // graph propagation: narrow join (both sides share `part`),
+      // emitting (dst, lab(src)) into the round's single shuffle
+      val prop0 = edges.join(labels, part)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+      // path compression (hash-min with shortcutting) under
+      // `compress`: also propagate along the POINTER edges lab(x)→x,
+      // so x picks up lab(lab(x)) in the same round — rounds drop
+      // from O(diameter) to O(log diameter). Every label IS a node id
+      // of the same component (min-prop invariant), so pointer edges
+      // never leak labels across components. The pointer rows are
+      // keyed by lab, so they ride the same reduceByKey shuffle after
+      // a keyed join against labels (the only non-narrow input, and
+      // it is O(nodes), never O(edges)). Worth it only on chainy
+      // graphs (kNN); dense LSH clusters converge in 2-3 rounds
+      // without it.
+      val prop = if (!compress) prop0 else {
+        val pointer = labels.map { case (id, lab) => (lab, id) }
+          .join(labels, part)
+          .map { case (_, (id, labLab)) => (id, labLab) }
+        prop0.union(pointer)
+      }
+      val mins = prop.reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      val chg = spark.sparkContext.longAccumulator("cc-changed")
+      val next = pin(labels.leftOuterJoin(mins, part)
+        .mapPartitions(_.map { case (id, (lab, m)) =>
+          val nl = m.fold(lab)(math.min(lab, _))
+          if (nl < lab) chg.add(1L)
+          (id, nl)
+        }, preservesPartitioning = true))
+      val t0 = if (sys.env.contains("GRAFT_CC_DEBUG")) System.nanoTime() else 0L
+      next.count() // materializes the round; the accumulator is now set
+      if (t0 != 0L) System.err.println(
+        f"CC round $it job ${(System.nanoTime() - t0) / 1e9}%.3f s chg=${chg.value}")
+      // labels only ever decrease, so chg == 0 ⟺ fixpoint. A task
+      // retry re-adds its partition's changes — over-counting can only
+      // schedule a harmless extra round, never end the loop early.
+      converged = chg.value == 0L
+      labels.unpersist(blocking = false)
+      labels = next
       it += 1
     }
     if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CC rounds: $it")
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+    // the final labels must be MATERIALIZED before edges' blocks go
+    // away (a zero-round convergence — the empty graph — leaves the
+    // seed otherwise lazy, and its compute reads the edge checkpoint)
+    if (it == 0) labels.count()
+    edges.unpersist(blocking = false)
+    labels.toDF("doc_id", "cluster_id")
   }
 
   /** Connected components by large-star/small-star alternation (the

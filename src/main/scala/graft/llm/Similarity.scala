@@ -862,6 +862,14 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    def dbg[T](tag: String)(body: => T): T =
+      if (!sys.env.contains("GRAFT_CC_DEBUG")) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"semanticPrune $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     val edges = knnGraph(emb, k, planes, idCol, vecCol, maxBucket)
       .filter(col("cosine") >= tau)
       .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
@@ -880,7 +888,7 @@ object Similarity {
     // phases per round — four shuffles — outweigh its fewer rounds;
     // revisit only if tau drops enough to chain components an order
     // of magnitude deeper.
-    val labels = Dedup.connectedComponents(edges, compress = true)
+    val labels = dbg("cc")(Dedup.connectedComponents(edges, compress = true))
       .withColumnRenamed("doc_id", "vec_id")
     // cluster sizes via groupBy + join-back, not a partition-only
     // window (judge r14 item 2): a giant semantic cluster — exactly
@@ -889,11 +897,11 @@ object Similarity {
     // partials and the join-back streams, with AQE skew-split
     // available. `assigned` is doc-count-sized two-long rows; its
     // localCheckpoint stops the CC label join re-running per consumer.
-    val assigned = emb.select(col(idCol).cast("long").as("vec_id"))
+    val assigned = dbg("assigned")(emb.select(col(idCol).cast("long").as("vec_id"))
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint())
     val sizes = assigned.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     assigned.join(sizes, Seq("cluster_id"))
