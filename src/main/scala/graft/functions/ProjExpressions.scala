@@ -325,6 +325,8 @@ object GraftFunctions {
       args => WinnowFps(args(0), constInt(args(1), "k"), constInt(args(2), "w"))),
     fn("substr_window_hashes", "distinct k-char-window hashes of a document at a stride",
       args => SubstrWindowHashes(args(0), constInt(args(1), "k"), constInt(args(2), "stride"))),
+    fn("md5_prefix60", "top 60 bits of md5 as BIGINT (= conv(substring(md5(s),1,15),16,10))",
+      args => Md5Prefix60(args(0))),
     fn("shingles", "per-position word n-grams of a document",
       args => Shingles(args(0), constInt(args(1), "n"))),
     fn("winnow_pos", "winnowing-selected (pos, fp) pairs of a document",
@@ -396,6 +398,15 @@ object GraftFunctions {
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+
+  /** [[Md5Prefix60]] as a registry-free Column (the hash helper rides
+    * inside pure Column builders — [[graft.llm.Sampling.hashUniformCol]]
+    * and friends — that have no SparkSession in scope to register on);
+    * the Expression↔Column bridge lives in the [[Md5Cols]] Java shim
+    * (Spark's ExpressionUtils is private[sql] to Scala only).
+    */
+  def md5Prefix60Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Md5Cols.md5Prefix60Col(c)
 }
 
 /** `spark.sql.extensions` entry point: functions + optimizer rules. */

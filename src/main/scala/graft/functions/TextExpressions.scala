@@ -738,6 +738,36 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `md5_prefix60(s)`: the top 60 bits of md5(s) as a BIGINT —
+  * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)` (see
+  * [[TextKernels.md5Prefix60]]; the 15 leading hex digits ARE the top
+  * 60 bits of the big-endian digest prefix) but computed straight
+  * from the digest bytes, skipping the hex-string materialization and
+  * the string-parsing `conv`. The expression-form equality is what
+  * every DuckDB oracle replays, so swapping call sites is
+  * value-neutral by construction.
+  */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val b = t.asInstanceOf[UTF8String].getBytes
+    TextKernels.md5Prefix60(b, 0, b.length)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      byte[] md5p60b = $t.getBytes();
+      ${ev.value} = graft.functions.TextKernels.md5Prefix60(md5p60b, 0, md5p60b.length);
+    """)
+
+  override def prettyName: String = "md5_prefix60"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `substr_window_hashes(text, k, stride)`: a document's distinct
   * k-char-window hash set at the given stride — see
   * [[TextKernels.substrWindowHashes]]. Turns the substring-dup

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.md5Prefix60Col
+
 import graft.llm.AtRestStore.{tableIfExists, tablePath, tombstoneAppend, tombstoneClear}
 
 /** Deduplication operators for training-data pipelines: exact
@@ -105,9 +107,7 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"))
       .join(cc, Seq("id"), "left")
       .withColumn("cid", coalesce(col("cluster_id"), col("id")))
-      .withColumn("pct",
-        conv(substring(md5(col("cid").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100)
+      .withColumn("pct", md5Prefix60Col(col("cid").cast("string")) % 100)
       .withColumn("split",
         when(col("pct") < trainPct, "train")
           .when(col("pct") < trainPct + valPct, "val")
@@ -517,9 +517,8 @@ object Dedup {
                 numBits: Int, numHashes: Int): DataFrame =
     keys.select(col(keyCol).cast("string").as("key"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
-      .select((conv(substring(md5(
-          concat(col("key"), lit("#"), col("j").cast("string"))), 1, 15), 16, 10)
-        .cast("long") % numBits).as("pos"))
+      .select((md5Prefix60Col(
+        concat(col("key"), lit("#"), col("j").cast("string"))) % numBits).as("pos"))
       .agg(sort_array(collect_set(col("pos"))).as("bits"))
 
   /** Membership probe against a [[bloomBits]] filter: each probe key
@@ -533,9 +532,8 @@ object Dedup {
   def bloomProbe(probes: DataFrame, keyCol: String, bits: DataFrame,
                  numBits: Int, numHashes: Int): DataFrame = {
     val positions = transform(sequence(lit(0), lit(numHashes - 1)),
-      j => conv(substring(md5(
-          concat(col(keyCol).cast("string"), lit("#"), j.cast("string"))), 1, 15), 16, 10)
-        .cast("long") % numBits)
+      j => md5Prefix60Col(
+        concat(col(keyCol).cast("string"), lit("#"), j.cast("string"))) % numBits)
     probes.crossJoin(broadcast(bits))
       .withColumn("maybe_seen", forall(positions, p => array_contains(col("bits"), p)))
       .drop("bits")
@@ -646,7 +644,7 @@ object Dedup {
     * by affine transform (digest work drops k-fold vs per-salt md5s).
     */
   def minhashBaseCol(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+    md5Prefix60Col(shingle) % MinhashP
 
   /** k-th universal hash: (aₖ·x + bₖ) mod p with LCG-derived, fixed
     * coefficients (aₖ ≠ 0 mod p) — exact integer arithmetic, so any
@@ -2812,8 +2810,7 @@ object Dedup {
           .as("s"))
       .select(col("id"), col("s.pos").as("pos"),
         substring(col("t"), col("s.pos"), lit(minLen)).as("g"))
-      .withColumn("fp",
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .withColumn("fp", md5Prefix60Col(col("g")))
       // three consumers (df-cap agg + both pair-join sides) — without
       // the cut the anchor+hash pipeline replays per consumer (same
       // economics as winnowedPairs' fps; blocks released by the

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.md5Prefix60Col
+
 /** Lexical (keyword) retrieval over a document corpus — the BM25-family
   * complement to the embedding-ANN operators in [[Similarity]]: a
   * training-data pipeline uses it for targeted corpus search,
@@ -272,8 +274,7 @@ object Retrieval {
     * stored vocabulary.
     */
   private def pbucketCol(s: Column, nBuckets: Int): Column =
-    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"),
-      lit(nBuckets.toLong)).cast("int")
+    pmod(md5Prefix60Col(s), lit(nBuckets.toLong)).cast("int")
 
   /** Shared write body — ONE postings/doclens/stats encoder for the
     * ingest and append faces (the lshWriteAtRest pattern) so the two

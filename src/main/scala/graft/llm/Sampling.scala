@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.md5Prefix60Col
+
 /** Deterministic sampling / data-mixing operators for training-data
   * pipelines: every decision derives from a content-stable hash, so a
   * re-run (or a different cluster) selects exactly the same rows — no
@@ -22,7 +24,7 @@ object Sampling {
     * oracles reproduce the draw bit-for-bit.
     */
   def hashUniformCol(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
+    md5Prefix60Col(key.cast("string")).cast("double") /
       lit(1152921504606846976.0) // 2^60
 
   /** Deterministic stratified sampling: keep a row iff its hash draw
@@ -219,8 +221,7 @@ object Sampling {
     val clash = df.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"packBins writes columns ${reserved.mkString(", ")}; input already has ${clash.mkString(", ")}")
-    val shard = pmod(conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(shards.toLong))
+    val shard = pmod(md5Prefix60Col(keyCol.cast("string")), lit(shards.toLong))
     val w = Window.partitionBy("shard")
       .orderBy(md5(keyCol.cast("string")), keyCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -395,8 +396,7 @@ object Sampling {
   def materializeWeights(df: DataFrame, keyCol: Column,
                          weightFpCol: Column): DataFrame = {
     val draw = pmod(
-      conv(substring(md5(concat(keyCol.cast("string"), lit(":up"))), 1, 15),
-        16, 10).cast("long"),
+      md5Prefix60Col(concat(keyCol.cast("string"), lit(":up"))),
       lit(1048576L))
     df.withColumn("_wfp", weightFpCol.cast("long"))
       // integer div/mod only — Column./ is double division and would
@@ -437,8 +437,7 @@ object Sampling {
     require(seqLen > 0 && shards > 0,
       s"seqLen and shards must be positive, got seqLen=$seqLen shards=$shards")
     val k = col("_k")
-    val shard = pmod(conv(substring(md5(k.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(shards.toLong))
+    val shard = pmod(md5Prefix60Col(k.cast("string")), lit(shards.toLong))
     val w = Window.partitionBy("shard")
       .orderBy(md5(k.cast("string")), k)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

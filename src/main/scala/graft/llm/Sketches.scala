@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.md5Prefix60Col
+
 /** Streaming-sketch operators for corpus-scale frequency and
   * cardinality estimation — the structures a 100 TB pipeline keeps
   * instead of exact tables when the key space (tokens, URLs, shingle
@@ -48,8 +50,8 @@ object Sketches {
       .select(col("cnt"), col("tok"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"),
-        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-          col("tok"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+        pmod(md5Prefix60Col(concat(col("r").cast("string"), lit(":"),
+          col("tok"))), lit(width.toLong))
           .as("b"),
         col("cnt"))
       .groupBy("r", "b").agg(sum("cnt").as("cnt"))
@@ -73,8 +75,8 @@ object Sketches {
       .select(col("tok"), col("exact"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("tok"), col("exact"), col("r"),
-        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-          col("tok"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+        pmod(md5Prefix60Col(concat(col("r").cast("string"), lit(":"),
+          col("tok"))), lit(width.toLong))
           .as("b"))
       .join(broadcast(sketch), Seq("r", "b"))
       .groupBy("tok", "exact").agg(min("cnt").as("est"))
