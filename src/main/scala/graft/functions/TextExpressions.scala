@@ -44,7 +44,13 @@ object TextKernels {
   /** `conv(substring(md5(bytes), 1, 15), 16, 10)` as bit arithmetic:
     * the first 15 hex digits of the digest are its top 60 bits.
     */
-  private[functions] def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
+  // PUBLIC (not private[functions]) on purpose: whole-stage codegen
+  // calls this as a STATIC method from generated Java, and Scala only
+  // emits the static forwarder for public object members — a
+  // package-private member silently downgrades every Md5Prefix60 site
+  // to interpreted eval (caught in the round-18 bench log as Janino
+  // "method not declared" compile errors).
+  def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md5.get()
     d.reset()
     d.update(bytes, off, len)

@@ -1123,6 +1123,14 @@ object Similarity {
       graft.core.Materialize.release(mod)
       next
     }
+    // NOTE (round-18 A/B): localCheckpoint-ing this assignment frame
+    // for its multi-consumer callers (pqRecall reads it twice) was
+    // measured back-to-back and LOST BADLY (q193 3.5 → 10.2 s): the
+    // eager materialization computes every column for every row, while
+    // the lazy recompute lets each consumer prune (the pq branch never
+    // evaluates d_fp at all) and the broadcast-model assign pass is
+    // memory-bandwidth-cheap. Same economics as cosineNearDupPairs'
+    // rejected cache (see its scaladoc).
     (finalModel, assign(finalModel)
       .select(col("id"), col("sub"), col("c"),
         floor(col("d") * FP).cast("long").as("d_fp")))
