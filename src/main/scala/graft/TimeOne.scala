@@ -22,10 +22,18 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // Same snapshot-and-release hygiene as Bench.runOnce: without it,
+    // checkpoint-pinning operators accumulate block-manager blocks
+    // across iterations (Bench frees them after every run, outside the
+    // timed window), so TimeOne would systematically penalize exactly
+    // the changes it is used to A/B.
     def once(): Double = {
+      val keep = graft.core.Materialize.liveIds(spark)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.Materialize.releaseAll(spark, keep)
+      dt
     }
     once() // warmup
     val times = (1 to iters).map(_ => once())

@@ -1294,7 +1294,16 @@ object Similarity {
       s"need 0 < nprobe <= coarseK, got nprobe=$nprobe coarseK=$coarseK")
     val FP = 1048576.0
     val (cModel, cAssign) = pqCore(emb, 1, coarseK, rounds, idCol, vecCol)
+    // PRUNED two-column checkpoint (id, cell) — this path consumes the
+    // coarse assignment three times (residual frame for the fine-
+    // codebook TRAINING round, the residual frame again for the final
+    // lazy fine assign, and the candidate route join), and each lazy
+    // consumer re-runs the full coarse-assign corpus pass. Unlike the
+    // REJECTED full-frame checkpoint (see pqCore's round-18 note: sv
+    // arrays + d_fp materialized eagerly lost 3×), this materializes
+    // 16 bytes/row and drops two coarse-assign passes.
     val cells = cAssign.select(col("id"), col("c").as("cell"))
+      .localCheckpoint()
     // residuals: vec − coarse centroid of the vector's own cell
     val resid = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .join(cells, "id")
@@ -1303,8 +1312,18 @@ object Similarity {
         zip_with(col("v"),
           element_at(element_at(col("centsBySub"), 1), col("cell") + 1),
           (x, c) => x.cast("double") - c).as("embedding"))
+    // The residual frame itself is consumed twice (the fine TRAINING
+    // round and the final lazy fine assign), and each lazy pass re-runs
+    // the emb⋈cells join + the zip_with subtraction. Checkpointing the
+    // two-column projection trades one corpus-sized materialization
+    // (MEMORY_AND_DISK, ~0.5 KB/row) for a whole corpus join pass —
+    // paired A/Bs kept it (see OPTIMIZATION_r18.md). The same pruned
+    // checkpoint was A/B'd at ivfAdcFrom.cells and pqRecall's code rows
+    // (two cheap consumers each) and was a WASH — only this path, with
+    // three coarse consumers, clears the materialization cost.
     val (pModel, pAssign) = pqCore(
-      resid.select("vec_id", "embedding"), m, k, rounds, "vec_id", "embedding")
+      resid.select("vec_id", "embedding").localCheckpoint(),
+      m, k, rounds, "vec_id", "embedding")
     // routing on raw-vector coarse distances (same as ivfPqTopK)
     val qCellDist = pqLut(queries, cModel, 1)
       .select(col("qid"), col("c").as("cell"), col("d_fp").as("cd_fp"))
