@@ -26,7 +26,11 @@ object TimeOne {
     // checkpoint-pinning operators accumulate block-manager blocks
     // across iterations (Bench frees them after every run, outside the
     // timed window), so TimeOne would systematically penalize exactly
-    // the changes it is used to A/B.
+    // the changes it is used to A/B. Same WARN suppression too —
+    // releaseAll logs one "lineage has been truncated" WARN per
+    // released RDD (see Bench's note).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     def once(): Double = {
       val keep = graft.core.Materialize.liveIds(spark)
       val t0 = System.nanoTime()

@@ -1280,10 +1280,15 @@ object Similarity {
     * per-cell ADC chain replays in one oracle statement.
     *
     * Scale shape: the residual frame is one broadcast-model
-    * projection over the corpus (no extra shuffle — the coarse
-    * assignment rows are reused), candidates prune exactly as in
-    * [[ivfPqTopK]], and the ADC join keys on (qid, cell, sub, code)
-    * against the broadcast per-cell LUT.
+    * projection over the corpus; because three consumers would
+    * otherwise re-run the coarse-assign pass (round-18 measurement),
+    * the (id, cell) table and the two-column residual frame are
+    * eagerly `localCheckpoint`ed — the executors hold one pruned
+    * corpus copy (16 B/row + ~0.5 KB/row, MEMORY_AND_DISK) for the
+    * call's duration, released by the caller's session hygiene.
+    * Candidates prune exactly as in [[ivfPqTopK]], and the ADC join
+    * keys on (qid, cell, sub, code) against the broadcast per-cell
+    * LUT.
     */
   def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame, topK: Int = 5,
                         nprobe: Int = 2, coarseK: Int = 8,
@@ -1308,7 +1313,7 @@ object Similarity {
     val resid = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .join(cells, "id")
       .crossJoin(broadcast(cModel))
-      .select(col("id").as("vec_id"), col("cell"),
+      .select(col("id").as("vec_id"),
         zip_with(col("v"),
           element_at(element_at(col("centsBySub"), 1), col("cell") + 1),
           (x, c) => x.cast("double") - c).as("embedding"))
@@ -1322,8 +1327,7 @@ object Similarity {
     // (two cheap consumers each) and was a WASH — only this path, with
     // three coarse consumers, clears the materialization cost.
     val (pModel, pAssign) = pqCore(
-      resid.select("vec_id", "embedding").localCheckpoint(),
-      m, k, rounds, "vec_id", "embedding")
+      resid.localCheckpoint(), m, k, rounds, "vec_id", "embedding")
     // routing on raw-vector coarse distances (same as ivfPqTopK)
     val qCellDist = pqLut(queries, cModel, 1)
       .select(col("qid"), col("c").as("cell"), col("d_fp").as("cd_fp"))
