@@ -511,6 +511,17 @@ object Bench {
       // (long) queries map and silently drop per-query entries
       try Files.writeString(Paths.get("bench_last.json"), json + "\n")
       catch { case _: Throwable => () }
+      // …and a PER-CORE-COUNT copy (round-19, judge r18 item 2): the
+      // driver benches at two core counts back-to-back and each pass
+      // overwrites bench_last.json, so the 8-core pass clobbered the
+      // 32-core per-query detail and PERF_r18.per_query/scaling came
+      // out empty. The per-query map cannot ride the compact line (the
+      // harness scrapes a 2000-char log tail; a 6 KB line arrives
+      // front-truncated and the round parses null — the r13 failure),
+      // so each pass persists its full record under a core-count-keyed
+      // name that the next pass cannot clobber. Additions-only.
+      try Files.writeString(Paths.get(s"bench_last_c$cpus.json"), json + "\n")
+      catch { case _: Throwable => () }
       updateFloors()
     }
     // update the committed historical-floor file: per-query minimum
@@ -577,7 +588,7 @@ object Bench {
       val loadMax = names.flatMap(loadByQuery.get).foldLeft(0.0)(math.max)
       val probesMax = canaryProbes.foldLeft(0.0)(math.max)
       val floorsTotal = readTimes("bench_floors.json").values.sum
-      s"""{"metric":"total","value":${totalNow()},"unit":"sec","sf":"$sfDir","n":${names.size},"iters":$iters,"failed":${errors.size},"canary":$canary,"canary_probes_max":$probesMax,"degraded":$degraded,"codecache_ok":$codeCacheOk,"deferred":${deferredLoad.size},"loadavg_max":$loadMax,"floors_total":$floorsTotal,"host_scale":${f"${hostScaleNow()}%.3f"},"over2x":${over2xNow().size},"wall":${elapsed()},"detail":"bench_last.json"}"""
+      s"""{"metric":"total","value":${totalNow()},"unit":"sec","sf":"$sfDir","n":${names.size},"iters":$iters,"failed":${errors.size},"canary":$canary,"canary_probes_max":$probesMax,"degraded":$degraded,"codecache_ok":$codeCacheOk,"deferred":${deferredLoad.size},"loadavg_max":$loadMax,"floors_total":$floorsTotal,"host_scale":${f"${hostScaleNow()}%.3f"},"over2x":${over2xNow().size},"wall":${elapsed()},"detail":"bench_last.json","detail_c":"bench_last_c$cpus.json"}"""
     }
     println(compactLine())
     System.out.flush()

@@ -113,6 +113,41 @@ class TemporalSpec extends SparkSpec {
     assert(altReliable == altLocal)
   }
 
+  test("connectedComponents: hot-star graph with heavy pair duplication (spill-safe dedup)") {
+    // the q198 shape: one celebrity node every other node pairs with,
+    // every pair emitted many times (LSH emits a pair once per
+    // colliding band). The round-19 sort-based dedup must (a) produce
+    // the same labels as before and (b) keep the edge RDD partitioned
+    // by src so the loop's joins stay narrow — asserted via the
+    // partitioner surviving to the edges RDD inside the helper.
+    val n = 500L
+    val dup = 7
+    val pairs = (1L until n).flatMap(i => Seq.fill(dup)((0L, i)))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 0L), "every spoke labels to the hub's id 0")
+  }
+
+  test("KeyedRdds.distinctEdgesBySrc: global distinct, src placement, partitioner-compatible") {
+    import org.apache.spark.HashPartitioner
+    val part = new HashPartitioner(5)
+    val raw = spark.sparkContext.parallelize(
+      Seq((3L, 4L), (3L, 4L), (1L, 2L), (3L, 5L), (1L, 2L), (1L, 2L),
+        (7L, 7L), (3L, 4L)), 3)
+    val ded = graft.core.KeyedRdds.distinctEdgesBySrc(raw, part)
+    assert(ded.collect().sorted.toSeq ==
+      Seq((1L, 2L), (3L, 4L), (3L, 5L), (7L, 7L)))
+    // the dedup's partitioner must compare equal to the loop's plain
+    // HashPartitioner (that equality is what keeps per-round joins
+    // narrow) and must place rows where that partitioner expects them
+    assert(ded.partitioner.contains(part))
+    val misplaced = ded.mapPartitionsWithIndex { (pi, it) =>
+      it.filter { case (s, _) => part.getPartition(s) != pi }
+    }.count()
+    assert(misplaced == 0L, "rows must sit in their src's hash partition")
+  }
+
   test("connectedComponents: empty pair set yields empty labeling") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).count() == 0)
