@@ -84,22 +84,39 @@ object Retrieval {
     // reasons as the LSH signatureAgg (ContextCleaner-reclaimed,
     // eager); at cluster scale these two frames are exactly what a
     // production pipeline persists as its standing inverted index.
-    val tf = termFrequencies(docs, idCol, textCol, n).localCheckpoint()
+    def dbg[T](tag: String)(body: => T): T =
+      if (!sys.env.contains("GRAFT_TFIDF_DEBUG")) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"TFIDF $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+    val tf = dbg("tf")(termFrequencies(docs, idCol, textCol, n).localCheckpoint())
     val nd = tf.agg(count_distinct(col("id")).as("n_docs"))
     val dfs = tf.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val w = tf.join(dfs, "s").crossJoin(broadcast(nd))
+    val w = dbg("w")(tf.join(dfs, "s").crossJoin(broadcast(nd))
       .select(col("id"), col("s"),
         (col("tf") * floor(log(col("n_docs").cast("double") / col("df"))
           * lit(65536.0)).cast("long")).as("w_fp"))
       // (a repartition-by-s pin before this checkpoint was tried —
       // the blocks come back UnknownPartitioning, so the self-join
       // reshuffles anyway and the pin is pure extra exchange)
-      .localCheckpoint()
+      .localCheckpoint())
     // |docs|-row frame consumed by TWO broadcast branches (id_a and
     // id_b); materialized so the weight scan + aggregation run once
-    val norms = w.groupBy("id").agg(sum(col("w_fp") * col("w_fp")).as("n2"))
-      .localCheckpoint()
+    val norms = dbg("norms")(w.groupBy("id").agg(sum(col("w_fp") * col("w_fp")).as("n2"))
+      .localCheckpoint())
+    // Round-19 A/B (measured, REJECTED): grouping w by s once
+    // (collect_list postings, df ≤ maxDf bounded) and emitting the
+    // i<j pair products row-locally removes one of the self-join's two
+    // s-exchanges and the hash-table build — but paired ABBA timed it
+    // ~30% SLOWER (2.62-2.66 vs 1.88-2.21 s at sf0.1): the
+    // ObjectHashAggregate collect_list (no codegen) plus the n² struct
+    // allocation per term cost more than the extra exchange of this
+    // narrow 3-column frame. The codegen'd shuffled-hash self-join
+    // stays.
     val dots = w.as("a")
       .join(w.as("b").hint("shuffle_hash"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -1139,25 +1139,41 @@ object Similarity {
         (0 until sl).map(i => ((c * 37 + i * 13 + sub * 7) % 41 - 20) / 10.0)))
     val subRows = pqSubRows(emb, m, sl, idCol, vecCol)
     def assign(model: DataFrame): DataFrame = pqAssignRows(subRows, model)
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select(col("sub"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))
+    // Round-19 (guide §2.4/§5): the Lloyd update used to assemble the
+    // next model with THREE nested collect_list groupBys plus a
+    // localCheckpoint — four sequential exchanges per round to build a
+    // ≤ k·64-row model. The per-(sub, c, dim) sums are where the data
+    // reduction happens (map-side partials over the corpus); the rest
+    // is model-sized assembly, so it now collects those ≤ 512 rows
+    // (planner metadata — the fitIvf-centroids contract) and builds
+    // the nested array driver-side: one exchange per round instead of
+    // four, no checkpoint job. Bit-identical values: the mean is the
+    // same cast(s as double) / 2²⁰ / n IEEE sequence, and the nested
+    // arrays are assembled in the same (sub, c, dim) ascending order
+    // the struct-sorted collect_lists produced — including the
+    // positional collapse of dead (sub, c) codes (absent groups simply
+    // don't appear, exactly like an absent collect_list entry).
+    def update(assigned: DataFrame): DataFrame = {
+      val rows = assigned
+        .select(col("sub"), col("c"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy("sub", "c", "dim")
         .agg(count(lit(1)).as("n"),
           sum(floor(col("x").cast("double") * FP).cast("long")).as("s"))
-        .withColumn("mn", col("s").cast("double") / FP / col("n"))
-        .groupBy("sub", "c")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-          s => s.getField("mn")).as("cv"))
-        .groupBy("sub")
-        .agg(transform(array_sort(collect_list(struct(col("c"), col("cv")))),
-          s => s.getField("cv")).as("cents"))
-        .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
-          s => s.getField("cents")).as("centsBySub"))
+        .collect()
+      val cents: Seq[Seq[Seq[Double]]] = rows
+        .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("c"), r.getAs[Int]("dim")),
+          r.getAs[Long]("s").toDouble / FP / r.getAs[Long]("n").toDouble))
+        .sortBy(_._1)
+        .groupBy(_._1._1).toSeq.sortBy(_._1)
+        .map { case (_, subRows) =>
+          subRows.groupBy(_._1._2).toSeq.sortBy(_._1)
+            .map { case (_, cRows) => cRows.sortBy(_._1._3).map(_._2).toSeq }
+        }
+      spark.range(1).select(typedLit(cents).as("centsBySub"))
+    }
     val model0 = spark.range(1).select(typedLit(init).as("centsBySub"))
     val finalModel = (0 until rounds).foldLeft(model0) { (mod, _) =>
-      val next = update(assign(mod)).localCheckpoint()
-      graft.core.Materialize.release(mod)
-      next
+      update(assign(mod))
     }
     // NOTE (round-18 A/B): localCheckpoint-ing this assignment frame
     // for its multi-consumer callers (pqRecall reads it twice) was
